@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the graded surface: one entry per implemented operator from
+  * SURVEY.md §2 (reference parity, [[graft.queries.Parity]]) plus the
+  * LLM-data-pipeline extension surface §2.10 ([[graft.queries.Ext]]).
+  * `oracleSql` carries the DuckDB-equivalent SQL for the driver's
+  * differential correctness gate; queries without an entry get the weaker
+  * rows-only check (non-SQL-expressible ops: seeded MinHash/SimHash, LSH).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full gold fact pipeline: 2 hash aggregates + FK join + 3-way left
+    * join onto the distinct customer spine with guarded ratio columns. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_fact_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Parity.queries ++ graft.queries.Ext.queries
+
+  def oracleSql: Map[String, String] =
+    graft.queries.Parity.oracle ++ graft.queries.Ext.oracle
 }

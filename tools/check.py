@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's t2 correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query parquet in outDir, runs the matching oracle SQL in DuckDB
+(views named after the testdata parquet files), then compares
+column-name-sorted, row-sorted values. Doubles compared exactly first,
+then with 1e-9 relative tolerance reported separately, so we can tell
+"bit-identical" from "close".
+"""
+import json, math, sys, glob, os
+import duckdb
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def table(con, sql):
+    return con.execute(sql).fetchall()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = n_skip = 0
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        if not os.path.isdir(qdir):
+            continue
+        name = os.path.basename(qdir)
+        got_rows_raw = con.execute(
+            f"SELECT * FROM '{qdir}/*.parquet'").fetchall()
+        got_cols = [d[0] for d in con.execute(
+            f"SELECT * FROM '{qdir}/*.parquet' LIMIT 0").description]
+        if name not in oracle:
+            print(f"SKIP  {name}: rows={len(got_rows_raw)} (no oracle)")
+            n_skip += 1
+            continue
+        try:
+            cur = con.execute(oracle[name])
+            exp_cols = [d[0] for d in cur.description]
+            exp_rows_raw = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle SQL error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        # sort columns by name (driver behavior), then sort rows
+        gidx = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        eidx = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL  {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        key = lambda r: tuple((x is None, str(x)) for x in r)
+        got = sorted([tuple(norm_cell(r[i]) for i in gidx) for r in got_rows_raw], key=key)
+        exp = sorted([tuple(norm_cell(r[i]) for i in eidx) for r in exp_rows_raw], key=key)
+        if len(got) != len(exp):
+            print(f"FAIL  {name}: rowcount {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        exact = got == exp
+        if exact:
+            print(f"PASS  {name}: rows={len(got)} (exact)")
+            n_pass += 1
+            continue
+        # find first diff; check approx equality for floats
+        n_diff = 0
+        first = None
+        approx_ok = True
+        for g, e in zip(got, exp):
+            if g != e:
+                n_diff += 1
+                if first is None:
+                    first = (g, e)
+                for gv, ev in zip(g, e):
+                    if gv == ev:
+                        continue
+                    if isinstance(gv, float) and isinstance(ev, float):
+                        if abs(gv - ev) > 1e-9 * max(1.0, abs(gv), abs(ev)):
+                            approx_ok = False
+                    else:
+                        approx_ok = False
+        tag = "NEAR " if approx_ok else "FAIL "
+        print(f"{tag} {name}: {n_diff}/{len(got)} rows differ; first:\n  got {first[0]}\n  exp {first[1]}")
+        n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    sys.exit(main(sf, out))
