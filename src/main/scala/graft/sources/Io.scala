@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.Schemas
+import graft.pipelines.{Gold, Silver}
+
+/** Sources, sinks, and the medallion runner (SURVEY.md §2.1 S1-S5, §3).
+  *
+  * The reference hand-rolls S3 I/O with boto3 + in-memory Arrow buffers
+  * (load_bronze.py:45-71); on Spark the same surface is just the DataFrame
+  * reader/writer — pass an `s3a://bucket/key` path and the hadoop-aws
+  * committer replaces all of it (S5: credentials via
+  * `spark.hadoop.fs.s3a.*` session config, no engine code needed).
+  * Paths here are opaque: local FS in tests, `s3a://` in production.
+  */
+object Io {
+
+  /** S1: CSV scan with a declared schema — the engine never relies on
+    * inference (SURVEY §1.2). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").option("multiLine", "true")
+      .schema(schema).csv(path)
+
+  /** S2: CSV sink (header row, like to_csv(index=False)). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** S4: parquet scan. */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S3: parquet sink (overwrite, matching put_object semantics). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  private val tables = Seq("clients", "crm_clients", "vehicles", "policies",
+    "claims", "payments")
+
+  /** Bronze (§3.1): raw CSV → parquet, one narrow no-shuffle job per table.
+    * Per-table failures propagate (the reference swallows them,
+    * load_bronze.py:98-101 — an engine should not silently drop tables). */
+  def runBronze(spark: SparkSession, rawDir: String, bronzeDir: String): Unit =
+    tables.foreach { t =>
+      writeParquet(readCsv(spark, s"$rawDir/$t", Schemas.all(t)), s"$bronzeDir/$t")
+    }
+
+  /** Silver (§3.2): per-table cleanse, still shuffle-free. */
+  def runSilver(spark: SparkSession, bronzeDir: String, silverDir: String,
+                asOf: String, asOfYear: Int): Unit = {
+    def rd(t: String) = readParquet(spark, s"$bronzeDir/$t")
+    writeParquet(Silver.clients(rd("clients")), s"$silverDir/clients")
+    writeParquet(Silver.crmClients(rd("crm_clients")), s"$silverDir/crm_clients")
+    writeParquet(Silver.vehicles(rd("vehicles"), asOfYear), s"$silverDir/vehicles")
+    writeParquet(Silver.policies(rd("policies")), s"$silverDir/policies")
+    writeParquet(Silver.claims(rd("claims"), asOf), s"$silverDir/claims")
+    writeParquet(Silver.payments(rd("payments")), s"$silverDir/payments")
+  }
+
+  /** Gold (§3.3): the dimensional model. */
+  def runGold(spark: SparkSession, silverDir: String, goldDir: String): Unit = {
+    def rd(t: String) = readParquet(spark, s"$silverDir/$t")
+    writeParquet(Gold.dimClients(rd("clients"), rd("crm_clients")), s"$goldDir/dim_clients")
+    writeParquet(Gold.dimVehicles(rd("vehicles")), s"$goldDir/dim_vehicles")
+    writeParquet(Gold.factClientSummary(rd("clients"), rd("policies"),
+      rd("payments"), rd("claims")), s"$goldDir/fact_client_summary")
+    writeParquet(Gold.factPayments(rd("payments"), rd("policies")), s"$goldDir/fact_payments")
+  }
+
+  /** Full medallion pipeline: generate → bronze → silver → gold. */
+  def runAll(spark: SparkSession, baseDir: String, scale: Double = 1.0,
+             seed: Long = 42, asOf: String = "2026-01-01 00:00:00",
+             asOfYear: Int = 2026): Unit = {
+    Gen.all(spark, scale, seed).foreach { case (t, df) =>
+      writeCsv(df, s"$baseDir/raw/$t")
+    }
+    runBronze(spark, s"$baseDir/raw", s"$baseDir/bronze")
+    runSilver(spark, s"$baseDir/bronze", s"$baseDir/silver", asOf, asOfYear)
+    runGold(spark, s"$baseDir/silver", s"$baseDir/gold")
+  }
+}

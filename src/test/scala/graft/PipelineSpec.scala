@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Gen, Io}
+
+/** End-to-end medallion pipeline test (SURVEY.md §5): seeded generator →
+  * bronze → silver → gold on local FS, asserting the reference's own
+  * logged invariants plus row-accounting properties. */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val base: String = {
+    val dir = Files.createTempDirectory("graft_e2e").toString
+    Io.runAll(spark, dir, scale = 0.1, seed = 42,
+      asOf = "2026-01-01 00:00:00", asOfYear = 2026)
+    dir
+  }
+  private def rd(p: String) = spark.read.parquet(s"$base/$p")
+
+  test("bronze preserves raw row counts") {
+    assert(rd("bronze/clients").count() == 500)
+    assert(rd("bronze/claims").count() == 250)
+    val crm = rd("bronze/crm_clients").count()
+    assert(crm > 280 && crm < 420, s"crm 70% sample out of range: $crm")
+  }
+
+  test("silver vehicles/policies have no null FKs (F2/F3)") {
+    assert(rd("silver/vehicles").filter(col("client_id").isNull).count() == 0)
+    assert(rd("silver/policies")
+      .filter(col("client_id").isNull || col("vehicle_id").isNull).count() == 0)
+  }
+
+  test("silver row accounting: silver <= bronze") {
+    for (t <- Seq("clients", "crm_clients", "vehicles", "policies", "claims", "payments"))
+      assert(rd(s"silver/$t").count() <= rd(s"bronze/$t").count(), t)
+  }
+
+  test("silver claims: future sentinel nulled, null amounts kept (E12/E11)") {
+    val claims = rd("silver/claims")
+    assert(claims.filter(col("claim_date") > to_timestamp(lit("2026-01-01"))).count() == 0)
+    // claim rows survive even when amount was nulled — asymmetry vs payments
+    assert(claims.count() > 0)
+  }
+
+  test("silver payments: non-positive amounts DROPPED (F5 asymmetry)") {
+    val p = rd("silver/payments")
+    assert(p.filter(col("amount").isNull || col("amount") <= 0).count() == 0)
+    assert(p.count() < rd("bronze/payments").count()) // negatives existed
+  }
+
+  test("silver text cleansing applied (E1/E2/E3)") {
+    val c = rd("silver/clients")
+    // no leading/trailing whitespace survives
+    assert(c.filter(col("name") =!= trim(col("name"))).count() == 0)
+    // surviving emails match the regex
+    val bad = c.filter(col("email").isNotNull &&
+      !col("email").rlike(graft.functions.Cleanse.emailPattern)).count()
+    assert(bad == 0)
+    val crm = rd("silver/crm_clients")
+    assert(crm.filter(col("iban_account_number").isNotNull &&
+      col("iban_account_number") =!= upper(col("iban_account_number"))).count() == 0)
+  }
+
+  test("gold dim_clients: left join keeps every client (J1)") {
+    assert(rd("gold/dim_clients").count() == rd("silver/clients").count())
+    assert(rd("gold/dim_clients").columns.contains("client_type"))
+  }
+
+  test("gold dim_vehicles: surrogate key + distinct (P5/A5)") {
+    val dv = rd("gold/dim_vehicles")
+    assert(dv.columns.toSeq == Seq("vehicle_key", "vehicle_id", "client_id",
+      "brand", "model", "year", "plate"))
+    assert(dv.filter(col("vehicle_key") =!= col("vehicle_id")).count() == 0)
+    assert(dv.count() == dv.dropDuplicates().count())
+  }
+
+  test("gold fact_client_summary: one row per distinct client (P4)") {
+    val f = rd("gold/fact_client_summary")
+    assert(f.count() == rd("silver/clients").select("client_id").distinct().count())
+    assert(f.select("client_id").distinct().count() == f.count())
+  }
+
+  test("gold fact ratios are null-guarded, never NaN/Inf (A7)") {
+    val f = rd("gold/fact_client_summary")
+    for (c <- Seq("payment_to_premium_ratio", "claim_ratio", "avg_payment", "avg_claim")) {
+      assert(f.filter(isnan(col(c)) || col(c) === Double.PositiveInfinity).count() == 0, c)
+    }
+  }
+
+  test("gold fact aggregates reconcile with silver totals") {
+    val f = rd("gold/fact_client_summary")
+    val totalPolicies = f.agg(sum("total_policies")).collect()(0).getLong(0)
+    // policies with client_id not in clients still count toward *some* row
+    // only if that client exists in the spine; reference semantics: spine
+    // is the clients table, so orphan policies vanish.
+    val joined = rd("silver/policies").join(rd("silver/clients").select("client_id").distinct(), Seq("client_id"))
+    assert(totalPolicies == joined.count())
+  }
+
+  test("gold fact_payments: payments enriched with client/vehicle FK") {
+    val fp = rd("gold/fact_payments")
+    assert(fp.count() == rd("silver/payments").count())
+    assert(fp.columns.contains("client_id") && fp.columns.contains("vehicle_id"))
+  }
+}
