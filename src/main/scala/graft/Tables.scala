@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver testdata tables (TESTDATA.md / FIXTURES.md §B).
   *
@@ -8,6 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * footer carries the schema, so no StructType is needed here (contrast
   * [[Schemas]], which declares the insurance-domain schemas the reference
   * infers from CSV — /root/reference/scripts/bronze/load_bronze.py:35).
+  *
+  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
+  * ([PARQUET_TYPE_ILLEGAL]); we read it as a nanosecond long (legacy conf)
+  * and floor-convert to a microsecond timestamp — exactly what DuckDB's
+  * µs-precision TIMESTAMP does with the same file, so oracles agree.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -15,5 +21,13 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        // integer `div`, NOT `/` (double division drops µs precision at
+        // ~1.7e18 ns magnitudes)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+
+/** Deduplication operators (SURVEY.md §2.10) — the LLM-corpus family:
+  * exact, normalized-exact, n-gram Jaccard (inverted index), MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: nothing here is O(n²) on documents. Candidate pairs come
+  * from equi-joins on content-derived keys (shingle, band hash, signature
+  * band), so at 100 TB each stage is a shuffle on a well-distributed key:
+  *   docs → explode(shingles)            (narrow)
+  *        → groupBy/band bucket          (1 shuffle, key = content hash)
+  *        → self-join inside buckets     (bounded by bucket size)
+  *        → exact verify on candidates   (bounded by candidate count)
+  * Skewed buckets (a shingle shared by millions of docs) are the classic
+  * hazard — `maxBucket` drops pathological buckets, the standard
+  * frequency-cap trick, and AQE skew-join splitting handles the rest.
+  */
+object Dedup {
+
+  /** Exact dedup, deterministic representative: min id per full-content
+    * group (dropDuplicates keeps an arbitrary row — fine for semantics,
+    * wrong for a hash-compared oracle). */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(contentCol)
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+      .select(col("rep_id"), col("n_copies"))
+
+  /** Exact dedup after text normalization (case/punct/whitespace fold). */
+  def normalizedExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(Text.normText(col(textCol)).as("norm_text"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+      .select(col("rep_id"), col("n_copies"))
+
+  /** N-gram Jaccard near-dup pairs via an inverted shingle index:
+    * docs sharing ≥1 shingle are candidates; Jaccard is computed exactly
+    * from shingle counts (|∩| from the join, |∪| = na + nb − |∩|).
+    * Any pair with Jaccard ≥ threshold shares a shingle, so this equals
+    * the all-pairs result without the O(n²) cross join. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxBucket: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      explode(Text.wordShingles(col(textCol), n)).as("sh"))
+    // frequency cap: a shingle in > maxBucket docs generates O(maxBucket²)
+    // pairs and ~zero Jaccard signal — drop it (documented coverage cap).
+    val capped = sh.withColumn("df_cnt", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df_cnt") <= maxBucket).drop("df_cnt")
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val a = capped.withColumnRenamed("doc", "doc_a")
+    val b = capped.withColumnRenamed("doc", "doc_b")
+    val common = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature: sigⱼ = min over shingles of xxhash64(shingle, j,
+    * seed). Deterministic, partitioning-independent. */
+  private def minhashSig(text: org.apache.spark.sql.Column, n: Int,
+                         numHashes: Int, seed: Long) = {
+    val sh = Text.wordShingles(text, n)
+    array((0 until numHashes).map { j =>
+      array_min(transform(sh, s => xxhash64(s, lit(j), lit(seed))))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding: docs whose signature agrees on ALL rows of any
+    * band become candidates (prob ≈ 1-(1-j^r)^b), then candidates are
+    * verified with exact Jaccard. No oracle (seeded hash family isn't
+    * SQL-reproducible) — ScalaTest asserts it finds the same pairs as
+    * [[ngramJaccard]] on the planted near-dups. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.5, seed: Long = 42): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("doc"), col(textCol).as("text"),
+      minhashSig(col(textCol), n, numHashes, seed).as("sig"))
+    val banded = sig.select(col("doc"), col("text"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("|",
+          (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"), col("text").as("text_a"))
+    val bb = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"), col("text").as("text_b"))
+    val cand = a.join(bb, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "text_a", "text_b").distinct()
+    // exact verify on the (small) candidate set
+    val sa = Text.wordShingles(col("text_a"), n)
+    val sb = Text.wordShingles(col("text_b"), n)
+    cand.withColumn("jaccard",
+      size(array_intersect(sa, sb)).cast("double") /
+        size(array_union(sa, sb)).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash: per token-hash bit, vote +1/-1 weighted by presence;
+    * sign of each vote is the fingerprint bit. Computed bit-parallel:
+    * explode tokens, per doc sum bit votes, assemble the word. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              seed: Long = 42): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+      explode(Text.tokens(col(textCol))).as("t"))
+      .withColumn("h", xxhash64(col("t"), lit(seed)))
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    tok.groupBy("doc").agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc"), (0 until 64).map { b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 16-bit
+    * quarters (pigeonhole: hamming ≤ 3 ⇒ some quarter matches exactly),
+    * bucket-join, verify hamming via bit_count(xor). */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, seed: Long = 42): DataFrame = {
+    val sh = simhash(df, idCol, textCol, seed)
+    val banded = sh.select(col("doc"), col("simhash"),
+      posexplode(array((0 until 4).map { q =>
+        shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs. Norms are computed ONCE per row
+    * before the pair join (one dot product per pair, not three — at n²
+    * pairs that's the difference between feasible and not). The
+    * oracle-able form is a self-join; at scale, swap the blocking for
+    * [[Similarity.lshBuckets]] (same verify stage). */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Vectors.l2Norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("na"))
+    val b = withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", when(col("na") * col("nb") =!= 0.0,
+        Vectors.dot(col("v_a"), col("v_b")) / (col("na") * col("nb"))))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

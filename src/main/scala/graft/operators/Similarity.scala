@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.10).
+  *
+  * Two plans:
+  *  - [[bruteForceTopK]]: queries × corpus with a broadcast on the query
+  *    side — the exact baseline. At 100 TB the corpus stays partitioned
+  *    and never shuffles; each partition scores the broadcast queries
+  *    locally and a single top-k-per-query aggregation follows. Correct,
+  *    and linear in |corpus|·|queries|.
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus bucketed by a b-bit
+  *    signature (one narrow pass + one shuffle on the bucket key); probes
+  *    only matching buckets (multi-probe over Hamming-1 neighbors), then
+  *    exact re-rank inside candidates. Sub-linear probe cost; recall
+  *    measured against the brute-force baseline in ScalaTest.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query vector. Deterministic ordering:
+    * (cosine desc, corpus id asc) so equal scores can't flip ranks. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qId: String, qVec: String, cId: String, cVec: String,
+                     k: Int): DataFrame = {
+    // norms once per side BEFORE the join: one dot per scored pair
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
+      Vectors.l2Norm(col(qVec)).as("qn"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"),
+      Vectors.l2Norm(col(cVec)).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", when(col("qn") * col("cn") =!= 0.0,
+        Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Corpus bucketed by b-bit random-hyperplane signature. */
+  def lshBuckets(corpus: DataFrame, cId: String, cVec: String,
+                 bits: Int, seed: Long): DataFrame =
+    corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"),
+      Vectors.rhpSignature(col(cVec), bits, seed).as("bucket"))
+
+  /** ANN top-k: score only corpus rows whose signature is within Hamming
+    * distance `probeHamming` of the query's signature (multi-probe), exact
+    * re-rank inside that candidate set. Recall/selectivity trade-off is
+    * (bits, probeHamming): more bits → smaller buckets, deeper probes →
+    * higher recall at more candidates. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, qVec: String, cId: String, cVec: String,
+              k: Int, bits: Int = 8, probeHamming: Int = 1,
+              seed: Long = 42): DataFrame = {
+    val buckets = lshBuckets(corpus, cId, cVec, bits, seed)
+    val sig = col("sig")
+    val probes = Seq(sig) ++
+      (if (probeHamming >= 1) (0 until bits).map(b => sig.bitwiseXOR(lit(1 << b))) else Nil) ++
+      (if (probeHamming >= 2)
+        for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield sig.bitwiseXOR(lit((1 << i) | (1 << j)))
+      else Nil)
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
+      Vectors.rhpSignature(col(qVec), bits, seed).as("sig"))
+      .withColumn("bucket", explode(array(probes: _*)))
+    val cand = buckets.join(broadcast(q), Seq("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+}

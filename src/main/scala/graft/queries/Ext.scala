@@ -1,11 +1,266 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity}
 
 /** Extension surface (SURVEY.md §2.10) — LLM-data-pipeline operators over
-  * documents/embeddings/events. Filled in incrementally; split from
-  * [[Parity]] so the reference-parity surface stays self-contained. */
+  * documents/embeddings/events: dedup family, similarity search, text
+  * analysis, event-time windows, sessionization, JSON extraction,
+  * multimodal binary plumbing.
+  *
+  * Oracle policy: everything whose math is deterministic across engines
+  * (integer-derived ratios, md5, exact decimal sums, double ops on
+  * identical inputs) gets exact DuckDB SQL. Seeded-hash operators
+  * (MinHash LSH, SimHash, random-hyperplane ANN) are NOT SQL-reproducible
+  * → rows-only check here, semantic equivalence asserted in ScalaTest
+  * (they must find the same planted near-dups as their exact oracles).
+  */
 object Ext {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB rendering of [[Text.normText]]. */
+  private val dNorm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  private def dMarker(vs: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${vs.map(v => s"'$v'").mkString(",")})))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup family ----
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+
+    "x_dedup_norm" -> ((s, d) =>
+      Dedup.normalizedExact(t(s, d, "documents"), "doc_id", "text")),
+
+    "x_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxBucket = 1000)),
+
+    "x_dedup_minhash" -> ((s, d) =>   // rows-only: seeded hash family
+      Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")),
+
+    "x_dedup_simhash" -> ((s, d) =>   // rows-only: seeded hash family
+      Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text")),
+
+    "x_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)),
+
+    // ---- similarity search ----
+    "x_cos_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    }),
+
+    "x_ann_lsh" -> ((s, d) => {       // rows-only: seeded hyperplanes
+      val e = t(s, d, "embeddings")
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    }),
+
+    // ---- text analysis ----
+    "x_text_stats" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Text.tokenCountWs(col("text")).as("n_tokens_ws"),
+        Text.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+        Text.avgTokenLen(col("text")).as("avg_token_len"),
+        Text.fingerprintMd5(col("text")).as("fp_md5"))),
+
+    "x_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+        Text.langId(col("text")).as("lang_pred"))),
+
+    "x_quality" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Text.punctRatio(col("text")).as("punct_ratio"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"),
+        Text.qualityScore(col("text")).as("quality"))),
+
+    "x_doc_stats_by_source" -> ((s, d) =>
+      t(s, d, "documents").groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(Text.qualityScore(col("text"))).as("min_quality"),
+        max(Text.qualityScore(col("text"))).as("max_quality"))),
+
+    // ---- events: JSON, windows, sessions ----
+    "x_json_extract" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))),
+
+    "x_window_tumbling" -> ((s, d) =>
+      EventOps.tumblingAgg(t(s, d, "events"), "ts")),
+
+    "x_window_sliding" -> ((s, d) =>  // rows-only: Spark window() shape
+      EventOps.slidingAgg(t(s, d, "events"), "ts")),
+
+    "x_sessionize" -> ((s, d) =>
+      EventOps.sessionize(t(s, d, "events"), "user_id", "ts", gapMinutes = 30)),
+
+    // ---- multimodal binary plumbing (payload = utf-8 bytes of text;
+    // real corpora carry image/audio bytes through the same shape) ----
+    "x_binary_frames" -> ((s, d) => {
+      val media = Multimodal.asMedia(
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .withColumn("payload", encode(col("text"), "utf-8")),
+        "doc_id", "payload", "text")
+      Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_copies
+         FROM documents GROUP BY text""",
+
+    "x_dedup_norm" ->
+      s"""SELECT min(doc_id) AS rep_id, count(*) AS n_copies
+          FROM documents GROUP BY $dNorm""",
+
+    "x_dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id,
+                unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in range(1, len(ws) - 1)])) AS s
+                FROM w WHERE len(ws) >= 3),
+         capped AS (SELECT doc_id, s FROM
+                    (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS dfc FROM sh)
+                    WHERE dfc <= 1000),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                   FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common) AS jaccard
+         FROM pairs
+         JOIN sizes na ON na.doc_id = doc_a
+         JOIN sizes nb ON nb.doc_id = doc_b
+         WHERE n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common) >= 0.5""",
+
+    "x_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE a.nrm * b.nrm <> 0
+           AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
+
+    "x_cos_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+         scored AS (SELECT query_id, n.vec_id AS neighbor_id,
+                    CASE WHEN qn * nrm <> 0
+                         THEN list_dot_product(qv, v) / (qn * nrm) END AS cos
+                    FROM n CROSS JOIN q),
+         ranked AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                    FROM scored)
+         SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 5""",
+
+    "x_text_stats" ->
+      s"""SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens_ws,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe,
+          (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+            / greatest(len(string_split(text, ' ')), 1) AS avg_token_len,
+          md5($dNorm) AS fp_md5
+          FROM documents""",
+
+    "x_lang_id" -> {
+      val m = Text.langMarkers.toMap
+      s"""SELECT doc_id, lang,
+          CASE WHEN length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1) > 0.3 THEN 'zh'
+               WHEN ${dMarker(m("es"))} > ${dMarker(m("en"))}
+                AND ${dMarker(m("es"))} >= ${dMarker(m("fr"))}
+                AND ${dMarker(m("es"))} >= ${dMarker(m("de"))} THEN 'es'
+               WHEN ${dMarker(m("fr"))} > ${dMarker(m("en"))}
+                AND ${dMarker(m("fr"))} > ${dMarker(m("es"))}
+                AND ${dMarker(m("fr"))} >= ${dMarker(m("de"))} THEN 'fr'
+               WHEN ${dMarker(m("de"))} > ${dMarker(m("en"))}
+                AND ${dMarker(m("de"))} > ${dMarker(m("es"))}
+                AND ${dMarker(m("de"))} > ${dMarker(m("fr"))} THEN 'de'
+               ELSE 'en' END AS lang_pred
+          FROM documents"""
+    },
+
+    "x_quality" -> {
+      val punct = "length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE / greatest(length(text), 1)"
+      val stop = s"${dMarker(Text.langMarkers.toMap.apply("en"))}::DOUBLE / greatest(len(string_split(text, ' ')), 1)"
+      val avgLen = "(length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE / greatest(len(string_split(text, ' ')), 1)"
+      s"""SELECT doc_id,
+          $punct AS punct_ratio,
+          $stop AS stopword_ratio,
+          least(length(text)::DOUBLE / 500.0, 1.0) * 0.3
+            + (1.0 - least($punct * 5.0, 1.0)) * 0.2
+            + least($stop * 4.0, 1.0) * 0.3
+            + (CASE WHEN $avgLen BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+            AS quality
+          FROM documents"""
+    },
+
+    "x_doc_stats_by_source" -> {
+      val punct = "length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE / greatest(length(text), 1)"
+      val stop = s"${dMarker(Text.langMarkers.toMap.apply("en"))}::DOUBLE / greatest(len(string_split(text, ' ')), 1)"
+      val avgLen = "(length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE / greatest(len(string_split(text, ' ')), 1)"
+      val q = s"""least(length(text)::DOUBLE / 500.0, 1.0) * 0.3
+            + (1.0 - least($punct * 5.0, 1.0)) * 0.2
+            + least($stop * 4.0, 1.0) * 0.3
+            + (CASE WHEN $avgLen BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2"""
+      s"""SELECT source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          count(DISTINCT lang) AS n_langs,
+          min($q) AS min_quality, max($q) AS max_quality
+          FROM documents GROUP BY source"""
+    },
+
+    "x_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+         FROM events""",
+
+    "x_window_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, count(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+
+    "x_sessionize" ->
+      """WITH g AS (SELECT user_id, ts,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                         THEN 1 ELSE 0 END AS new_s
+                    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         i AS (SELECT user_id, ts, SUM(new_s) OVER
+               (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+         s AS (SELECT user_id, sid, count(*) AS n,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS span
+               FROM i GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_sessions,
+                CAST(sum(n) AS BIGINT) AS n_events,
+                CAST(sum(span) AS BIGINT) AS total_span_us
+         FROM s GROUP BY user_id""",
+
+    "x_binary_frames" ->
+      """WITH f AS (SELECT doc_id,
+                    unnest([{'idx': i - 1,
+                             'fr': substring(text, (i - 1) * 64 + 1, 64)}
+                            for i in range(1, CAST(floor((length(text) - 1) / 64) AS INTEGER) + 2)]) AS u
+                    FROM documents WHERE doc_id < 100)
+         SELECT doc_id AS media_id, CAST(u.idx AS INTEGER) AS frame_idx,
+                md5(u.fr) AS frame_checksum
+         FROM f WHERE u.idx % 2 = 0"""
+  )
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity}
+import graft.functions.{Text, Vectors}
+
+/** Extension-operator semantics (SURVEY.md §2.10) that the DuckDB oracle
+  * can't cover: seeded-hash dedup must agree with its exact twin, ANN
+  * recall vs brute force, multimodal plumbing, rolling fingerprints. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("minhash LSH finds exactly the exact-jaccard near-dup pairs") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", 3, 32, 8, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted near-dups missing from testdata?")
+    // LSH verifies candidates with the same exact jaccard => subset; with
+    // 8 bands of 4 rows at j>=0.5 recall should be total on j~1 planted dups
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+  }
+
+  test("simhash finds most planted near-dups (noisier than minhash)") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashNearDup(docs, "doc_id", "text", 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(sh).size.toDouble / exact.size
+    assert(recall >= 0.7, s"simhash recall $recall; found=${sh.size}")
+  }
+
+  test("LSH ANN beats a random candidate subset of the same budget") {
+    val q = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(q, emb, "vec_id", "embedding", "vec_id", "embedding",
+      5, bits = 6, probeHamming = 2)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ann).size.toDouble / bf.size
+    // candidate budget: 1 + 6 + 15 = 22 of 64 buckets ≈ 34% of the corpus.
+    // A random 34% subset would land ~0.34 recall in expectation; LSH must
+    // do meaningfully better, proving the buckets carry signal.
+    assert(recall >= 0.45, s"ANN recall $recall")
+  }
+
+  test("ANN probes a small fraction of the corpus") {
+    val n = emb.count()
+    val buckets = Similarity.lshBuckets(emb, "vec_id", "embedding", 8, 42)
+      .groupBy("bucket").count().collect()
+    // 8-bit signatures over 256 buckets: no bucket should hold the corpus
+    assert(buckets.forall(_.getLong(1) < n / 2), "degenerate LSH bucketing")
+  }
+
+  test("rolling fingerprint is deterministic and collision-sane") {
+    val fp = docs.select(Text.fingerprintRolling(col("text")).as("fp"))
+    val n = fp.count()
+    val distinct = fp.distinct().count()
+    assert(distinct > n - 5, s"too many rolling-hash collisions: $distinct/$n")
+    val again = docs.select(Text.fingerprintRolling(col("text")).as("fp"))
+    assert(fp.exceptAll(again).count() == 0)
+  }
+
+  test("multimodal: decode-stub features are fixed-width and deterministic") {
+    val media = Multimodal.asMedia(
+      docs.withColumn("payload", encode(col("text"), "utf-8")),
+      "doc_id", "payload", "image")
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.filter(size(col("features")) =!= 8).count() == 0)
+    val vals = feats.select(explode(col("features"))).as[Double].collect()
+    assert(vals.forall(v => v >= 0.0 && v <= 1.0))
+    assert(feats.select("meta.media_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("image"))
+  }
+
+  test("multimodal: resize stub keeps metadata consistent") {
+    val media = Multimodal.asMedia(
+      docs.withColumn("payload", encode(col("text"), "utf-8")),
+      "doc_id", "payload", "image")
+    val resized = Multimodal.resizeStub(media, 32)
+    assert(resized.filter(col("meta.n_bytes") > 32).count() == 0)
+    assert(resized.filter(col("meta.checksum") =!= md5(col("payload"))).count() == 0)
+  }
+
+  test("session_window built-in agrees with gaps-and-islands session count") {
+    val ev = Tables.load(spark, sf, "events")
+    val builtin = EventOps.sessionWindowAgg(ev, "user_id", "ts", 30)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+    val manual = EventOps.sessionize(ev, "user_id", "ts", 30)
+      .select("user_id", "n_sessions", "n_events")
+    assert(builtin.exceptAll(manual).count() == 0 &&
+      manual.exceptAll(builtin).count() == 0)
+  }
+
+  test("cosine is symmetric and self-similarity is 1") {
+    val v = emb.limit(50).select(col("vec_id"), col("embedding"))
+    val selfSim = v.select(Vectors.cosine(col("embedding"), col("embedding")).as("c"))
+      .as[Double].collect()
+    assert(selfSim.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+}
