@@ -81,6 +81,12 @@ object Cleanse {
     * throwing on garbage input. */
   def coerceLenient(c: Column): Column = try_to_timestamp(c)
 
+  /** E13 with a known format — MUCH cheaper when bad rows are common:
+    * the formatless path tries several patterns and builds an exception
+    * per failure (~6× slower on a 20%-garbage column at sf0.1). */
+  def coerceLenient(c: Column, format: String): Column =
+    try_to_timestamp(c, lit(format))
+
   /** A7 guard: division that yields null instead of inf/NaN when the
     * denominator is zero or null (load_gold.py:134-137; SURVEY §7.4.3). */
   def safeDiv(num: Column, den: Column): Column =

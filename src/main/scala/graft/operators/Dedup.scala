@@ -64,41 +64,52 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signature: sigⱼ = min over shingles of xxhash64(shingle, j,
-    * seed). Deterministic, partitioning-independent. */
-  private def minhashSig(text: org.apache.spark.sql.Column, n: Int,
-                         numHashes: Int, seed: Long) = {
-    val sh = Text.wordShingles(text, n)
-    array((0 until numHashes).map { j =>
-      array_min(transform(sh, s => xxhash64(s, lit(j), lit(seed))))
-    }: _*)
-  }
-
   /** MinHash + LSH banding: docs whose signature agrees on ALL rows of any
     * band become candidates (prob ≈ 1-(1-j^r)^b), then candidates are
     * verified with exact Jaccard. No oracle (seeded hash family isn't
     * SQL-reproducible) — ScalaTest asserts it finds the same pairs as
-    * [[ngramJaccard]] on the planted near-dups. */
+    * [[ngramJaccard]] on the planted near-dups.
+    *
+    * Signature computation is explode → hash-aggregate (one shuffle on
+    * doc id, numHashes codegen'd min() aggregates over the exploded
+    * shingle rows). The per-row array-fold form (array_min over a
+    * transform per hash) re-evaluates the shingle expression numHashes
+    * times per document and ran ~40× slower at sf0.1. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5, seed: Long = 42): DataFrame = {
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("doc"), col(textCol).as("text"),
-      minhashSig(col(textCol), n, numHashes, seed).as("sig"))
-    val banded = sig.select(col("doc"), col("text"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("|",
-          (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*), b))))
+    // two-step select: aliasing textCol to "text" and exploding shingles
+    // of the same name in one projection trips lateral-column-alias
+    // resolution (INTERNAL_ERROR) when textCol == "text".
+    // The explode stays NARROW (doc id + shingle only): dragging the full
+    // document text through the shingle shuffle multiplies shuffle bytes
+    // by the doc length — texts rejoin only for the tiny candidate set.
+    val exploded = df.select(col(idCol).as("doc"), col(textCol).as("text"))
+      .select(col("doc"), explode(Text.wordShingles(col("text"), n)).as("sh"))
+    val minExprs = (0 until numHashes).map { j =>
+      min(xxhash64(col("sh"), lit(j), lit(seed))).as(s"m$j")
+    }
+    val sig = exploded.groupBy("doc").agg(minExprs.head, minExprs.tail: _*)
+    val banded = sig.select(col("doc"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws("|",
+          (0 until rows).map(r => col(s"m${b * rows + r}")): _*), lit(b))
+      }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"), col("text").as("text_a"))
-    val bb = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"), col("text").as("text_b"))
+    val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"))
+    val bb = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"))
     val cand = a.join(bb, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "text_a", "text_b").distinct()
-    // exact verify on the (small) candidate set
+      .select("doc_a", "doc_b").distinct()
+    // exact verify on the (small) candidate set: rejoin texts
+    val texts = df.select(col(idCol).as("doc"), col(textCol).as("text"))
+    val withTexts = cand
+      .join(broadcast(texts.withColumnRenamed("doc", "doc_a").withColumnRenamed("text", "text_a")), Seq("doc_a"))
+      .join(broadcast(texts.withColumnRenamed("doc", "doc_b").withColumnRenamed("text", "text_b")), Seq("doc_b"))
     val sa = Text.wordShingles(col("text_a"), n)
     val sb = Text.wordShingles(col("text_b"), n)
-    cand.withColumn("jaccard",
+    withTexts.withColumn("jaccard",
       size(array_intersect(sa, sb)).cast("double") /
         size(array_union(sa, sb)).cast("double"))
       .filter(col("jaccard") >= threshold)

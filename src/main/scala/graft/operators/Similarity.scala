@@ -44,9 +44,9 @@ object Similarity {
 
   /** Corpus bucketed by b-bit random-hyperplane signature. */
   def lshBuckets(corpus: DataFrame, cId: String, cVec: String,
-                 bits: Int, seed: Long): DataFrame =
+                 bits: Int, seed: Long, dim: Int = 64): DataFrame =
     corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"),
-      Vectors.rhpSignature(col(cVec), bits, seed).as("bucket"))
+      Vectors.rhpSignature(col(cVec), bits, dim, seed).as("bucket"))
 
   /** ANN top-k: score only corpus rows whose signature is within Hamming
     * distance `probeHamming` of the query's signature (multi-probe), exact
@@ -56,8 +56,8 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
               k: Int, bits: Int = 8, probeHamming: Int = 1,
-              seed: Long = 42): DataFrame = {
-    val buckets = lshBuckets(corpus, cId, cVec, bits, seed)
+              seed: Long = 42, dim: Int = 64): DataFrame = {
+    val buckets = lshBuckets(corpus, cId, cVec, bits, seed, dim)
     val sig = col("sig")
     val probes = Seq(sig) ++
       (if (probeHamming >= 1) (0 until bits).map(b => sig.bitwiseXOR(lit(1 << b))) else Nil) ++
@@ -66,7 +66,7 @@ object Similarity {
           yield sig.bitwiseXOR(lit((1 << i) | (1 << j)))
       else Nil)
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
-      Vectors.rhpSignature(col(qVec), bits, seed).as("sig"))
+      Vectors.rhpSignature(col(qVec), bits, dim, seed).as("sig"))
       .withColumn("bucket", explode(array(probes: _*)))
     val cand = buckets.join(broadcast(q), Seq("bucket"))
     val w = Window.partitionBy("query_id")

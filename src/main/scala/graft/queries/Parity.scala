@@ -119,7 +119,8 @@ object Parity {
         date_format(
           Cleanse.coerceLenient(
             when(col("l_linenumber") % 5 === 0, lit("not-a-date"))
-              .otherwise(date_format(col("l_shipdate"), "yyyy-MM-dd"))),
+              .otherwise(date_format(col("l_shipdate"), "yyyy-MM-dd")),
+            "yyyy-MM-dd"),
           "yyyy-MM-dd").as("ship_coerced"))),
 
     // ---- joins (SURVEY §2.5) ----
