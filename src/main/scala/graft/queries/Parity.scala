@@ -162,6 +162,14 @@ object Parity {
       t(s, d, "orders").groupBy("o_custkey").agg(
         Exact.countIf(col("o_orderstatus") === "O").as("open_orders"))),
 
+    // custom-aggregate surface (SURVEY §2.9): the same conditional count
+    // as a typed Aggregator UDAF; oracle identical to a2_countif
+    "a2_countif_udaf" -> ((s, d) => {
+      val countIfU = udaf(graft.functions.CountIfAgg)
+      t(s, d, "orders").groupBy("o_custkey").agg(
+        countIfU(col("o_orderstatus") === "O").as("open_orders"))
+    }),
+
     "a3_agg_sum_count_max" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_orderkey").agg(
         Exact.moneySum(col("l_extendedprice")).as("total_charge"),
@@ -330,6 +338,10 @@ object Parity {
          FROM orders GROUP BY o_custkey""",
 
     "a2_countif" ->
+      """SELECT o_custkey, COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+         AS open_orders FROM orders GROUP BY o_custkey""",
+
+    "a2_countif_udaf" ->
       """SELECT o_custkey, COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END)
          AS open_orders FROM orders GROUP BY o_custkey""",
 
