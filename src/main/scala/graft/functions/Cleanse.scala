@@ -20,13 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Cleanse {
 
+  /** Full-whitespace trim. Spark/DuckDB `trim` strips ONLY spaces; Python
+    * `.strip()` (the reference semantics) strips tabs/newlines too — and
+    * faker addresses contain embedded newlines, so this difference is
+    * live data, not theory (caught by PropertySpec). */
+  def wsTrim(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** E1/E5: trim + title-case, empty→null (load_silver.py:63-79,123-128). */
   def titleCase(c: Column): Column =
-    when(length(trim(c)) > 0, initcap(trim(c)))
+    when(length(wsTrim(c)) > 0, initcap(wsTrim(c)))
 
   /** E2: trim + upper-case, empty→null (IBAN, load_silver.py:82-85). */
   def upperTrim(c: Column): Column =
-    when(length(trim(c)) > 0, upper(trim(c)))
+    when(length(wsTrim(c)) > 0, upper(wsTrim(c)))
 
   /** E3: email regex validation — keep iff it matches, else null
     * (load_silver.py:88-96, pattern at :92). */

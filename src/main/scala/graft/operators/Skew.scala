@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for the 100 TB design point (SURVEY.md §4).
+  *
+  * AQE's skew-join splitting (on by default in the bench/medallion
+  * sessions) handles most cases at runtime; explicit salting remains the
+  * tool when a single join/agg key dominates so heavily that even split
+  * shuffle blocks overwhelm one executor (the classic null-key or
+  * power-law FK). These helpers keep the transformation semantics
+  * EXACTLY equal to the unsalted form — verified by SkewSpec.
+  */
+object Skew {
+
+  /** Equi-join `left ⋈ right` on `key` where some key values are hot on
+    * the LEFT side: left rows get a uniform salt in [0, factor), the
+    * (smaller) right side is replicated `factor` times, and the join key
+    * becomes (key, salt) — splitting each hot key across `factor`
+    * reducers. Result is row-identical to the plain join. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 factor: Int, joinType: String = "inner"): DataFrame = {
+    // salt only spreads rows; any per-row value works. xxhash64 over the
+    // whole row id-space via monotonically_increasing_id is fine here
+    // because the salt NEVER affects results, only placement.
+    val saltedLeft = left.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int"))
+    val replicatedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "_salt"), joinType)
+      .drop("_salt")
+  }
+
+  /** Two-phase aggregation for a skewed group key: partial aggregate on
+    * (key, salt), then final aggregate on key. Expressed for the
+    * count/sum family (the reference's whole aggregate surface, §2.6).
+    * Note Spark's hash aggregate already does partial/final combining —
+    * this explicit form exists for when the FINAL shuffle itself is the
+    * bottleneck (e.g., billions of rows for one key after combining,
+    * which partial aggregation alone cannot split). */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+                     factor: Int): DataFrame =
+    df.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int"))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("_psum"),
+        count(col(valueCol)).as("_pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).cast("double").as(s"sum_$valueCol"),
+        sum(col("_pcnt")).as(s"count_$valueCol"))
+}

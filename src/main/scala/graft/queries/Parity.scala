@@ -24,14 +24,19 @@ object Parity {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** DuckDB rendering of [[Cleanse.wsTrim]] (plain trim() strips only
+    * spaces in both engines; reference .strip() takes all whitespace). */
+  private def dWsTrim(col: String): String =
+    s"regexp_replace($col, '^\\s+|\\s+$$', '', 'g')"
+
   /** DuckDB has no initcap (v1.0) — equivalent expression with Spark
     * initcap semantics (capitalize after space, lowercase the rest). */
   private def dInitcap(col: String): String =
-    s"array_to_string(list_transform(string_split(trim($col), ' '), " +
+    s"array_to_string(list_transform(string_split(${dWsTrim(col)}, ' '), " +
       s"w -> upper(w[1]) || lower(w[2:])), ' ')"
 
   private def dTitleClean(col: String): String =
-    s"CASE WHEN length(trim($col)) > 0 THEN ${dInitcap(col)} END"
+    s"CASE WHEN length(${dWsTrim(col)}) > 0 THEN ${dInitcap(col)} END"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- projections (SURVEY §2.2) ----
@@ -264,8 +269,8 @@ object Parity {
       s"SELECT c_custkey, ${dTitleClean("c_name")} AS name_clean FROM customer",
 
     "e2_upper_trim" ->
-      """SELECT p_partkey, CASE WHEN length(trim(p_brand)) > 0
-         THEN upper(trim(p_brand)) END AS brand_clean FROM part""",
+      s"""SELECT p_partkey, CASE WHEN length(${dWsTrim("p_brand")}) > 0
+         THEN upper(${dWsTrim("p_brand")}) END AS brand_clean FROM part""",
 
     "e3_email_valid" ->
       """SELECT c_custkey, CASE WHEN s ~ '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$'
