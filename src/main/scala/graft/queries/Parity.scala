@@ -204,6 +204,37 @@ object Parity {
     // ---- the gold fact pipeline (flagship: A1+A2+A3+A7+J2+J4-J6+P4) ----
     "q_fact_summary" -> ((s, d) => factSummary(s, d)),
 
+    // same pipeline through the spark.sql text interface (temp views) —
+    // demonstrates the SQL API surface; plan is identical to the DSL form
+    "sql_fact_summary" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("g_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("g_lineitem")
+      t(s, d, "customer").createOrReplaceTempView("g_customer")
+      s.sql("""
+        WITH ord_agg AS (
+          SELECT o_custkey AS custkey, COUNT(o_orderkey) AS total_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+                 COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders
+          FROM g_orders GROUP BY o_custkey),
+        li_agg AS (
+          SELECT o_custkey AS custkey, COUNT(l_linenumber) AS total_items,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_charge,
+                 date_format(MAX(l_shipdate), 'yyyy-MM-dd') AS last_ship
+          FROM g_lineitem
+          LEFT JOIN (SELECT DISTINCT o_orderkey, o_custkey FROM g_orders) o
+            ON l_orderkey = o_orderkey
+          GROUP BY o_custkey)
+        SELECT c.custkey, total_orders, total_spent, open_orders,
+               total_items, total_charge, last_ship,
+               CASE WHEN total_spent IS NOT NULL AND total_spent <> 0
+                    THEN total_charge / total_spent END AS charge_to_spent_ratio,
+               CASE WHEN total_items IS NOT NULL AND total_items <> 0
+                    THEN total_charge / total_items END AS avg_item_charge
+        FROM (SELECT DISTINCT c_custkey AS custkey FROM g_customer) c
+        LEFT JOIN ord_agg USING (custkey)
+        LEFT JOIN li_agg USING (custkey)""")
+    }),
+
     "fact_payments_shape" -> ((s, d) => {
       val fk = t(s, d, "orders").select("o_orderkey", "o_custkey")
         .dropDuplicates("o_orderkey")
@@ -372,6 +403,31 @@ object Parity {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 < 7",
 
     "q_fact_summary" ->
+      """WITH ord_agg AS (
+           SELECT o_custkey AS custkey, COUNT(o_orderkey) AS total_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+                  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS open_orders
+           FROM orders GROUP BY o_custkey),
+         li_agg AS (
+           SELECT o_custkey AS custkey, COUNT(l_linenumber) AS total_items,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_charge,
+                  strftime(MAX(l_shipdate), '%Y-%m-%d') AS last_ship
+           FROM lineitem
+           LEFT JOIN (SELECT DISTINCT o_orderkey, o_custkey FROM orders) o
+             ON l_orderkey = o_orderkey
+           GROUP BY o_custkey)
+         SELECT c.custkey, total_orders, total_spent, open_orders,
+                total_items, total_charge, last_ship,
+                CASE WHEN total_spent IS NOT NULL AND total_spent <> 0
+                     THEN total_charge / total_spent END AS charge_to_spent_ratio,
+                CASE WHEN total_items IS NOT NULL AND total_items <> 0
+                     THEN total_charge / total_items END AS avg_item_charge
+         FROM (SELECT DISTINCT c_custkey AS custkey FROM customer) c
+         LEFT JOIN ord_agg USING (custkey)
+         LEFT JOIN li_agg USING (custkey)""",
+
+    // identical oracle: the SQL-text form must produce the same table
+    "sql_fact_summary" ->
       """WITH ord_agg AS (
            SELECT o_custkey AS custkey, COUNT(o_orderkey) AS total_orders,
                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
