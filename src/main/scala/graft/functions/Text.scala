@@ -30,6 +30,16 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Row-exploded distinct word shingles via the native
+    * [[graft.plans.WordShingleGenerator]] — use instead of
+    * `explode(wordShingles(...))` on hot paths (same rows, ~20× faster
+    * shingle construction). */
+  def explodeWordShingles(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.WordShingleGenerator(ColumnBridge.expression(c), n))
+  }
+
   /** Character k-gram shingles (distinct) — the classic MinHash input. */
   def charShingles(c: Column, k: Int): Column =
     when(length(c) >= k,

@@ -44,17 +44,25 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.5,
                    maxBucket: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("doc"),
-      explode(Text.wordShingles(col(textCol), n)).as("sh"))
-    // frequency cap: a shingle in > maxBucket docs generates O(maxBucket²)
-    // pairs and ~zero Jaccard signal — drop it (documented coverage cap).
-    val capped = sh.withColumn("df_cnt", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df_cnt") <= maxBucket).drop("df_cnt")
+      Text.explodeWordShingles(col(textCol), n).as("sh"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val a = capped.withColumnRenamed("doc", "doc_a")
-    val b = capped.withColumnRenamed("doc", "doc_b")
-    val common = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+    // inverted index: ONE shuffle groups docs per shingle; pairs come
+    // straight out of each posting list (a self-join on the shingle
+    // column would re-evaluate the whole explode subtree on both sides).
+    // Frequency cap: a shingle in > maxBucket docs generates
+    // O(maxBucket²) pairs and ~zero Jaccard signal — drop it (documented
+    // coverage cap; also bounds the posting-list pair fanout).
+    val postings = sh.groupBy("sh")
+      .agg(collect_list(col("doc")).as("ds"))
+      .filter(size(col("ds")) <= maxBucket && size(col("ds")) >= 2)
+    val common = postings
+      .select(explode(flatten(transform(col("ds"), x =>
+        filter(transform(col("ds"), y => struct(x.as("doc_a"), y.as("doc_b"))),
+          p => p.getField("doc_a") < p.getField("doc_b"))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    // sizes is |docs|-sized (unbounded at scale) — no broadcast hint;
+    // AQE converts to broadcast when it actually fits
     common
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), Seq("doc_b"))
@@ -86,7 +94,7 @@ object Dedup {
     // document text through the shingle shuffle multiplies shuffle bytes
     // by the doc length — texts rejoin only for the tiny candidate set.
     val exploded = df.select(col(idCol).as("doc"), col(textCol).as("text"))
-      .select(col("doc"), explode(Text.wordShingles(col("text"), n)).as("sh"))
+      .select(col("doc"), Text.explodeWordShingles(col("text"), n).as("sh"))
     val minExprs = (0 until numHashes).map { j =>
       min(xxhash64(col("sh"), lit(j), lit(seed))).as(s"m$j")
     }
