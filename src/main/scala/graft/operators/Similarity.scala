@@ -76,4 +76,44 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
+
+  /** IVF-style ANN: the corpus is inverted-listed by nearest centroid
+    * (one narrow scoring pass against nLists literal centroids — argmin of
+    * ‖v−c‖² ≡ argmin of (c·c − 2 v·c)); queries probe their nProbe nearest
+    * lists and re-rank exactly inside them. Centroids are a deterministic
+    * hash-sample of the corpus (k-means init; Lloyd refinement would slot
+    * in as nLists-row DataFrame iterations). Probe cost ≈ nProbe/nLists of
+    * the corpus per query vs 1.0 for brute force. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              qId: String, qVec: String, cId: String, cVec: String,
+              k: Int, nLists: Int = 16, nProbe: Int = 4,
+              seed: Long = 42): DataFrame = {
+    // deterministic centroid sample: smallest hash wins (tiny, bounded
+    // driver collect — nLists rows)
+    val cents: Array[Array[Double]] = corpus
+      .select(col(cVec).as("v"), xxhash64(col(cId), lit(seed)).as("h"))
+      .orderBy("h").limit(nLists)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val c2 = cents.map(c => c.map(x => x * x).sum)
+
+    // scored distance proxies to every centroid as an array of structs
+    // (score, list-id); array_min / array_sort order lexicographically
+    def scores(v: org.apache.spark.sql.Column) = array(cents.indices.map { j =>
+      struct((lit(c2(j)) - lit(2.0) * Vectors.dot(v, typedlit(cents(j)))).as("s"),
+        lit(j).as("list"))
+    }: _*)
+
+    val listed = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"),
+      array_min(scores(col(cVec))).getField("list").as("list"))
+    val probes = queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
+      explode(transform(slice(array_sort(scores(col(qVec))), 1, nProbe),
+        p => p.getField("list"))).as("list"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    listed.join(broadcast(probes), Seq("list"))
+      .withColumn("cos", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
 }

@@ -64,6 +64,12 @@ object Ext {
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
     }),
 
+    "x_ann_ivf" -> ((s, d) => {       // rows-only: hash-sampled centroids
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    }),
+
     // ---- text analysis ----
     "x_text_stats" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -98,7 +104,7 @@ object Ext {
     "x_window_tumbling" -> ((s, d) =>
       EventOps.tumblingAgg(t(s, d, "events"), "ts")),
 
-    "x_window_sliding" -> ((s, d) =>  // rows-only: Spark window() shape
+    "x_window_sliding" -> ((s, d) =>
       EventOps.slidingAgg(t(s, d, "events"), "ts")),
 
     "x_sessionize" -> ((s, d) =>
@@ -235,6 +241,19 @@ object Ext {
          event_type, count(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    // Spark's sliding window(1h, 30m) puts each event in exactly the two
+    // epoch-aligned 30-minute-start windows covering it; DuckDB
+    // time_bucket(30min) is :00/:30-aligned too, so unnesting both
+    // candidate starts reproduces it exactly.
+    "x_window_sliding" ->
+      """SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+                count(*) AS n_events
+         FROM (SELECT event_type,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS s
+               FROM events)
+         GROUP BY 1, 2""",
 
     "x_sessionize" ->
       """WITH g AS (SELECT user_id, ts,

@@ -48,6 +48,19 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.45, s"ANN recall $recall")
   }
 
+  test("IVF ANN beats a random candidate subset of the same budget") {
+    val q = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", "vec_id", "embedding",
+      5, nLists = 16, nProbe = 6)
+    val recall = bf.intersect(
+      ivf.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / bf.size
+    // probe budget ≈ 6/16 of the corpus ⇒ random baseline ≈ 0.375 recall
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
   test("ANN probes a small fraction of the corpus") {
     val n = emb.count()
     val buckets = Similarity.lshBuckets(emb, "vec_id", "embedding", 8, 42)
