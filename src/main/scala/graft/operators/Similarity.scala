@@ -26,7 +26,7 @@ object Similarity {
     * (cosine desc, corpus id asc) so equal scores can't flip ranks. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qId: String, qVec: String, cId: String, cVec: String,
-                     k: Int): DataFrame = {
+                     k: Int, useCustomPlan: Boolean = false): DataFrame = {
     // norms once per side BEFORE the join: one dot per scored pair
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
       Vectors.l2Norm(col(qVec)).as("qn"))
@@ -35,10 +35,17 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cos", when(col("qn") * col("cn") =!= 0.0,
         Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val ranked =
+      if (useCustomPlan)
+        // native TopKPerKeyExec: bounded heap per key, no sort
+        graft.plans.TopKPerKey(scored, Seq("query_id"),
+          Seq("cos" -> false, "neighbor_id" -> true), k)
+      else {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+      }
+    ranked.filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 

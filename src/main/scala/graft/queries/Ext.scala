@@ -58,6 +58,15 @@ object Ext {
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
     }),
 
+    // same exact top-k through the custom TopKPerKeyExec plan (bounded
+    // heap per key, no sort) — identical output, same oracle
+    "x_cos_topk_custom" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5,
+        useCustomPlan = true)
+    }),
+
     "x_ann_lsh" -> ((s, d) => {       // rows-only: seeded hyperplanes
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(e.filter(col("vec_id") < 10), e,
@@ -161,6 +170,21 @@ object Ext {
            AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
 
     "x_cos_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+         scored AS (SELECT query_id, n.vec_id AS neighbor_id,
+                    CASE WHEN qn * nrm <> 0
+                         THEN list_dot_product(qv, v) / (qn * nrm) END AS cos
+                    FROM n CROSS JOIN q),
+         ranked AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                    FROM scored)
+         SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 5""",
+
+    "x_cos_topk_custom" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                     FROM embeddings),
          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
