@@ -119,6 +119,42 @@ object Ext {
     "x_sessionize" -> ((s, d) =>
       EventOps.sessionize(t(s, d, "events"), "user_id", "ts", gapMinutes = 30)),
 
+    // ---- OLAP breadth beyond the reference (§2.8 notes the reference
+    // has none of these; an engine its users switch to still needs them) ----
+    "x_rollup_stats" -> ((s, d) =>
+      t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))),
+
+    "x_set_ops" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      val closed = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      open.intersect(closed)            // custkeys with both open and closed
+        .except(o.filter(col("o_totalprice") > 400000).select("o_custkey"))
+        .union(o.filter(col("o_orderstatus") === "P").select("o_custkey").distinct())
+        .distinct()
+    }),
+
+    "x_topn_global" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "x_distinct_count" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderstatus").agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))),
+
+    "x_percentile" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, array(0.25, 0.75))").as("pq"))
+        .select(col("l_returnflag"), col("median_qty"),
+          element_at(col("pq"), 1).as("price_q1"),
+          element_at(col("pq"), 2).as("price_q3"))),
+
     // ---- multimodal binary plumbing (payload = utf-8 bytes of text;
     // real corpora carry image/audio bytes through the same shape) ----
     "x_binary_frames" -> ((s, d) => {
@@ -295,6 +331,36 @@ object Ext {
                 CAST(sum(n) AS BIGINT) AS n_events,
                 CAST(sum(span) AS BIGINT) AS total_span_us
          FROM s GROUP BY user_id""",
+
+    "x_rollup_stats" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "x_set_ops" ->
+      """SELECT o_custkey FROM
+         (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+         UNION
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+
+    "x_topn_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+
+    "x_distinct_count" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
+         count(*) AS n_orders FROM orders GROUP BY o_orderstatus""",
+
+    "x_percentile" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS median_qty,
+         quantile_cont(l_extendedprice, 0.25) AS price_q1,
+         quantile_cont(l_extendedprice, 0.75) AS price_q3
+         FROM lineitem GROUP BY l_returnflag""",
 
     "x_binary_frames" ->
       """WITH f AS (SELECT doc_id,

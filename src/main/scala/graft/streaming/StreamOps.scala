@@ -58,6 +58,17 @@ object StreamOps {
       }
   }
 
+  /** Streaming dedup on a content fingerprint with bounded state: rows
+    * whose fingerprint was already seen (within the watermark horizon)
+    * are dropped — the ingest-time twin of
+    * [[graft.operators.Dedup.exact]]. State expires with the watermark,
+    * so memory is bounded by the dedup horizon, not the stream length. */
+  def streamingDedup(events: DataFrame, tsCol: String, fingerprintCol: String,
+                     horizon: String): DataFrame =
+    events
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(fingerprintCol)
+
   /** Replay a bounded parquet directory through a streaming query into a
     * memory sink; returns the sink table name. Used by tests and demos. */
   def replayToMemory(spark: SparkSession, df: DataFrame, name: String): Unit = {

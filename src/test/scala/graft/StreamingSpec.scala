@@ -36,6 +36,25 @@ class StreamingSpec extends SparkSpec {
       batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming dedup drops repeated fingerprints, keeps state bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    // events with duplicated user_id%7 fingerprints within one batch
+    Tables.load(spark, sf, "events")
+      .select(col("ts"), (col("user_id") % 7).cast("string").as("fp"))
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val src = spark.readStream
+      .schema(spark.read.parquet(dir.toString).schema)
+      .parquet(dir.toString)
+    val deduped = StreamOps.streamingDedup(src, "ts", "fp", "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_stream")
+    // exactly one row per distinct fingerprint survives the single batch
+    assert(got.count() == 7)
+    assert(got.select("fp").distinct().count() == 7)
+  }
+
   test("stateful session counts == batch sessionize") {
     implicit val s = spark
     val ev = Tables.load(spark, sf, "events")
