@@ -69,6 +69,15 @@ class ExtSpec extends SparkSpec {
     assert(buckets.forall(_.getLong(1) < n / 2), "degenerate LSH bucketing")
   }
 
+  test("charShingles: distinct k-grams, short strings yield empty") {
+    val df = Seq("abcde", "aaaa", "ab").toDF("t")
+    val got = df.select(Text.charShingles(col("t"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got(0) == List("abc", "bcd", "cde"))
+    assert(got(1) == List("aaa")) // distinct collapses repeats
+    assert(got(2) == Nil)         // shorter than k
+  }
+
   test("rolling fingerprint is deterministic and collision-sane") {
     val fp = docs.select(Text.fingerprintRolling(col("text")).as("fp"))
     val n = fp.count()
