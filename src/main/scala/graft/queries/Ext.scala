@@ -155,6 +155,39 @@ object Ext {
           element_at(col("pq"), 1).as("price_q1"),
           element_at(col("pq"), 2).as("price_q3"))),
 
+    // sketch aggregates — the 100 TB path where exact countDistinct /
+    // percentile shuffle too much; rows-only (HLL/KLL internals are
+    // engine-specific), accuracy vs the exact forms asserted in ExtSpec
+    "x_approx_stats" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"))),
+
+    "x_window_funcs" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("order_seq"),
+        rank().over(w).as("date_rank"),
+        count(lit(1)).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)).as("running_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .cast("double").as("running_spent"),
+        date_format(lag(col("o_orderdate"), 1).over(w), "yyyy-MM-dd").as("prev_order_date"))
+    }),
+
+    "x_pivot" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_custkey")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        // pivot cells with no rows are null in Spark, 0 in COUNT(CASE)
+        .na.fill(0, Seq("O", "F", "P"))),
+
     // ---- multimodal binary plumbing (payload = utf-8 bytes of text;
     // real corpora carry image/audio bytes through the same shape) ----
     "x_binary_frames" -> ((s, d) => {
@@ -361,6 +394,25 @@ object Ext {
          quantile_cont(l_extendedprice, 0.25) AS price_q1,
          quantile_cont(l_extendedprice, 0.75) AS price_q3
          FROM lineitem GROUP BY l_returnflag""",
+
+    "x_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(row_number() OVER w AS INTEGER) AS order_seq,
+         CAST(rank() OVER w AS INTEGER) AS date_rank,
+         count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS running_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spent,
+         strftime(lag(o_orderdate, 1) OVER w, '%Y-%m-%d') AS prev_order_date
+         FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "x_pivot" ->
+      """SELECT o_custkey,
+         COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+         COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+         COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+         FROM orders GROUP BY o_custkey""",
 
     "x_binary_frames" ->
       """WITH f AS (SELECT doc_id,

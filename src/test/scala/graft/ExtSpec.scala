@@ -119,6 +119,22 @@ class ExtSpec extends SparkSpec {
       manual.exceptAll(builtin).count() == 0)
   }
 
+  test("sketch aggregates land within tolerance of exact forms") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val joined = li.groupBy("l_returnflag").agg(
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+      .collect()
+    for (r <- joined) {
+      val (ep, ap) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      assert(math.abs(ep - ap) / ep < 0.05, s"HLL error ${(ep, ap)}")
+      val (em, am) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(em - am) / em < 0.05, s"KLL error ${(em, am)}")
+    }
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val v = emb.limit(50).select(col("vec_id"), col("embedding"))
     val selfSim = v.select(Vectors.cosine(col("embedding"), col("embedding")).as("c"))
