@@ -39,6 +39,29 @@ object Multimodal {
   def extractFeatures(media: DataFrame): DataFrame =
     media.withColumn("features", fakeDecodeFeatures(col("payload")))
 
+  /** The same decode stage as partition-batched JVM code — the Scala
+    * analog of a pandas mapInPandas decode (how a REAL codec would run:
+    * one library context opened per partition, rows streamed through it).
+    * Emits (media_id, features), byte-identical to [[extractFeatures]];
+    * ExtSpec asserts the equivalence. */
+  def extractFeaturesMapPartitions(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // a real decoder would open its codec context HERE, once per
+        // partition, and close it when the iterator drains
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, payload) =>
+          md.reset()
+          val h = md.digest(payload)
+          (id, (0 until 8).map(i => (h(i) & 0xFF).toDouble / 255.0).toArray)
+        }
+      }
+      .toDF("media_id", "features")
+  }
+
   /** "Resize" stub: truncate/pad payload to `target` bytes — stands in for
     * a real resample; keeps the metadata consistent. */
   def resizeStub(media: DataFrame, target: Int): DataFrame =

@@ -99,6 +99,19 @@ class ExtSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("image"))
   }
 
+  test("multimodal: mapPartitions decode == expression decode") {
+    val media = Multimodal.asMedia(
+      docs.limit(100).withColumn("payload", encode(col("text"), "utf-8")),
+      "doc_id", "payload", "image")
+    val viaExpr = Multimodal.extractFeatures(media)
+      .select(col("media_id"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaMp = Multimodal.extractFeaturesMapPartitions(media)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(viaExpr.keySet == viaMp.keySet)
+    assert(viaExpr.forall { case (k, v) => viaMp(k) == v })
+  }
+
   test("multimodal: resize stub keeps metadata consistent") {
     val media = Multimodal.asMedia(
       docs.withColumn("payload", encode(col("text"), "utf-8")),

@@ -55,6 +55,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("fp").distinct().count() == 7)
   }
 
+  test("watermark drops late events (append-mode windowed agg)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_late")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("v", DoubleType)))
+    def write(name: String, rows: Seq[(String, Double)]): Unit = {
+      import spark.implicits._
+      rows.map { case (t, v) => (java.sql.Timestamp.valueOf(t), v) }
+        .toDF("ts", "v").coalesce(1).write.mode("append")
+        .parquet(s"$dir/$name")
+    }
+    // batch 1: events up to 12:00 → watermark advances to 11:50
+    write("in", Seq(("2024-01-01 10:05:00", 1.0), ("2024-01-01 12:00:00", 1.0)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val agg = src.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "HH:mm").as("h"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_stream").start()
+    q.processAllAvailable()
+    // batch 2: one on-time event (12:05) + one LATE event (10:10, behind
+    // the 11:50 watermark) — the late one must not resurrect the 10:00 window
+    write("in", Seq(("2024-01-01 12:05:00", 1.0), ("2024-01-01 10:10:00", 99.0)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("late_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 10:00 window finalized with ONLY the first event; late row dropped
+    assert(rows.get("10:00").contains(1L), s"got $rows")
+  }
+
   test("stateful session counts == batch sessionize") {
     implicit val s = spark
     val ev = Tables.load(spark, sf, "events")
