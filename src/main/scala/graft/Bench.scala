@@ -9,8 +9,12 @@ import org.apache.spark.sql.SparkSession
   * lets Catalyst prune every computed column (an expression-heavy query
   * would "benchmark" a bare scan); noop executes the full plan and
   * discards rows at the sink, which is the honest cost.
-  * A small untimed warm-up absorbs one-time session/codegen init so
-  * per-query numbers measure the plan, not JVM warm-up.
+  * EACH query runs once untimed before its timed run, so the reported
+  * number measures the plan, not that query's one-time codegen compile —
+  * without this a trivial 1 500-row expression query "costs" 3 s and
+  * round-over-round per-query deltas are noise.
+  * A query that throws is reported in a "failed" list with value -1, never
+  * as a (misleadingly fast) elapsed time.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,33 +25,41 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runNoop(name: String): Double = {
+    def runNoop(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        Left(s"${e.getClass.getSimpleName}")
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // optional args = subset of query names (focused measurement)
     val names = if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
       else SparkEntry.queries.keys.toSeq.sorted
 
-    // untimed warm-up: session init, codegen, parquet footer caches
-    names.headOption.foreach(runNoop)
-
-    val results = names.map(n => n -> runNoop(n))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = names.map { n =>
+      runNoop(n) match {                 // warm-up: codegen, footer caches
+        case Right(_) => n -> runNoop(n) // timed second run
+        case left     => n -> left       // failed warm-up: don't re-run
+      }
+    }
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.fold(_ => "-1", _.toString)
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, Left(err)) => s"\"$k: $err\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2.getOrElse(0.0)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,9 +20,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** NOTE: reading `events` requires `spark.sql.legacy.parquet.nanosAsLong
+    * =true` set at SESSION BUILD time (Bench/Verify/tools/test builders all
+    * set it). The loader deliberately does NOT mutate session conf — a
+    * loader with a global side effect is a race at minimum and a surprise
+    * always. A session missing the conf fails fast with Spark's own
+    * [PARQUET_TYPE_ILLEGAL] pointing at the nanos column. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/events.parquet")
         // integer `div`, NOT `/` (double division drops µs precision at
         // ~1.7e18 ns magnitudes)

@@ -55,11 +55,21 @@ object Dedup {
     val postings = sh.groupBy("sh")
       .agg(collect_list(col("doc")).as("ds"))
       .filter(size(col("ds")) <= maxBucket && size(col("ds")) >= 2)
+    // pairs emitted INCREMENTALLY, two chained generators: posexplode picks
+    // doc_a, then slice+explode streams the tail of the posting list as
+    // doc_b. The largest value ever materialized is the posting list itself
+    // (≤ maxBucket ids, ~8 KB) — never the O(b²) pair set, which previously
+    // was built as one in-row array (tens of MB for a hot shingle: an
+    // executor-memory spike and 23% of the r1 bench). Positions i<j visit
+    // each unordered pair exactly once; least/greatest restores the
+    // deterministic doc_a<doc_b orientation independent of collect_list
+    // order.
     val common = postings
-      .select(explode(flatten(transform(col("ds"), x =>
-        filter(transform(col("ds"), y => struct(x.as("doc_a"), y.as("doc_b"))),
-          p => p.getField("doc_a") < p.getField("doc_b"))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col").as("x"),
+        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds")))).as("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     // sizes is |docs|-sized (unbounded at scale) — no broadcast hint;
     // AQE converts to broadcast when it actually fits
@@ -110,11 +120,13 @@ object Dedup {
     val cand = a.join(bb, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // exact verify on the (small) candidate set: rejoin texts
+    // exact verify on the (small) candidate set: rejoin texts. No broadcast
+    // hint on texts — it is |documents|-sized (unbounded at 100 TB); AQE
+    // broadcasts whichever side actually fits (normally the candidate set).
     val texts = df.select(col(idCol).as("doc"), col(textCol).as("text"))
     val withTexts = cand
-      .join(broadcast(texts.withColumnRenamed("doc", "doc_a").withColumnRenamed("text", "text_a")), Seq("doc_a"))
-      .join(broadcast(texts.withColumnRenamed("doc", "doc_b").withColumnRenamed("text", "text_b")), Seq("doc_b"))
+      .join(texts.withColumnRenamed("doc", "doc_a").withColumnRenamed("text", "text_a"), Seq("doc_a"))
+      .join(texts.withColumnRenamed("doc", "doc_b").withColumnRenamed("text", "text_b"), Seq("doc_b"))
     val sa = Text.wordShingles(col("text_a"), n)
     val sb = Text.wordShingles(col("text_b"), n)
     withTexts.withColumn("jaccard",

@@ -18,9 +18,18 @@ object Skew {
     * the LEFT side: left rows get a uniform salt in [0, factor), the
     * (smaller) right side is replicated `factor` times, and the join key
     * becomes (key, salt) — splitting each hot key across `factor`
-    * reducers. Result is row-identical to the plain join. */
+    * reducers. Result is row-identical to the plain join for the
+    * left-preserving join types ONLY: with "right"/"full" (or a
+    * right-side anti) every unmatched RIGHT row survives once per
+    * replica, i.e. `factor` duplicates — so those types are rejected. */
+  private val leftPreserving = Set("inner", "left", "leftouter", "left_outer",
+    "left_semi", "leftsemi", "left_anti", "leftanti")
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  factor: Int, joinType: String = "inner"): DataFrame = {
+    require(leftPreserving(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin replicates the right side $factor times, so right/full " +
+        s"outer joins would duplicate unmatched right rows; got '$joinType'. " +
+        "Salt the other side (swap the arguments) instead.")
     // salt only spreads rows; any per-row value works. xxhash64 over the
     // whole row id-space via monotonically_increasing_id is fine here
     // because the salt NEVER affects results, only placement.

@@ -35,8 +35,10 @@ case class WordShingleGenerator(child: Expression, n: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input)
     if (t == null) return Nil
-    // split on single space, matching split(text, ' ') / string_split
-    val words = t.asInstanceOf[UTF8String].toString.split(' ')
+    // split on single space with limit -1: Spark's split(c, " ") and
+    // DuckDB's string_split KEEP trailing empty tokens; Scala's
+    // split(Char) drops them, which would diverge on trailing spaces.
+    val words = t.asInstanceOf[UTF8String].toString.split(" ", -1)
     if (words.length < n) return Nil
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
     val sb = new java.lang.StringBuilder(64)

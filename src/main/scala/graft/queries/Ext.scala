@@ -190,9 +190,15 @@ object Ext {
 
     // ---- multimodal binary plumbing (payload = utf-8 bytes of text;
     // real corpora carry image/audio bytes through the same shape) ----
+    // The engine frames BYTES (substring on BinaryType); DuckDB v1.0 has no
+    // blob slicing/md5, so its oracle frames CHARACTERS. Equivalence is
+    // made STRUCTURAL, not fixture luck: both sides keep only documents
+    // whose utf-8 byte length equals their char length (pure ASCII), where
+    // byte framing ≡ char framing by construction.
     "x_binary_frames" -> ((s, d) => {
       val media = Multimodal.asMedia(
         t(s, d, "documents").filter(col("doc_id") < 100)
+          .filter(length(encode(col("text"), "utf-8")) === length(col("text")))
           .withColumn("payload", encode(col("text"), "utf-8")),
         "doc_id", "payload", "text")
       Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
@@ -419,7 +425,8 @@ object Ext {
                     unnest([{'idx': i - 1,
                              'fr': substring(text, (i - 1) * 64 + 1, 64)}
                             for i in range(1, CAST(floor((length(text) - 1) / 64) AS INTEGER) + 2)]) AS u
-                    FROM documents WHERE doc_id < 100)
+                    FROM documents
+                    WHERE doc_id < 100 AND octet_length(encode(text)) = length(text))
          SELECT doc_id AS media_id, CAST(u.idx AS INTEGER) AS frame_idx,
                 md5(u.fr) AS frame_checksum
          FROM f WHERE u.idx % 2 = 0"""

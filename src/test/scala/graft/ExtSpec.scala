@@ -69,6 +69,22 @@ class ExtSpec extends SparkSpec {
     assert(buckets.forall(_.getLong(1) < n / 2), "degenerate LSH bucketing")
   }
 
+  test("shingle generator == composable shingles, incl. trailing/double spaces") {
+    // Scala's split(Char) DROPS trailing empty tokens; Spark's split and
+    // DuckDB's string_split keep them. The generator must match Spark.
+    val tricky = Seq("a b c d", "a b c ", "a b c  ", " a b c", "a  b c",
+      "ab", "", "   ").toDF("t")
+    val viaGen = tricky.select(col("t"), Text.explodeWordShingles(col("t"), 3).as("sh"))
+      .groupBy("t").agg(sort_array(collect_list("sh")).as("g"))
+    val viaCols = tricky.select(col("t"), explode(Text.wordShingles(col("t"), 3)).as("sh"))
+      .groupBy("t").agg(sort_array(collect_list("sh")).as("c"))
+    val joined = viaGen.join(viaCols, Seq("t"), "full").collect()
+    joined.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"mismatch for '${r.getString(0)}': gen=${r.getSeq[String](1)} cols=${r.getSeq[String](2)}")
+    }
+  }
+
   test("charShingles: distinct k-grams, short strings yield empty") {
     val df = Seq("abcde", "aaaa", "ab").toDF("t")
     val got = df.select(Text.charShingles(col("t"), 3).as("s"))
