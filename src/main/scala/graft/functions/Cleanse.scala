@@ -27,9 +27,23 @@ object Cleanse {
   def wsTrim(c: Column): Column =
     regexp_replace(c, "^\\s+|\\s+$", "")
 
-  /** E1/E5: trim + title-case, empty→null (load_silver.py:63-79,123-128). */
+  /** E1/E5 (initcap form): trim + whitespace-word title-case, empty→null.
+    * Kept for queries whose oracle wants plain `initcap`; the
+    * reference-faithful form is [[titleCasePy]], which the silver
+    * pipelines use (load_silver.py:63-79,123-128). */
   def titleCase(c: Column): Column =
     when(length(wsTrim(c)) > 0, initcap(wsTrim(c)))
+
+  /** E1/E5 (faithful form): trim + Python `str.title()` semantics via the
+    * custom [[graft.plans.TitleCasePy]] codegen expression — capitalizes
+    * after ANY non-cased char (`o'brien`→`O'Brien`), exactly what the
+    * reference's pandas `.strip().title()` does. Empty→null as ever. */
+  def titleCasePy(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val t = wsTrim(c)
+    when(length(t) > 0,
+      ColumnBridge.column(graft.plans.TitleCasePy(ColumnBridge.expression(t))))
+  }
 
   /** E2: trim + upper-case, empty→null (IBAN, load_silver.py:82-85). */
   def upperTrim(c: Column): Column =
@@ -60,6 +74,16 @@ object Cleanse {
     * (load_silver.py:155-164,191-194). */
   def domainWhitelist(c: Column, domain: Seq[String]): Column = {
     val t = titleCase(c)
+    when(t.isin(domain: _*), t)
+  }
+
+  /** E8/E9/E10 faithful form: whitelist after PYTHON title-casing — what
+    * the reference actually computes. Identical output whenever the input
+    * has no intra-word boundaries (all whitelist values are plain
+    * whitespace-separated words), but garbage inputs title differently
+    * and must null out under the same semantics as pandas. */
+  def domainWhitelistPy(c: Column, domain: Seq[String]): Column = {
+    val t = titleCasePy(c)
     when(t.isin(domain: _*), t)
   }
 

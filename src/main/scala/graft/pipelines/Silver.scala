@@ -14,9 +14,10 @@ import graft.functions.Cleanse._
   * Non-determinism in the reference (`datetime.now()` bounds at
   * load_silver.py:131,187) is replaced by an explicit `asOf` parameter.
   *
-  * Documented deviation (SURVEY §7.4.1): title-casing is Spark `initcap`
-  * (word = whitespace-delimited) vs Python str.title() (letter-run), which
-  * differ on "o'brien"/"abc-def"; engine and oracle agree on initcap.
+  * Title-casing is the FAITHFUL Python `str.title()` via the custom
+  * [[graft.plans.TitleCasePy]] codegen expression ("o'brien"→"O'Brien",
+  * like pandas), so reference_diff.py matches the reference's output
+  * exactly — the former initcap deviation (SURVEY §7.4.1) is closed.
   */
 object Silver {
 
@@ -28,7 +29,7 @@ object Silver {
 
   private def cleanTextCols(df: DataFrame): DataFrame =
     textCols.foldLeft(df) { (acc, c) =>
-      if (acc.columns.contains(c)) acc.withColumn(c, titleCase(col(c))) else acc
+      if (acc.columns.contains(c)) acc.withColumn(c, titleCasePy(col(c))) else acc
     }
 
   /** clients: title-case text, validate (title-cased) email, strip phone
@@ -52,8 +53,8 @@ object Silver {
     * [1900, asOfYear]; plate → [A-Z0-9] (load_silver.py:116-146). */
   def vehicles(df: DataFrame, asOfYear: Int): DataFrame =
     df.na.drop(Seq("client_id"))
-      .withColumn("brand", titleCase(col("brand")))
-      .withColumn("model", titleCase(col("model")))
+      .withColumn("brand", titleCasePy(col("brand")))
+      .withColumn("model", titleCasePy(col("model")))
       .withColumn("year", validRange(col("year"), 1900, asOfYear))
       .withColumn("plate", normalizePlate(col("plate")))
 
@@ -62,9 +63,9 @@ object Silver {
   def policies(df: DataFrame): DataFrame =
     df.na.drop(Seq("client_id", "vehicle_id"))
       .withColumn("coverage",
-        domainWhitelist(col("coverage"), Seq("Básica", "Intermedia", "Premium")))
+        domainWhitelistPy(col("coverage"), Seq("Básica", "Intermedia", "Premium")))
       .withColumn("status",
-        domainWhitelist(col("status"), Seq("Activa", "Vencida", "Cancelada")))
+        domainWhitelistPy(col("status"), Seq("Activa", "Vencida", "Cancelada")))
       .withColumn("premium", positiveRound2(col("premium")))
 
   /** claims: drop null policy_id; dates parsed, future → null (the
@@ -74,7 +75,7 @@ object Silver {
   def claims(df: DataFrame, asOf: String): DataFrame =
     df.na.drop(Seq("policy_id"))
       .withColumn("claim_date", validDateUpTo(col("claim_date"), asOf))
-      .withColumn("claim_type", domainWhitelist(col("claim_type"),
+      .withColumn("claim_type", domainWhitelistPy(col("claim_type"),
         Seq("Colisión", "Robo", "Daños Por Clima", "Incendio", "Otros")))
       .withColumn("amount", positiveRound2(col("amount")))
 

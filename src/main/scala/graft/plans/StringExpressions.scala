@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Faithful Python `str.title()` — the reference's title-casing primitive
+  * (/root/reference/scripts/silver/load_silver.py:69-71 applies
+  * `.strip().title()` to every text column).
+  *
+  * Python semantics, which Spark's `initcap` does NOT match: a character
+  * is "cased" iff its category is Lu/Ll/Lt; each cased char that FOLLOWS
+  * a cased char is lowercased, every other cased char is titlecased. So
+  * word boundaries are any uncased char — apostrophes, hyphens, digits —
+  * not just whitespace: `o'brien`→`O'Brien`, `abc-def`→`Abc-Def`,
+  * `abc3de`→`Abc3De`, `they'll`→`They'Ll` (the Python quirk included),
+  * where initcap yields `O'brien`/`Abc-def`/`Abc3de`/`They'll`.
+  *
+  * Known deviation (documented, not data-reachable in the corpus): Java's
+  * `Character.toTitleCase`/`toLowerCase` are 1:1 simple mappings, Python
+  * uses full mappings — `ß`.title() expands to `Ss` in Python but stays
+  * `ß` here. Only word-INITIAL chars hit the title mapping and no fixture
+  * word starts with such a char.
+  *
+  * Codegen: a single static call — stays inside whole-stage codegen like
+  * every other silver cleansing expression (no UDF serialization wall).
+  */
+case class TitleCasePy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"TitleCasePy needs a string column, got ${child.dataType}")
+
+  override def nullSafeEval(s: Any): Any =
+    PyString.title(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PyString.title($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TitleCasePy =
+    copy(child = newChild)
+}
+
+/** Static helpers called from generated code (object WITHOUT a companion
+  * class, so Scala emits true static forwarders Janino can link). */
+object PyString {
+
+  private def isCased(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
+      t == Character.TITLECASE_LETTER
+  }
+
+  def title(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var prevCased = false
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val cased = isCased(cp)
+      sb.appendCodePoint(
+        if (cased && !prevCased) Character.toTitleCase(cp)
+        else if (cased) Character.toLowerCase(cp)
+        else cp)
+      prevCased = cased
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}

@@ -48,8 +48,16 @@ object Ext {
     "x_dedup_simhash" -> ((s, d) =>   // rows-only: seeded hash family
       Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text")),
 
+    // all-pairs oracle twin (exact DuckDB SQL below) …
     "x_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)),
+
+    // … and the LSH-blocked DEFAULT scale path: same verify expression,
+    // banded RHP blocking instead of crossJoin. Rows-only here (seeded
+    // hyperplanes); ExtSpec asserts it returns EXACTLY the all-pairs
+    // result on the fixtures.
+    "x_embed_neardup_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)),
 
     // ---- similarity search ----
     "x_cos_topk" -> ((s, d) => {

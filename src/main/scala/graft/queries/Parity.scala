@@ -129,6 +129,13 @@ object Parity {
           "yyyy-MM-dd").as("ship_coerced"))),
 
     // ---- joins (SURVEY §2.5) ----
+    // documents.text is punctuation-rich, so this exercises every boundary
+    // where Python title() and initcap disagree (apostrophes, hyphens,
+    // digits) — the oracle replays Python's cased/uncased walk char-wise.
+    "e14_titlecase_py" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Cleanse.titleCasePy(col("text")).as("title_py"))),
+
     "j1_left_join" -> ((s, d) =>
       t(s, d, "orders").join(
         broadcast(t(s, d, "customer")
@@ -349,6 +356,23 @@ object Parity {
          strftime(TRY_CAST(CASE WHEN l_linenumber % 5 = 0 THEN 'not-a-date'
                   ELSE strftime(l_shipdate, '%Y-%m-%d') END AS TIMESTAMP),
                   '%Y-%m-%d') AS ship_coerced FROM lineitem""",
+
+    // Python str.title() replayed char-wise: cased = \p{Lu}/\p{Ll}/\p{Lt};
+    // a cased char after a cased char lowers, any other cased char uppers.
+    // (?s). keeps newline chars; coalesce handles the empty-list aggregate.
+    "e14_titlecase_py" ->
+      """WITH s AS (SELECT doc_id,
+                    nullif(regexp_replace(text, '^\s+|\s+$', '', 'g'), '') AS t
+                    FROM documents),
+         c AS (SELECT doc_id, t, regexp_extract_all(t, '(?s).') AS cs FROM s)
+         SELECT doc_id,
+           CASE WHEN t IS NULL THEN NULL ELSE coalesce(list_aggregate(
+             [CASE WHEN regexp_matches(cs[i], '\p{Lu}|\p{Ll}|\p{Lt}')
+                   THEN CASE WHEN i = 1 OR NOT regexp_matches(cs[i-1], '\p{Lu}|\p{Ll}|\p{Lt}')
+                             THEN upper(cs[i]) ELSE lower(cs[i]) END
+                   ELSE cs[i] END
+              for i in range(1, len(cs)+1)], 'string_agg', ''), '') END AS title_py
+         FROM c""",
 
     "j1_left_join" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment

@@ -31,6 +31,32 @@ class CleanseSpec extends SparkSpec {
     assert(one(titleCase($"x"), "colisión ") == "Colisión")
   }
 
+  test("E1 titleCasePy reproduces Python str.title() exactly") {
+    // expected values computed with CPython; boundaries are ANY uncased
+    // char (apostrophe, hyphen, digit), unlike initcap's whitespace-only
+    assert(one(titleCasePy($"x"), "o'brien smith") == "O'Brien Smith")
+    assert(one(titleCasePy($"x"), "abc-def") == "Abc-Def")
+    assert(one(titleCasePy($"x"), "DíAZ") == "Díaz")
+    assert(one(titleCasePy($"x"), "they'll go") == "They'Ll Go")
+    assert(one(titleCasePy($"x"), "abc3de") == "Abc3De")
+    assert(one(titleCasePy($"x"), "ñoño pérez-garcía") == "Ñoño Pérez-García")
+    assert(one(titleCasePy($"x"), "  hola mundo  ") == "Hola Mundo")
+    assert(one(titleCasePy($"x"), "GOLD") == "Gold")
+    assert(one(titleCasePy($"x"), "daños por clima") == "Daños Por Clima")
+    assert(one(titleCasePy($"x"), "") == null)
+    assert(one(titleCasePy($"x"), "   ") == null)
+    assert(one(titleCasePy($"x"), null) == null)
+  }
+
+  test("E8-E10 domainWhitelistPy: titled garbage still nulls out") {
+    assert(one(domainWhitelistPy($"x", Seq("Básica", "Intermedia", "Premium")),
+      "básica") == "Básica")
+    assert(one(domainWhitelistPy($"x", Seq("Básica", "Intermedia", "Premium")),
+      "premium-plus") == null) // titles to Premium-Plus, not whitelisted
+    assert(one(domainWhitelistPy($"x", Seq("Daños Por Clima")),
+      " daños por clima ") == "Daños Por Clima")
+  }
+
   test("E2 upperTrim: IBAN normalization") {
     assert(one(upperTrim($"x"), " es9121000418450200051332 ") ==
       "ES9121000418450200051332")

@@ -34,6 +34,21 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, s"simhash recall $recall; found=${sh.size}")
   }
 
+  test("LSH-blocked embedding near-dup == all-pairs near-dup (threshold 0.4)") {
+    // the verify stage is the same exact cosine, so lsh ⊆ all-pairs; the
+    // assertion is that banding (r=2, b=24 ⇒ miss ≈ 5e-6 per pair even at
+    // a borderline cos=0.4027) drops NOTHING — set equality, not recall
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (dir <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val e = Tables.load(spark, s"/root/testdata/$dir", "embeddings")
+      val exact = pairs(Dedup.embeddingNearDup(e, "vec_id", "embedding", 0.4))
+      val lsh = pairs(Dedup.embeddingNearDupLsh(e, "vec_id", "embedding", 0.4))
+      assert(exact.nonEmpty, s"$dir: no qualifying pairs in testdata?")
+      assert(lsh == exact, s"$dir: missed=${exact -- lsh} extra=${lsh -- exact}")
+    }
+  }
+
   test("LSH ANN beats a random candidate subset of the same budget") {
     val q = emb.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", "vec_id", "embedding", 5)

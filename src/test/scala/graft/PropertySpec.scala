@@ -32,6 +32,7 @@ class PropertySpec extends SparkSpec {
 
   private val unary: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
     ("titleCase", Cleanse.titleCase),
+    ("titleCasePy", Cleanse.titleCasePy),
     ("upperTrim", Cleanse.upperTrim),
     ("normalizePhone", Cleanse.normalizePhone),
     ("normalizePlate", Cleanse.normalizePlate),
@@ -59,7 +60,7 @@ class PropertySpec extends SparkSpec {
 
   test("titleCase/upperTrim never emit empty or untrimmed strings") {
     val df = samples(80, 7L).map(Option(_)).toDF("x")
-    for (f <- Seq(Cleanse.titleCase _, Cleanse.upperTrim _)) {
+    for (f <- Seq(Cleanse.titleCase _, Cleanse.titleCasePy _, Cleanse.upperTrim _)) {
       val out = df.select(f($"x").as("y")).as[Option[String]].collect().flatten
       assert(out.forall(s => s.nonEmpty && s == s.trim))
     }

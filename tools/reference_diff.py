@@ -7,13 +7,13 @@ pinned to the engine's asOf, runs them in pandas over the engine-generated
 raw CSVs, and compares against the engine's silver/gold parquet outputs.
 
 Documented deviations tolerated (SURVEY.md §7.4):
- - title-case: Python str.title() vs Spark initcap differ on word
-   boundaries like apostrophes ("o'brien" -> O'Brien vs O'brien): string
-   columns that went through title-casing compare casefolded.
  - ratios: pandas emits inf/NaN on zero/NaN denominators, engine emits
    null - (null vs inf/NaN) counts as a match on ratio columns.
  - float aggregates compare to 1e-6 relative (pandas float sums vs the
    engine's exact decimal accumulation).
+Title-cased columns compare EXACTLY: the engine's TitleCasePy expression
+reproduces Python str.title() (the former initcap/casefold tolerance is
+gone as of round 2).
 
 Usage: python3 tools/reference_diff.py /tmp/medallion
 (after: sbt 'runMain graft.tools.RunMedallion /tmp/medallion 1.0 42')
@@ -64,8 +64,6 @@ def read_engine(base, layer, table):
     return pd.read_parquet(f"{base}/{layer}/{table}")
 
 
-TITLE_COLS = {"name", "address", "company_name", "client_type", "risk_level",
-              "email", "brand", "model", "coverage", "status", "claim_type"}
 RATIO_COLS = {"payment_to_premium_ratio", "claim_ratio", "avg_payment", "avg_claim"}
 
 
@@ -100,10 +98,6 @@ def cmp_frames(name, ref, eng, key, fails):
                 continue
             if isinstance(a, float) or isinstance(b, float):
                 if abs(float(a) - float(b)) > 1e-6 * max(1.0, abs(float(a))):
-                    bad += 1
-                    example = example or (i, a, b)
-            elif isinstance(a, str) and c in TITLE_COLS:
-                if a.casefold() != str(b).casefold():
                     bad += 1
                     example = example or (i, a, b)
             elif isinstance(a, pd.Timestamp) or isinstance(b, pd.Timestamp):
