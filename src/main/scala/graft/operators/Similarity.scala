@@ -87,28 +87,46 @@ object Similarity {
   /** IVF-style ANN: the corpus is inverted-listed by nearest centroid
     * (one narrow scoring pass against nLists literal centroids — argmin of
     * ‖v−c‖² ≡ argmin of (c·c − 2 v·c)); queries probe their nProbe nearest
-    * lists and re-rank exactly inside them. Centroids are a deterministic
-    * hash-sample of the corpus (k-means init; Lloyd refinement would slot
-    * in as nLists-row DataFrame iterations). Probe cost ≈ nProbe/nLists of
-    * the corpus per query vs 1.0 for brute force. */
+    * lists and re-rank exactly inside them. Centroids start as a
+    * deterministic hash-sample of the corpus (k-means init) and are
+    * refined with `lloydIters` Lloyd iterations, each a pure DataFrame
+    * pass: assign → per-(list, dim) mean via posexplode → collect the
+    * nLists×dim means (bounded by PARAMETERS, not data — the only
+    * driver-side data this operator ever holds). Probe cost ≈
+    * nProbe/nLists of the corpus per query vs 1.0 for brute force. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
               k: Int, nLists: Int = 16, nProbe: Int = 4,
-              seed: Long = 42): DataFrame = {
+              seed: Long = 42, lloydIters: Int = 2): DataFrame = {
     // deterministic centroid sample: smallest hash wins (tiny, bounded
     // driver collect — nLists rows)
-    val cents: Array[Array[Double]] = corpus
+    var cents: Array[Array[Double]] = corpus
       .select(col(cVec).as("v"), xxhash64(col(cId), lit(seed)).as("h"))
       .orderBy("h").limit(nLists)
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val c2 = cents.map(c => c.map(x => x * x).sum)
 
     // scored distance proxies to every centroid as an array of structs
     // (score, list-id); array_min / array_sort order lexicographically
-    def scores(v: org.apache.spark.sql.Column) = array(cents.indices.map { j =>
-      struct((lit(c2(j)) - lit(2.0) * Vectors.dot(v, typedlit(cents(j)))).as("s"),
-        lit(j).as("list"))
-    }: _*)
+    def scores(v: org.apache.spark.sql.Column) = {
+      val c2 = cents.map(c => c.map(x => x * x).sum)
+      array(cents.indices.map { j =>
+        struct((lit(c2(j)) - lit(2.0) * Vectors.dot(v, typedlit(cents(j)))).as("s"),
+          lit(j).as("list"))
+      }: _*)
+    }
+
+    for (_ <- 0 until lloydIters) {
+      val means = corpus
+        .select(col(cVec).as("v"),
+          array_min(scores(col(cVec))).getField("list").as("list"))
+        .select(col("list"), posexplode(col("v")))
+        .groupBy("list", "pos").agg(avg(col("col")).as("m"))
+        .collect()                       // ≤ nLists×dim rows, param-bounded
+      val next = cents.map(_.clone())    // empty lists keep their centroid
+      means.foreach(r => next(r.getAs[Int]("list"))(r.getAs[Int]("pos")) =
+        r.getAs[Double]("m"))
+      cents = next
+    }
 
     val listed = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"),
       array_min(scores(col(cVec))).getField("list").as("list"))

@@ -13,6 +13,16 @@ import graft.pipelines.{Gold, Silver}
   * committer replaces all of it (S5: credentials via
   * `spark.hadoop.fs.s3a.*` session config, no engine code needed).
   * Paths here are opaque: local FS in tests, `s3a://` in production.
+  *
+  * S5 testability (investigated, infeasible offline): an in-container
+  * s3a round-trip would need BOTH a mock S3 endpoint (none installed)
+  * AND the `hadoop-aws` + `aws-sdk-bundle` jars — and /opt/spark/jars
+  * ships neither, with no artifact egress to fetch them. The s3a mapping
+  * therefore stays config-documented (set `fs.s3a.endpoint`,
+  * `fs.s3a.access.key`, `fs.s3a.secret.key`, `fs.s3a.path.style.access`
+  * for any S3-compatible store) and every I/O path below is exercised on
+  * file:// URIs, which drive the identical Hadoop FileSystem code path
+  * above the scheme.
   */
 object Io {
 
@@ -37,24 +47,52 @@ object Io {
   private val tables = Seq("clients", "crm_clients", "vehicles", "policies",
     "claims", "payments")
 
-  /** Bronze (§3.1): raw CSV → parquet, one narrow no-shuffle job per table.
-    * Per-table failures propagate (the reference swallows them,
-    * load_bronze.py:98-101 — an engine should not silently drop tables). */
-  def runBronze(spark: SparkSession, rawDir: String, bronzeDir: String): Unit =
-    tables.foreach { t =>
-      writeParquet(readCsv(spark, s"$rawDir/$t", Schemas.all(t)), s"$bronzeDir/$t")
+  /** Per-table error isolation policy for the medallion runner.
+    *
+    * The reference CONTINUES past a failing table (load_bronze.py:98-101,
+    * logging and moving on); a production runner wants that as a POLICY,
+    * not a hardcoded choice — silent table drops corrupt downstream joins,
+    * but one poisoned table shouldn't always sink a 50-table load either.
+    *  - [[ErrorPolicy.FailFast]] (default): first failure propagates.
+    *  - [[ErrorPolicy.Continue]]: remaining tables still load; failures
+    *    are RETURNED (never swallowed) for the caller to alert on. */
+  sealed trait ErrorPolicy
+  object ErrorPolicy {
+    case object FailFast extends ErrorPolicy
+    case object Continue extends ErrorPolicy
+  }
+
+  private def guarded(policy: ErrorPolicy)
+                     (steps: Seq[(String, () => Unit)]): Seq[(String, Throwable)] =
+    steps.flatMap { case (name, run) =>
+      try { run(); Nil }
+      catch {
+        case e: Throwable if policy == ErrorPolicy.Continue => Seq(name -> e)
+      }
     }
+
+  /** Bronze (§3.1): raw CSV → parquet, one narrow no-shuffle job per table.
+    * Returns the per-table failures under [[ErrorPolicy.Continue]]
+    * (empty on success); propagates the first under FailFast. */
+  def runBronze(spark: SparkSession, rawDir: String, bronzeDir: String,
+                policy: ErrorPolicy = ErrorPolicy.FailFast): Seq[(String, Throwable)] =
+    guarded(policy)(tables.map { t =>
+      t -> (() => writeParquet(
+        readCsv(spark, s"$rawDir/$t", Schemas.all(t)), s"$bronzeDir/$t"))
+    })
 
   /** Silver (§3.2): per-table cleanse, still shuffle-free. */
   def runSilver(spark: SparkSession, bronzeDir: String, silverDir: String,
-                asOf: String, asOfYear: Int): Unit = {
+                asOf: String, asOfYear: Int,
+                policy: ErrorPolicy = ErrorPolicy.FailFast): Seq[(String, Throwable)] = {
     def rd(t: String) = readParquet(spark, s"$bronzeDir/$t")
-    writeParquet(Silver.clients(rd("clients")), s"$silverDir/clients")
-    writeParquet(Silver.crmClients(rd("crm_clients")), s"$silverDir/crm_clients")
-    writeParquet(Silver.vehicles(rd("vehicles"), asOfYear), s"$silverDir/vehicles")
-    writeParquet(Silver.policies(rd("policies")), s"$silverDir/policies")
-    writeParquet(Silver.claims(rd("claims"), asOf), s"$silverDir/claims")
-    writeParquet(Silver.payments(rd("payments")), s"$silverDir/payments")
+    guarded(policy)(Seq(
+      "clients" -> (() => writeParquet(Silver.clients(rd("clients")), s"$silverDir/clients")),
+      "crm_clients" -> (() => writeParquet(Silver.crmClients(rd("crm_clients")), s"$silverDir/crm_clients")),
+      "vehicles" -> (() => writeParquet(Silver.vehicles(rd("vehicles"), asOfYear), s"$silverDir/vehicles")),
+      "policies" -> (() => writeParquet(Silver.policies(rd("policies")), s"$silverDir/policies")),
+      "claims" -> (() => writeParquet(Silver.claims(rd("claims"), asOf), s"$silverDir/claims")),
+      "payments" -> (() => writeParquet(Silver.payments(rd("payments")), s"$silverDir/payments"))))
   }
 
   /** Gold (§3.3): the dimensional model. */

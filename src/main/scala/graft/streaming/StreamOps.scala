@@ -28,33 +28,67 @@ object StreamOps {
 
   case class Event(user_id: Long, ts: java.sql.Timestamp)
   case class SessionUpdate(user_id: Long, n_sessions: Long, n_events: Long)
-  private case class SessionState(nSessions: Long, nEvents: Long, lastUs: Long)
+  // NOT private: the state-store serializer is codegen'd in a real stream
+  // and Janino can't link a Scala-private nested class (batch-mode
+  // execution never hit this — the streaming replay does)
+  case class SessionState(nSessions: Long, nEvents: Long,
+                          lastUs: Long, buffer: Array[Long])
 
-  /** Stateful sessionization: counts sessions per user with a gap timeout,
-    * emitting a running update per micro-batch — the streaming twin of
+  /** Stateful sessionization, OUT-OF-ORDER SAFE: counts sessions per user
+    * with a gap timeout — the streaming twin of
     * [[graft.operators.EventOps.sessionize]]'s n_sessions/n_events.
-    * Requires events in event-time order per user within the replay (true
-    * for the bounded test replay; production would use event-time timeouts
-    * + out-of-order buffering). */
+    *
+    * Events buffer unsorted in state; nothing is counted until the
+    * EVENT-TIME timeout fires (watermark > last buffered ts + gap), at
+    * which point the buffer is sorted and folded into the running counts
+    * and one cumulative update is emitted. Sound because the timeout
+    * firing PROVES the watermark passed lastTs+gap: any future non-late
+    * event must open a new session, and anything older is late beyond the
+    * watermark — out of contract for every watermarked operator. State is
+    * bounded by the watermark horizon (buffer holds one gap-window of
+    * events per user, then folds to three numbers).
+    *
+    * Requires `withWatermark` on the input (EventTimeTimeout contract).
+    * Emits ONLY on timeout — a bounded replay must append one sentinel
+    * event past (maxTs + delay + gap) to flush final counts, exactly how
+    * production streams see counts appear as users go idle. */
   def sessionCounts(events: Dataset[Event], gapMinutes: Int)
                    (implicit spark: SparkSession): Dataset[SessionUpdate] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
-          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          if (state.hasTimedOut) {
+            // watermark passed lastBuffered+gap: fold the buffer in order
+            var st = state.get
+            var (n, ne, last) = (st.nSessions, st.nEvents, st.lastUs)
+            st.buffer.sorted.foreach { us =>
+              if (last == Long.MinValue || us - last > gapUs) n += 1
+              ne += 1
+              last = us
+            }
+            state.update(SessionState(n, ne, last, Array.empty[Long]))
+            Iterator(SessionUpdate(user, n, ne))
+          } else {
+            val st = state.getOption.getOrElse(
+              SessionState(0L, 0L, Long.MinValue, Array.empty[Long]))
             // exact µs (getTime alone floors to ms and can flip a
             // gap-boundary decision vs the batch operator's unix_micros)
-            val us = (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L
-            val newSession = st.lastUs == Long.MinValue || us - st.lastUs > gapUs
-            st = SessionState(st.nSessions + (if (newSession) 1 else 0),
-              st.nEvents + 1, us)
+            val newUs = batch.map(e =>
+              (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L).toArray
+            val buf = st.buffer ++ newUs
+            state.update(st.copy(buffer = buf))
+            // fire once the watermark proves the newest buffered event's
+            // session can't grow; clamp above the current watermark (a
+            // user whose events are already older than watermark−gap
+            // times out at the next micro-batch, which is correct)
+            val dueMs = buf.max / 1000L + gapMinutes * 60L * 1000L
+            state.setTimeoutTimestamp(
+              math.max(dueMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
           }
-          state.update(st)
-          Iterator(SessionUpdate(user, st.nSessions, st.nEvents))
       }
   }
 

@@ -72,8 +72,10 @@ class ExtSpec extends SparkSpec {
     val recall = bf.intersect(
       ivf.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / bf.size
-    // probe budget ≈ 6/16 of the corpus ⇒ random baseline ≈ 0.375 recall
-    assert(recall >= 0.5, s"IVF recall $recall")
+    info(s"IVF recall with Lloyd refinement: $recall")
+    // probe budget ≈ 6/16 of the corpus ⇒ random baseline ≈ 0.375 recall;
+    // Lloyd-refined centroids must clear 0.7 at the same budget
+    assert(recall >= 0.7, s"IVF recall $recall")
   }
 
   test("ANN probes a small fraction of the corpus") {

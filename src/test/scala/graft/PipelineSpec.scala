@@ -24,6 +24,23 @@ class PipelineSpec extends SparkSpec {
     assert(crm > 280 && crm < 420, s"crm 70% sample out of range: $crm")
   }
 
+  test("error policy: FailFast throws, Continue isolates the bad table") {
+    // raw dir missing the vehicles table entirely
+    val dir = Files.createTempDirectory("graft_policy").toString
+    Gen.all(spark, 0.02, 7L).filter(_._1 != "vehicles").foreach {
+      case (t, df) => Io.writeCsv(df, s"$dir/raw/$t")
+    }
+    intercept[Exception] {
+      Io.runBronze(spark, s"$dir/raw", s"$dir/bronze_ff")
+    }
+    val failures = Io.runBronze(spark, s"$dir/raw", s"$dir/bronze_cont",
+      Io.ErrorPolicy.Continue)
+    assert(failures.map(_._1) == Seq("vehicles"), s"got $failures")
+    // every other table still landed
+    for (t <- Seq("clients", "crm_clients", "policies", "claims", "payments"))
+      assert(spark.read.parquet(s"$dir/bronze_cont/$t").count() > 0, t)
+  }
+
   test("silver vehicles/policies have no null FKs (F2/F3)") {
     assert(rd("silver/vehicles").filter(col("client_id").isNull).count() == 0)
     assert(rd("silver/policies")

@@ -86,16 +86,63 @@ class StreamingSpec extends SparkSpec {
     assert(rows.get("10:00").contains(1L), s"got $rows")
   }
 
-  test("stateful session counts == batch sessionize") {
+  test("stateful session counts == batch sessionize on a SHUFFLED two-batch replay") {
     implicit val s = spark
-    val ev = Tables.load(spark, sf, "events")
-      .select(col("user_id"), col("ts"))
+    import spark.implicits._
     val batch = EventOps.sessionize(Tables.load(spark, sf, "events"),
       "user_id", "ts", 30).select("user_id", "n_sessions", "n_events")
-    // bounded replay: single batch through flatMapGroupsWithState
-    val typed = ev.as[StreamOps.Event]
-    val got = StreamOps.sessionCounts(typed, 30).toDF()
-    assert(got.exceptAll(batch).count() == 0 &&
-      batch.exceptAll(got).count() == 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // deterministically shuffle events and split across two micro-batches:
+    // arrival order is unrelated to event time, within AND across batches
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+      .sortBy { case (u, t) => graft.functions.Vectors.planeMatrix(
+        1, 1, u * 1000003L + t.getTime)(0)(0) } // seeded pseudo-shuffle
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val maxTs = rows.map(_._2.getTime).max
+    val spanH = (maxTs - rows.map(_._2.getTime).min) / 3600000L + 2
+    // sentinel past maxTs + delay + gap pushes the watermark far enough
+    // to fire every user's event-time timeout and flush final counts
+    val sentinel = Seq((-1L, new java.sql.Timestamp(
+      maxTs + (spanH + 2) * 3600000L)))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    def write(name: String, part: Seq[(Long, java.sql.Timestamp)]): Unit =
+      part.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/in/$name")
+
+    write("b1", half1)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      .withWatermark("ts", s"$spanH hours") // no real event is ever late
+      .as[StreamOps.Event]
+    val q = StreamOps.sessionCounts(src, 30).writeStream
+      .outputMode("update").format("memory").queryName("sess_stream").start()
+    q.processAllAvailable()
+    write("b2", half2)
+    q.processAllAvailable()
+    write("b3", sentinel.toSeq)
+    q.processAllAvailable()
+    // one more empty-ish trigger so timeouts evaluate against the
+    // sentinel-advanced watermark
+    write("b4", sentinel.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // updates are cumulative → final per user = the max-n_events row
+    val got = spark.table("sess_stream")
+      .filter(col("user_id") >= 0).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).maxBy(_._2) }
+    assert(got == batch,
+      s"missing=${batch.keySet -- got.keySet} " +
+        s"diff=${got.filter { case (k, v) => batch.get(k).exists(_ != v) }.take(5)}")
   }
 }
