@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series join operators Spark lacks natively (SURVEY.md §2.10):
+  * as-of join and banded range (temporal-neighborhood) join — both
+  * expressed as compositions of exchange-friendly primitives rather than
+  * custom physical operators, because the composition already yields the
+  * plan a purpose-built operator would produce.
+  *
+  * Scale shapes:
+  *  - [[asofJoin]]: ONE shuffle on the join key + an in-partition sort —
+  *    the union-then-window formulation never builds a per-row probe or a
+  *    range cross product, so it is exactly the distributed merge-join
+  *    shape purpose-built engines use for as-of.
+  *  - [[neighborCounts]]: time is quantized into radius-sized bins; each
+  *    probe touches 3 bins (own + neighbors), so cost is
+  *    |events|·density, not |events|² — the classic banded temporal
+  *    self-join. Skewed bins (an event burst) are ordinary hot join keys:
+  *    AQE skew-split applies.
+  */
+object Temporal {
+
+  /** As-of join (backward): attach to each left row the LATEST right row
+    * with `rightTs <= leftTs` for the same key — pandas `merge_asof` /
+    * DuckDB `ASOF JOIN` semantics, including the tie case (equal
+    * timestamps match).
+    *
+    * Implementation: union both sides tagged, window per key ordered by
+    * (ts, side) with the right side FIRST on ties, then propagate the
+    * last non-null right payload with `last(_, ignoreNulls)` over rows
+    * unbounded-preceding..current; keep left rows. Right rows must be
+    * unique per (key, ts) — pre-aggregate if not (as-of is ill-defined
+    * otherwise; DuckDB picks an arbitrary winner, we refuse to). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    val l = left.withColumn("_side", lit(1)).withColumn("_p",
+      lit(null).cast(right.select(payload).schema.head.dataType))
+    val r = right.select(col(key), col(tsCol), payload.as("_p"))
+      .withColumn("_side", lit(0))
+    val unioned = l.select((left.columns.map(col) :+ col("_side") :+ col("_p")): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_p")
+  }
+
+  /** Per-event count of OTHER events within ±`radiusSec` seconds — a pure
+    * range self-join (no equi key) made shuffle-joinable by binning time
+    * at the radius: a qualifying pair is always within one bin of each
+    * other, so probing {bin-1, bin, bin+1} finds every pair exactly once
+    * (each right row lives in exactly one bin). Zero-neighbor events
+    * survive via the left join. */
+  def neighborCounts(events: DataFrame, idCol: String, tsCol: String,
+                     radiusSec: Int): DataFrame = {
+    val radiusUs = radiusSec * 1000000L
+    def usCol(c: Column) = unix_micros(c)
+    val base = events.select(col(idCol).as("id"), usCol(col(tsCol)).as("us"))
+    val probes = base.withColumn("bin",
+      explode(array(Seq(-1, 0, 1).map(d =>
+        expr(s"us div $radiusUs") + lit(d)): _*)))
+    val binned = base
+      .select(col("id").as("nbr_id"), col("us").as("nbr_us"),
+        expr(s"us div $radiusUs").as("bin"))
+    probes.join(binned, Seq("bin"), "left")
+      .withColumn("hit",
+        col("nbr_id").isNotNull && col("nbr_id") =!= col("id") &&
+          abs(col("nbr_us") - col("us")) <= radiusUs)
+      .groupBy(col("id"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_neighbors"))
+  }
+}

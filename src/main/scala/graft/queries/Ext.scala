@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity}
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity, Temporal}
 
 /** Extension surface (SURVEY.md §2.10) — LLM-data-pipeline operators over
   * documents/embeddings/events: dedup family, similarity search, text
@@ -127,6 +127,25 @@ object Ext {
     "x_sessionize" -> ((s, d) =>
       EventOps.sessionize(t(s, d, "events"), "user_id", "ts", gapMinutes = 30)),
 
+    // ---- time-series joins (operators Spark lacks natively) ----
+    // for each click, the user's latest purchase at-or-before it
+    "x_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // as-of needs unique (key, ts) on the right: collapse purchase ties
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("purchase_id"))
+      Temporal.asofJoin(clicks, purchases, "user_id", "ts", Seq("purchase_id"))
+        .select(col("event_id"), col("user_id"),
+          col("_asof.purchase_id").as("last_purchase_id"))
+    }),
+
+    // pure range self-join (no equi key): events within ±5 min, binned
+    "x_range_join" -> ((s, d) =>
+      Temporal.neighborCounts(t(s, d, "events"), "event_id", "ts", 300)
+        .withColumnRenamed("id", "event_id")),
+
     // ---- OLAP breadth beyond the reference (§2.8 notes the reference
     // has none of these; an engine its users switch to still needs them) ----
     "x_rollup_stats" -> ((s, d) =>
@@ -143,6 +162,50 @@ object Ext {
         .union(o.filter(col("o_orderstatus") === "P").select("o_custkey").distinct())
         .distinct()
     }),
+
+    "x_semi_join" -> ((s, d) =>
+      t(s, d, "customer").join(
+        t(s, d, "orders").filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    // anti against the rare 'P' status so the result is non-degenerate
+    // (every customer has SOME order in this corpus)
+    "x_anti_join" -> ((s, d) =>
+      t(s, d, "customer").join(
+        t(s, d, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    "x_cube_stats" -> ((s, d) =>
+      t(s, d, "orders").cube(col("o_orderstatus"),
+        year(col("o_orderdate")).as("order_year")).agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))),
+
+    "x_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 1000)
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")),
+
+    "x_string_agg" -> ((s, d) =>
+      t(s, d, "nation").join(t(s, d, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        // collect_set order is partition-dependent; array_sort restores
+        // determinism so the concatenation is oracle-exact
+        .agg(concat_ws(",", array_sort(collect_set(col("n_name"))))
+          .as("nations"))),
+
+    // deterministic stratified sample: per-stratum modulo rates (hash
+    // sampling without engine RNG, so partitioning can't change the rows)
+    "x_stratified_sample" -> ((s, d) =>
+      t(s, d, "customer").filter(pmod(col("c_custkey"), lit(10)) <
+        when(col("c_mktsegment") === "AUTOMOBILE", 5)
+          .when(col("c_mktsegment") === "BUILDING", 2)
+          .otherwise(1))
+        .select("c_custkey", "c_mktsegment")),
 
     "x_topn_global" -> ((s, d) =>
       t(s, d, "orders")
@@ -195,6 +258,24 @@ object Ext {
         .agg(count(lit(1)))
         // pivot cells with no rows are null in Spark, 0 in COUNT(CASE)
         .na.fill(0, Seq("O", "F", "P"))),
+
+    // distinctive-frequent-terms per document (tf-idf-shaped ranking kept
+    // in INTEGER space — tf desc, df asc, term asc — so the oracle is
+    // exact with no transcendental-function ulp risk)
+    "x_doc_top_terms" -> ((s, d) => {
+      val tok = t(s, d, "documents").select(col("doc_id"),
+        explode(split(Text.normText(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(dfreq, Seq("term"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    }),
 
     // ---- multimodal binary plumbing (payload = utf-8 bytes of text;
     // real corpora carry image/audio bytes through the same shape) ----
@@ -378,6 +459,73 @@ object Ext {
                 CAST(sum(n) AS BIGINT) AS n_events,
                 CAST(sum(span) AS BIGINT) AS total_span_us
          FROM s GROUP BY user_id""",
+
+    "x_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events
+               WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT c.event_id, c.user_id, p.purchase_id AS last_purchase_id
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    "x_range_join" ->
+      """WITH e AS (SELECT event_id, ts FROM events)
+         SELECT a.event_id, count(b.event_id) AS n_neighbors
+         FROM e a LEFT JOIN e b
+           ON b.event_id <> a.event_id
+          AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+         GROUP BY a.event_id""",
+
+    "x_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""",
+
+    "x_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""",
+
+    "x_cube_stats" ->
+      """SELECT o_orderstatus, year(o_orderdate) AS order_year, count(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate))""",
+
+    "x_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                l_quantity AS value FROM lineitem WHERE l_orderkey < 1000
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem WHERE l_orderkey < 1000
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+         FROM lineitem WHERE l_orderkey < 1000""",
+
+    "x_string_agg" ->
+      """SELECT r_name,
+                string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+
+    "x_stratified_sample" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_custkey % 10 < CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 5
+                                     WHEN c_mktsegment = 'BUILDING' THEN 2
+                                     ELSE 1 END""",
+
+    "x_doc_top_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($dNorm, ' ')) AS term
+                       FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                 WHERE term <> '' GROUP BY 1, 2),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          r AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                row_number() OVER (PARTITION BY tf.doc_id
+                  ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rank
+                FROM tf JOIN dfq USING (term))
+          SELECT doc_id, term, tf, df, CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 3""",
 
     "x_rollup_stats" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
