@@ -92,6 +92,31 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream inner join with bounded state: clicks ⋈ purchases per
+    * user where the purchase lands within [click, click + windowMinutes).
+    * Both sides carry watermarks and the join condition bounds event time
+    * in BOTH directions, so Spark can expire state on each side at the
+    * watermark — the state-bounding contract every production
+    * stream-stream join needs (an unbounded-time join would buffer both
+    * streams forever). Batch twin: the identical join condition on static
+    * frames (StreamingSpec asserts equality on a bounded replay). */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                          delay: String, windowMinutes: Int): DataFrame = {
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+  }
+
   /** Streaming dedup on a content fingerprint with bounded state: rows
     * whose fingerprint was already seen (within the watermark horizon)
     * are dropped — the ingest-time twin of

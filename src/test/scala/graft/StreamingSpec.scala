@@ -86,6 +86,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.get("10:00").contains(1L), s"got $rows")
   }
 
+  test("stream-stream click->purchase join == batch join") {
+    val ev = Tables.load(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj")
+    for (side <- Seq("click", "purchase"))
+      ev.filter(col("event_type") === side)
+        .select("user_id", "event_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$side")
+    def src(side: String) = spark.readStream
+      .schema(spark.read.parquet(s"$dir/$side").schema)
+      .parquet(s"$dir/$side")
+    val joined = StreamOps.clickToPurchaseJoin(
+      src("click"), src("purchase"), "1 hour", windowMinutes = 120)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj_stream")
+    val batch = StreamOps.clickToPurchaseJoin(
+      ev.filter(col("event_type") === "click").select("user_id", "event_id", "ts"),
+      ev.filter(col("event_type") === "purchase").select("user_id", "event_id", "ts"),
+      "1 hour", windowMinutes = 120)
+    assert(streamed.count() > 0, "no click->purchase pairs in fixture?")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
   test("stateful session counts == batch sessionize on a SHUFFLED two-batch replay") {
     implicit val s = spark
     import spark.implicits._
