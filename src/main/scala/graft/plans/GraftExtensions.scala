@@ -32,7 +32,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => ArrayDot(es(0), es(1))),
     ("graft_norm",
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_norm"),
-      (es: Seq[Expression]) => Sqrt(ArrayDot(es(0), es(0)))))
+      (es: Seq[Expression]) => Sqrt(ArrayDot(es(0), es(0)))),
+    ("graft_title_py",
+      new ExpressionInfo(classOf[TitleCasePy].getName, "graft_title_py"),
+      (es: Seq[Expression]) => TitleCasePy(es(0))))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

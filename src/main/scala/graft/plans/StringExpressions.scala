@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,16 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Codegen: a single static call — stays inside whole-stage codegen like
   * every other silver cleansing expression (no UDF serialization wall).
   */
-case class TitleCasePy(child: Expression) extends UnaryExpression {
+case class TitleCasePy(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
   override def dataType: DataType = StringType
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"TitleCasePy needs a string column, got ${child.dataType}")
+  // ImplicitCastInputTypes (not a hand-rolled check) so SQL-typed inputs
+  // coerce like any built-in — `graft_title_py(NULL)` included.
+  // (AbstractDataType is private[sql]; the inferred Seq[DataType] conforms.)
+  override def inputTypes = Seq(StringType)
 
   override def nullSafeEval(s: Any): Any =
     PyString.title(s.asInstanceOf[UTF8String])

@@ -23,6 +23,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaColumn == row.getDouble(0))
   }
 
+  test("graft_title_py callable from SQL, matches Python semantics") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_title_py(\"o'brien smith\") AS t, graft_title_py(NULL) AS n")
+      .collect()(0)
+    assert(r.getString(0) == "O'Brien Smith")
+    assert(r.isNullAt(1))
+  }
+
   test("graft_dot null semantics from SQL: mismatched lengths -> null") {
     GraftExtensions.register(spark)
     val r = spark.sql(
@@ -36,6 +45,6 @@ class ExtensionsSpec extends SparkSpec {
     // builder-level smoke: injection must not throw and must cover every
     // registered name (deep validation happens via the runtime path above)
     assert(GraftExtensions.functions.map(_._1).toSet ==
-      Set("graft_dot", "graft_norm"))
+      Set("graft_dot", "graft_norm", "graft_title_py"))
   }
 }
