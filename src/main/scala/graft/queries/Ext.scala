@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity, Temporal}
+import graft.operators.{Dedup, EventOps, Evolve, Multimodal, Similarity, Temporal}
 
 /** Extension surface (SURVEY.md §2.10) — LLM-data-pipeline operators over
   * documents/embeddings/events: dedup family, similarity search, text
@@ -258,6 +258,37 @@ object Ext {
         .agg(count(lit(1)))
         // pivot cells with no rows are null in Spark, 0 in COUNT(CASE)
         .na.fill(0, Seq("O", "F", "P"))),
+
+    // ---- dimension maintenance (MERGE / CDC semantics) ----
+    // updates: every 7th customer switches segment; every 100th spawns a
+    // brand-new key — exercises replace, insert, and persist paths
+    "x_upsert_scd1" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val updates = cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("UPDATED"))
+        .unionByName(cust.filter(col("c_custkey") % 100 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000)
+          .withColumn("c_name", lit("NEW")))
+      Evolve.upsertScd1(cust, updates, "c_custkey")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    "x_snapshot_diff" -> ((s, d) => {
+      val o = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val before = o.filter(col("o_orderkey") % 50 =!= 0)
+      val after = o.filter(col("o_orderkey") % 30 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      Evolve.snapshotDiff(before, after, "o_orderkey")
+    }),
+
+    // fixed-width histogram: integer bucket arithmetic on doubles is
+    // deterministic across engines (floor of an IEEE division)
+    "x_histogram" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(
+        least(floor(col("l_extendedprice") / 5000.0), lit(11)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"))),
 
     // distinctive-frequent-terms per document (tf-idf-shaped ranking kept
     // in INTEGER space — tf desc, df asc, term asc — so the oracle is
@@ -513,6 +544,43 @@ object Ext {
          WHERE c_custkey % 10 < CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 5
                                      WHEN c_mktsegment = 'BUILDING' THEN 2
                                      ELSE 1 END""",
+
+    "x_upsert_scd1" ->
+      """WITH u AS (SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
+                    FROM customer WHERE c_custkey % 7 = 0
+                    UNION ALL
+                    SELECT c_custkey + 1000000, 'NEW', c_mktsegment
+                    FROM customer WHERE c_custkey % 100 = 0)
+         SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+                CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+                     ELSE c.c_name END AS c_name,
+                CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+                     ELSE c.c_mktsegment END AS c_mktsegment
+         FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.c_custkey""",
+
+    "x_snapshot_diff" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                    WHERE o_orderkey % 50 <> 0),
+         a AS (SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+               FROM orders WHERE o_orderkey % 30 <> 0)
+         SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                     WHEN a.o_orderkey IS NULL THEN 'removed'
+                     WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                       OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                       THEN 'changed' END AS change_type
+         FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey
+         WHERE (CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                     WHEN a.o_orderkey IS NULL THEN 'removed'
+                     WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                       OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                       THEN 'changed' END) IS NOT NULL""",
+
+    "x_histogram" ->
+      """SELECT CAST(least(floor(l_extendedprice / 5000.0), 11) AS INTEGER) AS bucket,
+         count(*) AS n FROM lineitem GROUP BY 1""",
 
     "x_doc_top_terms" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split($dNorm, ' ')) AS term
