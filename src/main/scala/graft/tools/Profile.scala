@@ -56,13 +56,16 @@ object Profile {
       .agg(collect_list(col("doc")).as("ds"))
       .filter(size(col("ds")) <= 1000 && size(col("ds")) >= 2)
     time("postings agg") { postings.count() }
+    // streamed pair emit (the production shape in Dedup.ngramJaccard):
+    // chained generators, never an O(b²) in-row array
     val pairs = postings
-      .select(explode(flatten(transform(col("ds"), x =>
-        filter(transform(col("ds"), y => struct(x.as("doc_a"), y.as("doc_b"))),
-          p => p.getField("doc_a") < p.getField("doc_b"))))).as("p"))
-    time("pair expansion") { pairs.count() }
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col").as("x"),
+        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds")))).as("y"))
+    time("pair expansion (streamed)") { pairs.count() }
     time("pair groupBy") {
-      pairs.select(col("p.doc_a").as("a"), col("p.doc_b").as("b"))
+      pairs.select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
         .groupBy("a", "b").count().count()
     }
     time("full query") {
