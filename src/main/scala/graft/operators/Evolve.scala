@@ -29,6 +29,37 @@ object Evolve {
         when(col("_present"), col(s"_u_$c")).otherwise(col(c)).as(c)): _*)
   }
 
+  /** SCD Type 2 historization: `dim` carries (key, attrs…, valid_from,
+    * valid_to with null = current). Updates whose attrs differ from the
+    * key's CURRENT version close that version out at `asOf` and open a
+    * new one (valid_from = asOf, valid_to = null); brand-new keys open
+    * their first version; unchanged updates and historical rows pass
+    * through untouched. Deterministic because the effective time is an
+    * explicit `asOf`, not a wall clock.
+    *
+    * Plan: one left join of current-versions onto updates (decides
+    * changed/new), then unions — history rows never shuffle. */
+  def applyScd2(dim: DataFrame, updates: DataFrame, key: String,
+                asOf: String): DataFrame = {
+    val attrs = updates.columns.filter(_ != key).toSeq
+    val attrStruct = struct(attrs.map(col): _*)
+    val current = dim.filter(col("valid_to").isNull)
+    val history = dim.filter(col("valid_to").isNotNull)
+    // one row per update key, tagged with the current version (if any)
+    val decided = updates.select(col(key) +: attrs.map(col): _*)
+      .join(current.select(col(key), attrStruct.as("_cur")), Seq(key), "left")
+      .withColumn("_changed", col("_cur").isNull || !(attrStruct <=> col("_cur")))
+    val opened = decided.filter(col("_changed"))
+      .select(col(key) +: attrs.map(col)
+        :+ to_timestamp(lit(asOf)).as("valid_from")
+        :+ lit(null).cast("timestamp").as("valid_to"): _*)
+    val changedKeys = decided.filter(col("_changed")).select(col(key))
+    val closed = current.join(changedKeys, Seq(key), "left_semi")
+      .withColumn("valid_to", to_timestamp(lit(asOf)))
+    val untouched = current.join(changedKeys, Seq(key), "left_anti")
+    history.unionByName(closed).unionByName(untouched).unionByName(opened)
+  }
+
   /** Snapshot diff (CDC): classify every key as added / removed / changed
     * between two loads of the same schema; unchanged rows drop out.
     * Comparison is null-safe per column (struct equality over <=>). */

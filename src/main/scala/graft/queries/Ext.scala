@@ -273,6 +273,28 @@ object Ext {
         .select("c_custkey", "c_name", "c_mktsegment")
     }),
 
+    // SCD2: dim seeded with a closed historical version for every 13th
+    // key; updates change every 7th key's segment and mint new keys —
+    // exercises close-out, open, pass-through, and history preservation
+    "x_scd2" -> ((s, d) => {
+      val cust = t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment")
+      val dim = cust
+        .withColumn("valid_from", to_timestamp(lit("2020-01-01 00:00:00")))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+          .withColumn("c_mktsegment", lit("OLD"))
+          .withColumn("valid_from", to_timestamp(lit("2015-01-01 00:00:00")))
+          .withColumn("valid_to", to_timestamp(lit("2020-01-01 00:00:00"))))
+      val updates = cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("UPDATED"))
+        .unionByName(cust.filter(col("c_custkey") % 100 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000))
+      Evolve.applyScd2(dim, updates, "c_custkey", "2026-01-01 00:00:00")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("vf"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("vt"))
+    }),
+
     "x_snapshot_diff" -> ((s, d) => {
       val o = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
       val before = o.filter(col("o_orderkey") % 50 =!= 0)
@@ -557,6 +579,45 @@ object Ext {
                 CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
                      ELSE c.c_mktsegment END AS c_mktsegment
          FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.c_custkey""",
+
+    "x_scd2" ->
+      """WITH cust AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+         dim AS (SELECT c_custkey, c_name, c_mktsegment,
+                        TIMESTAMP '2020-01-01' AS valid_from,
+                        CAST(NULL AS TIMESTAMP) AS valid_to FROM cust
+                 UNION ALL
+                 SELECT c_custkey, c_name, 'OLD',
+                        TIMESTAMP '2015-01-01', TIMESTAMP '2020-01-01'
+                 FROM cust WHERE c_custkey % 13 = 0),
+         u AS (SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
+               FROM cust WHERE c_custkey % 7 = 0
+               UNION ALL
+               SELECT c_custkey + 1000000, c_name, c_mktsegment
+               FROM cust WHERE c_custkey % 100 = 0),
+         cur AS (SELECT * FROM dim WHERE valid_to IS NULL),
+         hist AS (SELECT * FROM dim WHERE valid_to IS NOT NULL),
+         dec AS (SELECT u.c_custkey, u.c_name, u.c_mktsegment,
+                        (cur.c_custkey IS NULL
+                         OR u.c_name IS DISTINCT FROM cur.c_name
+                         OR u.c_mktsegment IS DISTINCT FROM cur.c_mktsegment) AS ch
+                 FROM u LEFT JOIN cur ON u.c_custkey = cur.c_custkey),
+         outp AS (SELECT * FROM hist
+                  UNION ALL
+                  SELECT cur.c_custkey, cur.c_name, cur.c_mktsegment,
+                         cur.valid_from, TIMESTAMP '2026-01-01' FROM cur
+                  WHERE EXISTS (SELECT 1 FROM dec
+                                WHERE ch AND dec.c_custkey = cur.c_custkey)
+                  UNION ALL
+                  SELECT cur.* FROM cur
+                  WHERE NOT EXISTS (SELECT 1 FROM dec
+                                    WHERE ch AND dec.c_custkey = cur.c_custkey)
+                  UNION ALL
+                  SELECT c_custkey, c_name, c_mktsegment,
+                         TIMESTAMP '2026-01-01', NULL FROM dec WHERE ch)
+         SELECT c_custkey, c_name, c_mktsegment,
+                strftime(valid_from, '%Y-%m-%d') AS vf,
+                strftime(valid_to, '%Y-%m-%d') AS vt
+         FROM outp""",
 
     "x_snapshot_diff" ->
       """WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
