@@ -21,6 +21,30 @@ import graft.functions.{Text, Vectors}
   */
 object Dedup {
 
+  /** Shared LSH scaffold: distinct unordered candidate pairs from banded
+    * bucket assignments `(band, bucket, <idCol>)` — self-join inside
+    * buckets, orient a<b, dedupe. Used by MinHash and embedding LSH. */
+  private def bucketPairs(banded: DataFrame, idCol: String,
+                          aName: String, bName: String): DataFrame = {
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as(aName))
+    val b = banded.select(col("band"), col("bucket"), col(idCol).as(bName))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col(aName) < col(bName))
+      .select(aName, bName).distinct()
+  }
+
+  /** (id, v, nrm) projection shared by both embedding near-dup forms. */
+  private def withNorms(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Vectors.l2Norm(col(vecCol)).as("nrm"))
+
+  /** The exact-cosine verify expression (zero-norm guarded) — ONE
+    * definition so the all-pairs oracle twin and the LSH path can never
+    * diverge semantically. */
+  private def cosWhenNonZero: org.apache.spark.sql.Column =
+    when(col("na") * col("nb") =!= 0.0,
+      Vectors.dot(col("v_a"), col("v_b")) / (col("na") * col("nb")))
+
   /** Exact dedup, deterministic representative: min id per full-content
     * group (dropDuplicates keeps an arbitrary row — fine for semantics,
     * wrong for a hash-compared oracle). */
@@ -115,11 +139,7 @@ object Dedup {
           (0 until rows).map(r => col(s"m${b * rows + r}")): _*), lit(b))
       }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"))
-    val bb = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"))
-    val cand = a.join(bb, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = bucketPairs(banded, "doc", "doc_a", "doc_b")
     // exact verify on the (small) candidate set: rejoin texts. No broadcast
     // hint on texts — it is |documents|-sized (unbounded at 100 TB); AQE
     // broadcasts whichever side actually fits (normally the candidate set).
@@ -180,13 +200,11 @@ object Dedup {
     * is [[embeddingNearDupLsh]]. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
-    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Vectors.l2Norm(col(vecCol)).as("nrm"))
-    val a = withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("na"))
-    val b = withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nb"))
+    val base = withNorms(df, idCol, vecCol)
+    val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("na"))
+    val b = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", when(col("na") * col("nb") =!= 0.0,
-        Vectors.dot(col("v_a"), col("v_b")) / (col("na") * col("nb"))))
+      .withColumn("cos", cosWhenNonZero)
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -219,8 +237,7 @@ object Dedup {
                           threshold: Double, bitsPerBand: Int = 2,
                           bands: Int = 24, seed: Long = 42,
                           dim: Int = 64): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Vectors.l2Norm(col(vecCol)).as("nrm"))
+    val base = withNorms(df, idCol, vecCol)
     // one narrow pass computes every band signature; posexplode emits
     // (band, bucket, id) rows — same banding shape as minhashLsh
     val banded = base.select(col("id"),
@@ -228,18 +245,14 @@ object Dedup {
         Vectors.rhpSignature(col("v"), bitsPerBand, dim, seed + b)
       }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // exact verify: same cosine expression as the all-pairs twin; vectors
-    // rejoin only for the candidate set (no broadcast hint — AQE decides)
+    val cand = bucketPairs(banded, "id", "id_a", "id_b")
+    // exact verify: the SAME cosine expression as the all-pairs twin;
+    // vectors rejoin only for the candidate set (no broadcast hint — AQE
+    // decides)
     cand
       .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("na")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nb")), Seq("id_b"))
-      .withColumn("cos", when(col("na") * col("nb") =!= 0.0,
-        Vectors.dot(col("v_a"), col("v_b")) / (col("na") * col("nb"))))
+      .withColumn("cos", cosWhenNonZero)
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

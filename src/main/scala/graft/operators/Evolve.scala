@@ -19,7 +19,11 @@ object Evolve {
   /** SCD Type 1 upsert: rows present in `updates` REPLACE current rows
     * wholesale (null update values overwrite too — MERGE semantics, which
     * a naive per-column coalesce gets wrong); unmatched update rows
-    * insert; unmatched current rows persist. Schemas must match. */
+    * insert; unmatched current rows persist. Schemas must match.
+    *
+    * PRECONDITION (as for SQL MERGE, which errors on multiple source
+    * matches): `updates` must be unique per key — duplicate update keys
+    * would emit duplicate output rows. Pre-aggregate if unsure. */
   def upsertScd1(current: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val cols = current.columns.filter(_ != key).toSeq
     val u = updates.select(
@@ -36,6 +40,10 @@ object Evolve {
     * their first version; unchanged updates and historical rows pass
     * through untouched. Deterministic because the effective time is an
     * explicit `asOf`, not a wall clock.
+    *
+    * PRECONDITIONS: `updates` unique per key (like SQL MERGE — duplicates
+    * would open two versions of the same key at once) and `dim` carrying
+    * at most one open (valid_to IS NULL) version per key.
     *
     * Plan: one left join of current-versions onto updates (decides
     * changed/new), then unions — history rows never shuffle. */

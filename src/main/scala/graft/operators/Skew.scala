@@ -23,7 +23,7 @@ object Skew {
     * right-side anti) every unmatched RIGHT row survives once per
     * replica, i.e. `factor` duplicates — so those types are rejected. */
   private val leftPreserving = Set("inner", "left", "leftouter", "left_outer",
-    "left_semi", "leftsemi", "left_anti", "leftanti")
+    "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(leftPreserving(joinType.toLowerCase.replace(" ", "")),

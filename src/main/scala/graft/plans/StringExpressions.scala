@@ -10,8 +10,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `.strip().title()` to every text column).
   *
   * Python semantics, which Spark's `initcap` does NOT match: a character
-  * is "cased" iff its category is Lu/Ll/Lt; each cased char that FOLLOWS
-  * a cased char is lowercased, every other cased char is titlecased. So
+  * is "cased" iff it has the Unicode Lowercase or Uppercase property or
+  * is titlecase (CPython's definition — includes Other_Lowercase marks
+  * like º/ª/ʰ, not just Lu/Ll/Lt); each cased char that FOLLOWS a cased
+  * char is lowercased, every other cased char is titlecased. So
   * word boundaries are any uncased char — apostrophes, hyphens, digits —
   * not just whitespace: `o'brien`→`O'Brien`, `abc-def`→`Abc-Def`,
   * `abc3de`→`Abc3De`, `they'll`→`They'Ll` (the Python quirk included),
@@ -50,11 +52,14 @@ case class TitleCasePy(child: Expression) extends UnaryExpression
   * class, so Scala emits true static forwarders Janino can link). */
 object PyString {
 
-  private def isCased(cp: Int): Boolean = {
-    val t = Character.getType(cp)
-    t == Character.UPPERCASE_LETTER || t == Character.LOWERCASE_LETTER ||
-      t == Character.TITLECASE_LETTER
-  }
+  /** Python's "cased" = Lowercase property ∪ Uppercase property ∪ Lt.
+    * Java's isLowerCase/isUpperCase include the contributory
+    * Other_Lowercase/Other_Uppercase properties (º ª ʰ Ⅰ …), exactly like
+    * CPython — a category-only (Lu/Ll/Lt) check would wrongly treat 'º'
+    * as a word boundary ("nºa" must title to "Nºa", not "NºA"). */
+  private def isCased(cp: Int): Boolean =
+    Character.isLowerCase(cp) || Character.isUpperCase(cp) ||
+      Character.getType(cp) == Character.TITLECASE_LETTER
 
   def title(s: UTF8String): UTF8String = {
     val str = s.toString

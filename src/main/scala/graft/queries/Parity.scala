@@ -360,6 +360,10 @@ object Parity {
     // Python str.title() replayed char-wise: cased = \p{Lu}/\p{Ll}/\p{Lt};
     // a cased char after a cased char lowers, any other cased char uppers.
     // (?s). keeps newline chars; coalesce handles the empty-list aggregate.
+    // Known residual: RE2 has no Other_Lowercase/Other_Uppercase property
+    // class, so chars like º/ª/Ⅰ count as uncased HERE while the engine
+    // (faithfully to CPython) treats them as cased — no such char occurs
+    // in the corpus (the engine side is the semantically correct one).
     "e14_titlecase_py" ->
       """WITH s AS (SELECT doc_id,
                     nullif(regexp_replace(text, '^\s+|\s+$', '', 'g'), '') AS t

@@ -67,7 +67,10 @@ object Io {
     steps.flatMap { case (name, run) =>
       try { run(); Nil }
       catch {
-        case e: Throwable if policy == ErrorPolicy.Continue => Seq(name -> e)
+        // NonFatal only: an OOM/interrupt must crash the runner, not be
+        // filed away as a per-table failure on a broken JVM
+        case scala.util.control.NonFatal(e) if policy == ErrorPolicy.Continue =>
+          Seq(name -> e)
       }
     }
 

@@ -40,6 +40,10 @@ class CleanseSpec extends SparkSpec {
     assert(one(titleCasePy($"x"), "they'll go") == "They'Ll Go")
     assert(one(titleCasePy($"x"), "abc3de") == "Abc3De")
     assert(one(titleCasePy($"x"), "ñoño pérez-garcía") == "Ñoño Pérez-García")
+    // Other_Lowercase chars (º ª) are CASED in Python — not word breaks:
+    // CPython: "piso 1ºa dcha".title() == "Piso 1ºa Dcha" (NOT "1ºA")
+    assert(one(titleCasePy($"x"), "piso 1ºa dcha") == "Piso 1ºa Dcha")
+    assert(one(titleCasePy($"x"), "mª carmen") == "Mª Carmen")
     assert(one(titleCasePy($"x"), "  hola mundo  ") == "Hola Mundo")
     assert(one(titleCasePy($"x"), "GOLD") == "Gold")
     assert(one(titleCasePy($"x"), "daños por clima") == "Daños Por Clima")
