@@ -259,6 +259,18 @@ object Ext {
         // pivot cells with no rows are null in Spark, 0 in COUNT(CASE)
         .na.fill(0, Seq("O", "F", "P"))),
 
+    // cleaning audit: the row-accounting the reference only LOGS
+    // (load_silver.py "Registros eliminados…") as a queryable result —
+    // input rows, per-rule violation counts, surviving rows in one pass
+    "x_clean_audit" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("rows_in"),
+        count(when(col("l_partkey").isNull, 1)).as("null_partkey"),
+        count(when(col("l_suppkey").isNull, 1)).as("null_suppkey"),
+        count(when(col("l_discount") <= 0, 1)).as("nonpos_discount"),
+        count(when(col("l_partkey").isNotNull && col("l_suppkey").isNotNull &&
+          col("l_discount") > 0, 1)).as("rows_out"))),
+
     // ---- dimension maintenance (MERGE / CDC semantics) ----
     // updates: every 7th customer switches segment; every 100th spawns a
     // brand-new key — exercises replace, insert, and persist paths
@@ -566,6 +578,15 @@ object Ext {
          WHERE c_custkey % 10 < CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 5
                                      WHEN c_mktsegment = 'BUILDING' THEN 2
                                      ELSE 1 END""",
+
+    "x_clean_audit" ->
+      """SELECT count(*) AS rows_in,
+         COUNT(CASE WHEN l_partkey IS NULL THEN 1 END) AS null_partkey,
+         COUNT(CASE WHEN l_suppkey IS NULL THEN 1 END) AS null_suppkey,
+         COUNT(CASE WHEN l_discount <= 0 THEN 1 END) AS nonpos_discount,
+         COUNT(CASE WHEN l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+                     AND l_discount > 0 THEN 1 END) AS rows_out
+         FROM lineitem""",
 
     "x_upsert_scd1" ->
       """WITH u AS (SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
