@@ -87,6 +87,21 @@ object Ext {
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
     }),
 
+    // per-label embedding centroids — THE vector aggregation at scale
+    // (posexplode → hash agg on (label, dim)). Sums are FIXED-POINT
+    // (floor to the 2^-20 grid, exact for any float: ×2^20 only shifts
+    // the exponent) so accumulation is integer — associative, partition-
+    // order independent, and bit-identical to the sequential DuckDB
+    // oracle; the final mean divides exactly-representable integers.
+    "x_embed_centroids" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").as("dim"))
+        .agg(sum(floor(col("col").cast("double") * 1048576.0).cast("long")).as("qsum"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("dim"), col("qsum"), col("n"),
+          (col("qsum").cast("double") / (col("n") * 1048576.0)).as("centroid"))),
+
     // ---- text analysis ----
     "x_text_stats" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -427,6 +442,17 @@ object Ext {
                     FROM scored)
          SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
          FROM ranked WHERE rank <= 5""",
+
+    // (DuckDB v1.0 lacks UNNEST WITH ORDINALITY — index via a range cross
+    // join instead; every embedding is dim-64)
+    "x_embed_centroids" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS qsum,
+                count(*) AS n,
+                CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+                  / (count(*) * 1048576.0) AS centroid
+         FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+         GROUP BY 1, 2""",
 
     "x_text_stats" ->
       s"""SELECT doc_id,
