@@ -68,6 +68,28 @@ object Evolve {
     history.unionByName(closed).unionByName(untouched).unionByName(opened)
   }
 
+  /** Incremental aggregate maintenance: merge a base aggregate with the
+    * aggregate of a new delta batch — `merge(agg(A), agg(B)) == agg(A∪B)`
+    * for the sum/count family as long as the accumulators are associative
+    * (decimal sums, counts — the engine's money convention, which is WHY
+    * gold aggregates are decimal-accumulated). Null-safe on the group key
+    * (a null key group merges like any other, via <=>); a null aggregate
+    * value is treated as absent (contributes 0).
+    *
+    * The scale story: the reference recomputes gold from scratch every
+    * run; at 100 TB a refresh must cost O(|delta|), not O(|history|) —
+    * this merge is one full-outer shuffle on the (already aggregated,
+    * small) summaries. */
+  def mergeAggregates(base: DataFrame, delta: DataFrame, key: String): DataFrame = {
+    val cols = base.columns.filter(_ != key).toSeq
+    val b = base.select(col(key).as("_bk") +: cols.map(c => col(c).as(s"_b_$c")): _*)
+    val d = delta.select(col(key).as("_dk") +: cols.map(c => col(c).as(s"_d_$c")): _*)
+    b.join(d, col("_bk") <=> col("_dk"), "full_outer")
+      .select(coalesce(col("_bk"), col("_dk")).as(key) +:
+        cols.map(c => (coalesce(col(s"_b_$c"), lit(0)) +
+          coalesce(col(s"_d_$c"), lit(0))).as(c)): _*)
+  }
+
   /** Snapshot diff (CDC): classify every key as added / removed / changed
     * between two loads of the same schema; unchanged rows drop out.
     * Comparison is null-safe per column (struct equality over <=>). */

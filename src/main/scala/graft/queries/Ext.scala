@@ -274,6 +274,22 @@ object Ext {
         // pivot cells with no rows are null in Spark, 0 in COUNT(CASE)
         .na.fill(0, Seq("O", "F", "P"))),
 
+    // incremental view maintenance: merge(agg(base), agg(delta)) — the
+    // ORACLE is the full recompute over base∪delta, so the gate itself
+    // proves the O(|delta|) refresh path exactly equals the O(|history|)
+    // rebuild (decimal accumulators make the merge associative)
+    "x_incremental_agg" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      def agg(part: org.apache.spark.sql.DataFrame) = part.groupBy("l_suppkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"),
+          count(lit(1)).as("n"))
+      val merged = Evolve.mergeAggregates(
+        agg(li.filter(col("l_orderkey") % 3 =!= 0)),
+        agg(li.filter(col("l_orderkey") % 3 === 0)), "l_suppkey")
+      merged.select(col("l_suppkey"),
+        col("total_qty").cast("double").as("total_qty"), col("n"))
+    }),
+
     // cleaning audit: the row-accounting the reference only LOGS
     // (load_silver.py "Registros eliminados…") as a queryable result —
     // input rows, per-rule violation counts, surviving rows in one pass
@@ -604,6 +620,13 @@ object Ext {
          WHERE c_custkey % 10 < CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 5
                                      WHEN c_mktsegment = 'BUILDING' THEN 2
                                      ELSE 1 END""",
+
+    // full recompute — the incremental merge must match this exactly
+    "x_incremental_agg" ->
+      """SELECT l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY l_suppkey""",
 
     "x_clean_audit" ->
       """SELECT count(*) AS rows_in,

@@ -43,6 +43,25 @@ class EvolveSpec extends SparkSpec {
       (9L, "fresh", Some("2026-01-01 00:00:00.0"), None)), s"got $rows")
   }
 
+  test("mergeAggregates: one-sided keys, null key group, decimal exactness") {
+    val base = Seq((Some(1L), BigDecimal("10.50"), 2L),
+      (Some(2L), BigDecimal("5.00"), 1L),
+      (None: Option[Long], BigDecimal("1.00"), 1L))
+      .toDF("k", "s", "n")
+    val delta = Seq((Some(2L), BigDecimal("2.25"), 3L),
+      (Some(9L), BigDecimal("7.00"), 1L),
+      (None: Option[Long], BigDecimal("0.50"), 2L))
+      .toDF("k", "s", "n")
+    val got = Evolve.mergeAggregates(base, delta, "k")
+      .collect().map(r => Option(r.get(0)) ->
+        (r.getDecimal(1).toPlainString, r.getLong(2))).toMap
+    assert(got(Some(1L))._1.startsWith("10.5") && got(Some(1L))._2 == 2L) // base-only
+    assert(got(Some(2L))._1.startsWith("7.25") && got(Some(2L))._2 == 4L)
+    assert(got(Some(9L))._1.startsWith("7.0") && got(Some(9L))._2 == 1L)
+    assert(got(None)._1.startsWith("1.5") && got(None)._2 == 3L,
+      "null key groups must merge via null-safe equality")
+  }
+
   test("snapshotDiff: added / removed / changed, null-safe") {
     val before = Seq((1L, Some(10)), (2L, Some(20)), (3L, None: Option[Int]))
       .toDF("k", "v")
