@@ -87,6 +87,25 @@ object Ext {
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
     }),
 
+    // sub-document (chunk-level) dedup: fixed 10-token windows — the
+    // paragraph-dedup preprocessing step, demonstrated at chunk
+    // granularity since the corpus has no sentence delimiters. Guarded
+    // sequence (Spark's sequence() DESCENDS when end < start).
+    "x_chunk_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = Text.tokens(col("text"))
+      val idx = when(size(w) >= 10,
+        sequence(lit(0), (size(w) / 10).cast("int") - 1))
+        .otherwise(array().cast("array<int>"))
+      docs.select(col("doc_id"),
+        explode(transform(idx, i =>
+          concat_ws(" ", slice(w, i * 10 + 1, lit(10))))).as("chunk"))
+        .filter(col("chunk") =!= "")
+        .groupBy("chunk").agg(min(col("doc_id")).as("rep_id"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") >= 2)
+    }),
+
     // per-label embedding centroids — THE vector aggregation at scale
     // (posexplode → hash agg on (label, dim)). Sums are FIXED-POINT
     // (floor to the 2^-20 grid, exact for any float: ×2^20 only shifts
@@ -221,6 +240,19 @@ object Ext {
           .when(col("c_mktsegment") === "BUILDING", 2)
           .otherwise(1))
         .select("c_custkey", "c_mktsegment")),
+
+    // equi-DEPTH histogram via ntile over a total order (deterministic
+    // tie-break). The global window is the point: at 100 TB you'd swap
+    // this for approx percentile cutpoints — x_approx_stats IS that path.
+    "x_ntile_quartiles" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_totalprice"), ntile(4).over(w).as("quartile"))
+        .groupBy("quartile").agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+    }),
 
     "x_topn_global" -> ((s, d) =>
       t(s, d, "orders")
@@ -458,6 +490,24 @@ object Ext {
                     FROM scored)
          SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
          FROM ranked WHERE rank <= 5""",
+
+    "x_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         c AS (SELECT doc_id, array_to_string(ws[i*10+1 : i*10+10], ' ') AS chunk
+               FROM (SELECT doc_id, ws,
+                     unnest(range(0, CAST(floor(len(ws) / 10) AS INTEGER))) AS i
+                     FROM w WHERE len(ws) >= 10))
+         SELECT chunk, min(doc_id) AS rep_id, count(*) AS n_occurrences
+         FROM c WHERE chunk <> ''
+         GROUP BY chunk HAVING count(*) >= 2""",
+
+    "x_ntile_quartiles" ->
+      """WITH t AS (SELECT o_totalprice,
+                    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+                    FROM orders)
+         SELECT quartile, count(*) AS n,
+                min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM t GROUP BY quartile""",
 
     // (DuckDB v1.0 lacks UNNEST WITH ORDINALITY — index via a range cross
     // join instead; every embedding is dim-64)
