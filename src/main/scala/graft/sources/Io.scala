@@ -44,6 +44,23 @@ object Io {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** JSONL scan (one JSON object per line — the LLM-corpus interchange
+    * format). Schema is DECLARED like every other source here: inference
+    * would scan the data twice and silently widen types between runs. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSONL sink. Spark's json writer emits one object per line; nulls are
+    * omitted per JSON convention (round-trip restores them as nulls via
+    * the declared schema). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Raw text scan: one row per line in a `value` column — the entry
+    * point for unstructured corpora before any parsing. */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   private val tables = Seq("clients", "crm_clients", "vehicles", "policies",
     "claims", "payments")
 

@@ -24,6 +24,17 @@ class PipelineSpec extends SparkSpec {
     assert(crm > 280 && crm < 420, s"crm 70% sample out of range: $crm")
   }
 
+  test("JSONL round-trip preserves documents exactly (incl. nulls)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    Io.writeJsonl(docs, s"$dir/docs")
+    val back = Io.readJsonl(spark, s"$dir/docs", docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+    // raw text scan sees one row per line (one JSON object per document)
+    assert(Io.readText(spark, s"$dir/docs").count() == docs.count())
+  }
+
   test("error policy: FailFast throws, Continue isolates the bad table") {
     // raw dir missing the vehicles table entirely
     val dir = Files.createTempDirectory("graft_policy").toString
