@@ -13,8 +13,9 @@ import org.apache.spark.sql.SparkSession
   * number measures the plan, not that query's one-time codegen compile —
   * without this a trivial 1 500-row expression query "costs" 3 s and
   * round-over-round per-query deltas are noise.
-  * A query that throws is reported in a "failed" list with value -1, never
-  * as a (misleadingly fast) elapsed time.
+  * A query that throws is OMITTED from the queries map (a sentinel like
+  * -1 would corrupt naive sums) and reported in the "failed" list, with
+  * "n_failed" flagging that the total excludes those queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,13 +54,13 @@ object Bench {
         case left     => n -> left       // failed warm-up: don't re-run
       }
     }
-    val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.fold(_ => "-1", _.toString)
-    }.mkString("{", ",", "}")
+    val qs = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(err)) => s"\"$k: $err\"" }
       .mkString("[", ",", "]")
+    val nFailed = results.count(_._2.isLeft)
     val total = results.map(_._2.getOrElse(0.0)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -73,4 +73,21 @@ object Vectors {
       when(dot(v, typedlit(planes(j))) >= 0, 1 << j).otherwise(0)
     }.reduce(_ + _)
   }
+
+  /** Vector dimensionality from the data: one bounded single-row action
+    * (like the IVF centroid sample — parameter-sized, never O(data)).
+    * Empty input returns 1 (any dim works on zero rows). */
+  def deriveDim(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
+
+  /** Fail-fast dimension guard: passes `v` through unchanged when its
+    * length equals `dim`, raises otherwise. Without this a mismatched
+    * vector makes every plane projection null → every row lands in one
+    * LSH bucket and the bucket self-join silently degenerates to the
+    * O(n²) cross join the blocking exists to avoid. */
+  def requireDim(v: Column, dim: Int, op: String): Column =
+    when(assert_true(size(v) === dim,
+      concat(lit(s"$op: vector length "), size(v).cast("string"),
+        lit(s" != expected dim $dim"))).isNull, v)
 }

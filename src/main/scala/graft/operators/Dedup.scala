@@ -232,17 +232,25 @@ object Dedup {
     * defaults are tuned so the fixture result is IDENTICAL to the
     * all-pairs twin (asserted in ExtSpec at every sf) while keeping the
     * scale-safe plan shape; production callers at θ≥0.8 should raise
-    * bitsPerBand. */
+    * bitsPerBand.
+    *
+    * `dim` ≤ 0 (the default) derives the dimensionality from the data
+    * (one bounded single-row action); a positive `dim` is trusted but
+    * VERIFIED per row — a mismatched vector raises instead of silently
+    * hashing to bucket 0 (null projection), which would collapse every
+    * row into one bucket and degrade the self-join to O(n²). */
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, bitsPerBand: Int = 2,
                           bands: Int = 24, seed: Long = 42,
-                          dim: Int = 64): DataFrame = {
+                          dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else Vectors.deriveDim(df, vecCol)
     val base = withNorms(df, idCol, vecCol)
+      .withColumn("v", Vectors.requireDim(col("v"), d, "embeddingNearDupLsh"))
     // one narrow pass computes every band signature; posexplode emits
     // (band, bucket, id) rows — same banding shape as minhashLsh
     val banded = base.select(col("id"),
       posexplode(array((0 until bands).map { b =>
-        Vectors.rhpSignature(col("v"), bitsPerBand, dim, seed + b)
+        Vectors.rhpSignature(col("v"), bitsPerBand, d, seed + b)
       }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = bucketPairs(banded, "id", "id_a", "id_b")

@@ -73,21 +73,33 @@ object Evolve {
     * for the sum/count family as long as the accumulators are associative
     * (decimal sums, counts — the engine's money convention, which is WHY
     * gold aggregates are decimal-accumulated). Null-safe on the group key
-    * (a null key group merges like any other, via <=>); a null aggregate
-    * value is treated as absent (contributes 0).
+    * (a null key group merges like any other, via <=>). Null aggregate
+    * values follow SQL SUM semantics exactly: a side with no row for the
+    * key contributes nothing, one-sided nulls absorb (null+x = x, as SUM
+    * over A∪B would skip A's all-null inputs), and a key null on BOTH
+    * sides merges to null — matching the full recompute bit-for-bit.
+    * Each merged column is cast back to its base type, so repeated
+    * merges keep a stable schema (naked decimal addition widens
+    * precision by 1 per merge, creeping toward the 38 cap).
     *
     * The scale story: the reference recomputes gold from scratch every
     * run; at 100 TB a refresh must cost O(|delta|), not O(|history|) —
     * this merge is one full-outer shuffle on the (already aggregated,
     * small) summaries. */
   def mergeAggregates(base: DataFrame, delta: DataFrame, key: String): DataFrame = {
+    val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = base.columns.filter(_ != key).toSeq
     val b = base.select(col(key).as("_bk") +: cols.map(c => col(c).as(s"_b_$c")): _*)
     val d = delta.select(col(key).as("_dk") +: cols.map(c => col(c).as(s"_d_$c")): _*)
     b.join(d, col("_bk") <=> col("_dk"), "full_outer")
       .select(coalesce(col("_bk"), col("_dk")).as(key) +:
-        cols.map(c => (coalesce(col(s"_b_$c"), lit(0)) +
-          coalesce(col(s"_d_$c"), lit(0))).as(c)): _*)
+        cols.map { c =>
+          val (bc, dc) = (col(s"_b_$c"), col(s"_d_$c"))
+          val zero = lit(0).cast(types(c))
+          when(bc.isNull && dc.isNull, lit(null))
+            .otherwise(coalesce(bc, zero) + coalesce(dc, zero))
+            .cast(types(c)).as(c)
+        }: _*)
   }
 
   /** Snapshot diff (CDC): classify every key as added / removed / changed

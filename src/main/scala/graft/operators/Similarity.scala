@@ -49,11 +49,17 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Corpus bucketed by b-bit random-hyperplane signature. */
+  /** Corpus bucketed by b-bit random-hyperplane signature. `dim` ≤ 0
+    * derives the dimensionality from the data; any value is VERIFIED per
+    * row (a mismatched vector would null its projections and silently
+    * collapse into bucket 0 — fail fast instead). */
   def lshBuckets(corpus: DataFrame, cId: String, cVec: String,
-                 bits: Int, seed: Long, dim: Int = 64): DataFrame =
-    corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"),
-      Vectors.rhpSignature(col(cVec), bits, dim, seed).as("bucket"))
+                 bits: Int, seed: Long, dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else Vectors.deriveDim(corpus, cVec)
+    corpus.select(col(cId).as("neighbor_id"),
+      Vectors.requireDim(col(cVec), d, "lshBuckets").as("cv"))
+      .withColumn("bucket", Vectors.rhpSignature(col("cv"), bits, d, seed))
+  }
 
   /** ANN top-k: score only corpus rows whose signature is within Hamming
     * distance `probeHamming` of the query's signature (multi-probe), exact
@@ -63,8 +69,9 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
               k: Int, bits: Int = 8, probeHamming: Int = 1,
-              seed: Long = 42, dim: Int = 64): DataFrame = {
-    val buckets = lshBuckets(corpus, cId, cVec, bits, seed, dim)
+              seed: Long = 42, dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else Vectors.deriveDim(corpus, cVec)
+    val buckets = lshBuckets(corpus, cId, cVec, bits, seed, d)
     val sig = col("sig")
     val probes = Seq(sig) ++
       (if (probeHamming >= 1) (0 until bits).map(b => sig.bitwiseXOR(lit(1 << b))) else Nil) ++
@@ -72,8 +79,9 @@ object Similarity {
         for { i <- 0 until bits; j <- (i + 1) until bits }
           yield sig.bitwiseXOR(lit((1 << i) | (1 << j)))
       else Nil)
-    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
-      Vectors.rhpSignature(col(qVec), bits, dim, seed).as("sig"))
+    val q = queries.select(col(qId).as("query_id"),
+      Vectors.requireDim(col(qVec), d, "lshTopK").as("qv"))
+      .withColumn("sig", Vectors.rhpSignature(col("qv"), bits, d, seed))
       .withColumn("bucket", explode(array(probes: _*)))
     val cand = buckets.join(broadcast(q), Seq("bucket"))
     val w = Window.partitionBy("query_id")

@@ -33,9 +33,21 @@ object Temporal {
     * last non-null right payload with `last(_, ignoreNulls)` over rows
     * unbounded-preceding..current; keep left rows. Right rows must be
     * unique per (key, ts) — pre-aggregate if not (as-of is ill-defined
-    * otherwise; DuckDB picks an arbitrary winner, we refuse to). */
+    * otherwise; DuckDB picks an arbitrary winner, we refuse to).
+    *
+    * The RESULT carries the matched payload as an `_asof` struct column
+    * (null when no right row precedes); `_side`/`_p` are internal scratch
+    * names, so inputs must not already use `_side`/`_p`/`_asof` —
+    * asserted, because a collision would silently corrupt the
+    * union/window logic rather than error. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                payloadCols: Seq[String]): DataFrame = {
+    val reserved = Seq("_side", "_p", "_asof")
+    for ((df, side) <- Seq(left -> "left", right -> "right")) {
+      val clash = df.columns.toSet.intersect(reserved.toSet)
+      require(clash.isEmpty,
+        s"asofJoin: $side input uses reserved column name(s) ${clash.mkString(", ")}")
+    }
     val payload = struct(payloadCols.map(col): _*)
     val l = left.withColumn("_side", lit(1)).withColumn("_p",
       lit(null).cast(right.select(payload).schema.head.dataType))
@@ -57,7 +69,12 @@ object Temporal {
     * at the radius: a qualifying pair is always within one bin of each
     * other, so probing {bin-1, bin, bin+1} finds every pair exactly once
     * (each right row lives in exactly one bin). Zero-neighbor events
-    * survive via the left join. */
+    * survive via the left join.
+    *
+    * Output schema is exactly (`id`, `n_neighbors`) — both inputs are
+    * projected down to (id, us) before any scratch column (`bin`,
+    * `nbr_id`, `nbr_us`, `hit`) is introduced, so caller columns can
+    * never collide with the internal names. */
   def neighborCounts(events: DataFrame, idCol: String, tsCol: String,
                      radiusSec: Int): DataFrame = {
     val radiusUs = radiusSec * 1000000L

@@ -62,6 +62,26 @@ class EvolveSpec extends SparkSpec {
       "null key groups must merge via null-safe equality")
   }
 
+  test("mergeAggregates: both-null merges to null, schema stays stable") {
+    // SUM over an all-null group is NULL in SQL; a merge that coalesces
+    // to 0 would diverge from the full recompute on exactly that edge
+    val base = Seq((1L, Option.empty[java.math.BigDecimal], 1L),
+      (2L, Option(new java.math.BigDecimal("3.00")), 1L)).toDF("k", "s", "n")
+      .withColumn("s", col("s").cast("decimal(18,2)"))
+    val delta = Seq((1L, Option.empty[java.math.BigDecimal], 2L),
+      (3L, Option(new java.math.BigDecimal("4.00")), 1L)).toDF("k", "s", "n")
+      .withColumn("s", col("s").cast("decimal(18,2)"))
+    val once = Evolve.mergeAggregates(base, delta, "k")
+    val got = once.collect().map(r => r.getLong(0) ->
+      (Option(r.getDecimal(1)).map(_.toPlainString), r.getLong(2))).toMap
+    assert(got(1L) == (None, 3L), "all-null sums must merge to null, not 0")
+    assert(got(2L) == (Some("3.00"), 1L) && got(3L) == (Some("4.00"), 1L))
+    // repeated merges must not widen decimal precision toward the 38 cap
+    val twice = Evolve.mergeAggregates(once, delta, "k")
+    assert(twice.schema("s").dataType == base.schema("s").dataType,
+      s"schema drifted: ${twice.schema("s").dataType}")
+  }
+
   test("snapshotDiff: added / removed / changed, null-safe") {
     val before = Seq((1L, Some(10)), (2L, Some(20)), (3L, None: Option[Int]))
       .toDF("k", "v")

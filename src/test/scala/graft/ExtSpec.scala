@@ -49,6 +49,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH derives dim from data and fails fast on a mismatch") {
+    // 8-dim vectors, planted near-identical pair: auto-derive must find it
+    // (with dim hardcoded to 64 every projection would be null, every row
+    // would silently share bucket 0, and blocking would be O(n²))
+    val v8 = Seq(
+      (1L, Array.fill(8)(1.0f)), (2L, Array.tabulate(8)(i => if (i == 0) 0.9f else 1.0f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)),
+      (4L, Array.tabulate(8)(i => if (i % 2 == 0) -1.0f else 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupLsh(v8, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+    // explicit wrong dim must raise, not silently degenerate
+    val err = intercept[Exception] {
+      Dedup.embeddingNearDupLsh(v8, "vec_id", "embedding", 0.9, dim = 64)
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("LSH ANN beats a random candidate subset of the same budget") {
     val q = emb.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", "vec_id", "embedding", 5)

@@ -48,6 +48,17 @@ class TemporalSpec extends SparkSpec {
     assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
   }
 
+  test("asofJoin refuses inputs that collide with its reserved names") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"), "x"))
+      .toDF("event_id", "user_id", "ts", "_asof")
+    val right = Seq((10L, ts("2024-01-01 09:30:00"), 101L))
+      .toDF("user_id", "ts", "purchase_id")
+    val err = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(left, right, "user_id", "ts", Seq("purchase_id"))
+    }
+    assert(err.getMessage.contains("_asof"), err.getMessage)
+  }
+
   test("neighborCounts == brute-force count, incl. exact-radius boundary") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")),
