@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Text, Vectors}
 
@@ -104,6 +105,38 @@ object Dedup {
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Winnowing document fingerprints (the MOSS algorithm, Schleimer/
+    * Wilkerson/Aiken SIGMOD'03): hash every word k-gram, slide a window of
+    * `w` consecutive hashes, keep each window's minimum — any shared
+    * substring of ≥ k+w−1 words between two documents is GUARANTEED to
+    * share a fingerprint, at ~2/(w+1) of the k-gram density. The standard
+    * sub-document plagiarism/copy detector (chunk dedup with guarantees).
+    *
+    * Hashes are md5 hex strings compared lexicographically — portable
+    * bit-for-bit across engines, so the whole operator is exact-oracle-
+    * able (a seeded integer hash family would be faster per byte but
+    * SQL-irreproducible; fingerprint SELECTION only needs a total order).
+    *
+    * Scale shape: grams explode to (doc, pos, hash) ROWS, window-min runs
+    * as a per-doc window function — one shuffle on doc id, state bounded
+    * by w, never an in-row O(doc²) pair structure. Docs shorter than
+    * k+w−1 words yield no fingerprints (no full window exists). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    val ws = Text.tokens(col(textCol))
+    val grams = when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => md5(concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+    val g = df.select(col(idCol).as("doc_id"), posexplode(grams))
+    val winMin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    g.withColumn("fp", min(col("col")).over(winMin))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("pos") <= col("m") - w) // leading (full) windows only
+      .select("doc_id", "fp").distinct()
   }
 
   /** MinHash + LSH banding: docs whose signature agrees on ALL rows of any

@@ -59,6 +59,68 @@ object EventOps {
         sum(col("span_us")).as("total_span_us"))
   }
 
+  /** Hourly gap-fill + cumulative count per user: time-series densification
+    * for training pipelines (a model reading per-hour activity needs the
+    * zero hours, which the raw event log omits by construction). Hours
+    * are integer epoch-hour buckets (`µs div 3.6e9` — integer division,
+    * bit-portable; float division could flip a floor at exact boundaries).
+    * Missing hours inside each user's [min, max] hour get an explicit
+    * n = 0 row; `cum_n` is the running total.
+    *
+    * Scale shape: one aggregation to per-(user, hour) counts, one tiny
+    * per-user bounds aggregation, then `sequence`+`explode` generates the
+    * dense hour spine DISTRIBUTED (each user's spine built on its own
+    * executor — never a driver-side calendar), a left join fills, and one
+    * window pass accumulates. Spine size is bounded by the time range,
+    * not the event count. */
+  def gapFillHourly(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val base = df.select(col(userCol).as("user_id"),
+      unix_micros(col(tsCol)).as("us"))
+      .select(col("user_id"), expr("us div 3600000000").as("h"))
+    val counts = base.groupBy("user_id", "h").agg(count(lit(1)).as("n"))
+    val bounds = counts.groupBy("user_id")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = bounds.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"))).as("h"))
+    spine.join(counts, Seq("user_id", "h"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("cum_n",
+        sum(col("n")).over(Window.partitionBy("user_id").orderBy("h")))
+      .select(col("user_id"), col("h").as("epoch_hour"), col("n"), col("cum_n"))
+  }
+
+  /** Ordered funnel: how many users performed `stages` IN ORDER, each
+    * stage within `windowSec` of completing the previous one. Stage i's
+    * completion time is the EARLIEST qualifying event (min ts ≥ previous
+    * completion, ≤ previous + window) — the standard greedy funnel, which
+    * maximizes the chance of completing later stages. Ties on ts count
+    * (>= semantics). Returns one row per stage with the surviving user
+    * count.
+    *
+    * Scale shape: one filtered aggregation per stage, chained by
+    * equi-joins on user — |stages| keyed shuffles, no self-join blowup,
+    * no per-user event lists (the classic collect_list funnel holds a
+    * user's whole history in one row; this never does). */
+  def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             stages: Seq[String], windowSec: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel: stages must be non-empty")
+    val e = df.select(col(userCol).as("user_id"), col(typeCol).as("et"),
+      unix_micros(col(tsCol)).as("us"))
+    val first = e.filter(col("et") === stages.head)
+      .groupBy("user_id").agg(min(col("us")).as("t"))
+    val reached = stages.tail.scanLeft(first) { (prev, s) =>
+      e.filter(col("et") === s).join(prev, Seq("user_id"))
+        .filter(col("us") >= col("t") &&
+          col("us") <= col("t") + windowSec * 1000000L)
+        .groupBy("user_id").agg(min(col("us")).as("t"))
+    }
+    reached.zip(stages).zipWithIndex.map { case ((stage, name), i) =>
+      stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(name).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Session-window aggregate via Spark's built-in session_window —
     * the engine-native form of [[sessionize]] (no SQL oracle; equivalence
     * asserted in ScalaTest). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, EventOps, Evolve, Multimodal, Similarity, Temporal}
+import graft.operators.{Dedup, EventOps, Evolve, Graphs, Multimodal, Similarity, Temporal}
 
 /** Extension surface (SURVEY.md §2.10) — LLM-data-pipeline operators over
   * documents/embeddings/events: dedup family, similarity search, text
@@ -41,6 +41,20 @@ object Ext {
     "x_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5, maxBucket = 1000)),
+
+    // pairs → transitive-closure clusters: the stage that turns near-dup
+    // PAIRS into a droppable assignment (keep doc_id == cluster_rep);
+    // oracle is a recursive-CTE closure over the identical pair set
+    "x_dedup_clusters" -> ((s, d) =>
+      Graphs.dedupClusters(
+        Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, maxBucket = 1000), "doc_a", "doc_b")),
+
+    // winnowing (MOSS) fingerprints: guaranteed shared fingerprint for any
+    // shared run of ≥ k+w−1 words; md5 ordering makes selection portable
+    "x_winnow_fingerprint" -> ((s, d) =>
+      Dedup.winnowFingerprints(t(s, d, "documents"), "doc_id", "text",
+        k = 3, w = 4)),
 
     "x_dedup_minhash" -> ((s, d) =>   // rows-only: seeded hash family
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")),
@@ -160,6 +174,16 @@ object Ext {
 
     "x_sessionize" -> ((s, d) =>
       EventOps.sessionize(t(s, d, "events"), "user_id", "ts", gapMinutes = 30)),
+
+    // hourly densification + running totals: the zero-hour rows a model
+    // needs but the raw event log omits by construction
+    "x_gap_fill" -> ((s, d) =>
+      EventOps.gapFillHourly(t(s, d, "events"), "user_id", "ts")),
+
+    // ordered 3-stage funnel, each stage within 1 day of the previous
+    "x_funnel" -> ((s, d) =>
+      EventOps.funnel(t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSec = 86400L)),
 
     // ---- time-series joins (operators Spark lacks natively) ----
     // for each click, the user's latest purchase at-or-before it
@@ -297,6 +321,46 @@ object Ext {
             org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
           .cast("double").as("running_spent"),
         date_format(lag(col("o_orderdate"), 1).over(w), "yyyy-MM-dd").as("prev_order_date"))
+    }),
+
+    // explicit GROUPING SETS (finer than cube/rollup: exactly the three
+    // aggregation levels a dashboard asks for, nothing more)
+    "x_grouping_sets" -> ((s, d) => {
+      val o = t(s, d, "orders").withColumn("yr", year(col("o_orderdate")))
+      o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("yr")),
+          Seq(col("o_orderstatus")), Seq.empty[org.apache.spark.sql.Column]),
+        col("o_orderstatus"), col("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+          col("n"), col("total"))
+    }),
+
+    // correlation/covariance per group, EXACT: moments accumulate as
+    // decimals (associative, partition-order independent), the closed
+    // form runs in doubles on identical values with identical op order —
+    // bit-identical across engines, unlike the built-in one-pass corr()
+    // whose accumulation order is nondeterministic under partitioning.
+    // decimal→double goes THROUGH A STRING: both engines parse decimal
+    // strings correctly rounded (single rounding), while their native
+    // decimal→double casts divide unscaled/10^scale — two roundings that
+    // disagree in the last ulp for 38-digit sums
+    "x_corr_stats" -> ((s, d) => {
+      val q = col("l_quantity").cast("decimal(18,2)")
+      val p = col("l_extendedprice").cast("decimal(18,2)")
+      def dbl(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(q).as("sx"), sum(p).as("sy"),
+          sum(q * p).as("sxy"), sum(q * q).as("sxx"), sum(p * p).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+            (sqrt(dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+              sqrt(dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))))
+            .as("corr_qty_price"),
+          ((dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")) / dbl(col("n"))) /
+            (dbl(col("n")) - lit(1.0))).as("covar_samp"))
     }),
 
     "x_pivot" -> ((s, d) =>
@@ -490,6 +554,114 @@ object Ext {
                     FROM scored)
          SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
          FROM ranked WHERE rank <= 5""",
+
+    // transitive closure by recursive CTE over the ngram-jaccard pair set
+    // (identical to the x_dedup_ngram_jaccard oracle), then per-node
+    // component = min reachable id, size = |reachable| + self
+    "x_dedup_clusters" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id,
+                unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in range(1, len(ws) - 1)])) AS s
+                FROM w WHERE len(ws) >= 3),
+         capped AS (SELECT doc_id, s FROM
+                    (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS dfc FROM sh)
+                    WHERE dfc <= 1000),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                   FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         good AS (SELECT doc_a, doc_b FROM pairs
+                  JOIN sizes na ON na.doc_id = doc_a
+                  JOIN sizes nb ON nb.doc_id = doc_b
+                  WHERE n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM good
+                   UNION SELECT doc_b, doc_a FROM good),
+         reach AS (SELECT u, v FROM edges
+                   UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                   WHERE e.v <> r.u)
+         SELECT u AS doc_id, least(u, min(v)) AS cluster_rep,
+                CAST(count(DISTINCT v) + 1 AS BIGINT) AS cluster_size
+         FROM reach GROUP BY u""",
+
+    "x_winnow_fingerprint" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, i AS pos,
+                      md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+                     FROM w WHERE len(ws) >= 3)),
+         m AS (SELECT doc_id, pos,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                      count(*) OVER (PARTITION BY doc_id) AS n
+               FROM g)
+         SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n - 3""",
+
+    "x_gap_fill" ->
+      """WITH e AS (SELECT user_id,
+                    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h FROM events),
+         c AS (SELECT user_id, h, count(*) AS n FROM e GROUP BY 1, 2),
+         b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM c GROUP BY 1),
+         hours AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM b),
+         filled AS (SELECT hours.user_id, hours.h, coalesce(n, 0) AS n
+                    FROM hours LEFT JOIN c
+                    ON hours.user_id = c.user_id AND hours.h = c.h)
+         SELECT user_id, h AS epoch_hour, n,
+                CAST(sum(n) OVER (PARTITION BY user_id ORDER BY h) AS BIGINT) AS cum_n
+         FROM filled""",
+
+    "x_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'click'
+                  AND e.ts >= t1.t AND e.ts <= t1.t + INTERVAL 1 DAY
+                GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'purchase'
+                  AND e.ts >= t2.t AND e.ts <= t2.t + INTERVAL 1 DAY
+                GROUP BY 1)
+         SELECT CAST(1 AS INTEGER) AS stage, 'view' AS event_type, count(*) AS n_users FROM t1
+         UNION ALL SELECT 2, 'click', count(*) FROM t2
+         UNION ALL SELECT 3, 'purchase', count(*) FROM t3""",
+
+    "x_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+                count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, year(o_orderdate)),
+                                 (o_orderstatus), ())""",
+
+    // moments as exact decimals, closed form in doubles with the SAME op
+    // order as the engine — bit-identical, no tolerance. decimal→double
+    // goes through VARCHAR: string parse is correctly rounded in both
+    // engines, native decimal→double casts double-round differently
+    "x_corr_stats" ->
+      """WITH m AS (SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+           sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+           sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+           FROM lineitem GROUP BY 1),
+         dd AS (SELECT l_returnflag, n,
+           CAST(CAST(n AS VARCHAR) AS DOUBLE) AS n0,
+           CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+           CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+           CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy,
+           CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+           CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy FROM m)
+         SELECT l_returnflag, n,
+           (n0 * sxy - sx * sy)
+             / (sqrt(n0 * sxx - sx * sx) * sqrt(n0 * syy - sy * sy)) AS corr_qty_price,
+           (sxy - sx * sy / n0) / (n0 - 1.0) AS covar_samp
+         FROM dd""",
 
     "x_chunk_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

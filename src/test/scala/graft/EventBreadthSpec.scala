@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, EventOps}
+
+/** Handcrafted edges for the round-3 event/text breadth operators:
+  * funnel ordering+window rules, gap-fill densification, and the
+  * winnowing guarantee (shared run ⇒ shared fingerprint). */
+class EventBreadthSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: order matters, window bounds, ties count") {
+    val events = Seq(
+      // user 1: full funnel, in order, inside windows
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // user 2: click BEFORE view — must not count as stage 2
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      // user 3: click outside the 1h window
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "click", ts("2024-01-01 11:00:01")),
+      // user 4: click at the EXACT same ts as view (ties count, >= semantics)
+      (4L, "view", ts("2024-01-01 10:00:00")),
+      (4L, "click", ts("2024-01-01 10:00:00")),
+      // user 5: never viewed
+      (5L, "click", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventOps.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), windowSec = 3600L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 4L, 2 -> 2L, 3 -> 1L), s"got $got")
+  }
+
+  test("funnel: greedy earliest completion maximizes later stages") {
+    // view 10:00; clicks at 10:30 and 10:50; purchase 11:20. The greedy
+    // rule anchors stage 2 at the EARLIEST qualifying click (10:30), so
+    // the 11:20 purchase is inside 10:30+1h. Anchoring at 10:50 would
+    // also work here, but a non-greedy "latest" rule would shift windows
+    // and is not what funnel analytics mean.
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:30:00")),
+      (1L, "click", ts("2024-01-01 10:50:00")),
+      (1L, "purchase", ts("2024-01-01 11:20:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventOps.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), windowSec = 3600L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 1L, 2 -> 1L, 3 -> 1L), s"got $got")
+  }
+
+  test("gapFillHourly: zero rows for silent hours, running total") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:10:00")), (1L, ts("2024-01-01 10:40:00")),
+      (1L, ts("2024-01-01 13:05:00")),  // hours 11,12 silent
+      (2L, ts("2024-01-01 00:30:00")))  // single-hour user: no gap rows
+      .toDF("user_id", "ts")
+    val got = EventOps.gapFillHourly(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val h0 = ts("2024-01-01 10:00:00").getTime / 3600000L
+    assert(got((1L, h0)) == (2L, 2L))
+    assert(got((1L, h0 + 1)) == (0L, 2L), "silent hour must appear with n=0")
+    assert(got((1L, h0 + 2)) == (0L, 2L))
+    assert(got((1L, h0 + 3)) == (1L, 3L))
+    assert(got.count(_._1._1 == 1L) == 4 && got.count(_._1._1 == 2L) == 1)
+  }
+
+  test("winnowing: shared k+w-1 word run guarantees a shared fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta"  // 6 = k+w-1 words
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven"),
+      (2L, s"red blue $shared green yellow purple orange"),
+      (3L, "completely different words with no overlap at all here"),
+      (4L, "too short"))  // < k words: no fingerprints
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "docs sharing a 6-word run must share a fingerprint (MOSS guarantee)")
+    assert(fps(3L).intersect(fps(1L)).isEmpty)
+    assert(!fps.contains(4L), "short docs yield no fingerprints")
+  }
+
+  test("winnowing density is ~2/(w+1) of the gram count on the corpus") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val n = Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4).count().toDouble
+    val grams = docs.select(explode(graft.functions.Text.wordShingles(col("text"), 3)))
+      .count().toDouble
+    val density = n / grams
+    // theory: expected 2/(w+1) = 0.4 of positions selected (distinct-ness
+    // and short docs pull it down); sanity-band the compression claim
+    assert(density > 0.15 && density < 0.6, s"density $density")
+  }
+}

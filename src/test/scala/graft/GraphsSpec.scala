@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Dedup, Graphs}
+
+/** Connected-components semantics on handcrafted graphs the fixture's
+  * planted near-dup pairs don't exercise: chains (diameter > 1 forces
+  * real propagation rounds), cycles, disjoint components, and the
+  * pairs→clusters contract used by corpus dedup. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graphs.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, cycle, and disjoint components all get min-id labels") {
+    // chain 1-2-3-4-5 (diameter 4: needs several propagation rounds),
+    // cycle 10-11-12-10, isolated edge 20-21
+    val got = components(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L, 21L -> 20L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L), s"got $got")
+  }
+
+  test("edge orientation and duplicate edges don't change the result") {
+    val a = components(Seq(3L -> 1L, 1L -> 2L))
+    val b = components(Seq(1L -> 3L, 2L -> 1L, 1L -> 2L, 2L -> 1L))
+    assert(a == b && a.values.toSet == Set(1L))
+  }
+
+  test("dedupClusters: rep is the min doc, sizes count members") {
+    val pairs = Seq((5L, 9L), (9L, 7L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val got = Graphs.dedupClusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(5L -> (5L, 3L), 9L -> (5L, 3L), 7L -> (5L, 3L),
+      2L -> (2L, 2L), 4L -> (2L, 2L)), s"got $got")
+  }
+
+  test("clusters over planted near-dups partition the pair graph") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+    val clusters = Graphs.dedupClusters(pairs, "doc_a", "doc_b")
+    val byDoc = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair endpoint is clustered, pair members share a rep, and the
+    // rep is a member of its own cluster
+    pairs.select("doc_a", "doc_b").collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) split across clusters")
+    }
+    assert(byDoc.values.toSet.subsetOf(byDoc.keySet), "rep not a member")
+  }
+}
