@@ -40,6 +40,17 @@ object Text {
       graft.plans.WordShingleGenerator(ColumnBridge.expression(c), n))
   }
 
+  /** Row-exploded POSITIONAL word shingles — (pos, sh) for every
+    * occurrence in order, via the native
+    * [[graft.plans.PositionalShingleGenerator]]. For position-sensitive
+    * operators (winnowing); the distinct form above is for set-semantics
+    * dedup. */
+  def explodePositionalShingles(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.plans.PositionalShingleGenerator(ColumnBridge.expression(c), n))
+  }
+
   /** Character k-gram shingles (distinct) — the classic MinHash input. */
   def charShingles(c: Column, k: Int): Column =
     when(length(c) >= k,

@@ -125,15 +125,15 @@ object Dedup {
     * k+w−1 words yield no fingerprints (no full window exists). */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4): DataFrame = {
-    val ws = Text.tokens(col(textCol))
-    val grams = when(size(ws) >= k,
-      transform(sequence(lit(1), size(ws) - (k - 1)),
-        i => md5(concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
-    val g = df.select(col(idCol).as("doc_id"), posexplode(grams))
+    // positional gram rows via the native generator (the interpreted
+    // transform/element_at array form costs ~20× on gram construction),
+    // then codegen'd md5 per row
+    val g = df.select(col(idCol).as("doc_id"),
+      Text.explodePositionalShingles(col(textCol), k).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
     val winMin = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
-    g.withColumn("fp", min(col("col")).over(winMin))
+    g.withColumn("fp", min(col("h")).over(winMin))
       .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("pos") <= col("m") - w) // leading (full) windows only
       .select("doc_id", "fp").distinct()

@@ -65,3 +65,55 @@ case class WordShingleGenerator(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): WordShingleGenerator =
     copy(child = newChild)
 }
+
+/** Generator emitting (pos, sh) for EVERY word n-gram occurrence, in
+  * position order — the positional, non-distinct sibling of
+  * [[WordShingleGenerator]], for operators where position matters
+  * (winnowing fingerprints select a minimum per sliding window of
+  * positions, so duplicates and order are semantic, not noise).
+  * `pos` is 0-based. Same JVM sliding-window construction — the
+  * interpreted `posexplode(transform(sequence(...), …))` form re-proved
+  * ~20× slower on the bench corpus.
+  */
+case class PositionalShingleGenerator(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType =
+    StructType(StructField("pos", IntegerType, nullable = false) ::
+      StructField("sh", StringType, nullable = false) :: Nil)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"PositionalShingleGenerator needs a string column, got ${child.dataType}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) return Nil
+    val words = t.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (words.length < n) return Nil
+    val m = words.length - n + 1
+    val sb = new java.lang.StringBuilder(64)
+    new Iterator[InternalRow] {
+      private var i = 0
+      override def hasNext: Boolean = i < m
+      override def next(): InternalRow = {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words(i + k))
+          k += 1
+        }
+        val row = InternalRow(i, UTF8String.fromString(sb.toString))
+        i += 1
+        row
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingleGenerator =
+    copy(child = newChild)
+}

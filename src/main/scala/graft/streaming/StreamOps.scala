@@ -128,6 +128,57 @@ object StreamOps {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
+  /** foreachBatch incremental-aggregate sink: each micro-batch is
+    * partially aggregated and MERGED into the maintained result via
+    * [[graft.operators.Evolve.mergeAggregates]] — the streaming form of
+    * incremental view maintenance (refresh cost O(|batch|), never
+    * O(|history|)). The batch twin is the full recompute; StreamingSpec
+    * asserts multi-batch replay ≡ recompute.
+    *
+    * Exactly-once: foreachBatch is AT-LEAST-ONCE on failure recovery, and
+    * a merge is not idempotent — so the sink keys application on the
+    * framework-provided batchId and skips replays, the standard
+    * idempotent-sink recipe (a durable deployment persists the applied-id
+    * watermark with the result table, e.g. as a transactional write).
+    * Each merge is materialized (persist + count) before the previous
+    * state is unpersisted, so the maintained table is always a bounded
+    * cached plan, not an ever-growing lineage chain. */
+  class IncrementalAggSink(key: String, aggOf: DataFrame => DataFrame)
+      extends Serializable {
+    @volatile private var state: Option[DataFrame] = None
+    private val applied = scala.collection.mutable.Set[Long]()
+
+    def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (!applied.add(batchId)) return // replayed micro-batch: skip
+      val delta = aggOf(batch).persist()
+      delta.count()
+      state = Some(state match {
+        case None => delta
+        case Some(cur) =>
+          val merged =
+            graft.operators.Evolve.mergeAggregates(cur, delta, key).persist()
+          merged.count()
+          cur.unpersist()
+          delta.unpersist()
+          merged
+      })
+    }
+
+    /** The maintained aggregate (after ≥ 1 applied batch). */
+    def current: DataFrame = state.getOrElse(
+      throw new IllegalStateException("IncrementalAggSink: no batch applied yet"))
+  }
+
+  /** Wire an [[IncrementalAggSink]] onto a stream. */
+  def incrementalAggQuery(stream: DataFrame, sink: IncrementalAggSink): Unit = {
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch((df: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink.apply(df.toDF(), id))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Replay a bounded parquet directory through a streaming query into a
     * memory sink; returns the sink table name. Used by tests and demos. */
   def replayToMemory(spark: SparkSession, df: DataFrame, name: String): Unit = {

@@ -86,6 +86,23 @@ class EventBreadthSpec extends SparkSpec {
     assert(!fps.contains(4L), "short docs yield no fingerprints")
   }
 
+  test("positional shingle generator == posexplode(transform) composition") {
+    val tricky = Seq("a b c d e", "a b c ", "x  y z", " a b", "ab", "", "   ",
+      "a a a a").toDF("t")
+    val viaGen = tricky.select(col("t"),
+      graft.functions.Text.explodePositionalShingles(col("t"), 3).as(Seq("pos", "sh")))
+    val ws = split(col("t"), " ")
+    val viaCols = tricky.select(col("t"), posexplode(
+      when(size(ws) >= 3,
+        transform(sequence(lit(1), size(ws) - 2),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+            element_at(ws, i + 2))))
+        .otherwise(array().cast("array<string>"))))
+      .select(col("t"), col("pos"), col("col").as("sh"))
+    assert(viaGen.exceptAll(viaCols).count() == 0 &&
+      viaCols.exceptAll(viaGen).count() == 0)
+  }
+
   test("winnowing density is ~2/(w+1) of the gram count on the corpus") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val n = Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4).count().toDouble

@@ -111,6 +111,34 @@ class StreamingSpec extends SparkSpec {
       batch.exceptAll(streamed).count() == 0)
   }
 
+  test("foreachBatch incremental agg sink == batch recompute, replays are no-ops") {
+    val ev = Tables.load(spark, sf, "events").select("user_id", "value")
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id").agg(
+        sum(col("value").cast("decimal(18,2)")).as("total_value"),
+        count(lit(1)).as("n"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fb_sink")
+    // three files -> three micro-batches (maxFilesPerTrigger=1): the sink
+    // must merge across genuinely separate foreachBatch invocations
+    ev.repartition(3).write.mode("overwrite").parquet(s"$dir/in")
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val sink = new StreamOps.IncrementalAggSink("user_id", aggOf)
+    StreamOps.incrementalAggQuery(src, sink)
+
+    def snapshot(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getDecimal(1).toPlainString, r.getLong(2))).toMap
+    val got = snapshot(sink.current)
+    val want = snapshot(aggOf(ev))
+    assert(got == want, "multi-batch incremental maintenance != full recompute")
+
+    // at-least-once delivery: re-applying an already-seen batchId (a
+    // foreachBatch retry) must not double-count
+    sink.apply(ev.limit(50), 0L)
+    assert(snapshot(sink.current) == want, "replayed batch was re-applied")
+  }
+
   test("stateful session counts == batch sessionize on a SHUFFLED two-batch replay") {
     implicit val s = spark
     import spark.implicits._
