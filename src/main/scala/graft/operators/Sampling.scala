@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Weighted sampling (SURVEY.md §2.10): systematic probability-
+  * proportional-to-size selection — the deterministic, single-pass
+  * weighted sampler. Rows are laid on a [0, W) number line as weight-
+  * sized segments in a fixed order; k evenly-spaced boundaries pick the
+  * rows they land in, so selection probability ∝ weight and heavy rows
+  * are near-certain picks. (The classic alternative, Efraimidis-Spirakis
+  * u^(1/w) keys, needs pow/ln — transcendentals whose last-ulp behavior
+  * differs across engines; systematic PPS is INTEGER arithmetic end to
+  * end, so the oracle is exact.)
+  *
+  * Scale shape: two window passes over one shuffle on the group key
+  * (cumulative weight + group total), then a narrow filter. No
+  * collect, no per-group loops; k is a constant.
+  */
+object Sampling {
+
+  /** k-per-group systematic PPS sample. `weightCents` must be a
+    * non-negative integral Column (e.g. money as cents); `orderCol`
+    * fixes the traversal order (determinism). A row is selected iff a
+    * boundary j·W/k (j = 1..k) falls inside its segment — evaluated as
+    * an integer-division crossing, no floats anywhere. Rows heavier
+    * than W/k span multiple boundaries but emit once, so a group can
+    * return slightly fewer than k rows (documented PPS behavior). */
+  def systematicPps(df: DataFrame, groupCol: String, orderCol: String,
+                    weightCents: Column, k: Int): DataFrame = {
+    val byGroup = Window.partitionBy(groupCol)
+    val cum = Window.partitionBy(groupCol).orderBy(orderCol)
+    df.withColumn("_w", weightCents)
+      .withColumn("_cum", sum(col("_w")).over(cum))
+      .withColumn("_total", sum(col("_w")).over(byGroup))
+      .filter(expr(s"((_cum - _w) * $k) div _total") <
+        expr(s"(_cum * $k) div _total"))
+      .drop("_w", "_cum", "_total")
+  }
+}

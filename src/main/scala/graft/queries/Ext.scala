@@ -323,6 +323,26 @@ object Ext {
         date_format(lag(col("o_orderdate"), 1).over(w), "yyyy-MM-dd").as("prev_order_date"))
     }),
 
+    // systematic PPS weighted sample: 10 orders per status, probability
+    // ∝ price — integer boundary-crossing arithmetic, exact oracle
+    "x_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.systematicPps(
+        t(s, d, "orders").select("o_orderstatus", "o_orderkey", "o_totalprice"),
+        "o_orderstatus", "o_orderkey",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"), k = 10)
+        .select(col("o_orderstatus"), col("o_orderkey"))),
+
+    // Morton/Z-order value distribution: the multi-dimensional clustering
+    // key behind writeZOrdered — pure shift/mask arithmetic, exact oracle
+    "x_zorder" -> ((s, d) => {
+      val zv = graft.sources.Warehouse.zValue(
+        col("o_custkey") % 1024, col("o_orderkey") % 1024, 10)
+      t(s, d, "orders").select(zv.as("zv"))
+        .groupBy(shiftright(col("zv"), 12).as("z_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("zv")).as("z_min"),
+          max(col("zv")).as("z_max"))
+    }),
+
     // explicit GROUPING SETS (finer than cube/rollup: exactly the three
     // aggregation levels a dashboard asks for, nothing more)
     "x_grouping_sets" -> ((s, d) => {
@@ -627,6 +647,28 @@ object Ext {
          SELECT CAST(1 AS INTEGER) AS stage, 'view' AS event_type, count(*) AS n_users FROM t1
          UNION ALL SELECT 2, 'click', count(*) FROM t2
          UNION ALL SELECT 3, 'purchase', count(*) FROM t3""",
+
+    "x_weighted_sample" ->
+      """WITH w AS (SELECT o_orderstatus, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+         c AS (SELECT o_orderstatus, o_orderkey, cents,
+           sum(cents) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS cum,
+           sum(cents) OVER (PARTITION BY o_orderstatus) AS total FROM w)
+         SELECT o_orderstatus, o_orderkey FROM c
+         WHERE ((cum - cents) * 10) // total < (cum * 10) // total""",
+
+    // disjoint bit positions ⇒ the two list_sums add like a bitwise OR
+    "x_zorder" ->
+      """WITH z AS (SELECT
+           CAST(list_sum([(((o_custkey % 1024) >> j) & 1) * (1::BIGINT << (2*j))
+                          for j in range(0, 10)]) +
+                list_sum([(((o_orderkey % 1024) >> j) & 1) * (1::BIGINT << (2*j + 1))
+                          for j in range(0, 10)]) AS BIGINT) AS zv
+           FROM orders)
+         SELECT zv >> 12 AS z_bucket, count(*) AS n,
+                min(zv) AS z_min, max(zv) AS z_max
+         FROM z GROUP BY 1""",
 
     "x_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Warehouse-layout sinks for the 100 TB design point (SURVEY.md §4):
   * hive-style partitioned parquet (partition pruning at the scan) and
@@ -26,4 +27,33 @@ object Warehouse {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Morton (Z-order) value of two non-negative integer keys: bit j of x
+    * lands at bit 2j, bit j of y at 2j+1, so sorting by the z-value keeps
+    * rows close in BOTH dimensions close in the file order — the standard
+    * multi-dimensional clustering trick (a single-column sort clusters
+    * one dimension perfectly and scatters the other; Z-order gives every
+    * dimension locality, so min/max file stats prune on either
+    * predicate). Pure shift/mask arithmetic — portable to any engine,
+    * exact-oracle-able. `bits` per dimension (≤ 31). */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      shiftleft(shiftright(x.cast("long"), j).bitwiseAND(lit(1L)), 2 * j)
+        .bitwiseOR(
+          shiftleft(shiftright(y.cast("long"), j).bitwiseAND(lit(1L)), 2 * j + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Z-ordered parquet: range-partition AND sort the data by the Morton
+    * value of two query dimensions, so every file covers a small square-
+    * ish region of (x, y) space and carries tight min/max footer stats on
+    * BOTH columns — a point/box query on either dimension prunes most
+    * files at planning time. This is layout-as-operator, like bucketing:
+    * one shuffle at write time buys every later scan its pruning. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    bits: Int, numFiles: Int): Unit =
+    df.withColumn("_z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -50,4 +50,44 @@ class WarehouseSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
+
+  test("zValue interleaves bits; z-ordered layout gives BOTH dims locality") {
+    import spark.implicits._
+    // hand-checked interleave: x=0b11, y=0b01 -> z=0b0111 = 7
+    val z = Seq((3L, 1L)).toDF("x", "y")
+      .select(Warehouse.zValue(col("x"), col("y"), 4)).head.getLong(0)
+    assert(z == 7L, s"zValue(3,1)=$z")
+
+    // write orders z-ordered on (orderkey-mod, price-bucket) vs sorted on
+    // the first dim only; compare how many FILES a box query on the
+    // NON-sorted dim must touch, from each file's own min/max stats — the
+    // pruning any footer-stats reader gets from the layout. (Both dims
+    // must actually FILL their range: o_custkey at sf0.001 spans 1..150,
+    // which makes any [0,127] band cover the whole domain.)
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey") % 1024 as "x",
+        floor(col("o_totalprice") / lit(500.0)).cast("long") % 1024 as "y")
+    val nFiles = 16
+    val zDir = Files.createTempDirectory("graft_z").toString
+    Warehouse.writeZOrdered(orders, zDir, "x", "y", 10, nFiles)
+    val oneDir = Files.createTempDirectory("graft_onedim").toString
+    orders.repartitionByRange(nFiles, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(oneDir)
+
+    def filesTouched(dir: String, c: String, lo: Long, hi: Long): Int = {
+      val stats = spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col(c))
+        .groupBy("f").agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .collect()
+      stats.count(r => r.getLong(1) <= hi && r.getLong(2) >= lo)
+    }
+    // a 1/8-wide band on y: the x-sorted layout scatters y across every
+    // file; the z-ordered layout confines it
+    val zTouched = filesTouched(zDir, "y", 0, 127)
+    val oneTouched = filesTouched(oneDir, "y", 0, 127)
+    assert(zTouched * 2 <= oneTouched,
+      s"z-order: $zTouched/$nFiles files vs one-dim: $oneTouched/$nFiles")
+    // and x-band queries still prune on the z layout too (both dims local)
+    assert(filesTouched(zDir, "x", 0, 127) < nFiles)
+  }
 }
