@@ -58,6 +58,16 @@ object Graphs {
       it += 1
     }
     sym.unpersist()
+    // labels that never reached fixpoint are WRONG (a component would be
+    // split) — refuse rather than return silently-bad clusters; diameter
+    // > maxIter means this graph needs the large-star/small-star variant
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds " +
+          "(graph diameter exceeds maxIter); raise maxIter or use a " +
+          "logarithmic-round variant for deep graphs")
+    }
     labels.select(col("id"), col("comp").as("component"))
   }
 

@@ -28,6 +28,15 @@ class GraphsSpec extends SparkSpec {
     assert(a == b && a.values.toSet == Set(1L))
   }
 
+  test("refuses to return unconverged labels when maxIter is too small") {
+    // chain of diameter 5 cannot converge in 1 round
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
+      .toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Graphs.connectedComponents(edges, "src", "dst", maxIter = 1).collect()
+    }
+  }
+
   test("dedupClusters: rep is the min doc, sizes count members") {
     val pairs = Seq((5L, 9L), (9L, 7L), (2L, 4L)).toDF("doc_a", "doc_b")
     val got = Graphs.dedupClusters(pairs, "doc_a", "doc_b")
