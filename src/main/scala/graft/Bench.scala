@@ -9,10 +9,10 @@ import org.apache.spark.sql.SparkSession
   * lets Catalyst prune every computed column (an expression-heavy query
   * would "benchmark" a bare scan); noop executes the full plan and
   * discards rows at the sink, which is the honest cost.
-  * EACH query runs once untimed before its timed run, so the reported
-  * number measures the plan, not that query's one-time codegen compile —
-  * without this a trivial 1 500-row expression query "costs" 3 s and
-  * round-over-round per-query deltas are noise.
+  * EACH query runs once untimed (codegen compile, footer caches), then
+  * TWICE timed, reporting the MIN — single timed runs in this container
+  * swing 2× on GC/scheduling noise, which drowned round-over-round
+  * per-query deltas; min-of-2 is the standard noise floor.
   * A query that throws is OMITTED from the queries map (a sentinel like
   * -1 would corrupt naive sums) and reported in the "failed" list, with
   * "n_failed" flagging that the total excludes those queries.
@@ -50,7 +50,8 @@ object Bench {
 
     val results = names.map { n =>
       runNoop(n) match {                 // warm-up: codegen, footer caches
-        case Right(_) => n -> runNoop(n) // timed second run
+        case Right(_) =>                 // min of two timed runs
+          n -> (for (a <- runNoop(n); b <- runNoop(n)) yield math.min(a, b))
         case left     => n -> left       // failed warm-up: don't re-run
       }
     }

@@ -20,14 +20,13 @@ object Graphs {
     * node) plus one hash aggregation — fully distributed, no driver-side
     * graph. Rounds = graph diameter, the right trade for dedup graphs
     * (near-dup clusters are shallow: bounded diameter, tiny components).
-    * For adversarially deep graphs the literature's fix is the
-    * large-star/small-star reformulation (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC'14) which converges in
-    * O(log²) rounds — same join-per-round shape, so it can slot in here
-    * without changing callers. Each round's result is persisted and the
-    * previous round unpersisted, so round N costs one pass, not N
-    * (lineage re-execution), and the convergence probe is a cheap
-    * limit-1 count of changed labels.
+    * For adversarially deep graphs use [[connectedComponentsLogRounds]]
+    * (O(log²) rounds). Each round's labels are localCheckpoint'ed
+    * EAGERLY: persist alone caches the data but leaves the logical plan
+    * growing by one join per round, and a few hundred rounds of nested
+    * plan blow the driver heap just stringifying the tree —
+    * checkpointing truncates lineage to the materialized result. The
+    * convergence probe is a cheap limit-1 count of changed labels.
     *
     * Input: an edge list (undirected; orientation and duplicates don't
     * matter). Output: (id, component) for every node that appears in at
@@ -48,7 +47,7 @@ object Graphs {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .persist()
+        .localCheckpoint(true) // materialize AND truncate lineage
       val changed = next
         .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
         .filter(col("comp") =!= col("old")).limit(1).count()
@@ -69,6 +68,71 @@ object Graphs {
           "logarithmic-round variant for deep graphs")
     }
     labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Connected components in O(log²) rounds via alternating large-star /
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the variant for graphs whose DIAMETER is the
+    * problem (long chains from transitive near-dup runs), where
+    * min-label propagation's diameter-many rounds would dominate.
+    *
+    *  - large-star: every node links its larger neighbors to the
+    *    minimum of its neighborhood (cuts long paths in half);
+    *  - small-star: every node links its smaller-or-equal neighborhood
+    *    to its minimum (flattens toward stars).
+    *
+    * Each operation is one groupBy + one join on the node key — the same
+    * distributed shape as a propagation round — and the edge set
+    * monotonically contracts to one star per component. Convergence =
+    * edge set unchanged (set compare, two bounded probes). Returns
+    * (id, component) like [[connectedComponents]]; GraphsSpec asserts
+    * the two variants agree on chains, cycles, and random graphs. */
+  def connectedComponentsLogRounds(edges: DataFrame, srcCol: String,
+                                   dstCol: String, maxIter: Int = 50): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).filter(col("u") =!= col("v"))
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(mins, Seq("u")).filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    val nodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct().persist()
+    var cur = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // localCheckpoint (not persist): truncates the per-round plan
+      // growth that would otherwise OOM the driver after many rounds
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      converged = next.exceptAll(cur).limit(1).count() == 0 &&
+        cur.exceptAll(next).limit(1).count() == 0
+      cur.unpersist()
+      cur = next
+      it += 1
+    }
+    if (!converged) {
+      cur.unpersist(); nodes.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponentsLogRounds: no fixpoint after $maxIter rounds")
+    }
+    // fixpoint is a star forest directed big→small: u's neighbor IS its
+    // root; roots have no outgoing edge and label themselves
+    val out = nodes.join(cur.select(col("u").as("id"), col("v").as("component")),
+      Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    cur.unpersist(); nodes.unpersist()
+    out
   }
 
   /** Cluster assignment for dedup: every doc that appears in ≥ 1 pair,

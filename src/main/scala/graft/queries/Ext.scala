@@ -135,6 +135,19 @@ object Ext {
         .select(col("label"), col("dim"), col("qsum"), col("n"),
           (col("qsum").cast("double") / (col("n") * 1048576.0)).as("centroid"))),
 
+    // vector feature engineering: clip / threshold-count / l2 — the
+    // per-row array surface (HOFs stay codegen'd; folds are strict
+    // left-to-right doubles, matching DuckDB's sequential list_sum /
+    // list_dot_product, so the oracle is exact)
+    "x_vector_features" -> ((s, d) => {
+      val vd = transform(col("embedding"), x => x.cast("double"))
+      val clipped = transform(vd, x => greatest(least(x, lit(0.05)), lit(-0.05)))
+      t(s, d, "embeddings").select(col("vec_id"),
+        aggregate(clipped, lit(0.0), (a, x) => a + x).as("clip_sum"),
+        size(filter(vd, x => x > 0.05)).as("n_above"),
+        graft.functions.Vectors.l2Norm(col("embedding")).as("l2"))
+    }),
+
     // ---- text analysis ----
     "x_text_stats" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -647,6 +660,15 @@ object Ext {
          SELECT CAST(1 AS INTEGER) AS stage, 'view' AS event_type, count(*) AS n_users FROM t1
          UNION ALL SELECT 2, 'click', count(*) FROM t2
          UNION ALL SELECT 3, 'purchase', count(*) FROM t3""",
+
+    "x_vector_features" ->
+      """SELECT vec_id,
+           list_sum(list_transform(embedding,
+             x -> greatest(least(CAST(x AS DOUBLE), 0.05), -0.05))) AS clip_sum,
+           CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.05)) AS INTEGER) AS n_above,
+           sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                 list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS l2
+         FROM embeddings""",
 
     "x_weighted_sample" ->
       """WITH w AS (SELECT o_orderstatus, o_orderkey,

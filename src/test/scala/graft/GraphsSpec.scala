@@ -45,6 +45,31 @@ class GraphsSpec extends SparkSpec {
       2L -> (2L, 2L), 4L -> (2L, 2L)), s"got $got")
   }
 
+  test("log-rounds variant == propagation on chains, cycles, random graphs") {
+    import org.apache.spark.sql.functions.col
+    def both(edges: Seq[(Long, Long)]): (Map[Long, Long], Map[Long, Long]) = {
+      val df = edges.toDF("src", "dst")
+      def toMap(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (toMap(Graphs.connectedComponents(df, "src", "dst", maxIter = 300)),
+        toMap(Graphs.connectedComponentsLogRounds(df, "src", "dst")))
+    }
+    // deep chain: diameter 63 — log-rounds converges in ~log² rounds
+    // (50-round budget) where propagation needs one round per hop
+    val chain = (1L until 64L).map(i => i -> (i + 1))
+    val (p1, l1) = both(chain)
+    assert(p1 == l1 && l1.values.forall(_ == 1L))
+    // deterministic pseudo-random graph: 300 nodes, 260 edges -> many
+    // components of varied shape
+    val rng = (1 to 260).map { i =>
+      val a = (i * 2654435761L) % 300 + 1
+      val b = (i * 40503L + 7) % 300 + 1
+      (a, if (a == b) b + 1 else b)
+    }
+    val (p2, l2) = both(rng)
+    assert(p2 == l2, s"variants disagree: ${p2.toSet.diff(l2.toSet).take(5)}")
+  }
+
   test("clusters over planted near-dups partition the pair graph") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
