@@ -138,9 +138,12 @@ object Graphs {
   /** Cluster assignment for dedup: every doc that appears in ≥ 1 pair,
     * with its cluster representative (min doc id in the component) and
     * the cluster size — the "which copies do I drop" table (keep rows
-    * where doc_id = cluster_rep, drop the rest). */
-  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cc = connectedComponents(pairs, aCol, bCol)
+    * where doc_id = cluster_rep, drop the rest). `logRounds` selects the
+    * large-star/small-star variant (deep graphs). */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                    logRounds: Boolean = false): DataFrame = {
+    val cc = if (logRounds) connectedComponentsLogRounds(pairs, aCol, bCol)
+      else connectedComponents(pairs, aCol, bCol)
     val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, Seq("component"))
       .select(col("id").as("doc_id"), col("component").as("cluster_rep"),

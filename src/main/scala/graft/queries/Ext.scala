@@ -50,6 +50,14 @@ object Ext {
         Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
           n = 3, threshold = 0.5, maxBucket = 1000), "doc_a", "doc_b")),
 
+    // the O(log²)-round large-star/small-star variant, graded end-to-end
+    // against the SAME recursive-closure oracle as the propagation form
+    "x_dedup_clusters_logstar" -> ((s, d) =>
+      Graphs.dedupClusters(
+        Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, maxBucket = 1000), "doc_a", "doc_b",
+        logRounds = true)),
+
     // winnowing (MOSS) fingerprints: guaranteed shared fingerprint for any
     // shared run of ≥ k+w−1 words; md5 ordering makes selection portable
     "x_winnow_fingerprint" -> ((s, d) =>
@@ -519,6 +527,36 @@ object Ext {
     })
   )
 
+  /** Transitive closure over the ngram-jaccard pair set (identical pair
+    * SQL to the x_dedup_ngram_jaccard oracle); shared by both connected-
+    * components variants. */
+  private val clustersClosureOracle: String =
+    """WITH RECURSIVE
+       w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (SELECT doc_id,
+              unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    for i in range(1, len(ws) - 1)])) AS s
+              FROM w WHERE len(ws) >= 3),
+       capped AS (SELECT doc_id, s FROM
+                  (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS dfc FROM sh)
+                  WHERE dfc <= 1000),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                 FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+       good AS (SELECT doc_a, doc_b FROM pairs
+                JOIN sizes na ON na.doc_id = doc_a
+                JOIN sizes nb ON nb.doc_id = doc_b
+                WHERE n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+       edges AS (SELECT doc_a AS u, doc_b AS v FROM good
+                 UNION SELECT doc_b, doc_a FROM good),
+       reach AS (SELECT u, v FROM edges
+                 UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                 WHERE e.v <> r.u)
+       SELECT u AS doc_id, least(u, min(v)) AS cluster_rep,
+              CAST(count(DISTINCT v) + 1 AS BIGINT) AS cluster_size
+       FROM reach GROUP BY u"""
+
   val oracle: Map[String, String] = Map(
     "x_dedup_exact" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS n_copies
@@ -590,33 +628,11 @@ object Ext {
 
     // transitive closure by recursive CTE over the ngram-jaccard pair set
     // (identical to the x_dedup_ngram_jaccard oracle), then per-node
-    // component = min reachable id, size = |reachable| + self
-    "x_dedup_clusters" ->
-      """WITH RECURSIVE
-         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         sh AS (SELECT doc_id,
-                unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                                      for i in range(1, len(ws) - 1)])) AS s
-                FROM w WHERE len(ws) >= 3),
-         capped AS (SELECT doc_id, s FROM
-                    (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS dfc FROM sh)
-                    WHERE dfc <= 1000),
-         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-                   FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         good AS (SELECT doc_a, doc_b FROM pairs
-                  JOIN sizes na ON na.doc_id = doc_a
-                  JOIN sizes nb ON nb.doc_id = doc_b
-                  WHERE n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common) >= 0.5),
-         edges AS (SELECT doc_a AS u, doc_b AS v FROM good
-                   UNION SELECT doc_b, doc_a FROM good),
-         reach AS (SELECT u, v FROM edges
-                   UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-                   WHERE e.v <> r.u)
-         SELECT u AS doc_id, least(u, min(v)) AS cluster_rep,
-                CAST(count(DISTINCT v) + 1 AS BIGINT) AS cluster_size
-         FROM reach GROUP BY u""",
+    // component = min reachable id, size = |reachable| + self.
+    // BOTH engine variants (propagation and large-star/small-star) are
+    // graded against this same closure.
+    "x_dedup_clusters" -> clustersClosureOracle,
+    "x_dedup_clusters_logstar" -> clustersClosureOracle,
 
     "x_winnow_fingerprint" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
