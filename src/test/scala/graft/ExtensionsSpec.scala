@@ -39,12 +39,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("graft_shingles / graft_pos_shingles generate rows from SQL") {
+    GraftExtensions.register(spark)
+    Seq(("a b c d", 1L)).toDF("t", "id").createOrReplaceTempView("docs")
+    val sh = spark.sql("SELECT graft_shingles(t, 3) AS sh FROM docs")
+      .collect().map(_.getString(0)).toSet
+    assert(sh == Set("a b c", "b c d"))
+    val pos = spark.sql("SELECT graft_pos_shingles(t, 3) FROM docs")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(pos == Map(0 -> "a b c", 1 -> "b c d"))
+    // non-literal width must fail cleanly, not mis-build the tree
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(t, CAST(id AS INT)) FROM docs").collect()
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
+  }
+
+  test("graft_zvalue from SQL == Warehouse.zValue Column API") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT graft_zvalue(3L, 1L, 4) AS z")
+      .collect()(0).getLong(0)
+    assert(viaSql == 7L)
+    val viaCol = Seq((3L, 1L)).toDF("x", "y")
+      .select(graft.sources.Warehouse.zValue($"x", $"y", 4)).head.getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("GraftExtensions class injects all functions") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e)
     // builder-level smoke: injection must not throw and must cover every
     // registered name (deep validation happens via the runtime path above)
     assert(GraftExtensions.functions.map(_._1).toSet ==
-      Set("graft_dot", "graft_norm", "graft_title_py"))
+      Set("graft_dot", "graft_norm", "graft_title_py",
+        "graft_shingles", "graft_pos_shingles", "graft_zvalue"))
   }
 }
