@@ -344,6 +344,11 @@ object Ext {
         date_format(lag(col("o_orderdate"), 1).over(w), "yyyy-MM-dd").as("prev_order_date"))
     }),
 
+    // fuzzy key join: edit-distance-1 supplier-name pairs via deletion-
+    // neighborhood blocking (FastSS); oracle brute-forces levenshtein
+    "x_fuzzy_join" -> ((s, d) =>
+      graft.operators.Fuzzy.editDistance1Pairs(t(s, d, "supplier"), "s_name")),
+
     // systematic PPS weighted sample: 10 orders per status, probability
     // ∝ price — integer boundary-crossing arithmetic, exact oracle
     "x_weighted_sample" -> ((s, d) =>
@@ -685,6 +690,11 @@ object Ext {
            sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                  list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS l2
          FROM embeddings""",
+
+    "x_fuzzy_join" ->
+      """WITH k AS (SELECT DISTINCT s_name AS k FROM supplier WHERE s_name IS NOT NULL)
+         SELECT a.k AS key_a, b.k AS key_b
+         FROM k a JOIN k b ON a.k < b.k AND levenshtein(a.k, b.k) = 1""",
 
     "x_weighted_sample" ->
       """WITH w AS (SELECT o_orderstatus, o_orderkey,
