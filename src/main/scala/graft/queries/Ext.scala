@@ -30,6 +30,20 @@ object Ext {
   private def dMarker(vs: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${vs.map(v => s"'$v'").mkString(",")})))"
 
+  /** DuckDB renderings of the [[Text]] quality signals (shared by
+    * x_quality and the corpus-clean pipeline oracle). */
+  private val dPunct =
+    "length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE / greatest(length(text), 1)"
+  private val dStop =
+    s"${dMarker(Text.langMarkers.toMap.apply("en"))}::DOUBLE / greatest(len(string_split(text, ' ')), 1)"
+  private val dAvgLen =
+    "(length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE / greatest(len(string_split(text, ' ')), 1)"
+  private val dQuality =
+    s"""least(length(text)::DOUBLE / 500.0, 1.0) * 0.3
+        + (1.0 - least($dPunct * 5.0, 1.0)) * 0.2
+        + least($dStop * 4.0, 1.0) * 0.3
+        + (CASE WHEN $dAvgLen BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup family ----
     "x_dedup_exact" -> ((s, d) =>
@@ -343,6 +357,12 @@ object Ext {
           .cast("double").as("running_spent"),
         date_format(lag(col("o_orderdate"), 1).over(w), "yyyy-MM-dd").as("prev_order_date"))
     }),
+
+    // the flagship composition: the whole LLM-corpus cleaning pipeline
+    // (quality gate → exact dedup → near-dup cluster drop), gate-checked
+    // END TO END against the composed DuckDB oracle
+    "x_corpus_clean" -> ((s, d) =>
+      graft.pipelines.Corpus.clean(t(s, d, "documents"), "doc_id", "text")),
 
     // fuzzy key join: edit-distance-1 supplier-name pairs via deletion-
     // neighborhood blocking (FastSS); oracle brute-forces levenshtein
@@ -809,20 +829,44 @@ object Ext {
           FROM documents"""
     },
 
-    "x_quality" -> {
-      val punct = "length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE / greatest(length(text), 1)"
-      val stop = s"${dMarker(Text.langMarkers.toMap.apply("en"))}::DOUBLE / greatest(len(string_split(text, ' ')), 1)"
-      val avgLen = "(length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE / greatest(len(string_split(text, ' ')), 1)"
+    "x_quality" ->
       s"""SELECT doc_id,
-          $punct AS punct_ratio,
-          $stop AS stopword_ratio,
-          least(length(text)::DOUBLE / 500.0, 1.0) * 0.3
-            + (1.0 - least($punct * 5.0, 1.0)) * 0.2
-            + least($stop * 4.0, 1.0) * 0.3
-            + (CASE WHEN $avgLen BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
-            AS quality
-          FROM documents"""
-    },
+          $dPunct AS punct_ratio,
+          $dStop AS stopword_ratio,
+          $dQuality AS quality
+          FROM documents""",
+
+    // the whole cleaning pipeline, composed: quality gate → exact dedup
+    // (min id per text) → near-dup closure → keep reps + unclustered
+    "x_corpus_clean" ->
+      s"""WITH RECURSIVE
+         q AS (SELECT doc_id, text FROM documents WHERE $dQuality >= 0.5),
+         kept AS (SELECT min(doc_id) AS doc_id, text FROM q GROUP BY text),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+         sh AS (SELECT doc_id,
+                unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in range(1, len(ws) - 1)])) AS s
+                FROM w WHERE len(ws) >= 3),
+         capped AS (SELECT doc_id, s FROM
+                    (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS dfc FROM sh)
+                    WHERE dfc <= 1000),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                   FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         good AS (SELECT doc_a, doc_b FROM pairs
+                  JOIN sizes na ON na.doc_id = doc_a
+                  JOIN sizes nb ON nb.doc_id = doc_b
+                  WHERE n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+         edges AS (SELECT doc_a AS u, doc_b AS v FROM good
+                   UNION SELECT doc_b, doc_a FROM good),
+         reach AS (SELECT u, v FROM edges
+                   UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+                   WHERE e.v <> r.u),
+         clus AS (SELECT u AS doc_id, least(u, min(v)) AS rep
+                  FROM reach GROUP BY u)
+         SELECT k.doc_id FROM kept k LEFT JOIN clus c ON k.doc_id = c.doc_id
+         WHERE c.rep IS NULL OR c.rep = k.doc_id""",
 
     "x_doc_stats_by_source" -> {
       val punct = "length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE / greatest(length(text), 1)"

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.operators.{Dedup, Graphs}
+import graft.pipelines.Corpus
+
+/** End-to-end corpus-clean invariants on the fixture: survivors are a
+  * subset of quality-gated docs, exactly one representative survives per
+  * near-dup cluster, and no surviving pair is still a near-dup. */
+class CorpusSpec extends SparkSpec {
+
+  test("survivor set: gated, exact-deduped, one rep per near-dup cluster") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val survivors = Corpus.clean(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty && survivors.size < docs.count())
+
+    // survivors pass the quality gate
+    val gated = docs.filter(Text.qualityScore(col("text")) >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(gated), "a survivor failed the quality gate")
+
+    // no two survivors share identical text
+    val dupTexts = docs.filter(col("doc_id").isin(survivors.toSeq: _*))
+      .groupBy("text").count().filter(col("count") > 1).count()
+    assert(dupTexts == 0, "exact duplicates survived")
+
+    // each near-dup cluster (over the deduped, gated corpus) contributes
+    // exactly its min-id representative
+    val gatedDocs = docs.filter(Text.qualityScore(col("text")) >= 0.5)
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+    val clusters = Graphs.dedupClusters(
+      Dedup.ngramJaccard(gatedDocs, "doc_id", "text", 3, 0.5), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    clusters.foreach { case (doc, rep) =>
+      assert(survivors.contains(doc) == (doc == rep),
+        s"doc $doc (rep $rep): cluster must keep exactly its representative")
+    }
+  }
+}
