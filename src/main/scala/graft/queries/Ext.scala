@@ -358,6 +358,12 @@ object Ext {
         date_format(lag(col("o_orderdate"), 1).over(w), "yyyy-MM-dd").as("prev_order_date"))
     }),
 
+    // sequence packing: concat-and-chunk docs into 512-token context
+    // windows per source shard — integer window arithmetic, exact oracle
+    "x_pack_chunks" -> ((s, d) =>
+      graft.operators.Pack.concatChunk(
+        t(s, d, "documents"), "source", "doc_id", "text", capacity = 512)),
+
     // the flagship composition: the whole LLM-corpus cleaning pipeline
     // (quality gate → exact dedup → near-dup cluster drop), gate-checked
     // END TO END against the composed DuckDB oracle
@@ -710,6 +716,21 @@ object Ext {
            sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                  list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS l2
          FROM embeddings""",
+
+    "x_pack_chunks" ->
+      """WITH t AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n
+                    FROM documents),
+         c AS (SELECT source, doc_id, n,
+               CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+               FROM t),
+         spans AS (SELECT source, doc_id, n, cum,
+                   CAST((cum - n) // 512 AS BIGINT) AS a,
+                   CAST((cum - 1) // 512 AS BIGINT) AS b
+                   FROM c WHERE n > 0)
+         SELECT source, doc_id, CAST(chunk AS BIGINT) AS chunk_id,
+                CAST(least(cum, (chunk + 1) * 512) -
+                     greatest(cum - n, chunk * 512) AS BIGINT) AS tokens_in_chunk
+         FROM spans, unnest(range(a, b + 1)) AS u(chunk)""",
 
     "x_fuzzy_join" ->
       """WITH k AS (SELECT DISTINCT s_name AS k FROM supplier WHERE s_name IS NOT NULL)

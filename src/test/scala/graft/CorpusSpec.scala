@@ -10,6 +10,24 @@ import graft.pipelines.Corpus
   * near-dup cluster, and no surviving pair is still a near-dup. */
 class CorpusSpec extends SparkSpec {
 
+  test("packing: token mass preserved, every non-final chunk exactly full") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val packed = graft.operators.Pack.concatChunk(
+      docs, "source", "doc_id", "text", capacity = 512)
+    val mass = packed.agg(sum("tokens_in_chunk")).head.getLong(0)
+    val corpus = docs.select(
+      sum(graft.functions.Text.tokenCountWs(col("text")).cast("long")))
+      .head.getLong(0)
+    assert(mass == corpus, s"packed $mass tokens, corpus has $corpus")
+    // per shard: every chunk except the last holds exactly `capacity`
+    val fills = packed.groupBy("source", "chunk_id")
+      .agg(sum("tokens_in_chunk").as("fill"))
+    val lastChunk = fills.groupBy("source").agg(max("chunk_id").as("last"))
+    val short = fills.join(lastChunk, Seq("source"))
+      .filter(col("chunk_id") < col("last") && col("fill") =!= 512)
+    assert(short.count() == 0, "a non-final chunk is not exactly full")
+  }
+
   test("survivor set: gated, exact-deduped, one rep per near-dup cluster") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val survivors = Corpus.clean(docs, "doc_id", "text")
