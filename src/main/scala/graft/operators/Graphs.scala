@@ -115,8 +115,10 @@ object Graphs {
       // localCheckpoint (not persist): truncates the per-round plan
       // growth that would otherwise OOM the driver after many rounds
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      converged = next.exceptAll(cur).limit(1).count() == 0 &&
-        cur.exceptAll(next).limit(1).count() == 0
+      // one symmetric-difference probe job, not two directional ones —
+      // with ~log² rounds the per-job latency is the dominant loop cost
+      converged = next.exceptAll(cur).union(cur.exceptAll(next))
+        .limit(1).count() == 0
       cur.unpersist()
       cur = next
       it += 1
