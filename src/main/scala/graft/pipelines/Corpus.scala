@@ -21,6 +21,43 @@ import graft.operators.{Dedup, Graphs}
   */
 object Corpus {
 
+  /** Benchmark decontamination: training docs that share a winnowing
+    * fingerprint with ANY eval doc — the standard train/eval overlap
+    * check (a shared fingerprint certifies a shared ≥ k+w−1-word run,
+    * the n-gram-overlap definition of contamination). Returns
+    * (doc_id, n_shared) per contaminated training doc.
+    *
+    * Scale shape: both sides reduce to (doc, fp) rows; contamination is
+    * one equi-join on the fingerprint — the eval side is tiny in
+    * practice (benchmarks), so the join broadcasts; never a text-level
+    * comparison. */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3, w: Int = 4): DataFrame = {
+    val tf = Dedup.winnowFingerprints(train, idCol, textCol, k, w)
+    val ef = Dedup.winnowFingerprints(eval, idCol, textCol, k, w)
+      .select(col("fp")).distinct()
+    tf.join(ef, Seq("fp"))
+      .groupBy("doc_id").agg(countDistinct(col("fp")).as("n_shared"))
+  }
+
+  /** Budget-capped mixture: per shard, keep docs (in deterministic id
+    * order) while the running token total stays within `budgetTokens` —
+    * the data-mixing step that assembles a training corpus from sources
+    * at fixed token budgets. One window pass per shard, integer
+    * arithmetic. A doc that would cross the budget is excluded (its
+    * successors too: the budget is a prefix, keeping mixtures
+    * reproducible). */
+  def budgetMix(docs: DataFrame, shardCol: String, idCol: String,
+                textCol: String, budgetTokens: Long): DataFrame = {
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs.select(col(shardCol).as("source"), col(idCol).as("doc_id"),
+      Text.tokenCountWs(col(textCol)).cast("long").as("n"))
+      .withColumn("cum", sum(col("n")).over(byShard))
+      .filter(col("cum") <= budgetTokens)
+      .select("source", "doc_id", "cum")
+  }
+
   /** Surviving doc ids after quality gate + exact dedup + near-dup
     * cluster drop. */
   def clean(docs: DataFrame, idCol: String, textCol: String,

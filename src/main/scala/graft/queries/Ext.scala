@@ -358,6 +358,21 @@ object Ext {
         date_format(lag(col("o_orderdate"), 1).over(w), "yyyy-MM-dd").as("prev_order_date"))
     }),
 
+    // benchmark decontamination: train docs (id % 10 != 0) sharing a
+    // winnow fingerprint with the eval split (id % 10 == 0)
+    "x_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.pipelines.Corpus.contamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    }),
+
+    // budget-capped mixture: first 500 tokens per source, id order
+    // (budget < per-source token mass, so the cap actually binds)
+    "x_data_mix" -> ((s, d) =>
+      graft.pipelines.Corpus.budgetMix(
+        t(s, d, "documents"), "source", "doc_id", "text", budgetTokens = 500L)),
+
     // sequence packing: concat-and-chunk docs into 512-token context
     // windows per source shard — integer window arithmetic, exact oracle
     "x_pack_chunks" -> ((s, d) =>
@@ -588,7 +603,36 @@ object Ext {
               CAST(count(DISTINCT v) + 1 AS BIGINT) AS cluster_size
        FROM reach GROUP BY u"""
 
+  /** Winnowing fingerprints of a filtered doc set, as a parenthesized
+    * subquery (shared by x_winnow_fingerprint and decontamination). */
+  private def dWinnow(pred: String): String =
+    s"""(WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE $pred),
+        g AS (SELECT doc_id, i AS pos,
+                     md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+              FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+                    FROM w WHERE len(ws) >= 3)),
+        m AS (SELECT doc_id, pos,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                     count(*) OVER (PARTITION BY doc_id) AS n
+              FROM g)
+        SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n - 3)"""
+
   val oracle: Map[String, String] = Map(
+    "x_decontaminate" ->
+      s"""WITH tf AS (SELECT * FROM ${dWinnow("doc_id % 10 <> 0")}),
+          ef AS (SELECT DISTINCT fp FROM ${dWinnow("doc_id % 10 = 0")})
+          SELECT tf.doc_id, count(DISTINCT tf.fp) AS n_shared
+          FROM tf JOIN ef USING (fp) GROUP BY 1""",
+
+    "x_data_mix" ->
+      """WITH t AS (SELECT source, doc_id,
+                    len(string_split(text, ' ')) AS n FROM documents),
+         c AS (SELECT source, doc_id,
+               CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+               FROM t)
+         SELECT source, doc_id, cum FROM c WHERE cum <= 500""",
     "x_dedup_exact" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS n_copies
          FROM documents GROUP BY text""",
@@ -666,17 +710,7 @@ object Ext {
     "x_dedup_clusters_logstar" -> clustersClosureOracle,
 
     "x_winnow_fingerprint" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         g AS (SELECT doc_id, i AS pos,
-                      md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
-               FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
-                     FROM w WHERE len(ws) >= 3)),
-         m AS (SELECT doc_id, pos,
-                      min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-                      count(*) OVER (PARTITION BY doc_id) AS n
-               FROM g)
-         SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n - 3""",
+      s"""SELECT doc_id, fp FROM ${dWinnow("TRUE")}""",
 
     "x_gap_fill" ->
       """WITH e AS (SELECT user_id,

@@ -28,6 +28,38 @@ class CorpusSpec extends SparkSpec {
     assert(short.count() == 0, "a non-final chunk is not exactly full")
   }
 
+  test("contamination flags planted near-dups across a train/eval split") {
+    import spark.implicits._
+    val eval_ = Seq((1000L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "xx yy alpha beta gamma delta epsilon zeta zz"), // shares 6-word run
+      (2L, "totally unrelated words that never overlap anything"))
+      .toDF("doc_id", "text")
+    val got = Corpus.contamination(train, eval_, "doc_id", "text")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got == Set(1L), s"got $got")
+  }
+
+  test("budget mix: prefix per shard, never over budget, cap binds") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val mix = Corpus.budgetMix(docs, "source", "doc_id", "text", 500L)
+    val perSource = mix.groupBy("source").agg(max("cum").as("spent"),
+      count(lit(1)).as("kept")).collect()
+    assert(perSource.forall(_.getLong(1) <= 500L), "budget exceeded")
+    val totalDocs = docs.count()
+    assert(mix.count() < totalDocs, "cap never bound — raise corpus or lower budget")
+    // prefix property: kept ids per source are exactly the smallest ids
+    val bySource = mix.collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val allBySource = docs.select("source", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    bySource.foreach { case (src, kept) =>
+      assert(allBySource(src).take(kept.size).toSet == kept,
+        s"$src: kept ids are not the id-order prefix")
+    }
+  }
+
   test("survivor set: gated, exact-deduped, one rep per near-dup cluster") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val survivors = Corpus.clean(docs, "doc_id", "text")
