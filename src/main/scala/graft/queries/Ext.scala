@@ -182,6 +182,17 @@ object Ext {
       t(s, d, "documents").select(col("doc_id"), col("lang"),
         Text.langId(col("text")).as("lang_pred"))),
 
+    // intra-document repetition (the Gopher-style repetition filter):
+    // duplicated-3-gram ratio from the positional vs distinct gram counts
+    "x_repetition" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.explodePositionalShingles(col("text"), 3).as(Seq("pos", "sh")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), countDistinct(col("sh")).as("n_distinct"))
+        .withColumn("rep_ratio", lit(1.0) -
+          col("n_distinct").cast("double") / col("n_grams").cast("double"))),
+
     "x_quality" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         Text.punctRatio(col("text")).as("punct_ratio"),
@@ -883,6 +894,17 @@ object Ext {
                ELSE 'en' END AS lang_pred
           FROM documents"""
     },
+
+    "x_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id,
+                      [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       for i in range(1, len(ws) - 1)] AS gs
+               FROM w WHERE len(ws) >= 3)
+         SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+                CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+                1.0 - len(list_distinct(gs))::DOUBLE / len(gs)::DOUBLE AS rep_ratio
+         FROM g""",
 
     "x_quality" ->
       s"""SELECT doc_id,

@@ -61,6 +61,15 @@ object Io {
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** ORC scan/sink — the other columnar warehouse format (Hive
+    * ecosystems); built into Spark, same pushdown/pruning machinery as
+    * parquet. Exercised by an exact round-trip in PipelineSpec. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   private val tables = Seq("clients", "crm_clients", "vehicles", "policies",
     "claims", "payments")
 

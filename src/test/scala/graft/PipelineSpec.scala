@@ -35,6 +35,15 @@ class PipelineSpec extends SparkSpec {
     assert(Io.readText(spark, s"$dir/docs").count() == docs.count())
   }
 
+  test("ORC round-trip preserves lineitem exactly") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val dir = Files.createTempDirectory("graft_orc").toString
+    Io.writeOrc(li, s"$dir/li")
+    val back = Io.readOrc(spark, s"$dir/li")
+    assert(back.schema == li.schema)
+    assert(back.exceptAll(li).count() == 0 && li.exceptAll(back).count() == 0)
+  }
+
   test("error policy: FailFast throws, Continue isolates the bad table") {
     // raw dir missing the vehicles table entirely
     val dir = Files.createTempDirectory("graft_policy").toString
