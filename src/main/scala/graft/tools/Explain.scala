@@ -10,7 +10,8 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("q_fact_summary", "j2_fk_join", "e1_titlecase", "x_cos_topk")
+      else Seq("q_fact_summary", "j2_fk_join", "e1_titlecase", "x_cos_topk",
+        "x_winnow_fingerprint", "x_corr_stats", "x_funnel", "x_pack_chunks")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1,97 +1,94 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
-import graft.functions.Cleanse
+import graft.operators.{Dedup, Evolve, Graphs}
+import graft.sources.Warehouse
 
-/** Property tests (SURVEY.md §5): cleansing idempotence, null
-  * monotonicity, row-accounting invariants — scalacheck generators over
-  * adversarial strings (whitespace, accents, punctuation, empties),
-  * sampled with fixed seeds (plain scalacheck; the scalatest bridge
-  * artifact isn't on the offline classpath). */
+/** Seeded randomized properties — invariants that must hold for ANY
+  * input, checked across many generated cases (deterministic seeds, so
+  * failures reproduce). */
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private val dirtyString: Gen[String] = for {
-    base <- Gen.oneOf(
-      Gen.alphaNumStr,
-      Gen.oneOf("básica", "DAÑOS por CLIMA", "o'brien", "a-b", "x y z",
-        "++34 (600) 111-222", "john@ex.com", "bad@@mail", "", " ", "\t"),
-      Gen.listOf(Gen.oneOf('a', 'Á', '9', ' ', '\'', '-', '@', '.', '+'))
-        .map(_.mkString))
-    pad <- Gen.oneOf("", " ", "  ", "\t")
-  } yield pad + base + pad
-
-  private def samples(n: Int, seed: Long): List[String] =
-    Gen.listOfN(n, dirtyString)
-      .pureApply(Gen.Parameters.default, Seed(seed))
-
-  private def evalOne(c: org.apache.spark.sql.Column, in: Option[String]): Any =
-    Seq(in).toDF("x").select(c.as("y")).collect()(0).get(0)
-
-  private val unary: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
-    ("titleCase", Cleanse.titleCase),
-    ("titleCasePy", Cleanse.titleCasePy),
-    ("upperTrim", Cleanse.upperTrim),
-    ("normalizePhone", Cleanse.normalizePhone),
-    ("normalizePlate", Cleanse.normalizePlate),
-    ("validEmail", Cleanse.validEmail))
-
-  test("cleansing is idempotent: clean(clean(x)) == clean(x)") {
-    for (seed <- 1L to 5L) {
-      val df = samples(40, seed).map(Option(_)).toDF("x")
-      for ((name, f) <- unary) {
-        val once = df.select(f($"x").as("y"))
-        val l = once.collect().map(_.get(0)).toSeq
-        val r = once.select(f($"y").as("y")).collect().map(_.get(0)).toSeq
-        assert(l == r, s"$name not idempotent (seed=$seed)")
+  test("mergeAggregates(split) == full recompute, for random data and splits") {
+    val rng = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      val rows = (1 to 200).map { i =>
+        val key = rng.nextInt(20).toLong
+        val amt = Option.when(rng.nextInt(10) > 0)(
+          new java.math.BigDecimal(rng.nextInt(100000)).movePointLeft(2))
+        (key, amt)
       }
+      val df = rows.toDF("k", "v").withColumn("v", col("v").cast("decimal(18,2)"))
+      def agg(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy("k").agg(sum(col("v")).as("s"), count(col("v")).as("n"))
+      val cut = rng.nextInt(199) + 1
+      val (a, b) = (rows.take(cut), rows.drop(cut))
+      val merged = Evolve.mergeAggregates(
+        agg(a.toDF("k", "v").withColumn("v", col("v").cast("decimal(18,2)"))),
+        agg(b.toDF("k", "v").withColumn("v", col("v").cast("decimal(18,2)"))), "k")
+      val full = agg(df)
+      assert(merged.exceptAll(full).count() == 0 &&
+        full.exceptAll(merged).count() == 0, s"trial $trial (cut=$cut) diverged")
     }
   }
 
-  test("cleansing is null-monotone: null in -> null out") {
-    for ((name, f) <- unary)
-      assert(evalOne(f($"x"), None) == null, s"$name invented a value from null")
-    assert(evalOne(Cleanse.positiveRound2($"x".cast("double")), None) == null)
-    assert(evalOne(Cleanse.validRange($"x".cast("int"), 0, 10), None) == null)
-    assert(evalOne(Cleanse.coerceLenient($"x"), None) == null)
-  }
-
-  test("titleCase/upperTrim never emit empty or untrimmed strings") {
-    val df = samples(80, 7L).map(Option(_)).toDF("x")
-    for (f <- Seq(Cleanse.titleCase _, Cleanse.titleCasePy _, Cleanse.upperTrim _)) {
-      val out = df.select(f($"x").as("y")).as[Option[String]].collect().flatten
-      assert(out.forall(s => s.nonEmpty && s == s.trim))
+  test("zValue round-trips: de-interleaving recovers both coordinates") {
+    val rng = new scala.util.Random(7)
+    val pts = (1 to 300).map(_ => (rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Warehouse.zValue(col("x"), col("y"), 10).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val xBack = (0 until 10).map(j => ((z >> (2 * j)) & 1L) << j).sum
+      val yBack = (0 until 10).map(j => ((z >> (2 * j + 1)) & 1L) << j).sum
+      assert(xBack == x && yBack == y, s"z=$z lost ($x,$y) -> ($xBack,$yBack)")
     }
   }
 
-  test("normalizePlate output is always [A-Z0-9]+ or null") {
-    val out = samples(80, 11L).map(Option(_)).toDF("x")
-      .select(Cleanse.normalizePlate($"x").as("y"))
-      .as[Option[String]].collect().flatten
-    assert(out.forall(_.matches("[A-Z0-9]+")))
-  }
-
-  test("silver row accounting: cleaning never adds rows; filters only remove") {
-    for (seed <- Seq(1L, 99L, 12345L)) {
-      val n = 50 + (seed % 200)
-      val raw = graft.sources.Gen.payments(spark, n, n max 10, seed)
-      val cleaned = graft.pipelines.Silver.payments(raw)
-      assert(cleaned.count() <= raw.count())
-      assert(cleaned.filter($"amount".isNull || $"amount" <= 0).count() == 0)
-      assert(cleaned.filter($"payment_date".isNull).count() == 0)
+  test("connectedComponents == driver-side union-find on random graphs") {
+    val rng = new scala.util.Random(99)
+    for (trial <- 1 to 3) {
+      val n = 60 + rng.nextInt(60)
+      val edges = (1 to n).map(_ =>
+        (rng.nextInt(n).toLong + 1, rng.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      // ground truth: classic union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      // find() compresses to the min id only if unions always attach the
+      // larger root (done above), so truth labels are component minima
+      val got = Graphs.connectedComponents(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"trial $trial: ${got.toSet.diff(truth.toSet).take(3)}")
     }
   }
 
-  test("safeDiv never yields NaN or infinities") {
-    val pairs = Gen.listOfN(60, Gen.zip(
-      Gen.chooseNum(-1e9, 1e9),
-      Gen.oneOf(Gen.const(0.0), Gen.chooseNum(-1e6, 1e6))))
-      .pureApply(Gen.Parameters.default, Seed(3L))
-    val out = pairs.toDF("a", "b")
-      .select(Cleanse.safeDiv($"a", $"b").as("y"))
-      .as[Option[Double]].collect().flatten
-    assert(out.forall(d => !d.isNaN && !d.isInfinite))
+  test("winnowing guarantee holds for random docs with a planted shared run") {
+    val rng = new scala.util.Random(1234)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def words(n: Int) = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 5) {
+      val shared = (1 to 6).map(_ => s"s${rng.nextInt(1000)}").mkString(" ")
+      val docs = Seq(
+        (1L, s"${words(rng.nextInt(10))} $shared ${words(rng.nextInt(10))}"),
+        (2L, s"${words(rng.nextInt(10))} $shared ${words(rng.nextInt(10))}"))
+        .toDF("doc_id", "text")
+      val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(fps.getOrElse(1L, Set()).intersect(fps.getOrElse(2L, Set())).nonEmpty,
+        s"trial $trial: 6-word shared run produced no shared fingerprint")
+    }
   }
 }
