@@ -28,6 +28,34 @@ class SkewSpec extends SparkSpec {
       plain.exceptAll(salted).count() == 0)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in plan)") {
+    // SCALE.md claims AQE covers residual skew — demonstrate it engaging:
+    // thresholds lowered so the fixture's hot key qualifies as skewed
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fatLeft = left.withColumn("pad", lpad(lit("x"), 512, "x"))
+      val joined = fatLeft.join(right, Seq("k"))
+      // collect() THIS dataset (count() would spawn a different
+      // QueryExecution and leave this one's adaptive plan unfinalized);
+      // hot key 1 matches all 9000 skewed rows; tail ids 9,19,29,39,49 < 50
+      assert(joined.collect().length == 9005)
+      // AQE rewrites the executed plan during the run; the final plan
+      // marks the rebalanced join with skew=true
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedSumCount == plain groupBy sum/count") {
     val plain = left.groupBy("k").agg(
       sum($"v".cast("decimal(18,2)")).cast("double").as("sum_v"),
