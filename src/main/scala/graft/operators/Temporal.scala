@@ -53,7 +53,7 @@ object Temporal {
       lit(null).cast(right.select(payload).schema.head.dataType))
     val r = right.select(col(key), col(tsCol), payload.as("_p"))
       .withColumn("_side", lit(0))
-    val unioned = l.select((left.columns.map(col) :+ col("_side") :+ col("_p")): _*)
+    val unioned = l.select(left.columns.toIndexedSeq.map(col) :+ col("_side") :+ col("_p"): _*)
       .unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol).asc, col("_side").asc)
