@@ -182,6 +182,24 @@ object Ext {
       t(s, d, "documents").select(col("doc_id"), col("lang"),
         Text.langId(col("text")).as("lang_pred"))),
 
+    // outlier report for feature prep: per-group p05/p95 fences (exact
+    // interpolated percentiles — Spark percentile ≡ DuckDB quantile_cont
+    // bit-exactly, proven by x_percentile) + winsorization head/tail
+    // counts. Counts instead of clipped sums: the fence is an arbitrary-
+    // precision double, and summing many copies of it is float-order
+    // territory — the integer report is exact and what a pipeline logs.
+    "x_outlier_clip" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag").agg(
+          expr("percentile(l_extendedprice, 0.05)").as("p05"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          count(lit(1)).as("n"))
+        .join(t(s, d, "lineitem"), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("p05"), col("p95"), col("n"))
+        .agg(count(when(col("l_extendedprice") < col("p05"), 1)).as("n_below"),
+          count(when(col("l_extendedprice") > col("p95"), 1)).as("n_above"))
+        .select("l_returnflag", "p05", "p95", "n", "n_below", "n_above")),
+
     // intra-document repetition (the Gopher-style repetition filter):
     // duplicated-3-gram ratio from the positional vs distinct gram counts
     "x_repetition" -> ((s, d) =>
@@ -894,6 +912,18 @@ object Ext {
                ELSE 'en' END AS lang_pred
           FROM documents"""
     },
+
+    "x_outlier_clip" ->
+      """WITH p AS (SELECT l_returnflag,
+                    quantile_cont(l_extendedprice, 0.05) AS p05,
+                    quantile_cont(l_extendedprice, 0.95) AS p95,
+                    count(*) AS n
+                    FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, p05, p95, n,
+                count(CASE WHEN l.l_extendedprice < p05 THEN 1 END) AS n_below,
+                count(CASE WHEN l.l_extendedprice > p95 THEN 1 END) AS n_above
+         FROM lineitem l JOIN p ON l.l_returnflag = p.l_returnflag
+         GROUP BY 1, 2, 3, 4""",
 
     "x_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
