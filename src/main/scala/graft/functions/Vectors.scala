@@ -76,18 +76,25 @@ object Vectors {
 
   /** Vector dimensionality from the data: one bounded single-row action
     * (like the IVF centroid sample — parameter-sized, never O(data)).
-    * Empty input returns 1 (any dim works on zero rows). */
+    * Null vectors are skipped (their size is NULL and would NPE the
+    * driver-side read); empty/all-null input returns 1 (any dim works
+    * when no vector ever reaches the guard). */
   def deriveDim(df: org.apache.spark.sql.DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(1)
 
   /** Fail-fast dimension guard: passes `v` through unchanged when its
     * length equals `dim`, raises otherwise. Without this a mismatched
     * vector makes every plane projection null → every row lands in one
     * LSH bucket and the bucket self-join silently degenerates to the
-    * O(n²) cross join the blocking exists to avoid. */
+    * O(n²) cross join the blocking exists to avoid. NULL vectors pass
+    * through as null (they hash to bucket 0 and are dropped by the
+    * zero-norm cosine verify, as before this guard existed) — only a
+    * present-but-mis-sized vector is a hard error. */
   def requireDim(v: Column, dim: Int, op: String): Column =
-    when(assert_true(size(v) === dim,
-      concat(lit(s"$op: vector length "), size(v).cast("string"),
-        lit(s" != expected dim $dim"))).isNull, v)
+    when(v.isNull, v)
+      .otherwise(when(assert_true(size(v) === dim,
+        concat(lit(s"$op: vector length "), size(v).cast("string"),
+          lit(s" != expected dim $dim"))).isNull, v))
 }

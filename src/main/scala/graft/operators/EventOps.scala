@@ -74,9 +74,14 @@ object EventOps {
     * window pass accumulates. Spine size is bounded by the time range,
     * not the event count. */
   def gapFillHourly(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    // true FLOOR division (`div` truncates toward zero, which would put
+    // pre-1970 events in the wrong hour and diverge from the oracle's
+    // floor(epoch/3600))
     val base = df.select(col(userCol).as("user_id"),
       unix_micros(col(tsCol)).as("us"))
-      .select(col("user_id"), expr("us div 3600000000").as("h"))
+      .select(col("user_id"),
+        (expr("us div 3600000000") -
+          when(expr("us % 3600000000") < 0, 1).otherwise(0)).as("h"))
     val counts = base.groupBy("user_id", "h").agg(count(lit(1)).as("n"))
     val bounds = counts.groupBy("user_id")
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
@@ -100,7 +105,13 @@ object EventOps {
     * Scale shape: one filtered aggregation per stage, chained by
     * equi-joins on user — |stages| keyed shuffles, no self-join blowup,
     * no per-user event lists (the classic collect_list funnel holds a
-    * user's whole history in one row; this never does). */
+    * user's whole history in one row; this never does).
+    *
+    * A REPEATED stage name ("view → view" re-engagement) requires a
+    * strictly LATER event — with `>=` the single event that anchored
+    * stage i−1 would satisfy stage i too and every one-event user would
+    * "complete" both. Distinct consecutive stages keep `>=` (ties
+    * between different event types count). */
   def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
              stages: Seq[String], windowSec: Long): DataFrame = {
     require(stages.nonEmpty, "funnel: stages must be non-empty")
@@ -108,11 +119,13 @@ object EventOps {
       unix_micros(col(tsCol)).as("us"))
     val first = e.filter(col("et") === stages.head)
       .groupBy("user_id").agg(min(col("us")).as("t"))
-    val reached = stages.tail.scanLeft(first) { (prev, s) =>
-      e.filter(col("et") === s).join(prev, Seq("user_id"))
-        .filter(col("us") >= col("t") &&
-          col("us") <= col("t") + windowSec * 1000000L)
-        .groupBy("user_id").agg(min(col("us")).as("t"))
+    val reached = stages.tail.zip(stages).scanLeft(first) {
+      case (prev, (s, prevStage)) =>
+        val after = if (s == prevStage) col("us") > col("t")
+          else col("us") >= col("t")
+        e.filter(col("et") === s).join(prev, Seq("user_id"))
+          .filter(after && col("us") <= col("t") + windowSec * 1000000L)
+          .groupBy("user_id").agg(min(col("us")).as("t"))
     }
     reached.zip(stages).zipWithIndex.map { case ((stage, name), i) =>
       stage.agg(count(lit(1)).as("n_users"))

@@ -21,16 +21,25 @@ import graft.functions.Text
   */
 object Pack {
 
+  /** Per-shard running token totals — (source, doc_id, n, cum) in
+    * deterministic id order. The shared prologue of [[concatChunk]] and
+    * [[graft.pipelines.Corpus.budgetMix]]: both exact oracles assume
+    * identical tokenization and window framing, so the cumsum lives in
+    * exactly one place. */
+  def tokenCumsumByShard(docs: DataFrame, shardCol: String, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(shardCol).as("source"), col(idCol).as("doc_id"),
+      Text.tokenCountWs(col(textCol)).cast("long").as("n"))
+      .withColumn("cum", sum(col("n"))
+        .over(Window.partitionBy("source").orderBy("doc_id")))
+
   /** Map each doc to the context chunks it occupies: (shard, doc_id,
     * chunk_id, tokens_in_chunk). Token mass is exactly preserved; every
     * chunk but a shard's last holds exactly `capacity` tokens. Empty
     * docs (0 tokens) occupy no chunk. */
   def concatChunk(docs: DataFrame, shardCol: String, idCol: String,
                   textCol: String, capacity: Int): DataFrame = {
-    val t = docs.select(col(shardCol).as("source"), col(idCol).as("doc_id"),
-      Text.tokenCountWs(col(textCol)).cast("long").as("n"))
-    val byShard = Window.partitionBy("source").orderBy("doc_id")
-    t.withColumn("cum", sum(col("n")).over(byShard))
+    tokenCumsumByShard(docs, shardCol, idCol, textCol)
       .filter(col("n") > 0)
       .withColumn("a", expr(s"(cum - n) div $capacity"))
       .withColumn("b", expr(s"(cum - 1) div $capacity"))

@@ -34,8 +34,12 @@ object Sampling {
     df.withColumn("_w", weightCents)
       .withColumn("_cum", sum(col("_w")).over(cum))
       .withColumn("_total", sum(col("_w")).over(byGroup))
-      .filter(expr(s"((_cum - _w) * $k) div _total") <
-        expr(s"(_cum * $k) div _total"))
+      // the division sits inside when(): an all-zero-weight group has
+      // _total = 0 and must yield NO picks, not an ANSI DIVIDE_BY_ZERO
+      // that kills every other group's sample
+      .filter(when(col("_total") > 0,
+        expr(s"((_cum - _w) * $k) div _total") <
+          expr(s"(_cum * $k) div _total")).otherwise(false))
       .drop("_w", "_cum", "_total")
   }
 }

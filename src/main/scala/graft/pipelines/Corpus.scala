@@ -48,15 +48,10 @@ object Corpus {
     * successors too: the budget is a prefix, keeping mixtures
     * reproducible). */
   def budgetMix(docs: DataFrame, shardCol: String, idCol: String,
-                textCol: String, budgetTokens: Long): DataFrame = {
-    val byShard = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-    docs.select(col(shardCol).as("source"), col(idCol).as("doc_id"),
-      Text.tokenCountWs(col(textCol)).cast("long").as("n"))
-      .withColumn("cum", sum(col("n")).over(byShard))
+                textCol: String, budgetTokens: Long): DataFrame =
+    graft.operators.Pack.tokenCumsumByShard(docs, shardCol, idCol, textCol)
       .filter(col("cum") <= budgetTokens)
       .select("source", "doc_id", "cum")
-  }
 
   /** Surviving doc ids after quality gate + exact dedup + near-dup
     * cluster drop. */

@@ -140,9 +140,12 @@ object StreamOps {
     * framework-provided batchId and skips replays, the standard
     * idempotent-sink recipe (a durable deployment persists the applied-id
     * watermark with the result table, e.g. as a transactional write).
-    * Each merge is materialized (persist + count) before the previous
-    * state is unpersisted, so the maintained table is always a bounded
-    * cached plan, not an ever-growing lineage chain. */
+    * Each merge is localCheckpoint'ed EAGERLY — persist would cache the
+    * data but leave the logical plan growing by one full-outer join per
+    * micro-batch (linear analysis cost, eventual driver OOM on a
+    * long-running stream), and a recompute after cache loss would chase
+    * lineage back into expired foreachBatch source frames; checkpointing
+    * truncates the plan to the materialized result every batch. */
   class IncrementalAggSink(key: String, aggOf: DataFrame => DataFrame)
       extends Serializable {
     @volatile private var state: Option[DataFrame] = None
@@ -150,17 +153,12 @@ object StreamOps {
 
     def apply(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (!applied.add(batchId)) return // replayed micro-batch: skip
-      val delta = aggOf(batch).persist()
-      delta.count()
+      val delta = aggOf(batch).localCheckpoint(true)
       state = Some(state match {
         case None => delta
         case Some(cur) =>
-          val merged =
-            graft.operators.Evolve.mergeAggregates(cur, delta, key).persist()
-          merged.count()
-          cur.unpersist()
-          delta.unpersist()
-          merged
+          graft.operators.Evolve.mergeAggregates(cur, delta, key)
+            .localCheckpoint(true)
       })
     }
 

@@ -53,6 +53,19 @@ class EventBreadthSpec extends SparkSpec {
     assert(got == Map(1 -> 1L, 2 -> 1L, 3 -> 1L), s"got $got")
   }
 
+  test("funnel: repeated stage needs a strictly later event") {
+    // one click must not complete a click -> click funnel by itself
+    val events = Seq(
+      (1L, "click", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 10:20:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventOps.funnel(events, "user_id", "event_type", "ts",
+      Seq("click", "click"), windowSec = 3600L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 2L, 2 -> 1L), s"got $got")
+  }
+
   test("gapFillHourly: zero rows for silent hours, running total") {
     val events = Seq(
       (1L, ts("2024-01-01 10:10:00")), (1L, ts("2024-01-01 10:40:00")),

@@ -67,6 +67,13 @@ class ExtSpec extends SparkSpec {
         .collect()
     }
     assert(err.getMessage != null)
+    // null vectors pass through (dropped at the verify), never abort the
+    // job or poison dim derivation when they happen to be scanned first
+    val withNull = Seq((0L, null: Array[Float])).toDF("vec_id", "embedding")
+      .unionByName(v8)
+    val gotN = Dedup.embeddingNearDupLsh(withNull, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotN == Set((1L, 2L)), s"got $gotN")
   }
 
   test("LSH ANN beats a random candidate subset of the same budget") {

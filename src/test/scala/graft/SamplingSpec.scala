@@ -25,6 +25,14 @@ class SamplingSpec extends SparkSpec {
     val gotZ = Sampling.systematicPps(withZero, "g", "id", col("cents"), 2)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(gotZ == Set(2L), "zero-weight rows occupy no segment")
+
+    // an ALL-zero-weight group yields no picks — and must not kill the
+    // other groups with an ANSI divide-by-zero
+    val mixed = Seq(("dead", 1L, 0L), ("dead", 2L, 0L), ("live", 3L, 10L))
+      .toDF("g", "id", "cents")
+    val gotM = Sampling.systematicPps(mixed, "g", "id", col("cents"), 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotM == Set(3L), s"got $gotM")
   }
 
   test("selection frequency tracks weight share on the orders fixture") {
