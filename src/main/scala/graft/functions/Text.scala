@@ -129,6 +129,16 @@ object Text {
     * Spark and DuckDB, so exact-oracle-able). */
   def fingerprintMd5(c: Column): Column = md5(normText(c))
 
+  /** Misra-Gries heavy-hitters aggregate (≤ k counters, mergeable):
+    * `map<term, approx_count>` — see [[graft.plans.MisraGriesAgg]] for
+    * the guarantee. Approximate by design → rows-only, ScalaTest-bounded
+    * against exact counts. */
+  def approxTopTerms(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.MisraGriesAgg(
+      ColumnBridge.expression(c), k).toAggregateExpression())
+  }
+
   /** Rolling polynomial fingerprint (Rabin-Karp style) over the normalized
     * text's characters: h = (h*31 + code) mod 1e9+7. Folded with
     * aggregate() so it stays a Column expression; pmod keeps the

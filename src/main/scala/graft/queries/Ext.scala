@@ -217,6 +217,15 @@ object Ext {
         Text.stopwordRatio(col("text")).as("stopword_ratio"),
         Text.qualityScore(col("text")).as("quality"))),
 
+    // Misra-Gries frequent terms (rows-only: approximate by design, the
+    // bounded-memory alternative to the exact x_doc_top_terms path)
+    "x_top_terms_sketch" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .agg(Text.approxTopTerms(col("term"), 20).as("sketch"))
+        .select(explode(col("sketch")).as(Seq("term", "approx_count")))),
+
     "x_doc_stats_by_source" -> ((s, d) =>
       t(s, d, "documents").groupBy("source").agg(
         count(lit(1)).as("n_docs"),

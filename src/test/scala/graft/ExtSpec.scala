@@ -113,6 +113,27 @@ class ExtSpec extends SparkSpec {
     assert(buckets.forall(_.getLong(1) < n / 2), "degenerate LSH bucketing")
   }
 
+  test("Misra-Gries sketch honors the heavy-hitter guarantee vs exact counts") {
+    val tok = docs.select(explode(Text.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val n = tok.count()
+    val k = 20
+    val exact = tok.groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = tok.agg(Text.approxTopTerms(col("term"), k))
+      .head.getMap[String, Long](0)
+    val bound = n / (k + 1)
+    // completeness: every true heavy hitter survives
+    exact.filter(_._2 > bound).foreach { case (t, c) =>
+      assert(sketch.contains(t), s"heavy hitter '$t' ($c > $bound) missing")
+    }
+    // soundness: reported counts never exceed truth, undercount ≤ n/(k+1)
+    sketch.foreach { case (t, c) =>
+      assert(c <= exact(t), s"'$t' overcounted: $c > ${exact(t)}")
+      assert(exact(t) - c <= bound, s"'$t' undercounted beyond bound")
+    }
+  }
+
   test("shingle generator == composable shingles, incl. trailing/double spaces") {
     // Scala's split(Char) DROPS trailing empty tokens; Spark's split and
     // DuckDB's string_split keep them. The generator must match Spark.
