@@ -188,17 +188,24 @@ object Ext {
     // counts. Counts instead of clipped sums: the fence is an arbitrary-
     // precision double, and summing many copies of it is float-order
     // territory — the integer report is exact and what a pipeline logs.
-    "x_outlier_clip" -> ((s, d) =>
+    "x_outlier_clip" -> ((s, d) => {
+      // window form: the fences come from a per-group WINDOW aggregate,
+      // so lineitem is scanned ONCE (the agg-then-self-join form scans
+      // twice — scan cost dominates at 100 TB)
+      val byFlag = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
       t(s, d, "lineitem")
-        .groupBy("l_returnflag").agg(
-          expr("percentile(l_extendedprice, 0.05)").as("p05"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95"),
-          count(lit(1)).as("n"))
-        .join(t(s, d, "lineitem"), Seq("l_returnflag"))
-        .groupBy(col("l_returnflag"), col("p05"), col("p95"), col("n"))
-        .agg(count(when(col("l_extendedprice") < col("p05"), 1)).as("n_below"),
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("p05",
+          expr("percentile(l_extendedprice, 0.05)").over(byFlag))
+        .withColumn("p95",
+          expr("percentile(l_extendedprice, 0.95)").over(byFlag))
+        .groupBy(col("l_returnflag"), col("p05"), col("p95"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("l_extendedprice") < col("p05"), 1)).as("n_below"),
           count(when(col("l_extendedprice") > col("p95"), 1)).as("n_above"))
-        .select("l_returnflag", "p05", "p95", "n", "n_below", "n_above")),
+        .select("l_returnflag", "p05", "p95", "n", "n_below", "n_above")
+    }),
 
     // intra-document repetition (the Gopher-style repetition filter):
     // duplicated-3-gram ratio from the positional vs distinct gram counts
