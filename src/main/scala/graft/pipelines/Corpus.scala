@@ -40,6 +40,23 @@ object Corpus {
       .groupBy("doc_id").agg(countDistinct(col("fp")).as("n_shared"))
   }
 
+  /** [[contamination]] when train and eval are SPLITS of one corpus:
+    * the expensive fingerprint pass (text scan + gram generator + window
+    * shuffle) runs ONCE over the whole corpus; the split flag joins in
+    * from a cheap two-column scan — the two-frame form would fingerprint
+    * the corpus twice. */
+  def contaminationBySplit(docs: DataFrame, idCol: String, textCol: String,
+                           evalPred: org.apache.spark.sql.Column,
+                           k: Int = 3, w: Int = 4): DataFrame = {
+    val fps = Dedup.winnowFingerprints(docs, idCol, textCol, k, w)
+      .join(docs.select(col(idCol).as("doc_id"), evalPred.as("_eval")),
+        Seq("doc_id"))
+    val ef = fps.filter(col("_eval")).select(col("fp")).distinct()
+    fps.filter(!col("_eval"))
+      .join(ef, Seq("fp"))
+      .groupBy("doc_id").agg(countDistinct(col("fp")).as("n_shared"))
+  }
+
   /** Budget-capped mixture: per shard, keep docs (in deterministic id
     * order) while the running token total stays within `budgetTokens` —
     * the data-mixing step that assembles a training corpus from sources

@@ -404,13 +404,12 @@ object Ext {
     }),
 
     // benchmark decontamination: train docs (id % 10 != 0) sharing a
-    // winnow fingerprint with the eval split (id % 10 == 0)
-    "x_decontaminate" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      graft.pipelines.Corpus.contamination(
-        docs.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
-    }),
+    // winnow fingerprint with the eval split (id % 10 == 0) — the
+    // split form fingerprints the corpus ONCE
+    "x_decontaminate" -> ((s, d) =>
+      graft.pipelines.Corpus.contaminationBySplit(
+        t(s, d, "documents"), "doc_id", "text",
+        col("doc_id") % 10 === 0)),
 
     // budget-capped mixture: first 500 tokens per source, id order
     // (budget < per-source token mass, so the cap actually binds)

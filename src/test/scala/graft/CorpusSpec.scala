@@ -40,6 +40,17 @@ class CorpusSpec extends SparkSpec {
     assert(got == Set(1L), s"got $got")
   }
 
+  test("contaminationBySplit == two-frame contamination on the fixture") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val pred = col("doc_id") % 10 === 0
+    val split = Corpus.contaminationBySplit(docs, "doc_id", "text", pred)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoFrame = Corpus.contamination(
+      docs.filter(!pred), docs.filter(pred), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(split == twoFrame && split.nonEmpty, s"split=${split.size} two=${twoFrame.size}")
+  }
+
   test("budget mix: prefix per shard, never over budget, cap binds") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val mix = Corpus.budgetMix(docs, "source", "doc_id", "text", 500L)
