@@ -67,7 +67,16 @@ object Graphs {
           "(graph diameter exceeds maxIter); raise maxIter or use a " +
           "logarithmic-round variant for deep graphs")
     }
-    labels.select(col("id"), col("comp").as("component"))
+    // materialize the result BEFORE releasing the per-round blocks: the
+    // caller's action must never depend on storage this method just
+    // dropped (unpersist is non-blocking — depending on it is a race
+    // that only loses on a busy cluster). The final checkpoint is the
+    // method's only retained storage and is GC-cleaned once the caller
+    // drops the frame.
+    val out = labels.select(col("id"), col("comp").as("component"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Connected components in O(log²) rounds via alternating large-star /
@@ -84,7 +93,8 @@ object Graphs {
     * Each operation is one groupBy + one join on the node key — the same
     * distributed shape as a propagation round — and the edge set
     * monotonically contracts to one star per component. Convergence =
-    * edge set unchanged (set compare, two bounded probes). Returns
+    * edge set unchanged (count probe per round; set compare only once
+    * the monotone count stabilizes). Returns
     * (id, component) like [[connectedComponents]]; GraphsSpec asserts
     * the two variants agree on chains, cycles, and random graphs. */
   def connectedComponentsLogRounds(edges: DataFrame, srcCol: String,
@@ -109,18 +119,25 @@ object Graphs {
       .union(edges.select(col(dstCol).as("id"))).distinct().persist()
     var cur = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var curCount = cur.count() // cached blocks: a partition-count sum
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       // localCheckpoint (not persist): truncates the per-round plan
       // growth that would otherwise OOM the driver after many rounds
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      // one symmetric-difference probe job, not two directional ones —
-      // with ~log² rounds the per-job latency is the dominant loop cost
-      converged = next.exceptAll(cur).union(cur.exceptAll(next))
-        .limit(1).count() == 0
+      // Convergence probe in two tiers. Both steps map each input edge
+      // to AT MOST one output edge and then dedupe, so the edge count is
+      // monotone non-increasing — while it still shrinks (most rounds) a
+      // cheap count over the just-checkpointed blocks settles it, and
+      // the shuffling exceptAll probe runs only once counts stabilize
+      // (equal-size distinct sets + empty one-sided difference ⇒ equal).
+      val nextCount = next.count()
+      converged = nextCount == curCount &&
+        next.exceptAll(cur).limit(1).count() == 0
       cur.unpersist()
       cur = next
+      curCount = nextCount
       it += 1
     }
     if (!converged) {
@@ -129,10 +146,15 @@ object Graphs {
         s"connectedComponentsLogRounds: no fixpoint after $maxIter rounds")
     }
     // fixpoint is a star forest directed big→small: u's neighbor IS its
-    // root; roots have no outgoing edge and label themselves
+    // root; roots have no outgoing edge and label themselves.
+    // Materialize BEFORE unpersisting cur/nodes: the lazy plan reads both
+    // frames' checkpoint blocks, and a non-blocking unpersist racing the
+    // caller's first action works locally by timing luck only — on a
+    // busy cluster the blocks drop first and the plan is unrecomputable.
     val out = nodes.join(cur.select(col("u").as("id"), col("v").as("component")),
       Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint(true)
     cur.unpersist(); nodes.unpersist()
     out
   }
