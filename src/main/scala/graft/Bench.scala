@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is OMITTED from the queries map (a sentinel like
   * -1 would corrupt naive sums) and reported in the "failed" list, with
   * "n_failed" flagging that the total excludes those queries.
+  * AFTER every run the session's block-manager state is reset
+  * (CheckpointBlocks.releaseAll): iterative queries leave checkpointed
+  * results pinned until driver GC, and in a shared JVM those surviving
+  * blocks contaminated later measurements by 2–40× (BENCH_r03/r04
+  * showed alphabetically-adjacent queries inheriting the previous
+  * query's storage pressure). Isolation per run makes each number the
+  * query's own cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,6 +48,10 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         Left(s"${e.getClass.getSimpleName}")
+      } finally {
+        // reset storage between measurements — leaked checkpoint/persist
+        // blocks from one run must not tax the next (see scaladoc)
+        graft.plans.CheckpointBlocks.releaseAll(spark)
       }
     }
 

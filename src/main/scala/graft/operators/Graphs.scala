@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.plans.CheckpointBlocks
+
 /** Graph operators for the dedup pipeline (SURVEY.md §2.10): near-dup
   * detectors ([[Dedup]]) emit PAIRS, but dropping duplicates from a corpus
   * needs CLUSTERS — the transitive closure of the pair graph, with one
@@ -51,7 +53,12 @@ object Graphs {
       val changed = next
         .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
         .filter(col("comp") =!= col("old")).limit(1).count()
+      // round 0's labels are persist()-cached (unpersist), later rounds
+      // are checkpointed (unpersist is a CacheManager no-op there — drop
+      // the blocks via the LogicalRDD leaf instead). `next` is already
+      // materialized, so nothing live reads the old round's blocks.
       labels.unpersist()
+      CheckpointBlocks.release(labels)
       labels = next
       converged = changed == 0
       it += 1
@@ -61,21 +68,21 @@ object Graphs {
     // split) — refuse rather than return silently-bad clusters; diameter
     // > maxIter means this graph needs the large-star/small-star variant
     if (!converged) {
-      labels.unpersist()
+      labels.unpersist() // maxIter=0 leaves the initial persist()-cached labels
+      CheckpointBlocks.release(labels)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds " +
           "(graph diameter exceeds maxIter); raise maxIter or use a " +
           "logarithmic-round variant for deep graphs")
     }
-    // materialize the result BEFORE releasing the per-round blocks: the
+    // materialize the result BEFORE dropping the last round's blocks: the
     // caller's action must never depend on storage this method just
-    // dropped (unpersist is non-blocking — depending on it is a race
-    // that only loses on a busy cluster). The final checkpoint is the
-    // method's only retained storage and is GC-cleaned once the caller
-    // drops the frame.
+    // released. The final checkpoint is the method's only retained
+    // storage; the caller (or a bench harness via
+    // CheckpointBlocks.releaseAll) frees it when done.
     val out = labels.select(col("id"), col("comp").as("component"))
       .localCheckpoint(true)
-    labels.unpersist()
+    CheckpointBlocks.release(labels)
     out
   }
 
@@ -129,33 +136,38 @@ object Graphs {
       // Convergence probe in two tiers. Both steps map each input edge
       // to AT MOST one output edge and then dedupe, so the edge count is
       // monotone non-increasing — while it still shrinks (most rounds) a
-      // cheap count over the just-checkpointed blocks settles it, and
-      // the shuffling exceptAll probe runs only once counts stabilize
-      // (equal-size distinct sets + empty one-sided difference ⇒ equal).
+      // count over the just-checkpointed blocks settles it (one job
+      // scanning the blocks — an aggregate, not a metadata read, but far
+      // cheaper than a shuffle), and the shuffling exceptAll probe runs
+      // only once counts stabilize (equal-size distinct sets + empty
+      // one-sided difference ⇒ equal).
       val nextCount = next.count()
       converged = nextCount == curCount &&
         next.exceptAll(cur).limit(1).count() == 0
-      cur.unpersist()
+      // `next` is materialized: the dead round's checkpoint blocks can
+      // drop eagerly (Dataset.unpersist would be a no-op here — the
+      // CacheManager doesn't track checkpointed frames).
+      CheckpointBlocks.release(cur)
       cur = next
       curCount = nextCount
       it += 1
     }
     if (!converged) {
-      cur.unpersist(); nodes.unpersist()
+      CheckpointBlocks.release(cur); nodes.unpersist()
       throw new IllegalStateException(
         s"connectedComponentsLogRounds: no fixpoint after $maxIter rounds")
     }
     // fixpoint is a star forest directed big→small: u's neighbor IS its
     // root; roots have no outgoing edge and label themselves.
-    // Materialize BEFORE unpersisting cur/nodes: the lazy plan reads both
-    // frames' checkpoint blocks, and a non-blocking unpersist racing the
-    // caller's first action works locally by timing luck only — on a
-    // busy cluster the blocks drop first and the plan is unrecomputable.
+    // Materialize BEFORE releasing cur/nodes: the lazy plan reads both
+    // frames' storage, and dropping blocks under a pending action works
+    // locally by timing luck only — on a busy cluster the blocks go
+    // first and the plan is unrecomputable.
     val out = nodes.join(cur.select(col("u").as("id"), col("v").as("component")),
       Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       .localCheckpoint(true)
-    cur.unpersist(); nodes.unpersist()
+    CheckpointBlocks.release(cur); nodes.unpersist()
     out
   }
 

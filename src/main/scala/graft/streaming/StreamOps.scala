@@ -157,8 +157,16 @@ object StreamOps {
       state = Some(state match {
         case None => delta
         case Some(cur) =>
-          graft.operators.Evolve.mergeAggregates(cur, delta, key)
+          val merged = graft.operators.Evolve.mergeAggregates(cur, delta, key)
             .localCheckpoint(true)
+          // the merge is materialized: the superseded state's and the
+          // delta's checkpoint blocks are dead — drop them eagerly, or a
+          // long-running stream accumulates one orphaned checkpoint per
+          // micro-batch until driver GC happens to run (linear block-
+          // manager growth; Dataset.unpersist can't free these).
+          graft.plans.CheckpointBlocks.release(cur)
+          graft.plans.CheckpointBlocks.release(delta)
+          merged
       })
     }
 

@@ -70,6 +70,32 @@ class GraphsSpec extends SparkSpec {
     assert(p2 == l2, s"variants disagree: ${p2.toSet.diff(l2.toSet).take(5)}")
   }
 
+  test("per-round checkpoint blocks are freed eagerly, not left to GC") {
+    import graft.plans.CheckpointBlocks
+    // start from a clean slate so counts below are this test's own
+    CheckpointBlocks.releaseAll(spark)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // diameter-15 chain → ≥15 propagation rounds, each localCheckpoint'ed;
+    // without eager release every dead round's RDD would still sit in
+    // getPersistentRDDs afterward (ContextCleaner only frees them on GC)
+    val chain = (1L until 16L).map(i => i -> (i + 1)).toDF("src", "dst")
+    val cc = Graphs.connectedComponents(chain, "src", "dst", maxIter = 40)
+    assert(cc.collect().forall(_.getLong(1) == 1L))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the returned result's own checkpoint may survive the call
+    assert(after - before <= 1,
+      s"leaked ${after - before} persistent RDDs from ~15 checkpointed rounds")
+    CheckpointBlocks.release(cc)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "result checkpoint not released")
+    // same discipline for the log-rounds variant
+    val cc2 = Graphs.connectedComponentsLogRounds(chain, "src", "dst")
+    assert(cc2.collect().forall(_.getLong(1) == 1L))
+    assert(spark.sparkContext.getPersistentRDDs.size - before <= 1,
+      "log-rounds variant leaked per-round checkpoints")
+    CheckpointBlocks.release(cc2)
+  }
+
   test("clusters over planted near-dups partition the pair graph") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
