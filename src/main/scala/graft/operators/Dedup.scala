@@ -141,9 +141,17 @@ object Dedup {
 
   /** MinHash + LSH banding: docs whose signature agrees on ALL rows of any
     * band become candidates (prob ≈ 1-(1-j^r)^b), then candidates are
-    * verified with exact Jaccard. No oracle (seeded hash family isn't
-    * SQL-reproducible) — ScalaTest asserts it finds the same pairs as
-    * [[ngramJaccard]] on the planted near-dups.
+    * verified with exact Jaccard.
+    *
+    * The hash family is md5-derived — hash_j(shingle) =
+    * md5(seed|j|shingle), minimized LEXICOGRAPHICALLY over a document's
+    * shingles. md5 hex is bit-identical across engines (the winnowing
+    * operator proved the pattern), so unlike a seeded integer family the
+    * whole operator is exact-oracle-able in portable SQL; min-hash theory
+    * only needs each hash to impose a (pseudo)random total order on
+    * shingles, which a lexicographic order over md5 hex provides. ~2×
+    * more cycles per shingle than xxhash64 — irrelevant against the
+    * shuffle cost, and it buys a full differential gate.
     *
     * Signature computation is explode → hash-aggregate (one shuffle on
     * doc id, numHashes codegen'd min() aggregates over the exploded
@@ -163,13 +171,14 @@ object Dedup {
     val exploded = df.select(col(idCol).as("doc"), col(textCol).as("text"))
       .select(col("doc"), Text.explodeWordShingles(col("text"), n).as("sh"))
     val minExprs = (0 until numHashes).map { j =>
-      min(xxhash64(col("sh"), lit(j), lit(seed))).as(s"m$j")
+      min(md5(concat_ws("|", lit(seed), lit(j), col("sh")))).as(s"m$j")
     }
     val sig = exploded.groupBy("doc").agg(minExprs.head, minExprs.tail: _*)
+    // band key = the concatenated member hashes (already uniform md5 hex —
+    // re-hashing adds nothing); equality on (band, key) is all LSH needs
     val banded = sig.select(col("doc"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws("|",
-          (0 until rows).map(r => col(s"m${b * rows + r}")): _*), lit(b))
+        concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
       }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = bucketPairs(banded, "doc", "doc_a", "doc_b")
@@ -191,18 +200,33 @@ object Dedup {
 
   /** 64-bit SimHash: per token-hash bit, vote +1/-1 weighted by presence;
     * sign of each vote is the fingerprint bit. Computed bit-parallel:
-    * explode tokens, per doc sum bit votes, assemble the word. */
+    * explode tokens, per doc sum bit votes, assemble the word.
+    *
+    * The 64 token-hash bits come from md5(seed|token): the leading 16 hex
+    * chars parsed as four 16-bit chunks (conv is the Spark side; a
+    * `('0x'||substr)::BIGINT` cast is the SQL-oracle side) — engine-
+    * portable like the winnowing/minhash families, so the near-dup
+    * operator carries a full differential oracle. Vote ties (sum 0, an
+    * even-token-count possibility) resolve to bit 0 in both engines via
+    * the strict `> 0` test. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               seed: Long = 42): DataFrame = {
     val tok = df.select(col(idCol).as("doc"),
       explode(Text.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t"), lit(seed)))
-    val bitVotes = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+      .withColumn("h", md5(concat_ws("|", lit(seed), col("t"))))
+    // chunk g = hex chars [4g+1, 4g+4] as a 16-bit value; bit j lives in
+    // chunk j/16 at offset j%16
+    val withChunks = tok.select(col("doc") +: (0 until 4).map { g =>
+      conv(substring(col("h"), g * 4 + 1, 4), 16, 10).cast("long").as(s"c$g")
+    }: _*)
+    val bitVotes = (0 until 64).map { j =>
+      val (g, k) = (j / 16, j % 16)
+      sum(when(shiftright(col(s"c$g"), k).bitwiseAND(lit(1L)) =!= 0, 1)
+        .otherwise(-1)).as(s"b$j")
     }
-    tok.groupBy("doc").agg(bitVotes.head, bitVotes.tail: _*)
-      .select(col("doc"), (0 until 64).map { b =>
-        when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+    withChunks.groupBy("doc").agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc"), (0 until 64).map { j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)
       }.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 

@@ -78,10 +78,12 @@ object Ext {
       Dedup.winnowFingerprints(t(s, d, "documents"), "doc_id", "text",
         k = 3, w = 4)),
 
-    "x_dedup_minhash" -> ((s, d) =>   // rows-only: seeded hash family
+    // md5-derived hash families (portable, like winnowing) — both LSH
+    // detectors carry full differential oracles since round 5
+    "x_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text")),
 
-    "x_dedup_simhash" -> ((s, d) =>   // rows-only: seeded hash family
+    "x_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text")),
 
     // all-pairs oracle twin (exact DuckDB SQL below) …
@@ -647,6 +649,75 @@ object Ext {
               CAST(count(DISTINCT v) + 1 AS BIGINT) AS cluster_size
        FROM reach GROUP BY u"""
 
+  /** MinHash+LSH replay: the SAME md5 hash family as
+    * [[graft.operators.Dedup.minhashLsh]] (hash_j = md5(42|j|shingle),
+    * lexicographic min per doc over distinct word 3-grams), banded 8×4,
+    * candidates from band-key equality, exact-Jaccard verify at 0.5 —
+    * a full independent replay of the LSH pipeline, not a shortcut. */
+  private val dMinhashOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (SELECT doc_id,
+              unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                    for i in range(1, len(ws) - 1)])) AS s
+              FROM w WHERE len(ws) >= 3),
+       hj AS (SELECT doc_id, j, min(md5(42 || '|' || j || '|' || s)) AS mj
+              FROM sh, (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j),
+       sig AS (SELECT doc_id, j // 4 AS band,
+                      string_agg(mj, '|' ORDER BY j) AS bucket
+               FROM hj GROUP BY doc_id, j // 4),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sig a JOIN sig b ON a.band = b.band
+                     AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+                  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                              JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+                  GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common) AS jaccard
+       FROM common JOIN sizes na ON na.doc_id = doc_a
+                   JOIN sizes nb ON nb.doc_id = doc_b
+       WHERE n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common) >= 0.5"""
+
+  /** SimHash replay: md5(42|token) → four 16-bit chunks from the leading
+    * hex, 64 ±1 bit votes per doc, strict >0 sign, quarter-banded
+    * candidates (pigeonhole for hamming ≤ 3), bit_count(xor) verify —
+    * generated programmatically because it is 64 vote expressions wide. */
+  private val dSimhashOracle: String = {
+    val chunks = (0 until 4).map(g =>
+      s"('0x' || substr(h, ${g * 4 + 1}, 4))::BIGINT AS c$g").mkString(", ")
+    val votes = (0 until 64).map { j =>
+      val (g, k) = (j / 16, j % 16)
+      s"sum(CASE WHEN (c$g >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val quarters = (0 until 4).map { g =>
+      (0 until 16).map(k =>
+        s"(CASE WHEN b${16 * g + k} > 0 THEN ${1L << k} ELSE 0 END)")
+        .mkString(" + ")
+    }.zipWithIndex.map { case (e, g) => s"($e) AS q$g" }.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                     FROM documents),
+        hs AS (SELECT doc_id, md5(42 || '|' || t) AS h FROM tok),
+        ch AS (SELECT doc_id, $chunks FROM hs),
+        v AS (SELECT doc_id, $votes FROM ch GROUP BY doc_id),
+        q AS (SELECT doc_id, $quarters FROM v),
+        bands AS (SELECT doc_id, g,
+                  CASE g WHEN 0 THEN q0 WHEN 1 THEN q1
+                         WHEN 2 THEN q2 ELSE q3 END AS bucket
+                  FROM q, (SELECT unnest(range(4)) AS g)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b ON a.g = b.g
+                      AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
+                  + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3))
+                 AS INTEGER) AS hamming
+        FROM cand c JOIN q a ON a.doc_id = c.doc_a
+                    JOIN q b ON b.doc_id = c.doc_b
+        WHERE bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
+            + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3)) <= 3"""
+  }
+
   /** Winnowing fingerprints of a filtered doc set, as a parenthesized
     * subquery (shared by x_winnow_fingerprint and decontamination). */
   private def dWinnow(pred: String): String =
@@ -752,6 +823,9 @@ object Ext {
     // graded against this same closure.
     "x_dedup_clusters" -> clustersClosureOracle,
     "x_dedup_clusters_logstar" -> clustersClosureOracle,
+
+    "x_dedup_minhash" -> dMinhashOracle,
+    "x_dedup_simhash" -> dSimhashOracle,
 
     "x_winnow_fingerprint" ->
       s"""SELECT doc_id, fp FROM ${dWinnow("TRUE")}""",
