@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` payloads + typed metadata struct, with
   * decode / feature-extract / resize / frame-sample stages.
   *
-  * The Spark-side plumbing (schema, batch shape, partition-parallel
-  * processing, deterministic output) is real and tested; the actual media
-  * DECODE is a clearly-marked STUB (`fakeDecodeFeatures`) because no
-  * image/audio codec libraries exist in this container — it derives a
-  * deterministic pseudo-feature vector from the payload bytes so the
-  * pipeline shape (binary → fixed-width float features) is exercised
-  * end-to-end. Swap `fakeDecodeFeatures` for a real JNI/codec call at the
-  * same signature to productionize.
+  * IMAGE decode is REAL: [[decodeImages]] runs the JDK's built-in
+  * `javax.imageio` PNG codec partition-parallel (no external codec
+  * dependency), and `x_image_decode` checks the DECODED CONTENT —
+  * dimensions and channel averages — against generator-known values.
+  * Audio/video decode remains a clearly-marked stub
+  * (`fakeDecodeFeatures`): no codec for those exists in the JDK — swap
+  * in a JNI/codec call at the same signature (binary in, fixed-width
+  * features out, row-parallel) to productionize.
   */
 object Multimodal {
 
@@ -60,6 +60,78 @@ object Multimodal {
         }
       }
       .toDF("media_id", "features")
+  }
+
+  /** Synthesize one tiny real PNG per id, executor-side: dimensions and
+    * colors are CLOSED-FORM in the id (w = 8+id%9, h = 8+id%7, solid
+    * (37id, 59id, 83id) mod 256 with the top-left pixel inverted), so a
+    * SQL oracle can predict what a correct decode must read back —
+    * content-level verification without binary fixtures on disk. PNG is
+    * lossless and the JDK codec is deterministic, making the
+    * encode→decode round trip exact. */
+  def synthPngs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+        val (r, g, b) =
+          ((id * 37 % 256).toInt, (id * 59 % 256).toInt, (id * 83 % 256).toInt)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val solid = (r << 16) | (g << 8) | b
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, solid); x += 1 }
+          y += 1
+        }
+        img.setRGB(0, 0, ((255 - r) << 16) | ((255 - g) << 8) | (255 - b))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** REAL image decode: `javax.imageio` per partition (the codec context
+    * pattern a native decoder needs — decode happens on executors, rows
+    * stream through). Emits dimensions + per-channel averages; an
+    * undecodable payload yields nulls rather than killing the job (the
+    * standard quarantine-don't-crash posture for dirty media columns). */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+          img match {
+            case Some(im) =>
+              val (w, h) = (im.getWidth, im.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = im.getRGB(x, y)
+                  sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              (id, Some(w), Some(h), Some(sr.toDouble / n),
+                Some(sg.toDouble / n), Some(sb.toDouble / n))
+            case None => (id, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "avg_r", "avg_g", "avg_b")
   }
 
   /** "Resize" stub: truncate/pad payload to `target` bytes — stands in for

@@ -616,7 +616,16 @@ object Ext {
           .withColumn("payload", encode(col("text"), "utf-8")),
         "doc_id", "payload", "text")
       Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
-    })
+    }),
+
+    // REAL image decode: synthesize tiny PNGs executor-side (dims/colors
+    // closed-form in doc_id), decode with the JDK ImageIO codec, emit
+    // dimensions + channel averages — the oracle predicts the decoded
+    // CONTENT arithmetically, so a wrong decode (channel swap, dimension
+    // mixup, first-pixel-only read) hash-mismatches.
+    "x_image_decode" -> ((s, d) =>
+      Multimodal.decodeImages(Multimodal.synthPngs(
+        t(s, d, "documents").filter(col("doc_id") < 100), "doc_id")))
   )
 
   /** Transitive closure over the ngram-jaccard pair set (identical pair
@@ -1336,6 +1345,22 @@ object Ext {
                     WHERE doc_id < 100 AND octet_length(encode(text)) = length(text))
          SELECT doc_id AS media_id, CAST(u.idx AS INTEGER) AS frame_idx,
                 md5(u.fr) AS frame_checksum
-         FROM f WHERE u.idx % 2 = 0"""
+         FROM f WHERE u.idx % 2 = 0""",
+
+    // what a correct PNG decode MUST read back: solid (37id,59id,83id)
+    // mod 256 with the top-left pixel inverted, so each channel average
+    // is (c*(n-1) + (255-c)) / n over n = w*h pixels — pure integer
+    // arithmetic divided once, exact in both engines
+    "x_image_decode" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+                      8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+                      doc_id * 37 % 256 AS r, doc_id * 59 % 256 AS g,
+                      doc_id * 83 % 256 AS b
+                      FROM documents WHERE doc_id < 100)
+         SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+                (r * (w * h - 1) + (255 - r))::DOUBLE / (w * h) AS avg_r,
+                (g * (w * h - 1) + (255 - g))::DOUBLE / (w * h) AS avg_g,
+                (b * (w * h - 1) + (255 - b))::DOUBLE / (w * h) AS avg_b
+         FROM ids"""
   )
 }

@@ -193,6 +193,29 @@ class ExtSpec extends SparkSpec {
     assert(viaExpr.forall { case (k, v) => viaMp(k) == v })
   }
 
+  test("multimodal: real PNG round-trip decodes exact content; garbage -> nulls") {
+    // decode(synthesize(id)) must read back the closed-form dims/averages
+    val decoded = Multimodal.decodeImages(
+      Multimodal.synthPngs(docs.filter(col("doc_id") < 20), "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(decoded.size == 20)
+    decoded.foreach { case (id, (w, h, ar, ag, ab)) =>
+      val (ew, eh) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+      val n = ew * eh
+      def avg(c: Long) = (c * (n - 1) + (255 - c)).toDouble / n
+      assert((w, h) == (ew, eh), s"id=$id dims ($w,$h) != ($ew,$eh)")
+      assert(ar == avg(id * 37 % 256) && ag == avg(id * 59 % 256) &&
+        ab == avg(id * 83 % 256), s"id=$id channel averages wrong")
+    }
+    // an undecodable payload quarantines to nulls, never kills the job
+    val garbage = Seq((999L, Array[Byte](1, 2, 3, 4)))
+      .toDF("media_id", "payload")
+    val bad = Multimodal.decodeImages(garbage).collect()(0)
+    assert(bad.getLong(0) == 999L && bad.isNullAt(1) && bad.isNullAt(3))
+  }
+
   test("multimodal: resize stub keeps metadata consistent") {
     val media = Multimodal.asMedia(
       docs.withColumn("payload", encode(col("text"), "utf-8")),

@@ -24,6 +24,22 @@ class FuzzySpec extends SparkSpec {
       ("abcd", "abcde"), ("abxd", "axxd")), s"got $got")
   }
 
+  test("hot variant buckets are capped; coverage degrades as documented") {
+    // 12 near-clone keys "k0".."k9","ka","kb": every pair is a
+    // substitution at position 2, and their ONLY shared variant is "k"
+    // (delete the last char) — a 12-key hot bucket
+    val clones = (('0' to '9') ++ Seq('a', 'b')).map(c => s"k$c").toDF("k")
+    val capped = Fuzzy.editDistance1Pairs(clones, "k", maxBucket = 5)
+      .collect()
+    // the hot bucket exceeds the cap and is dropped: no candidate pairs
+    // ever materialize (bounded fanout), documented coverage loss
+    assert(capped.isEmpty, s"cap did not bound the hot bucket: ${capped.length}")
+    // with the cap above the bucket size every pair is found: 12C2 = 66
+    val full = Fuzzy.editDistance1Pairs(clones, "k", maxBucket = 100)
+      .collect()
+    assert(full.length == 66, s"expected 66 clone pairs, got ${full.length}")
+  }
+
   test("blocking == brute force on the supplier fixture") {
     val sup = Tables.load(spark, "/root/testdata/sf0.001", "supplier")
     val got = Fuzzy.editDistance1Pairs(sup, "s_name")
