@@ -191,9 +191,13 @@ object Ext {
     // precision double, and summing many copies of it is float-order
     // territory — the integer report is exact and what a pipeline logs.
     "x_outlier_clip" -> ((s, d) => {
-      // window form: the fences come from a per-group WINDOW aggregate,
-      // so lineitem is scanned ONCE (the agg-then-self-join form scans
-      // twice — scan cost dominates at 100 TB)
+      // window form: one scan — but EXACT per-group percentiles require
+      // every group's values concentrated into that group's partition
+      // (true of agg-then-join too: exact quantiles are not mergeable).
+      // With |distinct l_returnflag| = 3 that is 3 tasks holding the
+      // whole table — fine as the small-scale ORACLE form; the 100 TB
+      // path is x_outlier_clip_approx below, whose KLL sketch aggregates
+      // with bounded mergeable state and never concentrates a group.
       val byFlag = org.apache.spark.sql.expressions.Window
         .partitionBy("l_returnflag")
       t(s, d, "lineitem")
@@ -202,6 +206,28 @@ object Ext {
           expr("percentile(l_extendedprice, 0.05)").over(byFlag))
         .withColumn("p95",
           expr("percentile(l_extendedprice, 0.95)").over(byFlag))
+        .groupBy(col("l_returnflag"), col("p05"), col("p95"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("l_extendedprice") < col("p05"), 1)).as("n_below"),
+          count(when(col("l_extendedprice") > col("p95"), 1)).as("n_above"))
+        .select("l_returnflag", "p05", "p95", "n", "n_below", "n_above")
+    }),
+
+    // the 100 TB outlier report: approx_percentile (KLL-style sketch,
+    // bounded mergeable state — a normal map-side-combinable hash agg, NO
+    // per-group value concentration), fences broadcast back for the
+    // head/tail counts. Two scans instead of one, but both scans are
+    // embarrassingly parallel at any group cardinality/skew — the honest
+    // trade against the exact form above. Rows-only (sketch internals are
+    // engine-specific); ExtSpec bounds the fences against the exact ones.
+    "x_outlier_clip_approx" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_returnflag", "l_extendedprice")
+      val fences = li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.05, 0.95), 10000)")
+          .as("f"))
+        .select(col("l_returnflag"),
+          col("f").getItem(0).as("p05"), col("f").getItem(1).as("p95"))
+      li.join(broadcast(fences), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"), col("p05"), col("p95"))
         .agg(count(lit(1)).as("n"),
           count(when(col("l_extendedprice") < col("p05"), 1)).as("n_below"),

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, EventOps, Multimodal, Similarity}
 import graft.functions.{Text, Vectors}
+import graft.queries.Ext
 
 /** Extension-operator semantics (SURVEY.md §2.10) that the DuckDB oracle
   * can't cover: seeded-hash dedup must agree with its exact twin, ANN
@@ -249,6 +250,21 @@ class ExtSpec extends SparkSpec {
       assert(math.abs(ep - ap) / ep < 0.05, s"HLL error ${(ep, ap)}")
       val (em, am) = (r.getDouble(3), r.getDouble(4))
       assert(math.abs(em - am) / em < 0.05, s"KLL error ${(em, am)}")
+    }
+  }
+
+  test("approx outlier fences land within tolerance of the exact report") {
+    def byFlag(name: String) = Ext.queries(name)(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val exact = byFlag("x_outlier_clip")
+    val approx = byFlag("x_outlier_clip_approx")
+    assert(exact.keySet == approx.keySet)
+    for ((k, (p05, p95, n)) <- exact) {
+      val (a05, a95, an) = approx(k)
+      assert(an == n, s"$k row count drifted: $an != $n")
+      assert(math.abs(a05 - p05) / p05 < 0.02, s"$k p05 ${(p05, a05)}")
+      assert(math.abs(a95 - p95) / p95 < 0.02, s"$k p95 ${(p95, a95)}")
     }
   }
 
