@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable transcendental math: `ln` computed from IEEE +,−,×,÷ only,
+  * so the SAME bits come out of Spark and of any engine that folds the
+  * same expression (the differential-oracle requirement).
+  *
+  * Why: `Math.log` (JVM) and `std::log` (DuckDB) disagree in the last
+  * ulp for ~0.1% of inputs (measured: 1/1000 over the BM25 idf domain)
+  * — enough to break a hash-compared oracle on any score that passes
+  * through a logarithm. Basic IEEE arithmetic, by contrast, is exactly
+  * specified, and decimal literals parse correctly-rounded on both
+  * sides (the repo's corr/centroid oracles already lean on this).
+  *
+  * Algorithm (domain [1, 2⁴⁰), the N/df shapes of retrieval scoring):
+  * exact power-of-two range reduction x = 2ᵏ·m with m ∈ [1,2) — the
+  * 2⁻ᵏ multiplications are exponent shifts, error-free — then the
+  * atanh series ln(m) = 2·(t + t³/3 + … + t¹⁹/19), t = (m−1)/(m+1) ≤
+  * 1/3, evaluated in a FIXED Horner order. Truncation error < 1e-11
+  * relative — imperceptible for scoring, and identical on every
+  * engine, which is the point. k·ln2 terms are precomputed literals.
+  *
+  * [[lnColumn]] (the Spark side) and [[lnSqlCtes]] (the oracle side)
+  * are generated from the SAME constant table in this file, so the two
+  * implementations cannot drift.
+  */
+object Pmath {
+
+  private val MaxK = 40
+  private val Ln2 = 0.6931471805599453
+  /** Horner coefficients, outermost first: 1/3, 1/5, …, 1/19. */
+  private val coeffs: Seq[Double] = (1 to 9).map(i => 1.0 / (2 * i + 1))
+  /** (threshold 2^i, scale 2^-i, literal i·ln2) for i = MaxK..1. */
+  private val reduction: Seq[(Double, Double, Double)] =
+    (MaxK to 1 by -1).map(i => (math.pow(2, i), math.pow(2, -i), i * Ln2))
+
+  /** Lossless literal: Java Double.toString round-trips, and a STRING →
+    * DOUBLE cast parses it back correctly rounded to identical bits.
+    * The string detour is load-bearing: a bare 17-digit SQL literal is
+    * typed DECIMAL, and DECIMAL→DOUBLE conversion double-rounds (int128
+    * mantissa rounds into double, then the 10⁻ˢᶜᵃˡᵉ division rounds
+    * again) — the same last-ulp trap the corr oracle documents. */
+  private def d(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
+
+  /** Portable ln as a Column (domain [1, 2⁴⁰); returns 0 at x = 1). */
+  def lnColumn(x: Column): Column = {
+    val m = reduction.foldLeft(when(lit(false), lit(0.0))) {
+      case (w, (thresh, scale, _)) => w.when(x >= thresh, x * lit(scale))
+    }.otherwise(x)
+    val kln2 = reduction.foldLeft(when(lit(false), lit(0.0))) {
+      case (w, (thresh, _, kl)) => w.when(x >= thresh, lit(kl))
+    }.otherwise(lit(0.0))
+    val t = (m - lit(1.0)) / (m + lit(1.0))
+    val t2 = t * t
+    val inner = coeffs.reverse.tail.foldLeft(lit(coeffs.last)) {
+      (acc, c) => lit(c) + t2 * acc
+    }
+    kln2 + lit(2.0) * (t * (lit(1.0) + t2 * inner))
+  }
+
+  /** The SQL replay: three CTE-layer column lists that compute
+    * `outCol` = portable ln of `inCol` with the exact same constants
+    * and operation order as [[lnColumn]]. Splice as:
+    * {{{
+    * a AS (SELECT *, <layer1> FROM prev),   -- m, kln2
+    * b AS (SELECT *, <layer2> FROM a),      -- t, t2 via (t)*(t)
+    * c AS (SELECT *, <layer3> FROM b)       -- outCol
+    * }}} */
+  def lnSqlCtes(inCol: String, outCol: String): (String, String, String) = {
+    val whensM = reduction.map { case (th, sc, _) =>
+      s"WHEN $inCol >= ${d(th)} THEN $inCol * ${d(sc)}"
+    }.mkString(" ")
+    val whensK = reduction.map { case (th, _, kl) =>
+      s"WHEN $inCol >= ${d(th)} THEN ${d(kl)}"
+    }.mkString(" ")
+    val layer1 =
+      s"CASE $whensM ELSE $inCol END AS pln_m, CASE $whensK ELSE 0.0 END AS pln_kln2"
+    val layer2 =
+      "(pln_m - 1.0) / (pln_m + 1.0) AS pln_t"
+    val inner = coeffs.reverse.tail.foldLeft(d(coeffs.last)) {
+      (acc, c) => s"${d(c)} + pln_t2 * ($acc)"
+    }
+    // t2 inlined as (pln_t * pln_t) so layer3 needs only layer2's output
+    val layer3 =
+      s"pln_kln2 + 2.0 * (pln_t * (1.0 + (pln_t * pln_t) * (${inner
+        .replace("pln_t2", "(pln_t * pln_t)")}))) AS $outCol"
+    (layer1, layer2, layer3)
+  }
+}

@@ -84,6 +84,35 @@ object Vectors {
       .select(size(col(vecCol)).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(1)
 
+  /** Symmetric int8 quantization scale: max|xᵢ|/127 (0 for a zero/empty
+    * vector — the dequantize side maps everything back to 0). */
+  def int8Scale(v: Column): Column =
+    coalesce(array_max(transform(asDouble(v), x => abs(x))), lit(0.0)) / 127.0
+
+  /** Quantize a float vector to int8 codes: qᵢ = ⌊xᵢ/scale + 0.5⌋,
+    * i.e. round-half-toward-+∞ expressed as an explicit floor — `round`
+    * half-way semantics differ subtly across engines, floor does not, so
+    * the codes replay bit-exactly in portable SQL. The max|x| element
+    * maps to exactly ±127 (⌊127.5⌋ on the positive side, ⌊-126.5⌋ = -127
+    * on the negative); a zero vector quantizes to all zeros. The 4×
+    * shrink is the standard embedding-storage/bandwidth trade at corpus
+    * scale; reconstruction error is bounded by scale/2 per element. */
+  def quantizeInt8(v: Column): Column = {
+    val s = int8Scale(v)
+    when(s === 0.0, transform(asDouble(v), _ => lit(0).cast("int")))
+      .otherwise(transform(asDouble(v), x =>
+        floor(x / s + lit(0.5)).cast("int")))
+  }
+
+  /** Max absolute reconstruction error of [[quantizeInt8]]:
+    * max|qᵢ·scale − xᵢ| — the quality metric a pipeline logs next to the
+    * quantized table (bounded by scale/2). */
+  def int8MaxError(v: Column): Column = {
+    val s = int8Scale(v)
+    coalesce(array_max(zip_with(quantizeInt8(v), asDouble(v),
+      (q, x) => abs(q.cast("double") * s - x))), lit(0.0))
+  }
+
   /** Fail-fast dimension guard: passes `v` through unchanged when its
     * length equals `dim`, raises otherwise. Without this a mismatched
     * vector makes every plane projection null → every row lands in one

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, EventOps, Evolve, Graphs, Multimodal, Similarity, Temporal}
+import graft.operators.{Dedup, EventOps, Evolve, Graphs, Multimodal, Retrieval, Similarity, Temporal}
 
 /** Extension surface (SURVEY.md §2.10) — LLM-data-pipeline operators over
   * documents/embeddings/events: dedup family, similarity search, text
@@ -260,6 +260,31 @@ object Ext {
         .filter(col("term") =!= "")
         .agg(Text.approxTopTerms(col("term"), 20).as("sketch"))
         .select(explode(col("sketch")).as(Seq("term", "approx_count")))),
+
+    // ---- retrieval / ranking (IR side of corpus selection) ----
+    // BM25 over a bag-of-terms query; per-term score components pivot to
+    // COLUMNS and add left-to-right, so the double score is partition-
+    // order-independent and the DuckDB replay hash-matches
+    "x_bm25" -> ((s, d) =>
+      Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("join", "merge", "scan"), k = 20)),
+
+    "x_tfidf_terms" -> ((s, d) =>
+      Retrieval.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text",
+        k = 3, minDf = 2)),
+
+    "x_inverted_index" -> ((s, d) =>
+      Retrieval.invertedIndex(t(s, d, "documents"), "doc_id", "text",
+        minDf = 5, maxPostings = 100)),
+
+    // int8 embedding quantization (4× storage shrink for the ANN/dedup
+    // embedding columns): explicit-floor rounding so codes replay
+    // bit-exactly in SQL; max reconstruction error ≤ scale/2 logged
+    "x_embed_quantize" -> ((s, d) =>
+      t(s, d, "embeddings").select(col("vec_id"),
+        graft.functions.Vectors.quantizeInt8(col("embedding")).as("q8"),
+        graft.functions.Vectors.int8Scale(col("embedding")).as("scale"),
+        graft.functions.Vectors.int8MaxError(col("embedding")).as("max_err"))),
 
     "x_doc_stats_by_source" -> ((s, d) =>
       t(s, d, "documents").groupBy("source").agg(
@@ -1372,6 +1397,103 @@ object Ext {
          SELECT doc_id AS media_id, CAST(u.idx AS INTEGER) AS frame_idx,
                 md5(u.fr) AS frame_checksum
          FROM f WHERE u.idx % 2 = 0""",
+
+    // BM25 replay. Float discipline mirrored from the Spark side: per-term
+    // contributions pivoted to columns, added left-to-right; constants
+    // written as the SAME literals ((1.2 + 1.0), not 2.2 — both engines
+    // fold the identical IEEE add); every *, / association order matches
+    // the Column expression exactly. The logarithm is graft's PORTABLE ln
+    // (Pmath: exact 2^k range reduction + fixed-order atanh series, IEEE
+    // arithmetic only) — libm ln differs across engines in the last ulp,
+    // the series does not, and the three pln CTE layers here are
+    // GENERATED from the same constant table as the Column expression.
+    "x_bm25" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "idf")
+      s"""WITH occ AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+          dl AS (SELECT doc, count(*) AS dl FROM occ GROUP BY doc),
+          stats AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM dl),
+          tf AS (SELECT doc, term, count(*) AS tf FROM occ
+                 WHERE term IN ('join', 'merge', 'scan') GROUP BY doc, term),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          sc0 AS (SELECT doc, term, tf, df, dl, n_docs, avgdl,
+                         1.0 + (n_docs - df + 0.5) / (df + 0.5) AS lnin
+                  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc)
+                       CROSS JOIN stats),
+          pl1 AS (SELECT *, $l1 FROM sc0),
+          pl2 AS (SELECT *, $l2 FROM pl1),
+          pl3 AS (SELECT *, $l3 FROM pl2),
+          -- 1.2 is not exactly representable: left as a bare literal it
+          -- is DECIMAL, and tf*(DECIMAL 2.2) folds EXACTLY before the
+          -- double conversion while Spark rounds each double op — cast
+          -- it so both engines run the identical IEEE sequence
+          sc AS (SELECT doc, term,
+                        idf * (tf * (CAST('1.2' AS DOUBLE) + 1.0))
+                            / (tf + CAST('1.2' AS DOUBLE)
+                                 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
+                 FROM pl3),
+          pt AS (SELECT doc,
+                        max(CASE WHEN term = 'join' THEN s END) AS s1,
+                        max(CASE WHEN term = 'merge' THEN s END) AS s2,
+                        max(CASE WHEN term = 'scan' THEN s END) AS s3
+                 FROM sc GROUP BY doc),
+          tot AS (SELECT doc AS doc_id,
+                         coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0) AS score
+                  FROM pt)
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+          FROM tot ORDER BY score DESC, doc_id LIMIT 20"""
+    },
+
+    "x_tfidf_terms" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      s"""WITH occ AS (SELECT doc, term FROM
+                       (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                        FROM documents) WHERE term <> ''),
+          tf AS (SELECT doc, term, count(*) AS tf FROM occ GROUP BY doc, term),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+                    HAVING count(*) >= 2),
+          stats AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+          w0 AS (SELECT doc, term, tf, df, n_docs, n_docs / df AS lnin
+                 FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+          pl1 AS (SELECT *, $l1 FROM w0),
+          pl2 AS (SELECT *, $l2 FROM pl1),
+          pl3 AS (SELECT *, $l3 FROM pl2),
+          w AS (SELECT doc, term, tf * lnx AS tfidf FROM pl3),
+          r AS (SELECT *, row_number() OVER
+                       (PARTITION BY doc ORDER BY tfidf DESC, term) AS rank
+                FROM w)
+          SELECT doc AS doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank
+          FROM r WHERE rank <= 3"""
+    },
+
+    "x_inverted_index" ->
+      """WITH occ AS (SELECT doc, term FROM
+                      (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                       FROM documents) WHERE term <> '')
+         SELECT term, count(DISTINCT doc) AS df, count(*) AS cf,
+                list_sort(list(DISTINCT doc))[1:100] AS postings
+         FROM occ GROUP BY term HAVING count(DISTINCT doc) >= 5""",
+
+    // what a correct int8 quantize MUST produce: the same explicit-floor
+    // arithmetic (q = floor(x/scale + 0.5)), scale = max|x|/127, error
+    // recomputed from x rather than zipped — same IEEE ops either way
+    "x_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         s AS (SELECT vec_id, v,
+               coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) / 127.0 AS scale
+               FROM e)
+         SELECT vec_id,
+                CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS INTEGER))
+                     ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+                END AS q8,
+                scale,
+                CASE WHEN scale = 0 THEN 0.0
+                     ELSE coalesce(list_max(list_transform(v, x ->
+                            abs(floor(x / scale + 0.5) * scale - x))), 0.0)
+                END AS max_err
+         FROM s""",
 
     // what a correct PNG decode MUST read back: solid (37id,59id,83id)
     // mod 256 with the top-left pixel inverted, so each channel average

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Pmath
+import graft.operators.Retrieval
+
+/** Portable-ln contract: deterministic IEEE-only series, accurate enough
+  * for scoring, correct at the range-reduction edges. */
+class PmathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pln(xs: Seq[Double]): Seq[Double] =
+    xs.toDF("x").select(Pmath.lnColumn(col("x")).as("y"))
+      .as[Double].collect().toSeq
+
+  test("portable ln tracks Math.log within 1e-11 relative over the domain") {
+    val xs = (1 to 2000).map(i => 1.0 + i * i * 0.27) ++
+      Seq(1.0, 1.5, 2.0, 1024.0, 1e6, 1e9, (1L << 40) - 1.0)
+    val got = pln(xs)
+    xs.zip(got).foreach { case (x, y) =>
+      val ref = math.log(x)
+      val err = if (ref == 0.0) math.abs(y) else math.abs(y - ref) / ref
+      assert(err < 1e-11, s"pln($x)=$y vs ln=$ref")
+    }
+  }
+
+  test("exact at 1 and at powers of two; strictly monotone across boundaries") {
+    assert(pln(Seq(1.0)) == Seq(0.0)) // t=0 short-circuits the series
+    // power-of-two inputs reduce to m=1 exactly: result is the k*ln2 literal
+    val pows = (1 to 40).map(i => math.pow(2, i))
+    pln(pows).zipWithIndex.foreach { case (y, i) =>
+      assert(y == (i + 1) * 0.6931471805599453, s"2^${i + 1} -> $y")
+    }
+    // monotone across each reduction boundary (the CASE seams)
+    val seams = (1 to 39).flatMap { i =>
+      val p = math.pow(2, i); Seq(p * (1 - 1e-12), p, p * (1 + 1e-12))
+    }
+    val ys = pln(seams)
+    seams.zip(ys).sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(y2 > y1 || x2 <= x1, s"non-monotone at $x1->$x2: $y1 -> $y2")
+    }
+  }
+
+  test("bm25 ranks multi-term matches above single-term matches") {
+    val docs = Seq(
+      (1L, "join merge scan filter"),   // all three query terms
+      (2L, "join merge filter filter"), // two
+      (3L, "join filter filter filter"),// one
+      (4L, "filter filter filter filter"), // zero -> absent
+      (5L, "join join join merge merge scan scan filter")) // all, higher tf
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("join", "merge", "scan"), k = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got.head == 5L, s"highest-tf all-term doc should lead: $got")
+    assert(got.indexOf(1L) < got.indexOf(2L) && got.indexOf(2L) < got.indexOf(3L))
+    assert(!got.contains(4L), "zero-match doc must not appear")
+  }
+
+  test("int8 quantization: codes bounded, reconstruction within scale/2") {
+    import graft.functions.Vectors
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.select(
+      Vectors.quantizeInt8(col("embedding")).as("q8"),
+      Vectors.int8Scale(col("embedding")).as("s"),
+      Vectors.int8MaxError(col("embedding")).as("e"))
+    assert(q.filter(exists(col("q8"), c => abs(c) > 127)).count() == 0)
+    assert(q.filter(col("e") > col("s") * 0.5 + lit(1e-12)).count() == 0)
+  }
+}
