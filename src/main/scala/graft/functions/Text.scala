@@ -114,6 +114,26 @@ object Text {
     (length(c) - (tokenCountWs(c) - lit(1))).cast("double") /
       greatest(tokenCountWs(c), lit(1)).cast("double")
 
+  /** PII patterns, shared VERBATIM with the SQL oracle (string-identical
+    * pattern constants — Java regex and RE2 agree on this construct
+    * subset: explicit char classes, counted repetition, no backrefs or
+    * lookaround). Replacement order matters and is fixed:
+    * email → IP → phone (an IP's digit runs must not be half-eaten by
+    * the looser phone pattern first). */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val piiPhoneRe = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+
+  /** Scrub emails / IPs / phone numbers to typed placeholder tokens —
+    * the standard PII-redaction pass a training corpus gets before
+    * anything else reads it. Pure codegen'd regexp_replace chain. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, piiEmailRe, "<EMAIL>"),
+        piiIpRe, "<IP>"),
+      piiPhoneRe, "<PHONE>")
+
   /** Composite quality score in [0,1]: long enough, not punctuation soup,
     * some stopword mass, sane word lengths. Pure arithmetic on the
     * signals above — deterministic across engines. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, EventOps, Evolve, Graphs, Multimodal, Retrieval, Similarity, Temporal}
+import graft.operators.{Dedup, EventOps, Evolve, Graphs, LangModel, Multimodal, Retrieval, Similarity, Temporal}
 
 /** Extension surface (SURVEY.md §2.10) — LLM-data-pipeline operators over
   * documents/embeddings/events: dedup family, similarity search, text
@@ -285,6 +285,32 @@ object Ext {
         graft.functions.Vectors.quantizeInt8(col("embedding")).as("q8"),
         graft.functions.Vectors.int8Scale(col("embedding")).as("scale"),
         graft.functions.Vectors.int8MaxError(col("embedding")).as("max_err"))),
+
+    // PII redaction over a deliberately PII-laden synthesized column
+    // (the documents fixture has no PII — emails/phones/IPs are built
+    // from customer fields, then scrubbed; the oracle builds and scrubs
+    // the identical strings)
+    "x_redact_pii" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey"),
+        Text.redactPii(concat_ws(" ",
+          lit("reach"), col("c_name"), lit("at"),
+          concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", ".")),
+            lit("@example.com")),
+          lit("or"),
+          concat_ws("-", lit("25"),
+            lpad(((col("c_custkey") * 7) % 1000).cast("string"), 3, "0"),
+            lpad(((col("c_custkey") * 13) % 1000).cast("string"), 3, "0"),
+            lpad(((col("c_custkey") * 17) % 10000).cast("string"), 4, "0")),
+          lit("from"),
+          concat_ws(".", lit("10"), (col("c_custkey") % 256).cast("string"),
+            lit("0"), (col("c_custkey") % 250).cast("string")),
+          col("c_mktsegment"))).as("clean_text"))),
+
+    // bigram-LM perplexity filter (CCNet-style): score docs by average
+    // bigram log-prob under the corpus's own add-one-smoothed model;
+    // exact-oracled end to end thanks to the portable ln + ordered fold
+    "x_lm_score" -> ((s, d) =>
+      LangModel.bigramScore(t(s, d, "documents"), "doc_id", "text")),
 
     "x_doc_stats_by_source" -> ((s, d) =>
       t(s, d, "documents").groupBy("source").agg(
@@ -1474,6 +1500,55 @@ object Ext {
          SELECT term, count(DISTINCT doc) AS df, count(*) AS cf,
                 list_sort(list(DISTINCT doc))[1:100] AS postings
          FROM occ GROUP BY term HAVING count(DISTINCT doc) >= 5""",
+
+    // identical synthesized strings, identical pattern constants (spliced
+    // from Text.pii*Re — they cannot drift), identical replace order
+    "x_redact_pii" ->
+      s"""SELECT c_custkey,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  concat_ws(' ', 'reach', c_name, 'at',
+                    lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g')) || '@example.com',
+                    'or',
+                    concat_ws('-', '25',
+                      lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0'),
+                      lpad(CAST((c_custkey * 13) % 1000 AS VARCHAR), 3, '0'),
+                      lpad(CAST((c_custkey * 17) % 10000 AS VARCHAR), 4, '0')),
+                    'from',
+                    concat_ws('.', '10', CAST(c_custkey % 256 AS VARCHAR),
+                              '0', CAST(c_custkey % 250 AS VARCHAR)),
+                    c_mktsegment),
+                  '${Text.piiEmailRe}', '<EMAIL>', 'g'),
+                '${Text.piiIpRe}', '<IP>', 'g'),
+              '${Text.piiPhoneRe}', '<PHONE>', 'g') AS clean_text
+          FROM customer""",
+
+    // bigram LM replay: same counts, same smoothing, portable-ln CTE
+    // layers, per-doc list ordered by position folded by list_sum (the
+    // sequential fold proven exact by x_vector_features)
+    "x_lm_score" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          bg AS (SELECT doc_id, i AS pos, ws[i] AS w1,
+                        ws[i] || ' ' || ws[i+1] AS b
+                 FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                       FROM w WHERE len(ws) >= 2)),
+          cb AS (SELECT b, count(*) AS cbg FROM bg GROUP BY b),
+          cw AS (SELECT w1, count(*) AS ctx FROM bg GROUP BY w1),
+          v AS (SELECT count(DISTINCT t) AS vsz FROM
+                (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+          sc0 AS (SELECT doc_id, pos, (ctx + vsz)::DOUBLE / (cbg + 1) AS lnin
+                  FROM bg JOIN cb USING (b) JOIN cw USING (w1) CROSS JOIN v),
+          pl1 AS (SELECT *, $l1 FROM sc0),
+          pl2 AS (SELECT *, $l2 FROM pl1),
+          pl3 AS (SELECT *, $l3 FROM pl2),
+          per AS (SELECT doc_id, list(-lnx ORDER BY pos) AS ls
+                  FROM pl3 GROUP BY doc_id)
+          SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_bigrams,
+                 list_sum(ls) / len(ls) AS avg_lnp
+          FROM per"""
+    },
 
     // what a correct int8 quantize MUST produce: the same explicit-floor
     // arithmetic (q = floor(x/scale + 0.5)), scale = max|x|/127, error

@@ -57,6 +57,32 @@ class PmathSpec extends SparkSpec {
     assert(!got.contains(4L), "zero-match doc must not appear")
   }
 
+  test("PII redaction scrubs emails, IPs, and phones; clean text unchanged") {
+    import graft.functions.Text
+    val got = Seq(
+      "mail a.b+c@x-mail.co or ops@a.io now",
+      "from 192.168.1.250 and 10.0.0.1",
+      "call +1-555-123-4567 or 25-989-741-2988",
+      "clean sentence with no identifiers at all")
+      .toDF("t").select(Text.redactPii(col("t"))).as[String].collect()
+    assert(got(0) == "mail <EMAIL> or <EMAIL> now", got(0))
+    assert(got(1) == "from <IP> and <IP>", got(1))
+    assert(got(2) == "call <PHONE> or <PHONE>", got(2))
+    assert(got(3) == "clean sentence with no identifiers at all")
+  }
+
+  test("lm score: duplicated predictable text scores higher than shuffled") {
+    import graft.operators.LangModel
+    // corpus where "alpha beta" dominates: docs of repeated "alpha beta"
+    // are maximally predictable; a doc of rare bigrams scores lower
+    val docs = ((1 to 8).map(i => (i.toLong, "alpha beta alpha beta alpha beta"))
+      :+ (99L, "zeta omega theta iota kappa")).toDF("doc_id", "text")
+    val s = LangModel.bigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) > s(99L), s"predictable doc must outscore rare-bigram doc: $s")
+    assert(s.values.forall(_ <= 0.0), "log-probs must be non-positive")
+  }
+
   test("int8 quantization: codes bounded, reconstruction within scale/2") {
     import graft.functions.Vectors
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
