@@ -44,20 +44,34 @@ object Pmath {
     * again) — the same last-ulp trap the corr oracle documents. */
   private def d(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
 
+  /** Let-binding for Column expressions: evaluate `x` ONCE into a lambda
+    * variable and build `f` over that variable. Without this, every use
+    * site of an intermediate (m appears in t twice, t² nine times in the
+    * Horner chain…) would SUBSTITUTE the whole sub-tree — the ln below
+    * multiplies out to ~10⁵ Catalyst nodes per call and a 30 s+
+    * analysis/Janino stall; with binding it is a few hundred nodes. The
+    * single-element transform is the standard Column-level `let`. */
+  private def bind(x: Column)(f: Column => Column): Column =
+    element_at(transform(array(x), f), 1)
+
   /** Portable ln as a Column (domain [1, 2⁴⁰); returns 0 at x = 1). */
-  def lnColumn(x: Column): Column = {
-    val m = reduction.foldLeft(when(lit(false), lit(0.0))) {
+  def lnColumn(x0: Column): Column = bind(x0) { x =>
+    val m0 = reduction.foldLeft(when(lit(false), lit(0.0))) {
       case (w, (thresh, scale, _)) => w.when(x >= thresh, x * lit(scale))
     }.otherwise(x)
     val kln2 = reduction.foldLeft(when(lit(false), lit(0.0))) {
       case (w, (thresh, _, kl)) => w.when(x >= thresh, lit(kl))
     }.otherwise(lit(0.0))
-    val t = (m - lit(1.0)) / (m + lit(1.0))
-    val t2 = t * t
-    val inner = coeffs.reverse.tail.foldLeft(lit(coeffs.last)) {
-      (acc, c) => lit(c) + t2 * acc
+    bind(m0) { m =>
+      bind((m - lit(1.0)) / (m + lit(1.0))) { t =>
+        bind(t * t) { t2 =>
+          val inner = coeffs.reverse.tail.foldLeft(lit(coeffs.last)) {
+            (acc, c) => lit(c) + t2 * acc
+          }
+          kln2 + lit(2.0) * (t * (lit(1.0) + t2 * inner))
+        }
+      }
     }
-    kln2 + lit(2.0) * (t * (lit(1.0) + t2 * inner))
   }
 
   /** The SQL replay: three CTE-layer column lists that compute
