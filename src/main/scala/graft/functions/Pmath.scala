@@ -51,7 +51,7 @@ object Pmath {
     * multiplies out to ~10⁵ Catalyst nodes per call and a 30 s+
     * analysis/Janino stall; with binding it is a few hundred nodes. The
     * single-element transform is the standard Column-level `let`. */
-  private def bind(x: Column)(f: Column => Column): Column =
+  private[graft] def bind(x: Column)(f: Column => Column): Column =
     element_at(transform(array(x), f), 1)
 
   /** Portable ln as a Column (domain [1, 2⁴⁰); returns 0 at x = 1). */

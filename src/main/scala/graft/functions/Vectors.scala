@@ -89,6 +89,11 @@ object Vectors {
   def int8Scale(v: Column): Column =
     coalesce(array_max(transform(asDouble(v), x => abs(x))), lit(0.0)) / 127.0
 
+  private def quantizeWithScale(v: Column, s: Column): Column =
+    when(s === 0.0, transform(asDouble(v), _ => lit(0).cast("int")))
+      .otherwise(transform(asDouble(v), x =>
+        floor(x / s + lit(0.5)).cast("int")))
+
   /** Quantize a float vector to int8 codes: qᵢ = ⌊xᵢ/scale + 0.5⌋,
     * i.e. round-half-toward-+∞ expressed as an explicit floor — `round`
     * half-way semantics differ subtly across engines, floor does not, so
@@ -96,22 +101,20 @@ object Vectors {
     * maps to exactly ±127 (⌊127.5⌋ on the positive side, ⌊-126.5⌋ = -127
     * on the negative); a zero vector quantizes to all zeros. The 4×
     * shrink is the standard embedding-storage/bandwidth trade at corpus
-    * scale; reconstruction error is bounded by scale/2 per element. */
-  def quantizeInt8(v: Column): Column = {
-    val s = int8Scale(v)
-    when(s === 0.0, transform(asDouble(v), _ => lit(0).cast("int")))
-      .otherwise(transform(asDouble(v), x =>
-        floor(x / s + lit(0.5)).cast("int")))
-  }
+    * scale; reconstruction error is bounded by scale/2 per element.
+    * The scale is let-bound ([[Pmath.bind]]) so the array_max reduction
+    * behind it runs once per row, not once per use site. */
+  def quantizeInt8(v: Column): Column =
+    Pmath.bind(int8Scale(v))(s => quantizeWithScale(v, s))
 
   /** Max absolute reconstruction error of [[quantizeInt8]]:
     * max|qᵢ·scale − xᵢ| — the quality metric a pipeline logs next to the
     * quantized table (bounded by scale/2). */
-  def int8MaxError(v: Column): Column = {
-    val s = int8Scale(v)
-    coalesce(array_max(zip_with(quantizeInt8(v), asDouble(v),
-      (q, x) => abs(q.cast("double") * s - x))), lit(0.0))
-  }
+  def int8MaxError(v: Column): Column =
+    Pmath.bind(int8Scale(v)) { s =>
+      coalesce(array_max(zip_with(quantizeWithScale(v, s), asDouble(v),
+        (q, x) => abs(q.cast("double") * s - x))), lit(0.0))
+    }
 
   /** Fail-fast dimension guard: passes `v` through unchanged when its
     * length equals `dim`, raises otherwise. Without this a mismatched

@@ -736,17 +736,20 @@ object Ext {
        FROM reach GROUP BY u"""
 
   /** MinHash+LSH replay: the SAME md5 hash family as
-    * [[graft.operators.Dedup.minhashLsh]] (hash_j = md5(42|j|shingle),
-    * lexicographic min per doc over distinct word 3-grams), banded 8×4,
-    * candidates from band-key equality, exact-Jaccard verify at 0.5 —
-    * a full independent replay of the LSH pipeline, not a shortcut. */
+    * [[graft.operators.Dedup.minhashLsh]] (hash_j = the (j%8)-th
+    * 4-hex-char slice of md5(42|j/8|shingle), lexicographic min per doc
+    * over distinct word 3-grams), banded 8×4, candidates from band-key
+    * equality, exact-Jaccard verify at 0.5 — a full independent replay
+    * of the LSH pipeline, not a shortcut. */
   private val dMinhashOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        sh AS (SELECT doc_id,
               unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                                     for i in range(1, len(ws) - 1)])) AS s
               FROM w WHERE len(ws) >= 3),
-       hj AS (SELECT doc_id, j, min(md5(42 || '|' || j || '|' || s)) AS mj
+       hj AS (SELECT doc_id, j,
+                     min(substr(md5(42 || '|' || (j // 8) || '|' || s),
+                                CAST((j % 8) * 4 + 1 AS INT), 4)) AS mj
               FROM sh, (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j),
        sig AS (SELECT doc_id, j // 4 AS band,
                       string_agg(mj, '|' ORDER BY j) AS bucket
