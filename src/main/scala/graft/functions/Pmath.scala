@@ -31,9 +31,9 @@ object Pmath {
   private val MaxK = 40
   private val Ln2 = 0.6931471805599453
   /** Horner coefficients, outermost first: 1/3, 1/5, …, 1/19. */
-  private val coeffs: Seq[Double] = (1 to 9).map(i => 1.0 / (2 * i + 1))
+  private[graft] val coeffs: Seq[Double] = (1 to 9).map(i => 1.0 / (2 * i + 1))
   /** (threshold 2^i, scale 2^-i, literal i·ln2) for i = MaxK..1. */
-  private val reduction: Seq[(Double, Double, Double)] =
+  private[graft] val reduction: Seq[(Double, Double, Double)] =
     (MaxK to 1 by -1).map(i => (math.pow(2, i), math.pow(2, -i), i * Ln2))
 
   /** Lossless literal: Java Double.toString round-trips, and a STRING →
@@ -54,8 +54,21 @@ object Pmath {
   private[graft] def bind(x: Column)(f: Column => Column): Column =
     element_at(transform(array(x), f), 1)
 
-  /** Portable ln as a Column (domain [1, 2⁴⁰); returns 0 at x = 1). */
-  def lnColumn(x0: Column): Column = bind(x0) { x =>
+  /** Portable ln as a Column (domain [1, 2⁴⁰); returns 0 at x = 1).
+    * Backed by the native codegen expression
+    * [[graft.plans.PortableLn]] — straight-line fused Java, no per-row
+    * allocations; generated from the same constant table as the lambda
+    * form and the SQL replay. */
+  def lnColumn(x0: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.PortableLn(ColumnBridge.expression(
+      x0.cast("double"))))
+  }
+
+  /** The HOF/lambda reference form of [[lnColumn]] — kept as the
+    * executable specification: PmathSpec asserts the native expression
+    * matches it bit-for-bit over a dense domain sweep. */
+  private[graft] def lnColumnLambda(x0: Column): Column = bind(x0) { x =>
     val m0 = reduction.foldLeft(when(lit(false), lit(0.0))) {
       case (w, (thresh, scale, _)) => w.when(x >= thresh, x * lit(scale))
     }.otherwise(x)

@@ -13,6 +13,20 @@ class PmathSpec extends SparkSpec {
     xs.toDF("x").select(Pmath.lnColumn(col("x")).as("y"))
       .as[Double].collect().toSeq
 
+  test("native codegen ln == lambda reference form, bit for bit") {
+    val xs = (1 to 5000).map(i => 1.0 + i * 1.7 + (i % 97) * 1e-5) ++
+      (1 to 40).map(i => math.pow(2, i)) ++ Seq(1.0, 1.0 + 1e-15)
+    val both = xs.toDF("x").select(
+      Pmath.lnColumn(col("x")).as("native"),
+      Pmath.lnColumnLambda(col("x")).as("lambda"))
+      .as[(Double, Double)].collect()
+    both.zip(xs).foreach { case ((n, l), x) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(l),
+        s"native/lambda diverge at $x: $n vs $l")
+    }
+  }
+
   test("portable ln tracks Math.log within 1e-11 relative over the domain") {
     val xs = (1 to 2000).map(i => 1.0 + i * i * 0.27) ++
       Seq(1.0, 1.5, 2.0, 1024.0, 1e6, 1e9, (1L << 40) - 1.0)
