@@ -42,4 +42,26 @@ object Sampling {
           expr(s"(_cum * $k) div _total")).otherwise(false))
       .drop("_w", "_cum", "_total")
   }
+
+  /** Deterministic train/val/test assignment by content-free id hash —
+    * the split must be a PURE function of the id (stable across reruns,
+    * partitionings, and engines; never rand()), and md5 is the portable
+    * family the engine standardizes on. `bucket` = the id's first 4 md5
+    * hex chars mod 100; cuts at `trainPct` and `trainPct+valPct`.
+    *
+    * Scale shape: a narrow projection — no shuffle, no state. This is
+    * the operator that makes "which split was this example in?" a
+    * reproducible question three years later. */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"hashSplit: bad cuts ($trainPct, $valPct)")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 }

@@ -286,6 +286,12 @@ object Ext {
         graft.functions.Vectors.int8Scale(col("embedding")).as("scale"),
         graft.functions.Vectors.int8MaxError(col("embedding")).as("max_err"))),
 
+    // deterministic split assignment: split is a pure function of the id
+    // (md5 bucket), reproducible across reruns/partitionings/engines
+    "x_split_assign" -> ((s, d) =>
+      graft.operators.Sampling.hashSplit(
+        t(s, d, "documents").select("doc_id", "source"), "doc_id")),
+
     // PII redaction over a deliberately PII-laden synthesized column
     // (the documents fixture has no PII — emails/phones/IPs are built
     // from customer fields, then scrubbed; the oracle builds and scrubs
@@ -1503,6 +1509,14 @@ object Ext {
          SELECT term, count(DISTINCT doc) AS df, count(*) AS cf,
                 list_sort(list(DISTINCT doc))[1:100] AS postings
          FROM occ GROUP BY term HAVING count(DISTINCT doc) >= 5""",
+
+    "x_split_assign" ->
+      """SELECT doc_id, source,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket,
+                CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents""",
 
     // identical synthesized strings, identical pattern constants (spliced
     // from Text.pii*Re — they cannot drift), identical replace order

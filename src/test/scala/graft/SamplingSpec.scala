@@ -50,4 +50,20 @@ class SamplingSpec extends SparkSpec {
     val pop = orders.agg(avg("o_totalprice")).head.getDouble(0)
     assert(sampled > pop, s"sampled mean $sampled <= population mean $pop")
   }
+
+  test("hash split: deterministic, partition-independent, near target proportions") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id")
+    val a = Sampling.hashSplit(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Sampling.hashSplit(docs.repartition(7), "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b, "split must not depend on partitioning")
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05 &&
+      math.abs(frac("val") - 0.1) < 0.03 &&
+      math.abs(frac("test") - 0.1) < 0.03, s"proportions off: $frac")
+  }
 }
