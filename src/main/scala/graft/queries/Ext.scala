@@ -91,9 +91,11 @@ object Ext {
       Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)),
 
     // … and the LSH-blocked DEFAULT scale path: same verify expression,
-    // banded RHP blocking instead of crossJoin. Rows-only here (seeded
-    // hyperplanes); ExtSpec asserts it returns EXACTLY the all-pairs
-    // result on the fixtures.
+    // banded RHP blocking instead of crossJon. Exact-oracled since r5:
+    // the hyperplanes are driver-side literal doubles, so the oracle SQL
+    // splices the SAME plane matrix (generated from Vectors.planeMatrix)
+    // and replays signature → bucket join → exact-cosine verify; ExtSpec
+    // additionally asserts ≡ the all-pairs twin on the fixtures.
     "x_embed_neardup_lsh" -> ((s, d) =>
       Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)),
 
@@ -813,6 +815,41 @@ object Ext {
             + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3)) <= 3"""
   }
 
+  /** RHP-LSH embedding near-dup replay: the hyperplane matrix is the
+    * SAME literal table the engine broadcasts
+    * ([[graft.functions.Vectors.planeMatrix]], bitsPerBand=2, bands=24,
+    * seed=42+band, dim=64 — the fixture dimensionality, asserted by the
+    * dim guard at run time), spliced as correctly-rounding VARCHAR →
+    * DOUBLE casts. Signature bit j = sign of list_dot_product (the
+    * sequential fold proven ≡ ArrayDot), bucket join per band, then the
+    * exact-cosine verify of the all-pairs oracle. */
+  private def dEmbedLshOracle: String = {
+    val (bits, bands, dim, seed) = (2, 24, 64, 42L)
+    def planeSql(p: Array[Double]): String =
+      "list_transform([" + p.map(x => s"'${x.toString}'").mkString(", ") +
+        "], s -> CAST(s AS DOUBLE))"
+    val bandSelects = (0 until bands).map { b =>
+      val planes = graft.functions.Vectors.planeMatrix(bits, dim, seed + b)
+      val bucket = (0 until bits).map { j =>
+        s"(CASE WHEN list_dot_product(v, ${planeSql(planes(j))}) >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS g, $bucket AS bucket FROM e"
+    }.mkString("\n          UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM bands a JOIN bands b ON a.g = b.g
+                      AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b,
+               list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) AS cos
+        FROM cand c JOIN n na ON na.vec_id = c.id_a
+                    JOIN n nb ON nb.vec_id = c.id_b
+        WHERE na.nrm * nb.nrm <> 0
+          AND list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.4"""
+  }
+
   /** Winnowing fingerprints of a filtered doc set, as a parenthesized
     * subquery (shared by x_winnow_fingerprint and decontamination). */
   private def dWinnow(pred: String): String =
@@ -921,6 +958,7 @@ object Ext {
 
     "x_dedup_minhash" -> dMinhashOracle,
     "x_dedup_simhash" -> dSimhashOracle,
+    "x_embed_neardup_lsh" -> dEmbedLshOracle,
 
     "x_winnow_fingerprint" ->
       s"""SELECT doc_id, fp FROM ${dWinnow("TRUE")}""",
