@@ -115,7 +115,9 @@ object Ext {
         useCustomPlan = true)
     }),
 
-    "x_ann_lsh" -> ((s, d) => {       // rows-only: seeded hyperplanes
+    // exact since r5: literal hyperplanes + deterministic multi-probe
+    // replay entirely in SQL (see dAnnLshOracle)
+    "x_ann_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
@@ -850,6 +852,42 @@ object Ext {
           AND list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.4"""
   }
 
+  /** Multi-probe LSH ANN replay: corpus bucketed by the 8-bit RHP
+    * signature (same spliced plane matrix idea as [[dEmbedLshOracle]],
+    * seed 42); each query probes its own bucket plus the 8 single-bit
+    * flips (xor), exact cosine re-rank, top-5 with the same (cos DESC,
+    * neighbor ASC) tie-break — every stage deterministic, so the ANN
+    * result itself is hash-compared, not just bounded. */
+  private def dAnnLshOracle: String = {
+    val (bits, dim, seed) = (8, 64, 42L)
+    val planes = graft.functions.Vectors.planeMatrix(bits, dim, seed)
+    def planeSql(p: Array[Double]): String =
+      "list_transform([" + p.map(x => s"'${x.toString}'").mkString(", ") +
+        "], s -> CAST(s AS DOUBLE))"
+    val sigExpr = (0 until bits).map { j =>
+      s"(CASE WHEN list_dot_product(v, ${planeSql(planes(j))}) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList = ("sig" +: (0 until bits).map(b => s"xor(sig, ${1 << b})"))
+      .mkString(", ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        cb AS (SELECT vec_id AS neighbor_id, v AS cv, nrm AS cn,
+                      $sigExpr AS bucket FROM n),
+        q0 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+                      $sigExpr AS sig FROM n WHERE vec_id < 10),
+        qp AS (SELECT query_id, qv, qn, unnest([$probeList]) AS bucket FROM q0),
+        scored AS (SELECT query_id, neighbor_id,
+                          CASE WHEN qn * cn <> 0
+                               THEN list_dot_product(qv, cv) / (qn * cn) END AS cos
+                   FROM cb JOIN qp USING (bucket)),
+        ranked AS (SELECT *, row_number() OVER
+                        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5"""
+  }
+
   /** Winnowing fingerprints of a filtered doc set, as a parenthesized
     * subquery (shared by x_winnow_fingerprint and decontamination). */
   private def dWinnow(pred: String): String =
@@ -959,6 +997,7 @@ object Ext {
     "x_dedup_minhash" -> dMinhashOracle,
     "x_dedup_simhash" -> dSimhashOracle,
     "x_embed_neardup_lsh" -> dEmbedLshOracle,
+    "x_ann_lsh" -> dAnnLshOracle,
 
     "x_winnow_fingerprint" ->
       s"""SELECT doc_id, fp FROM ${dWinnow("TRUE")}""",
