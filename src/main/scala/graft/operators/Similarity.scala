@@ -101,15 +101,23 @@ object Similarity {
     * pass: assign → per-(list, dim) mean via posexplode → collect the
     * nLists×dim means (bounded by PARAMETERS, not data — the only
     * driver-side data this operator ever holds). Probe cost ≈
-    * nProbe/nLists of the corpus per query vs 1.0 for brute force. */
+    * nProbe/nLists of the corpus per query vs 1.0 for brute force.
+    *
+    * Every stage is engine-portable, so the WHOLE iterative pipeline
+    * replays in SQL (x_ann_ivf is hash-compared): the seed sample orders
+    * by md5 hex (not a Spark-only hash), Lloyd means accumulate in
+    * 2⁻²⁰ fixed point (associative long sums — partition-order-
+    * independent AND exactly reproducible, the x_embed_centroids
+    * recipe), and argmin ties break on the list id. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
               k: Int, nLists: Int = 16, nProbe: Int = 4,
               seed: Long = 42, lloydIters: Int = 2): DataFrame = {
-    // deterministic centroid sample: smallest hash wins (tiny, bounded
-    // driver collect — nLists rows)
+    // deterministic centroid sample: smallest md5(seed|id) wins (tiny,
+    // bounded driver collect — nLists rows)
     var cents: Array[Array[Double]] = corpus
-      .select(col(cVec).as("v"), xxhash64(col(cId), lit(seed)).as("h"))
+      .select(col(cVec).as("v"),
+        md5(concat_ws("|", lit(seed), col(cId).cast("string"))).as("h"))
       .orderBy("h").limit(nLists)
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
@@ -128,7 +136,12 @@ object Similarity {
         .select(col(cVec).as("v"),
           array_min(scores(col(cVec))).getField("list").as("list"))
         .select(col("list"), posexplode(col("v")))
-        .groupBy("list", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("list", "pos")
+        // fixed-point mean (floor to 2^-20, exact long sum): associative
+        // => independent of partition order, and bit-replayable in SQL —
+        // a plain avg() of doubles is neither
+        .agg((sum(floor(col("col").cast("double") * 1048576.0).cast("long"))
+          .cast("double") / (count(lit(1)) * 1048576.0)).as("m"))
         .collect()                       // ≤ nLists×dim rows, param-bounded
       val next = cents.map(_.clone())    // empty lists keep their centroid
       means.foreach(r => next(r.getAs[Int]("list"))(r.getAs[Int]("pos")) =

@@ -123,7 +123,7 @@ object Ext {
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
     }),
 
-    "x_ann_ivf" -> ((s, d) => {       // rows-only: hash-sampled centroids
+    "x_ann_ivf" -> ((s, d) => {       // exact since r5 (portable k-means)
       val e = t(s, d, "embeddings")
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
@@ -888,6 +888,62 @@ object Ext {
         FROM ranked WHERE rank <= 5"""
   }
 
+  /** IVF ANN replay — the full ITERATIVE pipeline in SQL: md5-ordered
+    * centroid seed sample, two unrolled Lloyd iterations (argmin
+    * assignment with (distance, list) tie-break; per-dimension means in
+    * the 2⁻²⁰ fixed point of x_embed_centroids — associative, so Spark's
+    * shuffled aggregation and DuckDB's scan produce identical doubles),
+    * then inverted-list probe + exact cosine re-rank. k-means is
+    * hash-compared end to end. */
+  private def dAnnIvfOracle: String = {
+    val (nLists, nProbe, dim, seed, k) = (16, 4, 64, 42, 5)
+    def lloyd(prev: String, n: Int): String =
+      s"""s$n AS (SELECT e.vec_id, e.v, c.list,
+                         list_dot_product(c.c, c.c) - 2.0 * list_dot_product(e.v, c.c) AS s
+                  FROM e CROSS JOIN $prev c),
+          a$n AS (SELECT vec_id, v, list FROM
+                  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s, list) AS rn
+                   FROM s$n) WHERE rn = 1),
+          m$n AS (SELECT list, i - 1 AS pos,
+                         CAST(sum(CAST(floor(v[i] * 1048576.0) AS BIGINT)) AS DOUBLE)
+                           / (count(*) * 1048576.0) AS m
+                  FROM a$n, (SELECT unnest(range(1, ${dim + 1})) AS i)
+                  GROUP BY list, i - 1),
+          g$n AS (SELECT list, list(m ORDER BY pos) AS c FROM m$n GROUP BY list),
+          cent$n AS (SELECT p.list, coalesce(g$n.c, p.c) AS c
+                     FROM $prev p LEFT JOIN g$n USING (list))"""
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        nn AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        cent0 AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS list, v AS c
+                  FROM (SELECT v, h FROM
+                        (SELECT v, md5($seed || '|' || CAST(vec_id AS VARCHAR)) AS h
+                         FROM e) ORDER BY h LIMIT $nLists)),
+        ${lloyd("cent0", 1)},
+        ${lloyd("cent1", 2)},
+        s3 AS (SELECT e.vec_id, e.v, c.list,
+                      list_dot_product(c.c, c.c) - 2.0 * list_dot_product(e.v, c.c) AS s
+               FROM e CROSS JOIN cent2 c),
+        listed AS (SELECT vec_id AS neighbor_id, v AS cv, list FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s, list) AS rn
+                    FROM s3) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, v AS qv, list FROM
+                   (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s, list) AS rn
+                    FROM s3 WHERE vec_id < 10) WHERE rn <= $nProbe),
+        scored AS (SELECT p.query_id, l.neighbor_id,
+                          CASE WHEN qn.nrm * cn.nrm <> 0
+                               THEN list_dot_product(p.qv, l.cv) / (qn.nrm * cn.nrm)
+                          END AS cos
+                   FROM listed l JOIN probes p USING (list)
+                        JOIN nn qn ON qn.vec_id = p.query_id
+                        JOIN nn cn ON cn.vec_id = l.neighbor_id),
+        ranked AS (SELECT *, row_number() OVER
+                        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= $k"""
+  }
+
   /** Winnowing fingerprints of a filtered doc set, as a parenthesized
     * subquery (shared by x_winnow_fingerprint and decontamination). */
   private def dWinnow(pred: String): String =
@@ -998,6 +1054,7 @@ object Ext {
     "x_dedup_simhash" -> dSimhashOracle,
     "x_embed_neardup_lsh" -> dEmbedLshOracle,
     "x_ann_lsh" -> dAnnLshOracle,
+    "x_ann_ivf" -> dAnnIvfOracle,
 
     "x_winnow_fingerprint" ->
       s"""SELECT doc_id, fp FROM ${dWinnow("TRUE")}""",
