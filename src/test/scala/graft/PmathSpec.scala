@@ -97,6 +97,22 @@ class PmathSpec extends SparkSpec {
     assert(s.values.forall(_ <= 0.0), "log-probs must be non-positive")
   }
 
+  test("double-valued scores are partition-order invariant") {
+    import graft.operators.{LangModel, Retrieval}
+    // scores built on portable ln + ordered folds must be BIT-identical
+    // under any input layout — the cluster-re-layout invariance the
+    // exact oracles certify cross-engine, asserted here cross-partitioning
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      LangModel.bigramScore(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(docs) == scores(docs.repartition(13)))
+    def bm25(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      Retrieval.bm25TopK(df, "doc_id", "text", Seq("join", "merge", "scan"), 20)
+        .orderBy("rank").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bm25(docs) == bm25(docs.repartition(7)))
+  }
+
   test("int8 quantization: codes bounded, reconstruction within scale/2") {
     import graft.functions.Vectors
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
