@@ -290,6 +290,10 @@ object Ext {
         graft.functions.Vectors.int8Scale(col("embedding")).as("scale"),
         graft.functions.Vectors.int8MaxError(col("embedding")).as("max_err"))),
 
+    // ANALYZE-style one-scan table profile: per-column min/max/NDV/nulls
+    "x_table_stats" -> ((s, d) =>
+      graft.sources.Warehouse.analyzeStats(t(s, d, "lineitem"))),
+
     // deterministic split assignment: split is a pure function of the id
     // (md5 bucket), reproducible across reruns/partitionings/engines
     "x_split_assign" -> ((s, d) =>
@@ -1643,6 +1647,26 @@ object Ext {
          SELECT term, count(DISTINCT doc) AS df, count(*) AS cf,
                 list_sort(list(DISTINCT doc))[1:100] AS postings
          FROM occ GROUP BY term HAVING count(DISTINCT doc) >= 5""",
+
+    // one-scan ANALYZE profile: selection-only stats (min/max/NDV/null
+    // counts) need no float arithmetic at all — aliases generated to
+    // match the Spark side per column
+    "x_table_stats" -> {
+      val numeric = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val strings = Seq("l_returnflag", "l_linestatus")
+      val stamps = Seq("l_shipdate")
+      val cols = (numeric.map(c =>
+        s"CAST(min($c) AS DOUBLE) AS ${c}_min, CAST(max($c) AS DOUBLE) AS ${c}_max") ++
+        strings.map(c => s"min($c) AS ${c}_min, max($c) AS ${c}_max") ++
+        stamps.map(c =>
+          s"strftime(min($c), '%Y-%m-%d %H:%M:%S') AS ${c}_min, " +
+            s"strftime(max($c), '%Y-%m-%d %H:%M:%S') AS ${c}_max") ++
+        (numeric ++ strings ++ stamps).map(c =>
+          s"count(DISTINCT $c) AS ${c}_ndv, count(*) - count($c) AS ${c}_nulls"))
+        .mkString(", ")
+      s"SELECT $cols FROM lineitem"
+    },
 
     "x_split_assign" ->
       """SELECT doc_id, source,
