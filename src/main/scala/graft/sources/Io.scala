@@ -44,6 +44,16 @@ object Io {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Evolved-schema scan: union the schemas of every file footer under
+    * `path` (columns added by later writers surface as nulls in older
+    * files) — the read side of additive schema evolution, which a
+    * long-lived warehouse needs when producers gain columns between
+    * backfills. Spark's default read takes ONE file's schema and
+    * silently drops the others' extras; mergeSchema pays one extra
+    * footer pass to see the union. */
+  def readParquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** JSONL scan (one JSON object per line — the LLM-corpus interchange
     * format). Schema is DECLARED like every other source here: inference
     * would scan the data twice and silently widen types between runs. */

@@ -139,4 +139,18 @@ class PipelineSpec extends SparkSpec {
     assert(fp.count() == rd("silver/payments").count())
     assert(fp.columns.contains("client_id") && fp.columns.contains("vehicle_id"))
   }
+
+  test("parquet schema evolution: mergeSchema unions old and new writers") {
+    import spark.implicits._
+    import graft.sources.Io
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(dir + "/batch=1")
+    Seq((2L, "b", 3.5)).toDF("id", "v1", "v2").write.parquet(dir + "/batch=2")
+    val merged = Io.readParquetEvolved(spark, dir)
+    assert(Set("id", "v1", "v2").subsetOf(merged.columns.toSet))
+    val byId = merged.collect().map(r => r.getLong(r.fieldIndex("id")) -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("v2")),
+      "pre-evolution file's new column must surface as null")
+    assert(byId(2L).getDouble(byId(2L).fieldIndex("v2")) == 3.5)
+  }
 }
