@@ -63,11 +63,14 @@ object Warehouse {
     * min/max surface as double (selection, not arithmetic — exact),
     * timestamps as formatted UTC strings (the engine's portable date
     * form), strings as-is. One shuffle-free partial/final aggregate;
-    * at 100 TB this is the same single pass ANALYZE TABLE costs.
-    * NDV is EXACT countDistinct here (the profile is also the oracle
-    * surface); swap approx_count_distinct per column when a sketch
-    * suffices at extreme cardinalities. */
-  def analyzeStats(df: DataFrame): DataFrame = {
+    * at 100 TB this is the same single pass ANALYZE TABLE costs —
+    * PROVIDED `exactNdv = false`. Exact multi-column countDistinct makes
+    * Catalyst EXPAND the input once per distinct aggregate (an 11-column
+    * profile benched 25 s at sf0.1 vs sub-second approx): the 100 TB
+    * default is the HLL sketch (approx_count_distinct, one pass, no
+    * expand); `exactNdv = true` is the differential-oracle form, for
+    * tables where the expansion is affordable. */
+  def analyzeStats(df: DataFrame, exactNdv: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
     val aggs = df.schema.fields.flatMap { f =>
       val c = col(f.name)
@@ -78,8 +81,9 @@ object Warehouse {
         case StringType => (min(c), max(c))
         case _ => (min(c).cast("double"), max(c).cast("double"))
       }
+      val ndv = if (exactNdv) countDistinct(c) else approx_count_distinct(c)
       Seq(mn.as(s"${f.name}_min"), mx.as(s"${f.name}_max"),
-        countDistinct(c).as(s"${f.name}_ndv"),
+        ndv.as(s"${f.name}_ndv"),
         (count(lit(1)) - count(c)).as(s"${f.name}_nulls"))
     }.toSeq
     df.agg(aggs.head, aggs.tail: _*)
