@@ -90,4 +90,36 @@ class WarehouseSpec extends SparkSpec {
     // and x-band queries still prune on the z layout too (both dims local)
     assert(filesTouched(zDir, "x", 0, 127) < nFiles)
   }
+
+  test("runtime Bloom-filter join pruning engages on a selective dim join") {
+    // Spark injects a might_contain(bloom) predicate into the FACT scan
+    // when the dim side is selective — rows that can't join are dropped
+    // before the shuffle, the runtime analog of semi-join pushdown. The
+    // size threshold is lowered because test data sits far below the
+    // 10 GB default; at 100 TB the guard engages on its own.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, sf, "lineitem")
+      val ord = Tables.load(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000)
+      def agg() = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      val j = agg()
+      assert(j.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "runtime bloom filter not injected into the fact side")
+      val withBloom = j.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // the rewrite must be semantics-preserving: same result without it
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = agg().collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(withBloom == plain, "bloom pruning changed the join result")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
