@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.CheckpointBlocks
@@ -184,5 +185,27 @@ object Graphs {
     cc.join(sizes, Seq("component"))
       .select(col("id").as("doc_id"), col("component").as("cluster_rep"),
         col("cluster_size"))
+  }
+
+  /** Dedup clusters with a QUALITY-chosen representative: instead of
+    * "keep the min id" (an arbitrary survivor), keep the highest-scoring
+    * member of each near-dup cluster — the policy a curated corpus
+    * actually wants (drop the truncated/boilerplate copy, keep the clean
+    * one). `scores` maps id → score; ties break on the smaller id so the
+    * choice is total. One extra join + a per-component window (state =
+    * one cluster's members, never the corpus). */
+  def bestRepClusters(pairs: DataFrame, aCol: String, bCol: String,
+                      scores: DataFrame, idCol: String,
+                      scoreCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val scored = cc.join(
+      scores.select(col(idCol).as("id"), col(scoreCol).as("score")), Seq("id"))
+    val byComp = Window.partitionBy("component")
+      .orderBy(col("score").desc, col("id").asc)
+    scored
+      .withColumn("best_rep", first(col("id")).over(byComp))
+      .withColumn("best_score", first(col("score")).over(byComp))
+      .select(col("id").as("doc_id"), col("component").as("cluster_min"),
+        col("best_rep"), col("best_score"))
   }
 }

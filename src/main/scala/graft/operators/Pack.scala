@@ -50,4 +50,28 @@ object Pack {
           greatest(col("cum") - col("n"), col("chunk_id") * capacity))
           .as("tokens_in_chunk"))
   }
+
+  /** Overlapping sliding-window chunks — the RAG/embedding-input shape
+    * (window of `width` words every `stride` words, so context straddling
+    * a boundary survives in the next window). Per doc: window w starts at
+    * word w·stride+1; windows exist while their start is in range, the
+    * last one may be short. Narrow explode (one generator per doc, no
+    * shuffle at all); chunk count per doc = ⌈len/stride⌉, total output
+    * ≈ width/stride × corpus — the standard storage/recall trade. */
+  def overlapChunks(docs: DataFrame, idCol: String, textCol: String,
+                    width: Int, stride: Int): DataFrame = {
+    require(stride > 0 && width >= stride,
+      s"overlapChunks: need width >= stride > 0, got ($width, $stride)")
+    val words = graft.functions.Text.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), words.as("ws"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          expr(s"(size(ws) - 1) div $stride").cast("int"))).as("chunk_idx"),
+        col("ws"))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("ws"), col("chunk_idx") * stride + 1, lit(width)))
+          .as("chunk_text"),
+        least(size(col("ws")) - col("chunk_idx") * stride, lit(width))
+          .as("n_words"))
+  }
 }

@@ -72,6 +72,24 @@ object Ext {
           n = 3, threshold = 0.5, maxBucket = 1000), "doc_a", "doc_b",
         logRounds = true)),
 
+    // quality-chosen cluster representatives: keep the BEST member of
+    // each near-dup cluster (quality desc, id asc), not an arbitrary one
+    "x_dedup_best_rep" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Graphs.bestRepClusters(
+        Dedup.ngramJaccard(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, maxBucket = 1000), "doc_a", "doc_b",
+        docs.select(col("doc_id"), Text.qualityScore(col("text")).as("q")),
+        "doc_id", "q")
+    }),
+
+    // overlapping sliding-window chunks (RAG/embedding inputs): width 30
+    // words, stride 15 — boundary-straddling context survives
+    "x_chunk_overlap" -> ((s, d) =>
+      graft.operators.Pack.overlapChunks(
+        t(s, d, "documents").filter(col("doc_id") < 200), "doc_id", "text",
+        width = 30, stride = 15)),
+
     // winnowing (MOSS) fingerprints: guaranteed shared fingerprint for any
     // shared run of ≥ k+w−1 words; md5 ordering makes selection portable
     "x_winnow_fingerprint" -> ((s, d) =>
@@ -724,10 +742,10 @@ object Ext {
         t(s, d, "documents").filter(col("doc_id") < 100), "doc_id")))
   )
 
-  /** Transitive closure over the ngram-jaccard pair set (identical pair
-    * SQL to the x_dedup_ngram_jaccard oracle); shared by both connected-
-    * components variants. */
-  private val clustersClosureOracle: String =
+  /** Transitive-closure CTE prefix over the ngram-jaccard pair set
+    * (identical pair SQL to the x_dedup_ngram_jaccard oracle); shared by
+    * both connected-components variants and the best-rep policy. */
+  private val closureCtes: String =
     """WITH RECURSIVE
        w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        sh AS (SELECT doc_id,
@@ -749,7 +767,11 @@ object Ext {
                  UNION SELECT doc_b, doc_a FROM good),
        reach AS (SELECT u, v FROM edges
                  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-                 WHERE e.v <> r.u)
+                 WHERE e.v <> r.u)"""
+
+  private val clustersClosureOracle: String =
+    closureCtes +
+      """
        SELECT u AS doc_id, least(u, min(v)) AS cluster_rep,
               CAST(count(DISTINCT v) + 1 AS BIGINT) AS cluster_size
        FROM reach GROUP BY u"""
@@ -1058,6 +1080,33 @@ object Ext {
     // graded against this same closure.
     "x_dedup_clusters" -> clustersClosureOracle,
     "x_dedup_clusters_logstar" -> clustersClosureOracle,
+
+    // closure + per-component argmax on the SAME quality formula the
+    // x_quality oracle proves bit-exact; ties break on the smaller id
+    "x_dedup_best_rep" ->
+      (closureCtes +
+        s""",
+         comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_min
+                  FROM reach GROUP BY u),
+         q AS (SELECT doc_id, ($dQuality) AS q FROM documents),
+         j AS (SELECT c.doc_id, c.cluster_min, q.q
+               FROM comp c JOIN q USING (doc_id))
+         SELECT doc_id, cluster_min,
+                first_value(doc_id) OVER
+                  (PARTITION BY cluster_min ORDER BY q DESC, doc_id) AS best_rep,
+                first_value(q) OVER
+                  (PARTITION BY cluster_min ORDER BY q DESC, doc_id) AS best_score
+         FROM j"""),
+
+    "x_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE doc_id < 200)
+         SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                array_to_string(ws[i * 15 + 1 : least(i * 15 + 30, len(ws))], ' ')
+                  AS chunk_text,
+                CAST(least(len(ws) - i * 15, 30) AS INTEGER) AS n_words
+         FROM (SELECT doc_id, ws,
+                      unnest(range(0, (len(ws) - 1) // 15 + 1)) AS i FROM w)""",
 
     "x_dedup_minhash" -> dMinhashOracle,
     "x_dedup_simhash" -> dSimhashOracle,
