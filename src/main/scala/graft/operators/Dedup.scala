@@ -329,4 +329,42 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup for
+    * embedding corpora — cluster with k-means, then prune near-duplicate
+    * pairs only WITHIN each cluster, betting (as the paper measures) that
+    * semantic duplicates land in the same cluster. The quadratic verify
+    * is bounded by the largest cluster, never the corpus: at 100 TB,
+    * nLists grows with the corpus so clusters stay ~fixed-size, and every
+    * stage is an equi-join on the list id — the same scaling shape as the
+    * LSH paths, with cluster semantics instead of hash buckets.
+    *
+    * Drop policy (deterministic): a row is dropped iff SOME lower-id row
+    * in its cluster has cosine ≥ threshold — first-id-wins, the in-cluster
+    * analogue of min-id representatives. (The paper ranks survivors by
+    * distance from the centroid; swapping the ranking key is a one-line
+    * change and does not alter the plan shape.) Returns survivors
+    * (id, list).
+    *
+    * Exact-oracle-able end to end: [[Similarity.kmeansCentroids]] is the
+    * portable fixed-point k-means that x_ann_ivf already replays in SQL,
+    * and the in-cluster verify reuses [[embeddingNearDup]]'s guarded
+    * cosine. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nLists: Int = 16, seed: Long = 42,
+               lloydIters: Int = 2): DataFrame = {
+    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, nLists, seed, lloydIters)
+    val assigned = withNorms(df, idCol, vecCol)
+      .withColumn("list",
+        array_min(Similarity.centroidScores(cents, col("v"))).getField("list"))
+    val a = assigned.select(col("list"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("na"))
+    val b = assigned.select(col("list"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("list")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosWhenNonZero)
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti").select("id", "list")
+  }
 }

@@ -113,41 +113,8 @@ object Similarity {
               qId: String, qVec: String, cId: String, cVec: String,
               k: Int, nLists: Int = 16, nProbe: Int = 4,
               seed: Long = 42, lloydIters: Int = 2): DataFrame = {
-    // deterministic centroid sample: smallest md5(seed|id) wins (tiny,
-    // bounded driver collect — nLists rows)
-    var cents: Array[Array[Double]] = corpus
-      .select(col(cVec).as("v"),
-        md5(concat_ws("|", lit(seed), col(cId).cast("string"))).as("h"))
-      .orderBy("h").limit(nLists)
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-
-    // scored distance proxies to every centroid as an array of structs
-    // (score, list-id); array_min / array_sort order lexicographically
-    def scores(v: org.apache.spark.sql.Column) = {
-      val c2 = cents.map(c => c.map(x => x * x).sum)
-      array(cents.indices.map { j =>
-        struct((lit(c2(j)) - lit(2.0) * Vectors.dot(v, typedlit(cents(j)))).as("s"),
-          lit(j).as("list"))
-      }: _*)
-    }
-
-    for (_ <- 0 until lloydIters) {
-      val means = corpus
-        .select(col(cVec).as("v"),
-          array_min(scores(col(cVec))).getField("list").as("list"))
-        .select(col("list"), posexplode(col("v")))
-        .groupBy("list", "pos")
-        // fixed-point mean (floor to 2^-20, exact long sum): associative
-        // => independent of partition order, and bit-replayable in SQL —
-        // a plain avg() of doubles is neither
-        .agg((sum(floor(col("col").cast("double") * 1048576.0).cast("long"))
-          .cast("double") / (count(lit(1)) * 1048576.0)).as("m"))
-        .collect()                       // ≤ nLists×dim rows, param-bounded
-      val next = cents.map(_.clone())    // empty lists keep their centroid
-      means.foreach(r => next(r.getAs[Int]("list"))(r.getAs[Int]("pos")) =
-        r.getAs[Double]("m"))
-      cents = next
-    }
+    val cents = kmeansCentroids(corpus, cId, cVec, nLists, seed, lloydIters)
+    def scores(v: org.apache.spark.sql.Column) = centroidScores(cents, v)
 
     val listed = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"),
       array_min(scores(col(cVec))).getField("list").as("list"))
@@ -161,5 +128,51 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** The portable k-means behind [[ivfTopK]] and `Dedup.semDedup`:
+    * deterministic md5-sampled init (smallest md5(seed|id) wins — a tiny,
+    * PARAM-bounded driver collect of nLists rows) refined by `lloydIters`
+    * Lloyd iterations, each a pure DataFrame pass: assign → per-(list,
+    * dim) fixed-point mean via posexplode (floor to 2⁻²⁰, exact long
+    * sums — associative, so independent of partition order AND
+    * bit-replayable in SQL; a plain avg() of doubles is neither) →
+    * collect the ≤ nLists×dim means. Empty lists keep their centroid. */
+  def kmeansCentroids(corpus: DataFrame, cId: String, cVec: String,
+                      nLists: Int, seed: Long,
+                      lloydIters: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = corpus
+      .select(col(cVec).as("v"),
+        md5(concat_ws("|", lit(seed), col(cId).cast("string"))).as("h"))
+      .orderBy("h").limit(nLists)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    for (_ <- 0 until lloydIters) {
+      val means = corpus
+        .select(col(cVec).as("v"),
+          array_min(centroidScores(cents, col(cVec))).getField("list").as("list"))
+        .select(col("list"), posexplode(col("v")))
+        .groupBy("list", "pos")
+        .agg((sum(floor(col("col").cast("double") * 1048576.0).cast("long"))
+          .cast("double") / (count(lit(1)) * 1048576.0)).as("m"))
+        .collect()                       // ≤ nLists×dim rows, param-bounded
+      val next = cents.map(_.clone())    // empty lists keep their centroid
+      means.foreach(r => next(r.getAs[Int]("list"))(r.getAs[Int]("pos")) =
+        r.getAs[Double]("m"))
+      cents = next
+    }
+    cents
+  }
+
+  /** Distance proxies to every centroid as an array of (score, list)
+    * structs — argmin of ‖v−c‖² ≡ argmin of (c·c − 2 v·c); array_min /
+    * array_sort order lexicographically, so ties break on the list id. */
+  def centroidScores(cents: Array[Array[Double]],
+                     v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val c2 = cents.map(c => c.map(x => x * x).sum)
+    array(cents.indices.map { j =>
+      struct((lit(c2(j)) - lit(2.0) * Vectors.dot(v, typedlit(cents(j)))).as("s"),
+        lit(j).as("list"))
+    }: _*)
   }
 }

@@ -147,6 +147,13 @@ object Ext {
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
     }),
 
+    // SemDeDup: the portable k-means bounds the quadratic near-dup
+    // verify to within-cluster pairs — exact end to end (dSemDedupOracle
+    // replays clustering AND prune in SQL)
+    "x_semdedup" -> ((s, d) =>
+      Dedup.semDedup(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+        .select(col("id").as("vec_id"), col("list"))),
+
     // sub-document (chunk-level) dedup: fixed 10-token windows — the
     // paragraph-dedup preprocessing step, demonstrated at chunk
     // granularity since the corpus has no sentence delimiters. Guarded
@@ -926,8 +933,12 @@ object Ext {
     * shuffled aggregation and DuckDB's scan produce identical doubles),
     * then inverted-list probe + exact cosine re-rank. k-means is
     * hash-compared end to end. */
-  private def dAnnIvfOracle: String = {
-    val (nLists, nProbe, dim, seed, k) = (16, 4, 64, 42, 5)
+  /** The portable-k-means WITH-clause prefix shared by [[dAnnIvfOracle]]
+    * and the SemDeDup oracle: md5-ordered centroid seed sample, two
+    * unrolled fixed-point Lloyd iterations, final assignment `listed`
+    * (neighbor_id, cv, list) plus the scored s3 pass it derives from. */
+  private def dKmeansCommon: String = {
+    val (nLists, dim, seed) = (16, 64, 42)
     def lloyd(prev: String, n: Int): String =
       s"""s$n AS (SELECT e.vec_id, e.v, c.list,
                          list_dot_product(c.c, c.c) - 2.0 * list_dot_product(e.v, c.c) AS s
@@ -943,8 +954,8 @@ object Ext {
           g$n AS (SELECT list, list(m ORDER BY pos) AS c FROM m$n GROUP BY list),
           cent$n AS (SELECT p.list, coalesce(g$n.c, p.c) AS c
                      FROM $prev p LEFT JOIN g$n USING (list))"""
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                   FROM embeddings),
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
         nn AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         cent0 AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS list, v AS c
                   FROM (SELECT v, h FROM
@@ -957,7 +968,12 @@ object Ext {
                FROM e CROSS JOIN cent2 c),
         listed AS (SELECT vec_id AS neighbor_id, v AS cv, list FROM
                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s, list) AS rn
-                    FROM s3) WHERE rn = 1),
+                    FROM s3) WHERE rn = 1)"""
+  }
+
+  private def dAnnIvfOracle: String = {
+    val (nProbe, k) = (4, 5)
+    s"""WITH $dKmeansCommon,
         probes AS (SELECT vec_id AS query_id, v AS qv, list FROM
                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s, list) AS rn
                     FROM s3 WHERE vec_id < 10) WHERE rn <= $nProbe),
@@ -974,6 +990,20 @@ object Ext {
         SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= $k"""
   }
+
+  /** SemDeDup replay: the same portable k-means ([[dKmeansCommon]]), then
+    * the in-cluster first-id-wins prune — a row is dropped iff some
+    * lower-id row in its cluster clears the cosine threshold. */
+  private def dSemDedupOracle: String =
+    s"""WITH $dKmeansCommon,
+        la AS (SELECT l.neighbor_id AS id, l.list, l.cv AS v, nn.nrm
+               FROM listed l JOIN nn ON nn.vec_id = l.neighbor_id),
+        drops AS (SELECT DISTINCT b.id
+                  FROM la a JOIN la b ON a.list = b.list AND a.id < b.id
+                  WHERE a.nrm * b.nrm <> 0
+                    AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+        SELECT id AS vec_id, list FROM la
+        WHERE id NOT IN (SELECT id FROM drops)"""
 
   /** Winnowing fingerprints of a filtered doc set, as a parenthesized
     * subquery (shared by x_winnow_fingerprint and decontamination). */
@@ -1113,6 +1143,7 @@ object Ext {
     "x_embed_neardup_lsh" -> dEmbedLshOracle,
     "x_ann_lsh" -> dAnnLshOracle,
     "x_ann_ivf" -> dAnnIvfOracle,
+    "x_semdedup" -> dSemDedupOracle,
 
     "x_winnow_fingerprint" ->
       s"""SELECT doc_id, fp FROM ${dWinnow("TRUE")}""",

@@ -106,6 +106,49 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall $recall")
   }
 
+  test("semDedup: no surviving in-cluster pair clears the threshold; near-dups co-cluster") {
+    val got = Dedup.semDedup(emb, "vec_id", "embedding", 0.4)
+    val survivors = got.collect().map(r => (r.getLong(0), r.getInt(1)))
+    val n = emb.count()
+    assert(survivors.length < n, "planted near-dups should force drops")
+
+    // survivor invariant: any same-cluster pair above threshold would have
+    // dropped its higher id, so none may remain
+    val sv = got.select(col("id"), col("list"))
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+    val sa = sv.select(col("list"), col("id").as("id_a"), col("embedding").as("va"))
+    val sb = sv.select(col("list"), col("id").as("id_b"), col("embedding").as("vb"))
+    val worst = sa.join(sb, Seq("list")).filter(col("id_a") < col("id_b"))
+      .select(Vectors.cosine(col("va"), col("vb")).as("cos"))
+      .agg(max("cos")).head.getDouble(0)
+    assert(worst < 0.4, s"surviving in-cluster pair at cos=$worst")
+
+    // the SemDeDup bet: STRONG duplicates land in the same cluster (weak
+    // cos-0.4 pairs legitimately straddle centroids — the paper prunes at
+    // high thresholds for exactly this reason; the fixture's max pairwise
+    // cos is 0.48, so plant the strong dups here). 20 base vectors + 8
+    // copies (6 exact, 2 ε-perturbed) — every copy must co-cluster with
+    // its base and be dropped as the higher id.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 20L).map(i => i -> Array.fill(16)(rnd.nextFloat() - 0.5f))
+    val copies = (0 until 8).map { j =>
+      val (src, v) = base(j * 2)
+      val noisy =
+        if (j < 6) v.clone()
+        else v.map(x => x + (rnd.nextFloat() - 0.5f) * 1e-4f)
+      (100L + j, noisy, src)
+    }
+    val planted = (base.map { case (i, v) => (i, v) } ++
+      copies.map { case (i, v, _) => (i, v) }).toDF("vec_id", "embedding")
+    val kept = Dedup.semDedup(planted, "vec_id", "embedding", 0.95, nLists = 6)
+      .select("id").as[Long].collect().toSet
+    copies.foreach { case (cid, _, src) =>
+      assert(!kept.contains(cid), s"planted copy $cid of $src survived")
+      assert(kept.contains(src), s"base $src should be the surviving rep")
+    }
+    assert(kept.size == planted.count() - copies.length)
+  }
+
   test("ANN probes a small fraction of the corpus") {
     val n = emb.count()
     val buckets = Similarity.lshBuckets(emb, "vec_id", "embedding", 8, 42)
