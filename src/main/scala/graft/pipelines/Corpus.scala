@@ -57,6 +57,34 @@ object Corpus {
       .groupBy("doc_id").agg(countDistinct(col("fp")).as("n_shared"))
   }
 
+  /** GPT-3-style exhaustive contamination MEASUREMENT: for each training
+    * doc, the fraction of its distinct word n-grams that appear anywhere
+    * in the eval split. [[contaminationBySplit]] answers "is this doc
+    * contaminated" from sampled winnowing fingerprints; this answers "how
+    * much" — the per-doc overlap ratio reports are built from (GPT-3
+    * appendix C measures exactly this before choosing removal
+    * thresholds). Every train doc with ≥1 gram is reported, overlap 0
+    * included — the distribution, not just the flagged tail.
+    *
+    * Scale shape: one distinct-gram explode per side (the train side is
+    * the corpus scan it already needs), one equi-join on the gram — the
+    * eval gram set is benchmark-sized, so the join broadcasts; the
+    * per-doc aggregate rides the explode's doc grouping. */
+  def ngramOverlap(docs: DataFrame, idCol: String, textCol: String,
+                   evalPred: org.apache.spark.sql.Column,
+                   n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"), evalPred.as("_eval"),
+      Text.explodeWordShingles(col(textCol), n).as("g"))
+    val evalGrams = grams.filter(col("_eval"))
+      .select(col("g").as("_eg")).distinct()
+    grams.filter(!col("_eval"))
+      .join(evalGrams, col("g") === col("_eg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("_eg")).as("n_overlap"))
+      .withColumn("overlap_frac",
+        col("n_overlap").cast("double") / col("n_grams"))
+  }
+
   /** Budget-capped mixture: per shard, keep docs (in deterministic id
     * order) while the running token total stays within `budgetTokens` —
     * the data-mixing step that assembles a training corpus from sources

@@ -242,6 +242,31 @@ object Ext {
         .select("l_returnflag", "p05", "p95", "n", "n_below", "n_above")
     }),
 
+    // robust (median/MAD) outlier report — what a heavy-tailed column
+    // needs instead of mean/stddev z-scores: fences at med ± 4.4478·MAD
+    // (4.4478 = 3 × the 1.4826 normal-consistency constant, FOLDED to one
+    // literal so both engines parse the identical double; composing
+    // 3.0*(1.4826*mad) would round differently than the folded constant).
+    // Same exact-window concentration honesty as x_outlier_clip — the
+    // KLL sketch twin pattern applies unchanged at 100 TB.
+    "x_mad_outlier" -> ((s, d) => {
+      val byFlag = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("med", expr("percentile(l_extendedprice, 0.5)").over(byFlag))
+        .withColumn("ad", abs(col("l_extendedprice") - col("med")))
+        .withColumn("mad", expr("percentile(ad, 0.5)").over(byFlag))
+        .withColumn("lo", col("med") - lit(4.4478) * col("mad"))
+        .withColumn("hi", col("med") + lit(4.4478) * col("mad"))
+        .groupBy(col("l_returnflag"), col("med"), col("mad"),
+          col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("l_extendedprice") < col("lo")
+            || col("l_extendedprice") > col("hi"), 1)).as("n_out"))
+        .select("l_returnflag", "med", "mad", "lo", "hi", "n", "n_out")
+    }),
+
     // the 100 TB outlier report: approx_percentile (KLL-style sketch,
     // bounded mergeable state — a normal map-side-combinable hash agg, NO
     // per-group value concentration), fences broadcast back for the
@@ -531,6 +556,14 @@ object Ext {
     // split form fingerprints the corpus ONCE
     "x_decontaminate" -> ((s, d) =>
       graft.pipelines.Corpus.contaminationBySplit(
+        t(s, d, "documents"), "doc_id", "text",
+        col("doc_id") % 10 === 0)),
+
+    // exhaustive per-doc contamination ratio: fraction of each train
+    // doc's distinct 3-grams appearing in the eval split (the GPT-3
+    // appendix-C measurement; x_decontaminate is the sampled boolean)
+    "x_contam_overlap" -> ((s, d) =>
+      graft.pipelines.Corpus.ngramOverlap(
         t(s, d, "documents"), "doc_id", "text",
         col("doc_id") % 10 === 0)),
 
@@ -1028,6 +1061,20 @@ object Ext {
           SELECT tf.doc_id, count(DISTINCT tf.fp) AS n_shared
           FROM tf JOIN ef USING (fp) GROUP BY 1""",
 
+    "x_contam_overlap" ->
+      """WITH w AS (SELECT doc_id, doc_id % 10 = 0 AS ev,
+                           string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, ev,
+                      unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                            for i in range(1, len(ws) - 1)])) AS g
+               FROM w WHERE len(ws) >= 3),
+         eg AS (SELECT DISTINCT g AS eg FROM g WHERE ev)
+         SELECT doc_id, count(*) AS n_grams, count(eg) AS n_overlap,
+                count(eg)::DOUBLE / count(*) AS overlap_frac
+         FROM (SELECT t.doc_id, t.g, eg.eg FROM g t LEFT JOIN eg ON t.g = eg.eg
+               WHERE NOT t.ev)
+         GROUP BY doc_id""",
+
     "x_data_mix" ->
       """WITH t AS (SELECT source, doc_id,
                     len(string_split(text, ' ')) AS n FROM documents),
@@ -1331,6 +1378,22 @@ object Ext {
                 count(CASE WHEN l.l_extendedprice > p95 THEN 1 END) AS n_above
          FROM lineitem l JOIN p ON l.l_returnflag = p.l_returnflag
          GROUP BY 1, 2, 3, 4""",
+
+    "x_mad_outlier" ->
+      """WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+                    FROM lineitem GROUP BY 1),
+         a AS (SELECT l.l_returnflag, l.l_extendedprice AS x, m.med,
+                      abs(l.l_extendedprice - m.med) AS ad
+               FROM lineitem l JOIN m USING (l_returnflag)),
+         f AS (SELECT l_returnflag, med, quantile_cont(ad, 0.5) AS mad
+               FROM a GROUP BY 1, 2)
+         SELECT a.l_returnflag, f.med, f.mad,
+                f.med - 4.4478 * f.mad AS lo, f.med + 4.4478 * f.mad AS hi,
+                count(*) AS n,
+                count(CASE WHEN a.x < f.med - 4.4478 * f.mad
+                             OR a.x > f.med + 4.4478 * f.mad THEN 1 END) AS n_out
+         FROM a JOIN f USING (l_returnflag)
+         GROUP BY 1, 2, 3, 4, 5""",
 
     "x_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -51,6 +51,27 @@ class CorpusSpec extends SparkSpec {
     assert(split == twoFrame && split.nonEmpty, s"split=${split.size} two=${twoFrame.size}")
   }
 
+  test("ngramOverlap: exact copy scores 1.0, disjoint doc scores 0.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon"),     // eval (id % 10 == 0)
+      (1L, "alpha beta gamma delta epsilon"),      // exact copy -> 1.0
+      (2L, "alpha beta gamma something different entirely"), // partial
+      (3L, "totally unrelated words that never overlap"))    // 0.0
+      .toDF("doc_id", "text")
+    val got = Corpus.ngramOverlap(docs, "doc_id", "text",
+      col("doc_id") % 10 === 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)), s"copy: ${got(1L)}")
+    assert(got(3L)._3 == 0.0, s"disjoint: ${got(3L)}")
+    // doc 2: grams = {alpha beta gamma, beta gamma something, ...} — only
+    // the first appears in eval
+    assert(got(2L)._2 == 1L && got(2L)._3 == 0.25, s"partial: ${got(2L)}")
+    // the 0-overlap doc IS reported (the measurement is a distribution)
+    assert(got.keySet == Set(1L, 2L, 3L))
+  }
+
   test("budget mix: prefix per shard, never over budget, cap binds") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val mix = Corpus.budgetMix(docs, "source", "doc_id", "text", 500L)
