@@ -143,4 +143,63 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col(userCol), col("session_window.start").as("session_start"),
         col("n_events"))
+
+  /** Time-weighted average of a reading per key — the aggregate a
+    * sampled sensor/price series needs (a plain avg() over-weights burst
+    * periods): each value holds until the NEXT event (step
+    * interpolation), so its weight is the exact microsecond interval to
+    * that event. The last event per key carries no interval and drops
+    * out; single-event keys produce no row.
+    *
+    * Portability discipline: weights are integer microseconds
+    * (unix_micros), values go to 2⁻²⁰ fixed point BEFORE the multiply,
+    * and the weighted mass accumulates in decimal(38,0) (fixed value ×
+    * year-scale micros overflows Int64) — exact, associative, partition-
+    * order-independent, bit-replayable in SQL. Only the final
+    * (mass / 2²⁰) / span happens in doubles, in a fixed parenthesized
+    * order, with the decimal→double hop STRING-mediated (both engines
+    * parse digit strings correctly rounded; their native wide-decimal
+    * casts double-round differently — the x_corr_stats lesson). Ties on
+    * ts are totally ordered by the id column: with equal timestamps,
+    * WHICH value gets the zero-length interval is otherwise
+    * engine-dependent.
+    *
+    * Scale shape: ONE shuffle on the key (the lead window); the per-key
+    * aggregate rides the same partitioning. */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, valCol: String): DataFrame = {
+    val ord = Window.partitionBy("k").orderBy(col("ts_us"), col("tie"))
+    df.select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).as("tie"), col(valCol).as("v"))
+      .withColumn("dt", lead(col("ts_us"), 1).over(ord) - col("ts_us"))
+      .filter(col("dt").isNotNull)
+      .withColumn("wv", floor(col("v") * lit(1048576.0)).cast("long")
+        .cast("decimal(38,0)") * col("dt"))
+      .groupBy("k")
+      .agg(sum("wv").cast("decimal(38,0)").as("swv"), sum("dt").as("sdt"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("k"),
+        ((col("swv").cast("string").cast("double") / lit(1048576.0)) /
+          col("sdt").cast("double")).as("twa"),
+        col("sdt").as("total_us"), col("n_intervals"))
+  }
+
+  /** Weekly cohort retention — the standard growth-analytics matrix:
+    * users bucketed by first-active epoch week (the cohort), counted in
+    * every later week they return. Epoch weeks are INTEGER arithmetic
+    * (unix_micros div week-micros — no timezone/DST surface, no float
+    * floor), offsets are week differences. Two shuffles: min-week per
+    * user, then the (cohort, offset) count — both plain hash aggregates,
+    * no windows, nothing per-user materialized beyond its first week. */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ev = df.select(col(userCol).as("user_id"),
+      expr(s"unix_micros($tsCol) div 604800000000").as("wk"))
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    ev.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -413,6 +413,17 @@ object Ext {
       EventOps.funnel(t(s, d, "events"), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"), windowSec = 86400L)),
 
+    // time-weighted value per user: step interpolation, exact integer
+    // weights + fixed-point mass (see EventOps.timeWeightedAvg)
+    "x_time_weighted" -> ((s, d) =>
+      EventOps.timeWeightedAvg(t(s, d, "events"), "user_id", "ts",
+        "event_id", "value")
+        .withColumnRenamed("k", "user_id")),
+
+    // weekly cohort retention matrix: first-active week × return offset
+    "x_cohort_retention" -> ((s, d) =>
+      EventOps.cohortRetention(t(s, d, "events"), "user_id", "ts")),
+
     // ---- time-series joins (operators Spark lacks natively) ----
     // for each click, the user's latest purchase at-or-before it
     "x_asof_join" -> ((s, d) => {
@@ -1499,6 +1510,35 @@ object Ext {
                 CAST(sum(n) AS BIGINT) AS n_events,
                 CAST(sum(span) AS BIGINT) AS total_span_us
          FROM s GROUP BY user_id""",
+
+    "x_time_weighted" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+                    FROM events),
+         d AS (SELECT user_id, value,
+                      lead(ts_us) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id) - ts_us AS dt
+               FROM e),
+         f AS (SELECT user_id,
+                      CAST(CAST(floor(value * 1048576.0) AS BIGINT)
+                           AS DECIMAL(38,0)) * dt AS wv, dt
+               FROM d WHERE dt IS NOT NULL)
+         SELECT user_id,
+                (CAST(CAST(CAST(sum(wv) AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+                   / 1048576.0)
+                  / CAST(sum(dt) AS DOUBLE) AS twa,
+                CAST(sum(dt) AS BIGINT) AS total_us,
+                count(*) AS n_intervals
+         FROM f GROUP BY user_id""",
+
+    "x_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+                    FROM events),
+         first AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+         act AS (SELECT DISTINCT e.user_id, f.cohort_week,
+                        e.wk - f.cohort_week AS week_offset
+                 FROM e JOIN first f USING (user_id))
+         SELECT cohort_week, week_offset, count(*) AS n_users
+         FROM act GROUP BY 1, 2""",
 
     "x_asof_join" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events

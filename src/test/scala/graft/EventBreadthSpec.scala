@@ -82,6 +82,42 @@ class EventBreadthSpec extends SparkSpec {
     assert(got.count(_._1._1 == 1L) == 4 && got.count(_._1._1 == 2L) == 1)
   }
 
+  test("timeWeightedAvg: step weights, tie order, single-event keys absent") {
+    val events = Seq(
+      // user 1: 10.0 held 10s, 20.0 held 30s, last value carries no weight
+      (1L, 1L, ts("2024-01-01 10:00:00"), 10.0),
+      (2L, 1L, ts("2024-01-01 10:00:10"), 20.0),
+      (3L, 1L, ts("2024-01-01 10:00:40"), 99.0),
+      // user 2: tie on ts — event_id orders, so id 4's value gets 0 weight
+      (4L, 2L, ts("2024-01-01 10:00:00"), 100.0),
+      (5L, 2L, ts("2024-01-01 10:00:00"), 7.0),
+      (6L, 2L, ts("2024-01-01 10:00:05"), 1.0),
+      // user 3: single event — no interval, no row
+      (7L, 3L, ts("2024-01-01 10:00:00"), 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = EventOps.timeWeightedAvg(events, "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((10.0 * 10 + 20.0 * 30) / 40, 40000000L, 2L), s"u1: ${got(1L)}")
+    assert(got(2L) == (7.0, 5000000L, 2L), s"u2 (tie): ${got(2L)}")
+    assert(!got.contains(3L), "single-event key must drop out")
+  }
+
+  test("cohortRetention: first-week cohorts, offsets, revisits deduped") {
+    val events = Seq(
+      // user 1: first week 0, active weeks 0 and 2 (twice — deduped)
+      (1L, ts("1970-01-01 00:00:00")),
+      (1L, ts("1970-01-15 00:00:00")),
+      (1L, ts("1970-01-16 00:00:00")),
+      // user 2: first week 0 only
+      (2L, ts("1970-01-02 00:00:00")),
+      // user 3: first week 1
+      (3L, ts("1970-01-08 00:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventOps.cohortRetention(events, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 0L) -> 1L), s"got $got")
+  }
+
   test("winnowing: shared k+w-1 word run guarantees a shared fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta"  // 6 = k+w-1 words
     val docs = Seq(
