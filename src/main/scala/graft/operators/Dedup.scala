@@ -367,4 +367,45 @@ object Dedup {
       .select(col("id_b").as("id")).distinct()
     assigned.join(dropped, Seq("id"), "left_anti").select("id", "list")
   }
+
+  /** Cross-document duplicated-span coverage — the substring-dedup
+    * measurement of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): for each document, the fraction of its
+    * token positions covered by at least one word n-gram that ALSO
+    * occurs in another document. Near-1 coverage marks near-verbatim
+    * boilerplate copies; the curation action is drop-or-trim. The other
+    * dedup ops here score whole-document similarity — this one localizes
+    * duplication to spans, which is what substring dedup actually cuts.
+    *
+    * Scale shape: positional n-gram explode (narrow) → one hash
+    * aggregate keyed on the gram (shared-gram set) → equi-join back
+    * (shuffle on gram; never a broadcast of anything corpus-sized) →
+    * per-doc interval union as the classic gaps-and-islands running-max
+    * window (one shuffle keyed on doc). Integer arithmetic end to end,
+    * so the DuckDB oracle replays it bit-for-bit; dup_frac divides two
+    * exact longs once. */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    // 1-based positions to line up with the oracle's array indexing
+    val grams = df.select(col(idCol).as("doc"),
+      Text.explodePositionalShingles(col(textCol), n).as(Seq("pos0", "g")))
+      .select(col("doc"), (col("pos0") + 1).as("pos"), col("g"))
+    val shared = grams.groupBy("g")
+      .agg(countDistinct(col("doc")).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val w = Window.partitionBy("doc").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = grams.join(shared, Seq("g"))
+      .withColumn("prev_end", max(col("pos") + lit(n - 1)).over(w))
+      .withColumn("cov", greatest(lit(0), (col("pos") + lit(n - 1)) -
+        greatest(col("pos") - 1, coalesce(col("prev_end"), lit(0)))))
+      .groupBy("doc").agg(sum(col("cov")).cast("long").as("covered_tokens"))
+    df.select(col(idCol).as("doc"),
+      Text.tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens")).as("dup_frac"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Pmath, Text}
@@ -49,5 +49,71 @@ object LangModel {
         size(col("ps")).cast("long").as("n_bigrams"),
         (aggregate(transform(col("ps"), p => p.getField("lnp")),
           lit(0.0), (a, x) => a + x) / size(col("ps"))).as("avg_lnp"))
+  }
+
+  /** DSIR log importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-unigram features are under a TARGET
+    * slice of the corpus than under the raw corpus —
+    * w(doc) = Σ_tokens [ln p̂_tgt(b(t)) − ln p̂_raw(b(t))], b = a 16-bit
+    * md5 bucket mod `buckets`, both distributions add-one smoothed. Docs
+    * with high w "look like" the target; resampling by w is the standard
+    * pretraining-data selection recipe.
+    *
+    * Float discipline: because target counts are a subset of raw counts
+    * (ct ≤ cr per bucket, Tt ≤ Tr in total), each per-token term folds to
+    * −ln((cr+1)/(ct+1)) plus the constant ln((Tr+B)/(Tt+B)) — BOTH ln
+    * arguments ≥ 1, inside [[Pmath.lnColumn]]'s portable domain. Per-doc
+    * summation is the position-sorted strict left fold (the x_lm_score
+    * recipe), so partitioning never reorders the adds.
+    *
+    * Scale shape: token explode (narrow) → two hash aggregates keyed on
+    * the bucket (the feature distributions, ≤ `buckets` rows — broadcast
+    * back) → per-doc fold (one shuffle keyed on doc). The model is O(B),
+    * never corpus-sized. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 256): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"), targetPred.as("tgt"),
+      Text.explodePositionalShingles(col(textCol), 1).as(Seq("pos", "t")))
+      .withColumn("b",
+        conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long") % buckets)
+    val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgtC = toks.filter(col("tgt")).groupBy("b").agg(count(lit(1)).as("ct"))
+    val feat = raw.join(tgtC, Seq("b"), "left").na.fill(0L, Seq("ct"))
+    val lnconst = feat.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+      .select(Pmath.lnColumn((col("tr") + buckets).cast("double") /
+        (col("tt") + buckets)).as("lnconst"))
+    toks.join(broadcast(feat), Seq("b"))
+      .withColumn("lnx", Pmath.lnColumn(
+        (col("cr") + 1).cast("double") / (col("ct") + 1)))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("pos"), col("lnx")))).as("ps"))
+      .crossJoin(broadcast(lnconst))
+      .select(col("doc").as("doc_id"),
+        size(col("ps")).cast("long").as("n_tokens"),
+        (aggregate(transform(col("ps"), p => p.getField("lnx")),
+          lit(0.0), (a, x) => a - x)
+          + size(col("ps")) * col("lnconst")).as("dsir_logw"))
+  }
+
+  /** CCNet-style (Wenzek et al. 2020) head/middle/tail perplexity
+    * bucketing of the corpus by its own bigram-LM score. Cutoffs are the
+    * exact interpolated terciles of the per-doc score (`percentile` —
+    * bit-portable vs DuckDB's quantile_cont, proven by x_percentile),
+    * assigned by a broadcast map-side compare: the corpus is NEVER
+    * globally sorted or ntile'd — at 100 TB only the |docs|-row score
+    * relation feeds one aggregate, and at that scale the documented swap
+    * is approx_percentile cutoffs (x_approx_stats) with identical
+    * assignment plumbing. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scores = bigramScore(df, idCol, textCol)
+    val cuts = scores.agg(expr(
+      "percentile(avg_lnp, array(0.3333333333333333, 0.6666666666666666))").as("qs"))
+      .select(element_at(col("qs"), 1).as("c_lo"), element_at(col("qs"), 2).as("c_hi"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_lnp"),
+        when(col("avg_lnp") >= col("c_hi"), "head")
+          .when(col("avg_lnp") >= col("c_lo"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
   }
 }

@@ -381,6 +381,24 @@ object Ext {
     "x_lm_score" -> ((s, d) =>
       LangModel.bigramScore(t(s, d, "documents"), "doc_id", "text")),
 
+    // CCNet head/middle/tail: tercile cutoffs of the LM score, assigned
+    // by broadcast compare — no global sort/ntile of the corpus
+    "x_ppl_buckets" -> ((s, d) =>
+      LangModel.perplexityBuckets(t(s, d, "documents"), "doc_id", "text")),
+
+    // DSIR importance-resampling log-weights vs the English slice:
+    // hashed-unigram bucket distributions, portable-ln ratio fold
+    "x_dsir_weights" -> ((s, d) =>
+      LangModel.dsirWeights(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 256)),
+
+    // Lee-et-al substring-dedup measurement: fraction of each doc's
+    // token positions covered by a 3-gram shared with another doc
+    // (interval-union over positions, exact integer arithmetic)
+    "x_dup_span" -> ((s, d) =>
+      graft.operators.Dedup.dupSpanCoverage(
+        t(s, d, "documents"), "doc_id", "text", n = 3)),
+
     "x_doc_stats_by_source" -> ((s, d) =>
       t(s, d, "documents").groupBy("source").agg(
         count(lit(1)).as("n_docs"),
@@ -1048,6 +1066,30 @@ object Ext {
                     AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
         SELECT id AS vec_id, list FROM la
         WHERE id NOT IN (SELECT id FROM drops)"""
+
+  /** Per-doc bigram-LM average log-prob as a parenthesized subquery —
+    * the x_lm_score chain without the count column, reused by
+    * x_ppl_buckets so the two oracles cannot drift. */
+  private def dLmAvgLnp: String = {
+    val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+    s"""(WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        bg AS (SELECT doc_id, i AS pos, ws[i] AS w1,
+                      ws[i] || ' ' || ws[i+1] AS b
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                     FROM w WHERE len(ws) >= 2)),
+        cb AS (SELECT b, count(*) AS cbg FROM bg GROUP BY b),
+        cw AS (SELECT w1, count(*) AS ctx FROM bg GROUP BY w1),
+        v AS (SELECT count(DISTINCT t) AS vsz FROM
+              (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+        sc0 AS (SELECT doc_id, pos, (ctx + vsz)::DOUBLE / (cbg + 1) AS lnin
+                FROM bg JOIN cb USING (b) JOIN cw USING (w1) CROSS JOIN v),
+        pl1 AS (SELECT *, $l1 FROM sc0),
+        pl2 AS (SELECT *, $l2 FROM pl1),
+        pl3 AS (SELECT *, $l3 FROM pl2),
+        per AS (SELECT doc_id, list(-lnx ORDER BY pos) AS ls
+                FROM pl3 GROUP BY doc_id)
+        SELECT doc_id, list_sum(ls) / len(ls) AS avg_lnp FROM per)"""
+  }
 
   /** Winnowing fingerprints of a filtered doc set, as a parenthesized
     * subquery (shared by x_winnow_fingerprint and decontamination). */
@@ -1907,6 +1949,73 @@ object Ext {
                  list_sum(ls) / len(ls) AS avg_lnp
           FROM per"""
     },
+
+    // CCNet terciles replayed: same LM subquery, quantile_cont cutoffs
+    // (the x_percentile-proven twin of Spark's percentile), same compare
+    "x_ppl_buckets" ->
+      s"""WITH s AS (SELECT * FROM $dLmAvgLnp),
+          c AS (SELECT quantile_cont(avg_lnp, 0.3333333333333333) AS c_lo,
+                       quantile_cont(avg_lnp, 0.6666666666666666) AS c_hi FROM s)
+          SELECT doc_id, avg_lnp,
+                 CASE WHEN avg_lnp >= c_hi THEN 'head'
+                      WHEN avg_lnp >= c_lo THEN 'middle'
+                      ELSE 'tail' END AS ppl_bucket
+          FROM s CROSS JOIN c""",
+
+    // DSIR replay: same md5 bucketing, same smoothed-count ratios through
+    // the portable-ln CTE chain, same position-ordered fold
+    "x_dsir_weights" -> {
+      val (c1, c2, c3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnconst")
+      val (s1, s2, s3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      s"""WITH w AS (SELECT doc_id, lang = 'en' AS tgt,
+                            string_split(text, ' ') AS ws FROM documents),
+          tk AS (SELECT doc_id, tgt, i AS pos,
+                        ('0x' || substr(md5(ws[i]), 1, 4))::BIGINT % 256 AS b
+                 FROM (SELECT doc_id, tgt, ws, unnest(range(1, len(ws) + 1)) AS i
+                       FROM w)),
+          raw AS (SELECT b, count(*) AS cr FROM tk GROUP BY b),
+          tg AS (SELECT b, count(*) AS ct FROM tk WHERE tgt GROUP BY b),
+          feat AS (SELECT raw.b AS b, cr, coalesce(ct, 0) AS ct
+                   FROM raw LEFT JOIN tg ON raw.b = tg.b),
+          tot AS (SELECT (sum(cr) + 256)::DOUBLE / (sum(ct) + 256) AS lnin FROM feat),
+          k1 AS (SELECT *, $c1 FROM tot),
+          k2 AS (SELECT *, $c2 FROM k1),
+          k3 AS (SELECT *, $c3 FROM k2),
+          s0 AS (SELECT doc_id, pos, (cr + 1)::DOUBLE / (ct + 1) AS lnin
+                 FROM tk JOIN feat ON tk.b = feat.b),
+          p1 AS (SELECT *, $s1 FROM s0),
+          p2 AS (SELECT *, $s2 FROM p1),
+          p3 AS (SELECT *, $s3 FROM p2),
+          per AS (SELECT doc_id, list(-lnx ORDER BY pos) AS ls FROM p3 GROUP BY doc_id)
+          SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_tokens,
+                 list_sum(ls) + len(ls) * lnconst AS dsir_logw
+          FROM per CROSS JOIN (SELECT lnconst FROM k3) kk"""
+    },
+
+    // what a correct duplicated-span coverage MUST report: shared 3-grams
+    // (≥ 2 distinct docs), per-doc interval union via the running-max
+    // window, integer coverage divided by the token count once
+    "x_dup_span" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, i AS pos,
+                      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gr
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+                     FROM w WHERE len(ws) >= 3)),
+         shared AS (SELECT gr FROM (SELECT gr, count(DISTINCT doc_id) AS nd
+                                    FROM g GROUP BY gr) WHERE nd >= 2),
+         d AS (SELECT doc_id, pos FROM g JOIN shared USING (gr)),
+         c AS (SELECT doc_id, pos,
+                      max(pos + 2) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+               FROM d),
+         cov AS (SELECT doc_id,
+                        sum(greatest(0, (pos + 2) -
+                            greatest(pos - 1, coalesce(prev_end, 0)))) AS covered
+                 FROM c GROUP BY doc_id)
+         SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+                CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+                coalesce(covered, 0)::DOUBLE / len(ws) AS dup_frac
+         FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id""",
 
     // what a correct int8 quantize MUST produce: the same explicit-floor
     // arithmetic (q = floor(x/scale + 0.5)), scale = max|x|/127, error

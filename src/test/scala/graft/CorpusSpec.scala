@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.Text
-import graft.operators.{Dedup, Graphs}
+import graft.operators.{Dedup, Graphs, LangModel}
 import graft.pipelines.Corpus
 
 /** End-to-end corpus-clean invariants on the fixture: survivors are a
@@ -119,5 +119,58 @@ class CorpusSpec extends SparkSpec {
       assert(survivors.contains(doc) == (doc == rep),
         s"doc $doc (rep $rep): cluster must keep exactly its representative")
     }
+  }
+
+  test("dupSpanCoverage: hand-computed interval unions; unique/short docs score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),            // all three 3-grams shared with doc 4
+      (2L, "z z a b c q"),          // only "a b c" (pos 3) shared -> covers 3..5
+      (3L, "all unique words here"),
+      (4L, "a b c d e"),            // exact copy of doc 1
+      (5L, "x y")                   // too short for a 3-gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanCoverage(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((5L, 5L)), s"doc 1: ${got(1L)}") // [1,3]∪[2,4]∪[3,5] = [1,5]
+    assert(got(2L) == ((6L, 3L)), s"doc 2: ${got(2L)}") // [3,5] of 6 tokens
+    assert(got(3L) == ((4L, 0L)))
+    assert(got(4L) == ((5L, 5L)))
+    assert(got(5L) == ((2L, 0L)))
+  }
+
+  test("dsirWeights: target vocabulary outranks off-target; partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "alpha beta gamma epsilon"),
+      (3L, "fr", "alpha beta gamma delta"),  // target-looking text, off-target label
+      (4L, "fr", "omega psi chi phi"),       // vocabulary absent from the target
+      (5L, "fr", "omega psi chi alpha")
+    ).toDF("doc_id", "lang", "text")
+    def weights(df: org.apache.spark.sql.DataFrame) =
+      LangModel.dsirWeights(df, "doc_id", "text", col("lang") === "en")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val w = weights(docs)
+    assert(w(3L) > w(4L), s"target-vocab doc must outrank off-target: $w")
+    assert(w(1L) == w(3L), "identical text must get an identical weight")
+    // the ordered fold must make the weight independent of data layout
+    assert(weights(docs.repartition(7)) == w, "weights changed under repartition")
+  }
+
+  test("perplexityBuckets: bucket boundaries respect scores; sizes near terciles") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val rows = LangModel.perplexityBuckets(docs, "doc_id", "text").collect()
+    val byBucket = rows.groupBy(_.getString(2))
+      .view.mapValues(_.map(_.getDouble(1)).toSeq).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").min >= byBucket("middle").max,
+      "a middle doc scored above a head doc")
+    assert(byBucket("middle").min >= byBucket("tail").max,
+      "a tail doc scored above a middle doc")
+    val n = rows.length
+    byBucket.values.foreach(b =>
+      assert(b.size > n / 6 && b.size < n / 2, s"bucket sizes skewed: ${
+        byBucket.view.mapValues(_.size).toMap}"))
   }
 }
