@@ -208,4 +208,46 @@ object Graphs {
       .select(col("id").as("doc_id"), col("component").as("cluster_min"),
         col("best_rep"), col("best_score"))
   }
+
+  /** Bounded-iteration PageRank over an undirected graph (each input
+    * edge counts both ways, so there are no dangling nodes and no lost
+    * rank mass to special-case). rank₀ = 1/N; each round
+    * rank' = (1−d)/N + d·Σ_{u→v} rank(u)/deg(u).
+    *
+    * Scale shape: per iteration one equi-join (adjacency ⋈ ranks, keyed
+    * on src) and one hash aggregation keyed on dst — the standard
+    * Pregel-free formulation; the adjacency (with degrees pre-joined) is
+    * cached once and reused every round. Nothing is ever collected.
+    *
+    * Float discipline: the per-node contribution sum folds a src-sorted
+    * collect_list strictly left-to-right (the x_lm_score recipe) instead
+    * of sum() over shuffle-ordered doubles — that makes 3 iterations of
+    * IEEE arithmetic reproducible on any partitioning AND bit-replayable
+    * by the DuckDB oracle (`list_sum(list(c ORDER BY src))`). The
+    * collect_list per node is bounded by max degree; a production run
+    * that doesn't need a bit-exact contract swaps it for plain sum(). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val adj = sym.join(deg, Seq("src")).persist()
+    val n = adj.select(countDistinct(col("src")).as("n"))
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
+    (1 to iters).foreach { _ =>
+      val contribs = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), col("src"),
+          (lit(damping) * col("rank") / col("outdeg")).as("c"))
+      ranks = contribs.groupBy("dst")
+        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("node"),
+          (lit(1.0 - damping) / col("n") +
+            aggregate(transform(col("cs"), p => p.getField("c")),
+              lit(0.0), (a, x) => a + x)).as("rank"))
+    }
+    ranks
+  }
 }

@@ -399,6 +399,16 @@ object Ext {
       graft.operators.Dedup.dupSpanCoverage(
         t(s, d, "documents"), "doc_id", "text", n = 3)),
 
+    // bounded-iteration PageRank over the supplier–part incidence graph:
+    // 3 rounds, damping 0.85 — per-node contribution sums are ordered
+    // folds, so the doubles are partition-invariant and oracle-exact
+    "x_pagerank" -> ((s, d) =>
+      graft.operators.Graphs.pageRank(
+        t(s, d, "lineitem").select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
+        "src", "dst", iters = 3)),
+
     "x_doc_stats_by_source" -> ((s, d) =>
       t(s, d, "documents").groupBy("source").agg(
         count(lit(1)).as("n_docs"),
@@ -1990,6 +2000,31 @@ object Ext {
           SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_tokens,
                  list_sum(ls) + len(ls) * lnconst AS dsir_logw
           FROM per CROSS JOIN (SELECT lnconst FROM k3) kk"""
+    },
+
+    // PageRank replayed: same symmetrized edges, same 3 unrolled rounds,
+    // '…'→DOUBLE casts so every constant has the exact Spark bits, and
+    // the contribution sum as list_sum(list(c ORDER BY src))
+    "x_pagerank" -> {
+      val dmp = "CAST('0.85' AS DOUBLE)"
+      val tel = "(CAST('1.0' AS DOUBLE) - CAST('0.85' AS DOUBLE))"
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT s.dst, s.src, $dmp * r.rank / d.outdeg AS c
+                 FROM sym s JOIN r${i - 1} r ON s.src = r.node
+                            JOIN deg d ON s.src = d.src),
+          r$i AS (SELECT dst AS node, $tel / n + list_sum(list(c ORDER BY src)) AS rank
+                 FROM c$i CROSS JOIN nn GROUP BY dst, n)"""
+      }.mkString(",\n          ")
+      s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                             'p' || l_partkey AS dst FROM lineitem),
+          sym AS (SELECT src, dst FROM e0
+                  UNION SELECT dst AS src, src AS dst FROM e0),
+          deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+          nn AS (SELECT count(*) AS n FROM deg),
+          r0 AS (SELECT src AS node, CAST('1.0' AS DOUBLE) / n AS rank
+                 FROM deg CROSS JOIN nn),
+          $rounds
+          SELECT node, rank FROM r3"""
     },
 
     // what a correct duplicated-span coverage MUST report: shared 3-grams

@@ -109,4 +109,23 @@ class GraphsSpec extends SparkSpec {
     }
     assert(byDoc.values.toSet.subsetOf(byDoc.keySet), "rep not a member")
   }
+
+  test("pageRank: path graph a-b-c matches hand arithmetic; mass conserved; partition-invariant") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    def ranks(df: org.apache.spark.sql.DataFrame, iters: Int) =
+      Graphs.pageRank(df, "src", "dst", iters)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r1 = ranks(edges, 1)
+    // one round by hand: deg(a)=deg(c)=1, deg(b)=2, N=3, r0=1/3
+    assert(math.abs(r1("a") - (0.15 / 3 + 0.85 / 6)) < 1e-12)
+    assert(math.abs(r1("b") - (0.15 / 3 + 0.85 * 2.0 / 3)) < 1e-12)
+    assert(r1("a") == r1("c"), "symmetric endpoints must tie exactly")
+
+    val r3 = ranks(edges, 3)
+    assert(math.abs(r3.values.sum - 1.0) < 1e-9, s"rank mass drifted: ${r3.values.sum}")
+    assert(r3("b") > r3("a"), "the hub must outrank the leaves")
+    // the ordered fold must make ranks independent of data layout
+    assert(ranks(edges.repartition(5), 3) == r3, "ranks changed under repartition")
+  }
 }
