@@ -202,4 +202,35 @@ object EventOps {
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Per-key exponentially weighted moving average — the linear
+    * recurrence s ← s·(1−α) + α·x over the key's events in time order,
+    * reported at the final event (user recency scoring / decayed
+    * activity in feature pipelines). A window can't express the
+    * recurrence (each step multiplies the whole prefix), so the key's
+    * values are collected ts-sorted (ties totally ordered by the id
+    * column, the timeWeightedAvg lesson) and folded strictly left to
+    * right — the same discipline that makes the doubles
+    * partition-invariant also makes them replayable by DuckDB's
+    * list_reduce over a 0.0-prepended list. 1−α is COMPUTED (1.0 − α)
+    * rather than passed, so both engines derive the identical IEEE
+    * constant.
+    *
+    * Scale shape: one shuffle on the key; state per key = its event
+    * list — EWMA is inherently sequential per key, and keys are the
+    * parallelism axis. For unbounded per-key streams the streaming
+    * analogue is mapGroupsWithState carrying (s, last_ts). */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+           valCol: String, alpha: Double): DataFrame = {
+    val beta = 1.0 - alpha
+    df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+        col(idCol).as("tie"), col(valCol).as("x"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct(col("ts"), col("tie"), col("x"))))
+        .as("xs"))
+      .select(col("k").as(keyCol),
+        size(col("xs")).cast("long").as("n_events"),
+        aggregate(transform(col("xs"), p => p.getField("x")),
+          lit(0.0), (a, x) => a * lit(beta) + lit(alpha) * x).as("ewma"))
+  }
 }

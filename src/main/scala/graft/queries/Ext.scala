@@ -425,6 +425,13 @@ object Ext {
     "x_window_tumbling" -> ((s, d) =>
       EventOps.tumblingAgg(t(s, d, "events"), "ts")),
 
+    // per-user exponentially decayed activity score (α=0.2): the linear
+    // recurrence as a ts-ordered left fold — partition-invariant doubles,
+    // replayed by DuckDB list_reduce over a 0.0-prepended list
+    "x_ewma" -> ((s, d) =>
+      EventOps.ewma(t(s, d, "events"), "user_id", "ts", "event_id",
+        "value", alpha = 0.2)),
+
     "x_window_sliding" -> ((s, d) =>
       EventOps.slidingAgg(t(s, d, "events"), "ts")),
 
@@ -1532,6 +1539,19 @@ object Ext {
          event_type, count(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    // EWMA replayed: list_reduce's first element is the accumulator seed,
+    // so prepending 0.0 reproduces Spark's aggregate(…, 0.0, fold);
+    // 1−α is COMPUTED from string-cast doubles for bit-identical bits
+    "x_ewma" ->
+      """WITH per AS (SELECT user_id, count(*) AS n,
+                             list(value ORDER BY ts, event_id) AS xs
+                      FROM events GROUP BY user_id)
+         SELECT user_id, CAST(n AS BIGINT) AS n_events,
+                list_reduce(list_prepend(CAST('0.0' AS DOUBLE), xs),
+                  (a, x) -> a * (CAST('1.0' AS DOUBLE) - CAST('0.2' AS DOUBLE))
+                            + CAST('0.2' AS DOUBLE) * x) AS ewma
+         FROM per""",
 
     // Spark's sliding window(1h, 30m) puts each event in exactly the two
     // epoch-aligned 30-minute-start windows covering it; DuckDB

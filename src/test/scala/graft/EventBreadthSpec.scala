@@ -162,4 +162,25 @@ class EventBreadthSpec extends SparkSpec {
     // and short docs pull it down); sanity-band the compression claim
     assert(density > 0.15 && density < 0.6, s"density $density")
   }
+
+  test("ewma: hand-computed recurrence, tie order, partition invariance") {
+    import spark.implicits._
+    val ts = (i: Int) => new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val ev = Seq(
+      (1L, ts(1), 10L, 1.0), (1L, ts(2), 11L, 2.0), (1L, ts(3), 12L, 3.0),
+      (2L, ts(5), 20L, 4.0), (2L, ts(5), 21L, 8.0) // tie on ts → id order
+    ).toDF("user_id", "ts", "event_id", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.EventOps.ewma(df, "user_id", "ts", "event_id", "value", 0.5)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = run(ev)
+    // user 1: ((0·.5+.5)·.5+1)·.5+1.5 = 2.125; user 2: (0·.5+2)·.5+4 = 5.0
+    assert(got(1L) == ((3L, 2.125)), s"user 1: ${got(1L)}")
+    assert(got(2L) == ((2L, 5.0)), s"user 2: ${got(2L)}")
+    // swapping the tie's ids flips which value decays
+    val flipped = Seq((2L, ts(5), 21L, 4.0), (2L, ts(5), 20L, 8.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    assert(run(flipped)(2L) == ((2L, 4.0)), "tie order must follow the id column")
+    assert(run(ev.repartition(5)) == got, "ewma changed under repartition")
+  }
 }
