@@ -47,13 +47,17 @@ object Graphs {
       val nbrMin = sym
         .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("vcomp")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      // the convergence flag is computed INSIDE the checkpointed frame
+      // (comp strictly decreases iff a neighbor label undercuts it), so
+      // the probe is a filter over the just-materialized blocks — no
+      // second join/shuffle per round
+      val next0 = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (col("comp") > coalesce(col("nbr"), col("comp"))).as("chg"))
         .localCheckpoint(true) // materialize AND truncate lineage
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .filter(col("comp") =!= col("old")).limit(1).count()
+      val changed = next0.filter(col("chg")).limit(1).count()
+      val next = next0.select("id", "comp")
       // round 0's labels are persist()-cached (unpersist), later rounds
       // are checkpointed (unpersist is a CacheManager no-op there — drop
       // the blocks via the LogicalRDD leaf instead). `next` is already
