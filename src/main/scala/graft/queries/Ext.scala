@@ -432,6 +432,23 @@ object Ext {
       EventOps.ewma(t(s, d, "events"), "user_id", "ts", "event_id",
         "value", alpha = 0.2)),
 
+    // full outer join (the one join shape §2.8 lacked a graded query
+    // for): open-vs-filled order counts reconciled per customer, with
+    // one-sided keys surfaced — both aggregates shuffle on the key, the
+    // join rides the same partitioning
+    "x_full_outer" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_open"))
+      val b = o.filter(col("o_orderstatus") === "F").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_filled"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_open"), lit(0L)).as("n_open"),
+          coalesce(col("n_filled"), lit(0L)).as("n_filled"),
+          (col("n_open").isNull || col("n_filled").isNull).as("one_sided"))
+    }),
+
     "x_window_sliding" -> ((s, d) =>
       EventOps.slidingAgg(t(s, d, "events"), "ts")),
 
@@ -1539,6 +1556,17 @@ object Ext {
          event_type, count(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    "x_full_outer" ->
+      """WITH a AS (SELECT o_custkey, count(*) AS n_open FROM orders
+                    WHERE o_orderstatus = 'O' GROUP BY 1),
+         b AS (SELECT o_custkey, count(*) AS n_filled FROM orders
+               WHERE o_orderstatus = 'F' GROUP BY 1)
+         SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+                coalesce(n_open, 0) AS n_open,
+                coalesce(n_filled, 0) AS n_filled,
+                (n_open IS NULL OR n_filled IS NULL) AS one_sided
+         FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""",
 
     // EWMA replayed: list_reduce's first element is the accumulator seed,
     // so prepending 0.0 reproduces Spark's aggregate(…, 0.0, fold);

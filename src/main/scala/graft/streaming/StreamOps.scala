@@ -92,6 +92,57 @@ object StreamOps {
       }
   }
 
+  case class VEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                    value: Double)
+  case class EwmaEv(us: Long, id: Long, v: Double)
+  case class EwmaState(s: Double, n: Long, buffer: Array[EwmaEv])
+  case class EwmaUpdate(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming EWMA, OUT-OF-ORDER SAFE: the stateful twin of
+    * [[graft.operators.EventOps.ewma]] — per-user exponentially decayed
+    * activity, emitted as the watermark advances. Same buffering contract
+    * as [[sessionCounts]]: events buffer unsorted; the event-time timeout
+    * firing proves the watermark passed everything buffered, so the
+    * buffer is sorted by (ts, id) — the batch operator's exact order —
+    * and folded into the running (s, n) with the IDENTICAL IEEE ops, so
+    * a bounded replay matches the batch EWMA double-for-double. State
+    * folds to two numbers per idle user; the buffer is bounded by the
+    * watermark horizon. */
+  def ewmaUpdates(events: Dataset[VEvent], alpha: Double)
+                 (implicit spark: SparkSession): Dataset[EwmaUpdate] = {
+    import spark.implicits._
+    val beta = 1.0 - alpha
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[VEvent], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            var s = st.s
+            var n = st.n
+            st.buffer.sortBy(e => (e.us, e.id)).foreach { e =>
+              s = s * beta + alpha * e.v
+              n += 1
+            }
+            state.update(EwmaState(s, n, Array.empty[EwmaEv]))
+            Iterator(EwmaUpdate(user, n, s))
+          } else {
+            val st = state.getOption.getOrElse(
+              EwmaState(0.0, 0L, Array.empty[EwmaEv]))
+            // exact µs (getTime floors to ms — the sessionCounts lesson)
+            val add = batch.map(e => EwmaEv(
+              (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L,
+              e.event_id, e.value)).toArray
+            val buf = st.buffer ++ add
+            state.update(st.copy(buffer = buf))
+            val dueMs = buf.map(_.us).max / 1000L + 1L
+            state.setTimeoutTimestamp(
+              math.max(dueMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stream-stream inner join with bounded state: clicks ⋈ purchases per
     * user where the purchase lands within [click, click + windowMinutes).
     * Both sides carry watermarks and the join condition bounds event time

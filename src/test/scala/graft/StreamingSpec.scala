@@ -139,6 +139,68 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot(sink.current) == want, "replayed batch was re-applied")
   }
 
+  test("stateful streaming EWMA == batch ewma double-for-double on a shuffled replay") {
+    implicit val s = spark
+    import spark.implicits._
+    val batch = EventOps.ewma(Tables.load(spark, sf, "events"),
+      "user_id", "ts", "event_id", "value", 0.2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .sortBy { case (u, t, id, _) => graft.functions.Vectors.planeMatrix(
+        1, 1, u * 1000003L + id)(0)(0) } // seeded pseudo-shuffle
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val maxTs = rows.map(_._2.getTime).max
+    val spanH = (maxTs - rows.map(_._2.getTime).min) / 3600000L + 2
+    val sentinel = Seq((-1L, new java.sql.Timestamp(
+      maxTs + (spanH + 2) * 3600000L), -1L, 0.0))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma_stream")
+    def write(name: String, part: Seq[(Long, java.sql.Timestamp, Long, Double)]): Unit =
+      part.toDF("user_id", "ts", "event_id", "value").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/in/$name")
+
+    write("b1", half1)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      .withWatermark("ts", s"$spanH hours")
+      .as[StreamOps.VEvent]
+    val q = StreamOps.ewmaUpdates(src, 0.2).writeStream
+      .outputMode("update").format("memory").queryName("ewma_stream").start()
+    q.processAllAvailable()
+    write("b2", half2)
+    q.processAllAvailable()
+    write("b3", sentinel)
+    q.processAllAvailable()
+    write("b4", sentinel)
+    q.processAllAvailable()
+    q.stop()
+
+    // updates are cumulative → final per user = the max-n_events row
+    val got = spark.table("ewma_stream")
+      .filter(col("user_id") >= 0).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).maxBy(_._1) }
+    assert(got.keySet == batch.keySet,
+      s"user sets differ: ${got.keySet.diff(batch.keySet)} / ${batch.keySet.diff(got.keySet)}")
+    got.foreach { case (u, (n, e)) =>
+      assert(((n, e)) == batch(u),
+        s"user $u: stream ($n, $e) != batch ${batch(u)}")
+    }
+  }
+
   test("stateful session counts == batch sessionize on a SHUFFLED two-batch replay") {
     implicit val s = spark
     import spark.implicits._
