@@ -98,6 +98,34 @@ object Corpus {
       .filter(col("cum") <= budgetTokens)
       .select("source", "doc_id", "cum")
 
+  /** Temperature-based source sampling weights at τ = 0.5 — the
+    * multilingual/multi-source mixing rule (UniMax / T5 family): sampling
+    * probability ∝ (source token mass)^τ, flattening the natural
+    * distribution so small sources aren't starved. τ = 0.5 is chosen
+    * deliberately: the power is then IEEE `sqrt`, which is correctly
+    * rounded on every engine — an arbitrary τ needs pow/exp, whose last
+    * ulp is engine-specific and would break the bit-exact oracle.
+    *
+    * Scale shape: ONE hash aggregate over the corpus (per-source token
+    * mass, |sources| rows), the normalizer a source-sorted fold over
+    * that tiny frame, broadcast back. quota = budget·weight is the
+    * expected token draw per source. */
+  def temperatureWeights(docs: DataFrame, shardCol: String,
+                         textCol: String, budgetTokens: Long): DataFrame = {
+    val tok = docs.groupBy(col(shardCol).as("source"))
+      .agg(sum(Text.tokenCountWs(col(textCol)).cast("long")).as("n_tokens"))
+    val z = tok
+      .agg(sort_array(collect_list(struct(col("source"),
+        sqrt(col("n_tokens").cast("double")).as("w")))).as("ws"))
+      .select(aggregate(transform(col("ws"), p => p.getField("w")),
+        lit(0.0), (a, x) => a + x).as("z"))
+    tok.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        (sqrt(col("n_tokens").cast("double")) / col("z")).as("weight"),
+        (lit(budgetTokens.toDouble) *
+          (sqrt(col("n_tokens").cast("double")) / col("z"))).as("quota"))
+  }
+
   /** Surviving doc ids after quality gate + exact dedup + near-dup
     * cluster drop. */
   def clean(docs: DataFrame, idCol: String, textCol: String,

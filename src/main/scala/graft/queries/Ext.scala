@@ -630,6 +630,12 @@ object Ext {
         t(s, d, "documents"), "doc_id", "text",
         col("doc_id") % 10 === 0)),
 
+    // UniMax-style temperature sampling weights (τ=0.5 ⇒ IEEE sqrt,
+    // portable): per-source token mass → flattened sampling quota
+    "x_temp_sample" -> ((s, d) =>
+      graft.pipelines.Corpus.temperatureWeights(
+        t(s, d, "documents"), "source", "text", budgetTokens = 10000L)),
+
     // budget-capped mixture: first 500 tokens per source, id order
     // (budget < per-source token mass, so the cap actually binds)
     "x_data_mix" -> ((s, d) =>
@@ -1161,6 +1167,16 @@ object Ext {
          FROM (SELECT t.doc_id, t.g, eg.eg FROM g t LEFT JOIN eg ON t.g = eg.eg
                WHERE NOT t.ev)
          GROUP BY doc_id""",
+
+    "x_temp_sample" ->
+      """WITH tok AS (SELECT source,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+         z AS (SELECT list_sum(list(sqrt(n_tokens::DOUBLE) ORDER BY source)) AS z
+               FROM tok)
+         SELECT source, n_tokens, sqrt(n_tokens::DOUBLE) / z AS weight,
+                CAST('10000.0' AS DOUBLE) * (sqrt(n_tokens::DOUBLE) / z) AS quota
+         FROM tok CROSS JOIN z""",
 
     "x_data_mix" ->
       """WITH t AS (SELECT source, doc_id,

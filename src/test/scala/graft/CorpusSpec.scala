@@ -121,6 +121,23 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("temperatureWeights: sums to 1, flattens the source distribution") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val rows = Corpus.temperatureWeights(docs, "source", "text", 10000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-12, "weights must normalize")
+    assert(math.abs(rows.map(_._4).sum - 10000.0) < 1e-8, "quotas must spend the budget")
+    // flattening: the weight ratio between extremes is the sqrt of the
+    // mass ratio, strictly closer to 1 than the raw proportion
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    if (big._2 != small._2) {
+      val massRatio = big._2.toDouble / small._2
+      val wRatio = big._3 / small._3
+      assert(wRatio < massRatio && wRatio > 1.0,
+        s"τ=0.5 must flatten: mass $massRatio vs weight $wRatio")
+    }
+  }
+
   test("dupSpanCoverage: hand-computed interval unions; unique/short docs score 0") {
     import spark.implicits._
     val docs = Seq(
