@@ -203,6 +203,32 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-order Markov transition matrix over per-key event sequences:
+    * count (previous event type → event type) steps with a lag window
+    * ordered by (ts, id) — ties totally ordered by the id column so the
+    * sequence, and therefore the matrix, is engine- and
+    * partitioning-independent — then row-normalize to transition
+    * probabilities. The counts are exact integers and each probability
+    * is a single two-integer division (correctly rounded IEEE in every
+    * engine), so the whole matrix is exact-oracle-able.
+    *
+    * Scale shape: one shuffle on the key for the lag window (per-key
+    * state = one previous row), one hash aggregate on the (from, to)
+    * pair; the normalizer runs over the |types|² count frame — a
+    * parameter-sized result, not the event log. */
+  def markovTransitions(df: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, typeCol: String): DataFrame = {
+    val ord = Window.partitionBy("k").orderBy(col("ts"), col("tie"))
+    val steps = df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+        col(idCol).as("tie"), col(typeCol).as("to_state"))
+      .withColumn("from_state", lag(col("to_state"), 1).over(ord))
+      .filter(col("from_state").isNotNull)
+    val counts = steps.groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p", col("n").cast("double") /
+      sum(col("n")).over(Window.partitionBy("from_state")).cast("double"))
+  }
+
   /** Per-key exponentially weighted moving average — the linear
     * recurrence s ← s·(1−α) + α·x over the key's events in time order,
     * reported at the final event (user recency scoring / decayed

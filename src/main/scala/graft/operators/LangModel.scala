@@ -51,6 +51,36 @@ object LangModel {
           lit(0.0), (a, x) => a + x) / size(col("ps"))).as("avg_lnp"))
   }
 
+  /** Hashing-trick linear classifier scoring (the Vowpal-Wabbit /
+    * fastText serving shape): every token maps to a weight through a
+    * hash bucket — no vocabulary table, no OOV path — and the document's
+    * score is the weight sum. This is how a trained quality/topic
+    * classifier actually RUNS inside a data pipeline at scale: a pure
+    * map-side expression per token plus one per-doc aggregate, nothing
+    * joined, nothing broadcast.
+    *
+    * The weights here are md5-derived integers in [−8, 8] (a pure
+    * function of the token) rather than learned floats: deterministic
+    * stand-ins that keep every downstream number integer-exact and
+    * engine-replayable while exercising the identical plan. Swapping in
+    * a real model = replacing the weight expression with a lookup into a
+    * broadcast weight array indexed by the same hash — same shape, same
+    * shuffle count (one, on the doc key).
+    *
+    * Output: (doc_id, n_tokens, score, margin, keep) — margin is the
+    * single two-integer division score/n_tokens, keep = margin > 0. */
+  def hashedClassifier(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+      explode(Text.tokens(col(textCol))).as("t"))
+    val w = conv(substring(md5(col("t")), 1, 4), 16, 10).cast("long") % 17 - 8
+    tok.select(col("doc"), w.as("w"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+      .select(col("doc").as("doc_id"), col("n_tokens"), col("score"),
+        (col("score").cast("double") / col("n_tokens").cast("double")).as("margin"),
+        (col("score") > 0).as("keep"))
+  }
+
   /** DSIR log importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how much more likely its hashed-unigram features are under a TARGET

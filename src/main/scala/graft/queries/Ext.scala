@@ -381,6 +381,12 @@ object Ext {
     "x_lm_score" -> ((s, d) =>
       LangModel.bigramScore(t(s, d, "documents"), "doc_id", "text")),
 
+    // hashing-trick linear classifier serving: md5-bucket weights summed
+    // per doc — the map-side shape a trained fastText-style quality
+    // model runs with at corpus scale (weights deterministic stand-ins)
+    "x_hash_classifier" -> ((s, d) =>
+      LangModel.hashedClassifier(t(s, d, "documents"), "doc_id", "text")),
+
     // CCNet head/middle/tail: tercile cutoffs of the LM score, assigned
     // by broadcast compare — no global sort/ntile of the corpus
     "x_ppl_buckets" -> ((s, d) =>
@@ -409,6 +415,21 @@ object Ext {
           concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
         "src", "dst", iters = 3)),
 
+    // exact triangle census of the part co-purchase graph (parts sharing
+    // an order ≥ 2 times): degree-ordered wedge closure — the orientation
+    // bounds every out-neighborhood by O(√m), so the hub part that would
+    // blow up naive wedge enumeration contributes almost none
+    "x_triangle_count" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val l1 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val l2 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val coEdges = l1.join(l2, Seq("ok")).filter(col("pa") < col("pb"))
+        .distinct()
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+      Graphs.triangleStats(coEdges, "pa", "pb")
+    }),
+
     "x_doc_stats_by_source" -> ((s, d) =>
       t(s, d, "documents").groupBy("source").agg(
         count(lit(1)).as("n_docs"),
@@ -431,6 +452,13 @@ object Ext {
     "x_ewma" -> ((s, d) =>
       EventOps.ewma(t(s, d, "events"), "user_id", "ts", "event_id",
         "value", alpha = 0.2)),
+
+    // first-order Markov transition matrix of user event sequences:
+    // lag-window pair counts row-normalized to probabilities — exact
+    // integers + one two-integer division per cell
+    "x_markov" -> ((s, d) =>
+      EventOps.markovTransitions(t(s, d, "events"), "user_id", "ts",
+        "event_id", "event_type")),
 
     // full outer join (the one join shape §2.8 lacked a graded query
     // for): open-vs-filled order counts reconciled per customer, with
@@ -1597,6 +1625,19 @@ object Ext {
                             + CAST('0.2' AS DOUBLE) * x) AS ewma
          FROM per""",
 
+    // Markov matrix replayed: same (ts, event_id)-ordered lag pairs,
+    // same two-integer division per cell
+    "x_markov" ->
+      """WITH p AS (SELECT event_type AS to_state,
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS from_state
+                    FROM events),
+         c AS (SELECT from_state, to_state, count(*) AS n FROM p
+               WHERE from_state IS NOT NULL GROUP BY from_state, to_state)
+         SELECT from_state, to_state, n,
+                n::DOUBLE / (sum(n) OVER (PARTITION BY from_state))::DOUBLE AS p
+         FROM c""",
+
     // Spark's sliding window(1h, 30m) puts each event in exactly the two
     // epoch-aligned 30-minute-start windows covering it; DuckDB
     // time_bucket(30min) is :00/:30-aligned too, so unnesting both
@@ -1998,6 +2039,22 @@ object Ext {
               '${Text.piiPhoneRe}', '<PHONE>', 'g') AS clean_text
           FROM customer""",
 
+    // hashed classifier replayed: same md5 4-hex bucket, same [−8, 8]
+    // integer weights, one two-integer division for the margin
+    "x_hash_classifier" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                      FROM documents),
+         w AS (SELECT doc_id,
+                      ('0x' || substr(md5(t), 1, 4))::BIGINT % 17 - 8 AS w
+               FROM tok),
+         s AS (SELECT doc_id, count(*) AS n_tokens,
+                      CAST(sum(w) AS BIGINT) AS score
+               FROM w GROUP BY doc_id)
+         SELECT doc_id, n_tokens, score,
+                score::DOUBLE / n_tokens::DOUBLE AS margin,
+                score > 0 AS keep
+         FROM s""",
+
     // bigram LM replay: same counts, same smoothing, portable-ln CTE
     // layers, per-doc list ordered by position folded by list_sum (the
     // sequential fold proven exact by x_vector_features)
@@ -2090,6 +2147,35 @@ object Ext {
           $rounds
           SELECT node, rank FROM r3"""
     },
+
+    // triangle census replayed: same min-support-2 co-purchase edges,
+    // same (degree, id)-packed BIGINT orientation, wedges at the pivot
+    // closed against the undirected edge set
+    "x_triangle_count" ->
+      """WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+                            CAST(a.l_partkey AS BIGINT) AS pa,
+                            CAST(b.l_partkey AS BIGINT) AS pb
+                     FROM lineitem a JOIN lineitem b
+                       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         ed AS (SELECT pa AS a, pb AS b FROM pr
+                GROUP BY pa, pb HAVING count(*) >= 2),
+         deg AS (SELECT id, count(*) AS deg
+                 FROM (SELECT a AS id FROM ed UNION ALL SELECT b FROM ed)
+                 GROUP BY id),
+         dir AS (SELECT CASE WHEN da.deg * 4294967296 + e.a < db.deg * 4294967296 + e.b
+                             THEN e.a ELSE e.b END AS u,
+                        CASE WHEN da.deg * 4294967296 + e.a < db.deg * 4294967296 + e.b
+                             THEN e.b ELSE e.a END AS v
+                 FROM ed e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+         tri AS (SELECT count(*) AS n_triangles
+                 FROM (SELECT e1.v AS x, e2.v AS y
+                       FROM dir e1 JOIN dir e2 ON e1.u = e2.u AND e1.v < e2.v) w
+                 JOIN ed ON w.x = ed.a AND w.y = ed.b)
+         SELECT (SELECT count(DISTINCT id) FROM
+                  (SELECT a AS id FROM ed UNION ALL SELECT b FROM ed)) AS n_nodes,
+                (SELECT count(*) FROM ed) AS n_edges,
+                (SELECT n_triangles FROM tri) AS n_triangles,
+                (SELECT max(deg) FROM deg) AS max_degree""",
 
     // what a correct duplicated-span coverage MUST report: shared 3-grams
     // (≥ 2 distinct docs), per-doc interval union via the running-max

@@ -183,4 +183,30 @@ class EventBreadthSpec extends SparkSpec {
     assert(run(flipped)(2L) == ((2L, 4.0)), "tie order must follow the id column")
     assert(run(ev.repartition(5)) == got, "ewma changed under repartition")
   }
+
+  test("markovTransitions: hand-counted matrix, tie order, first events dropped") {
+    import spark.implicits._
+    val ts = (i: Int) => new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // user 1: a→b→a→b ; user 2: a→a (tie on ts resolved by event_id)
+    val ev = Seq(
+      (1L, ts(1), 10L, "a"), (1L, ts(2), 11L, "b"),
+      (1L, ts(3), 12L, "a"), (1L, ts(4), 13L, "b"),
+      (2L, ts(5), 21L, "c"), (2L, ts(5), 20L, "a") // id 20 first → a→c
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.EventOps.markovTransitions(df, "user_id", "ts",
+        "event_id", "event_type")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+    val got = run(ev)
+    // from a: a→b twice, a→c once (the tie: id 20 'a' precedes id 21 'c')
+    assert(got(("a", "b")) == ((2L, 2.0 / 3.0)), s"a->b: ${got.get(("a", "b"))}")
+    assert(got(("a", "c")) == ((1L, 1.0 / 3.0)), s"a->c: ${got.get(("a", "c"))}")
+    assert(got(("b", "a")) == ((1L, 1.0)), s"b->a: ${got.get(("b", "a"))}")
+    assert(got.size == 3, s"unexpected transitions: ${got.keySet}")
+    // each user's FIRST event has no from-state and must not be counted
+    assert(got.values.map(_._1).sum == 4L)
+    assert(run(ev.repartition(7)) == got, "matrix changed under repartition")
+  }
 }

@@ -128,4 +128,43 @@ class GraphsSpec extends SparkSpec {
     // the ordered fold must make ranks independent of data layout
     assert(ranks(edges.repartition(5), 3) == r3, "ranks changed under repartition")
   }
+
+  private def triStats(edges: Seq[(Long, Long)]) = {
+    val r = Graphs.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("triangleStats: K4, path, and star match hand counts") {
+    // K4: C(4,3) = 4 triangles, 6 edges, max degree 3
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(triStats(k4) == ((4L, 6L, 4L, 3L)))
+    // path graph: wedges exist but never close
+    assert(triStats(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)) == ((4L, 3L, 0L, 2L)))
+    // star: the hub's wedges all fail closure — degree orientation means
+    // the hub (max degree) generates no wedges at all
+    assert(triStats(Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L)) ==
+      ((5L, 4L, 0L, 4L)))
+    // triangle with a pendant + duplicate/reversed input edges collapse
+    assert(triStats(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L, 2L -> 1L,
+      3L -> 4L)) == ((4L, 4L, 1L, 3L)))
+  }
+
+  test("triangleStats == brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = und.toSet
+    val ids = und.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    var brute = 0L
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.size; k <- (j + 1) until ids.size
+      if adj((ids(i), ids(j))) && adj((ids(j), ids(k))) && adj((ids(i), ids(k)))
+    } brute += 1
+    val (_, nEdges, nTris, _) = triStats(edges)
+    assert(nEdges == und.size.toLong, s"edges $nEdges != ${und.size}")
+    assert(nTris == brute, s"triangles $nTris != brute $brute")
+  }
 }

@@ -123,4 +123,31 @@ class PmathSpec extends SparkSpec {
     assert(q.filter(exists(col("q8"), c => abs(c) > 127)).count() == 0)
     assert(q.filter(col("e") > col("s") * 0.5 + lit(1e-12)).count() == 0)
   }
+
+  test("hashed classifier: score == independently computed md5 weights; partition-invariant") {
+    import spark.implicits._
+    def weight(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = h.take(2).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 17 - 8
+    }
+    val docs = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor sit amet"),
+      (3L, "zzz")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.LangModel.hashedClassifier(df, "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+        .toMap
+    val got = run(docs)
+    Seq(1L -> "the quick brown fox", 2L -> "lorem ipsum dolor sit amet",
+      3L -> "zzz").foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val exp = toks.map(weight).sum
+      val (n, score, margin, keep) = got(id)
+      assert(n == toks.length && score == exp, s"doc $id: got $score want $exp")
+      assert(margin == exp.toDouble / toks.length && keep == (exp > 0))
+    }
+    assert(run(docs.repartition(5)) == got, "score changed under repartition")
+  }
 }
