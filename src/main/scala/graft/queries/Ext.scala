@@ -124,6 +124,15 @@ object Ext {
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
     }),
 
+    // SQ8 two-stage retrieval: integer-dot shortlist over int8 codes
+    // (the 4×-cheaper wide scan), exact cosine rerank on the survivors —
+    // portable quantizer + integer coarse scores make it hash-exact
+    "x_ann_rerank" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.quantizedRerank(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, shortlist = 25)
+    }),
+
     // same exact top-k through the custom TopKPerKeyExec plan (bounded
     // heap per key, no sort) — identical output, same oracle
     "x_cos_topk_custom" -> ((s, d) => {
@@ -1265,6 +1274,40 @@ object Ext {
                     FROM scored)
          SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
          FROM ranked WHERE rank <= 5""",
+
+    // SQ8 rerank replayed: the x_embed_quantize floor-quantizer, integer
+    // dot shortlist (coarse DESC, id ASC — the tie rule that makes the
+    // candidate SET well-defined), exact cosine on the survivors
+    "x_ann_rerank" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         s AS (SELECT vec_id, v,
+               coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) / 127.0 AS scale
+               FROM e),
+         qz AS (SELECT vec_id, v,
+                CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                     ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+                END AS q8
+                FROM s),
+         q AS (SELECT vec_id AS query_id, q8 AS qq FROM qz WHERE vec_id < 10),
+         coarse AS (SELECT query_id, c.vec_id AS neighbor_id,
+                    CAST(list_sum([qq[i] * c.q8[i]
+                                   for i in range(1, len(qq) + 1)]) AS BIGINT) AS coarse
+                    FROM qz c CROSS JOIN q),
+         short AS (SELECT query_id, neighbor_id, coarse FROM
+                   (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY coarse DESC, neighbor_id ASC) AS crank
+                    FROM coarse) WHERE crank <= 25),
+         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         rr AS (SELECT sh.query_id, sh.neighbor_id, sh.coarse,
+                CASE WHEN qn.nrm * cn.nrm <> 0
+                     THEN list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) END AS cos
+                FROM short sh JOIN n cn ON cn.vec_id = sh.neighbor_id
+                              JOIN n qn ON qn.vec_id = sh.query_id)
+         SELECT query_id, neighbor_id, coarse, cos, CAST(rank AS INTEGER) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank FROM rr)
+         WHERE rank <= 5""",
 
     "x_cos_topk_custom" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -91,6 +91,27 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.45, s"ANN recall $recall")
   }
 
+  test("SQ8 rerank with a full shortlist == brute force; narrow shortlist keeps recall") {
+    val q = emb.filter(col("vec_id") < 20)
+    val n = emb.count().toInt
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(q, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 5))
+    // shortlist = whole corpus ⇒ stage 1 filters nothing and the exact
+    // rerank must reproduce brute force identically
+    val full = pairs(Similarity.quantizedRerank(q, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, shortlist = n))
+    assert(full == bf, s"full-shortlist rerank diverged: ${full.diff(bf)}")
+    // a 25-candidate shortlist (~8% of the corpus at sf0.001) must carry
+    // most of the true top-5 — int8 coarse scores track cosine closely
+    val sq = pairs(Similarity.quantizedRerank(q, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, shortlist = 25))
+    val recall = bf.intersect(sq).size.toDouble / bf.size
+    assert(recall >= 0.8, s"SQ8 recall $recall")
+  }
+
   test("IVF ANN beats a random candidate subset of the same budget") {
     val q = emb.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
