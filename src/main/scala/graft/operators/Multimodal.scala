@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * `javax.imageio` PNG codec partition-parallel (no external codec
   * dependency), and `x_image_decode` checks the DECODED CONTENT —
   * dimensions and channel averages — against generator-known values.
-  * Audio/video decode remains a clearly-marked stub
-  * (`fakeDecodeFeatures`): no codec for those exists in the JDK — swap
-  * in a JNI/codec call at the same signature (binary in, fixed-width
-  * features out, row-parallel) to productionize.
+  * AUDIO decode is REAL too: [[decodeWavs]] runs the JDK's built-in
+  * `javax.sound.sampled` WAV/PCM codec the same way, and
+  * `x_audio_decode` checks decoded sample statistics against the
+  * closed form of the synthesized waveform. Only VIDEO decode remains a
+  * clearly-marked stub (`fakeDecodeFeatures` / [[sampleFrames]]): no
+  * video codec exists in the JDK — swap in a JNI/codec call at the same
+  * signature (binary in, fixed-width features out, row-parallel) to
+  * productionize.
   */
 object Multimodal {
 
@@ -132,6 +136,84 @@ object Multimodal {
         }
       }
       .toDF("media_id", "width", "height", "avg_r", "avg_g", "avg_b")
+  }
+
+  /** Synthesize one tiny real PCM16 mono WAV per id through the JDK's
+    * own WAV ENCODER (`AudioSystem.write` — a real codec round trip, not
+    * hand-packed bytes). The waveform is CLOSED-FORM in the id:
+    * n = 32 + id%33 samples at 8 kHz, sample i =
+    * ((id·73 + i·37) mod 4096) − 2048 — pure integer arithmetic a SQL
+    * oracle can replay, so a correct decode is verifiable at the
+    * sample-statistics level without binary fixtures on disk. */
+  def synthWavs(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = 32 + (id % 33).toInt
+        val pcm = java.nio.ByteBuffer.allocate(n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until n).foreach { i =>
+          pcm.putShort((((id * 73 + i.toLong * 37) % 4096) - 2048).toShort)
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        (id, out.toByteArray)
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** REAL audio decode: the JDK's `javax.sound.sampled` WAV reader, one
+    * codec context per partition like [[decodeImages]]. Emits the audio
+    * statistics a curation pipeline filters on — duration, amplitude
+    * sums, peak, zero-crossing count — all integer-exact for PCM16 so
+    * they replay in portable SQL. Undecodable payloads quarantine to
+    * nulls rather than killing the job. */
+  def decodeWavs(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian)
+            val raw = ais.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(raw)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = raw.length / 2
+            var (sumAmp, sumSq, crossings) = (0L, 0L, 0L)
+            var (peak, prevSign) = (0, 0)
+            var i = 0
+            while (i < n) {
+              val s = bb.getShort(i * 2).toInt
+              sumAmp += s; sumSq += s.toLong * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              val sign = if (s < 0) -1 else 1
+              if (i > 0 && sign != prevSign) crossings += 1
+              prevSign = sign
+              i += 1
+            }
+            val rate = fmt.getSampleRate.toInt
+            (id, Some(rate), Some(n.toLong),
+              Some(n.toLong * 1000000L / rate), Some(sumAmp), Some(sumSq),
+              Some(peak), Some(crossings))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              (id, None, None, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "duration_us",
+        "sum_amp", "sum_sq", "peak", "zero_crossings")
   }
 
   /** "Resize" stub: truncate/pad payload to `target` bytes — stands in for

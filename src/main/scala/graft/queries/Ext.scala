@@ -885,7 +885,15 @@ object Ext {
     // mixup, first-pixel-only read) hash-mismatches.
     "x_image_decode" -> ((s, d) =>
       Multimodal.decodeImages(Multimodal.synthPngs(
-        t(s, d, "documents").filter(col("doc_id") < 100), "doc_id")))
+        t(s, d, "documents").filter(col("doc_id") < 100), "doc_id"))),
+
+    // real JDK WAV codec round trip: encode a closed-form PCM16 waveform
+    // with AudioSystem.write, decode it back with the WAV reader, report
+    // the integer-exact sample statistics the oracle recomputes from the
+    // waveform formula
+    "x_audio_decode" -> ((s, d) =>
+      Multimodal.decodeWavs(Multimodal.synthWavs(
+        t(s, d, "documents").filter(col("doc_id") < 200), "doc_id")))
   )
 
   /** Transitive-closure CTE prefix over the ngram-jaccard pair set
@@ -2264,6 +2272,32 @@ object Ext {
                             abs(floor(x / scale + 0.5) * scale - x))), 0.0)
                 END AS max_err
          FROM s""",
+
+    // what a correct WAV decode MUST read back: the synthesized samples
+    // ((id·73 + i·37) mod 4096) − 2048 regenerated positionally, their
+    // sums/peak/sign-change count — integers end to end, duration from
+    // exact division (1e6/8000 = 125 µs per sample)
+    "x_audio_decode" ->
+      """WITH ids AS (SELECT doc_id AS media_id, 32 + doc_id % 33 AS n
+                      FROM documents WHERE doc_id < 200),
+         s AS (SELECT media_id, n, i,
+                      ((media_id * 73 + i * 37) % 4096) - 2048 AS v
+               FROM (SELECT media_id, n, unnest(range(n)) AS i FROM ids)),
+         z AS (SELECT media_id, n, v,
+                      CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg,
+                      lag(CASE WHEN v < 0 THEN -1 ELSE 1 END)
+                        OVER (PARTITION BY media_id ORDER BY i) AS psg
+               FROM s)
+         SELECT media_id,
+                CAST(8000 AS INTEGER) AS sample_rate,
+                CAST(any_value(n) AS BIGINT) AS n_samples,
+                CAST(any_value(n) * 125 AS BIGINT) AS duration_us,
+                CAST(sum(v) AS BIGINT) AS sum_amp,
+                CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                CAST(max(abs(v)) AS INTEGER) AS peak,
+                CAST(count(*) FILTER (WHERE psg IS NOT NULL AND sg <> psg)
+                     AS BIGINT) AS zero_crossings
+         FROM z GROUP BY media_id""",
 
     // what a correct PNG decode MUST read back: solid (37id,59id,83id)
     // mod 256 with the top-left pixel inverted, so each channel average

@@ -281,6 +281,32 @@ class ExtSpec extends SparkSpec {
     assert(bad.getLong(0) == 999L && bad.isNullAt(1) && bad.isNullAt(3))
   }
 
+  test("multimodal: real WAV round-trip decodes exact sample stats; garbage -> nulls") {
+    val decoded = Multimodal.decodeWavs(
+      Multimodal.synthWavs(docs.filter(col("doc_id") < 20), "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getInt(6), r.getLong(7)))
+      .toMap
+    assert(decoded.size == 20)
+    decoded.foreach { case (id, (rate, n, durUs, sumAmp, sumSq, peak, zc)) =>
+      val en = 32 + (id % 33).toInt
+      val samples = (0 until en).map(i => ((id * 73 + i.toLong * 37) % 4096) - 2048)
+      assert(rate == 8000 && n == en.toLong && durUs == en.toLong * 125,
+        s"id=$id header stats wrong: ($rate, $n, $durUs)")
+      assert(sumAmp == samples.sum && sumSq == samples.map(s => s * s).sum &&
+        peak == samples.map(math.abs).max, s"id=$id sample sums wrong")
+      val expZc = samples.sliding(2).count(p =>
+        (if (p(0) < 0) -1 else 1) != (if (p(1) < 0) -1 else 1))
+      assert(zc == expZc.toLong, s"id=$id zero crossings $zc != $expZc")
+    }
+    // an undecodable payload quarantines to nulls, never kills the job
+    val garbage = Seq((999L, Array[Byte](82, 73, 70, 70)))
+      .toDF("media_id", "payload")
+    val bad = Multimodal.decodeWavs(garbage).collect()(0)
+    assert(bad.getLong(0) == 999L && bad.isNullAt(1) && bad.isNullAt(4))
+  }
+
   test("multimodal: resize stub keeps metadata consistent") {
     val media = Multimodal.asMedia(
       docs.withColumn("payload", encode(col("text"), "utf-8")),
