@@ -51,6 +51,50 @@ object LangModel {
           lit(0.0), (a, x) => a + x) / size(col("ps"))).as("avg_lnp"))
   }
 
+  /** PMI collocation extraction (Church & Hanks 1990) — the classic
+    * corpus-analytics signal for multi-word expressions: for every
+    * adjacent token pair seen ≥ `minCount` times,
+    * pmi = ln(N·C(a,b) / (C(a)·C(b))) with C(w) the corpus token counts
+    * and N the total token count. High-PMI pairs co-occur far more than
+    * their unigram frequencies predict (named entities, idioms);
+    * tokenizer vocabularies and phrase-mining pipelines both start here.
+    *
+    * Float discipline: numerator and denominator are exact integer
+    * products (< 2⁵³, so their DOUBLE casts are exact in every engine);
+    * the ln runs on whichever ratio is ≥ 1 ([[Pmath.lnColumn]]'s domain)
+    * and the sign is flipped for the anti-correlated case — the branch
+    * is chosen by an exact integer compare, and num/den vs den/num are
+    * each a single correctly-rounded division, so the score replays
+    * bit-exactly.
+    *
+    * Scale shape: one narrow bigram explode + hash agg keyed on the
+    * pair, one token explode + hash agg keyed on the token, two
+    * equi-joins of the (minCount-pruned) pair frame against the unigram
+    * counts, single-row N broadcast. Nothing quadratic, nothing
+    * collected. */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 5L): DataFrame = {
+    val tok = df.select(explode(Text.tokens(col(textCol))).as("t"))
+    val cw = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val nTot = tok.agg(count(lit(1)).as("n"))
+    val bg = df.select(Text.explodePositionalShingles(col(textCol), 2)
+        .as(Seq("pos", "b")))
+      .select(substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2"))
+    val cab = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    cab
+      .join(cw.select(col("t").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(cw.select(col("t").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        when(col("n_ab") * col("n") >= col("c1") * col("c2"),
+          Pmath.lnColumn((col("n_ab") * col("n")).cast("double") /
+            (col("c1") * col("c2")).cast("double")))
+          .otherwise(-Pmath.lnColumn((col("c1") * col("c2")).cast("double") /
+            (col("n_ab") * col("n")).cast("double"))).as("pmi"))
+  }
+
   /** Hashing-trick linear classifier scoring (the Vowpal-Wabbit /
     * fastText serving shape): every token maps to a weight through a
     * hash bucket — no vocabulary table, no OOV path — and the document's

@@ -390,6 +390,13 @@ object Ext {
     "x_lm_score" -> ((s, d) =>
       LangModel.bigramScore(t(s, d, "documents"), "doc_id", "text")),
 
+    // PMI collocations: adjacent pairs co-occurring beyond what unigram
+    // frequencies predict — exact integer products, portable ln on the
+    // ≥1 ratio branch, sign from an integer compare
+    "x_pmi" -> ((s, d) =>
+      LangModel.pmiCollocations(t(s, d, "documents"), "doc_id", "text",
+        minCount = 5L)),
+
     // hashing-trick linear classifier serving: md5-bucket weights summed
     // per doc — the map-side shape a trained fastText-style quality
     // model runs with at corpus scale (weights deterministic stand-ins)
@@ -2089,6 +2096,31 @@ object Ext {
                 '${Text.piiIpRe}', '<IP>', 'g'),
               '${Text.piiPhoneRe}', '<PHONE>', 'g') AS clean_text
           FROM customer""",
+
+    // PMI replayed: same integer products, same ratio-branch portable ln
+    "x_pmi" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+          cw AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+          nn AS (SELECT count(*) AS n FROM tok),
+          w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+          bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+                 FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)),
+          cab AS (SELECT w1, w2, count(*) AS n_ab FROM bg
+                  GROUP BY w1, w2 HAVING count(*) >= 5),
+          j AS (SELECT w1, w2, n_ab,
+                       CAST(n_ab * n AS BIGINT) AS num,
+                       CAST(c1.c * c2.c AS BIGINT) AS den
+                FROM cab JOIN cw c1 ON c1.t = cab.w1
+                         JOIN cw c2 ON c2.t = cab.w2 CROSS JOIN nn),
+          b AS (SELECT *, CASE WHEN num >= den THEN num::DOUBLE / den::DOUBLE
+                               ELSE den::DOUBLE / num::DOUBLE END AS lnin FROM j),
+          p1 AS (SELECT *, $l1 FROM b),
+          p2 AS (SELECT *, $l2 FROM p1),
+          p3 AS (SELECT *, $l3 FROM p2)
+          SELECT w1, w2, n_ab,
+                 CASE WHEN num >= den THEN lnx ELSE -lnx END AS pmi FROM p3"""
+    },
 
     // hashed classifier replayed: same md5 4-hex bucket, same [−8, 8]
     // integer weights, one two-integer division for the margin

@@ -124,6 +124,31 @@ class PmathSpec extends SparkSpec {
     assert(q.filter(col("e") > col("s") * 0.5 + lit(1e-12)).count() == 0)
   }
 
+  test("pmi collocations: hand-computed scores, minCount prunes, sign from ratio") {
+    import spark.implicits._
+    // "x y" appears 5×: C(x,y)=5, C(x)=C(y)=5, N=15 ⇒ pmi = ln(75/25) = ln 3.
+    // "a b" appears 5× but a,b also appear apart: C(a,b)=5, C(a)=C(b)=10,
+    // N=15+30=... build explicitly below
+    val docs = Seq(
+      (1L, "x y x y x y x y x y z z z z z"),          // 5× (x,y), filler z
+      (2L, "a b a b a b a b a b"),                    // 5× (a,b)
+      (3L, "a a a a a b b b b b")                     // a,b apart (dilutes)
+    ).toDF("doc_id", "text")
+    val got = graft.operators.LangModel
+      .pmiCollocations(docs, "doc_id", "text", minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // N = 35 tokens total; C(x)=C(y)=5, C(x,y)=5 ⇒ pmi = ln(5·35/25) = ln 7
+    val (nXy, pmiXy) = got(("x", "y"))
+    assert(nXy == 5L && math.abs(pmiXy - math.log(7.0)) < 1e-11, s"x,y: $pmiXy")
+    // C(a)=C(b)=10, C(a,b)=5+1 (doc 3 has one a→b seam) ⇒ 6·35/100 = 2.1
+    val (nAb, pmiAb) = got(("a", "b"))
+    assert(nAb == 6L && math.abs(pmiAb - math.log(2.1)) < 1e-11, s"a,b: $pmiAb")
+    // pairs under minCount (y,x seen 4×; z,z 4×) are pruned
+    assert(!got.contains(("y", "x")) && !got.contains(("z", "z")),
+      s"unexpected pairs: ${got.keySet}")
+  }
+
   test("hashed classifier: score == independently computed md5 weights; partition-invariant") {
     import spark.implicits._
     def weight(tok: String): Long = {
