@@ -51,6 +51,39 @@ object LangModel {
           lit(0.0), (a, x) => a + x) / size(col("ps"))).as("avg_lnp"))
   }
 
+  /** Per-document token Shannon entropy — the repetitiveness signal
+    * quality filters pair with length/perplexity: H = Σ (c/n)·ln(n/c)
+    * over the doc's token distribution. Boilerplate and keyword-stuffed
+    * spam sit near 0; natural prose sits near ln(vocab).
+    *
+    * Float discipline: every per-term factor is built from exact
+    * integer ratios (c/n and n/c are single correctly-rounded
+    * divisions; n/c ≥ 1 keeps [[Pmath.lnColumn]] in domain) and the
+    * per-doc sum folds the TOKEN-SORTED term list strictly left to
+    * right — partition-invariant and SQL-replayable (binary UTF-8
+    * ordering agrees across engines). State per doc = its distinct-token
+    * list, bounded by doc vocabulary.
+    *
+    * Scale shape: two hash aggregates (doc×term counts, doc totals —
+    * both keyed on the doc side) + one equi-join riding the same key;
+    * no corpus-wide state. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+      explode(Text.tokens(col(textCol))).as("t"))
+    val counts = tok.groupBy("doc", "t").agg(count(lit(1)).as("c"))
+    val totals = tok.groupBy("doc").agg(count(lit(1)).as("n"))
+    counts.join(totals, Seq("doc"))
+      .withColumn("h", (col("c").cast("double") / col("n").cast("double")) *
+        Pmath.lnColumn(col("n").cast("double") / col("c").cast("double")))
+      .groupBy("doc")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("vocab"),
+        sort_array(collect_list(struct(col("t"), col("h")))).as("hs"))
+      .select(col("doc").as("doc_id"), col("n").as("n_tokens"),
+        col("vocab").as("vocab_size"),
+        aggregate(transform(col("hs"), p => p.getField("h")),
+          lit(0.0), (a, x) => a + x).as("entropy"))
+  }
+
   /** PMI collocation extraction (Church & Hanks 1990) — the classic
     * corpus-analytics signal for multi-word expressions: for every
     * adjacent token pair seen ≥ `minCount` times,

@@ -390,6 +390,12 @@ object Ext {
     "x_lm_score" -> ((s, d) =>
       LangModel.bigramScore(t(s, d, "documents"), "doc_id", "text")),
 
+    // per-doc token Shannon entropy: the repetitiveness axis of quality
+    // filtering — exact integer ratios through the portable ln, summed
+    // over the token-sorted term list
+    "x_token_entropy" -> ((s, d) =>
+      LangModel.tokenEntropy(t(s, d, "documents"), "doc_id", "text")),
+
     // PMI collocations: adjacent pairs co-occurring beyond what unigram
     // frequencies predict — exact integer products, portable ln on the
     // ≥1 ratio branch, sign from an integer compare
@@ -475,6 +481,22 @@ object Ext {
     "x_markov" -> ((s, d) =>
       EventOps.markovTransitions(t(s, d, "events"), "user_id", "ts",
         "event_id", "event_type")),
+
+    // RANGE-frame rolling window (value-based frame, not row-based — the
+    // one window frame shape the surface lacked): per-user trailing-24h
+    // event count and decimal-exact value sum at every event
+    "x_rolling_range" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_s"))
+        .rangeBetween(-86399L, 0L)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 1000000").as("ts_s"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_24h"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("v_24h"))
+    }),
 
     // full outer join (the one join shape §2.8 lacked a graded query
     // for): open-vs-filled order counts reconciled per customer, with
@@ -1683,6 +1705,17 @@ object Ext {
                             + CAST('0.2' AS DOUBLE) * x) AS ewma
          FROM per""",
 
+    // RANGE frame replayed over the same integer epoch-second ordering;
+    // peers (equal ts_s) share the frame in both engines by definition
+    "x_rolling_range" ->
+      """SELECT event_id, user_id,
+                count(*) OVER w AS n_24h,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_24h
+         FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s, value
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                      RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)""",
+
     // Markov matrix replayed: same (ts, event_id)-ordered lag pairs,
     // same two-integer division per cell
     "x_markov" ->
@@ -2096,6 +2129,28 @@ object Ext {
                 '${Text.piiIpRe}', '<IP>', 'g'),
               '${Text.piiPhoneRe}', '<PHONE>', 'g') AS clean_text
           FROM customer""",
+
+    // entropy replayed: same integer ratios, same portable ln, the
+    // per-doc sum as list_sum over the token-ordered list
+    "x_token_entropy" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                       FROM documents),
+          c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+          n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+          j AS (SELECT c.doc_id, t, c.c, n.n,
+                       n.n::DOUBLE / c.c::DOUBLE AS lnin
+                FROM c JOIN n USING (doc_id)),
+          p1 AS (SELECT *, $l1 FROM j),
+          p2 AS (SELECT *, $l2 FROM p1),
+          p3 AS (SELECT *, $l3 FROM p2),
+          per AS (SELECT doc_id, max(n) AS n, count(*) AS vocab,
+                         list((c::DOUBLE / n::DOUBLE) * lnx ORDER BY t) AS hs
+                  FROM p3 GROUP BY doc_id)
+          SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                 CAST(vocab AS BIGINT) AS vocab_size,
+                 list_sum(hs) AS entropy FROM per"""
+    },
 
     // PMI replayed: same integer products, same ratio-branch portable ln
     "x_pmi" -> {

@@ -124,6 +124,28 @@ class PmathSpec extends SparkSpec {
     assert(q.filter(col("e") > col("s") * 0.5 + lit(1e-12)).count() == 0)
   }
 
+  test("token entropy: 0 for constant docs, ln(n) for all-distinct, partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a a a a"),         // constant → H = 0
+      (2L, "a b c d e f g h"),         // uniform over 8 → H = ln 8
+      (3L, "a a b b c c d d e f")      // mixed, hand-checkable below
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.LangModel.tokenEntropy(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+    val got = run(docs)
+    assert(got(1L) == ((8L, 1L, 0.0)), s"constant doc: ${got(1L)}")
+    val (n2, v2, h2) = got(2L)
+    assert(n2 == 8L && v2 == 8L && math.abs(h2 - math.log(8.0)) < 1e-11)
+    val (n3, v3, h3) = got(3L)
+    // 4 tokens at 2/10 + 2 at 1/10: H = 4·(.2 ln 5) + 2·(.1 ln 10)
+    val exp3 = 4 * 0.2 * math.log(5.0) + 2 * 0.1 * math.log(10.0)
+    assert(n3 == 10L && v3 == 6L && math.abs(h3 - exp3) < 1e-11, s"doc 3: $h3")
+    assert(run(docs.repartition(5)) == got, "entropy changed under repartition")
+  }
+
   test("pmi collocations: hand-computed scores, minCount prunes, sign from ratio") {
     import spark.implicits._
     // "x y" appears 5×: C(x,y)=5, C(x)=C(y)=5, N=15 ⇒ pmi = ln(75/25) = ln 3.
