@@ -127,6 +127,60 @@ object Retrieval {
       .filter(col("df") >= minDf)
   }
 
+  /** Sparse TF-IDF cosine similarity pairs — the term-join dual of
+    * embedding near-dup: score(a,b) = Σ_t w_a(t)·w_b(t) / (‖a‖·‖b‖)
+    * with w = tf·ln(N/df), candidates generated by the TERM equi-join
+    * (only documents sharing a term ever meet — never all-pairs).
+    * Similarity is defined in the pruned vocabulary 2 ≤ df ≤ `maxDf`:
+    * df=1 terms cannot pair, and a stop word's posting block would be
+    * the classic quadratic hot key while carrying ~zero idf weight —
+    * capping df is simultaneously the skew guard and standard stop-word
+    * removal.
+    *
+    * Float discipline: each weight is one multiply of an exact-cast tf
+    * by the portable ln of an exact integer ratio; per-doc norms and
+    * per-pair dots fold TERM-SORTED lists strictly left to right
+    * (bounded by doc vocab / shared-term count) — partition-invariant
+    * and SQL-replayable, so x_sparse_sim is hash-compared.
+    *
+    * Scale shape: tf aggregate keyed on (doc, term), df aggregate keyed
+    * on term, the pair join keyed on term with per-term fanout bounded
+    * by maxDf², pair aggregate keyed on the pair. One shuffle per stage,
+    * nothing corpus-sized broadcast. */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDf: Int, threshold: Double): DataFrame = {
+    val occ = occurrences(df, idCol, textCol).filter(col("term") =!= "")
+    val tf = occ.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val stats = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = tf.join(dfreq, Seq("term")).crossJoin(broadcast(stats))
+      .withColumn("w", col("tf") * Pmath.lnColumn(col("n_docs") / col("df")))
+      .select("doc", "term", "w")
+    val norms = w.groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("term"),
+        (col("w") * col("w")).as("w2")))).as("ws"))
+      .select(col("doc"), sqrt(aggregate(transform(col("ws"),
+        p => p.getField("w2")), lit(0.0), (a, x) => a + x)).as("nrm"))
+    val pairs = w.select(col("term"), col("doc").as("doc_a"), col("w").as("wa"))
+      .join(w.select(col("term"), col("doc").as("doc_b"), col("w").as("wb")),
+        Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"),
+        sort_array(collect_list(struct(col("term"),
+          (col("wa") * col("wb")).as("p")))).as("ps"))
+      .withColumn("dot", aggregate(transform(col("ps"),
+        p => p.getField("p")), lit(0.0), (a, x) => a + x))
+    pairs
+      .join(norms.select(col("doc").as("doc_a"), col("nrm").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc").as("doc_b"), col("nrm").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        when(col("na") * col("nb") =!= 0.0,
+          col("dot") / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Column form of the BM25 idf, exposed for reuse/tests. */
   def idf(nDocs: Column, df: Column): Column =
     Pmath.lnColumn(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5)))

@@ -390,6 +390,13 @@ object Ext {
     "x_lm_score" -> ((s, d) =>
       LangModel.bigramScore(t(s, d, "documents"), "doc_id", "text")),
 
+    // sparse TF-IDF cosine pairs: the term-join dual of embedding
+    // near-dup — candidates only where terms are shared, stop words
+    // pruned by the df cap (simultaneously the skew guard)
+    "x_sparse_sim" -> ((s, d) =>
+      graft.operators.Retrieval.sparseCosinePairs(
+        t(s, d, "documents"), "doc_id", "text", maxDf = 100, threshold = 0.5)),
+
     // per-doc token Shannon entropy: the repetitiveness axis of quality
     // filtering — exact integer ratios through the portable ln, summed
     // over the token-sorted term list
@@ -2129,6 +2136,39 @@ object Ext {
                 '${Text.piiIpRe}', '<IP>', 'g'),
               '${Text.piiPhoneRe}', '<PHONE>', 'g') AS clean_text
           FROM customer""",
+
+    // sparse cosine replayed: same pruned vocabulary, same portable-ln
+    // weights, norms and dots as list_sum over term-ordered lists
+    "x_sparse_sim" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      s"""WITH tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+          tf AS (SELECT doc, term, count(*) AS tf FROM tok
+                 WHERE term <> '' GROUP BY doc, term),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+                    HAVING count(*) >= 2 AND count(*) <= 100),
+          nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+          j AS (SELECT doc, tf.term, tf, n_docs / df::DOUBLE AS lnin
+                FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nn),
+          p1 AS (SELECT *, $l1 FROM j),
+          p2 AS (SELECT *, $l2 FROM p1),
+          p3 AS (SELECT *, $l3 FROM p2),
+          w AS (SELECT doc, term, tf * lnx AS w FROM p3),
+          nrm AS (SELECT doc, sqrt(list_sum(list(w * w ORDER BY term))) AS nrm
+                  FROM w GROUP BY doc),
+          pr AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+                        count(*) AS n_shared,
+                        list_sum(list(a.w * b.w ORDER BY a.term)) AS dot
+                 FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc
+                 GROUP BY a.doc, b.doc)
+          SELECT doc_a, doc_b, n_shared,
+                 CASE WHEN na.nrm * nb.nrm <> 0
+                      THEN dot / (na.nrm * nb.nrm) END AS cos
+          FROM pr JOIN nrm na ON na.doc = pr.doc_a
+                  JOIN nrm nb ON nb.doc = pr.doc_b
+          WHERE CASE WHEN na.nrm * nb.nrm <> 0
+                     THEN dot / (na.nrm * nb.nrm) END >= 0.5"""
+    },
 
     // entropy replayed: same integer ratios, same portable ln, the
     // per-doc sum as list_sum over the token-ordered list

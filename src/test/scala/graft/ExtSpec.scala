@@ -91,6 +91,35 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.45, s"ANN recall $recall")
   }
 
+  test("sparse cosine: identical docs hit 1.0, stop-word-only overlap never pairs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "quantum flux capacitor resonance chamber"),
+      (2L, "quantum flux capacitor resonance chamber"),   // exact copy of 1
+      (3L, "the and of the and of"),                      // stop words only
+      (4L, "the and of quantum widget"),                  // shares stop words + 1 rare
+      (5L, "totally unrelated prose about gardening")
+    ).toDF("doc_id", "text")
+    // maxDf = 2 makes "the/and/of" (df 2: docs 3, 4) eligible ONLY if df<=2…
+    // use maxDf = 1? df>=2 lower bound would kill all. Use maxDf = 2:
+    // rare terms (df=2: the copy pair's terms) stay, df>2 would be pruned.
+    val got = graft.operators.Retrieval
+      .sparseCosinePairs(corpus, "doc_id", "text", maxDf = 2, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // the exact copies share every ELIGIBLE term with equal weights →
+    // cos = 1 ("quantum" itself has df = 3 via doc 4 and is df-capped,
+    // leaving the other 4 terms)
+    val (nShared, cos) = got((1L, 2L))
+    assert(nShared == 4L && math.abs(cos - 1.0) < 1e-12, s"copy pair: $cos")
+    // docs 3 and 4 share only their stop words; those have df = 2 here so
+    // they DO pair — but "quantum" (df = 3 with docs 1, 2, 4) is pruned
+    // by maxDf = 2, so 4 never pairs with 1 or 2
+    assert(!got.contains((1L, 4L)) && !got.contains((2L, 4L)),
+      s"df-capped term leaked into pairs: ${got.keySet}")
+    assert(got.contains((3L, 4L)), "eligible shared terms must pair")
+  }
+
   test("SQ8 rerank with a full shortlist == brute force; narrow shortlist keeps recall") {
     val q = emb.filter(col("vec_id") < 20)
     val n = emb.count().toInt
