@@ -489,6 +489,26 @@ object Ext {
       EventOps.markovTransitions(t(s, d, "events"), "user_id", "ts",
         "event_id", "event_type")),
 
+    // null-safe equality join (<=>): the join shape where NULL keys MATCH
+    // each other — reconciling two aggregates of a nullable key without
+    // losing the null group (a plain equi-join silently drops it)
+    "x_null_safe_join" -> ((s, d) => {
+      // k % 7 == 0 → null: the fixture's props.k is never absent, so null
+      // keys are planted deterministically to exercise the null group
+      val kRaw = get_json_object(col("props"), "$.k").cast("int")
+      val ev = t(s, d, "events").select(col("event_id"),
+        when(kRaw % 7 =!= 0, kRaw).as("k"))
+      val a = ev.filter(col("event_id") % 2 === 0).groupBy("k")
+        .agg(count(lit(1)).as("n_even")).withColumnRenamed("k", "ka")
+      val b = ev.filter(col("event_id") % 2 === 1).groupBy("k")
+        .agg(count(lit(1)).as("n_odd")).withColumnRenamed("k", "kb")
+      a.join(b, col("ka") <=> col("kb"), "full_outer")
+        .select(coalesce(col("ka"), col("kb")).as("k_val"),
+          (col("ka").isNull && col("kb").isNull).as("is_null_group"),
+          coalesce(col("n_even"), lit(0L)).as("n_even"),
+          coalesce(col("n_odd"), lit(0L)).as("n_odd"))
+    }),
+
     // RANGE-frame rolling window (value-based frame, not row-based — the
     // one window frame shape the surface lacked): per-user trailing-24h
     // event count and decimal-exact value sum at every event
@@ -1711,6 +1731,24 @@ object Ext {
                   (a, x) -> a * (CAST('1.0' AS DOUBLE) - CAST('0.2' AS DOUBLE))
                             + CAST('0.2' AS DOUBLE) * x) AS ewma
          FROM per""",
+
+    // null-safe join replayed with IS NOT DISTINCT FROM — the null
+    // groups of both sides must land in ONE row, not be dropped
+    "x_null_safe_join" ->
+      """WITH ev AS (SELECT event_id,
+                            CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 <> 0
+                                 THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                            END AS k
+                     FROM events),
+         a AS (SELECT k, count(*) AS n_even FROM ev
+               WHERE event_id % 2 = 0 GROUP BY k),
+         b AS (SELECT k, count(*) AS n_odd FROM ev
+               WHERE event_id % 2 = 1 GROUP BY k)
+         SELECT coalesce(a.k, b.k) AS k_val,
+                (a.k IS NULL AND b.k IS NULL) AS is_null_group,
+                coalesce(n_even, 0) AS n_even,
+                coalesce(n_odd, 0) AS n_odd
+         FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
 
     // RANGE frame replayed over the same integer epoch-second ordering;
     // peers (equal ts_s) share the frame in both engines by definition

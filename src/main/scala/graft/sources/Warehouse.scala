@@ -57,6 +57,30 @@ object Warehouse {
       .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Small-file compaction — the warehouse maintenance pass every
+    * streaming/incremental sink eventually needs: a table accreted in
+    * many tiny files (one per micro-batch/task) pays per-file open and
+    * footer costs on every scan and floods the driver with splits.
+    * Rewrites the table into ⌈bytes / targetFileBytes⌉ files via a
+    * round-robin repartition (no key: compaction must not skew — every
+    * output file gets an even share). Returns (filesBefore, filesAfter,
+    * bytes). Data content is preserved exactly; only layout changes.
+    * The write lands in `outPath` (swap-in is the caller's atomic
+    * rename/metastore step — compacting in place would race readers). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long): (Int, Int, Long) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String) =
+      fs.globStatus(new org.apache.hadoop.fs.Path(p + "/*.parquet")).toSeq
+    val before = dataFiles(inPath)
+    val bytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    (before.size, dataFiles(outPath).size, bytes)
+  }
+
   /** ANALYZE-style table statistics: per column min / max / exact NDV /
     * null count, ALL columns in ONE scan (a single wide aggregate — the
     * planner-feeding profile a warehouse maintains per table). Numeric
