@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dimension/table maintenance operators (SURVEY.md §2.10): SCD Type 1
@@ -86,6 +87,32 @@ object Evolve {
     * run; at 100 TB a refresh must cost O(|delta|), not O(|history|) —
     * this merge is one full-outer shuffle on the (already aggregated,
     * small) summaries. */
+  /** Apply a CDC changelog to a base table — the replication-feed
+    * consumer every lakehouse runs: the feed carries full rows for
+    * upserts ('U', same schema as base) plus the key for deletes ('D'),
+    * each stamped with a monotone version. Last-writer-wins per
+    * key: only the highest (version, op) row of a key acts ('U' beats
+    * 'D' on a version tie so the ordering is total — document feeds
+    * SHOULD make (key, version) unique). Keys untouched by the feed pass
+    * through.
+    *
+    * Scale shape: one keyed window over the feed (per-key state = one
+    * row), one left-anti join + one union against the base — the base
+    * table itself never shuffles on anything but the join key, and with
+    * both sides bucketed on the key the whole apply is Exchange-free.
+    * O(|feed|) work against an arbitrarily large base. */
+  def applyCdc(base: DataFrame, feed: DataFrame, key: String,
+               versionCol: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(col(versionCol).desc, col(opCol).desc)
+    val latest = feed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val survivors = base.join(latest.select(key), Seq(key), "left_anti")
+    val applied = latest.filter(col(opCol) =!= "D")
+      .select(base.columns.map(col).toSeq: _*)
+    survivors.unionByName(applied)
+  }
+
   def mergeAggregates(base: DataFrame, delta: DataFrame, key: String): DataFrame = {
     val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
     val cols = base.columns.filter(_ != key).toSeq

@@ -51,6 +51,74 @@ object LangModel {
           lit(0.0), (a, x) => a + x) / size(col("ps"))).as("avg_lnp"))
   }
 
+  /** BPE merge training (Sennrich et al. 2016) — tokenizer vocabulary
+    * induction, the corpus job every new tokenizer starts with: k rounds
+    * of "count adjacent symbol pairs weighted by word frequency, merge
+    * the most frequent pair everywhere". Ties break lexicographically on
+    * (left, right) so the merge sequence is deterministic.
+    *
+    * Scale shape: the working frame is the DISTINCT-WORD vocabulary with
+    * counts — |vocab|, not |corpus|; the corpus is scanned ONCE. Each
+    * round is one weighted pair aggregate (zip_with the symbol array
+    * against its own tail — narrow), a 1-ROW argmax collect (the
+    * param-bounded driver action, same contract as the IVF centroid
+    * collect), and a per-word greedy left-to-right merge fold (aggregate
+    * HOF — leftmost occurrence first; a symbol minted by this round's
+    * merge never re-merges within the round, which the fold gives for
+    * free since last(acc) is then the merged string, not `l`). Round
+    * state is persisted and the dead round released, the iterative-
+    * operator discipline of [[Graphs.connectedComponents]].
+    *
+    * Output: one row per merge (rank, left, right, pair_count). No SQL
+    * oracle — the k-round argmax/rewrite loop is not expressible in one
+    * DuckDB query (the same reason the sketch aggregates are rows-only);
+    * PmathSpec instead checks the full merge sequence against an
+    * INDEPENDENT plain-Scala BPE reference on fixture and toy corpora. */
+  def bpeMerges(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chars = (w: Column) =>
+      transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1)))
+    var words = df.select(explode(Text.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), chars(col("w")).as("syms"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
+      val best = words
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, pc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, l, rr, pc))
+        val next = words.withColumn("syms",
+          aggregate(col("syms"), typedlit(Array.empty[String]),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(rr),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), x))))
+              .otherwise(concat(acc, array(x)))))
+          .persist()
+        next.count() // materialize before releasing the feeding round
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
   /** Per-document token Shannon entropy — the repetitiveness signal
     * quality filters pair with length/perplexity: H = Σ (c/n)·ln(n/c)
     * over the doc's token distribution. Boilerplate and keyword-stuffed

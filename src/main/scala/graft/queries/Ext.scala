@@ -390,6 +390,14 @@ object Ext {
     "x_lm_score" -> ((s, d) =>
       LangModel.bigramScore(t(s, d, "documents"), "doc_id", "text")),
 
+    // BPE merge training: k rounds of weighted-pair argmax + greedy
+    // merge rewrite over the distinct-word vocabulary — rows-only (the
+    // iterative argmax/rewrite loop has no single-query SQL form);
+    // PmathSpec checks the merge sequence against an independent
+    // plain-Scala BPE reference
+    "x_bpe_merges" -> ((s, d) =>
+      LangModel.bpeMerges(t(s, d, "documents"), "doc_id", "text", k = 8)),
+
     // sparse TF-IDF cosine pairs: the term-join dual of embedding
     // near-dup — candidates only where terms are shared, stop words
     // pruned by the df cap (simultaneously the skew guard)
@@ -859,6 +867,22 @@ object Ext {
           .withColumn("c_name", lit("NEW")))
       Evolve.upsertScd1(cust, updates, "c_custkey")
         .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // CDC apply: a replication feed derived from orders (key = custkey,
+    // version = orderkey, every 10th change a delete) folded into the
+    // customer base — last-writer-wins per key, deletes drop, untouched
+    // keys pass through
+    "x_apply_cdc" -> ((s, d) => {
+      val base = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val feed = t(s, d, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("u"), col("o_orderkey").cast("string")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderkey").as("version"),
+        when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"))
+      Evolve.applyCdc(base, feed, "c_custkey", "version", "op")
     }),
 
     // SCD2: dim seeded with a closed historical version for every 13th
@@ -1915,6 +1939,25 @@ object Ext {
                 CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
                      ELSE c.c_mktsegment END AS c_mktsegment
          FROM customer c FULL OUTER JOIN u ON c.c_custkey = u.c_custkey""",
+
+    // CDC replayed: same last-writer row_number (version DESC, op DESC),
+    // same delete drop, same pass-through anti-join
+    "x_apply_cdc" ->
+      """WITH feed AS (SELECT o_custkey AS c_custkey,
+                              'u' || o_orderkey AS c_name,
+                              o_totalprice AS c_acctbal,
+                              o_orderkey AS version,
+                              CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+                       FROM orders),
+         latest AS (SELECT c_custkey, c_name, c_acctbal, op FROM
+                    (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                             ORDER BY version DESC, op DESC) AS rn FROM feed)
+                    WHERE rn = 1)
+         SELECT c.c_custkey, c.c_name, c.c_acctbal
+         FROM customer c LEFT JOIN latest l ON c.c_custkey = l.c_custkey
+         WHERE l.c_custkey IS NULL
+         UNION ALL
+         SELECT c_custkey, c_name, c_acctbal FROM latest WHERE op <> 'D'""",
 
     "x_scd2" ->
       """WITH cust AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),

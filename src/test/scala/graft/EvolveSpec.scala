@@ -92,4 +92,28 @@ class EvolveSpec extends SparkSpec {
     assert(got == Map(1L -> "removed", 2L -> "changed", 4L -> "added"),
       s"got $got") // 3L: null == null, unchanged, absent
   }
+
+  test("applyCdc: last writer wins, deletes drop, untouched keys pass through") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val feed = Seq(
+      (1L, "a1", 5L, "U"), (1L, "a2", 9L, "U"),   // two updates: v9 wins
+      (2L, "xx", 3L, "U"), (2L, "xx", 7L, "D"),   // update then delete: gone
+      (3L, "c1", 2L, "D"), (3L, "c2", 6L, "U"),   // delete then update: lives
+      (5L, "e1", 1L, "U")                          // insert of a new key
+    ).toDF("k", "v", "version", "op")
+    def run(f: org.apache.spark.sql.DataFrame) =
+      Evolve.applyCdc(base, f, "k", "version", "op")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run(feed)
+    assert(got == Map(1L -> "a2", 3L -> "c2", 4L -> "d", 5L -> "e1"),
+      s"got $got")
+    // version tie: 'U' outranks 'D' (op DESC) so the ordering is total
+    val tie = Seq((4L, "t", 1L, "D"), (4L, "t2", 1L, "U"))
+      .toDF("k", "v", "version", "op")
+    val tieGot = run(tie)
+    assert(tieGot(4L) == "t2" && tieGot(1L) == "a", s"tie: $tieGot")
+    assert(run(feed.repartition(5)) == got, "cdc changed under repartition")
+  }
 }

@@ -124,6 +124,57 @@ class PmathSpec extends SparkSpec {
     assert(q.filter(col("e") > col("s") * 0.5 + lit(1e-12)).count() == 0)
   }
 
+  /** Independent plain-Scala BPE reference: same contract as
+    * LangModel.bpeMerges (greedy leftmost merge, lexicographic
+    * tie-break) but implemented over in-memory maps with no Spark. */
+  private def referenceBpe(text: Seq[String], k: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = text.flatMap(_.split(" "))
+      .filter(_.nonEmpty).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+      .map { case (w, c) => w.map(_.toString).toVector -> c }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to k) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.size - 1)
+        pairs((syms(i), syms(i + 1))) = pairs.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (pairs.nonEmpty) {
+        val ((l, rr), pc) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((r, l, rr, pc))
+        vocab = vocab.groupBy { case (syms, _) =>
+          syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == rr)
+              acc.init :+ (acc.last + x)
+            else acc :+ x
+          }
+        }.view.mapValues(_.values.sum).toMap
+      }
+    }
+    out.toSeq
+  }
+
+  test("BPE merges == independent reference on toy corpora and the fixture") {
+    import spark.implicits._
+    def run(texts: Seq[String], k: Int) = {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      graft.operators.LangModel.bpeMerges(df, "doc_id", "text", k)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    }
+    // toy corpus with known merges: "low lower lowest" ×5 — (l,o) and
+    // (lo,w) dominate; exercises merged symbols re-entering later rounds
+    val toy = Seq.fill(5)("low lower lowest low").mkString(" ")
+    assert(run(Seq(toy), 4) == referenceBpe(Seq(toy), 4))
+    // overlap semantics: runs of one char ("aaaa") — greedy leftmost
+    val runs = Seq("aaaa aaa aa baab")
+    assert(run(runs, 3) == referenceBpe(runs, 3))
+    // the real fixture at sf0.001
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("text").as[String].collect().toSeq
+    val got = run(docs, 6)
+    assert(got == referenceBpe(docs, 6), s"fixture merges diverged: $got")
+  }
+
   test("token entropy: 0 for constant docs, ln(n) for all-distinct, partition-invariant") {
     import spark.implicits._
     val docs = Seq(
