@@ -59,6 +59,37 @@ object EventOps {
         sum(col("span_us")).as("total_span_us"))
   }
 
+  /** Session path mining — the "what do users actually do" table behind
+    * funnel design: sessions cut by the same inactivity gap as
+    * [[sessionize]], each session rendered as its (ts, id)-ordered
+    * event-type path string, then a frequency table of paths seen ≥
+    * `minCount` times. Everything is integer arithmetic + deterministic
+    * string assembly, so the table is exact-oracle-able.
+    *
+    * Scale shape: one keyed window pass for session assignment (state =
+    * one previous row), one session-keyed aggregate whose state is a
+    * single session's events (bounded by session length, never a user's
+    * history), one path-keyed count. */
+  def sessionPaths(df: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, typeCol: String, gapMinutes: Int,
+                   minCount: Long = 2L): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val withId = df
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn("new_session", when(col("prev_ts").isNull ||
+        unix_micros(col(tsCol)) - unix_micros(col("prev_ts")) >
+          gapMinutes * 60L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withId.groupBy(col(userCol), col("session_id"))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol), col(idCol), col(typeCol)))).as("evs"))
+      .select(array_join(transform(col("evs"),
+        e => e.getField(typeCol)), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .filter(col("n_sessions") >= minCount)
+  }
+
   /** Hourly gap-fill + cumulative count per user: time-series densification
     * for training pipelines (a model reading per-hour activity needs the
     * zero hours, which the raw event log omits by construction). Hours

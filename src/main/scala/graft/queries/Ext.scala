@@ -556,6 +556,12 @@ object Ext {
     "x_sessionize" -> ((s, d) =>
       EventOps.sessionize(t(s, d, "events"), "user_id", "ts", gapMinutes = 30)),
 
+    // session path mining: gap-cut sessions rendered as ordered
+    // event-type paths, frequency table of paths seen >= 3 times
+    "x_event_paths" -> ((s, d) =>
+      EventOps.sessionPaths(t(s, d, "events"), "user_id", "ts",
+        "event_id", "event_type", gapMinutes = 30, minCount = 3L)),
+
     // hourly densification + running totals: the zero-hour rows a model
     // needs but the raw event log omits by construction
     "x_gap_fill" -> ((s, d) =>
@@ -1810,6 +1816,24 @@ object Ext {
                        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS s
                FROM events)
          GROUP BY 1, 2""",
+
+    // session paths replayed: same (ts, event_id)-ordered gap cut, same
+    // ordered string assembly, same >= 3 frequency floor
+    "x_event_paths" ->
+      """WITH g AS (SELECT user_id, ts, event_id, event_type,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                         THEN 1 ELSE 0 END AS new_s
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+         p AS (SELECT user_id, sid,
+                      string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+               FROM s GROUP BY user_id, sid)
+         SELECT path, count(*) AS n_sessions FROM p
+         GROUP BY path HAVING count(*) >= 3""",
 
     "x_sessionize" ->
       """WITH g AS (SELECT user_id, ts,

@@ -32,6 +32,29 @@ object Io {
     spark.read.option("header", "true").option("multiLine", "true")
       .schema(schema).csv(path)
 
+  /** S1 hardened: CSV scan with ROW-level dirty-data handling — the
+    * reference isolates failures per FILE (try/except-continue,
+    * load_bronze.py:98-101); at warehouse scale the unit of damage is
+    * the row. PERMISSIVE (default) quarantines each unparseable row's
+    * raw text into `corruptCol` (nulls elsewhere) so bad rows are
+    * queryable instead of fatal; `drop = true` silently discards them
+    * (DROPMALFORMED) for pipelines that prefer loss to quarantine.
+    * DROPMALFORMED caveat: malformed-ness is decided by the columns a
+    * query actually reads — a zero-column plan (count(*)) never parses,
+    * so it counts RAW lines; audit row counts with a full projection. */
+  def readCsvRobust(spark: SparkSession, path: String, schema: StructType,
+                    corruptCol: String = "_corrupt_record",
+                    drop: Boolean = false): DataFrame = {
+    val base = spark.read.option("header", "true")
+    if (drop)
+      base.option("mode", "DROPMALFORMED").schema(schema).csv(path)
+    else
+      base.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corruptCol)
+        .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+        .csv(path)
+  }
+
   /** S2: CSV sink (header row, like to_csv(index=False)). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

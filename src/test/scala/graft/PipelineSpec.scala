@@ -153,4 +153,27 @@ class PipelineSpec extends SparkSpec {
       "pre-evolution file's new column must surface as null")
     assert(byId(2L).getDouble(byId(2L).fieldIndex("v2")) == 3.5)
   }
+
+  test("robust CSV read: corrupt rows quarantined in PERMISSIVE, gone in DROPMALFORMED") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirty_csv")
+    java.nio.file.Files.writeString(dir.resolve("data.csv"),
+      "id,amount\n1,10.5\nnot_a_number_row,,,\n3,oops\n4,7.25\n")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("amount", DoubleType)))
+    val quarantined = Io.readCsvRobust(spark, dir.toString, schema).collect()
+    assert(quarantined.length == 4, "PERMISSIVE must keep every row")
+    val bad = quarantined.filter(!_.isNullAt(2))
+    // both malformed rows carry their raw text; the parsed columns that
+    // failed are null, the ones that parsed (id=3) survive
+    assert(bad.map(_.getString(2)).toSet ==
+      Set("not_a_number_row,,,", "3,oops"), s"got ${bad.mkString("; ")}")
+    assert(bad.forall(r => r.isNullAt(1) || !r.isNullAt(0)))
+    // collect(), not count(): a zero-column count never runs the parser
+    // (column pruning), so nothing would be flagged malformed
+    val dropped = Io.readCsvRobust(spark, dir.toString, schema, drop = true)
+      .collect()
+    assert(dropped.length == 2 && dropped.forall(!_.anyNull),
+      s"DROPMALFORMED kept ${dropped.length} rows")
+  }
 }
