@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Expression, ExpressionInfo, Literal, ShiftLeft, ShiftRight, Sqrt}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** SQL registration for the engine's custom Catalyst expressions, both
   * ways Spark supports it:
@@ -49,7 +49,10 @@ object GraftExtensions {
     ("graft_zvalue",
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_zvalue"),
       (es: Seq[Expression]) =>
-        zValueExpr(es(0), es(1), intLit(es(2), "graft_zvalue"))))
+        zValueExpr(es(0), es(1), intLit(es(2), "graft_zvalue"))),
+    ("graft_ln",
+      new ExpressionInfo(classOf[PortableLn].getName, "graft_ln"),
+      (es: Seq[Expression]) => PortableLn(Cast(es(0), DoubleType))))
 
   /** Morton interleave as a raw Catalyst tree — the SQL-side twin of
     * [[graft.sources.Warehouse.zValue]] (a Column built from functions._

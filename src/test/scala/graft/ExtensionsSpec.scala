@@ -72,6 +72,18 @@ class ExtensionsSpec extends SparkSpec {
     // registered name (deep validation happens via the runtime path above)
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("graft_dot", "graft_norm", "graft_title_py",
-        "graft_shingles", "graft_pos_shingles", "graft_zvalue"))
+        "graft_shingles", "graft_pos_shingles", "graft_zvalue", "graft_ln"))
+  }
+
+  test("graft_ln from SQL == Pmath.lnColumn Column API, bit for bit") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_ln(x) AS l FROM VALUES (1.0), (2.5), (1e9) AS t(x)")
+      .collect().map(_.getDouble(0)).toSeq
+    val viaCol = Seq(1.0, 2.5, 1e9).toDF("x")
+      .select(graft.functions.Pmath.lnColumn($"x")).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.head == 0.0 && math.abs(viaSql(1) - math.log(2.5)) < 1e-11)
   }
 }
