@@ -517,6 +517,17 @@ object Ext {
           coalesce(col("n_odd"), lit(0L)).as("n_odd"))
     }),
 
+    // relative-rank window functions: percent_rank = (rank−1)/(n−1) and
+    // cume_dist = peers≤current/n — both two-integer divisions, exact
+    "x_percent_rank" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
+      t(s, d, "orders").filter(col("o_orderkey") % 29 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+    }),
+
     // RANGE-frame rolling window (value-based frame, not row-based — the
     // one window frame shape the surface lacked): per-user trailing-24h
     // event count and decimal-exact value sum at every event
@@ -1779,6 +1790,15 @@ object Ext {
                 coalesce(n_even, 0) AS n_even,
                 coalesce(n_odd, 0) AS n_odd
          FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
+
+    // relative ranks replayed: ANSI definitions agree across engines and
+    // each value is one two-integer division
+    "x_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd
+         FROM orders WHERE o_orderkey % 29 = 0
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)""",
 
     // RANGE frame replayed over the same integer epoch-second ordering;
     // peers (equal ts_s) share the frame in both engines by definition
