@@ -123,6 +123,28 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("join strategy hints are honored: BROADCAST / MERGE / SHUFFLE_HASH") {
+    import spark.implicits._
+    // same tables, three hinted physical strategies — the knob a tuned
+    // 100 TB job turns when the optimizer's size estimates are wrong
+    val big = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val dim = Tables.load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def planOf(hint: String) =
+        big.join(dim.hint(hint), Seq("l_orderkey"))
+          .queryExecution.executedPlan.toString
+      assert(planOf("broadcast").contains("BroadcastHashJoin"))
+      assert(planOf("merge").contains("SortMergeJoin"))
+      assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+      // results agree across all three strategies
+      val counts = Seq("broadcast", "merge", "shuffle_hash").map(h =>
+        big.join(dim.hint(h), Seq("l_orderkey")).count())
+      assert(counts.distinct.size == 1, s"strategies disagree: $counts")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("compaction collapses a small-file table, preserving content exactly") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_frag").toString
