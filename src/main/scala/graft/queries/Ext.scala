@@ -497,6 +497,28 @@ object Ext {
       EventOps.markovTransitions(t(s, d, "events"), "user_id", "ts",
         "event_id", "event_type")),
 
+    // correlated subqueries through the SQL front end: EXISTS (rewritten
+    // by Catalyst to a semi join), NOT EXISTS (anti join), and a scalar
+    // subquery (broadcast single-row) — the §2.8 subquery surface
+    "x_subqueries" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("gq_customer")
+      t(s, d, "orders").createOrReplaceTempView("gq_orders")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(18,2)) *
+                 (SELECT COUNT(*) FROM gq_customer) >
+                 (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                  FROM gq_customer) AS above_avg
+        FROM gq_customer c
+        WHERE EXISTS (SELECT 1 FROM gq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM gq_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 5000)""")
+    }),
+
     // null-safe equality join (<=>): the join shape where NULL keys MATCH
     // each other — reconciling two aggregates of a nullable key without
     // losing the null group (a plain equi-join silently drops it)
@@ -1772,6 +1794,24 @@ object Ext {
                   (a, x) -> a * (CAST('1.0' AS DOUBLE) - CAST('0.2' AS DOUBLE))
                             + CAST('0.2' AS DOUBLE) * x) AS ewma
          FROM per""",
+
+    // the same SQL nearly verbatim; the "above average" scalar-subquery
+    // compare is value·N > Σvalue in DECIMAL — shuffle-order-proof where
+    // a double AVG could flip the boundary row's bit
+    "x_subqueries" ->
+      """SELECT c_custkey, c_mktsegment,
+                CAST(c_acctbal AS DECIMAL(18,2)) *
+                  (SELECT COUNT(*) FROM customer) >
+                  (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                   FROM customer) AS above_avg
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 100000)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'F'
+                             AND o.o_totalprice < 5000)""",
 
     // null-safe join replayed with IS NOT DISTINCT FROM — the null
     // groups of both sides must land in ONE row, not be dropped
