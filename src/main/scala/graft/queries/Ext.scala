@@ -497,6 +497,27 @@ object Ext {
       EventOps.markovTransitions(t(s, d, "events"), "user_id", "ts",
         "event_id", "event_type")),
 
+    // the custom shingle Generator through the SQL surface: LATERAL VIEW
+    // over graft_shingles (a UDTF registered via SparkSessionExtensions)
+    "x_lateral_generator" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .createOrReplaceTempView("gq_docs")
+      s.sql("""SELECT doc_id, shingle FROM gq_docs
+               LATERAL VIEW graft_shingles(text, 3) t AS shingle""")
+    }),
+
+    // map-typed columns: build a map from JSON props, explode to entry
+    // rows (entry iteration order is irrelevant — the gate compares row
+    // SETS) — the §2.8 map-function surface
+    "x_map_funcs" -> ((s, d) =>
+      t(s, d, "events").filter(col("event_id") < 2000)
+        .select(col("event_id"), explode(map(
+          lit("k"), get_json_object(col("props"), "$.k"),
+          lit("amt"), get_json_object(col("props"), "$.amt"))))
+        .withColumnRenamed("key", "prop_key")
+        .withColumnRenamed("value", "prop_val")),
+
     // correlated subqueries through the SQL front end: EXISTS (rewritten
     // by Catalyst to a semi join), NOT EXISTS (anti join), and a scalar
     // subquery (broadcast single-row) — the §2.8 subquery surface
@@ -1794,6 +1815,25 @@ object Ext {
                   (a, x) -> a * (CAST('1.0' AS DOUBLE) - CAST('0.2' AS DOUBLE))
                             + CAST('0.2' AS DOUBLE) * x) AS ewma
          FROM per""",
+
+    // the generator replayed as a distinct-shingle list comprehension
+    // (the same replay the minhash oracle uses)
+    "x_lateral_generator" ->
+      """SELECT doc_id,
+                unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in range(1, len(ws) - 1)])) AS shingle
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id < 100)
+         WHERE len(ws) >= 3""",
+
+    // map entries replayed as a two-branch union — row sets must match
+    "x_map_funcs" ->
+      """SELECT event_id, 'k' AS prop_key,
+                json_extract_string(props, '$.k') AS prop_val
+         FROM events WHERE event_id < 2000
+         UNION ALL
+         SELECT event_id, 'amt', json_extract_string(props, '$.amt')
+         FROM events WHERE event_id < 2000""",
 
     // the same SQL nearly verbatim; the "above average" scalar-subquery
     // compare is value·N > Σvalue in DECIMAL — shuffle-order-proof where
