@@ -92,6 +92,63 @@ object StreamOps {
       }
   }
 
+  case class PEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                    event_type: String)
+  case class PEv(us: Long, id: Long, tpe: String)
+  case class PathState(lastUs: Long, buffer: Array[PEv])
+  case class PathUpdate(user_id: Long, path: String, n_events: Long)
+
+  /** Streaming session-path mining, OUT-OF-ORDER SAFE: the stateful twin
+    * of [[graft.operators.EventOps.sessionPaths]] — emits one
+    * (user, path, n_events) row per CLOSED session as the watermark
+    * advances. Same buffering contract as [[sessionCounts]]: events
+    * buffer unsorted; the event-time timeout firing proves the watermark
+    * passed lastBuffered+gap, so every buffered session is closed — the
+    * buffer sorts by (ts, id) (the batch operator's exact order), splits
+    * on the gap, and each session's path string is emitted. The split
+    * seeds `last` with the PREVIOUS timeout's last timestamp: any event
+    * that arrived since is non-late, hence newer than watermark >
+    * last+gap, hence a new session — the same soundness argument as the
+    * counts twin. State folds to one number per idle user. */
+  def sessionPathUpdates(events: Dataset[PEvent], gapMinutes: Int)
+                        (implicit spark: SparkSession): Dataset[PathUpdate] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, PathUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[PEvent], state: GroupState[PathState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val evs = st.buffer.sortBy(e => (e.us, e.id))
+            val sessions = scala.collection.mutable.ArrayBuffer
+              .empty[scala.collection.mutable.ArrayBuffer[PEv]]
+            var last = st.lastUs
+            evs.foreach { e =>
+              if (last == Long.MinValue || e.us - last > gapUs)
+                sessions += scala.collection.mutable.ArrayBuffer(e)
+              else sessions.last += e
+              last = e.us
+            }
+            state.update(PathState(last, Array.empty[PEv]))
+            sessions.iterator.map(s =>
+              PathUpdate(user, s.map(_.tpe).mkString(">"), s.size.toLong))
+          } else {
+            val st = state.getOption.getOrElse(
+              PathState(Long.MinValue, Array.empty[PEv]))
+            val newEvs = batch.map(e => PEv(
+              (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L,
+              e.event_id, e.event_type)).toArray
+            val buf = st.buffer ++ newEvs
+            state.update(st.copy(buffer = buf))
+            val dueMs = buf.map(_.us).max / 1000L + gapMinutes * 60L * 1000L
+            state.setTimeoutTimestamp(
+              math.max(dueMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   case class VEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
                     value: Double)
   case class EwmaEv(us: Long, id: Long, v: Double)

@@ -260,4 +260,66 @@ class StreamingSpec extends SparkSpec {
       s"missing=${batch.keySet -- got.keySet} " +
         s"diff=${got.filter { case (k, v) => batch.get(k).exists(_ != v) }.take(5)}")
   }
+
+  test("streaming session paths == batch sessionPaths on a SHUFFLED two-batch replay") {
+    implicit val s = spark
+    import spark.implicits._
+    val batch = EventOps.sessionPaths(Tables.load(spark, sf, "events"),
+      "user_id", "ts", "event_id", "event_type", 30, minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .sortBy { case (u, t, id, _) => graft.functions.Vectors.planeMatrix(
+        1, 1, u * 1000003L + t.getTime + id)(0)(0) }
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val maxTs = rows.map(_._2.getTime).max
+    val spanH = (maxTs - rows.map(_._2.getTime).min) / 3600000L + 2
+    val sentinel = Seq((-1L, new java.sql.Timestamp(
+      maxTs + (spanH + 2) * 3600000L), -1L, "x"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_path_stream")
+    def write(name: String,
+              part: Seq[(Long, java.sql.Timestamp, Long, String)]): Unit =
+      part.toDF("user_id", "ts", "event_id", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/in/$name")
+
+    write("b1", half1)
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      .withWatermark("ts", s"$spanH hours")
+      .as[StreamOps.PEvent]
+    val q = StreamOps.sessionPathUpdates(src, 30).writeStream
+      .outputMode("update").format("memory").queryName("path_stream").start()
+    q.processAllAvailable()
+    write("b2", half2)
+    q.processAllAvailable()
+    write("b3", sentinel)
+    q.processAllAvailable()
+    write("b4", sentinel)
+    q.processAllAvailable()
+    q.stop()
+
+    // every closed session is emitted exactly once → the path frequency
+    // table must equal the batch operator's (at minCount = 1)
+    val got = spark.table("path_stream")
+      .filter(col("user_id") >= 0)
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batch,
+      s"missing=${(batch.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- batch.keySet).take(3)} " +
+        s"diff=${got.filter { case (k, v) => batch.get(k).exists(_ != v) }.take(3)}")
+  }
 }
