@@ -497,6 +497,17 @@ object Ext {
       EventOps.markovTransitions(t(s, d, "events"), "user_id", "ts",
         "event_id", "event_type")),
 
+    // Merkle-style replica sync digest: 64 bucket digests stand in for
+    // the whole table in a replica compare; columns are rendered through
+    // engine-stable forms (int/string/decimal — never raw doubles, whose
+    // shortest-representation strings differ across engines)
+    "x_table_digest" -> ((s, d) =>
+      graft.sources.Warehouse.tableDigest(
+        t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").as("c_acctbal"),
+          col("c_mktsegment")),
+        "c_custkey", nBuckets = 64)),
+
     // the custom shingle Generator through the SQL surface: LATERAL VIEW
     // over graft_shingles (a UDTF registered via SparkSessionExtensions)
     "x_lateral_generator" -> ((s, d) => {
@@ -1815,6 +1826,22 @@ object Ext {
                   (a, x) -> a * (CAST('1.0' AS DOUBLE) - CAST('0.2' AS DOUBLE))
                             + CAST('0.2' AS DOUBLE) * x) AS ewma
          FROM per""",
+
+    // digest replayed: same '|'-joined rendering, same md5 bucket key,
+    // same key-ordered hash concatenation (no nulls reach the sentinel
+    // in these columns, so the NUL-prefixed null marker never fires)
+    "x_table_digest" ->
+      """WITH r AS (SELECT c_custkey::VARCHAR AS k,
+                    md5(c_custkey::VARCHAR || '|' || c_name || '|' ||
+                        (c_acctbal::DECIMAL(18,2))::VARCHAR || '|' ||
+                        c_mktsegment) AS rh
+                    FROM customer),
+         b AS (SELECT k, rh,
+               CAST(('0x' || substr(md5(k), 1, 4))::BIGINT % 64 AS INTEGER) AS bucket
+               FROM r)
+         SELECT bucket, count(*) AS n_rows,
+                md5(string_agg(rh, '' ORDER BY k)) AS digest
+         FROM b GROUP BY bucket""",
 
     // the generator replayed as a distinct-shingle list comprehension
     // (the same replay the minhash oracle uses)

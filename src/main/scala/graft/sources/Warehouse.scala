@@ -57,6 +57,36 @@ object Warehouse {
       .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bucket-level table digest — the Merkle-style sync primitive for
+    * replica reconciliation at warehouse scale: hash every row, assign
+    * it to one of `nBuckets` key-derived buckets, and reduce each bucket
+    * to a single md5 over its key-sorted row hashes. Two replicas
+    * compare nBuckets digest rows instead of the full table; only
+    * buckets whose digests differ need row-level diffing
+    * ([[graft.operators.Evolve.snapshotDiff]] on that key range). All
+    * hashing is md5 over explicit string renderings with a '|' field
+    * separator and a NULL sentinel, so the digest is engine-portable
+    * (the winnowing recipe) — an independent system can compute the same
+    * digests to audit a migration.
+    *
+    * One narrow hash pass + one bucket-keyed aggregate; per-bucket state
+    * is the sorted hash list (|table|/nBuckets rows — size nBuckets so a
+    * bucket fits an executor, exactly like shuffle sizing). */
+  def tableDigest(df: DataFrame, keyCol: String, nBuckets: Int): DataFrame = {
+    val rendered = df.columns.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000NULL"))).toSeq
+    val hashed = df.select(col(keyCol).cast("string").as("k"),
+      md5(concat_ws("|", rendered: _*)).as("rh"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("k")), 1, 4), 16, 10).cast("long")
+          % nBuckets).cast("int"))
+    hashed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("k"), col("rh")))),
+          p => p.getField("rh")), "")).as("digest"))
+  }
+
   /** Small-file compaction — the warehouse maintenance pass every
     * streaming/incremental sink eventually needs: a table accreted in
     * many tiny files (one per micro-batch/task) pays per-file open and

@@ -145,6 +145,29 @@ class WarehouseSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("table digest: one changed row flips exactly one bucket; null != 'NULL'") {
+    import spark.implicits._
+    val base = spark.range(500).select(col("id"),
+      concat(lit("name_"), col("id")).as("name"))
+    def digests(df: org.apache.spark.sql.DataFrame) =
+      Warehouse.tableDigest(df, "id", 16)
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getString(2))).toMap
+    val a = digests(base)
+    assert(a.size == 16 && a.values.map(_._1).sum == 500)
+    // flip one row's value: same row counts, exactly one digest differs
+    val changed = base.withColumn("name",
+      when(col("id") === 123, lit("tampered")).otherwise(col("name")))
+    val b = digests(changed)
+    val diff = a.keySet.filter(k => a(k) != b(k))
+    assert(diff.size == 1, s"changed buckets: $diff")
+    assert(a(diff.head)._1 == b(diff.head)._1, "row count must not change")
+    // a null value and the literal string "NULL" must not collide
+    val withNull = Seq((1L, null: String), (2L, "x")).toDF("id", "name")
+    val withWord = Seq((1L, "NULL"), (2L, "x")).toDF("id", "name")
+    assert(digests(withNull) != digests(withWord),
+      "null sentinel collided with the string 'NULL'")
+  }
+
   test("compaction collapses a small-file table, preserving content exactly") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_frag").toString
