@@ -181,6 +181,69 @@ object Similarity {
       .select("query_id", "neighbor_id", "coarse", "cos", "rank")
   }
 
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) — the third quantization
+    * family next to IVF (routing) and SQ8 (scalar): the vector splits
+    * into `m` subspaces, each with its own `nCodes`-word codebook
+    * (portable k-means per subspace, seeds `seed+j`), and every corpus
+    * vector compresses to m small codes. Stage 1 scores every row with
+    * the ADC approximation Σ_j qⱼ·codewordⱼ(codeⱼ) — the dots fold left
+    * to right and the m terms add in a FIXED subspace order (the BM25
+    * pivoted-column recipe), so ADC scores are partition-invariant and
+    * the whole pipeline replays in SQL. Stage 2 reranks the `shortlist`
+    * survivors with the exact cosine (ties on the id throughout, so the
+    * candidate SET is well-defined).
+    *
+    * Scale shape: codebooks are m·nCodes·(dim/m) doubles — PARAM-bounded
+    * driver state broadcast as literals (the IVF centroid contract); the
+    * stage-1 scan reads only the m byte-sized codes per row; full
+    * vectors are fetched for |queries|·shortlist rows. At 100 TB the
+    * compressed corpus is dim/m·(64/8)× smaller than float32 — the
+    * difference between scanning embeddings and scanning codes. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             qId: String, qVec: String, cId: String, cVec: String,
+             k: Int, shortlist: Int, m: Int = 4, nCodes: Int = 16,
+             seed: Long = 42, lloydIters: Int = 2): DataFrame = {
+    val dim = Vectors.deriveDim(corpus, cVec)
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val books: Seq[Array[Array[Double]]] = (0 until m).map { j =>
+      kmeansCentroids(
+        corpus.select(col(cId).as("id"),
+          slice(col(cVec), j * sub + 1, sub).as("v")),
+        "id", "v", nCodes, seed + j, lloydIters)
+    }
+    def codeOf(v: org.apache.spark.sql.Column, j: Int) =
+      array_min(centroidScores(books(j), slice(v, j * sub + 1, sub)))
+        .getField("list")
+    def codeword(j: Int, code: org.apache.spark.sql.Column) =
+      element_at(typedlit(books(j).map(_.toSeq).toSeq), code + 1)
+    val coded = corpus.select(col(cId).as("neighbor_id") +:
+      (0 until m).map(j => codeOf(col(cVec), j).as(s"code_$j")): _*)
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+    val adc = (0 until m).map(j =>
+      Vectors.dot(slice(col("qv"), j * sub + 1, sub),
+        codeword(j, col(s"code_$j")))).reduce(_ + _)
+    val scored = coded.crossJoin(broadcast(q)).withColumn("adc", adc)
+      .select("query_id", "neighbor_id", "adc")
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = scored.withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= shortlist).drop("crank")
+    val cFull = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"),
+      Vectors.l2Norm(col(cVec)).as("cn"))
+    val qFull = queries.select(col(qId).as("query_id"), col(qVec).as("qv2"),
+      Vectors.l2Norm(col(qVec)).as("qn"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    short.join(cFull, Seq("neighbor_id")).join(broadcast(qFull), Seq("query_id"))
+      .withColumn("cos", when(col("qn") * col("cn") =!= 0.0,
+        Vectors.dot(col("qv2"), col("cv")) / (col("qn") * col("cn"))))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc", "cos", "rank")
+  }
+
   /** The portable k-means behind [[ivfTopK]] and `Dedup.semDedup`:
     * deterministic md5-sampled init (smallest md5(seed|id) wins — a tiny,
     * PARAM-bounded driver collect of nLists rows) refined by `lloydIters`

@@ -124,6 +124,15 @@ object Ext {
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
     }),
 
+    // product-quantization ANN: per-subspace codebooks (portable k-means
+    // ×4), ADC shortlist over the m-code compressed corpus, exact rerank
+    "x_ann_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, shortlist = 25)
+    }),
+
     // SQ8 two-stage retrieval: integer-dot shortlist over int8 codes
     // (the 4×-cheaper wide scan), exact cosine rerank on the survivors —
     // portable quantizer + integer coarse scores make it hash-exact
@@ -1269,6 +1278,83 @@ object Ext {
                     FROM s3) WHERE rn = 1)"""
   }
 
+  /** PQ replay: four independent portable-k-means chains over vector
+    * SLICES (same fixed-point Lloyd recipe as [[dKmeansCommon]], seeds
+    * 42+j), corpus codes from per-subspace argmin, ADC as four
+    * list_dot_product terms added left to right, then the exact-cosine
+    * rerank. Generated programmatically — it is 4 unrolled k-means. */
+  private def dPqOracle: String = {
+    val (m, sub, nCodes, k, shortlist) = (4, 16, 16, 5, 25)
+    def sl(v: String, j: Int) = s"$v[${j * sub + 1}:${(j + 1) * sub}]"
+    def chain(j: Int): String = {
+      val seed = 42 + j
+      def lloyd(prev: String, n: Int): String =
+        s"""sq${j}_$n AS (SELECT e.vec_id, ${sl("e.v", j)} AS v, c.list,
+                 list_dot_product(c.c, c.c)
+                   - 2.0 * list_dot_product(${sl("e.v", j)}, c.c) AS s
+               FROM e CROSS JOIN $prev c),
+          aq${j}_$n AS (SELECT vec_id, v, list FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s, list) AS rn
+               FROM sq${j}_$n) WHERE rn = 1),
+          mq${j}_$n AS (SELECT list, i - 1 AS pos,
+                 CAST(sum(CAST(floor(v[i] * 1048576.0) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 1048576.0) AS mn
+               FROM aq${j}_$n, (SELECT unnest(range(1, ${sub + 1})) AS i)
+               GROUP BY list, i - 1),
+          gq${j}_$n AS (SELECT list, list(mn ORDER BY pos) AS c
+                        FROM mq${j}_$n GROUP BY list),
+          centq${j}_$n AS (SELECT p.list, coalesce(gq${j}_$n.c, p.c) AS c
+                           FROM $prev p LEFT JOIN gq${j}_$n USING (list))"""
+      s"""centq${j}_0 AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS list,
+                 ${sl("v", j)} AS c
+               FROM (SELECT v, h FROM
+                     (SELECT v, md5($seed || '|' || CAST(vec_id AS VARCHAR)) AS h
+                      FROM e) ORDER BY h LIMIT $nCodes)),
+          ${lloyd(s"centq${j}_0", 1)},
+          ${lloyd(s"centq${j}_1", 2)},
+          codes$j AS (SELECT vec_id, list AS code FROM
+              (SELECT e.vec_id, c.list,
+                      list_dot_product(c.c, c.c)
+                        - 2.0 * list_dot_product(${sl("e.v", j)}, c.c) AS s,
+                      row_number() OVER (PARTITION BY e.vec_id
+                          ORDER BY list_dot_product(c.c, c.c)
+                            - 2.0 * list_dot_product(${sl("e.v", j)}, c.c), c.list) AS rn
+               FROM e CROSS JOIN centq${j}_2 c) WHERE rn = 1)"""
+    }
+    val adcTerms = (0 until m).map(j =>
+      s"list_dot_product(${sl("q.qv", j)}, w$j.c)").mkString(" + ")
+    val codeJoins = (0 until m).map(j =>
+      s"JOIN centq${j}_2 w$j ON w$j.list = coded.code_$j").mkString(" ")
+    val codeCols = (0 until m).map(j => s"c$j.code AS code_$j").mkString(", ")
+    val codesJoins = (1 until m).map(j => s"JOIN codes$j c$j USING (vec_id)").mkString(" ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+        nn AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        ${(0 until m).map(chain).mkString(",\n        ")},
+        coded AS (SELECT c0.vec_id, $codeCols
+                  FROM codes0 c0 $codesJoins),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        scored AS (SELECT q.query_id, coded.vec_id AS neighbor_id,
+                          $adcTerms AS adc
+                   FROM coded CROSS JOIN q $codeJoins),
+        short AS (SELECT query_id, neighbor_id, adc FROM
+                  (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc DESC, neighbor_id ASC) AS crank
+                   FROM scored) WHERE crank <= $shortlist),
+        rr AS (SELECT sh.query_id, sh.neighbor_id, sh.adc,
+                      CASE WHEN qn.nrm * cn.nrm <> 0
+                           THEN list_dot_product(qe.v, ce.v) / (qn.nrm * cn.nrm)
+                      END AS cos
+               FROM short sh JOIN e ce ON ce.vec_id = sh.neighbor_id
+                    JOIN e qe ON qe.vec_id = sh.query_id
+                    JOIN nn cn ON cn.vec_id = sh.neighbor_id
+                    JOIN nn qn ON qn.vec_id = sh.query_id)
+        SELECT query_id, neighbor_id, adc, cos, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rank FROM rr)
+        WHERE rank <= $k"""
+  }
+
   private def dAnnIvfOracle: String = {
     val (nProbe, k) = (4, 5)
     s"""WITH $dKmeansCommon,
@@ -1523,6 +1609,7 @@ object Ext {
     "x_embed_neardup_lsh" -> dEmbedLshOracle,
     "x_ann_lsh" -> dAnnLshOracle,
     "x_ann_ivf" -> dAnnIvfOracle,
+    "x_ann_pq" -> dPqOracle,
     "x_semdedup" -> dSemDedupOracle,
 
     "x_winnow_fingerprint" ->

@@ -25,7 +25,7 @@ class ContractSpec extends SparkSpec {
     val n = SparkEntry.queries.size
     val exact = SparkEntry.oracleSql.size
     info(s"graded queries: $n; exact oracles: $exact; rows-only: ${n - exact}")
-    assert(n == 140 && exact == 136,
+    assert(n == 141 && exact == 137,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 }

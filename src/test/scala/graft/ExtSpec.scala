@@ -141,6 +141,30 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.8, s"SQ8 recall $recall")
   }
 
+  test("PQ ANN: full shortlist == brute force; ADC shortlist keeps recall") {
+    val q = emb.filter(col("vec_id") < 20)
+    val n = emb.count().toInt
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(q, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 5))
+    // a corpus-wide shortlist makes stage 1 a no-op: exact rerank must
+    // reproduce brute force identically regardless of ADC quality
+    val full = pairs(Similarity.pqTopK(q, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, shortlist = n))
+    assert(full == bf, s"full-shortlist PQ diverged: ${full.diff(bf)}")
+    // 4×16 codebooks at shortlist 25 (~8% of the corpus): ADC is the
+    // coarsest of the three quantizations (16 codewords per 16-dim
+    // subspace vs SQ8's per-element codes) — measured ~0.48 recall here,
+    // ~6× what a random 8% candidate subset would score. Assert the
+    // signal, not the optimism.
+    val pq = pairs(Similarity.pqTopK(q, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, shortlist = 25))
+    val recall = bf.intersect(pq).size.toDouble / bf.size
+    assert(recall >= 0.35, s"PQ recall $recall (random baseline ~0.08)")
+  }
+
   test("IVF ANN beats a random candidate subset of the same budget") {
     val q = emb.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
