@@ -58,12 +58,13 @@ object Graphs {
         .localCheckpoint(true) // materialize AND truncate lineage
       val changed = next0.filter(col("chg")).limit(1).count()
       val next = next0.select("id", "comp")
-      // round 0's labels are persist()-cached (unpersist), later rounds
-      // are checkpointed (unpersist is a CacheManager no-op there — drop
-      // the blocks via the LogicalRDD leaf instead). `next` is already
-      // materialized, so nothing live reads the old round's blocks.
-      labels.unpersist()
-      CheckpointBlocks.release(labels)
+      // Storage release is mechanism-specific: round 0's labels frame is
+      // persist()-cached, so unpersist() frees it; every later round is
+      // localCheckpoint'ed, and those blocks are freed ONLY via the
+      // LogicalRDD leaf (the CacheManager never tracks checkpointed
+      // frames — unpersist() there would be a silent no-op). `next` is
+      // already materialized, so nothing live reads the old blocks.
+      if (it == 0) labels.unpersist() else CheckpointBlocks.release(labels)
       labels = next
       converged = changed == 0
       it += 1
@@ -73,8 +74,9 @@ object Graphs {
     // split) — refuse rather than return silently-bad clusters; diameter
     // > maxIter means this graph needs the large-star/small-star variant
     if (!converged) {
-      labels.unpersist() // maxIter=0 leaves the initial persist()-cached labels
-      CheckpointBlocks.release(labels)
+      // maxIter=0 leaves the initial persist()-cached labels (unpersist);
+      // otherwise the last round's frame is checkpointed (leaf release)
+      if (it == 0) labels.unpersist() else CheckpointBlocks.release(labels)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds " +
           "(graph diameter exceeds maxIter); raise maxIter or use a " +
