@@ -20,8 +20,10 @@ object SparkEntry {
     queries("q_fact_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Parity.queries ++ graft.queries.Ext.queries
+    graft.queries.Parity.queries ++ graft.queries.Ext.queries ++
+      graft.queries.Ext2.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Parity.oracle ++ graft.queries.Ext.oracle
+    graft.queries.Parity.oracle ++ graft.queries.Ext.oracle ++
+      graft.queries.Ext2.oracle
 }

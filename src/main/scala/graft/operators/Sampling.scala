@@ -64,4 +64,23 @@ object Sampling {
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
   }
+
+  /** Deterministic "reservoir": a uniform k-per-group sample as the k
+    * rows with the smallest md5(id) per group — the distributed stand-in
+    * for sequential reservoir sampling (which is order-dependent and
+    * unreproducible under repartitioning). Hash order is uniform over
+    * ids, pure (same sample on every rerun and engine), and mergeable:
+    * the k smallest of a union = k smallest of each part's k smallest,
+    * which is exactly what Spark's WindowGroupLimit pushdown executes —
+    * each map task keeps its local top-k BEFORE the shuffle, so the
+    * exchange carries ≤ k·parts rows, not the table.
+    *
+    * Returns the sampled rows with their `rk` (1..k) selection rank. */
+  def hashReservoir(df: DataFrame, groupCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"hashReservoir: k must be positive, got $k")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

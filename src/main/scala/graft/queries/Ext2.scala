@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Prune, Sampling}
+
+/** Round-6 extension wave: scan-side join pruning, deterministic
+  * sampling, market-basket association mining, and seasonal anomaly
+  * baselines — operators a warehouse-plus-training-pipeline engine needs
+  * that the earlier waves didn't cover.
+  *
+  * Oracle policy follows [[Ext]]: exact DuckDB SQL wherever the math is
+  * portable (integer/decimal accumulation, md5 ordering, straight-line
+  * double ops), rows-only + ScalaTest bounds where internals are
+  * engine-specific (sketch bytes).
+  */
+object Ext2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Bloom-pruned semi-join: sketch the filtered supplier key set, scan-
+    // filter lineitem with the codegen'd membership probe (false
+    // positives only — never drops a match), then the exact residual
+    // semi-join. Result ≡ plain semi-join; the plan difference is that
+    // the fact scan discards ~half its rows BEFORE any exchange. At
+    // 100 TB the sketch is MBs while the key set is too large to inline
+    // into a scan predicate.
+    "x_bloom_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier").where(col("s_acctbal") > 5000)
+      Prune.bloomSemiJoin(li, "l_suppkey", sup, "s_suppkey", fpp = 0.01)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+    }),
+
+    // Deterministic uniform k-per-source document sample (the
+    // "reservoir" every corpus QA loop needs — inspect 5 random-but-
+    // reproducible docs per source). Hash-order selection, pre-shuffle
+    // top-k via WindowGroupLimit.
+    "x_reservoir" -> ((s, d) =>
+      Sampling.hashReservoir(t(s, d, "documents"), "source", "doc_id", k = 5)
+        .select("source", "doc_id", "rk")),
+
+    // Association rules over order baskets: distinct (order, part) items,
+    // same-order pair derivation (fanout ≤ C(13,2) per order — bounded by
+    // basket size, the skew guard), then support / confidence / lift per
+    // directed rule x→y with min pair support 3. The basket count joins
+    // in as a 1-row broadcast frame, not a driver action.
+    "x_assoc_rules" -> ((s, d) => {
+      val items = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = items.as("a").join(items.as("b"), Seq("o"))
+        .where(col("a.p") < col("b.p"))
+        .select(col("a.p").as("x"), col("b.p").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+        .where(col("n_xy") >= 3)
+      val directed = pairs.union(
+        pairs.select(col("y").as("x"), col("x").as("y"), col("n_xy")))
+      val itemSup = items.groupBy("p").agg(count(lit(1)).as("n_p"))
+      val baskets = items.select("o").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      directed
+        .join(itemSup.select(col("p").as("x"), col("n_p").as("n_x")), Seq("x"))
+        .join(itemSup.select(col("p").as("y"), col("n_p").as("n_y")), Seq("y"))
+        .crossJoin(broadcast(baskets))
+        .select(col("x"), col("y"), col("n_xy"),
+          (col("n_xy").cast("double") / col("n_x").cast("double"))
+            .as("confidence"),
+          (col("n_xy").cast("double") * col("n_baskets").cast("double") /
+            (col("n_x").cast("double") * col("n_y").cast("double")))
+            .as("lift"))
+    }),
+
+    // Seasonal anomaly baseline: hour-of-day × event-type profile
+    // (decimal-exact sums → straight-line double mean/std), events
+    // flagged at |z| > 3 against their own season. Two hash aggregates +
+    // one broadcast-sized join back onto the stream — the shape that
+    // stays two-pass at any scale.
+    "x_seasonal_baseline" -> ((s, d) => {
+      val dec = col("value").cast("decimal(18,2)")
+      def dbl(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+      val ev = t(s, d, "events")
+        .withColumn("hod", hour(col("ts")))
+      val prof = ev.groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n"), sum(dec).as("sx"), sum(dec * dec).as("sxx"))
+        .select(col("event_type"), col("hod"), col("n"),
+          (dbl(col("sx")) / dbl(col("n"))).as("mu"),
+          sqrt((dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) / dbl(col("n"))) /
+            (dbl(col("n")) - lit(1.0))).as("sigma"))
+      ev.join(broadcast(prof), Seq("event_type", "hod"))
+        .where(col("sigma") > 0 &&
+          abs((col("value") - col("mu")) / col("sigma")) > lit(3.0))
+        .select(col("event_id"), col("event_type"), col("hod"), col("value"),
+          col("mu"), col("sigma"),
+          ((col("value") - col("mu")) / col("sigma")).as("z"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "x_bloom_join" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+         GROUP BY l_suppkey""",
+
+    "x_reservoir" ->
+      """SELECT source, doc_id, rk FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 5""",
+
+    "x_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+         pairs AS (SELECT a.p AS x, b.p AS y, count(*) AS n_xy
+                   FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+                   GROUP BY 1, 2 HAVING count(*) >= 3),
+         directed AS (SELECT x, y, n_xy FROM pairs
+                      UNION ALL SELECT y, x, n_xy FROM pairs),
+         sup AS (SELECT p, count(*) AS n_p FROM items GROUP BY 1),
+         nb AS (SELECT count(DISTINCT o) AS n_baskets FROM items)
+         SELECT d.x, d.y, d.n_xy,
+                d.n_xy::DOUBLE / sx.n_p::DOUBLE AS confidence,
+                d.n_xy::DOUBLE * nb.n_baskets::DOUBLE /
+                  (sx.n_p::DOUBLE * sy.n_p::DOUBLE) AS lift
+         FROM directed d
+         JOIN sup sx ON sx.p = d.x
+         JOIN sup sy ON sy.p = d.y
+         CROSS JOIN nb""",
+
+    "x_seasonal_baseline" ->
+      """WITH ev AS (SELECT *, hour(ts) AS hod FROM events),
+         m AS (SELECT event_type, hod, count(*) AS n,
+                      sum(CAST(value AS DECIMAL(18,2))) AS sx,
+                      sum(CAST(value AS DECIMAL(18,2)) *
+                          CAST(value AS DECIMAL(18,2))) AS sxx
+               FROM ev GROUP BY 1, 2),
+         prof AS (SELECT event_type, hod, n,
+                  CAST(CAST(sx AS VARCHAR) AS DOUBLE) /
+                    CAST(CAST(n AS VARCHAR) AS DOUBLE) AS mu,
+                  sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE) -
+                        CAST(CAST(sx AS VARCHAR) AS DOUBLE) *
+                        CAST(CAST(sx AS VARCHAR) AS DOUBLE) /
+                        CAST(CAST(n AS VARCHAR) AS DOUBLE)) /
+                       (CAST(CAST(n AS VARCHAR) AS DOUBLE) - 1.0)) AS sigma
+                  FROM m)
+         SELECT ev.event_id, ev.event_type, ev.hod, ev.value, prof.mu,
+                prof.sigma, (ev.value - prof.mu) / prof.sigma AS z
+         FROM ev JOIN prof USING (event_type, hod)
+         WHERE prof.sigma > 0
+           AND abs((ev.value - prof.mu) / prof.sigma) > 3.0""")
+}
