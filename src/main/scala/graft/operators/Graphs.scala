@@ -317,4 +317,55 @@ object Graphs {
     }
     ranks
   }
+
+  /** Single/multi-source BFS: minimum hop count from `sources` to every
+    * reachable node within `maxHops`. Classic frontier expansion — the
+    * visited set grows monotonically and each round's join keys on the
+    * FRONTIER (the just-discovered nodes), which shrinks as the search
+    * saturates, so late rounds are nearly free even on huge graphs.
+    *
+    * Scale shape per round: one equi-join (frontier ⋈ edges, keyed on
+    * the edge src) + one left-anti join against the visited set + a
+    * distinct — all partitioned on the node key; no collect, no
+    * driver-side graph state. Rounds = min(eccentricity, maxHops).
+    * Storage follows the engine's iterative-operator discipline:
+    * every round's frames are localCheckpoint'ed (plan truncation) and
+    * dead rounds' blocks are dropped via the LogicalRDD leaf.
+    *
+    * Unreachable nodes are simply absent (no +inf sentinel rows).
+    * Returns (id, dist). */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    sources: DataFrame, idCol: String,
+                    maxHops: Int, directed: Boolean = false): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val adj = (if (directed) fwd
+      else fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v"))))
+      .filter(col("u") =!= col("v")).distinct().persist()
+    var dist = sources.select(col(idCol).as("id")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = dist
+    var hop = 0
+    var exhausted = false
+    while (!exhausted && hop < maxHops) {
+      val candidates = adj
+        .join(frontier.select(col("id").as("u")), Seq("u"))
+        .select(col("v").as("id")).distinct()
+      val newly = candidates.join(dist, Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop + 1)).localCheckpoint(true)
+      if (newly.isEmpty) {
+        CheckpointBlocks.release(newly)
+        exhausted = true
+      } else {
+        val nextDist = dist.union(newly).localCheckpoint(true)
+        CheckpointBlocks.release(dist)
+        if (hop > 0) CheckpointBlocks.release(frontier)
+        dist = nextDist
+        frontier = newly
+        hop += 1
+      }
+    }
+    adj.unpersist()
+    if (hop > 0) CheckpointBlocks.release(frontier)
+    dist
+  }
 }

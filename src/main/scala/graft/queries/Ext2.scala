@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Prune, Sampling}
+import graft.operators.{Graphs, Prune, Sampling}
 
 /** Round-6 extension wave: scan-side join pruning, deterministic
   * sampling, market-basket association mining, and seasonal anomaly
@@ -100,7 +100,57 @@ object Ext2 {
         .select(col("event_id"), col("event_type"), col("hod"), col("value"),
           col("mu"), col("sigma"),
           ((col("value") - col("mu")) / col("sigma")).as("z"))
+    }),
+
+    // Hierarchy walk through Spark's OWN SQL front end (WITH RECURSIVE,
+    // new in Spark 4): depth of every node in the heap-numbered binary
+    // tree derived from part keys (parent p → children 2p, 2p+1). The
+    // oracle runs the IDENTICAL text in DuckDB — the one operator class
+    // where both engines execute true recursion.
+    "x_recursive_cte" -> ((s, d) => {
+      t(s, d, "part").createOrReplaceTempView("gq6_part")
+      s.sql(recursiveWalkSql("gq6_part"))
+    }),
+
+    // The same reachability computed by the GENERIC iterative BFS
+    // operator (frontier expansion, per-round checkpoints) — the form
+    // that scales past SQL recursion limits; graded against the DuckDB
+    // recursive CTE.
+    "x_shortest_path" -> ((s, d) => {
+      val part = t(s, d, "part")
+        .select(col("p_partkey").cast("long").as("p"))
+      val m = part.agg(max(col("p")).as("m"))
+      val base = part.crossJoin(broadcast(m)).where(col("p") >= 1)
+      val edges = base.where(col("p") * 2 <= col("m"))
+        .select(col("p").as("src"), (col("p") * 2).as("dst"))
+        .union(base.where(col("p") * 2 + 1 <= col("m"))
+          .select(col("p").as("src"), (col("p") * 2 + 1).as("dst")))
+      val sources = part.where(col("p") === 1).select(col("p").as("id"))
+      Graphs.shortestPaths(edges, "src", "dst", sources, "id",
+        maxHops = 16, directed = true)
+        .select(col("id").as("node"), col("dist"))
     }))
+
+  /** The recursive tree walk, shared verbatim between Spark (over the
+    * `gq6_part` view) and DuckDB (over `part`). */
+  private def recursiveWalkSql(partTable: String): String =
+    s"""WITH RECURSIVE walk (node, depth) AS (
+          SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+          UNION ALL
+          SELECT e.child, w.depth + 1
+          FROM walk w
+          JOIN (SELECT parent, child FROM (
+                  SELECT CAST(p_partkey AS BIGINT) AS parent,
+                         CAST(p_partkey AS BIGINT) * 2 AS child
+                  FROM $partTable WHERE p_partkey >= 1
+                  UNION ALL
+                  SELECT CAST(p_partkey AS BIGINT),
+                         CAST(p_partkey AS BIGINT) * 2 + 1
+                  FROM $partTable WHERE p_partkey >= 1) c
+                WHERE child <= (SELECT MAX(CAST(p_partkey AS BIGINT))
+                                FROM $partTable)) e
+            ON e.parent = w.node)
+        SELECT node, depth FROM walk"""
 
   val oracle: Map[String, String] = Map(
 
@@ -158,5 +208,13 @@ object Ext2 {
                 prof.sigma, (ev.value - prof.mu) / prof.sigma AS z
          FROM ev JOIN prof USING (event_type, hod)
          WHERE prof.sigma > 0
-           AND abs((ev.value - prof.mu) / prof.sigma) > 3.0""")
+           AND abs((ev.value - prof.mu) / prof.sigma) > 3.0""",
+
+    "x_recursive_cte" -> recursiveWalkSql("part"),
+
+    // the BFS result over the heap tree IS the recursive walk's depth
+    // table (cast to match the operator's output types)
+    "x_shortest_path" ->
+      s"""SELECT node, CAST(depth AS INT) AS dist
+          FROM (${recursiveWalkSql("part")})""")
 }

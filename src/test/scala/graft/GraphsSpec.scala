@@ -167,4 +167,27 @@ class GraphsSpec extends SparkSpec {
     assert(nEdges == und.size.toLong, s"edges $nEdges != ${und.size}")
     assert(nTris == brute, s"triangles $nTris != brute $brute")
   }
+
+  test("shortestPaths: chains, multi-source, hop cap, unreachable absent") {
+    def bfs(edges: Seq[(Long, Long)], srcs: Seq[Long], maxHops: Int,
+            directed: Boolean = false): Map[Long, Int] =
+      Graphs.shortestPaths(edges.toDF("a", "b"), "a", "b",
+        srcs.toDF("id"), "id", maxHops, directed)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // undirected chain 1-2-3-4-5 from node 1: dist = position
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    assert(bfs(chain, Seq(1L), 10) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // hop cap truncates the reachable set, keeping found dists exact
+    assert(bfs(chain, Seq(1L), 2) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // multi-source takes the min over sources; disconnected 9-10 is
+    // absent, not +inf
+    val twoCc = chain ++ Seq(9L -> 10L)
+    assert(bfs(twoCc, Seq(1L, 5L), 10) ==
+      Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+    // direction respected: the chain is one-way
+    assert(bfs(chain, Seq(3L), 10, directed = true) ==
+      Map(3L -> 0, 4L -> 1, 5L -> 2))
+  }
 }
