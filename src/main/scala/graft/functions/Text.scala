@@ -51,6 +51,20 @@ object Text {
       graft.plans.PositionalShingleGenerator(ColumnBridge.expression(c), n))
   }
 
+  /** NFC Unicode composition via [[graft.plans.NfcUnicode]] — byte
+    * equality ⇔ text equality for exact dedup keys. */
+  def nfcUnicode(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.NfcUnicode(ColumnBridge.expression(c)))
+  }
+
+  /** Accent folding (NFD − combining marks) via
+    * [[graft.plans.StripAccents]] — DuckDB strip_accents semantics. */
+  def stripAccents(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.StripAccents(ColumnBridge.expression(c)))
+  }
+
   /** Character k-gram shingles (distinct) — the classic MinHash input. */
   def charShingles(c: Column, k: Int): Column =
     when(length(c) >= k,

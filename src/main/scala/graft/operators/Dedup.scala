@@ -107,6 +107,46 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Sorted-neighborhood near-dup candidate pairs (Hernández/Stolfo's
+    * merge/purge): sort records on a normalized key and compare each only
+    * to its `window−1` successors — the blocking strategy for data whose
+    * duplicates cluster under lexicographic order (dirty copies share
+    * prefixes), complementary to the inverted-index and LSH families.
+    *
+    * Scale shape: sorting partitions on the key's first character keeps
+    * every window-local comparison inside one ordered partition — one
+    * shuffle, then `window−1` lead() columns; the comparison fanout is
+    * exactly (window−1)·n, never O(n²). (Pairs straddling a first-char
+    * boundary are out of reach by construction — the classic SNM
+    * coverage trade-off; multi-pass SNM with a second key ordering is
+    * the standard mitigation and composes by union.)
+    *
+    * Emits (doc_a < doc_b, jaccard) for word-set Jaccard ≥ threshold,
+    * exactly SQL-replayable (integer set sizes, one double division). */
+  def sortedNeighborhood(df: DataFrame, idCol: String, textCol: String,
+                         window: Int = 4,
+                         threshold: Double = 0.6): DataFrame = {
+    require(window >= 2, s"sortedNeighborhood: window must be >= 2, got $window")
+    val base = df.select(col(idCol).as("id"),
+      Text.normText(col(textCol)).as("k"))
+      .withColumn("ws", array_distinct(split(col("k"), " ")))
+    val w = Window.partitionBy(substring(col("k"), 1, 1))
+      .orderBy(col("k"), col("id"))
+    val nbrs = base.withColumn("nbrs",
+      array((1 until window).map(i =>
+        lead(struct(col("id"), col("ws")), i).over(w)): _*))
+    val inter = size(array_intersect(col("ws"), col("nb.ws")))
+    val union = size(col("ws")) + size(col("nb.ws")) - inter
+    nbrs.select(col("id"), col("ws"), explode(col("nbrs")).as("nb"))
+      .where(col("nb").isNotNull)
+      .withColumn("jaccard",
+        when(union > 0, inter.cast("double") / union.cast("double"))
+          .otherwise(lit(0.0)))
+      .where(col("jaccard") >= threshold)
+      .select(least(col("id"), col("nb.id")).as("doc_a"),
+        greatest(col("id"), col("nb.id")).as("doc_b"), col("jaccard"))
+  }
+
   /** Winnowing document fingerprints (the MOSS algorithm, Schleimer/
     * Wilkerson/Aiken SIGMOD'03): hash every word k-gram, slide a window of
     * `w` consecutive hashes, keep each window's minimum — any shared

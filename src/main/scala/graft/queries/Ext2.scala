@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Graphs, Prune, Sampling}
+import graft.functions.Text
+import graft.operators.{Dedup, Graphs, Prune, Sampling, Skyline}
 
 /** Round-6 extension wave: scan-side join pruning, deterministic
   * sampling, market-basket association mining, and seasonal anomaly
@@ -20,6 +21,10 @@ object Ext2 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** DuckDB rendering of [[Text.normText]] (same string as [[Ext]]'s). */
+  private val dNorm6 =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -129,6 +134,48 @@ object Ext2 {
       Graphs.shortestPaths(edges, "src", "dst", sources, "id",
         maxHops = 16, directed = true)
         .select(col("id").as("node"), col("dist"))
+    }),
+
+    // Sorted-neighborhood near-dup pass: the lexicographic blocking
+    // family (complement to the inverted-index / LSH passes) — one sort
+    // shuffle, window-local comparisons only.
+    "x_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhood(t(s, d, "documents"), "doc_id", "text",
+        window = 4, threshold = 0.5)),
+
+    // Unicode ingest normalization through the custom codegen
+    // expressions: decompose vowels with combining marks (the dirty-
+    // ingest shape), NFC-recompose, accent-fold. The corpus is ASCII, so
+    // the accented forms are derived in-query — identically in the
+    // oracle — to exercise the real normalization path.
+    "x_unicode_norm" -> ((s, d) => {
+      val dirty = regexp_replace(
+        regexp_replace(col("c_name"), "e", "e\u0301"),
+        "o", "o\u0302")
+      t(s, d, "customer").select(col("c_custkey"),
+        Text.nfcUnicode(dirty).as("composed"),
+        Text.stripAccents(Text.nfcUnicode(dirty)).as("stripped"))
+    }),
+
+    // Pareto frontier (max price, min size): two-phase local/global
+    // skyline — each partition reduces to its own frontier before one
+    // task folds the survivors.
+    "x_skyline" -> ((s, d) =>
+      Skyline.skyline2D(t(s, d, "part"), "p_retailprice", "p_size")),
+
+    // Mergeable distinct-count sketches (Apache DataSketches HLL via
+    // Spark's hll_* functions): per-source sketches roll up to the
+    // global estimate by sketch UNION — the one-pass architecture that
+    // answers "distinct per partition AND overall" without rescanning.
+    // Approximate by design → rows-only; ExtensionsSpec bounds the error
+    // and asserts union-merge consistency.
+    "x_hll_rollup" -> ((s, d) => {
+      val sk = t(s, d, "documents").groupBy("source")
+        .agg(hll_sketch_agg(col("text")).as("sk"))
+      sk.select(col("source"), hll_sketch_estimate(col("sk")).as("n_approx"))
+        .unionByName(sk.agg(hll_union_agg(col("sk")).as("g"))
+          .select(lit("__all__").as("source"),
+            hll_sketch_estimate(col("g")).as("n_approx")))
     }))
 
   /** The recursive tree walk, shared verbatim between Spark (over the
@@ -209,6 +256,45 @@ object Ext2 {
          FROM ev JOIN prof USING (event_type, hod)
          WHERE prof.sigma > 0
            AND abs((ev.value - prof.mu) / prof.sigma) > 3.0""",
+
+    "x_sorted_neighborhood" ->
+      s"""WITH b AS (SELECT doc_id AS id, $dNorm6 AS k,
+                     list_distinct(string_split($dNorm6, ' ')) AS ws
+              FROM documents),
+         l AS (SELECT id, ws,
+                 lead(struct_pack(id := id, ws := ws), 1) OVER w AS n1,
+                 lead(struct_pack(id := id, ws := ws), 2) OVER w AS n2,
+                 lead(struct_pack(id := id, ws := ws), 3) OVER w AS n3
+               FROM b WINDOW w AS (PARTITION BY substr(k, 1, 1)
+                                   ORDER BY k, id)),
+         p AS (SELECT id, ws, unnest([n1, n2, n3]) AS nb FROM l),
+         j AS (SELECT id, nb.id AS nid,
+                      len(list_intersect(ws, nb.ws)) AS i,
+                      len(ws) + len(nb.ws) AS s
+               FROM p WHERE nb.id IS NOT NULL)
+         SELECT least(id, nid) AS doc_a, greatest(id, nid) AS doc_b,
+                i::DOUBLE / (s - i)::DOUBLE AS jaccard
+         FROM j WHERE s - i > 0 AND i::DOUBLE / (s - i)::DOUBLE >= 0.5""",
+
+    "x_unicode_norm" ->
+      """SELECT c_custkey,
+           nfc_normalize(replace(replace(c_name, 'e', 'e' || chr(769)),
+                                 'o', 'o' || chr(770))) AS composed,
+           strip_accents(
+             nfc_normalize(replace(replace(c_name, 'e', 'e' || chr(769)),
+                                   'o', 'o' || chr(770)))) AS stripped
+         FROM customer""",
+
+    "x_skyline" ->
+      """SELECT CAST(p_retailprice AS DOUBLE) AS x,
+                CAST(p_size AS DOUBLE) AS y
+         FROM part p1
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part p2
+           WHERE p2.p_retailprice >= p1.p_retailprice
+             AND p2.p_size <= p1.p_size
+             AND (p2.p_retailprice > p1.p_retailprice
+                  OR p2.p_size < p1.p_size))""",
 
     "x_recursive_cte" -> recursiveWalkSql("part"),
 

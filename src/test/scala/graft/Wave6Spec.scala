@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.operators.{Dedup, Skyline}
+
+/** Round-6 primitives: skyline vs brute-force dominance, sorted-
+  * neighborhood recall on planted dups, Unicode normalization laws,
+  * HLL rollup error + merge consistency. */
+class Wave6Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("skyline2D == brute-force dominance filter; duplicates kept; partition-proof") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 400).map(_ => (rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble))
+    val dup = pts ++ pts.take(40) // force duplicate rows incl. frontier dups
+    def dominated(p: (Double, Double)) = dup.exists(q =>
+      q._1 >= p._1 && q._2 <= p._2 && (q._1 > p._1 || q._2 < p._2))
+    val brute = dup.filterNot(dominated).sorted
+
+    for (parts <- Seq(1, 7)) {
+      val got = Skyline.skyline2D(
+        dup.toDF("x", "y").repartition(parts), "x", "y")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq.sorted
+      assert(got == brute, s"parts=$parts: $got != $brute")
+    }
+  }
+
+  test("sortedNeighborhood finds adjacent planted near-dups, misses nothing in-window") {
+    // docs sharing a long prefix sort adjacently; doc 2 is a near-copy
+    // of doc 1 (7/8 shared words)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha completely different text here now ok yes"),
+      (4L, "zulu yankee xray whiskey victor uniform tango sierra"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhood(docs, "doc_id", "text",
+      window = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must produce no pairs")
+  }
+
+  test("unicode: NFC composes, stripAccents folds, nulls propagate, ASCII is identity") {
+    val df = Seq(
+      Some("e\u0301cole"),  // decomposed e + combining acute
+      Some("\u00E9cole"),   // precomposed
+      Some("plain ascii"),
+      None)
+      .toDF("s")
+      .select(col("s"), Text.nfcUnicode(col("s")).as("nfc"),
+        Text.stripAccents(col("s")).as("base"))
+      .collect()
+    assert(df(0).getString(1) == "\u00E9cole" && df(0).getString(2) == "ecole")
+    assert(df(1).getString(1) == "\u00E9cole" && df(1).getString(2) == "ecole")
+    assert(df(2).getString(1) == "plain ascii" && df(2).getString(2) == "plain ascii")
+    assert(df(3).isNullAt(1) && df(3).isNullAt(2))
+  }
+
+  test("hll rollup: estimates within 5% of exact; union == sketch-of-union") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val exact = docs.groupBy("source").agg(countDistinct(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = docs.agg(countDistinct(col("text"))).head().getLong(0)
+
+    val est = graft.queries.Ext2.queries("x_hll_rollup")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (src, n) =>
+      val e = est(src)
+      assert(math.abs(e - n).toDouble / n < 0.05, s"$src: est $e vs exact $n")
+    }
+    assert(math.abs(est("__all__") - exactAll).toDouble / exactAll < 0.05)
+
+    // merging per-source sketches tracks sketching the whole column
+    // (NOT exactly equal: DataSketches unions run in the denser HLL_8
+    // target representation, so the two estimators round differently —
+    // both sit inside the configured error bounds)
+    val direct = docs.agg(hll_sketch_estimate(
+      hll_sketch_agg(col("text"))).as("n")).head().getLong(0)
+    assert(math.abs(est("__all__") - direct).toDouble / direct < 0.05,
+      s"union estimate ${est("__all__")} strays from direct sketch $direct")
+  }
+}
