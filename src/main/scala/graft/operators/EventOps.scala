@@ -290,4 +290,116 @@ object EventOps {
         aggregate(transform(col("xs"), p => p.getField("x")),
           lit(0.0), (a, x) => a * lit(beta) + lit(alpha) * x).as("ewma"))
   }
+
+  /** One-sided (upper) CUSUM drift detector per key: the sequential
+    * change-point statistic s_i = max(0, s_{i−1} + x_i − (target+slack)),
+    * alarming when the cumulative positive drift exceeds `threshold` —
+    * the metric-regression tripwire for per-entity monitoring.
+    *
+    * Same skeleton as [[ewma]]: CUSUM is inherently sequential per key,
+    * so keys are the parallelism axis and the per-key ts-ordered fold is
+    * a strict left-to-right `aggregate` over a sorted collect_list —
+    * partition-order proof and replayable double-for-double by the
+    * oracle's list_reduce. State per key = its event list. */
+  def cusumDrift(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                 valCol: String, target: Double, slack: Double,
+                 threshold: Double): DataFrame = {
+    val k = target + slack
+    df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+        col(idCol).as("tie"), col(valCol).as("x"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct(col("ts"), col("tie"), col("x"))))
+        .as("xs"))
+      .select(col("k").as(keyCol),
+        size(col("xs")).cast("long").as("n_events"),
+        aggregate(transform(col("xs"), p => p.getField("x")),
+          lit(0.0), (a, x) => greatest(lit(0.0), a + x - lit(k)))
+          .as("cusum"))
+      .withColumn("alarm", col("cusum") > lit(threshold))
+  }
+
+  /** Last-touch attribution: every `targetType` event (purchase) is
+    * credited to the SAME user's most recent `sourceType` event (click)
+    * at-or-before it and within `horizonSec` — the marketing-attribution
+    * primitive, and the event-stream face of an as-of join.
+    *
+    * Scale shape: one shuffle on the user key, one ordered window pass
+    * (explicit ROWS frame; a running last-non-null carry, state = one
+    * struct), then a narrow filter. No self-join of the event table.
+    * Out-of-horizon targets keep a NULL source (they're "organic"). */
+  def lastTouch(df: DataFrame, userCol: String, tsCol: String, idCol: String,
+                typeCol: String, sourceType: String, targetType: String,
+                horizonSec: Long): DataFrame = {
+    val w = Window.partitionBy("u").orderBy("ts", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(userCol).as("u"), col(tsCol).as("ts"),
+        col(idCol).as("id"), col(typeCol).as("t"))
+      .where(col("t").isin(sourceType, targetType))
+      .withColumn("src", last(
+        when(col("t") === sourceType,
+          struct(col("ts").as("sts"), col("id").as("sid"))),
+        ignoreNulls = true).over(w))
+      .where(col("t") === targetType)
+      .select(col("u").as(userCol), col("id").as("target_id"),
+        col("ts").as("target_ts"),
+        when(col("src").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("src.sts")) <=
+            horizonSec * 1000000L, col("src.sid")).as("source_id"),
+        when(col("src").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("src.sts")) <=
+            horizonSec * 1000000L,
+          unix_micros(col("ts")) - unix_micros(col("src.sts")))
+          .as("lag_us"))
+  }
+
+  /** Hourly gap-fill with LINEAR interpolation (the numeric twin of
+    * [[gapFillHourly]]'s LOCF): per (user, hour) the mean observed value
+    * (decimal-exact sum / count), missing hours interpolated between the
+    * nearest observed neighbors, edges extended flat (leading backfill /
+    * trailing carry). `src` labels the fill provenance.
+    *
+    * Scale shape: gapFill's — one aggregation, a distributed
+    * sequence+explode spine, one left join, two ordered window passes
+    * (backward carry + forward probe, each a single struct of state).
+    * The interpolation itself is straight-line double arithmetic on
+    * neighbor values — portable and oracle-replayable. */
+  def interpolateHourly(df: DataFrame, userCol: String, tsCol: String,
+                        valCol: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+    val base = df.select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol)).as("us"),
+        col(valCol).cast("decimal(18,2)").as("v"))
+      .select(col("user_id"), col("v"),
+        (expr("us div 3600000000") -
+          when(expr("us % 3600000000") < 0, 1).otherwise(0)).as("h"))
+    val hourly = base.groupBy("user_id", "h")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("h"),
+        (dbl(col("sv")) / dbl(col("n"))).as("v"))
+    val bounds = hourly.groupBy("user_id")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val spine = bounds.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"))).as("h"))
+    val joined = spine.join(hourly, Seq("user_id", "h"), "left")
+    val back = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = when(col("v").isNotNull, struct(col("h").as("oh"), col("v").as("ov")))
+    joined
+      .withColumn("p", last(obs, ignoreNulls = true).over(back))
+      .withColumn("nx", first(obs, ignoreNulls = true).over(fwd))
+      .select(col("user_id"), col("h").as("epoch_hour"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("p").isNotNull && col("nx").isNotNull,
+            col("p.ov") + (col("nx.ov") - col("p.ov")) *
+              (col("h") - col("p.oh")).cast("double") /
+              (col("nx.oh") - col("p.oh")).cast("double"))
+          .when(col("p").isNotNull, col("p.ov"))
+          .otherwise(col("nx.ov")).as("value"),
+        when(col("v").isNotNull, "observed")
+          .when(col("p").isNotNull && col("nx").isNotNull, "interp")
+          .when(col("p").isNotNull, "carry")
+          .otherwise("backfill").as("src"))
+  }
 }

@@ -10,19 +10,31 @@ import graft.plans.{BloomSketchAgg, MightContainBloom}
   * its shuffle, using compact summaries of the cheap side. */
 object Prune {
 
-  /** Column form of the bloom membership probe. */
+  /** Normalize a key column to the sketch's two supported key types:
+    * strings stay strings (probed as UTF-8 bytes), everything integral
+    * goes through long. */
+  private def asKey(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.StringType => c
+      case _ => c.cast("long")
+    }
+
+  /** Column form of the bloom membership probe. `key` must be the same
+    * type (string vs integral) the sketch was built over. */
   def mightContain(key: Column, bloomBytes: Array[Byte]): Column =
     ColumnBridge.column(MightContainBloom(
-      ColumnBridge.expression(key.cast("long")), bloomBytes))
+      ColumnBridge.expression(key), bloomBytes))
 
-  /** Build a bloom filter over `keys`' single (long) column, distributed,
-    * collected to the driver as serialized bytes. One pass, mergeable —
-    * the classic "publish the key sketch of this job for the next job to
-    * prune with" primitive. `expectedItems <= 0` triggers a sizing
-    * count() first (acceptable on the DIM side by contract). */
+  /** Build a bloom filter over `keys`' single column (integral → long
+    * probes, string → UTF-8-byte probes), distributed, collected to the
+    * driver as serialized bytes. One pass, mergeable — the classic
+    * "publish the key sketch of this job for the next job to prune with"
+    * primitive. `expectedItems <= 0` triggers a sizing count() first
+    * (acceptable on the DIM side by contract). */
   def buildBloom(keys: DataFrame, keyCol: String,
                  fpp: Double = 0.01, expectedItems: Long = -1L): Array[Byte] = {
-    val k = keys.select(col(keyCol).cast("long").as("k"))
+    val dt = keys.schema(keyCol).dataType
+    val k = keys.select(asKey(col(keyCol), dt).as("k"))
       .where(col("k").isNotNull)
     val n = if (expectedItems > 0) expectedItems else math.max(k.count(), 1L)
     val agg = ColumnBridge.column(
@@ -48,7 +60,8 @@ object Prune {
                     small: DataFrame, smallKey: String,
                     fpp: Double = 0.01, exact: Boolean = true): DataFrame = {
     val bytes = buildBloom(small, smallKey, fpp)
-    val pruned = big.where(mightContain(col(bigKey), bytes))
+    val pruned = big.where(mightContain(
+      asKey(col(bigKey), big.schema(bigKey).dataType), bytes))
     if (!exact) pruned
     else pruned.join(
       small.select(col(smallKey).as("__bloom_k")).distinct(),

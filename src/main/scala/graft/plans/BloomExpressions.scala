@@ -3,10 +3,12 @@ package graft.plans
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter build side of [[graft.operators.Prune.bloomSemiJoin]] — a
@@ -33,22 +35,30 @@ case class BloomSketchAgg(
     fpp: Double,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[BloomFilter] with ImplicitCastInputTypes {
+  extends TypedImperativeAggregate[BloomFilter] {
 
   require(expectedItems > 0, "bloom sizing needs a positive expected item count")
   require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
 
   override def children: Seq[Expression] = child :: Nil
-  override def inputTypes = Seq(LongType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    BloomKey.check(child.dataType, "graft_bloom_agg")
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+
+  // lazy: the child is an unresolved attribute at construction time —
+  // dataType only becomes callable after analysis
+  @transient private lazy val isString = child.dataType == StringType
 
   override def createAggregationBuffer(): BloomFilter =
     BloomFilter.create(expectedItems, fpp)
 
   override def update(buf: BloomFilter, input: InternalRow): BloomFilter = {
     val v = child.eval(input)
-    if (v != null) buf.putLong(v.asInstanceOf[Long])
+    if (v != null) {
+      if (isString) buf.putBinary(v.asInstanceOf[UTF8String].getBytes)
+      else buf.putLong(v.asInstanceOf[Long])
+    }
     buf
   }
 
@@ -84,23 +94,41 @@ case class BloomSketchAgg(
   * inside whole-stage codegen and the big-side scan never materializes
   * anything per-row. */
 case class MightContainBloom(child: Expression, bloomBytes: Array[Byte])
-    extends UnaryExpression with ImplicitCastInputTypes {
+    extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
-  override def inputTypes = Seq(LongType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    BloomKey.check(child.dataType, "graft_bloom_contains")
 
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
 
-  override def nullSafeEval(v: Any): Any =
-    bloom.mightContainLong(v.asInstanceOf[Long])
+  override def nullSafeEval(v: Any): Any = v match {
+    case s: UTF8String => bloom.mightContainBinary(s.getBytes)
+    case l: java.lang.Long => bloom.mightContainLong(l)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftBloom", bloom,
       classOf[BloomFilter].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+    if (child.dataType == StringType)
+      defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+    else defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MightContainBloom =
     copy(child = newChild)
+}
+
+/** Key-type contract shared by the two bloom expressions: integral keys
+  * probe as longs, text keys as their UTF-8 bytes (no hashing to long
+  * first — a truncated hash would make "result ≡ semi-join" only
+  * almost-surely true; the byte form keeps it exact). */
+private[plans] object BloomKey {
+  def check(dt: DataType, name: String): TypeCheckResult = dt match {
+    case LongType | StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires a BIGINT or STRING key, got ${other.catalogString} " +
+        "(cast integral keys to long explicitly)")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Graphs, Prune, Sampling, Skyline}
+import graft.operators.{Dedup, EventOps, Graphs, Prune, Sampling, Skyline}
 
 /** Round-6 extension wave: scan-side join pruning, deterministic
   * sampling, market-basket association mining, and seasonal anomaly
@@ -163,6 +163,84 @@ object Ext2 {
     "x_skyline" -> ((s, d) =>
       Skyline.skyline2D(t(s, d, "part"), "p_retailprice", "p_size")),
 
+    // One-sided CUSUM drift statistic per user — the sequential
+    // change-point tripwire; ts-ordered left-to-right fold (the ewma
+    // skeleton), bit-replayable by the oracle's list_reduce.
+    "x_cusum" -> ((s, d) =>
+      EventOps.cusumDrift(t(s, d, "events"), "user_id", "ts", "event_id",
+        "value", target = 50.0, slack = 5.0, threshold = 500.0)),
+
+    // Last-touch attribution: each purchase credited to the same user's
+    // latest click within 7 days — one keyed window pass, no self-join.
+    "x_attribution" -> ((s, d) =>
+      EventOps.lastTouch(t(s, d, "events"), "user_id", "ts", "event_id",
+        "event_type", sourceType = "click", targetType = "purchase",
+        horizonSec = 7L * 86400)
+        .select(col("user_id"), col("target_id"),
+          unix_micros(col("target_ts")).as("target_us"),
+          col("source_id"), col("lag_us"))),
+
+    // Hourly spine with LINEAR interpolation between observed neighbor
+    // means (LOCF's numeric twin; edges extend flat).
+    "x_interpolate" -> ((s, d) =>
+      EventOps.interpolateHourly(
+        t(s, d, "events").where(col("user_id") % 10 === 0),
+        "user_id", "ts", "value")),
+
+    // Per-group OLS regression line (extended price ~ quantity) from
+    // decimal-exact moment sums — the analytics sibling of
+    // x_corr_stats; one hash aggregate, straight-line double math.
+    "x_linreg" -> ((s, d) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      def dbl(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          ((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+            (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))))
+            .as("slope"),
+          ((dbl(col("sy")) - ((dbl(col("n")) * dbl(col("sxy")) -
+            dbl(col("sx")) * dbl(col("sy"))) /
+            (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))) *
+            dbl(col("sx"))) / dbl(col("n"))).as("intercept"))
+    }),
+
+    // Multi-grain time rollup where the coarse grain derives from the
+    // FINE grain's partials, never from raw rows — the pre-aggregation
+    // reuse pattern that turns a daily report at 100 TB into a sum over
+    // 24 hourly partials. Decimal partials keep every grain exact.
+    "x_grain_rollup" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("total"))
+      val daily = hourly
+        .groupBy(col("event_type"), date_trunc("day", col("bucket")).as("bucket"))
+        .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      hourly.withColumn("grain", lit("hour"))
+        .unionByName(daily.withColumn("grain", lit("day")))
+        .select(col("grain"), col("event_type"),
+          unix_seconds(col("bucket")).as("bucket_s"), col("n"),
+          col("total").cast("double").as("total"))
+    }),
+
+    // Incremental corpus dedup: which NEW docs (the batch) open with a
+    // leading chunk already present in the historical corpus — the
+    // bloom operator composed over STRING keys (UTF-8-byte probes, no
+    // hash truncation): the history's fingerprint sketch prunes the
+    // batch scan, the residual semi-join keeps it exact. The key is the
+    // first-5-word normalized prefix (a chunk fingerprint), the shape an
+    // ingest job ships to the NEXT day's run instead of the corpus.
+    "x_incremental_dedup" -> ((s, d) => {
+      val n = t(s, d, "documents").withColumn("k",
+        concat_ws(" ", slice(split(Text.normText(col("text")), " "), 1, 5)))
+      val hist = n.where(col("doc_id") % 10 =!= 0).select("k")
+      val batch = n.where(col("doc_id") % 10 === 0)
+      Prune.bloomSemiJoin(batch, "k", hist, "k").select("doc_id")
+    }),
+
     // Mergeable distinct-count sketches (Apache DataSketches HLL via
     // Spark's hll_* functions): per-source sketches roll up to the
     // global estimate by sketch UNION — the one-pass architecture that
@@ -295,6 +373,121 @@ object Ext2 {
              AND p2.p_size <= p1.p_size
              AND (p2.p_retailprice > p1.p_retailprice
                   OR p2.p_size < p1.p_size))""",
+
+    "x_cusum" ->
+      """WITH per AS (SELECT user_id,
+                      list(value ORDER BY ts, event_id) AS xs,
+                      count(*) AS n FROM events GROUP BY user_id),
+         c AS (SELECT user_id, n AS n_events,
+                 list_reduce(list_prepend(CAST('0.0' AS DOUBLE), xs),
+                   (a, x) -> greatest(CAST('0.0' AS DOUBLE),
+                                      a + x - CAST('55.0' AS DOUBLE))) AS cusum
+               FROM per)
+         SELECT user_id, n_events, cusum,
+                cusum > CAST('500.0' AS DOUBLE) AS alarm FROM c""",
+
+    "x_attribution" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+                    WHERE event_type IN ('click', 'purchase')),
+         w AS (SELECT user_id, ts, event_id, event_type,
+                 last_value(CASE WHEN event_type = 'click'
+                     THEN struct_pack(sts := ts, sid := event_id) END
+                   IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS src
+               FROM e)
+         SELECT user_id, event_id AS target_id, epoch_us(ts) AS target_us,
+                CASE WHEN src IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(src.sts) <= 604800000000
+                     THEN src.sid END AS source_id,
+                CASE WHEN src IS NOT NULL
+                      AND epoch_us(ts) - epoch_us(src.sts) <= 604800000000
+                     THEN epoch_us(ts) - epoch_us(src.sts) END AS lag_us
+         FROM w WHERE event_type = 'purchase'""",
+
+    "x_interpolate" ->
+      """WITH base AS (SELECT user_id,
+                       epoch_us(ts) // 3600000000 -
+                         CASE WHEN epoch_us(ts) % 3600000000 < 0
+                              THEN 1 ELSE 0 END AS h,
+                       CAST(value AS DECIMAL(18,2)) AS v
+                FROM events WHERE user_id % 10 = 0),
+         hourly AS (SELECT user_id, h,
+                      CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) /
+                        CAST(CAST(count(*) AS VARCHAR) AS DOUBLE) AS v
+                    FROM base GROUP BY 1, 2),
+         bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                    FROM hourly GROUP BY 1),
+         spine AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds),
+         j AS (SELECT s.user_id, s.h, hourly.v
+               FROM spine s LEFT JOIN hourly USING (user_id, h)),
+         f AS (SELECT user_id, h, v,
+                 last_value(CASE WHEN v IS NOT NULL
+                     THEN struct_pack(oh := h, ov := v) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+                 first_value(CASE WHEN v IS NOT NULL
+                     THEN struct_pack(oh := h, ov := v) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY h
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+               FROM j)
+         SELECT user_id, h AS epoch_hour,
+                CASE WHEN v IS NOT NULL THEN v
+                     WHEN p IS NOT NULL AND nx IS NOT NULL
+                     THEN p.ov + (nx.ov - p.ov) *
+                          (h - p.oh)::DOUBLE / (nx.oh - p.oh)::DOUBLE
+                     WHEN p IS NOT NULL THEN p.ov
+                     ELSE nx.ov END AS value,
+                CASE WHEN v IS NOT NULL THEN 'observed'
+                     WHEN p IS NOT NULL AND nx IS NOT NULL THEN 'interp'
+                     WHEN p IS NOT NULL THEN 'carry'
+                     ELSE 'backfill' END AS src
+         FROM f""",
+
+    "x_linreg" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+           sum(CAST(l_quantity AS DECIMAL(18,2)) *
+               CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+           sum(CAST(l_quantity AS DECIMAL(18,2)) *
+               CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+           FROM lineitem GROUP BY 1),
+         dd AS (SELECT l_returnflag, n,
+           CAST(CAST(n AS VARCHAR) AS DOUBLE) AS n0,
+           CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+           CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+           CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy,
+           CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx
+           FROM m)
+         SELECT l_returnflag, n,
+                (n0 * sxy - sx * sy) / (n0 * sxx - sx * sx) AS slope,
+                (sy - ((n0 * sxy - sx * sy) / (n0 * sxx - sx * sx)) * sx) / n0
+                  AS intercept
+         FROM dd""",
+
+    "x_grain_rollup" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                           count(*) AS n,
+                           sum(CAST(value AS DECIMAL(18,2))) AS total
+                         FROM events GROUP BY 1, 2),
+         daily AS (SELECT event_type, date_trunc('day', bucket) AS bucket,
+                     sum(n) AS n, sum(total) AS total
+                   FROM hourly GROUP BY 1, 2)
+         SELECT 'hour' AS grain, event_type, epoch(bucket) AS bucket_s, n,
+                CAST(total AS DOUBLE) AS total FROM hourly
+         UNION ALL
+         SELECT 'day', event_type, epoch(bucket), n,
+                CAST(total AS DOUBLE) FROM daily""",
+
+    "x_incremental_dedup" ->
+      s"""WITH n AS (SELECT doc_id,
+            array_to_string((string_split($dNorm6, ' '))[1:5], ' ') AS k
+            FROM documents)
+          SELECT doc_id FROM n
+          WHERE doc_id % 10 = 0
+            AND k IN (SELECT k FROM n WHERE doc_id % 10 <> 0)""",
 
     "x_recursive_cte" -> recursiveWalkSql("part"),
 

@@ -54,6 +54,25 @@ class PruneSpec extends SparkSpec {
       "exact=false may keep false positives but must never lose a match")
   }
 
+  test("string keys: byte-level probes, no false negatives, bounded FPR") {
+    val members = (1 to 3000).map(i => s"doc chunk fingerprint $i")
+    val bytes = Prune.buildBloom(members.toDF("k"), "k", fpp = 0.01)
+    val hits = members.toDF("k")
+      .where(Prune.mightContain(col("k"), bytes)).count()
+    assert(hits == members.size.toLong, "string member dropped")
+    val fp = (1 to 20000).map(i => s"absent fingerprint $i").toDF("k")
+      .where(Prune.mightContain(col("k"), bytes)).count()
+    assert(fp.toDouble / 20000 < 0.03, s"string FPR ${fp / 20000.0}")
+    // semi-join equivalence on a string key
+    val big = (1 to 500).map(i => (i.toLong, s"doc chunk fingerprint ${i * 7}"))
+      .toDF("id", "k")
+    val viaBloom = Prune.bloomSemiJoin(big, "k", members.toDF("k"), "k")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exact = big.join(members.toDF("k").distinct(), Seq("k"), "leftsemi")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact)
+  }
+
   test("null keys never probe true and never enter the sketch") {
     val bytes = Prune.buildBloom(
       Seq(Some(1L), None, Some(2L)).toDF("k"), "k", fpp = 0.01)
