@@ -12,6 +12,17 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 
+  test("Parity/Ext/Ext2 query names don't collide") {
+    val e2q = (graft.queries.Parity.queries.keySet ++
+      graft.queries.Ext.queries.keySet)
+      .intersect(graft.queries.Ext2.queries.keySet)
+    assert(e2q.isEmpty, s"shadowed queries: $e2q")
+    val e2o = (graft.queries.Parity.oracle.keySet ++
+      graft.queries.Ext.oracle.keySet)
+      .intersect(graft.queries.Ext2.oracle.keySet)
+    assert(e2o.isEmpty, s"shadowed oracles: $e2o")
+  }
+
   test("Parity and Ext query names don't collide") {
     val overlap = graft.queries.Parity.queries.keySet
       .intersect(graft.queries.Ext.queries.keySet)
@@ -25,7 +36,7 @@ class ContractSpec extends SparkSpec {
     val n = SparkEntry.queries.size
     val exact = SparkEntry.oracleSql.size
     info(s"graded queries: $n; exact oracles: $exact; rows-only: ${n - exact}")
-    assert(n == 141 && exact == 137,
+    assert(n == 157 && exact == 152,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 }
