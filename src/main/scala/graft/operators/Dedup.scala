@@ -107,6 +107,39 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Shingle CONTAINMENT pairs — the asymmetric near-dup measure
+    * (Broder's containment, |A∩B|/|A|): catches a document swallowed
+    * whole inside a larger one (quotes, concatenated crawls, boilerplate
+    * wrappers), which symmetric Jaccard under-scores precisely when the
+    * size ratio is large. Same inverted-index shape as [[ngramJaccard]]
+    * (one shuffle on the shingle key, per-posting-list pair streaming,
+    * maxBucket skew cap); emits both directions' containment, keeping
+    * pairs where EITHER direction clears the threshold. */
+  def shingleContainment(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.8,
+                         maxBucket: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      Text.explodeWordShingles(col(textCol), n).as("sh"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val postings = sh.groupBy("sh")
+      .agg(collect_list(col("doc")).as("ds"))
+      .filter(size(col("ds")) <= maxBucket && size(col("ds")) >= 2)
+    val common = postings
+      .select(col("ds"), posexplode(col("ds")))
+      .select(col("col").as("x"),
+        explode(slice(col("ds"), col("pos") + lit(2), size(col("ds")))).as("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "nb"), Seq("doc_b"))
+      .withColumn("cont_a_in_b", col("n_common").cast("double") / col("na"))
+      .withColumn("cont_b_in_a", col("n_common").cast("double") / col("nb"))
+      .filter(col("cont_a_in_b") >= threshold || col("cont_b_in_a") >= threshold)
+      .select("doc_a", "doc_b", "cont_a_in_b", "cont_b_in_a")
+  }
+
   /** Sorted-neighborhood near-dup candidate pairs (Hernández/Stolfo's
     * merge/purge): sort records on a normalized key and compare each only
     * to its `window−1` successors — the blocking strategy for data whose

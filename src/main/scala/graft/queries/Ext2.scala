@@ -241,6 +241,49 @@ object Ext2 {
       Prune.bloomSemiJoin(batch, "k", hist, "k").select("doc_id")
     }),
 
+    // Asymmetric containment near-dup pairs (|A∩B|/|A|): the "document
+    // swallowed inside a bigger one" detector Jaccard under-scores;
+    // same inverted-index single-shuffle shape as the Jaccard pass.
+    "x_containment" -> ((s, d) =>
+      Dedup.shingleContainment(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.8, maxBucket = 1000)),
+
+    // Declarative data-quality audit: FK integrity (anti-joins), key
+    // uniqueness, domain/range rules — one queryable violations table,
+    // the dbt-tests/Great-Expectations surface as a single plan. Each
+    // check is an independent branch (shared scans dedupe via AQE
+    // exchange reuse); at 100 TB the anti-join side is the bloom-
+    // pruning use case (Prune.bloomSemiJoin with exact=false inverted).
+    "x_dq_audit" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val p = t(s, d, "part")
+      val su = t(s, d, "supplier"); val ev = t(s, d, "events")
+      def check(name: String, viol: DataFrame): DataFrame =
+        viol.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("chk"), col("n_violations"))
+      check("fk_lineitem_orders",
+        li.join(o.select("o_orderkey"),
+          li("l_orderkey") === o("o_orderkey"), "left_anti"))
+        .unionByName(check("fk_lineitem_part",
+          li.join(p.select("p_partkey"),
+            li("l_partkey") === p("p_partkey"), "left_anti")))
+        .unionByName(check("fk_lineitem_supplier",
+          li.join(su.select("s_suppkey"),
+            li("l_suppkey") === su("s_suppkey"), "left_anti")))
+        .unionByName(check("fk_orders_customer",
+          o.join(c.select("c_custkey"),
+            o("o_custkey") === c("c_custkey"), "left_anti")))
+        .unionByName(check("dup_custkey",
+          c.groupBy("c_custkey").agg(count(lit(1)).as("n"))
+            .where(col("n") > 1)))
+        .unionByName(check("nonpositive_quantity",
+          li.where(col("l_quantity") <= 0)))
+        .unionByName(check("negative_acctbal",
+          c.where(col("c_acctbal") < 0)))
+        .unionByName(check("null_event_value",
+          ev.where(col("value").isNull)))
+    }),
+
     // Mergeable distinct-count sketches (Apache DataSketches HLL via
     // Spark's hll_* functions): per-source sketches roll up to the
     // global estimate by sketch UNION — the one-pass architecture that
@@ -488,6 +531,58 @@ object Ext2 {
           SELECT doc_id FROM n
           WHERE doc_id % 10 = 0
             AND k IN (SELECT k FROM n WHERE doc_id % 10 <> 0)""",
+
+    "x_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id,
+                unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in range(1, len(ws) - 1)])) AS s
+                FROM w WHERE len(ws) >= 3),
+         capped AS (SELECT doc_id, s FROM
+                    (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS dfc FROM sh)
+                    WHERE dfc <= 1000),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                   FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                n_common::DOUBLE / na.n_sh AS cont_a_in_b,
+                n_common::DOUBLE / nb.n_sh AS cont_b_in_a
+         FROM pairs
+         JOIN sizes na ON na.doc_id = doc_a
+         JOIN sizes nb ON nb.doc_id = doc_b
+         WHERE n_common::DOUBLE / na.n_sh >= 0.8
+            OR n_common::DOUBLE / nb.n_sh >= 0.8""",
+
+    "x_dq_audit" ->
+      """SELECT 'fk_lineitem_orders' AS chk, count(*) AS n_violations
+           FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_orderkey = l.l_orderkey)
+         UNION ALL
+         SELECT 'fk_lineitem_part', count(*) FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM part p
+                             WHERE p.p_partkey = l.l_partkey)
+         UNION ALL
+         SELECT 'fk_lineitem_supplier', count(*) FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                             WHERE s.s_suppkey = l.l_suppkey)
+         UNION ALL
+         SELECT 'fk_orders_customer', count(*) FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey)
+         UNION ALL
+         SELECT 'dup_custkey', count(*) FROM
+           (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)
+         UNION ALL
+         SELECT 'nonpositive_quantity', count(*) FROM lineitem
+           WHERE l_quantity <= 0
+         UNION ALL
+         SELECT 'negative_acctbal', count(*) FROM customer
+           WHERE c_acctbal < 0
+         UNION ALL
+         SELECT 'null_event_value', count(*) FROM events
+           WHERE value IS NULL""",
 
     "x_recursive_cte" -> recursiveWalkSql("part"),
 
