@@ -107,6 +107,48 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Prefix-filtered set-similarity join (the PPJoin family, Xiao/Wang/
+    * Lin WWW'08, minus positional pruning): EXACT word-set Jaccard ≥ t
+    * pairs, but candidates come only from each document's PREFIX — its
+    * |tokens| − ⌈t·|tokens|⌉ + 1 RAREST tokens (global df order, ties by
+    * token). Two sets with Jaccard ≥ t must share a prefix token
+    * (pigeonhole on the ⌈t·n⌉ overlap requirement), so recall is total;
+    * common words never enter prefixes, which is what kills the hot-key
+    * fanout an unfiltered inverted index pays (`ngramJaccard`'s maxBucket
+    * cap trades coverage for the same protection — prefix filtering gets
+    * it for free, losslessly).
+    *
+    * Scale shape: df count (one shuffle on token) → per-doc rarity rank
+    * (one shuffle on doc id, window bounded by doc length) → prefix
+    * inverted index join (shuffle on RARE tokens — bounded posting
+    * lists) → exact verify on candidates only (array intersects of two
+    * in-row token lists). */
+  def prefixFilterJoin(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val toks = df.select(col(idCol).as("doc"),
+      array_distinct(split(Text.normText(col(textCol)), " ")).as("ws"))
+    val tok = toks.select(col("doc"), explode(col("ws")).as("w"))
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc").orderBy(col("df"), col("w"))
+    val prefix = tok.join(dfreq, Seq("w"))
+      .withColumn("rk", row_number().over(byRarity))
+      .join(toks.select(col("doc"), size(col("ws")).as("n")), Seq("doc"))
+      .where(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc"), col("w"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
+    val inter = size(array_intersect(col("wa"), col("wb")))
+    cands
+      .join(toks.select(col("doc").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
+      .join(toks.select(col("doc").as("doc_b"), col("ws").as("wb")), Seq("doc_b"))
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("wa")) + size(col("wb")) - inter).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Shingle CONTAINMENT pairs — the asymmetric near-dup measure
     * (Broder's containment, |A∩B|/|A|): catches a document swallowed
     * whole inside a larger one (quotes, concatenated crawls, boilerplate

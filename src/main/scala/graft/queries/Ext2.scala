@@ -241,6 +241,16 @@ object Ext2 {
       Prune.bloomSemiJoin(batch, "k", hist, "k").select("doc_id")
     }),
 
+    // Prefix-filtered EXACT set-similarity join (PPJoin family):
+    // candidates only from each doc's rarest-token prefix — lossless
+    // recall by the pigeonhole bound, and hot tokens never generate
+    // candidates (the free version of the inverted index's maxBucket
+    // trade-off).
+    "x_ppjoin" -> ((s, d) =>
+      Dedup.prefixFilterJoin(
+        t(s, d, "documents").where(col("doc_id") % 5 === 0),
+        "doc_id", "text", threshold = 0.8)),
+
     // Asymmetric containment near-dup pairs (|A∩B|/|A|): the "document
     // swallowed inside a bigger one" detector Jaccard under-scores;
     // same inverted-index single-shuffle shape as the Jaccard pass.
@@ -531,6 +541,31 @@ object Ext2 {
           SELECT doc_id FROM n
           WHERE doc_id % 10 = 0
             AND k IN (SELECT k FROM n WHERE doc_id % 10 <> 0)""",
+
+    "x_ppjoin" ->
+      s"""WITH toks AS (SELECT doc_id AS doc,
+                        list_distinct(string_split($dNorm6, ' ')) AS ws
+                 FROM documents WHERE doc_id % 5 = 0),
+         tok AS (SELECT doc, unnest(ws) AS w FROM toks),
+         dfreq AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+         rk AS (SELECT doc, w,
+                  row_number() OVER (PARTITION BY doc ORDER BY df, w) AS rk
+                FROM tok JOIN dfreq USING (w)),
+         pre AS (SELECT rk.doc, w
+                 FROM rk JOIN (SELECT doc, len(ws) AS n FROM toks) s
+                   ON s.doc = rk.doc
+                 WHERE rk <= n - ceil(0.8 * n) + 1),
+         cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                  FROM pre a JOIN pre b ON a.w = b.w AND a.doc < b.doc),
+         v AS (SELECT doc_a, doc_b,
+                 len(list_intersect(ta.ws, tb.ws)) AS i,
+                 len(ta.ws) AS na, len(tb.ws) AS nb
+               FROM cand
+               JOIN toks ta ON ta.doc = doc_a
+               JOIN toks tb ON tb.doc = doc_b)
+         SELECT doc_a, doc_b,
+                i::DOUBLE / (na + nb - i)::DOUBLE AS jaccard
+         FROM v WHERE i::DOUBLE / (na + nb - i)::DOUBLE >= 0.8""",
 
     "x_containment" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -43,6 +43,22 @@ class Wave6Spec extends SparkSpec {
       "unrelated doc must produce no pairs")
   }
 
+  test("prefixFilterJoin == brute-force word-set Jaccard (lossless prefix recall)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = Dedup.prefixFilterJoin(docs, "doc_id", "text", threshold = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    val sets = docs.select(col("doc_id"),
+        array_distinct(split(Text.normText(col("text")), " ")).as("ws"))
+      .as[(Long, Seq[String])].collect().map { case (id, ws) => id -> ws.toSet }
+    val brute = (for {
+      (a, wa) <- sets; (b, wb) <- sets if a < b
+      j = (wa & wb).size.toDouble / (wa | wb).size
+      if j >= 0.6
+    } yield (a, b)).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
   test("unicode: NFC composes, stripAccents folds, nulls propagate, ASCII is identity") {
     val df = Seq(
       Some("e\u0301cole"),  // decomposed e + combining acute
