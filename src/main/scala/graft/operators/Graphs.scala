@@ -318,6 +318,57 @@ object Graphs {
     ranks
   }
 
+  /** k-core membership: the maximal subgraph where every node keeps
+    * degree ≥ k, found by iterative peeling — drop all nodes of degree
+    * < k, recompute degrees on the survivor-induced subgraph, repeat to
+    * fixpoint. The standard graph-density filter (spam/bot subnetwork
+    * extraction, dense community seeding).
+    *
+    * Scale shape per round: one degree aggregation + two semi-joins to
+    * induce the survivor subgraph — all keyed on the node; rounds ≤ the
+    * peeling depth (typically small). Same storage discipline as the
+    * other iterative operators: per-round localCheckpoint + leaf block
+    * release. Returns the k-core's (id, degree) — degree measured IN
+    * the core. Iterative deletion has no single-query SQL form, so the
+    * graded query is rows-only; GraphsSpec proves equivalence with a
+    * brute-force sequential peel. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxIter: Int = 100): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    var cur = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+    var curCount = cur.count()
+    var stable = false
+    var it = 0
+    while (!stable && curCount > 0 && it < maxIter) {
+      val deg = cur.select(explode(array(col("u"), col("v"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("id")
+      val next = cur
+        .join(keep.select(col("id").as("u")), Seq("u"), "leftsemi")
+        .join(keep.select(col("id").as("v")), Seq("v"), "leftsemi")
+        .select("u", "v").localCheckpoint(true)
+      val nextCount = next.count()
+      // peeling strictly shrinks the edge set until fixpoint; equal
+      // counts of a monotone contraction mean no node fell below k
+      stable = nextCount == curCount
+      CheckpointBlocks.release(cur)
+      cur = next
+      curCount = nextCount
+      it += 1
+    }
+    if (!stable && curCount > 0)
+      throw new IllegalStateException(s"kCore: no fixpoint after $maxIter rounds")
+    val out = cur.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    CheckpointBlocks.release(cur)
+    out
+  }
+
   /** Single/multi-source BFS: minimum hop count from `sources` to every
     * reachable node within `maxHops`. Classic frontier expansion — the
     * visited set grows monotonically and each round's join keys on the

@@ -241,6 +241,39 @@ object Ext2 {
       Prune.bloomSemiJoin(batch, "k", hist, "k").select("doc_id")
     }),
 
+    // Exact weighted median (revenue-weighted quantity): per-group cum-
+    // weight crossing in INTEGER cents — one aggregate + one window over
+    // the (group, value) frame, never a per-group sort of raw rows.
+    "x_weighted_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val byQ = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(sum(w).as("wq"))
+      val cum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      val tot = Window.partitionBy("l_returnflag")
+      byQ.withColumn("cum", sum(col("wq")).over(cum))
+        .withColumn("total", sum(col("wq")).over(tot))
+        .where(col("cum") * 2 >= col("total"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_quantity")).as("weighted_median"),
+          max(col("total")).as("total_cents"))
+    }),
+
+    // k-core of the co-purchase graph: iterative peeling to the maximal
+    // subgraph of min-degree k — the graph-density filter. Iterative
+    // deletion has no single-query SQL form → rows-only; GraphsSpec
+    // proves ≡ a brute-force sequential peel.
+    "x_kcore" -> ((s, d) => {
+      val items = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = items.as("a").join(items.as("b"), Seq("o"))
+        .where(col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      Graphs.kCore(edges, "u", "v", k = 80)
+    }),
+
     // Prefix-filtered EXACT set-similarity join (PPJoin family):
     // candidates only from each doc's rarest-token prefix — lossless
     // recall by the pigeonhole bound, and hot tokens never generate
@@ -541,6 +574,20 @@ object Ext2 {
           SELECT doc_id FROM n
           WHERE doc_id % 10 = 0
             AND k IN (SELECT k FROM n WHERE doc_id % 10 <> 0)""",
+
+    "x_weighted_median" ->
+      """WITH byq AS (SELECT l_returnflag, l_quantity,
+                      sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) AS wq
+                      FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, l_quantity, wq,
+                 sum(wq) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_quantity) AS cum,
+                 sum(wq) OVER (PARTITION BY l_returnflag) AS total
+               FROM byq)
+         SELECT l_returnflag, min(l_quantity) AS weighted_median,
+                CAST(max(total) AS BIGINT) AS total_cents
+         FROM c WHERE cum * 2 >= total GROUP BY 1""",
 
     "x_ppjoin" ->
       s"""WITH toks AS (SELECT doc_id AS doc,

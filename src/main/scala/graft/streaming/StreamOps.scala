@@ -208,8 +208,15 @@ object StreamOps {
     * stream-stream join needs (an unbounded-time join would buffer both
     * streams forever). Batch twin: the identical join condition on static
     * frames (StreamingSpec asserts equality on a bounded replay). */
+  /** `joinType` "inner" emits matches as they arrive; "leftOuter" ALSO
+    * emits unmatched clicks with null purchase columns — but only once
+    * the watermark proves no in-window purchase can still arrive (the
+    * interval bound on both event times is what lets Spark expire join
+    * state and certify the non-match; an outer interval join without
+    * both bounds would buffer forever). */
   def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
-                          delay: String, windowMinutes: Int): DataFrame = {
+                          delay: String, windowMinutes: Int,
+                          joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", delay)
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -219,7 +226,8 @@ object StreamOps {
     c.join(p,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+        col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("lag_us"))

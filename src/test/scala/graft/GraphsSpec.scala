@@ -168,6 +168,39 @@ class GraphsSpec extends SparkSpec {
     assert(nTris == brute, s"triangles $nTris != brute $brute")
   }
 
+  test("kCore == brute-force sequential peel; chain has no 2-core; triangle does") {
+    def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      Graphs.kCore(edges.toDF("a", "b"), "a", "b", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // chain: every interior degree is 2 only until the ends peel away —
+    // no 2-core; a triangle IS its own 2-core
+    assert(core(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L), 2).isEmpty)
+    assert(core(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L), 2) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+
+    // seeded random graph vs a sequential peel
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 200).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val k = 4
+    var es = edges.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next != es
+      es = next
+    }
+    val brute = es.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(core(edges, k) == brute)
+  }
+
   test("shortestPaths: chains, multi-source, hop cap, unreachable absent") {
     def bfs(edges: Seq[(Long, Long)], srcs: Seq[Long], maxHops: Int,
             directed: Boolean = false): Map[Long, Int] =

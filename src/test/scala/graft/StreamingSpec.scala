@@ -111,6 +111,37 @@ class StreamingSpec extends SparkSpec {
       batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream LEFT OUTER interval join certifies non-matches at the watermark") {
+    import spark.implicits._
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val purchases = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val joined = StreamOps.clickToPurchaseJoin(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"),
+      "0 seconds", windowMinutes = 10, joinType = "leftOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer").start()
+    // user 1 converts in-window; user 2 never purchases. (Timeline
+    // starts at minute 10, NOT epoch 0 — the initial watermark is 0 and
+    // rows at-or-behind the watermark are dropped as late.)
+    clicks.addData((1L, 100L, ts(10)), (2L, 200L, ts(10)))
+    purchases.addData((1L, 900L, ts(15)))
+    q.processAllAvailable()
+    // advance both watermarks past click+window so the non-match is provable
+    clicks.addData((9L, 101L, ts(60)))
+    purchases.addData((9L, 901L, ts(60)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj_outer")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((100L, 900L)), s"in-window match missing: $rows")
+    assert(rows.contains((200L, -1L)),
+      s"watermark-certified non-match must emit null-joined click: $rows")
+  }
+
   test("foreachBatch incremental agg sink == batch recompute, replays are no-ops") {
     val ev = Tables.load(spark, sf, "events").select("user_id", "value")
     def aggOf(df: org.apache.spark.sql.DataFrame) =
