@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, EventOps, Graphs, Prune, Sampling, Skyline}
+import graft.operators.{Dedup, EventOps, Graphs, Prune, Sampling, Skew, Skyline}
 
 /** Round-6 extension wave: scan-side join pruning, deterministic
   * sampling, market-basket association mining, and seasonal anomaly
@@ -240,6 +240,29 @@ object Ext2 {
       val batch = n.where(col("doc_id") % 10 === 0)
       Prune.bloomSemiJoin(batch, "k", hist, "k").select("doc_id")
     }),
+
+    // Skew mitigation graded end-to-end: the salted join splits each hot
+    // key across 8 reducers (salt affects PLACEMENT only), and the
+    // result is row-identical to the plain join — which is exactly what
+    // the oracle replays.
+    "x_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_acctbal"))
+      Skew.saltedJoin(li, sup, "l_suppkey", factor = 8)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"),
+          max(col("s_acctbal")).as("acctbal"))
+    }),
+
+    // Two-phase salted aggregation: partial on (key, salt), final on
+    // key — decimal partials make the re-association exact, so the
+    // skew-split plan hash-matches the single-phase oracle.
+    "x_salted_agg" -> ((s, d) =>
+      Skew.saltedSumCount(t(s, d, "lineitem"), "l_returnflag",
+        "l_extendedprice", factor = 8)),
 
     // Exact weighted median (revenue-weighted quantity): per-group cum-
     // weight crossing in INTEGER cents — one aggregate + one window over
@@ -574,6 +597,21 @@ object Ext2 {
           SELECT doc_id FROM n
           WHERE doc_id % 10 = 0
             AND k IN (SELECT k FROM n WHERE doc_id % 10 <> 0)""",
+
+    "x_salted_join" ->
+      """SELECT l_suppkey, count(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           max(s_acctbal) AS acctbal
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY l_suppkey""",
+
+    "x_salted_agg" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_l_extendedprice,
+           COUNT(l_extendedprice) AS count_l_extendedprice
+         FROM lineitem GROUP BY 1""",
 
     "x_weighted_median" ->
       """WITH byq AS (SELECT l_returnflag, l_quantity,
