@@ -241,6 +241,40 @@ object Ext2 {
       Prune.bloomSemiJoin(batch, "k", hist, "k").select("doc_id")
     }),
 
+    // Rolling exact median over the trailing 5-event ROWS frame per
+    // user: collect the frame's values in-row (state = frame width,
+    // never the stream), sort, interpolate the middle — the exact
+    // windowed-percentile shape; DuckDB replays it with windowed
+    // quantile_cont.
+    "x_rolling_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      val xs = array_sort(collect_list(col("value")).over(w))
+      val n = size(xs)
+      val lo = element_at(xs, ((n + 1) / 2).cast("int"))
+      val hi = element_at(xs, (n / 2).cast("int") + 1)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          // lo*0.5 + hi*0.5, NOT lo+(hi-lo)*0.5: DuckDB's quantile_cont
+          // lerps as lower*(1-f) + upper*f, and the delta form differs
+          // by an ulp on some doubles (e.g. 6.38/18.18 → …001)
+          (lo * 0.5 + hi * 0.5).as("rolling_median"))
+    }),
+
+    // Per-group min-max feature scaling — one tiny profile aggregate
+    // broadcast back; constant groups scale to 0 (guarded divide).
+    "x_minmax_scale" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val prof = ev.groupBy("event_type")
+        .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      ev.join(broadcast(prof), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("vmax") > col("vmin"),
+            (col("value") - col("vmin")) / (col("vmax") - col("vmin")))
+            .otherwise(lit(0.0)).as("scaled"))
+    }),
+
     // Skew mitigation graded end-to-end: the salted join splits each hot
     // key across 8 reducers (salt affects PLACEMENT only), and the
     // result is row-identical to the plain join — which is exactly what
@@ -597,6 +631,23 @@ object Ext2 {
           SELECT doc_id FROM n
           WHERE doc_id % 10 = 0
             AND k IN (SELECT k FROM n WHERE doc_id % 10 <> 0)""",
+
+    "x_rolling_median" ->
+      """SELECT user_id, event_id, value,
+           quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_median
+         FROM events""",
+
+    "x_minmax_scale" ->
+      """WITH prof AS (SELECT event_type, min(value) AS vmin,
+                        max(value) AS vmax
+                      FROM events GROUP BY 1)
+         SELECT event_id, e.event_type, value,
+                CASE WHEN vmax > vmin
+                     THEN (value - vmin) / (vmax - vmin)
+                     ELSE 0.0 END AS scaled
+         FROM events e JOIN prof USING (event_type)""",
 
     "x_salted_join" ->
       """SELECT l_suppkey, count(*) AS n,
