@@ -11,7 +11,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_fact_summary", "j2_fk_join", "e1_titlecase", "x_cos_topk",
-        "x_winnow_fingerprint", "x_corr_stats", "x_funnel", "x_pack_chunks")
+        "x_winnow_fingerprint", "x_corr_stats", "x_funnel", "x_pack_chunks",
+        "x_bloom_join", "x_reservoir", "x_sorted_neighborhood",
+        "x_attribution", "x_ppjoin", "x_weighted_median")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

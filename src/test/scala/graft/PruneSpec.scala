@@ -82,6 +82,42 @@ class PruneSpec extends SparkSpec {
     assert(probed == Set(1L), s"got $probed")
   }
 
+  test("plan: bloom probe filters the fact scan BEFORE any exchange") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val sup = Tables.load(spark, "/root/testdata/sf0.001", "supplier")
+      .where(col("s_acctbal") > 5000)
+    val plan = graft.operators.Prune
+      .bloomSemiJoin(li, "l_suppkey", sup, "s_suppkey")
+      .groupBy("l_suppkey").count()
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("mightcontainbloom"),
+      s"probe expression missing from plan:\n$plan")
+    // structural property: the probe's Filter sits DIRECTLY on the fact
+    // scan (its immediate child line is the parquet scan) — nothing, in
+    // particular no Exchange, between probe and scan
+    val lines = plan.linesIterator.toVector
+    val i = lines.indexWhere(_.contains("mightcontainbloom"))
+    assert(i >= 0 && i + 1 < lines.size &&
+      lines(i + 1).toLowerCase.contains("scan") &&
+      lines(i + 1).contains("lineitem"),
+      s"probe filter must sit directly on the lineitem scan:\n" +
+        lines.slice(i, i + 2).mkString("\n"))
+  }
+
+  test("property: bloom semi-join ≡ semi-join on random key sets (5 seeded trials)") {
+    val rng = new scala.util.Random(99)
+    for (trial <- 1 to 5) {
+      val big = (1 to 2000).map(_ => rng.nextInt(500).toLong).toDF("k")
+      val small = (1 to (rng.nextInt(80) + 1)).map(_ => rng.nextInt(500).toLong)
+        .toDF("k")
+      val viaBloom = Prune.bloomSemiJoin(big, "k", small, "k",
+        fpp = 0.05).collect().map(_.getLong(0)).sorted
+      val smallSet = small.collect().map(_.getLong(0)).toSet
+      val exact = big.collect().map(_.getLong(0)).filter(smallSet).sorted
+      assert(viaBloom.sameElements(exact), s"trial $trial diverged")
+    }
+  }
+
   test("hashReservoir: deterministic across partitionings, exactly k per group") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val a = Sampling.hashReservoir(docs.repartition(1), "source", "doc_id", 3)

@@ -75,6 +75,33 @@ class Wave6Spec extends SparkSpec {
     assert(df(3).isNullAt(1) && df(3).isNullAt(2))
   }
 
+  test("property: unicode normalization laws on random accent-decorated strings") {
+    val rng = new scala.util.Random(31)
+    val marks = Seq("́", "̀", "̂", "̈", "")
+    val strs = (1 to 200).map { _ =>
+      (1 to rng.nextInt(12) + 1).map { _ =>
+        val c = ('a' + rng.nextInt(26)).toChar
+        s"$c${marks(rng.nextInt(marks.size))}"
+      }.mkString
+    }
+    val out = strs.toDF("s")
+      .select(col("s"), Text.nfcUnicode(col("s")).as("n"),
+        Text.stripAccents(col("s")).as("b"),
+        Text.nfcUnicode(Text.nfcUnicode(col("s"))).as("nn"),
+        Text.stripAccents(Text.stripAccents(col("s"))).as("bb"))
+      .collect()
+    out.foreach { r =>
+      val (s, n, b, nn, bb) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4))
+      assert(n == nn, s"NFC must be idempotent: '$s'")
+      assert(b == bb, s"stripAccents must be idempotent: '$s'")
+      assert(b.forall(_ < 0x80), s"stripped form must be ASCII here: '$b'")
+      assert(java.text.Normalizer.normalize(n, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{Mn}+", "") == b,
+        s"NFC and accent-strip must commute through NFD: '$s'")
+    }
+  }
+
   test("hll rollup: estimates within 5% of exact; union == sketch-of-union") {
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val exact = docs.groupBy("source").agg(countDistinct(col("text")).as("n"))
