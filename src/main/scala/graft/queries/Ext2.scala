@@ -241,6 +241,58 @@ object Ext2 {
       Prune.bloomSemiJoin(batch, "k", hist, "k").select("doc_id")
     }),
 
+    // Deterministic MODE per group (count desc, value asc — Spark's and
+    // DuckDB's built-in mode()s both break ties arbitrarily, which can
+    // never pass a hash gate): one count aggregate + one tiny window
+    // over the distinct-value frame.
+    "x_mode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("n").desc, col("l_quantity").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_quantity"),
+          col("n").as("mode_count"))
+    }),
+
+    // Deterministic argmax/argmin: the order whose total price is the
+    // group max (ties broken on the smaller key by packing (value, -key)
+    // into an ordered struct) — built-in max_by/arg_max tie-break is
+    // engine-arbitrary, the struct-max form is total and portable.
+    "x_argmax" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          max(struct(col("o_totalprice").cast("decimal(18,2)").as("v"),
+            (-col("o_orderkey")).as("nk"))).as("mx"),
+          min(struct(col("o_totalprice").cast("decimal(18,2)").as("v"),
+            col("o_orderkey").as("k"))).as("mn"))
+        .select(col("o_orderstatus"),
+          col("mx.v").cast("double").as("max_price"),
+          (-col("mx.nk")).as("max_orderkey"),
+          col("mn.v").cast("double").as("min_price"),
+          col("mn.k").as("min_orderkey"))),
+
+    // Gaps-and-islands: consecutive runs of high-value order keys per
+    // status, via the row_number difference trick — the classic SQL
+    // islands pattern (one sort window + one aggregate); the price
+    // filter is what creates the gaps.
+    "x_islands" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("bucket").orderBy("k")
+      t(s, d, "orders")
+        .where(col("o_totalprice") > 150000)
+        .select(col("o_orderstatus").as("bucket"), col("o_orderkey").as("k"))
+        .withColumn("grp", col("k") - row_number().over(w))
+        .groupBy("bucket", "grp")
+        .agg(min(col("k")).as("island_start"), max(col("k")).as("island_end"),
+          count(lit(1)).as("island_len"))
+        .drop("grp")
+    }),
+
     // Rolling exact median over the trailing 5-event ROWS frame per
     // user: collect the frame's values in-row (state = frame width,
     // never the stream), sort, interpolate the middle — the exact
@@ -631,6 +683,44 @@ object Ext2 {
           SELECT doc_id FROM n
           WHERE doc_id % 10 = 0
             AND k IN (SELECT k FROM n WHERE doc_id % 10 <> 0)""",
+
+    "x_mode" ->
+      """SELECT l_returnflag, mode_quantity, mode_count FROM (
+           SELECT l_returnflag, l_quantity AS mode_quantity, n AS mode_count,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY n DESC, l_quantity ASC) AS rk
+           FROM (SELECT l_returnflag, l_quantity, count(*) AS n
+                 FROM lineitem GROUP BY 1, 2))
+         WHERE rk = 1""",
+
+    "x_argmax" ->
+      """WITH mx AS (SELECT o_orderstatus,
+                       max(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+                     FROM orders GROUP BY 1),
+         mn AS (SELECT o_orderstatus,
+                  min(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+                FROM orders GROUP BY 1)
+         SELECT o.o_orderstatus,
+                CAST(mx.v AS DOUBLE) AS max_price,
+                min(CASE WHEN CAST(o.o_totalprice AS DECIMAL(18,2)) = mx.v
+                         THEN o.o_orderkey END) AS max_orderkey,
+                CAST(mn.v AS DOUBLE) AS min_price,
+                min(CASE WHEN CAST(o.o_totalprice AS DECIMAL(18,2)) = mn.v
+                         THEN o.o_orderkey END) AS min_orderkey
+         FROM orders o
+         JOIN mx ON mx.o_orderstatus = o.o_orderstatus
+         JOIN mn ON mn.o_orderstatus = o.o_orderstatus
+         GROUP BY o.o_orderstatus, mx.v, mn.v""",
+
+    "x_islands" ->
+      """WITH b AS (SELECT o_orderstatus AS bucket, o_orderkey AS k
+                    FROM orders WHERE o_totalprice > 150000),
+         g AS (SELECT bucket, k,
+                 k - row_number() OVER (PARTITION BY bucket ORDER BY k) AS grp
+               FROM b)
+         SELECT bucket, min(k) AS island_start, max(k) AS island_end,
+                count(*) AS island_len
+         FROM g GROUP BY bucket, grp""",
 
     "x_rolling_median" ->
       """SELECT user_id, event_id, value,
