@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Pmath, Text}
+
+/** Distribution-drift and association statistics — the monitoring side
+  * of a data pipeline: did this batch's value distribution move against
+  * the reference corpus (KS, PSI), which features associate with a
+  * label (chi-square), is the series self-correlated (lag
+  * autocorrelation), and do the amounts look organic (Benford digit
+  * audit). The reference's pipeline logs row counts only
+  * (`load_silver.py`'s "Registros eliminados…" prints); these operators
+  * are the statistical upgrade of that audit surface.
+  *
+  * Float discipline (the differential-oracle requirement): every score
+  * here is derived from exact integer/decimal aggregates; doubles enter
+  * only through (a) single correctly-rounded divisions of exact
+  * operands, (b) the portable ln ([[Pmath.lnColumn]]) on a ≥ 1 ratio,
+  * (c) fixed-order folds, or (d) literals emitted from the SAME Scala
+  * value on both engines — so results are partition-invariant and
+  * bit-replayable by a SQL oracle.
+  */
+object Stats {
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the rows matching
+    * `inA` and those matching `inB`:
+    * D = max over v of |ECDF_A(v) − ECDF_B(v)|, computed as the exact
+    * integer max of |c1·n2 − c2·n1| over the merged distinct values
+    * (cross-multiplied ECDFs — no per-step division, so the max is
+    * chosen over integers and only the FINAL statistic divides).
+    *
+    * Scale shape: one hash aggregate to distinct values, then one
+    * ordered cumulative window. The window is global (the ECDF is a
+    * global object) — exact KS at 100 TB should run on the binned
+    * distribution ([[psiDrift]]'s shape) or a coarse value
+    * discretization first; this form is the exact-oracle variant. */
+  def ksTwoSample(df: DataFrame, valueCol: String,
+                  inA: Column, inB: Column): DataFrame = {
+    val f = df.select(col(valueCol).as("v"),
+        when(inA, 1L).otherwise(0L).as("in1"),
+        when(inB, 1L).otherwise(0L).as("in2"))
+      .where(col("in1") === 1L || col("in2") === 1L)
+    val perV = f.groupBy("v").agg(sum("in1").as("a1"), sum("in2").as("a2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perV.select(
+      sum(col("a1")).over(w).as("c1"), sum(col("a2")).over(w).as("c2"))
+    val tot = f.agg(sum("in1").as("n1"), sum("in2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("d_stat"))
+  }
+
+  /** Population Stability Index between a reference and a current
+    * cohort over a caller-supplied integer binning:
+    * PSI = Σ_bins (p − q)·ln(p/q), with add-one smoothing over the
+    * observed-bin count so empty-on-one-side bins stay finite
+    * (p = (c_ref+1)/(n_ref+B), the standard guard).
+    *
+    * Returns one row per bin with its contribution plus the folded
+    * total (`psi_total`, identical on every row) — the per-bin profile
+    * IS the drift diagnosis; the scalar is the alert threshold.
+    *
+    * Scale shape: one hash aggregate over bins + a 1-row broadcast of
+    * the totals; the ln runs on the ≥ 1 ratio branch
+    * ([[Pmath.lnColumn]]'s domain) with the sign from the exact double
+    * compare, and the total is a bin-ordered fold, never an unordered
+    * double sum. */
+  def psiDrift(df: DataFrame, binExpr: Column,
+               isRef: Column, isCur: Column): DataFrame = {
+    val f = df.select(binExpr.as("bin"),
+        when(isRef, 1L).otherwise(0L).as("r"),
+        when(isCur, 1L).otherwise(0L).as("c"))
+      .where(col("r") === 1L || col("c") === 1L)
+    val perBin = f.groupBy("bin")
+      .agg(sum("r").as("c_ref"), sum("c").as("c_cur"))
+    val tot = f.agg(sum("r").as("n_ref"), sum("c").as("n_cur"),
+      countDistinct("bin").as("n_bins"))
+    val pq = perBin.crossJoin(broadcast(tot)).select(
+      col("bin"), col("c_ref"), col("c_cur"),
+      ((col("c_ref") + lit(1L)).cast("double") /
+        (col("n_ref") + col("n_bins")).cast("double")).as("p"),
+      ((col("c_cur") + lit(1L)).cast("double") /
+        (col("n_cur") + col("n_bins")).cast("double")).as("q"))
+    val lnx = Pmath.lnColumn(
+      when(col("p") >= col("q"), col("p") / col("q"))
+        .otherwise(col("q") / col("p")))
+    val bins = pq.withColumn("psi_contrib",
+      when(col("p") >= col("q"), (col("p") - col("q")) * lnx)
+        .otherwise((col("q") - col("p")) * lnx))
+      .select("bin", "c_ref", "c_cur", "psi_contrib")
+    val total = bins
+      .agg(aggregate(
+        transform(
+          sort_array(collect_list(struct(col("bin"), col("psi_contrib")))),
+          x => x.getField("psi_contrib")),
+        lit(0.0), (a, x) => a + x).as("psi_total"))
+    bins.crossJoin(broadcast(total))
+  }
+
+  /** Chi-square term–label association over a document corpus: for each
+    * term (document-level presence, not frequency) vs a boolean class,
+    * χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) from the 2×2
+    * presence/class contingency table. The classic feature-selection /
+    * domain-signature score (which vocabulary separates `cls` docs from
+    * the rest). Returns the `topK` highest-χ² terms, df-bounded to
+    * [minDf, 0.9·N] so near-universal stopwords and hapaxes never rank.
+    *
+    * Scale shape: distinct-per-doc tokenize → ONE term-keyed hash
+    * aggregate; totals are a 1-row broadcast. All four cell counts are
+    * exact int64; χ² is formed in double with a FIXED operation order
+    * (every product of exact operands, one final division) so the
+    * ranking replays bit-identically in SQL. */
+  def chi2Terms(df: DataFrame, idCol: String, textCol: String,
+                cls: Column, minDf: Long = 10L, topK: Int = 50): DataFrame = {
+    val docs = df.select(col(idCol).as("doc"),
+      when(cls, 1L).otherwise(0L).as("y"), col(textCol).as("txt"))
+    val tot = docs.agg(count(lit(1)).as("nd"), sum("y").as("npos"))
+    val terms = docs.select(col("doc"), col("y"),
+        explode(array_distinct(Text.tokens(col("txt")))).as("term"))
+      .where(col("term") =!= "")
+    val perTerm = terms.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("y").as("a"))
+    def dbl(c: Column) = c.cast("double")
+    perTerm.crossJoin(broadcast(tot))
+      .where(col("df") >= minDf && col("df") * lit(10L) <= col("nd") * lit(9L))
+      // ad−bc with b = df−a, c = npos−a, d = nd−npos−(df−a): integer
+      // differences first (exact), then double products (exact: < 2⁵³)
+      .withColumn("ad_bc",
+        dbl(col("a")) * dbl(col("nd") - col("npos") - (col("df") - col("a")))
+          - dbl(col("df") - col("a")) * dbl(col("npos") - col("a")))
+      .withColumn("chi2",
+        (dbl(col("nd")) * (col("ad_bc") * col("ad_bc"))) /
+          (((dbl(col("df")) * dbl(col("nd") - col("df"))) * dbl(col("npos")))
+            * dbl(col("nd") - col("npos"))))
+      .select(col("term"), col("df"), col("a").as("df_pos"), col("chi2"))
+      .orderBy(desc("chi2"), asc("term")).limit(topK)
+  }
+
+  /** Lag-1 autocorrelation of a keyless series: group `df` to one value
+    * per `orderExpr` step (decimal(18,2) sum of `valueExpr`), pair each
+    * step with its predecessor, and compute Pearson r over the
+    * (previous, current) pairs via exact decimal moments with the
+    * string-mediated double cast (the [[graft.queries.Ext]] corr
+    * recipe — single rounding per moment, engine-portable).
+    *
+    * The pairing window is global but runs over the AGGREGATED series
+    * (one row per step — days, hours), not the raw table; the moments
+    * are then a single hash aggregate. */
+  def lagAutocorr(df: DataFrame, orderExpr: Column,
+                  valueExpr: Column): DataFrame = {
+    val series = df.groupBy(orderExpr.as("step"))
+      .agg(sum(valueExpr.cast("decimal(18,2)")).as("r0"))
+      .select(col("step"), col("r0").cast("decimal(18,2)").as("r"))
+    val w = Window.orderBy("step")
+    val pairs = series
+      .select(lag(col("r"), 1).over(w).as("x"), col("r").as("y"))
+      .where(col("x").isNotNull)
+    def dbl(c: Column) = c.cast("string").cast("double")
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_pairs"),
+        ((dbl(col("n_pairs")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+          (sqrt(dbl(col("n_pairs")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+            sqrt(dbl(col("n_pairs")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))))
+          .as("autocorr_lag1"))
+  }
+
+  /** Benford's-law expected fraction of leading digit d, computed ONCE
+    * in Scala and emitted as the same literal into both the Spark plan
+    * and the SQL oracle — no cross-engine transcendental math. */
+  val benfordExpected: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d.toDouble))
+
+  /** Benford first-digit audit of a positive amount column: observed
+    * leading-digit fractions vs the log₁₀(1+1/d) law — the standard
+    * fabricated-amounts screen. One narrow projection + a 9-group hash
+    * aggregate; amounts < 1 (no leading digit in the integer part) are
+    * excluded. Deviations (`dev`) are single subtractions of
+    * single-division doubles. */
+  def benfordDigits(df: DataFrame, amount: Column): DataFrame = {
+    val digit = substring(floor(amount).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val per = df.select(digit.as("digit")).where(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum("n").as("n_total"))
+    val expCase = (1 to 9).foldLeft(when(lit(false), 0.0)) { (w, d) =>
+      w.when(col("digit") === d, lit(benfordExpected(d - 1)))
+    }.otherwise(lit(0.0))
+    per.crossJoin(broadcast(tot)).select(
+      col("digit"), col("n"),
+      (col("n").cast("double") / col("n_total").cast("double")).as("obs_frac"),
+      expCase.as("exp_frac"),
+      ((col("n").cast("double") / col("n_total").cast("double")) - expCase)
+        .as("dev"))
+  }
+}

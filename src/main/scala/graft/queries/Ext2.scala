@@ -371,9 +371,11 @@ object Ext2 {
     }),
 
     // k-core of the co-purchase graph: iterative peeling to the maximal
-    // subgraph of min-degree k — the graph-density filter. Iterative
-    // deletion has no single-query SQL form → rows-only; GraphsSpec
-    // proves ≡ a brute-force sequential peel.
+    // subgraph of min-degree k — the graph-density filter. The oracle
+    // UNROLLS the peel (simultaneous-removal rounds are idempotent past
+    // the fixpoint, so a fixed over-provisioned round count replays the
+    // iteration exactly); GraphsSpec additionally proves ≡ a brute-force
+    // sequential peel.
     "x_kcore" -> ((s, d) => {
       val items = t(s, d, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
@@ -473,6 +475,32 @@ object Ext2 {
         SELECT node, depth FROM walk"""
 
   val oracle: Map[String, String] = Map(
+
+    // the peel unrolled: measured fixpoint at sf0.01 is 6 rounds; 16
+    // MATERIALIZED rounds give margin (idempotent once stable, so extra
+    // rounds cannot change the result — only miss a too-deep fixpoint,
+    // which would fail the hash gate loudly, not silently)
+    "x_kcore" -> {
+      val k = 80
+      val rounds = 16
+      val peel = (1 to rounds).map { i =>
+        s""", k$i AS MATERIALIZED (SELECT id FROM (
+              SELECT id, count(*) AS deg FROM (
+                SELECT u AS id FROM e${i - 1}
+                UNION ALL SELECT v AS id FROM e${i - 1}) b$i
+              GROUP BY id) d$i WHERE deg >= $k),
+          e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+            WHERE u IN (SELECT id FROM k$i) AND v IN (SELECT id FROM k$i))"""
+      }.mkString
+      s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+              l_partkey AS p FROM lineitem),
+          e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+            FROM items a JOIN items b ON a.o = b.o AND a.p < b.p)$peel
+          SELECT id, count(*) AS deg FROM (
+            SELECT u AS id FROM e$rounds
+            UNION ALL SELECT v AS id FROM e$rounds) fin
+          GROUP BY id"""
+    },
 
     "x_bloom_join" ->
       """SELECT l_suppkey, count(*) AS n_items,

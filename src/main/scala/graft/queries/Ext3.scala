@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Stats
+
+/** Round-6 continuation wave: distribution-drift monitoring and
+  * association statistics ([[graft.operators.Stats]]) — the "did this
+  * batch move?" surface a production pipeline runs between ingest and
+  * training: two-sample KS, PSI, chi-square feature association, series
+  * autocorrelation, and the Benford amounts audit.
+  *
+  * All five queries carry exact DuckDB oracles: integer/decimal
+  * aggregates, single correctly-rounded divisions, the portable ln on
+  * ≥ 1 ratios, ordered folds, and shared Scala-emitted literals (the
+  * [[Ext]] conventions).
+  */
+object Ext3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // two-sample KS between finished and open orders' price
+    // distributions — integer cross-multiplied ECDF max, one division
+    "x_ks_drift" -> ((s, d) =>
+      Stats.ksTwoSample(t(s, d, "orders"), "o_totalprice",
+        col("o_orderstatus") === "F", col("o_orderstatus") === "O")),
+
+    // PSI of the price distribution, pre-1997 cohort vs 1997+ cohort,
+    // over 20k-wide bins — per-bin contributions + the folded total
+    "x_psi_drift" -> ((s, d) =>
+      Stats.psiDrift(t(s, d, "orders"),
+        floor(col("o_totalprice") / lit(20000.0)).cast("long"),
+        to_date(col("o_orderdate")) < lit("1997-01-01").cast("date"),
+        to_date(col("o_orderdate")) >= lit("1997-01-01").cast("date"))),
+
+    // chi-square term–language association: which vocabulary separates
+    // English docs from the rest (presence-level 2×2 tables, top 50)
+    "x_chi2_terms" -> ((s, d) =>
+      Stats.chi2Terms(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", minDf = 10L, topK = 50)),
+
+    // lag-1 autocorrelation of daily order revenue — decimal moments,
+    // string-mediated double casts (the exact-corr recipe)
+    "x_autocorr" -> ((s, d) =>
+      Stats.lagAutocorr(t(s, d, "orders"),
+        to_date(col("o_orderdate")), col("o_totalprice"))),
+
+    // Benford leading-digit audit of order totals vs log10(1+1/d)
+    "x_benford" -> ((s, d) =>
+      Stats.benfordDigits(t(s, d, "orders"), col("o_totalprice")))
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "x_ks_drift" ->
+      """WITH f AS (SELECT o_totalprice AS v,
+                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS in1,
+                CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS in2
+              FROM orders WHERE o_orderstatus IN ('F', 'O')),
+         g AS (SELECT v, CAST(sum(in1) AS BIGINT) AS a1,
+                      CAST(sum(in2) AS BIGINT) AS a2 FROM f GROUP BY v),
+         c AS (SELECT
+                 CAST(sum(a1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS c1,
+                 CAST(sum(a2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS c2 FROM g),
+         t AS (SELECT CAST(sum(in1) AS BIGINT) AS n1,
+                      CAST(sum(in2) AS BIGINT) AS n2 FROM f),
+         m AS (SELECT n1, n2, max(abs(c1 * n2 - c2 * n1)) AS d_num
+               FROM c CROSS JOIN t GROUP BY n1, n2)
+         SELECT n1, n2, CAST(d_num AS BIGINT) AS d_num,
+                CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_stat
+         FROM m""",
+
+    "x_psi_drift" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      s"""WITH f AS (SELECT
+                CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin,
+                CASE WHEN CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+                     THEN 1 ELSE 0 END AS r,
+                CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+                     THEN 1 ELSE 0 END AS c
+              FROM orders),
+          pb AS (SELECT bin, CAST(sum(r) AS BIGINT) AS c_ref,
+                        CAST(sum(c) AS BIGINT) AS c_cur FROM f GROUP BY bin),
+          t AS (SELECT CAST(sum(r) AS BIGINT) AS n_ref,
+                       CAST(sum(c) AS BIGINT) AS n_cur,
+                       CAST(count(DISTINCT bin) AS BIGINT) AS n_bins FROM f),
+          pq AS (SELECT bin, c_ref, c_cur,
+                 CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + n_bins AS DOUBLE) AS p,
+                 CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + n_bins AS DOUBLE) AS q
+                 FROM pb CROSS JOIN t),
+          b AS (SELECT *, CASE WHEN p >= q THEN p / q ELSE q / p END AS lnin
+                FROM pq),
+          p1 AS (SELECT *, $l1 FROM b),
+          p2 AS (SELECT *, $l2 FROM p1),
+          p3 AS (SELECT *, $l3 FROM p2),
+          bins AS (SELECT bin, c_ref, c_cur,
+                   CASE WHEN p >= q THEN (p - q) * lnx
+                        ELSE (q - p) * lnx END AS psi_contrib FROM p3),
+          tt AS (SELECT list_sum(list(psi_contrib ORDER BY bin)) AS psi_total
+                 FROM bins)
+          SELECT bin, c_ref, c_cur, psi_contrib, psi_total
+          FROM bins CROSS JOIN tt"""
+    },
+
+    "x_chi2_terms" ->
+      """WITH docs AS (SELECT doc_id,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+              FROM documents),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                       CAST(sum(y) AS BIGINT) AS npos FROM docs),
+         tm AS (SELECT DISTINCT doc_id, y, term FROM
+                (SELECT doc_id, y, unnest(string_split(text, ' ')) AS term
+                 FROM docs) q),
+         pt AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                       CAST(sum(y) AS BIGINT) AS a
+                FROM tm WHERE term <> '' GROUP BY term),
+         j AS (SELECT term, df, a, nd, npos FROM pt CROSS JOIN tt
+               WHERE df >= 10 AND df * 10 <= nd * 9),
+         x AS (SELECT term, df, a, nd, npos,
+                 CAST(a AS DOUBLE) * CAST(nd - npos - (df - a) AS DOUBLE)
+                   - CAST(df - a AS DOUBLE) * CAST(npos - a AS DOUBLE) AS ad_bc
+               FROM j)
+         SELECT term, df, a AS df_pos,
+                (CAST(nd AS DOUBLE) * (ad_bc * ad_bc)) /
+                  (((CAST(df AS DOUBLE) * CAST(nd - df AS DOUBLE))
+                    * CAST(npos AS DOUBLE)) * CAST(nd - npos AS DOUBLE)) AS chi2
+         FROM x ORDER BY chi2 DESC, term LIMIT 50""",
+
+    "x_autocorr" ->
+      """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS r
+              FROM orders GROUP BY 1),
+         p AS (SELECT lag(r) OVER (ORDER BY day) AS x, r AS y FROM dly),
+         pp AS (SELECT CAST(x AS DECIMAL(19,2)) AS x,
+                       CAST(y AS DECIMAL(19,2)) AS y
+                FROM p WHERE x IS NOT NULL),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                      sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                      sum(x * x) AS sxx, sum(y * y) AS syy FROM pp),
+         dd AS (SELECT n_pairs,
+                CAST(CAST(n_pairs AS VARCHAR) AS DOUBLE) AS n0,
+                CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+                CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+                CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+                CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+                CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd FROM m)
+         SELECT n_pairs,
+                (n0 * sxyd - sxd * syd) /
+                  (sqrt(n0 * sxxd - sxd * sxd) * sqrt(n0 * syyd - syd * syd))
+                  AS autocorr_lag1
+         FROM dd""",
+
+    "x_benford" -> {
+      val cases = (1 to 9).map { d =>
+        s"WHEN digit = $d THEN CAST('${Stats.benfordExpected(d - 1).toString}' AS DOUBLE)"
+      }.mkString(" ")
+      s"""WITH f AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                  AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM orders),
+          per AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM f
+                  WHERE digit >= 1 GROUP BY digit),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM per)
+          SELECT digit, n,
+                 CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_frac,
+                 CASE $cases ELSE 0.0 END AS exp_frac,
+                 (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   - (CASE $cases ELSE 0.0 END) AS dev
+          FROM per CROSS JOIN t"""
+    }
+  )
+}

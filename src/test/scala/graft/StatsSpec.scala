@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Stats
+
+/** Drift/association statistics: KS against brute force, PSI null and
+  * shift cases, chi-square against a hand-computed 2×2 table, lag-1
+  * autocorrelation against a direct driver-side Pearson, Benford
+  * accounting identities. All partition-proof where doubles appear. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ksTwoSample == brute-force D; zero on identical, max on disjoint") {
+    val rnd = new scala.util.Random(7)
+    val a = (1 to 300).map(_ => rnd.nextInt(40).toDouble)
+    val b = (1 to 200).map(_ => rnd.nextInt(40).toDouble + 5.0)
+    val df = (a.map((_, "a")) ++ b.map((_, "b"))).toDF("v", "g")
+    val row = Stats.ksTwoSample(df, "v", col("g") === "a", col("g") === "b")
+      .collect().head
+    // brute force over the merged support
+    val vs = (a ++ b).distinct.sorted
+    val brute = vs.map(v =>
+      math.abs(a.count(_ <= v).toLong * b.size - b.count(_ <= v).toLong * a.size)).max
+    assert(row.getAs[Long]("d_num") == brute)
+    assert(row.getAs[Long]("n1") == a.size && row.getAs[Long]("n2") == b.size)
+    assert(row.getAs[Double]("d_stat") ==
+      brute.toDouble / (a.size.toLong * b.size.toLong).toDouble)
+
+    val same = (a.map((_, "a")) ++ a.map((_, "b"))).toDF("v", "g")
+    assert(Stats.ksTwoSample(same, "v", col("g") === "a", col("g") === "b")
+      .collect().head.getAs[Long]("d_num") == 0L)
+
+    val disj = (a.map((_, "a")) ++ a.map(x => (x + 1000.0, "b"))).toDF("v", "g")
+    val dRow = Stats.ksTwoSample(disj, "v", col("g") === "a", col("g") === "b")
+      .collect().head
+    assert(dRow.getAs[Double]("d_stat") == 1.0)
+  }
+
+  test("psiDrift: identical cohorts give exactly 0; a shifted cohort doesn't; partition-proof") {
+    val rnd = new scala.util.Random(13)
+    val base = (1 to 500).map(_ => rnd.nextInt(10).toLong)
+    val same = (base.map((_, "r")) ++ base.map((_, "c"))).toDF("b", "g")
+    val nullRow = Stats.psiDrift(same, col("b"), col("g") === "r", col("g") === "c")
+      .collect()
+    assert(nullRow.forall(_.getAs[Double]("psi_total") == 0.0),
+      "identical cohorts must fold to exactly 0.0 (p == q per bin)")
+
+    val shifted = (base.map((_, "r")) ++ base.map(x => ((x + 3) % 10, "c")))
+      .toDF("b", "g")
+    for (parts <- Seq(1, 7)) {
+      val rows = Stats.psiDrift(shifted.repartition(parts), col("b"),
+        col("g") === "r", col("g") === "c").collect()
+      val total = rows.head.getAs[Double]("psi_total")
+      assert(total > 0.01, s"shifted cohort must register drift, got $total")
+      assert(rows.forall(_.getAs[Double]("psi_total") == total),
+        "psi_total must be identical on every row")
+      // the fold equals the contributions summed in bin order
+      val byBin = rows.sortBy(_.getAs[Long]("bin"))
+        .map(_.getAs[Double]("psi_contrib"))
+      assert(byBin.foldLeft(0.0)(_ + _) == total, s"parts=$parts fold drift")
+    }
+  }
+
+  test("chi2Terms matches the hand-computed 2x2 table and ranks the separator first") {
+    // 40 docs: "sig" appears in all 20 positive docs, none of the rest;
+    // "common" is everywhere (df = N, excluded by the 0.9N cap);
+    // "mid" in half of each class (chi2 = 0)
+    val docs = ((1 to 20).map(i => (i.toLong, "en",
+      if (i % 2 == 0) "sig mid common" else "sig common filler")) ++
+      (21 to 40).map(i => (i.toLong, "de",
+        if (i % 2 == 0) "other mid common" else "other common filler")))
+      .toDF("doc_id", "lang", "text")
+    val got = Stats.chi2Terms(docs, "doc_id", "text", col("lang") === "en",
+      minDf = 2L, topK = 10).collect()
+    val top = got.head
+    assert(top.getAs[String]("term") == "sig" || top.getAs[String]("term") == "other",
+      s"perfect separators must rank first, got ${top.getAs[String]("term")}")
+    // hand-computed: a=20, b=0, c=0, d=20, N=40 → chi2 = 40
+    assert(top.getAs[Double]("chi2") == 40.0)
+    val mid = got.find(_.getAs[String]("term") == "mid")
+    assert(mid.isDefined && mid.get.getAs[Double]("chi2") == 0.0)
+    assert(!got.exists(_.getAs[String]("term") == "common"),
+      "df == N term must be excluded by the 0.9N cap")
+  }
+
+  test("lagAutocorr == direct Pearson over (prev, cur) pairs; sign sanity") {
+    // deterministic sawtooth over 60 steps, value = step pattern amount
+    val rows = (1 to 60).map(i =>
+      (i, ((i % 7) * 100 + 50).toDouble))
+    val df = rows.toDF("step", "amt")
+    val got = Stats.lagAutocorr(df, col("step"), col("amt"))
+      .collect().head
+    // driver-side reference on the same aggregated series
+    val series = rows.map(_._2) // one row per step already
+    val pairs = series.zip(series.tail).map { case (x, y) => (x, y) }
+    val n = pairs.size.toDouble
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val ref = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(got.getAs[Long]("n_pairs") == pairs.size)
+    assert(math.abs(got.getAs[Double]("autocorr_lag1") - ref) < 1e-12)
+    // strictly increasing series → autocorrelation ≈ 1
+    val inc = (1 to 50).map(i => (i, i * 10.0)).toDF("step", "amt")
+    assert(Stats.lagAutocorr(inc, col("step"), col("amt"))
+      .collect().head.getAs[Double]("autocorr_lag1") > 0.99)
+  }
+
+  test("benfordDigits: counts account for every row >= 1, fractions sum to 1") {
+    val amts = Seq(123.4, 19.99, 190.0, 2.5, 234.0, 345.6, 91.0, 0.4, 876.0)
+      .map(Tuple1(_)).toDF("amt")
+    val rows = Stats.benfordDigits(amts, col("amt")).collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == 8, "0.4 has no leading integer digit and must be excluded")
+    val byDigit = rows.map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n")).toMap
+    assert(byDigit(1) == 3 && byDigit(2) == 2 && byDigit(9) == 1)
+    assert(math.abs(rows.map(_.getAs[Double]("obs_frac")).sum - 1.0) < 1e-12)
+    // expected law fractions are the Scala-side literals
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      assert(r.getAs[Double]("exp_frac") == Stats.benfordExpected(d - 1))
+    }
+  }
+}
