@@ -175,6 +175,138 @@ object Stats {
           .as("autocorr_lag1"))
   }
 
+  /** Deterministic subsampling bootstrap (the m-out-of-n bootstrap,
+    * Politis–Romano–Wolf) for the per-group mean: `b` replicates, each
+    * keeping the rows whose md5(id ⊕ replicate) is even (≈ half the
+    * group, without replacement), then the spread of the replicate
+    * means. Returns per group: the full-sample mean, the replicate
+    * count, the bootstrap mean-of-means, and the bootstrap standard
+    * error — the uncertainty attached to every per-segment metric a
+    * pipeline reports.
+    *
+    * Everything replays exactly: replicate membership is bit `b` of the
+    * row's single 52-bit md5 prefix (ONE hash per row, never rand();
+    * distinct hash bits are independent, so the replicates are
+    * independent half-samples), per-replicate means are decimal sums
+    * with ONE string-mediated division, and the across-replicate
+    * moments are replicate-ordered folds. Scale shape: the b-way fanout
+    * is a generator over a narrow 3-column projection whose bit test is
+    * codegen integer ops, then two hash aggregates (map-side partials
+    * collapse the fanout to (group, replicate) rows) — no window, no
+    * collect of raw rows. */
+  def bootstrapMeanCi(df: DataFrame, groupCol: String, idCol: Column,
+                      valueCol: Column, b: Int = 32): DataFrame = {
+    require(b >= 2 && b <= 52,
+      s"bootstrapMeanCi: replicates must be in [2, 52] (hash bits), got $b")
+    val base = df.select(col(groupCol).as("g"),
+      conv(substring(md5(idCol.cast("string")), 1, 13), 16, 10)
+        .cast("long").as("hx"),
+      valueCol.cast("decimal(18,2)").as("v"))
+    def meanCol = col("sv").cast("string").cast("double") /
+      col("m").cast("double")
+    val full = base.groupBy("g")
+      .agg(sum("v").as("sv"), count(lit(1)).as("m"))
+      .select(col("g"), col("m").as("n"), meanCol.as("mean_full"))
+    val reps = base
+      .select(col("g"), col("hx"), col("v"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .where(col("hx")
+        .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), b)")) === 0)
+    val perRep = reps.groupBy("g", "b")
+      .agg(sum("v").as("sv"), count(lit(1)).as("m"))
+      .select(col("g"), col("b"), meanCol.as("mb"))
+    val nr = col("n_reps").cast("double")
+    val folded = perRep.groupBy("g").agg(
+        count(lit(1)).as("n_reps"),
+        sort_array(collect_list(struct(col("b"), col("mb")))).as("ms"))
+      .select(col("g"), col("n_reps"),
+        aggregate(transform(col("ms"), p => p.getField("mb")),
+          lit(0.0), (a, x) => a + x).as("s1"),
+        aggregate(transform(col("ms"), p => p.getField("mb")),
+          lit(0.0), (a, x) => a + x * x).as("s2"))
+      .select(col("g"), col("n_reps"),
+        (col("s1") / nr).as("boot_mean"),
+        sqrt((col("s2") - col("s1") * col("s1") / nr) / (nr - lit(1.0)))
+          .as("boot_se"))
+    full.join(folded, Seq("g"))
+  }
+
+  /** ROC AUC of a score column against a boolean label, with exact
+    * midrank tie handling (the Mann–Whitney U identity):
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with R⁺ the positive midrank
+    * sum. Every term stays INTEGER by carrying 2·R⁺
+    * (2·midrank = 2·cum_before + cnt + 1 is always integral), so the
+    * whole statistic is exact integers until one final division — the
+    * model-eval gate a quality-classifier pipeline needs next to its
+    * training ops.
+    *
+    * Scale shape: one hash aggregate to distinct score values (ties
+    * collapse there), one cumulative window over the distinct-value
+    * spine (not the raw rows), one 1-row broadcast of totals. */
+  def rocAuc(scored: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val f = scored.select(scoreCol.as("s"),
+      when(labelCol, 1L).otherwise(0L).as("y"))
+    val perV = f.groupBy("s").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rs2 = perV.withColumn("cum_incl", sum(col("cnt")).over(w))
+      .select((col("pos") * (lit(2L) * (col("cum_incl") - col("cnt"))
+        + col("cnt") + lit(1L))).as("rs2"))
+      .agg(sum("rs2").as("rs2"))
+    val tot = f.agg(sum("y").as("npos"), count(lit(1)).as("n"))
+    rs2.crossJoin(broadcast(tot))
+      .select(col("npos"), (col("n") - col("npos")).as("nneg"),
+        ((col("rs2") - col("npos") * (col("npos") + lit(1L))).cast("double") /
+          (lit(2L) * col("npos") * (col("n") - col("npos"))).cast("double"))
+          .as("auc"))
+  }
+
+  /** Split-conformal prediction interval for a simple regression
+    * (Vovk et al.; the distribution-free uncertainty wrapper): fit OLS
+    * on the hash-even half, take absolute residuals on the hash-odd
+    * calibration half, and return the ⌈coverage·(n_cal+1)⌉-th smallest
+    * residual — the half-width q̂ such that prediction ± q̂ covers a
+    * fresh point with probability ≥ `coverage`, no distributional
+    * assumptions.
+    *
+    * Exactness: the split is a hash-parity test; slope/intercept follow
+    * the x_linreg decimal-moment recipe; residuals are fixed-order
+    * double ops; the order statistic is a row_number pick (ties broken
+    * by id — the VALUE picked is unaffected). The ranking window is
+    * global — the honest 100 TB path reads q̂ off a KLL/DDSketch of the
+    * residuals instead of an exact sort; this form is the exact-oracle
+    * variant. */
+  def conformalInterval(df: DataFrame, idCol: Column, xCol: Column,
+                        yCol: Column, coverage: Double = 0.9): DataFrame = {
+    require(coverage > 0.0 && coverage < 1.0,
+      s"conformalInterval: coverage must be in (0,1), got $coverage")
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val base = df.select(idCol.cast("string").as("id"),
+      xCol.cast("decimal(18,2)").as("x"), yCol.cast("decimal(18,2)").as("y"),
+      (conv(substring(md5(idCol.cast("string")), 1, 13), 16, 10).cast("long")
+        % 2 === 0).as("is_fit"))
+    val slopeExpr = (dbl(col("n_fit")) * dbl(col("sxy"))
+      - dbl(col("sx")) * dbl(col("sy"))) /
+      (dbl(col("n_fit")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+    val fit = base.where(col("is_fit"))
+      .agg(count(lit(1)).as("n_fit"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_fit"), slopeExpr.as("slope"),
+        ((dbl(col("sy")) - slopeExpr * dbl(col("sx"))) / dbl(col("n_fit")))
+          .as("intercept"))
+    val cal = base.where(!col("is_fit"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    cal.crossJoin(broadcast(fit)).crossJoin(broadcast(nCal))
+      .withColumn("r",
+        abs(dbl(col("y")) - (col("intercept") + col("slope") * dbl(col("x")))))
+      .withColumn("rk", row_number().over(Window.orderBy(col("r"), col("id"))))
+      .withColumn("k",
+        ceil(lit(coverage) * (col("n_cal") + lit(1L)).cast("double")))
+      .where(col("rk") === col("k"))
+      .select(col("n_fit"), col("n_cal"), col("k"), col("slope"),
+        col("intercept"), col("r").as("qhat"))
+  }
+
   /** Benford's-law expected fraction of leading digit d, computed ONCE
     * in Scala and emitted as the same literal into both the Spark plan
     * and the SQL oracle — no cross-engine transcendental math. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Stats
+import graft.operators.{Sketches, Stats}
 
 /** Round-6 continuation wave: distribution-drift monitoring and
   * association statistics ([[graft.operators.Stats]]) — the "did this
@@ -52,7 +52,46 @@ object Ext3 {
 
     // Benford leading-digit audit of order totals vs log10(1+1/d)
     "x_benford" -> ((s, d) =>
-      Stats.benfordDigits(t(s, d, "orders"), col("o_totalprice")))
+      Stats.benfordDigits(t(s, d, "orders"), col("o_totalprice"))),
+
+    // KMV bottom-k distinct sketch per return flag — the sketch CONTENT
+    // (k smallest md5 hashes) is an order statistic, so the whole
+    // sketch grades exactly, unlike the byte-opaque HLL family
+    "x_kmv_distinct" -> ((s, d) =>
+      Sketches.kmvDistinct(t(s, d, "lineitem"), "l_returnflag",
+        "l_partkey", k = 64)),
+
+    // DDSketch-style relative-error histogram of order totals:
+    // portable-ln log buckets, counts merge by addition
+    "x_ddsketch" -> ((s, d) =>
+      Sketches.ddsketchBuckets(t(s, d, "orders"), col("o_totalprice"),
+        gamma = 1.02)),
+
+    // subsampling bootstrap CI of mean order value per priority class
+    "x_bootstrap_ci" -> ((s, d) =>
+      Stats.bootstrapMeanCi(t(s, d, "orders"), "o_orderpriority",
+        col("o_orderkey"), col("o_totalprice"), b = 32)),
+
+    // ROC AUC of the hashed quality classifier's margin against the
+    // English label — midrank-exact Mann-Whitney, integers until the
+    // one final division (the model-eval gate next to the training ops)
+    "x_auc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hc = graft.operators.LangModel.hashedClassifier(
+        docs, "doc_id", "text")
+      Stats.rocAuc(
+        hc.join(docs.select(col("doc_id"), (col("lang") === "en").as("lab")),
+          Seq("doc_id")),
+        col("margin"), col("lab"))
+    }),
+
+    // split-conformal half-width for price-from-quantity OLS:
+    // hash-parity fit/calibration split, k-th smallest |residual|
+    "x_conformal" -> ((s, d) =>
+      Stats.conformalInterval(t(s, d, "lineitem"),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")),
+        col("l_quantity"), col("l_extendedprice"), coverage = 0.9))
   )
 
   val oracle: Map[String, String] = Map(
@@ -157,6 +196,130 @@ object Ext3 {
                   (sqrt(n0 * sxxd - sxd * sxd) * sqrt(n0 * syyd - syd * syd))
                   AS autocorr_lag1
          FROM dd""",
+
+    "x_kmv_distinct" ->
+      """WITH dv AS (SELECT DISTINCT l_returnflag AS g,
+                CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+         h AS (SELECT g, md5(v) AS h FROM dv),
+         r AS (SELECT g, h,
+               row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM h),
+         s AS (SELECT g, CAST(count(*) AS BIGINT) AS n_in_sketch,
+               max(h) AS kth FROM r WHERE rk <= 64 GROUP BY g)
+         SELECT g, n_in_sketch,
+                CASE WHEN n_in_sketch < 64 THEN CAST(n_in_sketch AS DOUBLE)
+                     ELSE CAST('63.0' AS DOUBLE) /
+                       (CAST(('0x' || substr(kth, 1, 13))::BIGINT AS DOUBLE)
+                         / CAST('4503599627370496.0' AS DOUBLE))
+                END AS est_distinct
+         FROM s""",
+
+    "x_ddsketch" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      val lg = graft.operators.Sketches.lnGamma(1.02)
+      s"""WITH f AS (SELECT
+                CASE WHEN CAST(o_totalprice AS DOUBLE) >= 1.0
+                     THEN CAST(o_totalprice AS DOUBLE) ELSE 1.0 END AS lnin
+              FROM orders),
+          p1 AS (SELECT *, $l1 FROM f),
+          p2 AS (SELECT *, $l2 FROM p1),
+          p3 AS (SELECT *, $l3 FROM p2)
+          SELECT CAST(floor(lnx / CAST('${lg.toString}' AS DOUBLE)) AS BIGINT)
+                   AS bucket,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM p3 GROUP BY 1"""
+    },
+
+    "x_bootstrap_ci" ->
+      """WITH base AS (SELECT o_orderpriority AS g,
+                ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                  1, 13))::BIGINT AS hx,
+                CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+         fl AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mean_full
+                FROM base GROUP BY g),
+         reps AS (SELECT g, b, v FROM base
+                  CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bs
+                  WHERE (hx & (CAST(1 AS BIGINT) << b)) = 0),
+         pr AS (SELECT g, b,
+                CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mb
+                FROM reps GROUP BY g, b),
+         ag AS (SELECT g, CAST(count(*) AS BIGINT) AS n_reps,
+                list_sum(list(mb ORDER BY b)) AS s1,
+                list_sum(list(mb * mb ORDER BY b)) AS s2
+                FROM pr GROUP BY g)
+         SELECT g, n, mean_full, n_reps,
+                s1 / CAST(n_reps AS DOUBLE) AS boot_mean,
+                sqrt((s2 - s1 * s1 / CAST(n_reps AS DOUBLE))
+                  / (CAST(n_reps AS DOUBLE) - 1.0)) AS boot_se
+         FROM fl JOIN ag USING (g)""",
+
+    // margin recomputed exactly as the x_hash_classifier oracle, then
+    // the integer midrank identity: 2·R+ = Σ pos·(2·cum_before+cnt+1)
+    "x_auc" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                      FROM documents),
+         w AS (SELECT doc_id,
+                      ('0x' || substr(md5(t), 1, 4))::BIGINT % 17 - 8 AS w
+               FROM tok),
+         sc AS (SELECT doc_id, count(*) AS n_tokens,
+                       CAST(sum(w) AS BIGINT) AS score
+                FROM w GROUP BY doc_id),
+         f AS (SELECT sc.score::DOUBLE / sc.n_tokens::DOUBLE AS s,
+                      CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+               FROM sc JOIN documents d USING (doc_id)),
+         pv AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(sum(y) AS BIGINT) AS pos FROM f GROUP BY s),
+         cw AS (SELECT pos, cnt,
+                CAST(sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_incl FROM pv),
+         rs AS (SELECT CAST(sum(pos * (2 * (cum_incl - cnt) + cnt + 1))
+                  AS BIGINT) AS rs2 FROM cw),
+         t AS (SELECT CAST(sum(y) AS BIGINT) AS npos,
+                      CAST(count(*) AS BIGINT) AS n FROM f)
+         SELECT npos, n - npos AS nneg,
+                CAST(rs2 - npos * (npos + 1) AS DOUBLE) /
+                  CAST(2 * npos * (n - npos) AS DOUBLE) AS auc
+         FROM rs CROSS JOIN t""",
+
+    "x_conformal" ->
+      """WITH base AS (SELECT
+                CAST(l_orderkey AS VARCHAR) || '-' ||
+                  CAST(l_linenumber AS VARCHAR) AS id,
+                CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+              FROM lineitem),
+         sp AS (SELECT *,
+                ('0x' || substr(md5(id), 1, 13))::BIGINT % 2 = 0 AS is_fit
+                FROM base),
+         m AS (SELECT count(*) AS n_fit, sum(x) AS sx, sum(y) AS sy,
+                      sum(x * y) AS sxy, sum(x * x) AS sxx
+               FROM sp WHERE is_fit),
+         dd AS (SELECT CAST(n_fit AS BIGINT) AS n_fit,
+                CAST(CAST(n_fit AS VARCHAR) AS DOUBLE) AS n0,
+                CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+                CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+                CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+                CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd FROM m),
+         ab AS (SELECT n_fit,
+                (n0 * sxyd - sxd * syd) / (n0 * sxxd - sxd * sxd) AS slope,
+                (syd - ((n0 * sxyd - sxd * syd) / (n0 * sxxd - sxd * sxd))
+                  * sxd) / n0 AS intercept
+                FROM dd),
+         nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM sp
+                WHERE NOT is_fit),
+         res AS (SELECT sp.id, n_fit, n_cal, slope, intercept,
+                 abs(CAST(CAST(sp.y AS VARCHAR) AS DOUBLE)
+                   - (intercept + slope *
+                      CAST(CAST(sp.x AS VARCHAR) AS DOUBLE))) AS r
+                 FROM sp CROSS JOIN ab CROSS JOIN nc WHERE NOT is_fit),
+         rk AS (SELECT *, row_number() OVER (ORDER BY r, id) AS rk,
+                CAST(ceil(CAST('0.9' AS DOUBLE)
+                  * CAST(n_cal + 1 AS DOUBLE)) AS BIGINT) AS k
+                FROM res)
+         SELECT n_fit, n_cal, k, slope, intercept, r AS qhat
+         FROM rk WHERE rk = k""",
 
     "x_benford" -> {
       val cases = (1 to 9).map { d =>

@@ -108,6 +108,59 @@ class StatsSpec extends SparkSpec {
       .collect().head.getAs[Double]("autocorr_lag1") > 0.99)
   }
 
+  test("rocAuc == pair-counting probability with half-credit ties") {
+    val rnd = new scala.util.Random(31)
+    // overlapping distributions with deliberate ties on integer scores
+    val pos = (1 to 150).map(_ => (rnd.nextInt(20) + 5).toDouble -> true)
+    val neg = (1 to 250).map(_ => rnd.nextInt(20).toDouble -> false)
+    val all = pos ++ neg
+    val got = Stats.rocAuc(all.toDF("s", "y"), col("s"), col("y"))
+      .collect().head
+    // brute force: P(s+ > s-) + 0.5 P(s+ == s-)
+    var num = 0.0
+    for ((sp, _) <- pos; (sn, _) <- neg)
+      num += (if (sp > sn) 1.0 else if (sp == sn) 0.5 else 0.0)
+    val brute = num / (pos.size.toDouble * neg.size.toDouble)
+    assert(got.getAs[Long]("npos") == 150 && got.getAs[Long]("nneg") == 250)
+    assert(math.abs(got.getAs[Double]("auc") - brute) < 1e-12,
+      s"${got.getAs[Double]("auc")} != $brute")
+    // perfect separation → exactly 1.0 (integer arithmetic, no drift)
+    val sep = ((1 to 50).map(i => (i + 100.0, true)) ++
+      (1 to 50).map(i => (i.toDouble, false))).toDF("s", "y")
+    assert(Stats.rocAuc(sep, col("s"), col("y"))
+      .collect().head.getAs[Double]("auc") == 1.0)
+  }
+
+  test("conformalInterval: qhat is exactly the k-th smallest calibration residual") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 2000).map { i =>
+      val x = (rnd.nextInt(90) + 10).toDouble
+      (i.toLong, x, 3.0 * x + 7.0 + rnd.nextInt(21) - 10.0)
+    }
+    val got = Stats.conformalInterval(rows.toDF("id", "x", "y"),
+      col("id"), col("x"), col("y"), coverage = 0.9).collect().head
+    val slope = got.getAs[Double]("slope")
+    val icept = got.getAs[Double]("intercept")
+    assert(math.abs(slope - 3.0) < 0.05 && math.abs(icept - 7.0) < 3.0,
+      s"OLS off: slope=$slope intercept=$icept")
+    // replicate the hash split driver-side and check the order statistic
+    val mdd = java.security.MessageDigest.getInstance("MD5")
+    def hx(id: String): Long = {
+      val hex = mdd.digest(id.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val cal = rows.filter(r => hx(r._1.toString) % 2 != 0)
+    assert(got.getAs[Long]("n_cal") == cal.size)
+    val resid = cal.map { case (_, x, y) =>
+      math.abs(y - (icept + slope * x))
+    }.sorted
+    val k = got.getAs[Long]("k").toInt
+    assert(k == math.ceil(0.9 * (cal.size + 1)).toInt)
+    assert(got.getAs[Double]("qhat") == resid(k - 1),
+      "qhat must be the exact k-th order statistic")
+  }
+
   test("benfordDigits: counts account for every row >= 1, fractions sum to 1") {
     val amts = Seq(123.4, 19.99, 190.0, 2.5, 234.0, 345.6, 91.0, 0.4, 876.0)
       .map(Tuple1(_)).toDF("amt")
