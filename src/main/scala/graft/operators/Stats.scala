@@ -307,6 +307,71 @@ object Stats {
         col("intercept"), col("r").as("qhat"))
   }
 
+  /** Kaplan–Meier survival curve over integer durations with right
+    * censoring: S(t) = Π over event times t_i ≤ t of (1 − d_i/n_i),
+    * d_i = events at t_i, n_i = subjects still at risk — the standard
+    * retention / time-to-event estimator (censored subjects leave the
+    * risk set without registering an event). Returns one row per event
+    * time: (t_dur, n_risk, d_events, surv); the duration unit is
+    * whatever `durCol` is expressed in.
+    *
+    * Exactness: risk sets are integer cumulative windows over the
+    * DISTINCT duration spine; each factor is one division; the running
+    * product is an index-sliced left fold over the ordered factor array
+    * (the x_embed_centroids index pattern) — never pow/exp(sum(ln)).
+    * The spine is small by construction (distinct durations), so the
+    * collect-to-array is bounded; at 100 TB durations bucket to
+    * days/weeks first, which this form already assumes. */
+  def kaplanMeier(df: DataFrame, durCol: Column,
+                  observedCol: Column): DataFrame = {
+    val f = df.select(durCol.cast("long").as("t"),
+      when(observedCol, 1L).otherwise(0L).as("obs"))
+    val perT = f.groupBy("t").agg(count(lit(1)).as("n_all"), sum("obs").as("d"))
+    val tot = f.agg(count(lit(1)).as("n_total"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val ev = perT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("n_all")).over(w), lit(0L)))
+      .where(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"),
+        (lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+          .as("factor"))
+    val spine = ev.agg(sort_array(collect_list(
+      struct(col("t"), col("n_risk"), col("d"), col("factor")))).as("xs"))
+    spine.select(col("xs"), posexplode(col("xs")))
+      .select(col("col.t").as("t_dur"), col("col.n_risk").as("n_risk"),
+        col("col.d").as("d_events"),
+        aggregate(
+          transform(slice(col("xs"), lit(1), col("pos") + lit(1)),
+            x => x.getField("factor")),
+          lit(1.0), (a, x) => a * x).as("surv"))
+  }
+
+  /** Two-proportion A/B test readout: deterministic hash-half variant
+    * assignment upstream, pooled two-proportion z statistic here —
+    * the experimentation primitive every event warehouse serves.
+    * One conditional aggregate row; every derived number is a fixed
+    * sequence of single divisions/products over exact integers, ending
+    * in one sqrt. */
+  def abTest(units: DataFrame, variantACol: Column,
+             convertedCol: Column): DataFrame = {
+    val f = units.select(when(variantACol, 1L).otherwise(0L).as("va"),
+      when(convertedCol, 1L).otherwise(0L).as("conv"))
+    def dbl(c: Column) = c.cast("double")
+    f.agg(sum("va").as("n_a"),
+        sum(lit(1L) - col("va")).as("n_b"),
+        sum(col("va") * col("conv")).as("conv_a"),
+        sum((lit(1L) - col("va")) * col("conv")).as("conv_b"))
+      .withColumn("p_a", dbl(col("conv_a")) / dbl(col("n_a")))
+      .withColumn("p_b", dbl(col("conv_b")) / dbl(col("n_b")))
+      .withColumn("p_pool",
+        dbl(col("conv_a") + col("conv_b")) / dbl(col("n_a") + col("n_b")))
+      .withColumn("z",
+        (col("p_a") - col("p_b")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / dbl(col("n_a")) + lit(1.0) / dbl(col("n_b")))))
+  }
+
   /** Benford's-law expected fraction of leading digit d, computed ONCE
     * in Scala and emitted as the same literal into both the Spark plan
     * and the SQL oracle — no cross-engine transcendental math. */

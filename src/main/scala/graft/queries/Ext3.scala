@@ -91,7 +91,37 @@ object Ext3 {
       Stats.conformalInterval(t(s, d, "lineitem"),
         concat(col("l_orderkey").cast("string"), lit("-"),
           col("l_linenumber").cast("string")),
-        col("l_quantity"), col("l_extendedprice"), coverage = 0.9))
+        col("l_quantity"), col("l_extendedprice"), coverage = 0.9)),
+
+    // Kaplan-Meier time-to-purchase: hours from each user's first event
+    // to their first purchase, right-censored at the last event for
+    // never-purchasers — the funnel-latency survival curve
+    "x_survival" -> ((s, d) => {
+      val users = t(s, d, "events").groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("first_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("purch_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      Stats.kaplanMeier(users,
+        expr("(coalesce(purch_us, last_us) - first_us) div 3600000000"),
+        col("purch_us").isNotNull)
+    }),
+
+    // two-proportion A/B readout: hash-half user assignment, conversion
+    // = first purchase within 24h of the user's first event (the
+    // time-boxed form — "ever purchased" saturates at 100% here, which
+    // would zero the pooled-variance divisor)
+    "x_ab_test" -> ((s, d) => {
+      val users = t(s, d, "events").groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("first_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("purch_us"))
+      Stats.abTest(users,
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("long") % 2 === 0,
+        col("purch_us").isNotNull &&
+          col("purch_us") - col("first_us") <= lit(86400000000L))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -320,6 +350,67 @@ object Ext3 {
                 FROM res)
          SELECT n_fit, n_cal, k, slope, intercept, r AS qhat
          FROM rk WHERE rk = k""",
+
+    // KM replayed: integer risk sets from a cumulative window over the
+    // distinct duration spine, then the index-sliced list_reduce
+    // running product (mirrors the operator's slice-fold exactly)
+    "x_survival" ->
+      """WITH u AS (SELECT user_id,
+                min(epoch_us(ts)) AS first_us,
+                min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) AS purch_us,
+                max(epoch_us(ts)) AS last_us
+              FROM events GROUP BY user_id),
+         f AS (SELECT CAST((COALESCE(purch_us, last_us) - first_us)
+                  // 3600000000 AS BIGINT) AS t,
+               CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS obs
+               FROM u),
+         pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_all,
+                CAST(sum(obs) AS BIGINT) AS d FROM f GROUP BY t),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM f),
+         ev AS (SELECT t, n_risk, d,
+                1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+                FROM (SELECT t, n_all, d,
+                      n_total - COALESCE(CAST(sum(n_all) OVER
+                        (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+                      FROM pt CROSS JOIN tt) rk
+                WHERE d > 0),
+         sp AS (SELECT list(t ORDER BY t) AS ts, list(n_risk ORDER BY t) AS ns,
+                       list(d ORDER BY t) AS ds,
+                       list(factor ORDER BY t) AS fs FROM ev)
+         SELECT ts[i] AS t_dur, ns[i] AS n_risk, ds[i] AS d_events,
+                list_reduce(list_prepend(CAST('1.0' AS DOUBLE), fs[1:i]),
+                  (a, b) -> a * b) AS surv
+         FROM sp, (SELECT unnest(range(1, 100001)) AS i) ix
+         WHERE i <= len(ts)""",
+
+    "x_ab_test" ->
+      """WITH u AS (SELECT user_id,
+                min(epoch_us(ts)) AS first_us,
+                min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) AS purch_us
+              FROM events GROUP BY user_id),
+         f AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                  1, 13))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS va,
+               CASE WHEN purch_us IS NOT NULL
+                    AND purch_us - first_us <= 86400000000 THEN 1 ELSE 0 END
+                 AS conv
+               FROM u),
+         m AS (SELECT CAST(sum(va) AS BIGINT) AS n_a,
+                      CAST(sum(1 - va) AS BIGINT) AS n_b,
+                      CAST(sum(va * conv) AS BIGINT) AS conv_a,
+                      CAST(sum((1 - va) * conv) AS BIGINT) AS conv_b FROM f),
+         p AS (SELECT *,
+               CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+               CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+               CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                 AS p_pool FROM m)
+         SELECT n_a, n_b, conv_a, conv_b, p_a, p_b, p_pool,
+                (p_a - p_b) / sqrt(p_pool * (1.0 - p_pool) *
+                  (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                  AS z
+         FROM p""",
 
     "x_benford" -> {
       val cases = (1 to 9).map { d =>

@@ -161,6 +161,42 @@ class StatsSpec extends SparkSpec {
       "qhat must be the exact k-th order statistic")
   }
 
+  test("kaplanMeier matches the hand-computed curve with censoring") {
+    // durations: events at 2 and 5 (x2), censored at 3 and 8
+    val df = Seq((2L, true), (3L, false), (5L, true), (5L, true), (8L, false))
+      .toDF("dur", "obs")
+    val got = Stats.kaplanMeier(df, col("dur"), col("obs"))
+      .orderBy("t_dur").collect()
+    assert(got.map(_.getAs[Long]("t_dur")).toSeq == Seq(2L, 5L))
+    val r2 = got(0); val r5 = got(1)
+    assert(r2.getAs[Long]("n_risk") == 5 && r2.getAs[Long]("d_events") == 1)
+    // censored-at-3 subject left the risk set WITHOUT an event row
+    assert(r5.getAs[Long]("n_risk") == 3 && r5.getAs[Long]("d_events") == 2)
+    assert(r2.getAs[Double]("surv") == 1.0 * (1.0 - 1.0 / 5.0))
+    assert(r5.getAs[Double]("surv") ==
+      (1.0 * (1.0 - 1.0 / 5.0)) * (1.0 - 2.0 / 3.0))
+    // no-censoring sanity: final S = fraction never experiencing event
+    val all = Seq((1L, true), (2L, true), (4L, true), (9L, true))
+      .toDF("dur", "obs")
+    val last = Stats.kaplanMeier(all, col("dur"), col("obs"))
+      .orderBy(desc("t_dur")).collect().head
+    assert(math.abs(last.getAs[Double]("surv")) < 1e-15)
+  }
+
+  test("abTest reproduces the pooled two-proportion z statistic") {
+    val units = ((1 to 400).map(i => ("A", i <= 120)) ++
+      (1 to 500).map(i => ("B", i <= 110))).toDF("grp", "conv")
+    val got = Stats.abTest(units, col("grp") === "A", col("conv"))
+      .collect().head
+    assert(got.getAs[Long]("n_a") == 400 && got.getAs[Long]("n_b") == 500)
+    assert(got.getAs[Long]("conv_a") == 120 && got.getAs[Long]("conv_b") == 110)
+    val pa = 120.0 / 400.0; val pb = 110.0 / 500.0
+    val pp = 230.0 / 900.0
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / 400.0 + 1.0 / 500.0))
+    assert(got.getAs[Double]("p_a") == pa && got.getAs[Double]("p_b") == pb)
+    assert(math.abs(got.getAs[Double]("z") - z) < 1e-14)
+  }
+
   test("benfordDigits: counts account for every row >= 1, fractions sum to 1") {
     val amts = Seq(123.4, 19.99, 190.0, 2.5, 234.0, 345.6, 91.0, 0.4, 876.0)
       .map(Tuple1(_)).toDF("amt")
