@@ -419,4 +419,53 @@ object Graphs {
     if (hop > 0) CheckpointBlocks.release(frontier)
     dist
   }
+
+  /** Weisfeiler–Lehman label refinement (the 1-WL color refinement):
+    * every node's label re-hashes as md5(own label | sorted neighbor
+    * labels), `rounds` times, starting from the degree — after r rounds
+    * two nodes share a label iff their r-hop neighborhood trees are
+    * isomorphic. The label HISTOGRAM is the standard structural
+    * fingerprint (graph dedup, role discovery, graph-kernel features);
+    * returns (lab, n) counts after the final round.
+    *
+    * Everything is md5 + canonical string concatenation, so the whole
+    * refinement replays exactly in any engine that can hash and
+    * string_agg in sorted order (the winnowing portability argument —
+    * no seeded hash family, no floats anywhere). Scale shape per round:
+    * one equi-join (edges ⋈ labels on the neighbor key) + one node-
+    * keyed hash aggregate; the sorted neighbor-label concat is bounded
+    * by the node's degree. Rounds are a small constant — and each
+    * round's label frame feeds TWO consumers (own-label join + neighbor
+    * side), so rounds checkpoint eagerly (the iterative-operator
+    * storage discipline) and the symmetric edge set persists across
+    * rounds like the BFS adjacency. */
+  def wlFingerprint(edges: DataFrame, srcCol: String, dstCol: String,
+                    rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 4,
+      s"wlFingerprint: rounds must be in [1, 4], got $rounds")
+    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v")).distinct().persist()
+    var labels = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), md5(col("deg").cast("string")).as("lab"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val nbr = sym
+        .join(labels.select(col("node").as("v"), col("lab").as("nl")), Seq("v"))
+        .groupBy("u")
+        .agg(array_join(sort_array(collect_list(col("nl"))), ",").as("nh"))
+      val next = labels
+        .join(nbr.select(col("u").as("node"), col("nh")), Seq("node"))
+        .select(col("node"),
+          md5(concat(col("lab"), lit("|"), col("nh"))).as("lab"))
+        .localCheckpoint(true)
+      CheckpointBlocks.release(labels)
+      labels = next
+    }
+    val out = labels.groupBy("lab").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    CheckpointBlocks.release(labels)
+    sym.unpersist()
+    out
+  }
 }

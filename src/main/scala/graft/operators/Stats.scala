@@ -372,6 +372,53 @@ object Stats {
             (lit(1.0) / dbl(col("n_a")) + lit(1.0) / dbl(col("n_b")))))
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM'13): adjust the
+    * experiment metric by the pre-exposure covariate,
+    * Y′ = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) estimated pooled, and
+    * report the adjusted per-variant means plus the variance-reduction
+    * factor var(Y′)/var(Y) = 1 − θ²·var(X)/var(Y) (the algebraic
+    * identity — no per-unit adjusted values are materialized, so no
+    * unordered double sums exist anywhere).
+    *
+    * Exactness: all moments are decimal sums over (va-conditional)
+    * exact inputs; θ is the x_linreg slope formula; adjusted means and
+    * the reduction factor are fixed sequences of string-mediated-cast
+    * divisions. One conditional-aggregate row. */
+  def cupedAdjust(units: DataFrame, variantACol: Column,
+                  preCol: Column, postCol: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val f = units.select(when(variantACol, 1L).otherwise(0L).as("va"),
+      preCol.cast("decimal(18,2)").as("x"), postCol.cast("decimal(18,2)").as("y"))
+    val m = f.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum("va").as("n_a"),
+      sum(when(col("va") === 1L, col("x"))).as("sx_a"),
+      sum(when(col("va") === 1L, col("y"))).as("sy_a"),
+      sum(when(col("va") === 0L, col("x"))).as("sx_b"),
+      sum(when(col("va") === 0L, col("y"))).as("sy_b"))
+    val theta = (dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+      (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+    val varX = (dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")) / dbl(col("n"))) /
+      (dbl(col("n")) - lit(1.0))
+    val varY = (dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / dbl(col("n"))) /
+      (dbl(col("n")) - lit(1.0))
+    m.withColumn("theta", theta)
+      .withColumn("mean_adj_a",
+        dbl(col("sy_a")) / dbl(col("n_a")) - col("theta") *
+          (dbl(col("sx_a")) / dbl(col("n_a")) - dbl(col("sx")) / dbl(col("n"))))
+      .withColumn("mean_adj_b",
+        dbl(col("sy_b")) / dbl(col("n") - col("n_a")) - col("theta") *
+          (dbl(col("sx_b")) / dbl(col("n") - col("n_a"))
+            - dbl(col("sx")) / dbl(col("n"))))
+      .select(col("n"), col("n_a"), col("theta"),
+        col("mean_adj_a"), col("mean_adj_b"),
+        (col("mean_adj_a") - col("mean_adj_b")).as("diff_adj"),
+        (lit(100.0) * (col("theta") * col("theta") * varX) / varY)
+          .as("var_reduction_pct"))
+  }
+
   /** Benford's-law expected fraction of leading digit d, computed ONCE
     * in Scala and emitted as the same literal into both the Spark plan
     * and the SQL oracle — no cross-engine transcendental math. */

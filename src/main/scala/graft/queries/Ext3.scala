@@ -121,7 +121,33 @@ object Ext3 {
           .cast("long") % 2 === 0,
         col("purch_us").isNotNull &&
           col("purch_us") - col("first_us") <= lit(86400000000L))
-    })
+    }),
+
+    // CUPED: pre-period activity (before Jan 16) as the covariate for
+    // the post-period metric — adjusted variant means + the variance
+    // reduction the pre-data buys, all from one conditional aggregate
+    "x_cuped" -> ((s, d) => {
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val z = lit(0).cast("decimal(18,2)")
+      val users = t(s, d, "events").groupBy("user_id").agg(
+        coalesce(sum(when(col("ts") < cut,
+          col("value").cast("decimal(18,2)"))), z).as("x"),
+        coalesce(sum(when(col("ts") >= cut,
+          col("value").cast("decimal(18,2)"))), z).as("y"))
+      Stats.cupedAdjust(users,
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+          .cast("long") % 2 === 0,
+        col("x"), col("y"))
+    }),
+
+    // Weisfeiler-Lehman structural fingerprint of the supplier-part
+    // incidence graph: 2 rounds of md5 color refinement, label counts
+    "x_wl_fingerprint" -> ((s, d) =>
+      graft.operators.Graphs.wlFingerprint(
+        t(s, d, "lineitem").select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
+        "src", "dst", rounds = 2))
   )
 
   val oracle: Map[String, String] = Map(
@@ -411,6 +437,70 @@ object Ext3 {
                   (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
                   AS z
          FROM p""",
+
+    "x_cuped" ->
+      """WITH u AS (SELECT user_id,
+                COALESCE(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(value AS DECIMAL(18,2)) END),
+                  CAST(0 AS DECIMAL(18,2))) AS x,
+                COALESCE(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(value AS DECIMAL(18,2)) END),
+                  CAST(0 AS DECIMAL(18,2))) AS y
+              FROM events GROUP BY user_id),
+         f AS (SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                  1, 13))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS va,
+               CAST(x AS DECIMAL(18,2)) AS x, CAST(y AS DECIMAL(18,2)) AS y
+               FROM u),
+         m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+               sum(va) AS n_a,
+               sum(CASE WHEN va = 1 THEN x END) AS sx_a,
+               sum(CASE WHEN va = 1 THEN y END) AS sy_a,
+               sum(CASE WHEN va = 0 THEN x END) AS sx_b,
+               sum(CASE WHEN va = 0 THEN y END) AS sy_b FROM f),
+         dd AS (SELECT CAST(n AS BIGINT) AS n, CAST(n_a AS BIGINT) AS n_a,
+               CAST(CAST(n AS VARCHAR) AS DOUBLE) AS n0,
+               CAST(CAST(n_a AS VARCHAR) AS DOUBLE) AS na0,
+               CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+               CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+               CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+               CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+               CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd,
+               CAST(CAST(sx_a AS VARCHAR) AS DOUBLE) AS sxad,
+               CAST(CAST(sy_a AS VARCHAR) AS DOUBLE) AS syad,
+               CAST(CAST(sx_b AS VARCHAR) AS DOUBLE) AS sxbd,
+               CAST(CAST(sy_b AS VARCHAR) AS DOUBLE) AS sybd FROM m),
+         th AS (SELECT *,
+               (n0 * sxyd - sxd * syd) / (n0 * sxxd - sxd * sxd) AS theta,
+               (sxxd - sxd * sxd / n0) / (n0 - 1.0) AS var_x,
+               (syyd - syd * syd / n0) / (n0 - 1.0) AS var_y FROM dd),
+         mm AS (SELECT *,
+               syad / na0 - theta * (sxad / na0 - sxd / n0) AS mean_adj_a,
+               sybd / CAST(CAST(n - n_a AS VARCHAR) AS DOUBLE)
+                 - theta * (sxbd / CAST(CAST(n - n_a AS VARCHAR) AS DOUBLE)
+                            - sxd / n0) AS mean_adj_b
+               FROM th)
+         SELECT n, n_a, theta, mean_adj_a, mean_adj_b,
+                mean_adj_a - mean_adj_b AS diff_adj,
+                100.0 * (theta * theta * var_x) / var_y AS var_reduction_pct
+         FROM mm""",
+
+    "x_wl_fingerprint" ->
+      """WITH e0 AS (SELECT DISTINCT
+                's' || CAST(l_suppkey AS VARCHAR) AS u,
+                'p' || CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+         sym AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+         l0 AS (SELECT u AS node, md5(CAST(deg AS VARCHAR)) AS lab
+                FROM (SELECT u, count(*) AS deg FROM sym GROUP BY u) d),
+         n1 AS (SELECT s.u, string_agg(l.lab, ',' ORDER BY l.lab) AS nh
+                FROM sym s JOIN l0 l ON l.node = s.v GROUP BY s.u),
+         l1 AS (SELECT l0.node, md5(l0.lab || '|' || n1.nh) AS lab
+                FROM l0 JOIN n1 ON n1.u = l0.node),
+         n2 AS (SELECT s.u, string_agg(l.lab, ',' ORDER BY l.lab) AS nh
+                FROM sym s JOIN l1 l ON l.node = s.v GROUP BY s.u),
+         l2 AS (SELECT l1.node, md5(l1.lab || '|' || n2.nh) AS lab
+                FROM l1 JOIN n2 ON n2.u = l1.node)
+         SELECT lab, CAST(count(*) AS BIGINT) AS n FROM l2 GROUP BY lab""",
 
     "x_benford" -> {
       val cases = (1 to 9).map { d =>

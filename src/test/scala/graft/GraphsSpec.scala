@@ -223,4 +223,27 @@ class GraphsSpec extends SparkSpec {
     assert(bfs(chain, Seq(3L), 10, directed = true) ==
       Map(3L -> 0, 4L -> 1, 5L -> 2))
   }
+
+  test("wlFingerprint: hand-computed refinements + isomorphism invariance") {
+    import spark.implicits._
+    def hist(edges: Seq[(Long, Long)], rounds: Int = 2): Seq[Long] =
+      Graphs.wlFingerprint(edges.toDF("a", "b"), "a", "b", rounds)
+        .collect().map(_.getAs[Long]("n")).toSeq.sorted
+
+    // path 1-2-3-4: two end-roles, two middle-roles at every round
+    assert(hist(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)) == Seq(2L, 2L))
+    // star: one center, three interchangeable leaves
+    assert(hist(Seq(1L -> 2L, 1L -> 3L, 1L -> 4L)) == Seq(1L, 3L))
+    // isomorphism invariance: a random graph and its relabeling give
+    // the SAME label histogram (the md5 colors are structural only)
+    val rnd = new scala.util.Random(53)
+    val g = (1 to 120).map(_ =>
+      (rnd.nextInt(40).toLong + 1L, rnd.nextInt(40).toLong + 1L))
+      .filter(e => e._1 != e._2)
+    val perm = scala.util.Random.shuffle((1L to 40L).toVector)
+    val gPerm = g.map { case (a, b) => (perm(a.toInt - 1), perm(b.toInt - 1)) }
+    assert(hist(g) == hist(gPerm), "WL histogram must be label-invariant")
+    // refinement is monotone: round 2 never has FEWER distinct labels
+    assert(hist(g, rounds = 2).size >= hist(g, rounds = 1).size)
+  }
 }

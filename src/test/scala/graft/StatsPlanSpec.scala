@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sketches, Stats}
+
+/** Physical-plan shape of the stats/sketch wave — the properties that
+  * decide whether these operators survive a 100 TB input: pre-shuffle
+  * group limits, map-side partial aggregation of fanouts, bucket-keyed
+  * single shuffles, and windows that run over aggregated spines rather
+  * than raw rows. */
+class StatsPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("kmvDistinct ranks through WindowGroupLimit (pre-shuffle top-k, no full sort survives)") {
+    val df = (1 to 5000).map(v => (s"g${v % 3}", v)).toDF("g", "v")
+    val plan = planOf(Sketches.kmvDistinct(df, "g", "v", k = 64))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must push a group limit below the window:\n$plan")
+  }
+
+  test("ddsketchBuckets is ONE hash aggregate over a narrow projection") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val plan = planOf(Sketches.ddsketchBuckets(orders, col("o_totalprice")))
+    assert(plan.sliding("HashAggregate".length).count(_ == "HashAggregate")
+      == 2, // partial + final = one logical aggregation, one shuffle
+      s"expected exactly partial+final HashAggregate:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SortAggregate"),
+      s"no window/sort may appear in the bucket path:\n$plan")
+  }
+
+  test("bootstrapMeanCi folds the replicate fanout map-side (partial agg under the explode)") {
+    val df = (1 to 500).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "amt")
+    val plan = planOf(Stats.bootstrapMeanCi(df, "g", col("id"), col("amt")))
+    // the (g, b) aggregate must have a partial phase BELOW its exchange:
+    // the generator's 32x row fanout never crosses the wire raw
+    val lines = plan.linesIterator.toVector
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    val partialAbove = lines.take(genIdx).exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_"))
+    assert(genIdx >= 0 && partialAbove,
+      s"expected partial HashAggregate directly consuming the explode:\n$plan")
+  }
+
+  test("rocAuc windows over the distinct-score spine, not raw rows") {
+    val df = (1 to 2000).map(i => ((i % 40).toDouble, i % 3 == 0)).toDF("s", "y")
+    val plan = planOf(Stats.rocAuc(df, col("s"), col("y")))
+    val lines = plan.linesIterator.toVector
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, s"cumulative window missing:\n$plan")
+    // below the window there must be an aggregate collapsing ties first
+    assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
+      s"the window must consume the per-score aggregate, not raw rows:\n$plan")
+  }
+
+  test("psiDrift / chi2Terms broadcast their 1-row totals (no shuffle join)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val chi2Plan = planOf(Stats.chi2Terms(docs, "doc_id", "text",
+      col("lang") === "en", minDf = 2L, topK = 10))
+    assert(chi2Plan.contains("BroadcastNestedLoopJoin")
+      || chi2Plan.contains("BroadcastExchange"),
+      s"totals must broadcast:\n$chi2Plan")
+    assert(chi2Plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, not a global sort:\n$chi2Plan")
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val psiPlan = planOf(Stats.psiDrift(orders,
+      floor(col("o_totalprice") / lit(20000.0)).cast("long"),
+      col("o_orderstatus") === "F", col("o_orderstatus") === "O"))
+    assert(psiPlan.contains("BroadcastNestedLoopJoin")
+      || psiPlan.contains("BroadcastExchange"),
+      s"totals must broadcast:\n$psiPlan")
+  }
+}

@@ -197,6 +197,28 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("z") - z) < 1e-14)
   }
 
+  test("cupedAdjust: theta recovers the covariate slope and shrinks variance") {
+    val rnd = new scala.util.Random(61)
+    // y = x + small noise; x varies a lot -> theta ~ 1, big reduction.
+    // No true treatment effect: adjusted diff must stay near 0.
+    val units = (1 to 2000).map { i =>
+      val x = (rnd.nextInt(900) + 100).toDouble
+      (i.toLong, i % 2 == 0, x, x + rnd.nextInt(41) - 20.0)
+    }.toDF("id", "isA", "x", "y")
+    val got = Stats.cupedAdjust(units, col("isA"), col("x"), col("y"))
+      .collect().head
+    assert(got.getAs[Long]("n") == 2000 && got.getAs[Long]("n_a") == 1000)
+    val theta = got.getAs[Double]("theta")
+    assert(math.abs(theta - 1.0) < 0.02, s"theta $theta should be ~1")
+    assert(got.getAs[Double]("var_reduction_pct") > 95.0,
+      "a near-perfect covariate must remove almost all variance")
+    assert(math.abs(got.getAs[Double]("diff_adj")) < 2.0,
+      "no treatment effect -> adjusted diff ~ 0")
+    // identity check: mean_adj_a - mean_adj_b == diff_adj bit-exactly
+    assert(got.getAs[Double]("mean_adj_a") - got.getAs[Double]("mean_adj_b")
+      == got.getAs[Double]("diff_adj"))
+  }
+
   test("benfordDigits: counts account for every row >= 1, fractions sum to 1") {
     val amts = Seq(123.4, 19.99, 190.0, 2.5, 234.0, 345.6, 91.0, 0.4, 876.0)
       .map(Tuple1(_)).toDF("amt")
