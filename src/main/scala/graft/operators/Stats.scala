@@ -419,6 +419,135 @@ object Stats {
           .as("var_reduction_pct"))
   }
 
+  /** Per-group trimmed mean: drop the lowest and highest ⌊f·n⌋ values,
+    * average the rest — the robust location metric dashboards want when
+    * a handful of outliers poison the plain mean. Rank cut-points are
+    * integers; ties at the boundary are value-equal, so WHICH tied row
+    * is cut cannot change the kept sum (the sum is order-invariant by
+    * construction). One group-keyed shuffle: two windows (rank, count)
+    * + one decimal aggregate. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: Column,
+                  trimFrac: Double = 0.1): DataFrame = {
+    require(trimFrac >= 0.0 && trimFrac < 0.5,
+      s"trimmedMean: trimFrac must be in [0, 0.5), got $trimFrac")
+    val base = df.select(col(groupCol).as("g"),
+      valueCol.cast("decimal(18,2)").as("v"))
+    val w = Window.partitionBy("g")
+    val ranked = base
+      .withColumn("rk", row_number().over(w.orderBy("v")))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("k", floor(lit(trimFrac) * col("n").cast("double"))
+        .cast("long"))
+    ranked.where(col("rk") > col("k") && col("rk") <= col("n") - col("k"))
+      .groupBy("g")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_kept"),
+        sum("v").as("sv"))
+      .select(col("g"), col("n"), col("n_kept"),
+        (col("sv").cast("string").cast("double") /
+          col("n_kept").cast("double")).as("trimmed_mean"))
+  }
+
+  /** Quantile normalization: re-express every group's values on the
+    * POOLED distribution (the batch-effect removal standard in
+    * bioinformatics, and the cross-source score harmonizer in data
+    * pipelines) — each group's rank-r value maps to the pooled value at
+    * the proportional rank, linearly interpolated. Returns a per-group
+    * decile summary of the NORMALIZED values (count/lo/hi per decile —
+    * min/max are order-invariant, so nothing unordered is summed);
+    * after normalization the groups' deciles coincide by construction,
+    * which makes the output self-evidencing.
+    *
+    * Scale shape: one rank window per group + one over the pooled
+    * spine, then an integer-division join of proportional positions
+    * against the pooled ranks (two joins instead of any per-row search).
+    * The lerp is the lower·(1−f)+upper·f form both engines agree on. */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+                        valueCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+      valueCol.cast("decimal(18,2)").as("v"))
+    // per-group rank: tie order within equal values is arbitrary, but
+    // the RANK MULTISET 1..ng is fixed, so the multiset of normalized
+    // values — and every aggregate below — is deterministic
+    val wg = Window.partitionBy("g").orderBy("v")
+    val ranked = base.select(col("g"), col("v"),
+      row_number().over(wg).as("r"),
+      count(lit(1)).over(Window.partitionBy("g")).as("ng"))
+    val pooled = df.select(valueCol.cast("decimal(18,2)").as("pv"))
+      .withColumn("pr", row_number().over(Window.orderBy("pv")))
+    val nPool = pooled.agg(count(lit(1)).as("np"))
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val pos = ranked.crossJoin(broadcast(nPool))
+      // p in [1, np]: 1 + (r-1)(np-1)/(ng-1); single-row groups pin to 1
+      .withColumn("p", when(col("ng") === 1L, lit(1.0))
+        .otherwise(lit(1.0) +
+          ((col("r") - lit(1L)) * (col("np") - lit(1L))).cast("double") /
+            (col("ng") - lit(1L)).cast("double")))
+      .withColumn("p_lo", floor(col("p")).cast("long"))
+      .withColumn("p_hi", least(col("p_lo") + lit(1L), col("np")))
+      .withColumn("frac", col("p") - col("p_lo").cast("double"))
+    val qn = pos
+      .join(pooled.select(col("pr").as("p_lo"), col("pv").as("v_lo")),
+        Seq("p_lo"))
+      .join(pooled.select(col("pr").as("p_hi"), col("pv").as("v_hi")),
+        Seq("p_hi"))
+      .withColumn("qn",
+        dbl(col("v_lo")) * (lit(1.0) - col("frac")) +
+          dbl(col("v_hi")) * col("frac"))
+    qn.withColumn("decile",
+        ntile(10).over(Window.partitionBy("g").orderBy(col("qn"), col("r"))))
+      .groupBy("g", "decile")
+      .agg(count(lit(1)).as("n"), min("qn").as("lo"), max("qn").as("hi"))
+  }
+
+  /** Theil–Sen robust slope over hash-bucketed pair sampling: the
+    * median of pairwise slopes resists outliers OLS chases, but the
+    * full pair set is O(n²) — so pairs form only WITHIN md5 buckets of
+    * expected size ~`bucketSize` (a deterministic O(n·bucketSize)
+    * subsample of the slope distribution; the estimator is still a
+    * median over Θ(n) slopes). Returns the lower/upper median slopes
+    * and their lerp (the rolling-median convention), plus the pair
+    * count.
+    *
+    * Everything replays: bucket assignment is md5 mod a count-derived
+    * bucket total, slopes are single divisions of string-cast decimals,
+    * and the median is a row_number order-statistic pick with a full
+    * tiebreak. `keepEvery` > 1 thins the sample further by keeping one
+    * bucket in `keepEvery` (still hash-deterministic) — the order
+    * statistic is a GLOBAL sort, so the slope sample, not the input,
+    * is what must stay bounded. */
+  def theilSenSlope(df: DataFrame, idCol: Column, xCol: Column,
+                    yCol: Column, bucketSize: Int = 16,
+                    keepEvery: Int = 1): DataFrame = {
+    require(bucketSize >= 2, s"theilSenSlope: bucketSize >= 2 required")
+    require(keepEvery >= 1, s"theilSenSlope: keepEvery >= 1 required")
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val base = df.select(idCol.cast("string").as("id"),
+      xCol.cast("decimal(18,2)").as("x"), yCol.cast("decimal(18,2)").as("y"))
+    val n = base.agg(count(lit(1)).as("n_rows"))
+    val bucketed = base.crossJoin(broadcast(n))
+      .withColumn("nb", greatest(expr(s"n_rows div $bucketSize"), lit(1L)))
+      .withColumn("b",
+        conv(substring(md5(col("id")), 1, 13), 16, 10).cast("long") % col("nb"))
+      .where(col("b") % lit(keepEvery.toLong) === 0L)
+    val pairs = bucketed.as("a")
+      .join(bucketed.as("c"), Seq("b"))
+      .where(col("a.id") < col("c.id") && col("a.x") =!= col("c.x"))
+      .select(col("a.id").as("id1"), col("c.id").as("id2"),
+        ((dbl(col("c.y")) - dbl(col("a.y"))) /
+          (dbl(col("c.x")) - dbl(col("a.x")))).as("slope"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    pairs.crossJoin(broadcast(m))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("slope"), col("id1"), col("id2"))))
+      .where(col("rk") === expr("(m + 1) div 2")
+        || col("rk") === expr("(m + 2) div 2"))
+      .groupBy("m")
+      .agg(min("slope").as("slope_lo"), max("slope").as("slope_hi"))
+      .select(col("m").as("n_pairs"), col("slope_lo"), col("slope_hi"),
+        (col("slope_lo") * lit(0.5) + col("slope_hi") * lit(0.5))
+          .as("slope_ts"))
+  }
+
   /** Benford's-law expected fraction of leading digit d, computed ONCE
     * in Scala and emitted as the same literal into both the Spark plan
     * and the SQL oracle — no cross-engine transcendental math. */

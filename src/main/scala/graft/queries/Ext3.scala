@@ -147,7 +147,29 @@ object Ext3 {
         t(s, d, "lineitem").select(
           concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
           concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
-        "src", "dst", rounds = 2))
+        "src", "dst", rounds = 2)),
+
+    // 10%-trimmed mean of order value per priority — the robust
+    // location metric next to the plain mean
+    "x_trimmed_mean" -> ((s, d) =>
+      Stats.trimmedMean(t(s, d, "orders"), "o_orderpriority",
+        col("o_totalprice"), trimFrac = 0.1)),
+
+    // quantile-normalize document lengths across languages onto the
+    // pooled distribution; deciles coincide after mapping
+    "x_quantile_norm" -> ((s, d) =>
+      Stats.quantileNormalize(t(s, d, "documents"), "lang",
+        col("n_chars"))),
+
+    // Theil-Sen robust price-per-quantity slope from md5-bucketed
+    // pairwise slopes; 1-in-8 bucket thinning keeps the globally
+    // sorted slope sample bounded (the order statistic's real cost)
+    "x_theil_sen" -> ((s, d) =>
+      Stats.theilSenSlope(t(s, d, "lineitem"),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")),
+        col("l_quantity"), col("l_extendedprice"), bucketSize = 16,
+        keepEvery = 8))
   )
 
   val oracle: Map[String, String] = Map(
@@ -501,6 +523,80 @@ object Ext3 {
          l2 AS (SELECT l1.node, md5(l1.lab || '|' || n2.nh) AS lab
                 FROM l1 JOIN n2 ON n2.u = l1.node)
          SELECT lab, CAST(count(*) AS BIGINT) AS n FROM l2 GROUP BY lab""",
+
+    "x_trimmed_mean" ->
+      """WITH base AS (SELECT o_orderpriority AS g,
+                CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+         rkd AS (SELECT g, v,
+                 row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+                 CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                 FROM base),
+         cut AS (SELECT *, CAST(floor(CAST('0.1' AS DOUBLE)
+                   * CAST(n AS DOUBLE)) AS BIGINT) AS k FROM rkd)
+         SELECT g, CAST(max(n) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS trimmed_mean
+         FROM cut WHERE rk > k AND rk <= n - k GROUP BY g""",
+
+    "x_quantile_norm" ->
+      """WITH base AS (SELECT lang AS g,
+                CAST(n_chars AS DECIMAL(18,2)) AS v FROM documents),
+         rkd AS (SELECT g, v,
+                 row_number() OVER (PARTITION BY g ORDER BY v) AS r,
+                 CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ng
+                 FROM base),
+         pooled AS (SELECT CAST(n_chars AS DECIMAL(18,2)) AS pv,
+                    row_number() OVER
+                      (ORDER BY CAST(n_chars AS DECIMAL(18,2))) AS pr
+                    FROM documents),
+         np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM documents),
+         pos AS (SELECT g, v, r, ng, np,
+                 CASE WHEN ng = 1 THEN 1.0
+                      ELSE 1.0 + CAST((r - 1) * (np - 1) AS DOUBLE)
+                        / CAST(ng - 1 AS DOUBLE) END AS p
+                 FROM rkd CROSS JOIN np),
+         pp AS (SELECT *, CAST(floor(p) AS BIGINT) AS p_lo,
+                least(CAST(floor(p) AS BIGINT) + 1, np) AS p_hi,
+                p - CAST(CAST(floor(p) AS BIGINT) AS DOUBLE) AS frac
+                FROM pos),
+         qn AS (SELECT g, r,
+                CAST(CAST(lo.pv AS VARCHAR) AS DOUBLE) * (1.0 - frac)
+                  + CAST(CAST(hi.pv AS VARCHAR) AS DOUBLE) * frac AS qn
+                FROM pp JOIN pooled lo ON lo.pr = pp.p_lo
+                        JOIN pooled hi ON hi.pr = pp.p_hi),
+         dec AS (SELECT g, qn, ntile(10) OVER
+                   (PARTITION BY g ORDER BY qn, r) AS decile FROM qn)
+         SELECT g, decile, CAST(count(*) AS BIGINT) AS n,
+                min(qn) AS lo, max(qn) AS hi
+         FROM dec GROUP BY g, decile""",
+
+    "x_theil_sen" ->
+      """WITH base AS (SELECT
+                CAST(l_orderkey AS VARCHAR) || '-' ||
+                  CAST(l_linenumber AS VARCHAR) AS id,
+                CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM base),
+         bk AS (SELECT * FROM (SELECT id, x, y,
+                ('0x' || substr(md5(id), 1, 13))::BIGINT
+                  % greatest(n_rows // 16, 1) AS b
+                FROM base CROSS JOIN nn) q WHERE b % 8 = 0),
+         pr AS (SELECT a.id AS id1, c.id AS id2,
+                (CAST(CAST(c.y AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(a.y AS VARCHAR) AS DOUBLE))
+                / (CAST(CAST(c.x AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(a.x AS VARCHAR) AS DOUBLE)) AS slope
+                FROM bk a JOIN bk c
+                  ON a.b = c.b AND a.id < c.id AND a.x <> c.x),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pr),
+         rk AS (SELECT slope, m,
+                row_number() OVER (ORDER BY slope, id1, id2) AS rk
+                FROM pr CROSS JOIN mm)
+         SELECT m AS n_pairs, min(slope) AS slope_lo, max(slope) AS slope_hi,
+                min(slope) * CAST('0.5' AS DOUBLE)
+                  + max(slope) * CAST('0.5' AS DOUBLE) AS slope_ts
+         FROM rk WHERE rk = (m + 1) // 2 OR rk = (m + 2) // 2 GROUP BY m""",
 
     "x_benford" -> {
       val cases = (1 to 9).map { d =>

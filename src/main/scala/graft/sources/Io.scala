@@ -103,6 +103,18 @@ object Io {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** XML scan/sink — built into Spark 4's sql module (the spark-xml
+    * merge); `rowTag` names the per-record element. The declared schema
+    * keeps types stable (XML carries none) and restores omitted
+    * elements as nulls, mirroring the JSONL convention. Exercised by an
+    * exact round-trip in PipelineSpec. */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+              rowTag: String = "row"): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(schema).xml(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode(SaveMode.Overwrite).option("rowTag", rowTag).xml(path)
+
   private val tables = Seq("clients", "crm_clients", "vehicles", "policies",
     "claims", "payments")
 

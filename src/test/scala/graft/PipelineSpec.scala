@@ -44,6 +44,16 @@ class PipelineSpec extends SparkSpec {
     assert(back.exceptAll(li).count() == 0 && li.exceptAll(back).count() == 0)
   }
 
+  test("XML round-trip preserves customers exactly (incl. nulls via schema)") {
+    val cust = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val dir = Files.createTempDirectory("graft_xml").toString
+    Io.writeXml(cust, s"$dir/cust")
+    val back = Io.readXml(spark, s"$dir/cust", cust.schema)
+    assert(back.schema == cust.schema)
+    assert(back.exceptAll(cust).count() == 0 &&
+      cust.exceptAll(back).count() == 0)
+  }
+
   test("error policy: FailFast throws, Continue isolates the bad table") {
     // raw dir missing the vehicles table entirely
     val dir = Files.createTempDirectory("graft_policy").toString

@@ -219,6 +219,52 @@ class StatsSpec extends SparkSpec {
       == got.getAs[Double]("diff_adj"))
   }
 
+  test("trimmedMean ignores planted outliers; cut points match floor(f*n)") {
+    // 100 honest values 1..100 plus 10 absurd outliers
+    val rows = ((1 to 100).map(v => ("g", v.toDouble)) ++
+      (1 to 10).map(_ => ("g", 1.0e6))).toDF("g", "amt")
+    val got = Stats.trimmedMean(rows, "g", col("amt"), trimFrac = 0.1)
+      .collect().head
+    assert(got.getAs[Long]("n") == 110 && got.getAs[Long]("n_kept") == 88)
+    // k = floor(0.1*110) = 11: keep ranks 12..99 → values 12..99
+    val kept = (12 to 99).map(_.toDouble)
+    assert(got.getAs[Double]("trimmed_mean") == kept.sum / kept.size,
+      "outliers must not move the trimmed mean")
+  }
+
+  test("quantileNormalize maps shifted groups onto identical decile summaries") {
+    // same shape, wildly different location/scale
+    val rows = ((1 to 200).map(v => ("a", v.toDouble)) ++
+      (1 to 200).map(v => ("b", 5000.0 + 3.0 * v))).toDF("g", "len")
+    val got = Stats.quantileNormalize(rows, "g", col("len"))
+      .collect()
+      .groupBy(_.getAs[String]("g"))
+      .map { case (g, rs) =>
+        g -> rs.sortBy(_.getAs[Int]("decile"))
+          .map(r => (r.getAs[Long]("n"), r.getAs[Double]("lo"),
+            r.getAs[Double]("hi"))).toSeq
+      }
+    assert(got("a") == got("b"),
+      s"equal-size groups must normalize to identical deciles:\n$got")
+  }
+
+  test("theilSenSlope recovers an exact linear slope and resists outliers") {
+    // y = 2x exactly: EVERY pairwise slope is 2 → median exactly 2
+    val clean = (1 to 400).map(i => (i.toLong, i.toDouble, 2.0 * i))
+      .toDF("id", "x", "y")
+    val s1 = Stats.theilSenSlope(clean, col("id"), col("x"), col("y"),
+      bucketSize = 20).collect().head
+    assert(s1.getAs[Double]("slope_ts") == 2.0)
+    // corrupt 10% of ys: the slope MEDIAN holds at 2
+    val dirty = (1 to 400).map { i =>
+      (i.toLong, i.toDouble, if (i % 10 == 0) 1.0e7 else 2.0 * i)
+    }.toDF("id", "x", "y")
+    val s2 = Stats.theilSenSlope(dirty, col("id"), col("x"), col("y"),
+      bucketSize = 20).collect().head
+    assert(s2.getAs[Double]("slope_ts") == 2.0,
+      s"10% corruption must not move the median slope, got ${s2.getAs[Double]("slope_ts")}")
+  }
+
   test("benfordDigits: counts account for every row >= 1, fractions sum to 1") {
     val amts = Seq(123.4, 19.99, 190.0, 2.5, 234.0, 345.6, 91.0, 0.4, 876.0)
       .map(Tuple1(_)).toDF("amt")
