@@ -548,6 +548,37 @@ object Stats {
           .as("slope_ts"))
   }
 
+  /** Concentration indices over per-key value mass: the Gini
+    * coefficient G = (2·Σᵢ i·sᵢ − (n+1)·Σ sᵢ) / (n·Σ sᵢ) over the
+    * value-sorted keys, the Herfindahl index H = Σ sᵢ² / (Σ sᵢ)², and
+    * the top-share — the standard "is our revenue / corpus / traffic
+    * dangerously concentrated" audit.
+    *
+    * Exactness: every sum is decimal over exact cents (i·sᵢ is
+    * long×decimal — still decimal), so all three statistics are exact
+    * integers/decimals until ONE string-mediated division each. One
+    * group aggregate + one global rank window over the KEYS (not raw
+    * rows); at 100 TB the key spine is what must fit a sort, which is
+    * exactly the regime where concentration is worth asking about. */
+  def concentration(df: DataFrame, keyCol: Column,
+                    valueCol: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val per = df.groupBy(keyCol.as("k"))
+      .agg(sum(valueCol.cast("decimal(18,2)")).as("s0"))
+      .select(col("k"), col("s0").cast("decimal(18,2)").as("s"))
+    val ranked = per.withColumn("i",
+      row_number().over(Window.orderBy(col("s"), col("k"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n"), sum("s").as("ts"),
+        sum(col("i") * col("s")).as("is_sum"),
+        sum(col("s") * col("s")).as("sq"), max("s").as("smax"))
+      .select(col("n"),
+        ((lit(2.0) * dbl(col("is_sum")) -
+          (col("n") + lit(1L)).cast("double") * dbl(col("ts"))) /
+          (col("n").cast("double") * dbl(col("ts")))).as("gini"),
+        (dbl(col("sq")) / (dbl(col("ts")) * dbl(col("ts")))).as("hhi"),
+        (dbl(col("smax")) / dbl(col("ts"))).as("top_share"))
+  }
+
   /** Benford's-law expected fraction of leading digit d, computed ONCE
     * in Scala and emitted as the same literal into both the Spark plan
     * and the SQL oracle — no cross-engine transcendental math. */

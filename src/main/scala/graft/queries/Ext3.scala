@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -169,7 +170,59 @@ object Ext3 {
         concat(col("l_orderkey").cast("string"), lit("-"),
           col("l_linenumber").cast("string")),
         col("l_quantity"), col("l_extendedprice"), bucketSize = 16,
-        keepEvery = 8))
+        keepEvery = 8)),
+
+    // revenue concentration across customers: Gini + Herfindahl +
+    // top-share, exact decimals until one division each
+    "x_gini" -> ((s, d) =>
+      Stats.concentration(t(s, d, "orders"), col("o_custkey"),
+        col("o_totalprice"))),
+
+    // RFM segmentation: recency/frequency/monetary quintiles (custkey
+    // tiebreak makes every ntile deterministic), 3-digit segment codes
+    "x_rfm_segments" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val maxd = o.agg(max(to_date(col("o_orderdate"))).as("dmax"))
+      val per = o.groupBy("o_custkey").agg(
+          max(to_date(col("o_orderdate"))).as("dlast"),
+          count(lit(1)).as("f"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("m0"))
+        .crossJoin(broadcast(maxd))
+        .select(col("o_custkey"), datediff(col("dmax"), col("dlast")).as("rec"),
+          col("f"), col("m0").cast("decimal(18,2)").as("m"))
+      val seg = per
+        .withColumn("r",
+          ntile(5).over(Window.orderBy(col("rec"), col("o_custkey"))))
+        .withColumn("fq",
+          ntile(5).over(Window.orderBy(col("f"), col("o_custkey"))))
+        .withColumn("mq",
+          ntile(5).over(Window.orderBy(col("m"), col("o_custkey"))))
+      seg.groupBy((col("r") * 100 + col("fq") * 10 + col("mq")).as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          (sum("m").cast("string").cast("double") /
+            count(lit(1)).cast("double")).as("avg_monetary"))
+    }),
+
+    // seasonal-naive backtest: forecast each hour's event value with
+    // the value 168 hours earlier, score MAE + bias on the last week
+    // (hours absent a week earlier have no forecast and are skipped)
+    "x_backtest_mae" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type").as("et"),
+          expr("unix_micros(ts) div 3600000000").as("h"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+      val hmax = hourly.agg(max("h").as("hmax"))
+      hourly
+        .join(hourly.select(col("et"), (col("h") + lit(168L)).as("h"),
+          col("v").as("vf")), Seq("et", "h"))
+        .crossJoin(broadcast(hmax))
+        .where(col("h") > col("hmax") - lit(168L))
+        .groupBy("et").agg(count(lit(1)).as("n_hours"),
+          (sum(abs(col("v") - col("vf"))).cast("string").cast("double") /
+            count(lit(1)).cast("double")).as("mae"),
+          (sum(col("v") - col("vf")).cast("string").cast("double") /
+            count(lit(1)).cast("double")).as("bias"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -597,6 +650,68 @@ object Ext3 {
                 min(slope) * CAST('0.5' AS DOUBLE)
                   + max(slope) * CAST('0.5' AS DOUBLE) AS slope_ts
          FROM rk WHERE rk = (m + 1) // 2 OR rk = (m + 2) // 2 GROUP BY m""",
+
+    "x_gini" ->
+      """WITH per AS (SELECT o_custkey AS k,
+                CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS s
+              FROM orders GROUP BY o_custkey),
+         rk AS (SELECT s, CAST(row_number() OVER (ORDER BY s, k)
+                  AS BIGINT) AS i FROM per),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(s) AS ts,
+               sum(i * s) AS is_sum, sum(s * s) AS sq, max(s) AS smax
+               FROM rk),
+         dd AS (SELECT n,
+               CAST(CAST(ts AS VARCHAR) AS DOUBLE) AS tsd,
+               CAST(CAST(is_sum AS VARCHAR) AS DOUBLE) AS isd,
+               CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sqd,
+               CAST(CAST(smax AS VARCHAR) AS DOUBLE) AS smaxd FROM m)
+         SELECT n,
+                (2.0 * isd - CAST(n + 1 AS DOUBLE) * tsd)
+                  / (CAST(n AS DOUBLE) * tsd) AS gini,
+                sqd / (tsd * tsd) AS hhi,
+                smaxd / tsd AS top_share
+         FROM dd""",
+
+    "x_rfm_segments" ->
+      """WITH dm AS (SELECT max(CAST(o_orderdate AS DATE)) AS dmax
+                     FROM orders),
+         per AS (SELECT o_custkey,
+                 datediff('day', max(CAST(o_orderdate AS DATE)), dmax) AS rec,
+                 CAST(count(*) AS BIGINT) AS f,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   AS DECIMAL(18,2)) AS m
+                 FROM orders CROSS JOIN dm
+                 GROUP BY o_custkey, dmax),
+         seg AS (SELECT m,
+                 ntile(5) OVER (ORDER BY rec, o_custkey) AS r,
+                 ntile(5) OVER (ORDER BY f, o_custkey) AS fq,
+                 ntile(5) OVER (ORDER BY m, o_custkey) AS mq
+                 FROM per)
+         SELECT r * 100 + fq * 10 + mq AS segment,
+                CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(CAST(sum(m) AS VARCHAR) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS avg_monetary
+         FROM seg GROUP BY 1""",
+
+    "x_backtest_mae" ->
+      """WITH hourly AS (SELECT event_type AS et,
+                epoch_us(ts) // 3600000000 AS h,
+                CAST(sum(CAST(value AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
+              FROM events GROUP BY 1, 2),
+         hm AS (SELECT max(h) AS hmax FROM hourly),
+         j AS (SELECT a.et, a.h, a.v, b.v AS vf
+               FROM hourly a
+               JOIN (SELECT et, h + 168 AS h, v FROM hourly) b
+                 ON a.et = b.et AND a.h = b.h
+               CROSS JOIN hm WHERE a.h > hmax - 168)
+         SELECT et, CAST(count(*) AS BIGINT) AS n_hours,
+                CAST(CAST(sum(abs(v - vf)) AS VARCHAR) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS mae,
+                CAST(CAST(sum(v - vf) AS VARCHAR) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS bias
+         FROM j GROUP BY et""",
 
     "x_benford" -> {
       val cases = (1 to 9).map { d =>

@@ -265,6 +265,61 @@ class StatsSpec extends SparkSpec {
       s"10% corruption must not move the median slope, got ${s2.getAs[Double]("slope_ts")}")
   }
 
+  test("concentration: uniform mass -> gini exactly 0; monopoly -> all indices 1; matches brute force") {
+    val uniform = (1 to 50).map(k => (k.toLong, 100.0)).toDF("k", "v")
+    val u = Stats.concentration(uniform, col("k"), col("v")).collect().head
+    assert(u.getAs[Double]("gini") == 0.0)
+    assert(u.getAs[Double]("hhi") == 1.0 / 50.0)
+    val mono = ((1 to 49).map(k => (k.toLong, 0.01)) :+ (50L, 1.0e6))
+      .toDF("k", "v")
+    val m = Stats.concentration(mono, col("k"), col("v")).collect().head
+    assert(m.getAs[Double]("gini") > 0.95 && m.getAs[Double]("top_share") > 0.999)
+    // brute force on random per-key totals
+    val rnd = new scala.util.Random(71)
+    val rows = (1 to 200).map(k => (k.toLong, (rnd.nextInt(9999) + 1) / 100.0))
+    val g = Stats.concentration(rows.toDF("k", "v"), col("k"), col("v"))
+      .collect().head.getAs[Double]("gini")
+    val s = rows.map(_._2).sorted
+    val n = s.size
+    val brute = (2.0 * s.zipWithIndex.map { case (x, i) => (i + 1).toDouble * x }.sum
+      - (n + 1).toDouble * s.sum) / (n.toDouble * s.sum)
+    assert(math.abs(g - brute) < 1e-12, s"$g != $brute")
+  }
+
+  test("rfm segments: codes well-formed, customers fully accounted") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val segs = graft.queries.Ext3.queries("x_rfm_segments")(spark,
+      "/root/testdata/sf0.001").collect()
+    val total = segs.map(_.getAs[Long]("n_customers")).sum
+    assert(total == orders.select("o_custkey").distinct().count())
+    segs.foreach { r =>
+      val code = r.getAs[Int]("segment")
+      val (d1, d2, d3) = (code / 100, code / 10 % 10, code % 10)
+      assert(Seq(d1, d2, d3).forall(d => d >= 1 && d <= 5), s"bad code $code")
+    }
+  }
+
+  test("backtest MAE: a perfectly periodic series scores zero error") {
+    // value depends only on hour-of-week -> week-168 forecast is exact
+    val rows = (0 until 24 * 21).map { h =>
+      ("a", h.toLong, ((h % 168) * 3 + 7).toDouble)
+    }.toDF("et", "h", "v")
+    // inline the operator shape on a pre-bucketed frame
+    val hourly = rows.groupBy("et", "h")
+      .agg(sum(col("v").cast("decimal(18,2)")).as("v"))
+    val hmax = hourly.agg(max("h").as("hmax"))
+    val scored = hourly
+      .join(hourly.select(col("et"), (col("h") + lit(168L)).as("h"),
+        col("v").as("vf")), Seq("et", "h"))
+      .crossJoin(broadcast(hmax))
+      .where(col("h") > col("hmax") - lit(168L))
+      .groupBy("et").agg(
+        (sum(abs(col("v") - col("vf"))).cast("string").cast("double") /
+          count(lit(1)).cast("double")).as("mae"))
+      .collect().head
+    assert(scored.getAs[Double]("mae") == 0.0)
+  }
+
   test("benfordDigits: counts account for every row >= 1, fractions sum to 1") {
     val amts = Seq(123.4, 19.99, 190.0, 2.5, 234.0, 345.6, 91.0, 0.4, 876.0)
       .map(Tuple1(_)).toDF("amt")
