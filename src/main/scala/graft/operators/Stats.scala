@@ -579,6 +579,83 @@ object Stats {
         (dbl(col("smax")) / dbl(col("ts"))).as("top_share"))
   }
 
+  /** Exact permutation test for a two-group rate difference: re-split
+    * the units `b` times by bits 1..b of their single 52-bit md5 prefix
+    * (bit 0 is the OBSERVED assignment, so every permutation is
+    * independent of it and of each other), and report
+    * p = (1 + #{|d_perm| ≥ |d_obs|}) / (b + 1) — the distribution-free
+    * significance readout that backs [[abTest]] without a normality
+    * assumption.
+    *
+    * The p-value is a ratio of exact integers; each permuted difference
+    * is two single divisions and one subtraction, and the ≥ compare is
+    * on bit-identical doubles — so the whole test replays. Scale shape:
+    * the b-way fanout is a generator over a 2-column projection with
+    * codegen bit tests, collapsed map-side by the (replicate) hash
+    * aggregate. */
+  def permutationTest(units: DataFrame, idCol: Column,
+                      convertedCol: Column, b: Int = 32): DataFrame = {
+    require(b >= 2 && b <= 51,
+      s"permutationTest: permutations must be in [2, 51] (hash bits), got $b")
+    def dbl(c: Column) = c.cast("double")
+    val hx = conv(substring(md5(idCol.cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val f = units.select(
+      when(hx.bitwiseAND(lit(1L)) === 0L, 1L).otherwise(0L).as("va"),
+      when(convertedCol, 1L).otherwise(0L).as("conv"), hx.as("hx"))
+    val dObs = f.agg(count(lit(1)).as("n"),
+        sum("conv").as("conv_total"), sum("va").as("n_a"),
+        sum(col("va") * col("conv")).as("c_a"))
+      .select(col("n"), col("conv_total"),
+        abs(dbl(col("c_a")) / dbl(col("n_a")) -
+          dbl(col("conv_total") - col("c_a")) / dbl(col("n") - col("n_a")))
+          .as("d_obs"))
+    val perms = f
+      .select(col("hx"), col("conv"),
+        explode(sequence(lit(1), lit(b))).as("p"))
+      .withColumn("ga",
+        when(col("hx").bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), p)"))
+          === 0, 1L).otherwise(0L))
+      .groupBy("p").agg(count(lit(1)).as("np"), sum("ga").as("na"),
+        sum(col("ga") * col("conv")).as("ca"),
+        sum(col("conv")).as("ct"))
+      .select(col("p"),
+        abs(dbl(col("ca")) / dbl(col("na")) -
+          dbl(col("ct") - col("ca")) / dbl(col("np") - col("na")))
+          .as("d_perm"))
+    perms.crossJoin(broadcast(dObs))
+      .agg(max("n").as("n"), max("conv_total").as("conv_total"),
+        max("d_obs").as("d_obs"), count(lit(1)).as("n_perm"),
+        sum(when(col("d_perm") >= col("d_obs"), 1L).otherwise(0L))
+          .as("n_ge"))
+      .select(col("n"), col("conv_total"), col("d_obs"), col("n_perm"),
+        col("n_ge"),
+        ((col("n_ge") + lit(1L)).cast("double") /
+          (col("n_perm") + lit(1L)).cast("double")).as("p_value"))
+  }
+
+  /** Maximum drawdown of an ordered series (peak-to-trough loss): the
+    * largest drop from a running peak, absolute (exact decimal) and
+    * relative (per-row single division, max of bit-identical doubles).
+    * The risk metric for any cumulative KPI — revenue run-rate, model
+    * quality over releases, cache hit rate. One ordered window over the
+    * step-aggregated series. */
+  def maxDrawdown(df: DataFrame, orderExpr: Column,
+                  valueExpr: Column): DataFrame = {
+    val series = df.groupBy(orderExpr.as("step"))
+      .agg(sum(valueExpr.cast("decimal(18,2)")).as("v0"))
+      .select(col("step"), col("v0").cast("decimal(18,2)").as("v"))
+    val w = Window.orderBy("step")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.select(col("v"), max(col("v")).over(w).as("peak"))
+      .select(col("v"), col("peak"), (col("peak") - col("v")).as("dd"),
+        ((col("peak") - col("v")).cast("string").cast("double") /
+          col("peak").cast("string").cast("double")).as("dd_pct"))
+      .agg(count(lit(1)).as("n_steps"),
+        max(col("dd")).cast("string").cast("double").as("max_dd"),
+        max(col("dd_pct")).as("max_dd_pct"))
+  }
+
   /** Benford's-law expected fraction of leading digit d, computed ONCE
     * in Scala and emitted as the same literal into both the Spark plan
     * and the SQL oracle — no cross-engine transcendental math. */

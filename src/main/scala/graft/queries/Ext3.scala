@@ -178,6 +178,24 @@ object Ext3 {
       Stats.concentration(t(s, d, "orders"), col("o_custkey"),
         col("o_totalprice"))),
 
+    // exact permutation p-value for the A/B rate difference: observed
+    // split = hash bit 0, permutations = bits 1..32 of the SAME hash
+    "x_perm_test" -> ((s, d) => {
+      val users = t(s, d, "events").groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("first_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("purch_us"))
+      Stats.permutationTest(users, col("user_id"),
+        col("purch_us").isNotNull &&
+          col("purch_us") - col("first_us") <= lit(86400000000L), b = 32)
+    }),
+
+    // maximum drawdown of the daily revenue run: largest peak-to-
+    // trough drop, absolute cents and relative
+    "x_drawdown" -> ((s, d) =>
+      Stats.maxDrawdown(t(s, d, "orders"),
+        to_date(col("o_orderdate")), col("o_totalprice"))),
+
     // RFM segmentation: recency/frequency/monetary quintiles (custkey
     // tiebreak makes every ntile deterministic), 3-digit segment codes
     "x_rfm_segments" -> ((s, d) => {
@@ -712,6 +730,64 @@ object Ext3 {
                 CAST(CAST(sum(v - vf) AS VARCHAR) AS DOUBLE)
                   / CAST(count(*) AS DOUBLE) AS bias
          FROM j GROUP BY et""",
+
+    "x_perm_test" ->
+      """WITH u AS (SELECT user_id,
+                min(epoch_us(ts)) AS first_us,
+                min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) AS purch_us
+              FROM events GROUP BY user_id),
+         f AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                  1, 13))::BIGINT AS hx,
+               CASE WHEN purch_us IS NOT NULL
+                    AND purch_us - first_us <= 86400000000 THEN 1 ELSE 0 END
+                 AS conv
+               FROM u),
+         ob AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(conv) AS BIGINT) AS conv_total,
+                CAST(sum(CASE WHEN (hx & 1) = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN (hx & 1) = 0 THEN conv ELSE 0 END)
+                  AS BIGINT) AS c_a FROM f),
+         od AS (SELECT n, conv_total,
+                abs(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(conv_total - c_a AS DOUBLE)
+                    / CAST(n - n_a AS DOUBLE)) AS d_obs FROM ob),
+         pe AS (SELECT p, CAST(count(*) AS BIGINT) AS np,
+                CAST(sum(CASE WHEN (hx & (CAST(1 AS BIGINT) << p)) = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                CAST(sum(CASE WHEN (hx & (CAST(1 AS BIGINT) << p)) = 0
+                  THEN conv ELSE 0 END) AS BIGINT) AS ca,
+                CAST(sum(conv) AS BIGINT) AS ct
+                FROM f CROSS JOIN (SELECT unnest(range(1, 33)) AS p) ps
+                GROUP BY p),
+         pd AS (SELECT p, abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(ct - ca AS DOUBLE) / CAST(np - na AS DOUBLE))
+                  AS d_perm FROM pe)
+         SELECT n, conv_total, d_obs,
+                CAST(count(*) AS BIGINT) AS n_perm,
+                CAST(sum(CASE WHEN d_perm >= d_obs THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ge,
+                CAST(CAST(sum(CASE WHEN d_perm >= d_obs THEN 1 ELSE 0 END)
+                    AS BIGINT) + 1 AS DOUBLE)
+                  / CAST(count(*) + 1 AS DOUBLE) AS p_value
+         FROM pd CROSS JOIN od GROUP BY n, conv_total, d_obs""",
+
+    "x_drawdown" ->
+      """WITH s AS (SELECT CAST(o_orderdate AS DATE) AS step,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS v
+              FROM orders GROUP BY 1),
+         pk AS (SELECT v, max(v) OVER (ORDER BY step ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM s),
+         dd AS (SELECT v, peak, peak - v AS dd,
+                CAST(CAST(peak - v AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(peak AS VARCHAR) AS DOUBLE) AS dd_pct
+                FROM pk)
+         SELECT CAST(count(*) AS BIGINT) AS n_steps,
+                CAST(CAST(max(dd) AS VARCHAR) AS DOUBLE) AS max_dd,
+                max(dd_pct) AS max_dd_pct
+         FROM dd""",
 
     "x_benford" -> {
       val cases = (1 to 9).map { d =>

@@ -320,6 +320,45 @@ class StatsSpec extends SparkSpec {
     assert(scored.getAs[Double]("mae") == 0.0)
   }
 
+  test("permutationTest: planted effect -> minimal p; accounting identity holds") {
+    val mdd = java.security.MessageDigest.getInstance("MD5")
+    def hx(id: String): Long = java.lang.Long.parseLong(
+      mdd.digest(id.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 13), 16)
+    // conversion == observed variant (bit 0): the strongest possible
+    // effect; every permutation's difference is ~0 -> p = 1/(b+1)
+    val units = (1 to 1000).map { i =>
+      (i.toLong, (hx(i.toString) & 1L) == 0L)
+    }.toDF("id", "conv")
+    val got = Stats.permutationTest(units, col("id"), col("conv"), b = 32)
+      .collect().head
+    assert(got.getAs[Double]("d_obs") == 1.0)
+    assert(got.getAs[Long]("n_perm") == 32 && got.getAs[Long]("n_ge") == 0)
+    assert(got.getAs[Double]("p_value") == 1.0 / 33.0)
+    // identity: p == (n_ge + 1) / (n_perm + 1) by construction
+    val rnd = new scala.util.Random(83)
+    val nullUnits = (1 to 1000).map(i => (i.toLong, rnd.nextInt(4) == 0))
+      .toDF("id", "conv")
+    val n0 = Stats.permutationTest(nullUnits, col("id"), col("conv"), b = 32)
+      .collect().head
+    assert(n0.getAs[Double]("p_value") ==
+      (n0.getAs[Long]("n_ge") + 1).toDouble / 33.0)
+  }
+
+  test("maxDrawdown matches the hand-computed peak-to-trough") {
+    val series = Seq((1, 10.0), (2, 8.0), (3, 12.0), (4, 5.0), (5, 9.0))
+      .toDF("step", "amt")
+    val got = Stats.maxDrawdown(series, col("step"), col("amt"))
+      .collect().head
+    assert(got.getAs[Long]("n_steps") == 5)
+    assert(got.getAs[Double]("max_dd") == 7.0)
+    assert(got.getAs[Double]("max_dd_pct") == 7.0 / 12.0)
+    // monotone series never draws down
+    val up = (1 to 10).map(i => (i, i * 10.0)).toDF("step", "amt")
+    assert(Stats.maxDrawdown(up, col("step"), col("amt"))
+      .collect().head.getAs[Double]("max_dd") == 0.0)
+  }
+
   test("benfordDigits: counts account for every row >= 1, fractions sum to 1") {
     val amts = Seq(123.4, 19.99, 190.0, 2.5, 234.0, 345.6, 91.0, 0.4, 876.0)
       .map(Tuple1(_)).toDF("amt")
