@@ -33,6 +33,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stats wave is partition-invariant: identical bits at 1, 7, and 32 partitions") {
+    import graft.operators.Stats
+    val rng = new scala.util.Random(4646)
+    val rows = (1 to 800).map { i =>
+      (i.toLong, s"g${rng.nextInt(5)}", (rng.nextInt(99999) + 1) / 100.0,
+        (rng.nextInt(99999) + 1) / 100.0, rng.nextInt(4) == 0)
+    }
+    val base = rows.toDF("id", "g", "x", "y", "flag")
+    def results(parts: Int): Seq[Seq[org.apache.spark.sql.Row]] = {
+      val df = base.repartition(parts)
+      Seq(
+        Stats.ksTwoSample(df, "x", col("g") === "g0", col("g") === "g1"),
+        Stats.psiDrift(df, floor(col("x") / lit(100.0)).cast("long"),
+          col("g") === "g0", col("g") =!= "g0"),
+        Stats.lagAutocorr(df, col("id") % 50, col("x")),
+        Stats.bootstrapMeanCi(df, "g", col("id"), col("y"), b = 16),
+        Stats.rocAuc(df, col("x"), col("flag")),
+        Stats.conformalInterval(df, col("id"), col("x"), col("y")),
+        Stats.kaplanMeier(df, (col("id") % 30), col("flag")),
+        Stats.abTest(df, col("id") % 2 === 0, col("flag")),
+        Stats.cupedAdjust(df, col("id") % 2 === 0, col("x"), col("y")),
+        Stats.trimmedMean(df, "g", col("y")),
+        Stats.quantileNormalize(df, "g", col("y")),
+        Stats.theilSenSlope(df, col("id"), col("x"), col("y"), 10),
+        Stats.concentration(df, col("id") % 100, col("y")),
+        Stats.permutationTest(df, col("id"), col("flag"), b = 8),
+        Stats.maxDrawdown(df, col("id") % 40, col("y"))
+      ).map(r => r.collect().toSeq.sortBy(_.toString))
+    }
+    val p1 = results(1)
+    for (parts <- Seq(7, 32)) {
+      val pN = results(parts)
+      p1.zip(pN).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a == b, s"operator #$i diverged at $parts partitions")
+      }
+    }
+  }
+
   test("zValue round-trips: de-interleaving recovers both coordinates") {
     val rng = new scala.util.Random(7)
     val pts = (1 to 300).map(_ => (rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
