@@ -196,6 +196,27 @@ object Ext3 {
       Stats.maxDrawdown(t(s, d, "orders"),
         to_date(col("o_orderdate")), col("o_totalprice"))),
 
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and
+    // the embedding-cosine ranking (doc_id == vec_id) — integer ranks,
+    // 1/(60+r) single divisions, a two-term fixed-order sum
+    "x_rrf_hybrid" -> ((s, d) => {
+      val bm = graft.operators.Retrieval.bm25TopK(t(s, d, "documents"),
+          "doc_id", "text", Seq("join", "merge", "scan"), k = 50)
+        .select(col("doc_id"), col("rank").as("r_text"))
+      val cs = graft.operators.Similarity.bruteForceTopK(
+          t(s, d, "embeddings").filter(col("vec_id") === 0),
+          t(s, d, "embeddings"),
+          "vec_id", "embedding", "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("r_vec"))
+      bm.join(cs, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_text"), col("r_vec"),
+          (coalesce(lit(1.0) / (lit(60) + col("r_text")).cast("double"),
+            lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")).cast("double"),
+              lit(0.0))).as("rrf"))
+        .orderBy(desc("rrf"), asc("doc_id")).limit(20)
+    }),
+
     // RFM segmentation: recency/frequency/monetary quintiles (custkey
     // tiebreak makes every ntile deterministic), 3-digit segment codes
     "x_rfm_segments" -> ((s, d) => {
@@ -788,6 +809,62 @@ object Ext3 {
                 CAST(CAST(max(dd) AS VARCHAR) AS DOUBLE) AS max_dd,
                 max(dd_pct) AS max_dd_pct
          FROM dd""",
+
+    // RRF replayed: the x_bm25 oracle chain (depth 50) + the x_cos_topk
+    // chain (probe 0, depth 50), full-outer fused
+    "x_rrf_hybrid" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "idf")
+      s"""WITH occ AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+          dl AS (SELECT doc, count(*) AS dl FROM occ GROUP BY doc),
+          stats AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl FROM dl),
+          tf AS (SELECT doc, term, count(*) AS tf FROM occ
+                 WHERE term IN ('join', 'merge', 'scan') GROUP BY doc, term),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          sc0 AS (SELECT doc, term, tf, df, dl, n_docs, avgdl,
+                         1.0 + (n_docs - df + 0.5) / (df + 0.5) AS lnin
+                  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc)
+                       CROSS JOIN stats),
+          pl1 AS (SELECT *, $l1 FROM sc0),
+          pl2 AS (SELECT *, $l2 FROM pl1),
+          pl3 AS (SELECT *, $l3 FROM pl2),
+          sc AS (SELECT doc, term,
+                        idf * (tf * (CAST('1.2' AS DOUBLE) + 1.0))
+                            / (tf + CAST('1.2' AS DOUBLE)
+                                 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS s
+                 FROM pl3),
+          pt AS (SELECT doc,
+                        max(CASE WHEN term = 'join' THEN s END) AS s1,
+                        max(CASE WHEN term = 'merge' THEN s END) AS s2,
+                        max(CASE WHEN term = 'scan' THEN s END) AS s3
+                 FROM sc GROUP BY doc),
+          tot AS (SELECT doc AS doc_id,
+                         coalesce(s1, 0.0) + coalesce(s2, 0.0)
+                           + coalesce(s3, 0.0) AS score
+                  FROM pt),
+          bmr AS (SELECT doc_id, CAST(row_number() OVER
+                    (ORDER BY score DESC, doc_id) AS INTEGER) AS r_text
+                  FROM tot ORDER BY score DESC, doc_id LIMIT 50),
+          e AS (SELECT vec_id, list_transform(embedding,
+                  x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          nr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+          q AS (SELECT v AS qv, nrm AS qn FROM nr WHERE vec_id = 0),
+          scored AS (SELECT nr.vec_id AS doc_id,
+                     CASE WHEN qn * nrm <> 0
+                          THEN list_dot_product(qv, v) / (qn * nrm) END AS cos
+                     FROM nr CROSS JOIN q),
+          csr AS (SELECT doc_id, CAST(rk AS INTEGER) AS r_vec FROM
+                  (SELECT doc_id, row_number() OVER
+                     (ORDER BY cos DESC, doc_id ASC) AS rk FROM scored) z
+                  WHERE rk <= 50),
+          f AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+                       b.r_text, c.r_vec
+                FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id)
+          SELECT doc_id, r_text, r_vec,
+                 COALESCE(1.0 / CAST(60 + r_text AS DOUBLE), 0.0)
+                   + COALESCE(1.0 / CAST(60 + r_vec AS DOUBLE), 0.0) AS rrf
+          FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""
+    },
 
     "x_benford" -> {
       val cases = (1 to 9).map { d =>

@@ -359,6 +359,23 @@ class StatsSpec extends SparkSpec {
       .collect().head.getAs[Double]("max_dd") == 0.0)
   }
 
+  test("rrf fusion: scores recompute from ranks, ordering respected") {
+    val rows = graft.queries.Ext3.queries("x_rrf_hybrid")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val rt = Option(r.getAs[Integer]("r_text")).map(_.toInt)
+      val rv = Option(r.getAs[Integer]("r_vec")).map(_.toInt)
+      assert(rt.isDefined || rv.isDefined, "fused doc must appear in a list")
+      val expect = rt.map(x => 1.0 / (60 + x).toDouble).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x).toDouble).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == expect)
+      assert(r.getAs[Double]("rrf") <= prev, "must be rrf-descending")
+      prev = r.getAs[Double]("rrf")
+    }
+  }
+
   test("benfordDigits: counts account for every row >= 1, fractions sum to 1") {
     val amts = Seq(123.4, 19.99, 190.0, 2.5, 234.0, 345.6, 91.0, 0.4, 876.0)
       .map(Tuple1(_)).toDF("amt")
