@@ -656,6 +656,41 @@ object Stats {
         max(col("dd_pct")).as("max_dd_pct"))
   }
 
+  /** One-way ANOVA F statistic: does the metric's mean differ across
+    * groups more than within-group noise explains?
+    * F = (SSB/(k−1)) / (SSW/(n−k)), with SSB/SSW derived from
+    * per-group decimal sums via the computational identity
+    * SS = Σx² − (Σx)²/n — every sum-of-squares is a fixed sequence of
+    * string-mediated-cast double ops over exact decimal aggregates, so
+    * the statistic replays exactly. One hash aggregate to the group
+    * spine + one 1-row reduce; the classic "do these segments really
+    * differ" readout over any per-group metric. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val per = df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(valueCol.cast("decimal(18,2)")).as("sg"),
+        sum(valueCol.cast("decimal(18,2)") * valueCol.cast("decimal(18,2)"))
+          .as("qg"))
+    // per-group (Σx)²/n in double (one product + one division each),
+    // summed in GROUP-KEY order via an ordered fold — k is small but the
+    // discipline holds regardless
+    val folded = per.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+        sum("sg").as("s_all"), sum("qg").as("q_all"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("g"),
+            ((dbl(col("sg")) * dbl(col("sg"))) / dbl(col("ng"))).as("t")))),
+            x => x.getField("t")),
+          lit(0.0), (a, x) => a + x).as("t_sum"))
+    folded.select(col("k"), col("n"),
+        (col("t_sum") - (dbl(col("s_all")) * dbl(col("s_all"))) /
+          dbl(col("n"))).as("ssb"),
+        (dbl(col("q_all")) - col("t_sum")).as("ssw"))
+      .select(col("k"), col("n"), col("ssb"), col("ssw"),
+        ((col("ssb") / (col("k") - lit(1L)).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double"))).as("f_stat"))
+  }
+
   /** Benford's-law expected fraction of leading digit d, computed ONCE
     * in Scala and emitted as the same literal into both the Spark plan
     * and the SQL oracle — no cross-engine transcendental math. */

@@ -178,6 +178,12 @@ object Ext3 {
       Stats.concentration(t(s, d, "orders"), col("o_custkey"),
         col("o_totalprice"))),
 
+    // one-way ANOVA: does mean order value differ across priority
+    // classes beyond within-class noise
+    "x_anova" -> ((s, d) =>
+      Stats.anovaF(t(s, d, "orders"), "o_orderpriority",
+        col("o_totalprice"))),
+
     // exact permutation p-value for the A/B rate difference: observed
     // split = hash bit 0, permutations = bits 1..32 of the SAME hash
     "x_perm_test" -> ((s, d) => {
@@ -865,6 +871,32 @@ object Ext3 {
                    + COALESCE(1.0 / CAST(60 + r_vec AS DOUBLE), 0.0) AS rrf
           FROM f ORDER BY rrf DESC, doc_id LIMIT 20"""
     },
+
+    "x_anova" ->
+      """WITH per AS (SELECT o_orderpriority AS g,
+                CAST(count(*) AS BIGINT) AS ng,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sg,
+                sum(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(o_totalprice AS DECIMAL(18,2))) AS qg
+              FROM orders GROUP BY 1),
+         pd AS (SELECT g, ng,
+                CAST(CAST(sg AS VARCHAR) AS DOUBLE) AS sgd,
+                CAST(CAST(qg AS VARCHAR) AS DOUBLE) AS qgd,
+                sg, qg FROM per),
+         fo AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(ng) AS BIGINT) AS n,
+                CAST(CAST(sum(sg) AS VARCHAR) AS DOUBLE) AS s_all,
+                CAST(CAST(sum(qg) AS VARCHAR) AS DOUBLE) AS q_all,
+                list_sum(list((sgd * sgd) / CAST(ng AS DOUBLE)
+                  ORDER BY g)) AS t_sum
+                FROM pd),
+         ss AS (SELECT k, n,
+                t_sum - (s_all * s_all) / CAST(n AS DOUBLE) AS ssb,
+                q_all - t_sum AS ssw FROM fo)
+         SELECT k, n, ssb, ssw,
+                (ssb / CAST(k - 1 AS DOUBLE))
+                  / (ssw / CAST(n - k AS DOUBLE)) AS f_stat
+         FROM ss""",
 
     "x_benford" -> {
       val cases = (1 to 9).map { d =>

@@ -376,6 +376,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("anovaF: identical groups -> F ~ 0; separated means -> large F; matches closed form") {
+    // three groups with the SAME values: SSB is exactly 0
+    val same = (1 to 300).map(i => (s"g${i % 3}", ((i / 3) % 50 + 1).toDouble))
+      .toDF("g", "v")
+    val s0 = Stats.anovaF(same, "g", col("v")).collect().head
+    assert(math.abs(s0.getAs[Double]("ssb")) < 1e-6 * s0.getAs[Double]("ssw"),
+      "identical groups must have ~zero between-group variance")
+    // strongly separated means
+    val sep = ((1 to 100).map(i => ("a", 10.0 + (i % 5))) ++
+      (1 to 100).map(i => ("b", 500.0 + (i % 5)))).toDF("g", "v")
+    val s1 = Stats.anovaF(sep, "g", col("v")).collect().head
+    assert(s1.getAs[Long]("k") == 2 && s1.getAs[Long]("n") == 200)
+    // closed form with the same op order
+    val a = (1 to 100).map(i => 10.0 + (i % 5))
+    val b = (1 to 100).map(i => 500.0 + (i % 5))
+    val tSum = (a.sum * a.sum) / 100.0 + (b.sum * b.sum) / 100.0
+    val all = a ++ b
+    val ssb = tSum - (all.sum * all.sum) / 200.0
+    val ssw = all.map(x => x * x).sum - tSum
+    val f = (ssb / 1.0) / (ssw / 198.0)
+    assert(math.abs(s1.getAs[Double]("f_stat") - f) < 1e-9 * f,
+      s"${s1.getAs[Double]("f_stat")} != $f")
+  }
+
   test("benfordDigits: counts account for every row >= 1, fractions sum to 1") {
     val amts = Seq(123.4, 19.99, 190.0, 2.5, 234.0, 345.6, 91.0, 0.4, 876.0)
       .map(Tuple1(_)).toDF("amt")
