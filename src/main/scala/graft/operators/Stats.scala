@@ -691,6 +691,91 @@ object Stats {
           (col("ssw") / (col("n") - col("k")).cast("double"))).as("f_stat"))
   }
 
+  /** Welch's unequal-variance t-test between the rows matching `inA`
+    * and those matching `inB`, plus Cohen's d effect size — the
+    * two-sample companion of [[anovaF]] (and the mean-difference twin
+    * of the proportion test in [[abTest]]).
+    *
+    * t = (m̄A − m̄B) / √(vA/nA + vB/nB), with Welch–Satterthwaite
+    * degrees of freedom and d = (m̄A − m̄B)/s_pooled. Means and
+    * variances come from per-side decimal Σx / Σx² (the SS identity),
+    * so everything after the aggregate is a fixed sequence of
+    * string-mediated-cast double ops plus two correctly-rounded
+    * `sqrt`s — bit-replayable. ONE conditional hash aggregate over the
+    * data (no shuffle beyond the 1-row reduce). */
+  def welchT(df: DataFrame, inA: Column, inB: Column,
+             valueCol: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val dec = valueCol.cast("decimal(18,2)")
+    val agg1 = df.agg(
+      count(when(inA, 1)).as("na"), count(when(inB, 1)).as("nb"),
+      sum(when(inA, dec)).as("sa"), sum(when(inB, dec)).as("sb"),
+      sum(when(inA, dec * dec)).as("qa"), sum(when(inB, dec * dec)).as("qb"))
+    val m = agg1.select(col("na"), col("nb"),
+      (dbl(col("sa")) / dbl(col("na"))).as("mean_a"),
+      (dbl(col("sb")) / dbl(col("nb"))).as("mean_b"),
+      ((dbl(col("qa")) - (dbl(col("sa")) * dbl(col("sa"))) / dbl(col("na"))) /
+        (col("na") - lit(1L)).cast("double")).as("va"),
+      ((dbl(col("qb")) - (dbl(col("sb")) * dbl(col("sb"))) / dbl(col("nb"))) /
+        (col("nb") - lit(1L)).cast("double")).as("vb"))
+    m.select(col("na"), col("nb"), col("mean_a"), col("mean_b"),
+        (col("va") / dbl(col("na"))).as("ua"),
+        (col("vb") / dbl(col("nb"))).as("ub"),
+        col("va"), col("vb"))
+      .select(col("na"), col("nb"), col("mean_a"), col("mean_b"),
+        ((col("mean_a") - col("mean_b")) / sqrt(col("ua") + col("ub")))
+          .as("t_stat"),
+        (((col("ua") + col("ub")) * (col("ua") + col("ub"))) /
+          ((col("ua") * col("ua")) / (col("na") - lit(1L)).cast("double") +
+           (col("ub") * col("ub")) / (col("nb") - lit(1L)).cast("double")))
+          .as("df_welch"),
+        ((col("mean_a") - col("mean_b")) /
+          sqrt(((col("na") - lit(1L)).cast("double") * col("va") +
+                (col("nb") - lit(1L)).cast("double") * col("vb")) /
+               (col("na") + col("nb") - lit(2L)).cast("double")))
+          .as("cohens_d"))
+  }
+
+  /** Pearson chi-square test of independence over the `rowCol` ×
+    * `colCol` contingency table, with Cramér's V effect size — "are
+    * these two categorical columns associated, and how strongly"
+    * (V ∈ [0,1] is comparable across table shapes, unlike raw χ²).
+    *
+    * χ² = Σ (o − e)²/e with e = rowTot·colTot/n, summed over the FULL
+    * R×C cross — a structurally-zero cell still contributes
+    * (0 − e)²/e = e, so the spine is the cross join of the two marginal
+    * spines with observed counts left-joined in (the observed-cells-only
+    * shortcut understates χ² whenever any combination is absent). Cell
+    * counts and marginals are exact integers; each cell term is a fixed
+    * double sequence over exact operands, and the total is a fold in
+    * (r,c) cell order. V = √(χ²/(n·(min(R,C)−1))).
+    * One hash aggregate to the cell spine (tiny), then 1-row. */
+  def cramersV(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val cells = df.groupBy(rowCol.cast("string").as("r"),
+      colCol.cast("string").as("c")).agg(count(lit(1)).as("o"))
+    val rmarg = cells.groupBy("r").agg(sum("o").as("rt"))
+    val cmarg = cells.groupBy("c").agg(sum("o").as("ct"))
+    val tot = cells.agg(sum("o").as("n"))
+    val full = rmarg.crossJoin(cmarg).crossJoin(broadcast(tot))
+      .join(cells, Seq("r", "c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val term = full.select(col("r"), col("c"), col("o"), col("n"),
+      ((dbl(col("rt")) * dbl(col("ct"))) / dbl(col("n"))).as("e"))
+      .select(col("r"), col("c"), col("n"),
+        ((dbl(col("o")) - col("e")) * (dbl(col("o")) - col("e")) / col("e"))
+          .as("term"))
+    term.agg(max("n").as("n"),
+        countDistinct("r").as("rk"), countDistinct("c").as("ck"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("r"), col("c"),
+            col("term").as("t")))), x => x.getField("t")),
+          lit(0.0), (a, x) => a + x).as("chi2"))
+      .select(col("n"), col("rk"), col("ck"), col("chi2"),
+        sqrt(col("chi2") / (dbl(col("n")) *
+          dbl(least(col("rk"), col("ck")) - lit(1L)))).as("cramers_v"))
+  }
+
   /** Benford's-law expected fraction of leading digit d, computed ONCE
     * in Scala and emitted as the same literal into both the Spark plan
     * and the SQL oracle — no cross-engine transcendental math. */

@@ -184,6 +184,19 @@ object Ext3 {
       Stats.anovaF(t(s, d, "orders"), "o_orderpriority",
         col("o_totalprice"))),
 
+    // Welch's unequal-variance t-test: finished vs open orders' mean
+    // value, Satterthwaite df, Cohen's d — one conditional aggregate
+    "x_ttest" -> ((s, d) =>
+      Stats.welchT(t(s, d, "orders"),
+        col("o_orderstatus") === "F", col("o_orderstatus") === "O",
+        col("o_totalprice"))),
+
+    // chi-square independence + Cramér's V over the priority × status
+    // contingency table — marginals via integer window sums
+    "x_cramers_v" -> ((s, d) =>
+      Stats.cramersV(t(s, d, "orders"), col("o_orderpriority"),
+        col("o_orderstatus"))),
+
     // exact permutation p-value for the A/B rate difference: observed
     // split = hash bit 0, permutations = bits 1..32 of the SAME hash
     "x_perm_test" -> ((s, d) => {
@@ -897,6 +910,78 @@ object Ext3 {
                 (ssb / CAST(k - 1 AS DOUBLE))
                   / (ssw / CAST(n - k AS DOUBLE)) AS f_stat
          FROM ss""",
+
+    "x_ttest" ->
+      """WITH ag AS (SELECT
+              CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS na,
+              CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS nb,
+              sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS sa,
+              sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS sb,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS qa,
+              sum(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS qb
+            FROM orders),
+         m AS (SELECT na, nb,
+              CAST(CAST(sa AS VARCHAR) AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a,
+              CAST(CAST(sb AS VARCHAR) AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b,
+              (CAST(CAST(qa AS VARCHAR) AS DOUBLE)
+                 - (CAST(CAST(sa AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(sa AS VARCHAR) AS DOUBLE)) / CAST(na AS DOUBLE))
+                / CAST(na - 1 AS DOUBLE) AS va,
+              (CAST(CAST(qb AS VARCHAR) AS DOUBLE)
+                 - (CAST(CAST(sb AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(sb AS VARCHAR) AS DOUBLE)) / CAST(nb AS DOUBLE))
+                / CAST(nb - 1 AS DOUBLE) AS vb
+            FROM ag),
+         u AS (SELECT na, nb, mean_a, mean_b, va, vb,
+              va / CAST(na AS DOUBLE) AS ua,
+              vb / CAST(nb AS DOUBLE) AS ub FROM m)
+         SELECT na, nb, mean_a, mean_b,
+              (mean_a - mean_b) / sqrt(ua + ub) AS t_stat,
+              ((ua + ub) * (ua + ub))
+                / ((ua * ua) / CAST(na - 1 AS DOUBLE)
+                   + (ub * ub) / CAST(nb - 1 AS DOUBLE)) AS df_welch,
+              (mean_a - mean_b)
+                / sqrt((CAST(na - 1 AS DOUBLE) * va
+                        + CAST(nb - 1 AS DOUBLE) * vb)
+                       / CAST(na + nb - 2 AS DOUBLE)) AS cohens_d
+         FROM u""",
+
+    "x_cramers_v" ->
+      """WITH cells AS (SELECT CAST(o_orderpriority AS VARCHAR) AS r,
+                CAST(o_orderstatus AS VARCHAR) AS c,
+                CAST(count(*) AS BIGINT) AS o
+              FROM orders GROUP BY 1, 2),
+         rmarg AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt
+              FROM cells GROUP BY r),
+         cmarg AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct
+              FROM cells GROUP BY c),
+         nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         tt AS (SELECT rmarg.r, cmarg.c, rt, ct, n,
+                coalesce(o, 0) AS o
+              FROM rmarg CROSS JOIN cmarg CROSS JOIN nn
+              LEFT JOIN cells ON cells.r = rmarg.r AND cells.c = cmarg.c),
+         ee AS (SELECT r, c, o, n,
+                (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                  / CAST(n AS DOUBLE) AS e FROM tt),
+         tm AS (SELECT r, c, n,
+                (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS term
+              FROM ee),
+         fo AS (SELECT CAST(max(n) AS BIGINT) AS n,
+                CAST(count(DISTINCT r) AS BIGINT) AS rk,
+                CAST(count(DISTINCT c) AS BIGINT) AS ck,
+                list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+                  list(term ORDER BY r, c)), (a, x) -> a + x) AS chi2
+              FROM tm)
+         SELECT n, rk, ck, chi2,
+              sqrt(chi2 / (CAST(n AS DOUBLE)
+                * CAST(least(rk, ck) - 1 AS DOUBLE))) AS cramers_v
+         FROM fo""",
 
     "x_benford" -> {
       val cases = (1 to 9).map { d =>

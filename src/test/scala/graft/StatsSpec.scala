@@ -400,6 +400,47 @@ class StatsSpec extends SparkSpec {
       s"${s1.getAs[Double]("f_stat")} != $f")
   }
 
+  test("welchT: identical samples -> t ~ 0; shifted mean -> matches closed form") {
+    val same = (1 to 200).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i % 25 + 1).toDouble)).toDF("g", "v")
+    val r0 = Stats.welchT(same, col("g") === "a", col("g") === "b",
+      col("v")).collect().head
+    assert(math.abs(r0.getAs[Double]("t_stat")) < 1e-9,
+      "same distribution per side must give t ~ 0")
+    // shifted: closed form with the same op order
+    val df = ((1 to 60).map(i => ("a", 100.0 + (i % 7))) ++
+      (1 to 40).map(i => ("b", 80.0 + (i % 7)))).toDF("g", "v")
+    val r1 = Stats.welchT(df, col("g") === "a", col("g") === "b",
+      col("v")).collect().head
+    val a = (1 to 60).map(i => 100.0 + (i % 7))
+    val b = (1 to 40).map(i => 80.0 + (i % 7))
+    def v(xs: Seq[Double]) =
+      (xs.map(x => x * x).sum - xs.sum * xs.sum / xs.size) / (xs.size - 1)
+    val (ua, ub) = (v(a) / a.size, v(b) / b.size)
+    val t = (a.sum / a.size - b.sum / b.size) / math.sqrt(ua + ub)
+    val dfw = (ua + ub) * (ua + ub) /
+      (ua * ua / (a.size - 1) + ub * ub / (b.size - 1))
+    assert(math.abs(r1.getAs[Double]("t_stat") - t) < 1e-9 * math.abs(t))
+    assert(math.abs(r1.getAs[Double]("df_welch") - dfw) < 1e-9 * dfw)
+    assert(r1.getAs[Double]("cohens_d") > 0, "a's mean is higher")
+  }
+
+  test("cramersV: independent table -> chi2 ~ 0; perfect association -> V = 1") {
+    // counts with exact product structure: P(r,c) = P(r)P(c)
+    val ind = (for { r <- 1 to 3; c <- 1 to 4; k <- 1 to (r * c) }
+      yield (s"r$r", s"c$c")).toDF("r", "c")
+    val i0 = Stats.cramersV(ind, col("r"), col("c")).collect().head
+    assert(math.abs(i0.getAs[Double]("chi2")) < 1e-9,
+      "product-structured table must have zero chi-square")
+    // diagonal 2x2: V must be exactly 1
+    val diag = ((1 to 30).map(_ => ("x", "u")) ++
+      (1 to 20).map(_ => ("y", "w"))).toDF("r", "c")
+    val d0 = Stats.cramersV(diag, col("r"), col("c")).collect().head
+    assert(d0.getAs[Long]("n") == 50 && d0.getAs[Long]("rk") == 2)
+    assert(math.abs(d0.getAs[Double]("cramers_v") - 1.0) < 1e-12,
+      s"diagonal table must give V = 1, got ${d0.getAs[Double]("cramers_v")}")
+  }
+
   test("benfordDigits: counts account for every row >= 1, fractions sum to 1") {
     val amts = Seq(123.4, 19.99, 190.0, 2.5, 234.0, 345.6, 91.0, 0.4, 876.0)
       .map(Tuple1(_)).toDF("amt")
