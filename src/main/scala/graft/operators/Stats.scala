@@ -776,6 +776,137 @@ object Stats {
           dbl(least(col("rk"), col("ck")) - lit(1L)))).as("cramers_v"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) test between the rows matching
+    * `inA` and those matching `inB` — the nonparametric twin of
+    * [[welchT]]: does one side stochastically dominate, regardless of
+    * distribution shape.
+    *
+    * Midranks come from the distinct-value spine (the [[rocAuc]]
+    * device: 2·midrank = 2·cum_before + cnt + 1 is always integral), so
+    * U is exact integer arithmetic until one halving; the tie-corrected
+    * normal z uses Σ(t³−t) accumulated in decimal (t³ overflows int64
+    * once a single value repeats ~2M times). Doubles enter only through
+    * correctly-rounded casts/divisions and one `sqrt`.
+    *
+    * Scale shape: one hash aggregate to distinct values, one cumulative
+    * window over the value spine (global — at 100 TB run it on a binned
+    * or discretized value like [[ksTwoSample]]), one 1-row reduce. */
+  def mannWhitneyU(df: DataFrame, inA: Column, inB: Column,
+                   valueCol: String): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    val f = df.filter(inA || inB).select(col(valueCol).as("v"),
+      when(inA, 1L).otherwise(0L).as("ya"))
+    val perV = f.groupBy("v").agg(count(lit(1)).as("cnt"), sum("ya").as("ca"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c12 = col("cnt").cast("decimal(12,0)")
+    val folded = perV.withColumn("cum_incl", sum(col("cnt")).over(w))
+      .select((col("ca") * (lit(2L) * (col("cum_incl") - col("cnt"))
+          + col("cnt") + lit(1L))).as("r2a"),
+        (c12 * c12 * c12 - c12).as("tt"))
+      .agg(sum("r2a").as("r2a"), sum("tt").as("sum_t"))
+    val tot = f.agg(sum("ya").as("na"), (count(lit(1)) - sum("ya")).as("nb"))
+    folded.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        ((col("r2a") - col("na") * (col("na") + lit(1L))).cast("double") /
+          lit(2.0)).as("u_stat"),
+        (dbl(col("na")) * dbl(col("nb")) / lit(2.0)).as("mu"),
+        ((dbl(col("na")) * dbl(col("nb")) / lit(12.0)) *
+          ((dbl(col("na") + col("nb")) + lit(1.0)) -
+            col("sum_t").cast("string").cast("double") /
+              (dbl(col("na") + col("nb")) *
+                (dbl(col("na") + col("nb")) - lit(1.0))))).as("sig2"))
+      .select(col("na"), col("nb"), col("u_stat"),
+        ((col("u_stat") - col("mu")) / sqrt(col("sig2"))).as("z_stat"))
+  }
+
+  /** Kruskal–Wallis H test: the rank-based (distribution-free) analog
+    * of [[anovaF]] across k groups. Global midranks from the
+    * distinct-value spine (integer 2·midrank), per-group rank sums via
+    * an exact integer join-aggregate, then
+    * H = 12/(n(n+1))·Σ R²_g/n_g − 3(n+1), divided by the tie
+    * correction 1 − Σ(t³−t)/(n³−n). The per-group term sum is a fold in
+    * group-key order; Σ(t³−t) accumulates in decimal.
+    *
+    * Scale shape: value-spine aggregate + cumulative window (global —
+    * bin first at 100 TB), one join of the (g,v) spine to the value
+    * spine, one k-row fold. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    val base = df.select(col(groupCol).cast("string").as("g"),
+      col(valueCol).as("v"))
+    val perV = base.groupBy("v").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c12 = col("cnt").cast("decimal(12,0)")
+    val sp = perV.withColumn("cum_incl", sum(col("cnt")).over(w))
+      .select(col("v"),
+        (lit(2L) * (col("cum_incl") - col("cnt")) + col("cnt") + lit(1L))
+          .as("m2"),
+        (c12 * c12 * c12 - c12).as("tt"))
+    val ties = sp.agg(sum("tt").as("sum_t"))
+    val perG = base.groupBy("g", "v").agg(count(lit(1)).as("cgv"))
+      .join(sp.select("v", "m2"), Seq("v"))
+      .groupBy("g").agg(sum(col("cgv") * col("m2")).as("r2g"),
+        sum("cgv").as("ng"))
+    val folded = perG.agg(count(lit(1)).as("k"), sum("ng").as("n"),
+      aggregate(
+        transform(sort_array(collect_list(struct(col("g"),
+          (((col("r2g").cast("double") / lit(2.0)) *
+            (col("r2g").cast("double") / lit(2.0))) /
+            col("ng").cast("double")).as("t")))),
+          x => x.getField("t")),
+        lit(0.0), (a, x) => a + x).as("t_sum"))
+    folded.crossJoin(broadcast(ties))
+      .select(col("k"), col("n"),
+        ((lit(12.0) / (dbl(col("n")) * (dbl(col("n")) + lit(1.0))) *
+          col("t_sum") - lit(3.0) * (dbl(col("n")) + lit(1.0))) /
+          (lit(1.0) - col("sum_t").cast("string").cast("double") /
+            (dbl(col("n")) * dbl(col("n")) * dbl(col("n")) - dbl(col("n")))))
+          .as("h_stat"))
+  }
+
+  /** Spearman rank correlation: Pearson correlation of midranks —
+    * monotone association robust to outliers and nonlinearity, the
+    * feature-screening companion of the exact-corr recipe.
+    *
+    * Each column gets integer 2·midranks from its own distinct-value
+    * spine; the moment sums accumulate in decimal (Σ(2r)² passes 2⁶³
+    * near a billion rows), and ρ is the textbook moment formula over
+    * string-mediated double casts — identical fixed op order on both
+    * engines.
+    *
+    * Scale shape: two value-spine aggregates + cumulative windows
+    * (global — discretize first at 100 TB), two spine joins back to the
+    * fact rows, one 1-row moment reduce. */
+  def spearmanRho(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val base = df.select(xCol.as("x"), yCol.as("y"))
+    def spine(c: String) = {
+      val w = Window.orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(c).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .select(col(c),
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+            .cast("decimal(19,0)").as(s"m2_$c"))
+    }
+    val ranked = base.join(spine("x"), Seq("x")).join(spine("y"), Seq("y"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum("m2_x").as("sx"), sum("m2_y").as("sy"),
+        sum(col("m2_x") * col("m2_x")).as("sxx"),
+        sum(col("m2_y") * col("m2_y")).as("syy"),
+        sum(col("m2_x") * col("m2_y")).as("sxy"))
+      .select(col("n"),
+        ((col("n").cast("double") * dbl(col("sxy")) -
+          dbl(col("sx")) * dbl(col("sy"))) /
+          (sqrt(col("n").cast("double") * dbl(col("sxx")) -
+            dbl(col("sx")) * dbl(col("sx"))) *
+           sqrt(col("n").cast("double") * dbl(col("syy")) -
+            dbl(col("sy")) * dbl(col("sy"))))).as("rho"))
+  }
+
   /** Benford's-law expected fraction of leading digit d, computed ONCE
     * in Scala and emitted as the same literal into both the Spark plan
     * and the SQL oracle — no cross-engine transcendental math. */

@@ -197,6 +197,24 @@ object Ext3 {
       Stats.cramersV(t(s, d, "orders"), col("o_orderpriority"),
         col("o_orderstatus"))),
 
+    // Mann-Whitney U: nonparametric F-vs-O order-value comparison with
+    // tie-corrected z — midranks off the distinct-value spine
+    "x_mannwhitney" -> ((s, d) =>
+      Stats.mannWhitneyU(t(s, d, "orders"),
+        col("o_orderstatus") === "F", col("o_orderstatus") === "O",
+        "o_totalprice")),
+
+    // Kruskal-Wallis H: rank-based ANOVA across order priorities
+    "x_kruskal" -> ((s, d) =>
+      Stats.kruskalWallis(t(s, d, "orders"), "o_orderpriority",
+        "o_totalprice")),
+
+    // Spearman rank correlation: quantity vs extended price monotone
+    // association over lineitem (heavy ties on the quantity side)
+    "x_spearman" -> ((s, d) =>
+      Stats.spearmanRho(t(s, d, "lineitem"), col("l_quantity"),
+        col("l_extendedprice"))),
+
     // exact permutation p-value for the A/B rate difference: observed
     // split = hash bit 0, permutations = bits 1..32 of the SAME hash
     "x_perm_test" -> ((s, d) => {
@@ -982,6 +1000,109 @@ object Ext3 {
               sqrt(chi2 / (CAST(n AS DOUBLE)
                 * CAST(least(rk, ck) - 1 AS DOUBLE))) AS cramers_v
          FROM fo""",
+
+    "x_mannwhitney" ->
+      """WITH f AS (SELECT o_totalprice AS v,
+                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ya
+              FROM orders WHERE o_orderstatus IN ('F', 'O')),
+         g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(ya) AS BIGINT) AS ca FROM f GROUP BY v),
+         s AS (SELECT cnt, ca,
+                CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_incl FROM g),
+         fo AS (SELECT
+                CAST(sum(ca * (2 * (cum_incl - cnt) + cnt + 1)) AS BIGINT)
+                  AS r2a,
+                sum(CAST(cnt AS DECIMAL(12,0)) * CAST(cnt AS DECIMAL(12,0))
+                    * CAST(cnt AS DECIMAL(12,0))
+                    - CAST(cnt AS DECIMAL(12,0))) AS sum_t FROM s),
+         t AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+                CAST(count(*) - sum(ya) AS BIGINT) AS nb FROM f),
+         u AS (SELECT na, nb,
+                CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 AS u_stat,
+                CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0 AS mu,
+                (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                  * ((CAST(na + nb AS DOUBLE) + 1.0)
+                     - CAST(CAST(sum_t AS VARCHAR) AS DOUBLE)
+                       / (CAST(na + nb AS DOUBLE)
+                          * (CAST(na + nb AS DOUBLE) - 1.0))) AS sig2
+              FROM fo CROSS JOIN t)
+         SELECT na, nb, u_stat, (u_stat - mu) / sqrt(sig2) AS z_stat
+         FROM u""",
+
+    "x_kruskal" ->
+      """WITH base AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+                o_totalprice AS v FROM orders),
+         perv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+              FROM base GROUP BY v),
+         sp AS (SELECT v, cnt,
+                CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_incl
+              FROM perv),
+         spm AS (SELECT v,
+                CAST(2 * (cum_incl - cnt) + cnt + 1 AS BIGINT) AS m2,
+                CAST(cnt AS DECIMAL(12,0)) * CAST(cnt AS DECIMAL(12,0))
+                  * CAST(cnt AS DECIMAL(12,0))
+                  - CAST(cnt AS DECIMAL(12,0)) AS tt FROM sp),
+         ties AS (SELECT sum(tt) AS sum_t FROM spm),
+         perg AS (SELECT g, CAST(sum(cgv * m2) AS BIGINT) AS r2g,
+                CAST(sum(cgv) AS BIGINT) AS ng
+              FROM (SELECT g, v, CAST(count(*) AS BIGINT) AS cgv
+                    FROM base GROUP BY g, v) gv
+              JOIN spm USING (v) GROUP BY g),
+         fo AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(ng) AS BIGINT) AS n,
+                list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+                  list(((CAST(r2g AS DOUBLE) / 2.0)
+                        * (CAST(r2g AS DOUBLE) / 2.0))
+                       / CAST(ng AS DOUBLE) ORDER BY g)),
+                  (a, x) -> a + x) AS t_sum
+              FROM perg)
+         SELECT k, n,
+                (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                   * t_sum - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                / (1.0 - CAST(CAST(sum_t AS VARCHAR) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) AS h_stat
+         FROM fo CROSS JOIN ties""",
+
+    "x_spearman" ->
+      """WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y
+              FROM lineitem),
+         sx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM base
+              GROUP BY x),
+         mx AS (SELECT x, CAST(2 * (cum - cnt) + cnt + 1
+                  AS DECIMAL(19,0)) AS m2_x
+              FROM (SELECT x, cnt,
+                    CAST(sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM sx)),
+         sy AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM base
+              GROUP BY y),
+         my AS (SELECT y, CAST(2 * (cum - cnt) + cnt + 1
+                  AS DECIMAL(19,0)) AS m2_y
+              FROM (SELECT y, cnt,
+                    CAST(sum(cnt) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM sy)),
+         r AS (SELECT m2_x, m2_y FROM base JOIN mx USING (x)
+               JOIN my USING (y)),
+         mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                sum(m2_x) AS sxs, sum(m2_y) AS sys,
+                sum(m2_x * m2_x) AS sxx, sum(m2_y * m2_y) AS syy,
+                sum(m2_x * m2_y) AS sxy FROM r)
+         SELECT n,
+                (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(sxs AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(sys AS VARCHAR) AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE)
+                        * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                        - CAST(CAST(sxs AS VARCHAR) AS DOUBLE)
+                          * CAST(CAST(sxs AS VARCHAR) AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE)
+                          * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                          - CAST(CAST(sys AS VARCHAR) AS DOUBLE)
+                            * CAST(CAST(sys AS VARCHAR) AS DOUBLE)))
+                  AS rho
+         FROM mo""",
 
     "x_benford" -> {
       val cases = (1 to 9).map { d =>

@@ -441,6 +441,89 @@ class StatsSpec extends SparkSpec {
       s"diagonal table must give V = 1, got ${d0.getAs[Double]("cramers_v")}")
   }
 
+  test("mannWhitneyU: U matches brute-force pair counting; identical sides -> z ~ 0") {
+    val av = (1 to 40).map(i => (i % 9 + 1).toDouble)
+    val bv = (1 to 30).map(i => (i % 11 + 3).toDouble)
+    val df = (av.map(("a", _)) ++ bv.map(("b", _))).toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, col("g") === "a", col("g") === "b",
+      "v").collect().head
+    // brute force: U_A = #{a > b} + half the ties
+    val gt = (for { a <- av; b <- bv } yield
+      if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+    // U from rank sums counts pairs where A ranks ABOVE B (a < b in value
+    // ascending => smaller rank); our r2a form is the rank-sum U_A
+    val ua = r.getAs[Double]("u_stat")
+    assert(ua == gt, s"u_stat $ua != brute-force $gt")
+    assert(r.getAs[Long]("na") == 40 && r.getAs[Long]("nb") == 30)
+    // identical sides
+    val same = ((1 to 50) ++ (1 to 50)).zipWithIndex
+      .map { case (v, i) => (if (i < 50) "a" else "b", (v % 10).toDouble) }
+      .toDF("g", "v")
+    val r0 = Stats.mannWhitneyU(same, col("g") === "a", col("g") === "b",
+      "v").collect().head
+    assert(math.abs(r0.getAs[Double]("z_stat")) < 1e-9)
+  }
+
+  test("kruskalWallis: identical groups -> H ~ 0; matches midrank closed form") {
+    val data = ((1 to 60).map(i => ("a", (i % 7 + 1).toDouble)) ++
+      (1 to 50).map(i => ("b", (i % 5 + 4).toDouble)) ++
+      (1 to 40).map(i => ("c", (i % 9 + 2).toDouble)))
+    val r = Stats.kruskalWallis(data.toDF("g", "v"), "g", "v")
+      .collect().head
+    // closed form via explicit midranks
+    val all = data.map(_._2).sorted
+    val rankOf = all.distinct.map { v =>
+      val lo = all.indexWhere(_ == v); val hi = all.lastIndexWhere(_ == v)
+      v -> (lo + hi + 2) / 2.0
+    }.toMap
+    val n = data.size.toDouble
+    val tSum = data.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, xs) =>
+      val rg = xs.map(x => rankOf(x._2)).sum
+      rg * rg / xs.size
+    }.sum
+    val ties = all.groupBy(identity).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val h0 = 12.0 / (n * (n + 1.0)) * tSum - 3.0 * (n + 1.0)
+    val h = h0 / (1.0 - ties / (n * n * n - n))
+    assert(math.abs(r.getAs[Double]("h_stat") - h) < 1e-9 * math.abs(h),
+      s"${r.getAs[Double]("h_stat")} != $h")
+    val same = (1 to 300).map(i => (s"g${i % 3}", ((i / 3) % 20).toDouble))
+    val r0 = Stats.kruskalWallis(same.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(math.abs(r0.getAs[Double]("h_stat")) < 1e-9)
+  }
+
+  test("spearmanRho: monotone -> 1, reversed -> -1, ties match midrank Pearson") {
+    val mono = (1 to 100).map(i => (i.toDouble, math.exp(i / 25.0)))
+      .toDF("x", "y")
+    val r1 = Stats.spearmanRho(mono, col("x"), col("y")).collect().head
+    assert(math.abs(r1.getAs[Double]("rho") - 1.0) < 1e-12)
+    val rev = (1 to 100).map(i => (i.toDouble, -3.0 * i + 7)).toDF("x", "y")
+    val r2 = Stats.spearmanRho(rev, col("x"), col("y")).collect().head
+    assert(math.abs(r2.getAs[Double]("rho") + 1.0) < 1e-12)
+    // ties on both sides vs midrank Pearson computed explicitly
+    val data = (1 to 90).map(i => ((i % 6 + 1).toDouble, (i % 4 + 1).toDouble))
+    def midranks(xs: Seq[Double]): Seq[Double] = {
+      val sorted = xs.sorted
+      val m = xs.distinct.map { v =>
+        val lo = sorted.indexWhere(_ == v)
+        val hi = sorted.lastIndexWhere(_ == v)
+        v -> (lo + hi + 2) / 2.0
+      }.toMap
+      xs.map(m)
+    }
+    val rx = midranks(data.map(_._1)); val ry = midranks(data.map(_._2))
+    val n = data.size.toDouble
+    val num = n * rx.zip(ry).map { case (a, b) => a * b }.sum -
+      rx.sum * ry.sum
+    val den = math.sqrt(n * rx.map(a => a * a).sum - rx.sum * rx.sum) *
+      math.sqrt(n * ry.map(b => b * b).sum - ry.sum * ry.sum)
+    val r3 = Stats.spearmanRho(data.toDF("x", "y"), col("x"), col("y"))
+      .collect().head
+    assert(math.abs(r3.getAs[Double]("rho") - num / den) < 1e-12,
+      s"${r3.getAs[Double]("rho")} != ${num / den}")
+  }
+
   test("benfordDigits: counts account for every row >= 1, fractions sum to 1") {
     val amts = Seq(123.4, 19.99, 190.0, 2.5, 234.0, 345.6, 91.0, 0.4, 876.0)
       .map(Tuple1(_)).toDF("amt")
