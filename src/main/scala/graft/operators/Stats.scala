@@ -907,6 +907,89 @@ object Stats {
             dbl(col("sy")) * dbl(col("sy"))))).as("rho"))
   }
 
+  /** Signed portable ln of an integer ratio num/den (both > 0):
+    * ln(num/den) computed as ±ln(max/min) so the [[Pmath.lnColumn]]
+    * domain constraint (x ≥ 1) always holds — the x_pmi convention. */
+  private def signedLnRatio(num: Column, den: Column): Column =
+    when(num >= den,
+      Pmath.lnColumn(num.cast("double") / den.cast("double")))
+      .otherwise(-Pmath.lnColumn(den.cast("double") / num.cast("double")))
+
+  /** Mutual information (nats) between two categorical columns:
+    * MI = Σ_cells (c_xy/n)·ln(c_xy·n / (c_x·c_y)) — the
+    * feature-relevance / redundancy readout ([[cramersV]] measures
+    * association strength; MI measures it in information units and
+    * plugs into mRMR-style feature selection). Returns the per-cell
+    * contribution profile plus the folded total on every row
+    * (the [[psiDrift]] shape — the profile IS the diagnosis).
+    *
+    * Zero cells contribute exactly 0 (the p·ln p limit), so only
+    * observed cells participate — no full cross needed, unlike χ².
+    * All ratios are integer/integer; ln is the portable series on the
+    * ≥ 1 side with sign flip; the total folds in (x,y) cell order.
+    * Scale shape: one cell aggregate, two marginal aggregates off the
+    * cell spine, one 1-row broadcast. */
+  def mutualInfo(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    val cells = df.groupBy(xCol.cast("string").as("x"),
+      yCol.cast("string").as("y")).agg(count(lit(1)).as("c"))
+    val xm = cells.groupBy("x").agg(sum("c").as("cx"))
+    val ym = cells.groupBy("y").agg(sum("c").as("cy"))
+    val tot = cells.agg(sum("c").as("n"))
+    val contrib = cells.join(xm, Seq("x")).join(ym, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("c"),
+        ((dbl(col("c")) / dbl(col("n"))) *
+          signedLnRatio(col("c") * col("n"), col("cx") * col("cy")))
+          .as("mi_contrib"))
+    val total = contrib.agg(
+      aggregate(
+        transform(sort_array(collect_list(struct(col("x"), col("y"),
+          col("mi_contrib").as("t")))), x => x.getField("t")),
+        lit(0.0), (a, x) => a + x).as("mi_total"))
+    contrib.crossJoin(broadcast(total))
+  }
+
+  /** Jensen–Shannon divergence (nats) between the `keyCol`
+    * distributions of two cohorts — the symmetric, always-finite drift
+    * measure ([[psiDrift]] needs smoothing for empty bins; JS does
+    * not). JS = ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m = (p+q)/2; bounded by
+    * ln 2, zero iff identical.
+    *
+    * p/m = 2aB/(aB+bA) is an integer ratio, so both KL legs stack into
+    * ONE portable-ln pass (side-tagged rows), and the sum folds in
+    * (side, key) order. Absent-on-one-side keys contribute only to the
+    * other leg — exactly, no smoothing. One aggregate to the key spine,
+    * one 1-row broadcast of totals, one fold. */
+  def jsDivergence(df: DataFrame, keyCol: Column, inA: Column,
+                   inB: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    val f = df.filter(inA || inB).select(keyCol.cast("string").as("k"),
+      when(inA, 1L).otherwise(0L).as("a"),
+      when(inB, 1L).otherwise(0L).as("b"))
+    val cells = f.groupBy("k").agg(sum("a").as("ca"), sum("b").as("cb"))
+    val tot = f.agg(sum("a").as("na"), sum("b").as("nb"))
+    val j = cells.crossJoin(broadcast(tot))
+    val den = col("ca") * col("nb") + col("cb") * col("na")
+    val pSide = j.filter(col("ca") > 0)
+      .select(lit("p").as("s"), col("k"),
+        ((dbl(col("ca")) / dbl(col("na"))) *
+          signedLnRatio(lit(2L) * col("ca") * col("nb"), den)).as("term"))
+    val qSide = j.filter(col("cb") > 0)
+      .select(lit("q").as("s"), col("k"),
+        ((dbl(col("cb")) / dbl(col("nb"))) *
+          signedLnRatio(lit(2L) * col("cb") * col("na"), den)).as("term"))
+    val folded = pSide.union(qSide).agg(
+      count(lit(1)).as("legs"),
+      aggregate(
+        transform(sort_array(collect_list(struct(col("s"), col("k"),
+          col("term").as("t")))), x => x.getField("t")),
+        lit(0.0), (a, x) => a + x).as("t_sum"))
+    folded.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"), col("legs"),
+        (lit(0.5) * col("t_sum")).as("js_nats"))
+  }
+
   /** Benford's-law expected fraction of leading digit d, computed ONCE
     * in Scala and emitted as the same literal into both the Spark plan
     * and the SQL oracle — no cross-engine transcendental math. */

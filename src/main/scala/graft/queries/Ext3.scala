@@ -197,6 +197,18 @@ object Ext3 {
       Stats.cramersV(t(s, d, "orders"), col("o_orderpriority"),
         col("o_orderstatus"))),
 
+    // mutual information between doc language and source — per-cell
+    // contribution profile + folded total, portable ln on integer ratios
+    "x_mutual_info" -> ((s, d) =>
+      Stats.mutualInfo(t(s, d, "documents"), col("lang"), col("source"))),
+
+    // Jensen-Shannon divergence of the priority mix, pre-1997 vs 1997+
+    // cohorts — symmetric, smoothing-free drift in nats
+    "x_js_drift" -> ((s, d) =>
+      Stats.jsDivergence(t(s, d, "orders"), col("o_orderpriority"),
+        to_date(col("o_orderdate")) < lit("1997-01-01").cast("date"),
+        to_date(col("o_orderdate")) >= lit("1997-01-01").cast("date"))),
+
     // Mann-Whitney U: nonparametric F-vs-O order-value comparison with
     // tie-corrected z — midranks off the distinct-value spine
     "x_mannwhitney" -> ((s, d) =>
@@ -1000,6 +1012,74 @@ object Ext3 {
               sqrt(chi2 / (CAST(n AS DOUBLE)
                 * CAST(least(rk, ck) - 1 AS DOUBLE))) AS cramers_v
          FROM fo""",
+
+    "x_mutual_info" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      s"""WITH cells AS (SELECT CAST(lang AS VARCHAR) AS x,
+                CAST(source AS VARCHAR) AS y,
+                CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2),
+         xm AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells
+              GROUP BY x),
+         ym AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells
+              GROUP BY y),
+         nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+         j AS (SELECT x, y, c, n, c * n AS num, cx * cy AS den
+              FROM cells JOIN xm USING (x) JOIN ym USING (y)
+              CROSS JOIN nn),
+         b AS (SELECT *, CASE WHEN num >= den
+                  THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                  ELSE CAST(den AS DOUBLE) / CAST(num AS DOUBLE) END AS lnin
+              FROM j),
+         p1 AS (SELECT *, $l1 FROM b),
+         p2 AS (SELECT *, $l2 FROM p1),
+         p3 AS (SELECT *, $l3 FROM p2),
+         ct AS (SELECT x, y, c,
+                (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CASE WHEN num >= den THEN lnx ELSE -lnx END)
+                  AS mi_contrib FROM p3),
+         fo AS (SELECT list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+                  list(mi_contrib ORDER BY x, y)), (a, v) -> a + v)
+                  AS mi_total FROM ct)
+         SELECT x, y, c, mi_contrib, mi_total FROM ct CROSS JOIN fo"""
+    },
+
+    "x_js_drift" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      s"""WITH f AS (SELECT CAST(o_orderpriority AS VARCHAR) AS k,
+                CASE WHEN CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+                     THEN 1 ELSE 0 END AS a,
+                CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+                     THEN 1 ELSE 0 END AS b
+              FROM orders),
+         cells AS (SELECT k, CAST(sum(a) AS BIGINT) AS ca,
+                CAST(sum(b) AS BIGINT) AS cb FROM f GROUP BY k),
+         t AS (SELECT CAST(sum(a) AS BIGINT) AS na,
+                CAST(sum(b) AS BIGINT) AS nb FROM f),
+         st AS (SELECT 'p' AS s, k,
+                CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS w,
+                2 * ca * nb AS num, ca * nb + cb * na AS den
+              FROM cells CROSS JOIN t WHERE ca > 0
+              UNION ALL
+              SELECT 'q' AS s, k,
+                CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS w,
+                2 * cb * na AS num, ca * nb + cb * na AS den
+              FROM cells CROSS JOIN t WHERE cb > 0),
+         b2 AS (SELECT *, CASE WHEN num >= den
+                  THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                  ELSE CAST(den AS DOUBLE) / CAST(num AS DOUBLE) END AS lnin
+              FROM st),
+         p1 AS (SELECT *, $l1 FROM b2),
+         p2 AS (SELECT *, $l2 FROM p1),
+         p3 AS (SELECT *, $l3 FROM p2),
+         fo AS (SELECT CAST(count(*) AS BIGINT) AS legs,
+                list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+                  list(w * (CASE WHEN num >= den THEN lnx ELSE -lnx END)
+                    ORDER BY s, k)), (acc, v) -> acc + v) AS t_sum
+              FROM p3)
+         SELECT na, nb, legs, 0.5 * t_sum AS js_nats
+         FROM fo CROSS JOIN t"""
+    },
 
     "x_mannwhitney" ->
       """WITH f AS (SELECT o_totalprice AS v,

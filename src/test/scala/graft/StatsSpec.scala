@@ -524,6 +524,44 @@ class StatsSpec extends SparkSpec {
       s"${r3.getAs[Double]("rho")} != ${num / den}")
   }
 
+  test("mutualInfo: independent -> ~0, identical -> H(X), contributions fold to total") {
+    // product-structured counts: MI must be ~0 (every cell ratio is 1)
+    val ind = (for { x <- 1 to 3; y <- 1 to 4; k <- 1 to (x * y) }
+      yield (s"x$x", s"y$y")).toDF("a", "b")
+    val mi0 = Stats.mutualInfo(ind, col("a"), col("b"))
+      .select("mi_total").distinct().collect().head.getDouble(0)
+    assert(math.abs(mi0) < 1e-12, s"independent table gave MI $mi0")
+    // X vs X: MI = H(X)
+    val self = ((1 to 50).map(_ => "u") ++ (1 to 30).map(_ => "v") ++
+      (1 to 20).map(_ => "w")).toDF("a").withColumn("b", col("a"))
+    val mi1 = Stats.mutualInfo(self, col("a"), col("b"))
+      .select("mi_total").distinct().collect().head.getDouble(0)
+    val h = -Seq(0.5, 0.3, 0.2).map(p => p * math.log(p)).sum
+    assert(math.abs(mi1 - h) < 1e-9, s"MI(X,X)=$mi1 != H(X)=$h")
+  }
+
+  test("jsDivergence: identical -> 0, disjoint -> ln 2, symmetric") {
+    val even = (1 to 400).map(i =>
+      (s"k${i % 5}", if (i % 2 == 0) "A" else "B")).toDF("k", "c")
+    val j0 = Stats.jsDivergence(even, col("k"), col("c") === "A",
+      col("c") === "B").collect().head.getAs[Double]("js_nats")
+    assert(math.abs(j0) < 1e-12, s"identical mixes gave JS $j0")
+    val disj = ((1 to 60).map(i => (s"p${i % 3}", "A")) ++
+      (1 to 90).map(i => (s"q${i % 4}", "B"))).toDF("k", "c")
+    val j1 = Stats.jsDivergence(disj, col("k"), col("c") === "A",
+      col("c") === "B").collect().head.getAs[Double]("js_nats")
+    assert(math.abs(j1 - math.log(2.0)) < 1e-9,
+      s"disjoint supports must give ln 2, got $j1")
+    val skew = ((1 to 50).map(i => (s"k${i % 7}", "A")) ++
+      (1 to 80).map(i => (s"k${i % 3}", "B"))).toDF("k", "c")
+    val f = Stats.jsDivergence(skew, col("k"), col("c") === "A",
+      col("c") === "B").collect().head.getAs[Double]("js_nats")
+    val r = Stats.jsDivergence(skew, col("k"), col("c") === "B",
+      col("c") === "A").collect().head.getAs[Double]("js_nats")
+    assert(math.abs(f - r) < 1e-12, s"JS must be symmetric: $f vs $r")
+    assert(f > 0 && f < math.log(2.0))
+  }
+
   test("benfordDigits: counts account for every row >= 1, fractions sum to 1") {
     val amts = Seq(123.4, 19.99, 190.0, 2.5, 234.0, 345.6, 91.0, 0.4, 876.0)
       .map(Tuple1(_)).toDF("amt")
