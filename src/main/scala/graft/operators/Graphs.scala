@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -274,6 +274,88 @@ object Graphs {
     n.crossJoin(und.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
       .crossJoin(deg.agg(max(col("deg")).as("max_degree")))
+  }
+
+  /** Per-node local clustering coefficient: cc(v) = 2·T(v)/(d(v)·(d(v)−1))
+    * — how close each node's neighborhood is to a clique; the node-level
+    * refinement of [[triangleStats]]' global census (community cores vs
+    * bridge nodes read directly off this profile).
+    *
+    * Same degree-ordered wedge closure as [[triangleStats]] (each
+    * triangle found once at its orientation-minimal corner), then each
+    * found triangle credits ALL THREE corners via one explode +
+    * aggregate. T and d·(d−1) are exact integers; cc is one division.
+    * Nodes with degree < 2 have no defined coefficient and are
+    * excluded. Scale shape: the triangleStats joins + one extra
+    * aggregate on the (small) triangle set. */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val key = (d: Column, i: Column) => d * lit(4294967296L) + i
+    val withKeys = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val dir = withKeys.select(
+      when(key(col("da"), col("a")) < key(col("db"), col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(key(col("da"), col("a")) < key(col("db"), col("b")), col("b"))
+        .otherwise(col("a")).as("v"))
+    val e1 = dir.select(col("u"), col("v").as("x"))
+    val e2 = dir.select(col("u"), col("v").as("y"))
+    val tris = e1.join(e2, Seq("u")).filter(col("x") < col("y"))
+      .join(und, col("x") === col("a") && col("y") === col("b"))
+      .select(col("u"), col("x"), col("y"))
+    val credit = tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(credit, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        ((lit(2L) * coalesce(col("n_tri"), lit(0L))).cast("double") /
+          (col("deg") * (col("deg") - lit(1L))).cast("double")).as("cc"))
+  }
+
+  /** Degree assortativity (Newman): the Pearson correlation of end
+    * degrees over edges — do hubs attach to hubs (r > 0, social-like)
+    * or to leaves (r < 0, infrastructure-like)? A one-number topology
+    * fingerprint next to [[triangleStats]]' clustering census.
+    *
+    * Using the single-orientation edge pass: with S1 = Σ jk,
+    * S2 = Σ (j+k), S3 = Σ (j²+k²) over the M undirected edges,
+    * r = (4M·S1 − S2²) / (2M·S3 − S2²) — the three moments are exact
+    * integers accumulated in decimal (Σ jk can pass 2⁶³ on hub-heavy
+    * graphs), and r is a fixed double sequence over their
+    * correctly-rounded casts. Shape: one degree aggregate, two
+    * broadcast-joins of degrees onto edges, one 1-row moment reduce. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val dd = (c: Column) => c.cast("decimal(19,0)")
+    val wk = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val mo = wk.agg(count(lit(1)).as("m"),
+      sum(dd(col("da")) * dd(col("db"))).as("s1"),
+      sum(dd(col("da") + col("db"))).as("s2"),
+      sum(dd(col("da")) * dd(col("da")) + dd(col("db")) * dd(col("db")))
+        .as("s3"))
+    mo.select(col("m"),
+      ((lit(4.0) * col("m").cast("double") * dbl(col("s1")) -
+        dbl(col("s2")) * dbl(col("s2"))) /
+       (lit(2.0) * col("m").cast("double") * dbl(col("s3")) -
+        dbl(col("s2")) * dbl(col("s2")))).as("assortativity"))
   }
 
   /** Bounded-iteration PageRank over an undirected graph (each input

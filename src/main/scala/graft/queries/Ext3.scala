@@ -197,6 +197,33 @@ object Ext3 {
       Stats.cramersV(t(s, d, "orders"), col("o_orderpriority"),
         col("o_orderstatus"))),
 
+    // per-node local clustering coefficient over the part co-purchase
+    // graph — same degree-ordered closure as the triangle census, each
+    // triangle crediting all three corners
+    "x_clustering_coef" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val l1 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val l2 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val coEdges = l1.join(l2, Seq("ok")).filter(col("pa") < col("pb"))
+        .distinct()
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+      graft.operators.Graphs.clusteringCoefficients(coEdges, "pa", "pb")
+    }),
+
+    // degree assortativity of the same graph: one rational from three
+    // integer degree moments — hubs-to-hubs vs hubs-to-leaves
+    "x_assortativity" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val l1 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val l2 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val coEdges = l1.join(l2, Seq("ok")).filter(col("pa") < col("pb"))
+        .distinct()
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+      graft.operators.Graphs.degreeAssortativity(coEdges, "pa", "pb")
+    }),
+
     // mutual information between doc language and source — per-cell
     // contribution profile + folded total, portable ln on integer ratios
     "x_mutual_info" -> ((s, d) =>
@@ -1012,6 +1039,67 @@ object Ext3 {
               sqrt(chi2 / (CAST(n AS DOUBLE)
                 * CAST(least(rk, ck) - 1 AS DOUBLE))) AS cramers_v
          FROM fo""",
+
+    "x_clustering_coef" ->
+      """WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+                CAST(a.l_partkey AS BIGINT) AS pa,
+                CAST(b.l_partkey AS BIGINT) AS pb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         ed AS (SELECT pa AS a, pb AS b FROM pr
+              GROUP BY pa, pb HAVING count(*) >= 2),
+         deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT a AS id FROM ed UNION ALL SELECT b FROM ed)
+              GROUP BY id),
+         dir AS (SELECT
+                CASE WHEN da.deg * 4294967296 + e.a < db.deg * 4294967296 + e.b
+                     THEN e.a ELSE e.b END AS u,
+                CASE WHEN da.deg * 4294967296 + e.a < db.deg * 4294967296 + e.b
+                     THEN e.b ELSE e.a END AS v
+              FROM ed e JOIN deg da ON da.id = e.a
+                        JOIN deg db ON db.id = e.b),
+         tri AS (SELECT w.u, w.x, w.y
+              FROM (SELECT e1.u, e1.v AS x, e2.v AS y
+                    FROM dir e1 JOIN dir e2 ON e1.u = e2.u AND e1.v < e2.v) w
+              JOIN ed ON w.x = ed.a AND w.y = ed.b),
+         credit AS (SELECT unnest([u, x, y]) AS id FROM tri),
+         tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM credit
+              GROUP BY id)
+         SELECT deg.id, deg.deg, coalesce(tc.n_tri, 0) AS n_tri,
+              CAST(2 * coalesce(tc.n_tri, 0) AS DOUBLE)
+                / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS cc
+         FROM deg LEFT JOIN tc USING (id) WHERE deg.deg >= 2""",
+
+    "x_assortativity" ->
+      """WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+                CAST(a.l_partkey AS BIGINT) AS pa,
+                CAST(b.l_partkey AS BIGINT) AS pb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         ed AS (SELECT pa AS a, pb AS b FROM pr
+              GROUP BY pa, pb HAVING count(*) >= 2),
+         deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT a AS id FROM ed UNION ALL SELECT b FROM ed)
+              GROUP BY id),
+         wk AS (SELECT da.deg AS da, db.deg AS db
+              FROM ed e JOIN deg da ON da.id = e.a
+                        JOIN deg db ON db.id = e.b),
+         mo AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                sum(CAST(da AS DECIMAL(19,0)) * CAST(db AS DECIMAL(19,0)))
+                  AS s1,
+                sum(CAST(da + db AS DECIMAL(19,0))) AS s2,
+                sum(CAST(da AS DECIMAL(19,0)) * CAST(da AS DECIMAL(19,0))
+                    + CAST(db AS DECIMAL(19,0)) * CAST(db AS DECIMAL(19,0)))
+                  AS s3
+              FROM wk)
+         SELECT m,
+              (4.0 * CAST(m AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(s2 AS VARCHAR) AS DOUBLE))
+              / (2.0 * CAST(m AS DOUBLE) * CAST(CAST(s3 AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)) AS assortativity
+         FROM mo""",
 
     "x_mutual_info" -> {
       val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")

@@ -168,6 +168,50 @@ class GraphsSpec extends SparkSpec {
     assert(nTris == brute, s"triangles $nTris != brute $brute")
   }
 
+  test("clusteringCoefficients: K4 all 1, path all 0, triangle-with-tail hand values") {
+    // K4: every node deg 3, 3 triangles at each corner pair -> cc = 1
+    val k4 = (for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j))
+    val got = Graphs.clusteringCoefficients(k4.toDF("src", "dst"),
+      "src", "dst").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    got.values.foreach { case (d, t, cc) =>
+      assert(d == 3 && t == 3 && cc == 1.0, s"K4 node got ($d,$t,$cc)") }
+    // path 1-2-3: middle node deg 2, no triangles -> cc = 0; ends excluded
+    val path = Graphs.clusteringCoefficients(
+      Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst"), "src", "dst").collect()
+    assert(path.map(_.getLong(0)).toSet == Set(2L))
+    assert(path.head.getDouble(3) == 0.0)
+    // triangle 1-2-3 plus tail 3-4: node 3 has deg 3, 1 triangle ->
+    // cc = 2*1/(3*2) = 1/3; nodes 1,2 have cc = 1
+    val tt = Graphs.clusteringCoefficients(
+      Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L).toDF("src", "dst"),
+      "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(tt == Map(1L -> 1.0, 2L -> 1.0, 3L -> (2.0 / 6.0)), s"got $tt")
+  }
+
+  test("degreeAssortativity: star is -1; matches brute-force Newman formula") {
+    val star = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L).toDF("src", "dst")
+    val r = Graphs.degreeAssortativity(star, "src", "dst").collect().head
+    assert(r.getAs[Long]("m") == 3)
+    assert(math.abs(r.getAs[Double]("assortativity") + 1.0) < 1e-12)
+    // irregular graph vs the same formula computed naively
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L,
+      4L -> 5L, 5L -> 6L)
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    val m = edges.size.toDouble
+    val s1 = edges.map(e => deg(e._1) * deg(e._2)).sum
+    val s2 = edges.map(e => deg(e._1) + deg(e._2)).sum
+    val s3 = edges.map(e => deg(e._1) * deg(e._1) + deg(e._2) * deg(e._2)).sum
+    val want = (4.0 * m * s1 - s2 * s2) / (2.0 * m * s3 - s2 * s2)
+    val got = Graphs.degreeAssortativity(edges.toDF("src", "dst"),
+      "src", "dst").collect().head.getAs[Double]("assortativity")
+    assert(math.abs(got - want) < 1e-12, s"$got != $want")
+  }
+
   test("kCore == brute-force sequential peel; chain has no 2-core; triangle does") {
     def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
       Graphs.kCore(edges.toDF("a", "b"), "a", "b", k)
