@@ -224,6 +224,21 @@ object Ext3 {
       graft.operators.Graphs.degreeAssortativity(coEdges, "pa", "pb")
     }),
 
+    // link prediction on the co-purchase graph: for non-edge part pairs
+    // sharing >= 2 common neighbors, common-neighbor count, Jaccard, and
+    // Adamic-Adar with the portable ln + w-sorted fold
+    "x_link_predict" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val l1 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val l2 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val coEdges = l1.join(l2, Seq("ok")).filter(col("pa") < col("pb"))
+        .distinct()
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+      graft.operators.Graphs.linkPrediction(coEdges, "pa", "pb",
+        minCommon = 2)
+    }),
+
     // mutual information between doc language and source — per-cell
     // contribution profile + folded total, portable ln on integer ratios
     "x_mutual_info" -> ((s, d) =>
@@ -1100,6 +1115,42 @@ object Ext3 {
                  - CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
                    * CAST(CAST(s2 AS VARCHAR) AS DOUBLE)) AS assortativity
          FROM mo""",
+
+    "x_link_predict" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      s"""WITH pr AS (SELECT DISTINCT a.l_orderkey AS ok,
+                CAST(a.l_partkey AS BIGINT) AS pa,
+                CAST(b.l_partkey AS BIGINT) AS pb
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         ed AS (SELECT pa AS a, pb AS b FROM pr
+              GROUP BY pa, pb HAVING count(*) >= 2),
+         adj AS (SELECT a AS w, b AS n FROM ed
+              UNION ALL SELECT b, a FROM ed),
+         deg AS (SELECT w AS id, CAST(count(*) AS BIGINT) AS deg FROM adj
+              GROUP BY w),
+         pv0 AS (SELECT id AS w, CAST(deg AS DOUBLE) AS lnin FROM deg
+              WHERE deg >= 2),
+         pv1 AS (SELECT *, $l1 FROM pv0),
+         pv2 AS (SELECT *, $l2 FROM pv1),
+         pv3 AS (SELECT w, 1.0 / lnx AS iv
+              FROM (SELECT *, $l3 FROM pv2)),
+         wg AS (SELECT a1.n AS x, a2.n AS y, a1.w, pv3.iv
+              FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n
+              JOIN pv3 ON pv3.w = a1.w),
+         cd AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
+                list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+                  list(iv ORDER BY w)), (a, v) -> a + v) AS adamic_adar
+              FROM wg GROUP BY x, y HAVING count(*) >= 2),
+         ne AS (SELECT cd.* FROM cd LEFT JOIN ed
+              ON cd.x = ed.a AND cd.y = ed.b WHERE ed.a IS NULL)
+         SELECT x, y, cn, dx.deg AS dx, dy.deg AS dy,
+              CAST(cn AS DOUBLE) / CAST(dx.deg + dy.deg - cn AS DOUBLE)
+                AS jaccard,
+              adamic_adar
+         FROM ne JOIN deg dx ON dx.id = ne.x
+                 JOIN deg dy ON dy.id = ne.y"""
+    },
 
     "x_mutual_info" -> {
       val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")

@@ -212,6 +212,35 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(got - want) < 1e-12, s"$got != $want")
   }
 
+  test("linkPrediction: square+diagonal hand values; minCommon and maxPivotDeg filters") {
+    // square 1-2-3-4 with diagonal 1-3: the only non-edge pair is (2,4),
+    // common neighbors {1, 3} (both deg 3) -> cn=2, jaccard=2/(2+2-2)=1,
+    // adamic_adar = 2/ln(3)
+    val sq = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L, 1L -> 3L)
+      .toDF("src", "dst")
+    val rows = Graphs.linkPrediction(sq, "src", "dst").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 4L, 2L)))
+    assert((r.getAs[Long]("dx"), r.getAs[Long]("dy")) == ((2L, 2L)))
+    assert(r.getAs[Double]("jaccard") == 1.0)
+    assert(math.abs(r.getAs[Double]("adamic_adar") - 2.0 / math.log(3.0)) < 1e-9)
+    // path 1-2-3: (1,3) shares only node 2 -> dropped at minCommon=2,
+    // kept at minCommon=1 with AA = 1/ln(2)
+    val path = Seq(1L -> 2L, 2L -> 3L).toDF("src", "dst")
+    assert(Graphs.linkPrediction(path, "src", "dst").isEmpty)
+    val p = Graphs.linkPrediction(path, "src", "dst", minCommon = 1)
+      .collect()
+    assert(p.length == 1 && p.head.getLong(2) == 1L)
+    assert(math.abs(p.head.getAs[Double]("adamic_adar") - 1.0 / math.log(2.0)) < 1e-9)
+    // star: hub pivot deg 3 excluded by maxPivotDeg=2 -> no candidates
+    val star = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L).toDF("src", "dst")
+    assert(Graphs.linkPrediction(star, "src", "dst", minCommon = 1)
+      .count() == 3)
+    assert(Graphs.linkPrediction(star, "src", "dst", minCommon = 1,
+      maxPivotDeg = Some(2)).isEmpty)
+  }
+
   test("kCore == brute-force sequential peel; chain has no 2-core; triangle does") {
     def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
       Graphs.kCore(edges.toDF("a", "b"), "a", "b", k)
