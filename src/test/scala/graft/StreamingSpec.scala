@@ -24,7 +24,7 @@ class StreamingSpec extends SparkSpec {
     val raw = spark.readStream
       .schema(spark.read.parquet(s"$sf/events.parquet").schema)
       .parquet(dir.toString)
-    val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = Tables.normalizeEventTs(raw)
     StreamOps.replayToMemory(spark, StreamOps.windowedCounts(ev), "win_stream")
     val streamed = spark.table("win_stream")
     val batch = batchEv.groupBy(
