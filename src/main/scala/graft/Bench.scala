@@ -5,6 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract, BASELINE.md): runs every SparkEntry
   * query against SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
+  * OUTPUT SIZE CONTRACT: the driver captures only the TAIL of this
+  * process's stdout (BENCH_r04.json recorded exactly 2000 chars and
+  * `parsed: null` — the 203-query full map pushed the head of the JSON
+  * line outside the window, so the round's numbers were lost). The
+  * printed line therefore carries the total plus a ~60-query HEADLINE
+  * subset at 2-decimal precision (≤ ~1.7 KB, safely inside the window
+  * with sbt's trailing "[success]" line), and the COMPLETE per-query
+  * map at full precision is written to BENCH_FULL.json in the cwd
+  * (the repo root under the driver), referenced from the line via
+  * "full". Judges and humans read the file; the driver parses the line.
+  *
   * Each query is forced through the `noop` sink, not `.count()` — count()
   * lets Catalyst prune every computed column (an expression-heavy query
   * would "benchmark" a bare scan); noop executes the full plan and
@@ -66,13 +77,44 @@ object Bench {
         case left     => n -> left       // failed warm-up: don't re-run
       }
     }
-    val qs = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(err)) => s"\"$k: $err\"" }
       .mkString("[", ",", "]")
     val nFailed = results.count(_._2.isLeft)
     val total = results.map(_._2.getOrElse(0.0)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}""")
+
+    // complete per-query map, full precision → file (see size contract)
+    val fullQs = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+
+    // headline subset, 2-decimal → the ONE parseable stdout line
+    val headQs = results.collect {
+      case (k, Right(v)) if Headline(k) => f""""$k":$v%.2f"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$headQs,"n_failed":$nFailed,"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** The stable cross-round comparison set: flagship parity queries plus
+    * the most expensive / most representative operator per family. Keep
+    * membership stable — round-over-round deltas key off these names. */
+  val Headline: Set[String] = Set(
+    "q_fact_summary", "sql_fact_summary", "j1_left_join", "j2_fk_join",
+    "a1_agg_count_sum", "a3_agg_sum_count_max", "e11_round_positive",
+    "f5_drop_nonpositive", "g1_det_sample",
+    "x_dedup_exact", "x_dedup_norm", "x_dedup_ngram_jaccard",
+    "x_dedup_minhash", "x_dedup_simhash", "x_winnow_fingerprint",
+    "x_dedup_clusters", "x_dedup_clusters_logstar", "x_corpus_clean",
+    "x_decontaminate", "x_containment", "x_ppjoin", "x_fuzzy_join",
+    "x_incremental_dedup", "x_sorted_neighborhood",
+    "x_embed_neardup", "x_embed_neardup_lsh", "x_cos_topk",
+    "x_cos_topk_custom", "x_ann_ivf", "x_ann_lsh", "x_rrf_hybrid",
+    "x_lang_id", "x_quality", "x_text_stats", "x_repetition",
+    "x_doc_top_terms", "x_data_mix", "x_pack_chunks", "x_weighted_sample",
+    "x_cube_stats", "x_rollup_stats", "x_window_funcs", "x_percentile",
+    "x_topn_global", "x_asof_join", "x_range_join", "x_sessionize",
+    "x_gap_fill", "x_scd2", "x_incremental_agg", "x_snapshot_diff",
+    "x_kcore", "x_shortest_path", "x_salted_join", "x_linreg", "x_auc")
 }
