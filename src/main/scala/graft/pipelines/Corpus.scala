@@ -126,6 +126,72 @@ object Corpus {
           (sqrt(col("n_tokens").cast("double")) / col("z"))).as("quota"))
   }
 
+  /** Cross-document line-level boilerplate removal (the CCNet /
+    * RefinedWeb line-dedup pass): a line whose EXACT text appears in
+    * ≥ `minDocs` distinct documents is boilerplate (navigation chrome,
+    * cookie banners, license footers) and is dropped from every
+    * document; each document is rebuilt from its surviving lines in
+    * original order. Returns one row per input document —
+    * (doc_id, clean_text, n_kept, n_dropped) — with clean_text = ''
+    * when every line was boilerplate (the caller's quality gate then
+    * drops the husk).
+    *
+    * Scale shape: posexplode on the delimiter (narrow), ONE hash
+    * aggregate keyed on line text for document frequency (map-side
+    * partial count_distinct shrinks hot lines early — boilerplate is
+    * by definition massively repeated, so the per-line state is the
+    * distinct-doc HLL-free exact count only at sf-test sizes; at
+    * 100 TB swap count_distinct for approx_count_distinct and keep the
+    * shape), then the hot-line set — tiny by construction, it's the
+    * lines shared across ≥ minDocs docs — broadcasts back as an
+    * anti-join, and ONE doc-keyed aggregate rebuilds the text. Two
+    * shuffles end to end, nothing doc-count-sized on the driver. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                minDocs: Long, delim: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("pos", "line")))
+    val hot = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("line")
+    val kept = lines.join(broadcast(hot), Seq("line"), "left_anti")
+    val perDoc = lines.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
+    val rebuilt = kept
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(delim,
+          transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+            p => p.getField("line"))).as("clean_text"))
+    perDoc.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Per-domain quota cap (RefinedWeb-style domain balancing): keep at
+    * most `cap` documents per domain, preferring the highest-`scoreCol`
+    * members, ties broken on the smaller doc id so the survivor set is
+    * deterministic. The guard against a handful of mega-domains
+    * dominating a crawl corpus.
+    *
+    * Scale shape: one window rank per domain — a single hash
+    * partitioning on the domain key, per-group top-k state bounded by
+    * `cap`. A skewed mega-domain concentrates its rank in one task;
+    * at 100 TB pre-aggregate with [[graft.plans.TopKPerKey]] (bounded
+    * heap, no full sort) — the window form is the exact-oracle twin. */
+  def domainCap(docs: DataFrame, domainCol: String, idCol: String,
+                scoreCol: String, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col(domainCol).as("domain"), col(idCol).as("doc_id"),
+        col(scoreCol).as("score"), col("rk"))
+  }
+
   /** Surviving doc ids after quality gate + exact dedup + near-dup
     * cluster drop. */
   def clean(docs: DataFrame, idCol: String, textCol: String,

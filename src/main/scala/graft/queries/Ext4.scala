@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Web
+import graft.pipelines.Corpus
+
+/** Round-5 web-corpus curation wave: the normalization passes a crawl
+  * pipeline runs BEFORE the dedup/quality stages the engine already
+  * ships — cross-document line-level boilerplate removal
+  * ([[Corpus.lineDedup]]), HTML stripping and URL dissection
+  * ([[graft.functions.Web]]), and per-domain quota capping
+  * ([[Corpus.domainCap]]).
+  *
+  * The `documents` fixture has no newlines and no markup, so each query
+  * CONSTRUCTS its input deterministically from the text (word-chunk
+  * lines, entity-encoded HTML wrapping, synthesized URLs) with
+  * engine-portable expressions, and the oracle performs the identical
+  * construction — the differential gate then checks the OPERATOR, not
+  * the fixture. Regex discipline per [[Web]]: RE2 ∩ java.util.regex
+  * only (no backreferences), global replace made explicit on the
+  * DuckDB side ('g' flag — DuckDB replaces first-match by default
+  * where Spark replaces all).
+  */
+object Ext4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** 2-word chunk "lines" of a space-tokenized text column — the
+    * deterministic multi-line construction shared by the line-dedup
+    * query and its oracle. */
+  private def chunkLines(text: Column, chunk: Int): Column = {
+    val w = split(text, " ")
+    concat_ws("\n",
+      transform(
+        sequence(lit(0), (ceil(size(w) / lit(chunk.toDouble))).cast("int") - 1),
+        i => concat_ws(" ", slice(w, i * chunk + 1, lit(chunk)))))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // cross-doc line dedup: 2-word lines, boilerplate = a line shared
+    // by ≥ 20 distinct docs (105 of 944 distinct lines here) — docs
+    // rebuilt from surviving lines in order
+    "x_line_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), chunkLines(col("text"), 2).as("ml"))
+      Corpus.lineDedup(docs, "doc_id", "ml", minDocs = 20L)
+        .select(col("doc_id"), col("clean_text"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("n_dropped").cast("long").as("n_dropped"))
+    }),
+
+    // HTML strip roundtrip: wrap each doc in markup (style block,
+    // comment, attributes, script block, &nbsp;-encoded spaces), strip
+    // it back to visible text; `roundtrip` certifies text survived
+    "x_html_strip" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          concat(
+            lit("<html><head><style>p{color:red}</style></head><body><!-- nav bar --><p class=\"doc\">"),
+            call_function("replace", col("text"), lit(" "), lit("&nbsp;")),
+            lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script></body></html>"))
+            .as("html"))
+        .select(col("doc_id"), Web.stripHtml(col("html")).as("clean_text"))
+        .join(t(s, d, "documents").select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("clean_text"),
+          (col("clean_text") === col("text")).as("roundtrip"))),
+
+    // URL dissection over synthesized per-doc URLs: host, registered
+    // domain, path, path depth, query/fragment-stripped canonical form
+    "x_url_parse" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          concat(lit("https://User@WWW."), col("source"),
+            lit(".Example.org:8443/docs/"), col("lang"), lit("/"),
+            col("doc_id"), lit("/view?ref=rss&utm_source=feed#top"))
+            .as("url"))
+        .select(col("doc_id"), col("url"),
+          Web.urlHost(col("url")).as("host"),
+          Web.urlDomain(col("url")).as("domain"),
+          Web.urlPath(col("url")).as("path"),
+          Web.urlPathDepth(col("url")).cast("long").as("depth"),
+          Web.urlStrip(col("url")).as("canonical"))),
+
+    // per-domain quota: keep the 10 largest docs per source, ties to
+    // the smaller doc id — domain balancing before mixing
+    "x_domain_cap" -> ((s, d) =>
+      Corpus.domainCap(t(s, d, "documents"), "source", "doc_id",
+          "n_chars", cap = 10)
+        .select(col("domain"), col("doc_id"), col("score"),
+          col("rk").cast("long").as("rk")))
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "x_line_dedup" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+         idx AS (SELECT doc_id, w,
+                   unnest(range(CAST(ceil(len(w) / 2.0) AS BIGINT))) AS pos
+                 FROM base),
+         lines AS (SELECT doc_id, pos,
+                     array_to_string(list_slice(w, pos*2+1, pos*2+2), ' ') AS line
+                   FROM idx),
+         hot AS (SELECT line FROM lines GROUP BY line
+                 HAVING count(DISTINCT doc_id) >= 20),
+         kept AS (SELECT l.doc_id, l.pos, l.line
+                  FROM lines l ANTI JOIN hot h ON l.line = h.line),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+                 FROM lines GROUP BY doc_id),
+         reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+                coalesce(reb.n_kept, 0) AS n_kept,
+                t.n_total - coalesce(reb.n_kept, 0) AS n_dropped
+         FROM tot t LEFT JOIN reb ON t.doc_id = reb.doc_id""",
+
+    "x_html_strip" ->
+      """WITH h AS (SELECT doc_id, text,
+               '<html><head><style>p{color:red}</style></head><body><!-- nav bar --><p class="doc">'
+               || replace(text, ' ', '&nbsp;')
+               || '</p><script type="text/javascript">var x = 1 < 2;</script></body></html>'
+               AS html FROM documents),
+         s1 AS (SELECT doc_id, text,
+                  regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x
+                FROM h),
+         s2 AS (SELECT doc_id, text,
+                  regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x
+                FROM s1),
+         s3 AS (SELECT doc_id, text,
+                  regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+         s4 AS (SELECT doc_id, text,
+                  regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s3),
+         s5 AS (SELECT doc_id, text,
+                  replace(replace(replace(replace(replace(replace(x,
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS x
+                FROM s4),
+         s6 AS (SELECT doc_id, text,
+                  trim(regexp_replace(x, '\s+', ' ', 'g')) AS clean_text
+                FROM s5)
+         SELECT doc_id, clean_text, clean_text = text AS roundtrip FROM s6""",
+
+    "x_url_parse" ->
+      """WITH u AS (SELECT doc_id,
+               'https://User@WWW.' || source || '.Example.org:8443/docs/'
+               || lang || '/' || CAST(doc_id AS VARCHAR)
+               || '/view?ref=rss&utm_source=feed#top' AS url
+             FROM documents),
+         p AS (SELECT doc_id, url,
+                 lower(regexp_extract(
+                   regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                   '^(?:[^@]*@)?([^:]+)', 1)) AS host,
+                 regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+               FROM u)
+         SELECT doc_id, url, host,
+                CASE WHEN contains(host, '.')
+                     THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                     ELSE host END AS domain,
+                path,
+                CAST(len(list_filter(string_split(path, '/'),
+                  x -> x <> '')) AS BIGINT) AS depth,
+                regexp_extract(url, '^([^?#]+)', 1) AS canonical
+         FROM p""",
+
+    "x_domain_cap" ->
+      """SELECT source AS domain, doc_id, n_chars AS score,
+                CAST(rk AS BIGINT) AS rk
+         FROM (SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id) AS rk
+               FROM documents) q
+         WHERE rk <= 10"""
+  )
+}
