@@ -38,7 +38,7 @@ object Ext {
     s"${dMarker(Text.langMarkers.toMap.apply("en"))}::DOUBLE / greatest(len(string_split(text, ' ')), 1)"
   private val dAvgLen =
     "(length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE / greatest(len(string_split(text, ' ')), 1)"
-  private val dQuality =
+  private[queries] val dQuality =
     s"""least(length(text)::DOUBLE / 500.0, 1.0) * 0.3
         + (1.0 - least($dPunct * 5.0, 1.0)) * 0.2
         + least($dStop * 4.0, 1.0) * 0.3

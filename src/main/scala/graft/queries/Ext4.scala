@@ -90,7 +90,38 @@ object Ext4 {
       Corpus.domainCap(t(s, d, "documents"), "source", "doc_id",
           "n_chars", cap = 10)
         .select(col("domain"), col("doc_id"), col("score"),
-          col("rk").cast("long").as("rk")))
+          col("rk").cast("long").as("rk"))),
+
+    // adaptive per-source quality gate: drop each source's bottom
+    // quartile by ITS OWN quality distribution (per-language/-domain
+    // thresholds, not one global cutoff) — rank arithmetic is integer,
+    // the quality score is the proven-portable x_quality expression
+    "x_adaptive_quality" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          graft.functions.Text.qualityScore(col("text")).as("quality"))
+        .withColumn("r", row_number().over(Window.partitionBy("source")
+          .orderBy(col("quality").asc, col("doc_id").asc)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .filter(col("r") > expr("n div 4"))
+        .select(col("source"), col("doc_id"), col("quality"),
+          col("r").cast("long").as("r"), col("n").cast("long").as("n"))
+    }),
+
+    // cross-source contamination matrix: distinct 5-word-shingle
+    // fingerprints shared between every source pair — which corpora
+    // overlap, and how much, BEFORE mixing decides their weights
+    "x_source_overlap" -> ((s, d) => {
+      val fps = t(s, d, "documents")
+        .select(col("source"),
+          graft.functions.Text.explodeWordShingles(col("text"), 5).as("sh"))
+        .select(col("source"), md5(col("sh")).as("fp")).distinct()
+      fps.as("a").join(fps.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -174,6 +205,31 @@ object Ext4 {
                  row_number() OVER (PARTITION BY source
                    ORDER BY n_chars DESC, doc_id) AS rk
                FROM documents) q
-         WHERE rk <= 10"""
+         WHERE rk <= 10""",
+
+    "x_adaptive_quality" ->
+      s"""WITH q AS (SELECT source, doc_id, ${Ext.dQuality} AS quality
+               FROM documents),
+         r AS (SELECT source, doc_id, quality,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY quality, doc_id) AS r,
+                 count(*) OVER (PARTITION BY source) AS n FROM q)
+         SELECT source, doc_id, quality, CAST(r AS BIGINT) AS r,
+                CAST(n AS BIGINT) AS n
+         FROM r WHERE r > n // 4""",
+
+    "x_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+               FROM documents),
+         sh0 AS (SELECT source,
+                   unnest([array_to_string(list_slice(ws, i, i+4), ' ')
+                           for i in range(1, len(ws) - 3)]) AS s
+                 FROM w),
+         sh AS (SELECT DISTINCT source, md5(s) AS fp FROM sh0),
+         p AS (SELECT a.source AS src_a, b.source AS src_b
+               FROM sh a JOIN sh b
+                 ON a.fp = b.fp AND a.source < b.source)
+         SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
+         FROM p GROUP BY src_a, src_b"""
   )
 }

@@ -73,6 +73,25 @@ class WebSpec extends SparkSpec {
     assert(got == Seq((1L, "x\nx\nx", 3L, 0L), (2L, "y", 1L, 0L)))
   }
 
+  test("source overlap counts DISTINCT shared shingle fingerprints, once per source pair") {
+    // srcA and srcB share exactly one 5-gram ("a b c d e", twice in B's
+    // docs — must still count once); srcC shares nothing
+    val docs = Seq(
+      ("A", 1L, "a b c d e f g"),
+      ("B", 2L, "z a b c d e"),
+      ("B", 3L, "a b c d e y"),
+      ("C", 4L, "q r s t u v")).toDF("source", "doc_id", "text")
+    val fps = docs.select(col("source"),
+        graft.functions.Text.explodeWordShingles(col("text"), 5).as("sh"))
+      .select(col("source"), md5(col("sh")).as("fp")).distinct()
+    val m = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(m == Seq(("A", "B", 1L)))
+  }
+
   test("domainCap: keeps top-cap per domain by score, ties to smaller id; partitioning-independent") {
     val docs = (1L to 30L).map(i => (s"d${i % 3}", i, (i % 5).toInt))
       .toDF("source", "doc_id", "n_chars")
