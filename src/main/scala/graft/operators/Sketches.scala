@@ -59,6 +59,51 @@ object Sketches {
         .as("est_distinct"))
   }
 
+  /** KMV set operations: union / intersection / Jaccard estimates
+    * between two keyed populations from their bottom-k sketches alone —
+    * the mergeable-sketch answer to "how much do these two corpora
+    * overlap?" when neither side fits anywhere (Beyer et al., SIGMOD'07).
+    *
+    * Soundness of the membership trick: K = the k smallest hashes of
+    * A ∪ B. Any h ∈ K that belongs to underlying B must already be in
+    * B's OWN bottom-k (fewer than k union hashes sit below it, so fewer
+    * than k B-hashes do) — so intersecting the two k-row sketches loses
+    * nothing, and n_both/|K| is the standard Jaccard estimator with
+    * est_inter = J · est_union.
+    *
+    * Scale shape: one distinct per side (the only corpus-sized
+    * shuffles), then `ORDER BY h LIMIT k` — Spark plans TakeOrdered
+    * (per-partition bounded heaps + a k-row driver merge), never a
+    * global sort — and everything after operates on ≤ 2k rows. Every
+    * estimate is order statistics + integer counts + one fixed-order
+    * division, so the whole row replays bit-exactly in DuckDB. */
+  def kmvSetOps(a: DataFrame, b: DataFrame, valueCol: String,
+                k: Int = 64): DataFrame = {
+    require(k >= 2, s"kmvSetOps: k must be >= 2, got $k")
+    def sketch(df: DataFrame): DataFrame =
+      df.select(md5(col(valueCol).cast("string")).as("h"))
+        .distinct().orderBy("h").limit(k)
+    val merged = sketch(a).select(col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(sketch(b).select(col("h"), lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy("h").agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val unionK = merged.orderBy("h").limit(k)
+    val s = unionK.agg(
+      count(lit(1)).as("n_union_sketch"),
+      max(col("h")).as("kth"),
+      sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+        .as("n_both"))
+    val estUnion =
+      when(col("n_union_sketch") < k, col("n_union_sketch").cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (conv(substring(col("kth"), 1, 13), 16, 10).cast("long")
+            .cast("double") / lit(4503599627370496.0)))
+    s.select(col("n_union_sketch"), col("kth"), col("n_both"))
+      .withColumn("est_union", estUnion)
+      .withColumn("jaccard_est",
+        col("n_both").cast("double") / col("n_union_sketch").cast("double"))
+      .withColumn("est_intersection", col("jaccard_est") * col("est_union"))
+  }
+
   /** ln γ for [[ddsketchBuckets]], computed ONCE here and emitted into
     * both engines as the same literal (the Benford convention). */
   def lnGamma(gamma: Double): Double = math.log(gamma)

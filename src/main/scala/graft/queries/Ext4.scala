@@ -109,6 +109,17 @@ object Ext4 {
           col("r").cast("long").as("r"), col("n").cast("long").as("n"))
     }),
 
+    // KMV set algebra: union / intersection / Jaccard of two cohorts'
+    // part populations from 64-hash sketches alone — the mergeable
+    // overlap estimate when neither side's distinct set fits anywhere
+    "x_kmv_setops" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.operators.Sketches.kmvSetOps(
+        li.filter(col("l_returnflag") === "R").select(col("l_partkey")),
+        li.filter(col("l_returnflag") === "A").select(col("l_partkey")),
+        "l_partkey", k = 64)
+    }),
+
     // cross-source contamination matrix: distinct 5-word-shingle
     // fingerprints shared between every source pair — which corpora
     // overlap, and how much, BEFORE mixing decides their weights
@@ -217,6 +228,36 @@ object Ext4 {
          SELECT source, doc_id, quality, CAST(r AS BIGINT) AS r,
                 CAST(n AS BIGINT) AS n
          FROM r WHERE r > n // 4""",
+
+    "x_kmv_setops" ->
+      """WITH a AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+               FROM lineitem WHERE l_returnflag = 'R'),
+         ska AS (SELECT h FROM a ORDER BY h LIMIT 64),
+         b AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+               FROM lineitem WHERE l_returnflag = 'A'),
+         skb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+         m AS (SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+                 SELECT h, 1 AS in_a, 0 AS in_b FROM ska
+                 UNION ALL
+                 SELECT h, 0 AS in_a, 1 AS in_b FROM skb) q GROUP BY h),
+         u AS (SELECT * FROM m ORDER BY h LIMIT 64),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n_union_sketch,
+                 max(h) AS kth,
+                 CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_both FROM u),
+         e AS (SELECT *,
+                 CASE WHEN n_union_sketch < 64
+                      THEN CAST(n_union_sketch AS DOUBLE)
+                      ELSE CAST('63.0' AS DOUBLE) /
+                        (CAST(('0x' || substr(kth, 1, 13))::BIGINT AS DOUBLE)
+                          / CAST('4503599627370496.0' AS DOUBLE))
+                 END AS est_union FROM s)
+         SELECT n_union_sketch, kth, n_both, est_union,
+                CAST(n_both AS DOUBLE) / CAST(n_union_sketch AS DOUBLE)
+                  AS jaccard_est,
+                (CAST(n_both AS DOUBLE) / CAST(n_union_sketch AS DOUBLE))
+                  * est_union AS est_intersection
+         FROM e""",
 
     "x_source_overlap" ->
       """WITH w AS (SELECT source, string_split(text, ' ') AS ws

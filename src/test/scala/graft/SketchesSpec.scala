@@ -74,6 +74,31 @@ class SketchesSpec extends SparkSpec {
     assert(total == orders.count())
   }
 
+  test("kmvSetOps: estimates within 3/sqrt(k) of true union/intersection; exact when union fits; partition-proof") {
+    import spark.implicits._
+    // A = 1..3000, B = 2001..5000 → |A∪B| = 5000, |A∩B| = 1000, J = 0.2
+    val a = (1 to 3000).map(_.toLong).toDF("v")
+    val b = (2001 to 5000).map(_.toLong).toDF("v")
+    val k = 256
+    val row = graft.operators.Sketches.kmvSetOps(a, b, "v", k).collect().head
+    val eps = 3.0 / math.sqrt(k) // ~0.1875 relative
+    val eu = row.getAs[Double]("est_union")
+    val ei = row.getAs[Double]("est_intersection")
+    assert(math.abs(eu - 5000.0) / 5000.0 < eps, s"union est $eu")
+    // intersection compounds union + Jaccard noise: double the band
+    assert(math.abs(ei - 1000.0) / 1000.0 < 2 * eps, s"intersection est $ei")
+    // deterministic under repartition
+    val row2 = graft.operators.Sketches.kmvSetOps(
+      a.repartition(7), b.repartition(3), "v", k).collect().head
+    assert(row.toSeq == row2.toSeq)
+    // tiny populations: sketch holds everything → exact, J exact
+    val ex = graft.operators.Sketches.kmvSetOps(
+      Seq(1L, 2L, 3L).toDF("v"), Seq(3L, 4L).toDF("v"), "v", 64)
+      .collect().head
+    assert(ex.getAs[Double]("est_union") == 4.0 &&
+      ex.getAs[Double]("est_intersection") == 1.0)
+  }
+
   test("bootstrapMeanCi: boot mean near full mean, SE near s/sqrt(m)") {
     val rnd = new scala.util.Random(23)
     // one group, value ~ Uniform(0, 1000): mean 500, sd ~ 288.7
