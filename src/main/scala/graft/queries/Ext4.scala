@@ -109,6 +109,26 @@ object Ext4 {
           col("r").cast("long").as("r"), col("n").cast("long").as("n"))
     }),
 
+    // entity resolution end-to-end over a deterministically dirtied
+    // customer file: whitespace variant (canon-identical), suffix and
+    // prefix typos (edit distance 1) — digit-skeleton blocking, full
+    // Levenshtein verify, transitive clustering (the typo variants
+    // connect only THROUGH the clean record), min-id golden record
+    "x_entity_resolution" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      def pick(m: Int) = c.filter(col("c_custkey") % m === 0)
+      val ents = c.select(col("c_custkey").as("id"), col("c_name").as("nm"),
+          col("c_nationkey").as("grp"))
+        .unionByName(pick(3).select((col("c_custkey") + 1000000L).as("id"),
+          call_function("replace", col("c_name"), lit("#"), lit(" # ")).as("nm"),
+          col("c_nationkey").as("grp")))
+        .unionByName(pick(7).select((col("c_custkey") + 2000000L).as("id"),
+          concat(col("c_name"), lit("x")).as("nm"), col("c_nationkey").as("grp")))
+        .unionByName(pick(11).select((col("c_custkey") + 3000000L).as("id"),
+          concat(lit("x"), col("c_name")).as("nm"), col("c_nationkey").as("grp")))
+      graft.operators.Resolve.entityResolve(ents, "id", "nm", "grp")
+    }),
+
     // KMV set algebra: union / intersection / Jaccard of two cohorts'
     // part populations from 64-hash sketches alone — the mergeable
     // overlap estimate when neither side's distinct set fits anywhere
@@ -228,6 +248,48 @@ object Ext4 {
          SELECT source, doc_id, quality, CAST(r AS BIGINT) AS r,
                 CAST(n AS BIGINT) AS n
          FROM r WHERE r > n // 4""",
+
+    "x_entity_resolution" ->
+      """WITH RECURSIVE
+         ents AS (
+           SELECT c_custkey AS id, c_name AS nm, c_nationkey AS grp
+           FROM customer
+           UNION ALL
+           SELECT c_custkey + 1000000, replace(c_name, '#', ' # '),
+                  c_nationkey FROM customer WHERE c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_custkey + 2000000, c_name || 'x', c_nationkey
+           FROM customer WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey + 3000000, 'x' || c_name, c_nationkey
+           FROM customer WHERE c_custkey % 11 = 0),
+         base AS (SELECT id, CAST(grp AS VARCHAR) AS grp,
+                    regexp_replace(lower(nm), '[^a-z0-9]', '', 'g') AS canon
+                  FROM ents),
+         keyed AS (SELECT id, canon,
+                     '0' || grp || regexp_replace(canon, '[^0-9]', '', 'g')
+                       AS bkey FROM base),
+         ok AS (SELECT bkey FROM keyed GROUP BY bkey HAVING count(*) <= 1000),
+         ib AS (SELECT k.id, k.canon, k.bkey FROM keyed k JOIN ok USING (bkey)),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                    a.canon AS ca, b.canon AS cb
+                  FROM ib a JOIN ib b ON a.bkey = b.bkey AND a.id < b.id),
+         good AS (SELECT id_a, id_b FROM cand WHERE levenshtein(ca, cb) <= 1),
+         edges AS (SELECT id_a AS u, id_b AS v FROM good
+                   UNION SELECT id_b, id_a FROM good),
+         reach AS (SELECT u, v FROM edges
+                   UNION SELECT r.u, e.v FROM reach r
+                   JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+         comp AS (SELECT u AS id, least(u, min(v)) AS component
+                  FROM reach GROUP BY u),
+         lbl AS (SELECT b.id, coalesce(c.component, b.id) AS component
+                 FROM (SELECT DISTINCT id FROM base) b
+                 LEFT JOIN comp c USING (id)),
+         st AS (SELECT component, min(id) AS golden_id,
+                  CAST(count(*) AS BIGINT) AS cluster_size
+                FROM lbl GROUP BY component)
+         SELECT l.id, l.component, s.golden_id, s.cluster_size
+         FROM lbl l JOIN st s USING (component)""",
 
     "x_kmv_setops" ->
       """WITH a AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
