@@ -116,5 +116,6 @@ object Bench {
     "x_cube_stats", "x_rollup_stats", "x_window_funcs", "x_percentile",
     "x_topn_global", "x_asof_join", "x_range_join", "x_sessionize",
     "x_gap_fill", "x_scd2", "x_incremental_agg", "x_snapshot_diff",
-    "x_kcore", "x_shortest_path", "x_salted_join", "x_linreg", "x_auc")
+    "x_kcore", "x_shortest_path", "x_salted_join", "x_linreg", "x_auc",
+    "x_line_dedup", "x_html_strip", "x_entity_resolution", "x_kmv_setops")
 }
