@@ -19,10 +19,12 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * ([[graft.functions.Vectors.dot]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -76,10 +78,15 @@ object GraftExtensions {
       s"$fn: expected an integer literal parameter, got $other")
   }
 
-  /** Runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Runtime registration on an existing session. Idempotent: repeated
+    * calls replace functions and add the optimizer rule at most once. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(DotProductRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DotProductRewrite
+  }
 }

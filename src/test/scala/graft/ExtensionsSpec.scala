@@ -86,4 +86,66 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaCol)
     assert(viaSql.head == 0.0 && math.abs(viaSql(1) - math.log(2.5)) < 1e-11)
   }
+
+  test("DotProductRewrite: HOF dot-product becomes ArrayDot; results bit-identical incl. null/length edges") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),          // 32.0
+      (Array(0.1f, 0.2f), Array(0.3f, 0.4f)),                       // rounding-sensitive
+      (Array(1.0f), Array(1.0f, 2.0f)),                             // length mismatch → null
+      (Array(1.0f, Float.NaN), Array(1.0f, 1.0f)))                  // NaN propagates
+      .toDF("a", "b")
+    // repartition blocks ConvertToLocalRelation from folding the whole
+    // projection at optimize time (the rule runs in the post-batch
+    // extraOptimizations slot, after that fold would have happened)
+    def hof(d: org.apache.spark.sql.DataFrame) = d.repartition(2).select(
+      aggregate(
+        zip_with(col("a").cast("array<double>"), col("b").cast("array<double>"),
+          (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    // baseline: the un-rewritten HOF chain (rule detached)
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.plans.DotProductRewrite)
+    // NaN-safe, order-safe comparison: raw IEEE bits, sorted
+    def bits(d: org.apache.spark.sql.DataFrame): Seq[Option[Long]] =
+      d.collect().map(r => Option(r.get(0)).map(v =>
+        java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])))
+        .toSeq.sortBy(_.getOrElse(Long.MinValue))
+    val before = bits(hof(df))
+    // with the rule: plan must contain ArrayDot, values must be identical
+    GraftExtensions.register(spark)
+    val q = hof(df)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("arraydot"),
+      s"rewrite must fire:\n$optimized")
+    val after = bits(hof(df))
+    assert(before == after)
+    assert(after.contains(Some(java.lang.Double.doubleToLongBits(32.0))))
+    assert(after.contains(None)) // length mismatch stays null
+    assert(after.contains(Some(java.lang.Double.doubleToLongBits(Double.NaN))))
+    // and on a real parquet scan (the ANN-shaped plan): fires too
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val scanPlan = emb.select(aggregate(
+      zip_with(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("n2"))
+      .queryExecution.optimizedPlan.toString
+    assert(scanPlan.toLowerCase.contains("arraydot"),
+      s"rewrite must fire over a parquet scan:\n$scanPlan")
+  }
+
+  test("DotProductRewrite leaves the float-multiply form alone (value would change)") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val df = Seq((Array(0.1f, 0.2f), Array(0.3f, 0.4f))).toDF("a", "b")
+    // multiply in FLOAT (no casts): rounds to float per element — not
+    // the ArrayDot contract, must not rewrite
+    val q = df.repartition(2).select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("arraydot"),
+      s"float-multiply form must be left alone:\n$optimized")
+  }
 }
