@@ -318,6 +318,47 @@ object EventOps {
       .withColumn("alarm", col("cusum") > lit(threshold))
   }
 
+  /** Holt double-exponential smoothing per key (level + trend), the
+    * forecasting step up from [[ewma]] for series with drift:
+    *   l_i = α·x_i + (1−α)·(l_{i−1} + b_{i−1})
+    *   b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+    * initialized l_1 = x_1, b_1 = 0; emits the final state and the
+    * one-step-ahead forecast l + b.
+    *
+    * Same skeleton and exactness contract as [[ewma]]/[[cusumDrift]]:
+    * one shuffle on the key, a strict ts-ordered left fold per key —
+    * the two-component state rides as a struct, which the oracle
+    * replays with list_reduce over a struct-mapped list (DuckDB's
+    * reduce takes no explicit zero, so element 1 IS the init — the
+    * same l_1 = x_1, b_1 = 0 this side folds from). Keys are the
+    * parallelism axis; state per key = its event list. */
+  def holtSmooth(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                 valCol: String, alpha: Double, beta: Double): DataFrame = {
+    val sorted = df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+        col(idCol).as("tie"), col(valCol).as("x"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct(col("ts"), col("tie"), col("x"))))
+        .as("xs"))
+      .select(col("k"), size(col("xs")).cast("long").as("n_events"),
+        transform(col("xs"),
+          p => struct(p.getField("x").cast("double").as("l"),
+            lit(0.0).as("b"))).as("sts"))
+    sorted.select(col("k").as(keyCol), col("n_events"),
+        aggregate(
+          slice(col("sts"), lit(2), greatest(size(col("sts")) - 1, lit(0))),
+          element_at(col("sts"), 1),
+          (a, x) => {
+            val lNew = lit(alpha) * x.getField("l") +
+              lit(1.0 - alpha) * (a.getField("l") + a.getField("b"))
+            struct(lNew.as("l"),
+              (lit(beta) * (lNew - a.getField("l")) +
+                lit(1.0 - beta) * a.getField("b")).as("b"))
+          }).as("st"))
+      .select(col(keyCol), col("n_events"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        (col("st.l") + col("st.b")).as("forecast_1"))
+  }
+
   /** Last-touch attribution: every `targetType` event (purchase) is
     * credited to the SAME user's most recent `sourceType` event (click)
     * at-or-before it and within `horizonSec` — the marketing-attribution

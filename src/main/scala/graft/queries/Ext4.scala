@@ -109,6 +109,13 @@ object Ext4 {
           col("r").cast("long").as("r"), col("n").cast("long").as("n"))
     }),
 
+    // Holt level+trend smoothing per user over the event value series —
+    // the forecasting step up from EWMA for drifting series
+    "x_holt_smooth" -> ((s, d) =>
+      graft.operators.EventOps.holtSmooth(t(s, d, "events"),
+        "user_id", "ts", "event_id", "value",
+        alpha = HoltAlpha, beta = HoltBeta)),
+
     // entity resolution end-to-end over a deterministically dirtied
     // customer file: whitespace variant (canon-identical), suffix and
     // prefix typos (edit distance 1) — digit-skeleton blocking, full
@@ -155,7 +162,46 @@ object Ext4 {
     })
   )
 
+  /** Holt smoothing constants, emitted into BOTH engines as the same
+    * decimal literal (Double.toString round-trips, DuckDB parses to the
+    * identical double) — the shared-literal convention. */
+  private val HoltAlpha = 0.3
+  private val HoltBeta = 0.1
+
   val oracle: Map[String, String] = Map(
+
+    // NOTE: the natural list_reduce-over-struct replay hits a DuckDB
+    // v1.0.0 bug (in a chained reduce, a later struct field's acc.<f>
+    // reads the CURRENT iteration's already-updated first field, not
+    // the accumulator — minimal repro: fold (acc,x)->struct(l:=f(acc,x),
+    // b:=acc.l) over 3 elements returns b = the new l). The replay
+    // below uses a recursive CTE over row-numbered events instead —
+    // standard SQL, same strict left-to-right IEEE arithmetic.
+    "x_holt_smooth" -> {
+      val (a, a1, b, b1) = (HoltAlpha, 1.0 - HoltAlpha, HoltBeta, 1.0 - HoltBeta)
+      val lNew = s"CAST('$a' AS DOUBLE) * e.value + CAST('$a1' AS DOUBLE) * (r.l + r.b)"
+      s"""WITH RECURSIVE
+         ev AS (SELECT user_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS i
+                FROM events),
+         rec AS (
+           SELECT user_id, 1 AS i, value AS l, CAST('0.0' AS DOUBLE) AS b
+           FROM ev WHERE i = 1
+           UNION ALL
+           SELECT r.user_id, r.i + 1,
+                  $lNew,
+                  CAST('$b' AS DOUBLE) * (($lNew) - r.l)
+                    + CAST('$b1' AS DOUBLE) * r.b
+           FROM rec r JOIN ev e
+             ON e.user_id = r.user_id AND e.i = r.i + 1),
+         last AS (SELECT user_id, CAST(max(i) AS BIGINT) AS n_events
+                  FROM rec GROUP BY user_id)
+         SELECT r.user_id, t.n_events, r.l AS level, r.b AS trend,
+                r.l + r.b AS forecast_1
+         FROM rec r JOIN last t
+           ON r.user_id = t.user_id AND r.i = t.n_events"""
+    },
 
     "x_line_dedup" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -209,4 +209,35 @@ class EventBreadthSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == 4L)
     assert(run(ev.repartition(7)) == got, "matrix changed under repartition")
   }
+
+  test("holtSmooth == the reference sequential fold, bit for bit; partition-proof") {
+    val rnd = new scala.util.Random(11)
+    val rows = for (k <- 1 to 5; i <- 1 to 40)
+      yield (k.toLong, ts(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"),
+        (k * 1000 + i).toLong, rnd.nextInt(100).toDouble)
+    val df = rows.toDF("k", "ts", "id", "x")
+    val (alpha, beta) = (0.3, 0.1)
+    val got = graft.operators.EventOps
+      .holtSmooth(df, "k", "ts", "id", "x", alpha, beta)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // reference: plain Scala fold in event order
+    rows.groupBy(_._1).foreach { case (k, es) =>
+      val xs = es.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      var (l, b) = (xs.head, 0.0)
+      xs.tail.foreach { x =>
+        val ln = alpha * x + (1 - alpha) * (l + b)
+        b = beta * (ln - l) + (1 - beta) * b
+        l = ln
+      }
+      val g = got(k)
+      assert(g._2 == xs.size.toLong && g._3 == l && g._4 == b &&
+        g._5 == l + b, s"key $k: got $g expected ($l, $b)")
+    }
+    val again = graft.operators.EventOps
+      .holtSmooth(df.repartition(7, col("id")), "k", "ts", "id", "x", alpha, beta)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == got, "holt state changed under repartition")
+  }
 }
