@@ -51,6 +51,16 @@ object Text {
       graft.plans.PositionalShingleGenerator(ColumnBridge.expression(c), n))
   }
 
+  /** Jaro-Winkler similarity via the native codegen
+    * [[graft.plans.JaroWinkler]] — the record-linkage scorer (bit-locked
+    * to DuckDB's independent implementation; see the expression's
+    * scaladoc for the exact semantics). */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** NFC Unicode composition via [[graft.plans.NfcUnicode]] — byte
     * equality ⇔ text equality for exact dedup keys. */
   def nfcUnicode(c: Column): Column = {

@@ -54,7 +54,10 @@ object GraftExtensions {
         zValueExpr(es(0), es(1), intLit(es(2), "graft_zvalue"))),
     ("graft_ln",
       new ExpressionInfo(classOf[PortableLn].getName, "graft_ln"),
-      (es: Seq[Expression]) => PortableLn(Cast(es(0), DoubleType))))
+      (es: Seq[Expression]) => PortableLn(Cast(es(0), DoubleType))),
+    ("graft_jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
 
   /** Morton interleave as a raw Catalyst tree — the SQL-side twin of
     * [[graft.sources.Warehouse.zValue]] (a Column built from functions._

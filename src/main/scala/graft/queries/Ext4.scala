@@ -109,6 +109,20 @@ object Ext4 {
           col("r").cast("long").as("r"), col("n").cast("long").as("n"))
     }),
 
+    // Jaro-Winkler over three deterministic name perturbations — the
+    // oracle is DuckDB's INDEPENDENT jaro_winkler implementation, so
+    // this is a true two-implementation differential test (bit-locked;
+    // see plans.JaroWinkler)
+    "x_jaro_sim" -> ((s, d) => {
+      val jw = graft.functions.Text.jaroWinkler _
+      t(s, d, "customer").select(col("c_custkey"),
+        jw(col("c_name"),
+          call_function("replace", col("c_name"), lit("#"), lit(" # ")))
+          .as("jw_space"),
+        jw(col("c_name"), concat(col("c_name"), lit("x"))).as("jw_suffix"),
+        jw(col("c_name"), reverse(col("c_name"))).as("jw_reverse"))
+    }),
+
     // Holt level+trend smoothing per user over the event value series —
     // the forecasting step up from EWMA for drifting series
     "x_holt_smooth" -> ((s, d) =>
@@ -169,6 +183,14 @@ object Ext4 {
   private val HoltBeta = 0.1
 
   val oracle: Map[String, String] = Map(
+
+    "x_jaro_sim" ->
+      """SELECT c_custkey,
+                jaro_winkler_similarity(c_name,
+                  replace(c_name, '#', ' # ')) AS jw_space,
+                jaro_winkler_similarity(c_name, c_name || 'x') AS jw_suffix,
+                jaro_winkler_similarity(c_name, reverse(c_name)) AS jw_reverse
+         FROM customer""",
 
     // NOTE: the natural list_reduce-over-struct replay hits a DuckDB
     // v1.0.0 bug (in a chained reduce, a later struct field's acc.<f>

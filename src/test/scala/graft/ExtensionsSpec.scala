@@ -72,7 +72,8 @@ class ExtensionsSpec extends SparkSpec {
     // registered name (deep validation happens via the runtime path above)
     assert(GraftExtensions.functions.map(_._1).toSet ==
       Set("graft_dot", "graft_norm", "graft_title_py",
-        "graft_shingles", "graft_pos_shingles", "graft_zvalue", "graft_ln"))
+        "graft_shingles", "graft_pos_shingles", "graft_zvalue", "graft_ln",
+        "graft_jaro_winkler"))
   }
 
   test("graft_ln from SQL == Pmath.lnColumn Column API, bit for bit") {

@@ -45,6 +45,28 @@ class ResolveSpec extends SparkSpec {
     assert(small.forall(_._4 == 3L))
   }
 
+  test("jaroWinkler: textbook values, DuckDB-locked edges, SQL registration") {
+    import graft.plans.JaroWinkler.similarity
+    assert(math.abs(similarity("MARTHA", "MARHTA") - 0.9611111111111111) == 0.0)
+    assert(math.abs(similarity("DIXON", "DICKSONX") - 0.8133333333333332) == 0.0)
+    assert(similarity("CRATE", "TRACE") == 0.7333333333333334) // no prefix → no boost
+    assert(similarity("abcdzzzzzz", "abcdqqqqqq") == 0.6) // jaro <= 0.7 → boost suppressed
+    assert(similarity("a", "a") == 1.0 && similarity("abc", "abc") == 1.0)
+    assert(similarity("ab", "ba") == 0.0) // window 0 admits same-position only
+    assert(similarity("", "") == 0.0 && similarity("a", "") == 0.0) // DuckDB convention
+    assert(similarity("MARTHA", "MARHTA") == similarity("MARHTA", "MARTHA"))
+    // Column + SQL surfaces agree; null propagates
+    graft.plans.GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS a, graft_jaro_winkler(NULL, 'x') AS b")
+      .collect().head
+    assert(row.getDouble(0) == 0.9611111111111111 && row.isNullAt(1))
+    val viaCol = Seq(("MARTHA", "MARHTA")).toDF("a", "b")
+      .select(graft.functions.Text.jaroWinkler(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(viaCol == 0.9611111111111111)
+  }
+
   test("golden record is the minimum id of each cluster; every input row labeled") {
     val got = resolve(Seq(
       (42L, "A-1", 0), (7L, "A-1x", 0), (100L, "xA-1", 0)))
