@@ -57,7 +57,22 @@ object Resolve {
   def entityResolve(entities: DataFrame, idCol: String, nameCol: String,
                     groupCol: String,
                     blockKeys: Seq[Column => Column] = Seq(digitSkeleton),
-                    maxEdits: Int = 1, maxBlock: Int = 1000): DataFrame = {
+                    maxEdits: Int = 1, maxBlock: Int = 1000): DataFrame =
+    entityResolveScored(entities, idCol, nameCol, groupCol, blockKeys,
+      (a, b) => levenshtein(a, b) <= maxEdits, maxBlock)
+
+  /** [[entityResolve]] with a caller-chosen pairwise verifier over the
+    * canonical forms — e.g. Jaro-Winkler ≥ θ
+    * ([[graft.functions.Text.jaroWinkler]]), the standard linkage
+    * scorer when edit-count thresholds are too coarse (it weighs
+    * prefix agreement and tolerates proportionally more noise in long
+    * names). Same blocking, capping, clustering, and golden-record
+    * machinery. */
+  def entityResolveScored(entities: DataFrame, idCol: String,
+                          nameCol: String, groupCol: String,
+                          blockKeys: Seq[Column => Column],
+                          verify: (Column, Column) => Column,
+                          maxBlock: Int = 1000): DataFrame = {
     require(blockKeys.nonEmpty, "entityResolve: need at least one blocking pass")
     val base = entities.select(col(idCol).as("id"),
       col(groupCol).cast("string").as("grp"),
@@ -76,7 +91,7 @@ object Resolve {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.canon").as("ca"), col("b.canon").as("cb"))
       .distinct()
-    val edges = cand.filter(levenshtein(col("ca"), col("cb")) <= maxEdits)
+    val edges = cand.filter(verify(col("ca"), col("cb")))
       .select("id_a", "id_b")
     val cc = Graphs.connectedComponents(edges, "id_a", "id_b")
     val labeled = base.select("id").distinct()

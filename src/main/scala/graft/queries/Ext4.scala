@@ -109,6 +109,25 @@ object Ext4 {
           col("r").cast("long").as("r"), col("n").cast("long").as("n"))
     }),
 
+    // entity resolution with the Jaro-Winkler scorer: the 'xy' suffix
+    // variant is 2 edits (out of the lev<=1 form's reach) but jw~0.99 —
+    // the scorer that tolerates proportionally more noise in long names
+    "x_er_jaro" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val ents = c.select(col("c_custkey").as("id"), col("c_name").as("nm"),
+          col("c_nationkey").as("grp"))
+        .unionByName(c.filter(col("c_custkey") % 3 === 0)
+          .select((col("c_custkey") + 1000000L).as("id"),
+            call_function("replace", col("c_name"), lit("#"), lit(" # ")).as("nm"),
+            col("c_nationkey").as("grp")))
+        .unionByName(c.filter(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 2000000L).as("id"),
+            concat(col("c_name"), lit("xy")).as("nm"), col("c_nationkey").as("grp")))
+      graft.operators.Resolve.entityResolveScored(ents, "id", "nm", "grp",
+        Seq(graft.operators.Resolve.digitSkeleton),
+        (a, b) => graft.functions.Text.jaroWinkler(a, b) >= 0.9)
+    }),
+
     // Jaro-Winkler over three deterministic name perturbations — the
     // oracle is DuckDB's INDEPENDENT jaro_winkler implementation, so
     // this is a true two-implementation differential test (bit-locked;
@@ -183,6 +202,46 @@ object Ext4 {
   private val HoltBeta = 0.1
 
   val oracle: Map[String, String] = Map(
+
+    "x_er_jaro" ->
+      """WITH RECURSIVE
+         ents AS (
+           SELECT c_custkey AS id, c_name AS nm, c_nationkey AS grp
+           FROM customer
+           UNION ALL
+           SELECT c_custkey + 1000000, replace(c_name, '#', ' # '),
+                  c_nationkey FROM customer WHERE c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_custkey + 2000000, c_name || 'xy', c_nationkey
+           FROM customer WHERE c_custkey % 7 = 0),
+         base AS (SELECT id, CAST(grp AS VARCHAR) AS grp,
+                    regexp_replace(lower(nm), '[^a-z0-9]', '', 'g') AS canon
+                  FROM ents),
+         keyed AS (SELECT id, canon,
+                     '0' || grp || regexp_replace(canon, '[^0-9]', '', 'g')
+                       AS bkey FROM base),
+         ok AS (SELECT bkey FROM keyed GROUP BY bkey HAVING count(*) <= 1000),
+         ib AS (SELECT k.id, k.canon, k.bkey FROM keyed k JOIN ok USING (bkey)),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                    a.canon AS ca, b.canon AS cb
+                  FROM ib a JOIN ib b ON a.bkey = b.bkey AND a.id < b.id),
+         good AS (SELECT id_a, id_b FROM cand
+                  WHERE jaro_winkler_similarity(ca, cb) >= 0.9),
+         edges AS (SELECT id_a AS u, id_b AS v FROM good
+                   UNION SELECT id_b, id_a FROM good),
+         reach AS (SELECT u, v FROM edges
+                   UNION SELECT r.u, e.v FROM reach r
+                   JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+         comp AS (SELECT u AS id, least(u, min(v)) AS component
+                  FROM reach GROUP BY u),
+         lbl AS (SELECT b.id, coalesce(c.component, b.id) AS component
+                 FROM (SELECT DISTINCT id FROM base) b
+                 LEFT JOIN comp c USING (id)),
+         st AS (SELECT component, min(id) AS golden_id,
+                  CAST(count(*) AS BIGINT) AS cluster_size
+                FROM lbl GROUP BY component)
+         SELECT l.id, l.component, s.golden_id, s.cluster_size
+         FROM lbl l JOIN st s USING (component)""",
 
     "x_jaro_sim" ->
       """SELECT c_custkey,

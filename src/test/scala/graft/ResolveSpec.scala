@@ -45,6 +45,22 @@ class ResolveSpec extends SparkSpec {
     assert(small.forall(_._4 == 3L))
   }
 
+  test("entityResolveScored with a Jaro-Winkler gate links what the edit-count gate cannot") {
+    val rows = Seq((1L, "Medina-Insurance-9907", 4),
+      (2L, "Medina Insurance 9907xy", 4), // 2 trailing edits after canon
+      (9L, "Other-Insurance-9907", 4))    // same digits, low similarity
+    def run(verify: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      graft.operators.Resolve.entityResolveScored(rows.toDF("id", "nm", "grp"),
+          "id", "nm", "grp", Seq(graft.operators.Resolve.digitSkeleton), verify)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val lev1 = run((a, b) => levenshtein(a, b) <= 1)
+    assert(lev1.forall(_._4 == 1L), "2-edit variant out of lev<=1 reach")
+    val jw = run((a, b) => graft.functions.Text.jaroWinkler(a, b) >= 0.9)
+    assert(jw.map(r => (r._1, r._2, r._4)) ==
+      Seq((1L, 1L, 2L), (2L, 1L, 2L), (9L, 9L, 1L)),
+      s"jw gate must link 1-2 but not 9: $jw")
+  }
+
   test("jaroWinkler: textbook values, DuckDB-locked edges, SQL registration") {
     import graft.plans.JaroWinkler.similarity
     assert(math.abs(similarity("MARTHA", "MARHTA") - 0.9611111111111111) == 0.0)
