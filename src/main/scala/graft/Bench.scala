@@ -89,11 +89,16 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
 
-    // headline subset, 2-decimal → the ONE parseable stdout line
+    // headline subset, 2-decimal → the ONE parseable stdout line.
+    // Locale.ROOT-pinned: the f-interpolator formats through the JVM
+    // default locale, and a comma decimal separator ("146,30") would
+    // break the driver's single-parseable-JSON-line contract.
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val headQs = results.collect {
-      case (k, Right(v)) if Headline(k) => f""""$k":$v%.2f"""
+      case (k, Right(v)) if Headline(k) => s""""$k":${f2(v)}"""
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$headQs,"n_failed":$nFailed,"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$headQs,"n_failed":$nFailed,"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 

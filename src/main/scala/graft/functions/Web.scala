@@ -37,7 +37,10 @@ object Web {
       .foldLeft(noTags) { case (col0, (ent, ch)) =>
         call_function("replace", col0, lit(ent), lit(ch))
       }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    // explicit whitespace class, NOT \s: Java's \s includes vertical
+    // tab \x0B, RE2's (the oracle engine) does not — the one divergent
+    // byte is spelled into the class so both engines collapse it
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f\\x0B]+", " "))
   }
 
   /** Scheme-and-authority matcher shared by the URL parts: scheme is

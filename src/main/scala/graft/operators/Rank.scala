@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact rank / running-sum spines.
+  *
+  * The rank-statistics family (Spearman, Mann–Whitney, Kruskal–Wallis,
+  * KS, AUC, order-statistic picks) all need "running total in value
+  * order" over a spine whose cardinality is DATA-sized when the ranked
+  * column is continuous (~unique per row). The naive
+  * `Window.orderBy(v)` with no partition key plans a single-partition
+  * Exchange — every spine row through ONE task, a straight
+  * one-executor bottleneck at 100 TB.
+  *
+  * [[withCumSums]] is the classic distributed-rank recipe instead:
+  *
+  *  1. range-partition the spine on the order columns (the sort
+  *     spreads over all tasks; RangePartitioner boundaries are sampled
+  *     with deterministic seeds),
+  *  2. per-partition running sums via a PARTITIONED window keyed on
+  *     `spark_partition_id()` (captured as a column value before the
+  *     window's hash exchange moves rows, so it survives the move),
+  *  3. per-partition totals → prefix offsets via one ordered window
+  *     over ≤ `spark.sql.shuffle.partitions` rows (parameter-bounded,
+  *     the same budget as an IVF centroid collect — never data-sized),
+  *  4. broadcast the offsets back and add.
+  *
+  * Exactness: sums stay in the input's integer/decimal type and
+  * addition is associative, so the result is bit-identical to the
+  * single-partition window and every DuckDB oracle is unchanged. Range
+  * partitioning puts equal order-tuples in one partition and orders
+  * partitions by value, so global order is the concatenation of local
+  * orders — the invariant the offset addition relies on.
+  *
+  * Cost: two spine shuffles (range + the window's hash on _pid)
+  * instead of one single-partition funnel — narrow rows, fully
+  * parallel, the shape that survives a 100× scale-up.
+  */
+object Rank {
+
+  /** Append exact global running sums to `spine`.
+    *
+    * @param spine     input frame; one row per rank position (callers
+    *                  pre-aggregate to distinct values or carry a
+    *                  unique tiebreak column in `orderCols`)
+    * @param orderCols global order, compared as a tuple left to right
+    *                  (callers must not pass NULLs in these columns —
+    *                  pre-filter or coalesce first; range partitioning
+    *                  and window sort would both put them first, but
+    *                  null ranks are meaningless)
+    * @param cums      (sourceCol → outputCol): each output is the
+    *                  running sum of its source over the global order
+    * @param inclusive true → rows up to AND INCLUDING the current row
+    *                  (row_number shape when the source is lit(1));
+    *                  false → strictly-preceding rows (cum-before
+    *                  shape), 0 for the first row
+    */
+  def withCumSums(spine: DataFrame, orderCols: Seq[String],
+                  cums: Seq[(String, String)],
+                  inclusive: Boolean = true): DataFrame = {
+    require(cums.nonEmpty, "Rank.withCumSums: need at least one sum")
+    val ranged = spine.repartitionByRange(orderCols.map(col): _*)
+      .withColumn("_pid", spark_partition_id())
+    val hi = if (inclusive) 0L else -1L
+    val wLocal = Window.partitionBy("_pid")
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, hi)
+    val local = cums.foldLeft(ranged) { case (d, (src, out)) =>
+      d.withColumn(out, coalesce(sum(col(src)).over(wLocal), lit(0L)))
+    }
+    // per-partition totals → exclusive prefix offsets; the ordered
+    // window here runs over at most the shuffle-partition count of
+    // rows — parameter-bounded by construction, never data-sized
+    val wOff = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = ranged.groupBy("_pid")
+      .agg(sum(col(cums.head._1)).as(s"_t_${cums.head._2}"),
+        cums.tail.map { case (src, out) => sum(col(src)).as(s"_t_$out") }: _*)
+    val offs = totals.select(col("_pid") +: cums.map { case (_, out) =>
+      coalesce(sum(col(s"_t_$out")).over(wOff), lit(0L)).as(s"_o_$out")
+    }: _*)
+    val joined = local.join(broadcast(offs), Seq("_pid"))
+    cums.foldLeft(joined) { case (d, (_, out)) =>
+      d.withColumn(out, col(out) + col(s"_o_$out"))
+    }.drop("_pid" +: cums.map { case (_, out) => s"_o_$out" }: _*)
+  }
+
+  /** Global row_number over `orderCols` (which must be row-unique —
+    * include a tiebreak column) as a LONG column `outCol`, distributed
+    * per [[withCumSums]]. */
+  def withRowNumber(df: DataFrame, orderCols: Seq[String],
+                    outCol: String): DataFrame =
+    withCumSums(df.withColumn("_one", lit(1L)), orderCols,
+      Seq("_one" -> outCol), inclusive = true).drop("_one")
+
+  /** SQL ntile(k) reconstructed from a global row_number `rn` (1-based
+    * LONG) and the total row count `n` — bit-identical to the window
+    * function's bucketing (sizes differ by at most one; the first
+    * n mod k buckets take the extra row), but computable from a
+    * DISTRIBUTED rank instead of a single-partition ntile window.
+    * Integer arithmetic only. */
+  def ntileCol(rn: Column, n: Column, k: Int): Column = {
+    // exact integral division (SQL `div` / IntegralDivide): Column./
+    // is double division and would round on data-sized counts
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val q = idiv(n, lit(k.toLong))   // base bucket size
+    val r = n % k                    // buckets that take one extra row
+    val cut = r * (q + 1)            // rows covered by the bigger buckets
+    when(q === 0L, rn)               // n < k: one row per bucket
+      .when(rn <= cut, idiv(rn - 1, q + 1) + 1)
+      .otherwise(r + idiv(rn - cut - 1, q) + 1)
+      .cast("int")
+  }
+}

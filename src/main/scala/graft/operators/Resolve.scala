@@ -77,9 +77,20 @@ object Resolve {
     val base = entities.select(col(idCol).as("id"),
       col(groupCol).cast("string").as("grp"),
       canon(col(nameCol)).as("canon"))
+    // Key parts joined with \u0001 separators — a byte that cannot
+    // appear in grp (string cast of a domain column) or the blocking
+    // key (canon is [a-z0-9]-filtered) — so (pass, grp, key) is
+    // injective: bare concatenation would collide grp "2" + key "5100"
+    // with grp "25" + key "100" and falsely merge across groups. Plain
+    // concat (not concat_ws) null-PROPAGATES: a NULL grp yields a NULL
+    // bkey, which the bkey equi-joins never match — a record of unknown
+    // group pairs with nothing, exactly the SQL '||' oracle semantics
+    // (concat_ws would silently DROP the null part and pair all
+    // null-group records with each other).
     val keyed = blockKeys.zipWithIndex.map { case (f, i) =>
       base.select(col("id"), col("canon"),
-        concat_ws("", lit(i), col("grp"), f(col("canon"))).as("bkey"))
+        concat(lit(i.toString), lit("\u0001"), col("grp"),
+          lit("\u0001"), f(col("canon"))).as("bkey"))
     }.reduce(_ unionByName _)
     val okKeys = keyed.groupBy("bkey").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBlock).select("bkey")

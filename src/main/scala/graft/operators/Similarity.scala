@@ -244,6 +244,19 @@ object Similarity {
       .select("query_id", "neighbor_id", "adc", "cos", "rank")
   }
 
+  /** Hard cap on k-means lists: the Lloyd update collects nLists×dim
+    * means to the driver and re-broadcasts the centroids as literal
+    * arrays, so the driver round-trip and the generated centroidScores
+    * expression are both Θ(nLists·dim). At the cap (4096 lists × a
+    * 1024-dim embedding) that is ~32 MB of doubles — comfortably
+    * driver-sized and plenty of routing fan-out for a 100 TB corpus
+    * (IVF quality wants nLists ≈ √n *per executor shard*, not global;
+    * beyond ~10³–10⁴ the win flattens while the driver loop and the
+    * per-row scoring expression grow linearly). A corpus that truly
+    * needs more lists should shard first (partition the corpus, run
+    * per-shard IVF) rather than grow a single global centroid table. */
+  val MaxLists = 4096
+
   /** The portable k-means behind [[ivfTopK]] and `Dedup.semDedup`:
     * deterministic md5-sampled init (smallest md5(seed|id) wins — a tiny,
     * PARAM-bounded driver collect of nLists rows) refined by `lloydIters`
@@ -251,10 +264,16 @@ object Similarity {
     * dim) fixed-point mean via posexplode (floor to 2⁻²⁰, exact long
     * sums — associative, so independent of partition order AND
     * bit-replayable in SQL; a plain avg() of doubles is neither) →
-    * collect the ≤ nLists×dim means. Empty lists keep their centroid. */
+    * collect the ≤ nLists×dim means. Empty lists keep their centroid.
+    * nLists is capped at [[MaxLists]] — see its doc for why the driver
+    * loop must stay parameter-bounded. */
   def kmeansCentroids(corpus: DataFrame, cId: String, cVec: String,
                       nLists: Int, seed: Long,
                       lloydIters: Int): Array[Array[Double]] = {
+    require(nLists >= 1 && nLists <= MaxLists,
+      s"kmeansCentroids: nLists=$nLists outside [1, $MaxLists] — the Lloyd " +
+        "update is a driver-side nLists×dim collect; shard the corpus " +
+        "instead of growing the global centroid table")
     var cents: Array[Array[Double]] = corpus
       .select(col(cVec).as("v"),
         md5(concat_ws("|", lit(seed), col(cId).cast("string"))).as("h"))

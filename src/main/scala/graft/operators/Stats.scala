@@ -44,10 +44,8 @@ object Stats {
         when(inB, 1L).otherwise(0L).as("in2"))
       .where(col("in1") === 1L || col("in2") === 1L)
     val perV = f.groupBy("v").agg(sum("in1").as("a1"), sum("in2").as("a2"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = perV.select(
-      sum(col("a1")).over(w).as("c1"), sum(col("a2")).over(w).as("c2"))
+    val cum = Rank.withCumSums(perV, Seq("v"),
+      Seq("a1" -> "c1", "a2" -> "c2")).select("c1", "c2")
     val tot = f.agg(sum("in1").as("n1"), sum("in2").as("n2"))
     cum.crossJoin(broadcast(tot))
       .agg(max("n1").as("n1"), max("n2").as("n2"),
@@ -247,9 +245,7 @@ object Stats {
     val f = scored.select(scoreCol.as("s"),
       when(labelCol, 1L).otherwise(0L).as("y"))
     val perV = f.groupBy("s").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
-    val w = Window.orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val rs2 = perV.withColumn("cum_incl", sum(col("cnt")).over(w))
+    val rs2 = Rank.withCumSums(perV, Seq("s"), Seq("cnt" -> "cum_incl"))
       .select((col("pos") * (lit(2L) * (col("cum_incl") - col("cnt"))
         + col("cnt") + lit(1L))).as("rs2"))
       .agg(sum("rs2").as("rs2"))
@@ -296,10 +292,10 @@ object Stats {
           .as("intercept"))
     val cal = base.where(!col("is_fit"))
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
-    cal.crossJoin(broadcast(fit)).crossJoin(broadcast(nCal))
+    val resid = cal.crossJoin(broadcast(fit)).crossJoin(broadcast(nCal))
       .withColumn("r",
         abs(dbl(col("y")) - (col("intercept") + col("slope") * dbl(col("x")))))
-      .withColumn("rk", row_number().over(Window.orderBy(col("r"), col("id"))))
+    Rank.withRowNumber(resid, Seq("r", "id"), "rk")
       .withColumn("k",
         ceil(lit(coverage) * (col("n_cal") + lit(1L)).cast("double")))
       .where(col("rk") === col("k"))
@@ -328,10 +324,10 @@ object Stats {
       when(observedCol, 1L).otherwise(0L).as("obs"))
     val perT = f.groupBy("t").agg(count(lit(1)).as("n_all"), sum("obs").as("d"))
     val tot = f.agg(count(lit(1)).as("n_total"))
-    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
-    val ev = perT.crossJoin(broadcast(tot))
-      .withColumn("n_risk",
-        col("n_total") - coalesce(sum(col("n_all")).over(w), lit(0L)))
+    val ev = Rank.withCumSums(perT, Seq("t"), Seq("n_all" -> "cum_b"),
+        inclusive = false)
+      .crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_total") - col("cum_b"))
       .where(col("d") > 0)
       .select(col("t"), col("n_risk"), col("d"),
         (lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
@@ -472,8 +468,17 @@ object Stats {
     val ranked = base.select(col("g"), col("v"),
       row_number().over(wg).as("r"),
       count(lit(1)).over(Window.partitionBy("g")).as("ng"))
-    val pooled = df.select(valueCol.cast("decimal(18,2)").as("pv"))
-      .withColumn("pr", row_number().over(Window.orderBy("pv")))
+    // pooled rank: distinct-value spine + distributed cum-before, then
+    // each value's tied rows expand to their consecutive rank positions
+    // (sequence over the tie count) — the row_number multiset without
+    // ranking raw rows through one task
+    val pooled = Rank.withCumSums(
+        df.select(valueCol.cast("decimal(18,2)").as("pv"))
+          .groupBy("pv").agg(count(lit(1)).as("tc")),
+        Seq("pv"), Seq("tc" -> "cum_b"), inclusive = false)
+      .select(col("pv"), col("cum_b"),
+        explode(sequence(lit(1L), col("tc"))).as("off"))
+      .select(col("pv"), (col("cum_b") + col("off")).as("pr"))
     val nPool = pooled.agg(count(lit(1)).as("np"))
     def dbl(c: Column) = c.cast("string").cast("double")
     val pos = ranked.crossJoin(broadcast(nPool))
@@ -536,9 +541,8 @@ object Stats {
         ((dbl(col("c.y")) - dbl(col("a.y"))) /
           (dbl(col("c.x")) - dbl(col("a.x")))).as("slope"))
     val m = pairs.agg(count(lit(1)).as("m"))
-    pairs.crossJoin(broadcast(m))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("slope"), col("id1"), col("id2"))))
+    Rank.withRowNumber(pairs.crossJoin(broadcast(m)),
+        Seq("slope", "id1", "id2"), "rk")
       .where(col("rk") === expr("(m + 1) div 2")
         || col("rk") === expr("(m + 2) div 2"))
       .groupBy("m")
@@ -566,8 +570,7 @@ object Stats {
     val per = df.groupBy(keyCol.as("k"))
       .agg(sum(valueCol.cast("decimal(18,2)")).as("s0"))
       .select(col("k"), col("s0").cast("decimal(18,2)").as("s"))
-    val ranked = per.withColumn("i",
-      row_number().over(Window.orderBy(col("s"), col("k"))).cast("long"))
+    val ranked = Rank.withRowNumber(per, Seq("s", "k"), "i")
     ranked.agg(count(lit(1)).as("n"), sum("s").as("ts"),
         sum(col("i") * col("s")).as("is_sum"),
         sum(col("s") * col("s")).as("sq"), max("s").as("smax"))
@@ -797,10 +800,8 @@ object Stats {
     val f = df.filter(inA || inB).select(col(valueCol).as("v"),
       when(inA, 1L).otherwise(0L).as("ya"))
     val perV = f.groupBy("v").agg(count(lit(1)).as("cnt"), sum("ya").as("ca"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val c12 = col("cnt").cast("decimal(12,0)")
-    val folded = perV.withColumn("cum_incl", sum(col("cnt")).over(w))
+    val folded = Rank.withCumSums(perV, Seq("v"), Seq("cnt" -> "cum_incl"))
       .select((col("ca") * (lit(2L) * (col("cum_incl") - col("cnt"))
           + col("cnt") + lit(1L))).as("r2a"),
         (c12 * c12 * c12 - c12).as("tt"))
@@ -837,10 +838,8 @@ object Stats {
     val base = df.select(col(groupCol).cast("string").as("g"),
       col(valueCol).as("v"))
     val perV = base.groupBy("v").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val c12 = col("cnt").cast("decimal(12,0)")
-    val sp = perV.withColumn("cum_incl", sum(col("cnt")).over(w))
+    val sp = Rank.withCumSums(perV, Seq("v"), Seq("cnt" -> "cum_incl"))
       .select(col("v"),
         (lit(2L) * (col("cum_incl") - col("cnt")) + col("cnt") + lit(1L))
           .as("m2"),
@@ -877,17 +876,16 @@ object Stats {
     * string-mediated double casts — identical fixed op order on both
     * engines.
     *
-    * Scale shape: two value-spine aggregates + cumulative windows
-    * (global — discretize first at 100 TB), two spine joins back to the
-    * fact rows, one 1-row moment reduce. */
+    * Scale shape: two value-spine aggregates + DISTRIBUTED cumulative
+    * ranks ([[Rank.withCumSums]] — range-partitioned, no
+    * single-partition window even when the column is ~unique per row),
+    * two spine joins back to the fact rows, one 1-row moment reduce. */
   def spearmanRho(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
     def dbl(c: Column) = c.cast("string").cast("double")
     val base = df.select(xCol.as("x"), yCol.as("y"))
     def spine(c: String) = {
-      val w = Window.orderBy(c)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base.groupBy(c).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(w))
+      val per = base.groupBy(c).agg(count(lit(1)).as("cnt"))
+      Rank.withCumSums(per, Seq(c), Seq("cnt" -> "cum"))
         .select(col(c),
           (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
             .cast("decimal(19,0)").as(s"m2_$c"))

@@ -142,12 +142,22 @@ object Corpus {
     * by definition massively repeated, so the per-line state is the
     * distinct-doc HLL-free exact count only at sf-test sizes; at
     * 100 TB swap count_distinct for approx_count_distinct and keep the
-    * shape), then the hot-line set — tiny by construction, it's the
-    * lines shared across ≥ minDocs docs — broadcasts back as an
-    * anti-join, and ONE doc-keyed aggregate rebuilds the text. Two
-    * shuffles end to end, nothing doc-count-sized on the driver. */
+    * shape), then the hot-line set — usually tiny, it's the lines
+    * shared across ≥ minDocs docs — comes back as an anti-join, and
+    * ONE doc-keyed aggregate rebuilds the text. Two shuffles end to
+    * end, nothing doc-count-sized on the driver.
+    *
+    * `broadcastHot` (default true) forces the anti-join's built side
+    * to broadcast — right for the intended regime (minDocs large
+    * enough that the hot set is boilerplate-sized, i.e. ≤ a few
+    * hundred MB). The hot set is NOT bounded in general: a small
+    * minDocs or a boilerplate-heavy corpus can make it arbitrarily
+    * large, and a forced broadcast then OOMs where a shuffle join
+    * would just be slow — pass broadcastHot = false there and let AQE
+    * pick the join side from measured sizes. */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-                minDocs: Long, delim: String = "\n"): DataFrame = {
+                minDocs: Long, delim: String = "\n",
+                broadcastHot: Boolean = true): DataFrame = {
     val lines = docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
           .as(Seq("pos", "line")))
@@ -155,7 +165,8 @@ object Corpus {
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
       .select("line")
-    val kept = lines.join(broadcast(hot), Seq("line"), "left_anti")
+    val kept = lines.join(if (broadcastHot) broadcast(hot) else hot,
+      Seq("line"), "left_anti")
     val perDoc = lines.groupBy("doc_id").agg(count(lit(1)).as("n_total"))
     val rebuilt = kept
       .groupBy("doc_id")

@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType,
+  FloatType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule: strength-reduce the declarative dot-product —
   * `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)`
@@ -33,8 +34,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 
+  /** Only the element types [[ArrayDot]]'s getter/genGet actually
+    * implement — NOT all of NumericType: a DecimalType array accepted
+    * here would rewrite a working HOF dot product into a runtime
+    * IllegalStateException inside ArrayDot. (Decimal is excluded on
+    * purpose: its to-double hop tie-rounds engine-specifically, the
+    * opposite of what a bit-replayable rewrite may do.) */
   private def isNumericArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(_: NumericType, _) => true
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                   ShortType | ByteType, _) => true
     case _ => false
   }
 

@@ -46,6 +46,7 @@ case class ArrayDot(left: Expression, right: Expression)
     case IntegerType => (a, i) => a.getInt(i).toDouble
     case LongType => (a, i) => a.getLong(i).toDouble
     case ShortType => (a, i) => a.getShort(i).toDouble
+    case ByteType => (a, i) => a.getByte(i).toDouble
     case _ => throw new IllegalStateException(s"unsupported element type $dt")
   }
 
@@ -72,6 +73,7 @@ case class ArrayDot(left: Expression, right: Expression)
     case IntegerType => s"(double) $arr.getInt($i)"
     case LongType => s"(double) $arr.getLong($i)"
     case ShortType => s"(double) $arr.getShort($i)"
+    case ByteType => s"(double) $arr.getByte($i)"
     case _ => throw new IllegalStateException(s"unsupported element type $dt")
   }
 

@@ -345,16 +345,24 @@ object Ext {
       Retrieval.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text",
         k = 3, minDf = 2)),
 
+    // postings serialized to a CSV string: the comparator sorts rows in
+    // pandas, which cannot hash array cells — the list itself is the
+    // operator's output, the string is its graded wire form
     "x_inverted_index" -> ((s, d) =>
       Retrieval.invertedIndex(t(s, d, "documents"), "doc_id", "text",
-        minDf = 5, maxPostings = 100)),
+        minDf = 5, maxPostings = 100)
+        .withColumn("postings",
+          array_join(col("postings").cast("array<string>"), ","))),
 
     // int8 embedding quantization (4× storage shrink for the ANN/dedup
     // embedding columns): explicit-floor rounding so codes replay
-    // bit-exactly in SQL; max reconstruction error ≤ scale/2 logged
+    // bit-exactly in SQL; max reconstruction error ≤ scale/2 logged.
+    // Codes graded as their CSV serialization (comparator can't sort
+    // array cells); the array form stays the library API.
     "x_embed_quantize" -> ((s, d) =>
       t(s, d, "embeddings").select(col("vec_id"),
-        graft.functions.Vectors.quantizeInt8(col("embedding")).as("q8"),
+        array_join(graft.functions.Vectors.quantizeInt8(col("embedding"))
+          .cast("array<string>"), ",").as("q8"),
         graft.functions.Vectors.int8Scale(col("embedding")).as("scale"),
         graft.functions.Vectors.int8MaxError(col("embedding")).as("max_err"))),
 
@@ -2407,7 +2415,9 @@ object Ext {
                       (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
                        FROM documents) WHERE term <> '')
          SELECT term, count(DISTINCT doc) AS df, count(*) AS cf,
-                list_sort(list(DISTINCT doc))[1:100] AS postings
+                array_to_string(list_transform(
+                  list_sort(list(DISTINCT doc))[1:100],
+                  x -> CAST(x AS VARCHAR)), ',') AS postings
          FROM occ GROUP BY term HAVING count(DISTINCT doc) >= 5""",
 
     // one-scan ANALYZE profile: selection-only stats (min/max/NDV/null
@@ -2709,9 +2719,11 @@ object Ext {
                coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) / 127.0 AS scale
                FROM e)
          SELECT vec_id,
-                CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS INTEGER))
-                     ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
-                END AS q8,
+                array_to_string(
+                  CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS VARCHAR))
+                       ELSE list_transform(v, x ->
+                         CAST(CAST(floor(x / scale + 0.5) AS INTEGER) AS VARCHAR))
+                  END, ',') AS q8,
                 scale,
                 CASE WHEN scale = 0 THEN 0.0
                      ELSE coalesce(list_max(list_transform(v, x ->

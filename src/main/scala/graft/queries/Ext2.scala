@@ -210,20 +210,28 @@ object Ext2 {
     // Multi-grain time rollup where the coarse grain derives from the
     // FINE grain's partials, never from raw rows — the pre-aggregation
     // reuse pattern that turns a daily report at 100 TB into a sum over
-    // 24 hourly partials. Decimal partials keep every grain exact.
+    // 24 hourly partials. Partials are fixed-point CENTS (the
+    // timeWeightedAvg recipe): floor(value·100) is the same IEEE op in
+    // every engine, integer sums are exact at every grain, and the one
+    // decimal→double hop at the end is string-mediated — native wide-
+    // decimal→double casts tie-round differently across engines (Spark
+    // HALF_UP vs DuckDB half-even), which is exactly the bug a
+    // per-value decimal(18,2) cast had here.
     "x_grain_rollup" -> ((s, d) => {
       val hourly = t(s, d, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("total"))
+          sum(floor(col("value") * lit(100.0)).cast("decimal(38,0)"))
+            .as("cents"))
       val daily = hourly
         .groupBy(col("event_type"), date_trunc("day", col("bucket")).as("bucket"))
-        .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
       hourly.withColumn("grain", lit("hour"))
         .unionByName(daily.withColumn("grain", lit("day")))
         .select(col("grain"), col("event_type"),
           unix_seconds(col("bucket")).as("bucket_s"), col("n"),
-          col("total").cast("double").as("total"))
+          (col("cents").cast("string").cast("double") / lit(100.0))
+            .as("total"))
     }),
 
     // Incremental corpus dedup: which NEW docs (the batch) open with a
@@ -693,16 +701,17 @@ object Ext2 {
     "x_grain_rollup" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
                            count(*) AS n,
-                           sum(CAST(value AS DECIMAL(18,2))) AS total
+                           sum(CAST(floor(value * 100.0) AS HUGEINT)) AS cents
                          FROM events GROUP BY 1, 2),
          daily AS (SELECT event_type, date_trunc('day', bucket) AS bucket,
-                     sum(n) AS n, sum(total) AS total
+                     sum(n) AS n, sum(cents) AS cents
                    FROM hourly GROUP BY 1, 2)
          SELECT 'hour' AS grain, event_type, epoch(bucket) AS bucket_s, n,
-                CAST(total AS DOUBLE) AS total FROM hourly
+                CAST(CAST(cents AS VARCHAR) AS DOUBLE) / 100.0 AS total
+         FROM hourly
          UNION ALL
          SELECT 'day', event_type, epoch(bucket), n,
-                CAST(total AS DOUBLE) FROM daily""",
+                CAST(CAST(cents AS VARCHAR) AS DOUBLE) / 100.0 FROM daily""",
 
     "x_incremental_dedup" ->
       s"""WITH n AS (SELECT doc_id,

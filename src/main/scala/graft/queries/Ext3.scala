@@ -320,13 +320,20 @@ object Ext3 {
         .crossJoin(broadcast(maxd))
         .select(col("o_custkey"), datediff(col("dmax"), col("dlast")).as("rec"),
           col("f"), col("m0").cast("decimal(18,2)").as("m"))
-      val seg = per
-        .withColumn("r",
-          ntile(5).over(Window.orderBy(col("rec"), col("o_custkey"))))
-        .withColumn("fq",
-          ntile(5).over(Window.orderBy(col("f"), col("o_custkey"))))
-        .withColumn("mq",
-          ntile(5).over(Window.orderBy(col("m"), col("o_custkey"))))
+      // quintiles from DISTRIBUTED ranks, not single-partition ntile
+      // windows: the per-customer frame is data-sized, so each axis
+      // gets a Rank.withRowNumber spine and ntile reconstructed from
+      // (rank, n) — bit-identical bucketing (Rank.ntileCol)
+      val nAll = per.agg(count(lit(1)).as("n_all"))
+      val seg = Seq(("rec", "r"), ("f", "fq"), ("m", "mq"))
+        .foldLeft(per) { case (d, (src, out)) =>
+          graft.operators.Rank.withRowNumber(d, Seq(src, "o_custkey"),
+            s"rn_$out")
+        }
+        .crossJoin(broadcast(nAll))
+        .withColumn("r", graft.operators.Rank.ntileCol(col("rn_r"), col("n_all"), 5))
+        .withColumn("fq", graft.operators.Rank.ntileCol(col("rn_fq"), col("n_all"), 5))
+        .withColumn("mq", graft.operators.Rank.ntileCol(col("rn_mq"), col("n_all"), 5))
       seg.groupBy((col("r") * 100 + col("fq") * 10 + col("mq")).as("segment"))
         .agg(count(lit(1)).as("n_customers"),
           (sum("m").cast("string").cast("double") /

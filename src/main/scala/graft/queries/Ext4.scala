@@ -218,7 +218,8 @@ object Ext4 {
                     regexp_replace(lower(nm), '[^a-z0-9]', '', 'g') AS canon
                   FROM ents),
          keyed AS (SELECT id, canon,
-                     '0' || grp || regexp_replace(canon, '[^0-9]', '', 'g')
+                     '0' || chr(1) || grp || chr(1) ||
+                       regexp_replace(canon, '[^0-9]', '', 'g')
                        AS bkey FROM base),
          ok AS (SELECT bkey FROM keyed GROUP BY bkey HAVING count(*) <= 1000),
          ib AS (SELECT k.id, k.canon, k.bkey FROM keyed k JOIN ok USING (bkey)),
@@ -329,7 +330,8 @@ object Ext4 {
                     '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS x
                 FROM s4),
          s6 AS (SELECT doc_id, text,
-                  trim(regexp_replace(x, '\s+', ' ', 'g')) AS clean_text
+                  trim(regexp_replace(x, '[ \t\n\r\f\x0b]+', ' ', 'g'))
+                    AS clean_text
                 FROM s5)
          SELECT doc_id, clean_text, clean_text = text AS roundtrip FROM s6""",
 
@@ -394,7 +396,8 @@ object Ext4 {
                     regexp_replace(lower(nm), '[^a-z0-9]', '', 'g') AS canon
                   FROM ents),
          keyed AS (SELECT id, canon,
-                     '0' || grp || regexp_replace(canon, '[^0-9]', '', 'g')
+                     '0' || chr(1) || grp || chr(1) ||
+                       regexp_replace(canon, '[^0-9]', '', 'g')
                        AS bkey FROM base),
          ok AS (SELECT bkey FROM keyed GROUP BY bkey HAVING count(*) <= 1000),
          ib AS (SELECT k.id, k.canon, k.bkey FROM keyed k JOIN ok USING (bkey)),

@@ -180,6 +180,18 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall $recall")
   }
 
+  test("kmeansCentroids rejects nLists beyond MaxLists — the driver loop is parameter-bounded by contract") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        nLists = Similarity.MaxLists + 1, seed = 42L, lloydIters = 1)
+    }
+    assert(e.getMessage.contains("nLists"))
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        nLists = 0, seed = 42L, lloydIters = 1)
+    }
+  }
+
   test("semDedup: no surviving in-cluster pair clears the threshold; near-dups co-cluster") {
     val got = Dedup.semDedup(emb, "vec_id", "embedding", 0.4)
     val survivors = got.collect().map(r => (r.getLong(0), r.getInt(1)))

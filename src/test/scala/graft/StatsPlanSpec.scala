@@ -55,6 +55,46 @@ class StatsPlanSpec extends SparkSpec {
       s"the window must consume the per-score aggregate, not raw rows:\n$plan")
   }
 
+  test("rank-statistic spines plan NO single-partition Exchange over a data-sized spine") {
+    // the exact failure mode this guards: Window.orderBy with no
+    // partition key plans Exchange SinglePartition feeding a Window —
+    // one task ranks the whole spine. After Rank.withCumSums, the only
+    // SinglePartition exchanges allowed are those feeding 1-row/
+    // parameter-bounded aggregates (the offsets window runs over
+    // <= shuffle-partition rows and is hash-partitioned on _pid).
+    def singlePartitionWindow(plan: String): Boolean = {
+      val lines = plan.linesIterator.toVector
+      lines.zipWithIndex.exists { case (l, i) =>
+        l.contains("Exchange SinglePartition") &&
+          // a Window ABOVE this exchange consumes it if it appears
+          // within the few operators between them (sort + window)
+          lines.slice(math.max(0, i - 4), i).exists(_.contains("Window")) &&
+          // except the parameter-bounded offsets window, which sits on
+          // a HashAggregate of _pid (partition totals), never raw rows
+          !lines.slice(i, math.min(lines.size, i + 3))
+            .exists(_.contains("_pid"))
+      }
+    }
+    val rows = (1 to 4000).map(i =>
+      (i.toLong, (i * 37 % 997).toDouble, (i * 61 % 991).toDouble,
+        i % 2 == 0, i % 3 == 0, s"g${i % 5}"))
+      .toDF("id", "x", "y", "a", "b", "g")
+    val plans = Seq(
+      "spearman" -> planOf(Stats.spearmanRho(rows, col("x"), col("y"))),
+      "mannwhitney" -> planOf(Stats.mannWhitneyU(rows, col("a"), col("b"), "x")),
+      "kruskal" -> planOf(Stats.kruskalWallis(rows, "g", "x")),
+      "ks" -> planOf(Stats.ksTwoSample(rows, "x", col("a"), col("b"))),
+      "auc" -> planOf(Stats.rocAuc(rows, col("x"), col("a"))),
+      "theilsen" -> planOf(Stats.theilSenSlope(rows, col("id"), col("x"), col("y"))),
+      "quantilenorm" -> planOf(Stats.quantileNormalize(rows, "g", col("x"))),
+      "conformal" -> planOf(Stats.conformalInterval(rows, col("id"), col("x"), col("y"))),
+      "concentration" -> planOf(Stats.concentration(rows, col("g"), col("x"))))
+    plans.foreach { case (name, plan) =>
+      assert(!singlePartitionWindow(plan),
+        s"$name ranks a data-sized spine through ONE task:\n$plan")
+    }
+  }
+
   test("psiDrift / chi2Terms broadcast their 1-row totals (no shuffle join)") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val chi2Plan = planOf(Stats.chi2Terms(docs, "doc_id", "text",

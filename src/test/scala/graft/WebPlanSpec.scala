@@ -27,6 +27,18 @@ class WebPlanSpec extends SparkSpec {
       s"no corpus-sized shuffle join on the line key:\n$plan")
   }
 
+  test("lineDedup with broadcastHot=false plans no forced broadcast of the hot side") {
+    val docs = (1 to 200).map(i => (i.toLong, s"nav bar\ndoc $i body\nfooter"))
+      .toDF("doc_id", "text")
+    val df = Corpus.lineDedup(docs, "doc_id", "text", minDocs = 50L,
+      broadcastHot = false)
+    // the logical plan must carry no broadcast HINT — AQE may still
+    // CHOOSE broadcast from measured sizes, which is the point
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.contains("ResolvedHint"),
+      s"broadcastHot=false must not force a broadcast hint:\n$logical")
+  }
+
   test("stripHtml + url dissection: zero exchanges, single codegen stage") {
     val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(Web.stripHtml(col("text")).as("c"))
