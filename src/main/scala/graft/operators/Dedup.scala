@@ -258,15 +258,19 @@ object Dedup {
     * band become candidates (prob ≈ 1-(1-j^r)^b), then candidates are
     * verified with exact Jaccard.
     *
-    * The hash family is md5-derived and engine-portable (the winnowing
-    * operator proved the pattern): hash_j(shingle) = the j-th 4-hex-char
-    * slice of md5(seed|⌊j/8⌋|shingle), minimized LEXICOGRAPHICALLY over
-    * a document's shingles — numHashes/8 md5 evaluations per shingle,
-    * not numHashes (32 full digests per shingle benched 5.8 s at sf0.1;
-    * 4 digests sliced eight ways is ~3× cheaper with the same oracle
-    * replayability). Min-hash theory only needs each slice to impose a
-    * pseudorandom total order on shingles; a 16-bit slice adds
-    * collisions, which only makes two docs' mins MORE likely to agree —
+    * The hash family is md5-seeded and engine-portable, at ONE digest
+    * per shingle: h = the leading 7 hex chars (28 bits) of
+    * md5(seed|shingle) parsed as an integer, and
+    * hash_j(shingle) = (a_j·h + b_j) mod p with p = 2³¹−1 and per-slot
+    * constants a_j, b_j derived arithmetically from j — the classic
+    * affine universal family, replayed verbatim in the SQL oracle
+    * (every operand stays below 2⁵⁹, so int64 arithmetic is exact in
+    * both engines). History: 32 full digests per shingle benched
+    * 5.8 s at sf0.1; 4 digests sliced eight 16-bit ways ~3× cheaper;
+    * one digest + integer family cuts the remaining md5 work 4× again
+    * and replaces 32 string mins with long mins. Min-hash theory only
+    * needs each slot to impose a pseudorandom total order on shingles;
+    * 28-bit collisions only make two docs' mins MORE likely to agree —
     * slightly higher candidate recall, and precision is untouched
     * because every candidate still passes the exact-Jaccard verify.
     *
@@ -275,6 +279,14 @@ object Dedup {
     * shingle rows). The per-row array-fold form (array_min over a
     * transform per hash) re-evaluates the shingle expression numHashes
     * times per document and ran ~40× slower at sf0.1. */
+  /** The affine min-hash family's modulus (2³¹−1, prime) and per-slot
+    * constants — plain integer functions of the slot index j so the SQL
+    * oracle regenerates them inline. Bounds: a,b < 2³¹, h < 2²⁸ ⇒
+    * a·h + b < 2⁵⁹, exact in int64 on every engine. */
+  val MersenneP: Long = 2147483647L
+  def affineA(j: Int): Long = ((2L * j + 1L) * 2654435761L) % MersenneP
+  def affineB(j: Int): Long = (j.toLong * 40503L * 65537L + 1L) % MersenneP
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5, seed: Long = 42): DataFrame = {
@@ -287,21 +299,22 @@ object Dedup {
     // by the doc length — texts rejoin only for the tiny candidate set.
     val exploded = df.select(col(idCol).as("doc"), col(textCol).as("text"))
       .select(col("doc"), Text.explodeWordShingles(col("text"), n).as("sh"))
-    // materialize the ⌈numHashes/8⌉ digests as columns BEFORE the
-    // aggregate so each md5 runs once per shingle row, not once per slice
-    val nDigests = (numHashes + 7) / 8
-    val hashed = exploded.select(col("doc") +: (0 until nDigests).map { g =>
-      md5(concat_ws("|", lit(seed), lit(g), col("sh"))).as(s"h$g")
-    }: _*)
+    // ONE md5 per shingle row; the numHashes slot values are integer
+    // affine transforms of its 28-bit prefix, computed map-side
+    val hashed = exploded.select(col("doc"),
+      conv(substring(md5(concat_ws("|", lit(seed), col("sh"))), 1, 7), 16, 10)
+        .cast("long").as("h"))
     val minExprs = (0 until numHashes).map { j =>
-      min(substring(col(s"h${j / 8}"), (j % 8) * 4 + 1, 4)).as(s"m$j")
+      min((lit(affineA(j)) * col("h") + lit(affineB(j))) % lit(MersenneP))
+        .as(s"m$j")
     }
     val sig = hashed.groupBy("doc").agg(minExprs.head, minExprs.tail: _*)
-    // band key = the concatenated member hashes (already uniform md5 hex —
-    // re-hashing adds nothing); equality on (band, key) is all LSH needs
+    // band key = the concatenated member slot minima; equality on
+    // (band, key) is all LSH needs
     val banded = sig.select(col("doc"),
       posexplode(array((0 until bands).map { b =>
-        concat_ws("|", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+        concat_ws("|", (0 until rows).map(r =>
+          col(s"m${b * rows + r}").cast("string")): _*)
       }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val cand = bucketPairs(banded, "doc", "doc_a", "doc_b")

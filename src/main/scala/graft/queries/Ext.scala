@@ -1098,10 +1098,12 @@ object Ext {
               CAST(count(DISTINCT v) + 1 AS BIGINT) AS cluster_size
        FROM reach GROUP BY u"""
 
-  /** MinHash+LSH replay: the SAME md5 hash family as
-    * [[graft.operators.Dedup.minhashLsh]] (hash_j = the (j%8)-th
-    * 4-hex-char slice of md5(42|j/8|shingle), lexicographic min per doc
-    * over distinct word 3-grams), banded 8×4, candidates from band-key
+  /** MinHash+LSH replay: the SAME hash family as
+    * [[graft.operators.Dedup.minhashLsh]] — h = the leading 7 hex
+    * chars of md5(42|shingle) as an integer, slot j =
+    * (a_j·h + b_j) mod (2³¹−1) with a_j = ((2j+1)·2654435761) mod p
+    * and b_j = (j·40503·65537 + 1) mod p, integer min per doc over
+    * distinct word 3-grams, banded 8×4, candidates from band-key
     * equality, exact-Jaccard verify at 0.5 — a full independent replay
     * of the LSH pipeline, not a shortcut. */
   private val dMinhashOracle: String =
@@ -1110,12 +1112,16 @@ object Ext {
               unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                                     for i in range(1, len(ws) - 1)])) AS s
               FROM w WHERE len(ws) >= 3),
+       hh AS (SELECT doc_id,
+                ('0x' || substr(md5(42 || '|' || s), 1, 7))::BIGINT AS h
+              FROM sh),
        hj AS (SELECT doc_id, j,
-                     min(substr(md5(42 || '|' || (j // 8) || '|' || s),
-                                CAST((j % 8) * 4 + 1 AS INT), 4)) AS mj
-              FROM sh, (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j),
+                min(((((2*j+1)*2654435761) % 2147483647) * h
+                     + ((j*40503*65537 + 1) % 2147483647)) % 2147483647)
+                  AS mj
+              FROM hh, (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j),
        sig AS (SELECT doc_id, j // 4 AS band,
-                      string_agg(mj, '|' ORDER BY j) AS bucket
+                      string_agg(mj::VARCHAR, '|' ORDER BY j) AS bucket
                FROM hj GROUP BY doc_id, j // 4),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM sig a JOIN sig b ON a.band = b.band
