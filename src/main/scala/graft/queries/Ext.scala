@@ -1061,7 +1061,17 @@ object Ext {
     // waveform formula
     "x_audio_decode" -> ((s, d) =>
       Multimodal.decodeWavs(Multimodal.synthWavs(
-        t(s, d, "documents").filter(col("doc_id") < 200), "doc_id")))
+        t(s, d, "documents").filter(col("doc_id") < 200), "doc_id"))),
+
+    // REAL video demux+decode: synthesize spec-correct RIFF/AVI
+    // containers (closed-form DIB frames), walk the container
+    // generically, decode BI_RGB bottom-up/BGR/padded-stride pixels,
+    // emit per-frame channel sums + the top-left pixel — the oracle
+    // regenerates every pixel arithmetically, so a stride slip, channel
+    // swap, vertical flip, or chunk mis-walk hash-mismatches.
+    "x_video_decode" -> ((s, d) =>
+      Multimodal.demuxAviFrames(Multimodal.synthAvis(
+        t(s, d, "documents").filter(col("doc_id") < 100), "doc_id")))
   )
 
   /** Transitive-closure CTE prefix over the ngram-jaccard pair set
@@ -2777,6 +2787,33 @@ object Ext {
                 (r * (w * h - 1) + (255 - r))::DOUBLE / (w * h) AS avg_r,
                 (g * (w * h - 1) + (255 - g))::DOUBLE / (w * h) AS avg_g,
                 (b * (w * h - 1) + (255 - b))::DOUBLE / (w * h) AS avg_b
-         FROM ids"""
+         FROM ids""",
+
+    // what a correct AVI demux + DIB decode MUST read back: every pixel
+    // of every frame regenerated from the closed form, summed per
+    // channel, plus the image-top-left pixel (the statistic a
+    // bottom-up/top-down confusion cannot fake) — integers end to end
+    "x_video_decode" ->
+      """WITH ids AS (SELECT doc_id AS media_id, 4 + doc_id % 5 AS w,
+                             3 + doc_id % 4 AS h, 2 + doc_id % 3 AS nf
+                      FROM documents WHERE doc_id < 100),
+         fr AS (SELECT media_id, w, h, unnest(range(nf)) AS f FROM ids),
+         ys AS (SELECT media_id, w, h, f, unnest(range(h)) AS y FROM fr),
+         px AS (SELECT media_id, w, h, f, y, unnest(range(w)) AS x FROM ys),
+         v AS (SELECT media_id, w, h, f, y, x,
+                      (media_id * 37 + f * 41 + y * 43 + x * 47) % 256 AS r,
+                      (media_id * 19 + f * 23 + y * 29 + x * 31) % 256 AS g,
+                      (media_id * 7 + f * 11 + y * 13 + x * 17) % 256 AS b
+               FROM px)
+         SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+                CAST(any_value(w) AS INTEGER) AS width,
+                CAST(any_value(h) AS INTEGER) AS height,
+                CAST(sum(r) AS BIGINT) AS sum_r,
+                CAST(sum(g) AS BIGINT) AS sum_g,
+                CAST(sum(b) AS BIGINT) AS sum_b,
+                CAST(max(CASE WHEN x = 0 AND y = 0 THEN r END) AS INTEGER) AS r00,
+                CAST(max(CASE WHEN x = 0 AND y = 0 THEN g END) AS INTEGER) AS g00,
+                CAST(max(CASE WHEN x = 0 AND y = 0 THEN b END) AS INTEGER) AS b00
+         FROM v GROUP BY media_id, f"""
   )
 }

@@ -372,6 +372,36 @@ class ExtSpec extends SparkSpec {
     assert(bad.getLong(0) == 999L && bad.isNullAt(1) && bad.isNullAt(4))
   }
 
+  test("multimodal: real AVI demux+DIB decode reads back exact per-frame content; garbage -> zero frames") {
+    val decoded = Multimodal.demuxAviFrames(
+      Multimodal.synthAvis(docs.filter(col("doc_id") < 20), "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getInt(7), r.getInt(8), r.getInt(9)))
+      .toMap
+    val expFrames = (0 until 20).map(id => 2 + id % 3).sum
+    assert(decoded.size == expFrames, s"${decoded.size} frames != $expFrames")
+    decoded.foreach { case ((id, f), (w, h, sr, sg, sb, r00, g00, b00)) =>
+      val (ew, eh) = (4 + (id % 5).toInt, 3 + (id % 4).toInt)
+      assert((w, h) == (ew, eh), s"id=$id dims ($w,$h) != ($ew,$eh)")
+      val px = for (y <- 0 until eh; x <- 0 until ew) yield (
+        (id * 37 + f * 41 + y * 43 + x * 47) % 256,
+        (id * 19 + f * 23 + y * 29 + x * 31) % 256,
+        (id * 7 + f * 11 + y * 13 + x * 17) % 256)
+      assert(sr == px.map(_._1).sum && sg == px.map(_._2).sum &&
+        sb == px.map(_._3).sum, s"id=$id f=$f channel sums wrong")
+      // top-left pixel (y=0, x=0) — stored LAST in the bottom-up DIB,
+      // so a decoder that forgot the flip fails exactly here
+      assert(r00 == (id * 37 + f * 41) % 256 && g00 == (id * 19 + f * 23) % 256
+        && b00 == (id * 7 + f * 11) % 256, s"id=$id f=$f corner wrong")
+    }
+    // malformed payloads (non-RIFF, truncated RIFF) demux to ZERO frames
+    val garbage = Seq((998L, Array[Byte](1, 2, 3, 4)),
+      (999L, "RIFF1234AVI x".getBytes("US-ASCII")))
+      .toDF("media_id", "payload")
+    assert(Multimodal.demuxAviFrames(garbage).count() == 0L)
+  }
+
   test("multimodal: resize stub keeps metadata consistent") {
     val media = Multimodal.asMedia(
       docs.withColumn("payload", encode(col("text"), "utf-8")),
