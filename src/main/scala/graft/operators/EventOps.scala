@@ -443,4 +443,42 @@ object EventOps {
           .when(col("p").isNotNull, "carry")
           .otherwise("backfill").as("src"))
   }
+
+  /** GSP-style length-3 sequential pattern mining: every run of THREE
+    * consecutive events of one key where BOTH inter-event gaps are
+    * within `maxGapSec` forms an occurrence of the pattern
+    * (a → b → c); patterns are reported with their occurrence count
+    * and their SUPPORT (distinct keys exhibiting the pattern), pruned
+    * at `minKeys`. The support metric — not the raw count — is what
+    * makes this sequence MINING rather than a transition matrix
+    * ([[markovTransitions]] is the length-2 count/probability view;
+    * this is the "which multi-step behaviors are widespread"
+    * question, the Srikant–Agrawal GSP primitive with a sliding
+    * window constraint).
+    *
+    * Scale shape: one shuffle on the key for the lead window (per-key
+    * ordered state = two look-ahead rows), a narrow gap filter, then
+    * one hash aggregate on the (a, b, c) pattern — count and
+    * count(distinct key) collapse map-side per pattern×key. The
+    * result frame is ≤ |types|³ rows, parameter-sized. Exact: counts
+    * are integers; the gap test is integer microseconds. */
+  def seqPatterns3(df: DataFrame, keyCol: String, tsCol: String,
+                   idCol: String, typeCol: String,
+                   maxGapSec: Long, minKeys: Long): DataFrame = {
+    val ord = Window.partitionBy("k").orderBy(col("us"), col("tie"))
+    val runs = df.select(col(keyCol).as("k"),
+        unix_micros(col(tsCol)).as("us"), col(idCol).as("tie"),
+        col(typeCol).as("a"))
+      .withColumn("b", lead(col("a"), 1).over(ord))
+      .withColumn("c", lead(col("a"), 2).over(ord))
+      .withColumn("us_b", lead(col("us"), 1).over(ord))
+      .withColumn("us_c", lead(col("us"), 2).over(ord))
+      .where(col("c").isNotNull &&
+        col("us_b") - col("us") <= maxGapSec * 1000000L &&
+        col("us_c") - col("us_b") <= maxGapSec * 1000000L)
+    runs.groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("k")).as("n_keys"))
+      .where(col("n_keys") >= minKeys)
+  }
 }

@@ -83,4 +83,26 @@ object Sampling {
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Class-balanced downsampling: every class keeps exactly
+    * min-class-count rows, chosen by the [[hashReservoir]] hash order —
+    * the standard rebalancing step before training on a skewed label
+    * (a 40%-English corpus becomes uniform over languages without any
+    * RNG, and the same rows are kept on every engine and rerun).
+    *
+    * The min class count is ONE scalar from a |classes|-row aggregate —
+    * a parameter-bounded driver action (the 1-row argmax discipline,
+    * cf. [[graft.operators.Prune]]), taken deliberately so the rank
+    * filter is a LITERAL: Spark then plans the per-class window as a
+    * WindowGroupLimit — every map task keeps its local k smallest
+    * hashes BEFORE the shuffle, so the exchange carries ≤ k·parts rows
+    * instead of the corpus, and the per-class partitions downstream of
+    * the limit are k-bounded, never data-sized. A column-valued bound
+    * would lose that pushdown and funnel whole classes through single
+    * tasks. */
+  def classBalance(df: DataFrame, classCol: String, idCol: String): DataFrame = {
+    val m = df.groupBy(classCol).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head.getLong(0)
+    hashReservoir(df, classCol, idCol, m.toInt)
+  }
 }

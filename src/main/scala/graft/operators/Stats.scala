@@ -257,6 +257,50 @@ object Stats {
           .as("auc"))
   }
 
+  /** Calibration (reliability) curve for a classifier whose score is a
+    * ratio of integers (numerator `numCol` / denominator `denCol`, e.g.
+    * the hashed classifier's token-sum margin): scores are split into
+    * `k` equal-WIDTH bins over the observed [min, max], and each bin
+    * reports its row count, positive count, mean score and positive
+    * rate — the "is 0.8 confidence right 80% of the time" companion to
+    * [[rocAuc]] (Murphy/DeGroot–Fienberg reliability decomposition).
+    *
+    * Exactness discipline: the bin index is the ONLY place doubles
+    * enter — (s−mn)/(mx−mn)·k then floor, an identical IEEE chain on
+    * both engines because s, mn, mx are each single divisions of
+    * integers. Per-bin means divide integer SUMS once (Σnum/Σden and
+    * pos/n), never average pre-divided doubles (whose summation order
+    * would be partition-dependent).
+    *
+    * Scale shape: one hash aggregate for the 1-row min/max (broadcast
+    * back), one hash aggregate keyed on the bin (≤ k rows out) — no
+    * window, no data-sized partition anywhere. */
+  def calibrationCurve(df: DataFrame, numCol: Column, denCol: Column,
+                       labelCol: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000,
+      s"calibrationCurve: bins must be in [2, 1000], got $k")
+    val f = df.select(
+      (numCol.cast("double") / denCol.cast("double")).as("s"),
+      numCol.cast("long").as("num"), denCol.cast("long").as("den"),
+      when(labelCol, 1L).otherwise(0L).as("y"))
+    val mm = f.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    f.crossJoin(broadcast(mm))
+      .select(
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("s") - col("mn")) / (col("mx") - col("mn")) * k),
+            lit(k - 1L))).cast("long").as("bin"),
+        col("num"), col("den"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("num")).as("snum"), sum(col("den")).as("sden"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("snum").cast("double") / col("sden").cast("double"))
+          .as("mean_score"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"))
+  }
+
   /** Split-conformal prediction interval for a simple regression
     * (Vovk et al.; the distribution-free uncertainty wrapper): fit OLS
     * on the hash-even half, take absolute residuals on the hash-odd
