@@ -612,4 +612,51 @@ object Graphs {
     sym.unpersist()
     out
   }
+
+  /** Synchronous label propagation (Raghavan–Albert–Kumara LPA) for
+    * community detection, made DETERMINISTIC: every node starts as its
+    * own label; each round every node simultaneously adopts the label
+    * most frequent among its neighbors, ties broken by the SMALLEST
+    * label. Runs a FIXED `rounds` count (synchronous LPA can oscillate
+    * on bipartite structures, so a fixpoint claim would be wrong by
+    * construction; a small fixed round count is the standard practice
+    * and makes the operator a pure function of the edge set — the
+    * unrollable-oracle property the k-core peel established). Returns
+    * (id, lbl) after the final round; nodes sharing lbl are one
+    * community.
+    *
+    * Distinct from [[connectedComponents]]: CC merges everything
+    * reachable; LPA keeps densely-linked neighborhoods apart inside one
+    * component — the community view, not the reachability view.
+    *
+    * Scale shape per round: one edge⋈label join keyed on the neighbor
+    * endpoint, one (node, label) count aggregate, one per-node argmax
+    * via min(struct(-count, label)) — all hash operations, no windows,
+    * no data-sized partition. The symmetric edge list is checkpointed
+    * once and reused; per-round label frames follow the kCore
+    * checkpoint/release discipline. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"labelPropagation: rounds must be in [1, 20], got $rounds")
+    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val next = sym
+        .join(labels.select(col("id").as("v"), col("lbl")), Seq("v"))
+        .groupBy("u", "lbl").agg(count(lit(1)).as("n"))
+        .groupBy("u")
+        .agg(min(struct((-col("n")).as("negn"), col("lbl").as("l"))).as("m"))
+        .select(col("u").as("id"), col("m.l").as("lbl"))
+        .localCheckpoint(true)
+      CheckpointBlocks.release(labels)
+      labels = next
+    }
+    CheckpointBlocks.release(sym)
+    labels
+  }
 }

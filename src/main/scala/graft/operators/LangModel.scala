@@ -291,4 +291,38 @@ object LangModel {
           .when(col("avg_lnp") >= col("c_lo"), "middle")
           .otherwise("tail").as("ppl_bucket"))
   }
+
+  /** Tokenizer vocabulary coverage: build the top-`vocabSize` corpus
+    * vocabulary by DOCUMENT frequency (ties broken by token asc — a
+    * total order, so the cut is deterministic on every engine), then
+    * report each document's token count, out-of-vocabulary occurrence
+    * count and OOV rate — the "will this tokenizer cover that corpus"
+    * check run before an expensive BPE train ([[bpeMerges]]) or a
+    * model-vocab freeze.
+    *
+    * Scale shape: one token explode + df aggregate (|vocab-candidates|
+    * rows), a global TOP-N on (df DESC, token ASC) — Spark plans
+    * TakeOrderedAndProject: per-partition heaps of N, never a full
+    * sort — then one broadcast-sized vocab anti-probe folded into a
+    * per-doc aggregate (count vs count of misses). OOV rate is one
+    * integer division. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1,
+      s"vocabCoverage: vocabSize must be >= 1, got $vocabSize")
+    val tok = df.select(col(idCol).as("doc"),
+      explode(Text.tokens(col(textCol))).as("t"))
+    val vocab = tok.select(col("doc"), col("t")).distinct()
+      .groupBy("t").agg(count(lit(1)).as("df_t"))
+      .orderBy(col("df_t").desc, col("t").asc)
+      .limit(vocabSize)
+      .select(col("t").as("v"), lit(true).as("in_vocab"))
+    tok.join(broadcast(vocab), tok("t") === vocab("v"), "left")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc").as("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
 }

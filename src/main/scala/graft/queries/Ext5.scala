@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{EventOps, Sampling, Stats}
+import graft.operators.{EventOps, Features, Graphs, Sampling, Stats}
 
 /** Round-6 wave: the training-loop bookends around the engine's
   * existing model-eval and sampling families — sequential pattern
@@ -52,6 +52,40 @@ object Ext5 {
     "x_class_balance" -> ((s, d) =>
       Sampling.classBalance(t(s, d, "documents"), "lang", "doc_id")
         .select("doc_id", "lang", "rk")),
+
+    // Leave-one-out smoothed target encoding of order priority against
+    // the 'F' status label (m=20 pseudo-counts toward the global rate)
+    "x_target_encode" -> ((s, d) =>
+      Features.targetEncodeLoo(t(s, d, "orders"), "o_orderpriority",
+        col("o_orderkey"), col("o_orderstatus") === "F", m = 20.0)),
+
+    // Weight-of-evidence / IV screening of document source against the
+    // English label — half-count smoothing cleared to integer ln args
+    "x_woe_iv" -> ((s, d) =>
+      Features.woeIv(t(s, d, "documents"), "source",
+        col("lang") === "en")),
+
+    // Deterministic synchronous LPA communities (3 rounds, min-label
+    // ties) over the supplier-part incidence graph — the community
+    // view next to x_dedup_clusters' reachability view
+    "x_communities" -> ((s, d) =>
+      Graphs.labelPropagation(
+        t(s, d, "lineitem").select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
+        "src", "dst", rounds = 3)),
+
+    // k-anonymity / l-diversity release audit of the customer table:
+    // QI = (nation, segment), sensitive = account balance
+    "x_kanon" -> ((s, d) =>
+      graft.operators.Privacy.kAnonymityAudit(t(s, d, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"), k = 5L, l = 3L)),
+
+    // tokenizer vocab coverage: top-500-by-df vocabulary, per-doc OOV
+    // occurrence rate (the pre-BPE corpus coverage check)
+    "x_vocab_coverage" -> ((s, d) =>
+      graft.operators.LangModel.vocabCoverage(
+        t(s, d, "documents"), "doc_id", "text", vocabSize = 500)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -111,5 +145,96 @@ object Ext5 {
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
                FROM documents)
          SELECT doc_id, lang, rk FROM r CROSS JOIN c WHERE rk <= m""",
+
+    // identical IEEE chain: CAST(sy - y), + m*(gy/gn), / (CAST(nc-1) + m)
+    "x_target_encode" ->
+      """WITH base AS (SELECT o_orderpriority AS cat, o_orderkey AS id,
+                CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+              FROM orders),
+         per AS (SELECT cat, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(count(*) AS BIGINT) AS nc FROM base GROUP BY cat),
+         tot AS (SELECT CAST(sum(y) AS BIGINT) AS gy,
+                CAST(count(*) AS BIGINT) AS gn FROM base)
+         SELECT id, cat, CAST(y AS BIGINT) AS y,
+                (CAST(sy - y AS DOUBLE) +
+                  20.0 * (CAST(gy AS DOUBLE) / CAST(gn AS DOUBLE))) /
+                (CAST(nc - 1 AS DOUBLE) + 20.0) AS te
+         FROM base JOIN per USING (cat) CROSS JOIN tot""",
+
+    // woe via TWO portable-ln CTE chains over integer products (the ½
+    // smoothing cleared by doubling); iv_term reuses the woe double
+    "x_woe_iv" -> {
+      val (n1, n2, n3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnnum")
+      val (d1, d2, d3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnden")
+      s"""WITH base AS (SELECT source AS cat,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+         per AS (SELECT cat, CAST(sum(y) AS BIGINT) AS pos,
+                CAST(count(*) - sum(y) AS BIGINT) AS neg
+              FROM base GROUP BY cat),
+         tot AS (SELECT CAST(sum(y) AS BIGINT) AS pt,
+                CAST(count(*) - sum(y) AS BIGINT) AS nt FROM base),
+         j AS (SELECT cat, pos, neg, pt, nt,
+                CAST((2 * pos + 1) * (2 * nt + 1) AS DOUBLE) AS lnin
+              FROM per CROSS JOIN tot),
+         a1 AS (SELECT *, $n1 FROM j),
+         a2 AS (SELECT *, $n2 FROM a1),
+         a3 AS (SELECT *, $n3 FROM a2),
+         b0 AS (SELECT cat, pos, neg, pt, nt, lnnum,
+                CAST((2 * neg + 1) * (2 * pt + 1) AS DOUBLE) AS lnin
+              FROM a3),
+         b1 AS (SELECT *, $d1 FROM b0),
+         b2 AS (SELECT *, $d2 FROM b1),
+         b3 AS (SELECT *, $d3 FROM b2)
+         SELECT cat, pos, neg, lnnum - lnden AS woe,
+                (CAST(pos AS DOUBLE) / CAST(pt AS DOUBLE) -
+                 CAST(neg AS DOUBLE) / CAST(nt AS DOUBLE)) *
+                  (lnnum - lnden) AS iv_term
+         FROM b3""".stripMargin
+    },
+
+    // LPA unrolled: 3 synchronous rounds, argmax by (count DESC, label
+    // ASC) — bit-identical to min(struct(-n, lbl)) on the engine side
+    "x_communities" -> {
+      val rounds = (1 to 3).map { i =>
+        s""", c$i AS MATERIALIZED (SELECT e.u AS id, l.lbl,
+                count(*) AS n
+              FROM e0 e JOIN l${i - 1} l ON e.v = l.id GROUP BY 1, 2),
+           l$i AS MATERIALIZED (SELECT id, lbl FROM (
+              SELECT id, lbl, row_number() OVER (PARTITION BY id
+                ORDER BY n DESC, lbl ASC) AS rn FROM c$i) q$i
+              WHERE rn = 1)"""
+      }.mkString
+      s"""WITH raw AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS u,
+                'p' || CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+         e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+              SELECT u, v FROM raw
+              UNION ALL SELECT v AS u, u AS v FROM raw) s
+              WHERE u <> v),
+         l0 AS MATERIALIZED (SELECT id, id AS lbl FROM
+              (SELECT DISTINCT u AS id FROM e0) n0)$rounds
+         SELECT id, lbl FROM l3"""
+    },
+
+    "x_kanon" ->
+      """SELECT c_nationkey, c_mktsegment,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive,
+                count(*) >= 5 AS k_ok,
+                count(DISTINCT c_acctbal) >= 3 AS l_ok
+         FROM customer GROUP BY c_nationkey, c_mktsegment""",
+
+    "x_vocab_coverage" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                      FROM documents),
+         dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df_t FROM
+                     (SELECT DISTINCT doc_id, t FROM tok) dt GROUP BY t),
+         vocab AS (SELECT t FROM dfreq ORDER BY df_t DESC, t ASC LIMIT 500)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_oov,
+                CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS oov_rate
+         FROM tok LEFT JOIN vocab v ON tok.t = v.t
+         GROUP BY doc_id""",
   )
 }

@@ -36,7 +36,7 @@ class ContractSpec extends SparkSpec {
     val n = SparkEntry.queries.size
     val exact = SparkEntry.oracleSql.size
     info(s"graded queries: $n; exact oracles: $exact; rows-only: ${n - exact}")
-    assert(n == 218 && exact == 213,
+    assert(n == 223 && exact == 218,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 }

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EventOps, Sampling, Stats}
+import graft.operators.{EventOps, Features, Graphs, Sampling, Stats}
 
 /** Round-6 wave semantics against in-memory brute force: sequential
   * pattern mining (gap windows, support prune), calibration binning
@@ -92,5 +92,108 @@ class Wave7Spec extends SparkSpec {
     val b = Sampling.classBalance(docs.repartition(13), "lang", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b, "selection must be partitioning-independent")
+  }
+
+  test("targetEncodeLoo: brute-force parity, leakage guard, rare-class shrink") {
+    val rows = Seq(
+      ("a", 1L, true), ("a", 2L, true), ("a", 3L, false), ("a", 4L, false),
+      ("b", 5L, true), ("c", 6L, false))
+      .toDF("cat", "id", "lab")
+    val m = 4.0
+    val got = Features.targetEncodeLoo(rows, "cat", col("id"), col("lab"), m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val stats = Map("a" -> (2L, 4L), "b" -> (1L, 1L), "c" -> (0L, 1L))
+    val prior = 3.0 / 6.0
+    val ys = Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 1L, 6L -> 0L)
+    val cats = Map(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "a", 5L -> "b", 6L -> "c")
+    val expect = ys.map { case (id, y) =>
+      val (sy, nc) = stats(cats(id))
+      id -> (((sy - y).toDouble + m * prior) / ((nc - 1).toDouble + m))
+    }
+    assert(got == expect, s"got $got expect $expect")
+    // singleton category: own label fully removed -> pure prior
+    assert(got(5L) == prior && got(6L) == prior,
+      "LOO on a singleton category must collapse to the global prior")
+  }
+
+  test("woeIv matches a math.log reference within 1e-10 relative") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = Features.woeIv(docs, "source", col("lang") === "en")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val rows = docs.select(col("source"), (col("lang") === "en").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val pt = rows.count(_._2 == 1L).toLong
+    val nt = rows.size - pt
+    assert(got.nonEmpty && pt > 0 && nt > 0)
+    got.foreach { case (cat, (pos, neg, woe, iv)) =>
+      val cRows = rows.filter(_._1 == cat)
+      assert(pos == cRows.count(_._2 == 1L) && neg == cRows.count(_._2 == 0L))
+      val ref = math.log((2.0 * pos + 1) * (2.0 * nt + 1)) -
+        math.log((2.0 * neg + 1) * (2.0 * pt + 1))
+      assert(math.abs(woe - ref) <= 1e-10 * math.max(1.0, math.abs(ref)),
+        s"$cat: woe=$woe ref=$ref")
+      val refIv = (pos.toDouble / pt - neg.toDouble / nt) * woe
+      assert(math.abs(iv - refIv) <= 1e-10 * math.max(1.0, math.abs(refIv)))
+    }
+  }
+
+  test("labelPropagation: brute-force sync-LPA parity on a barbell graph") {
+    // two 4-cliques joined by one bridge edge -> two communities
+    val cliqueA = for (i <- 1 to 4; j <- (i + 1) to 4) yield (s"a$i", s"a$j")
+    val cliqueB = for (i <- 1 to 4; j <- (i + 1) to 4) yield (s"b$i", s"b$j")
+    val edges = (cliqueA ++ cliqueB :+ (("a1", "b1"))).toDF("s", "t")
+    val got = Graphs.labelPropagation(edges, "s", "t", rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // reference: synchronous rounds, most-frequent neighbor label,
+    // min-label tie break
+    val adj = (cliqueA ++ cliqueB :+ (("a1", "b1")))
+      .flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    var lab: Map[String, String] = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to 3) {
+      lab = adj.map { case (u, nbrs) =>
+        val counts = nbrs.groupBy(lab).view.mapValues(_.size)
+        val best = counts.toSeq.minBy { case (l, n) => (-n, l) }._1
+        u -> best
+      }
+    }
+    assert(got == lab, s"got $got\nref $lab")
+    // the two cliques must not share one label after 3 rounds
+    assert(got("a2") != got("b2"), "barbell halves merged")
+  }
+
+  test("kAnonymityAudit: group sizes, sensitive diversity, k/l flags") {
+    val rows = Seq(
+      (1, "A", 10.0), (1, "A", 20.0), (1, "A", 20.0),
+      (1, "B", 5.0),
+      (2, "A", 1.0), (2, "A", 2.0), (2, "A", 3.0))
+      .toDF("nat", "seg", "bal")
+    val got = graft.operators.Privacy.kAnonymityAudit(
+        rows, Seq("nat", "seg"), col("bal"), k = 3L, l = 3L)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got == Map(
+      (1, "A") -> ((3L, 2L, true, false)),  // 3 rows, 2 distinct bals
+      (1, "B") -> ((1L, 1L, false, false)),
+      (2, "A") -> ((3L, 3L, true, true))), s"got $got")
+  }
+
+  test("vocabCoverage: deterministic df-ordered cut, OOV occurrence counting") {
+    val docs = Seq(
+      (1L, "a b a c"),   // a twice (1 doc), b, c
+      (2L, "a b d"),
+      (3L, "a e e"))
+      .toDF("doc_id", "text")
+    // df: a=3, b=2, c=1, d=1, e=1; vocabSize=3 cuts at df DESC, token ASC
+    // -> vocab = {a, b, c}; d and e are OOV
+    val got = graft.operators.LangModel.vocabCoverage(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      1L -> ((4L, 0L, 0.0)),
+      2L -> ((3L, 1L, 1.0 / 3.0)),
+      3L -> ((3L, 2L, 2.0 / 3.0))), s"got $got")
   }
 }
