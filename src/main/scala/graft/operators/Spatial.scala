@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grid-blocked spatial self-join — the canonical "all pairs within
+  * radius" shape (geo proximity, sensor co-location, spatial dedup).
+  * A naive radius join is the O(n²) cross product; the grid block
+  * assigns every point to a radius-sized square cell so any qualifying
+  * pair must sit in the same OR adjacent cells — each left point probes
+  * its 3×3 cell neighborhood and only those candidates get the exact
+  * distance test. The same decomposition every spatial engine uses
+  * (geohash prefix joins, S2 cell covers, PostGIS && + ST_DWithin).
+  */
+object Spatial {
+
+  /** All unordered point pairs with squared L2 distance ≤ radius².
+    * Coordinates must be non-negative integral columns; everything —
+    * cells, candidate keys, distances — stays in exact integer
+    * arithmetic (no trig, no floats), so the operator is
+    * exact-oracle-able and the oracle can brute-force the quadratic
+    * form at test scale.
+    *
+    * Returns (id_a, id_b, d2) with id_a < id_b; each pair emitted
+    * exactly once (the left side explodes to its 9 neighbor cells, the
+    * right side keeps its home cell — a candidate appears once per
+    * ordered pair and the id ordering keeps one).
+    *
+    * Scale shape: a 9× narrow fanout of (id, x, y, cell) on one side,
+    * one equi-join on the cell key, a codegen integer filter. Shuffle
+    * volume is 9·n + n rows, never n². Skew bound: a cell holds the
+    * points inside one radius² square, so the per-key join fanout is
+    * density-bounded, not data-bounded; a corpus with pathological
+    * point pileups caps it the fuzzy-join way (count cells first, cap
+    * or sub-split the hot ones). */
+  def gridRadiusJoin(df: DataFrame, idCol: String, xCol: String,
+                     yCol: String, radius: Long): DataFrame = {
+    require(radius >= 1, s"gridRadiusJoin: radius must be >= 1, got $radius")
+    def idiv(a: Column, b: Long) = call_function("div", a, lit(b))
+    val pts = df.select(col(idCol).as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"),
+      idiv(col(xCol).cast("long"), radius).as("cx"),
+      idiv(col(yCol).cast("long"), radius).as("cy"))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probes = pts.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"), explode(offsets).as("o"),
+        col("cx"), col("cy"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    probes.join(
+        pts.select(col("id").as("id_b"), col("x").as("xb"),
+          col("y").as("yb"), col("cx"), col("cy")),
+        Seq("cx", "cy"))
+      .where(col("id_a") < col("id_b") && d2 <= radius * radius)
+      .select(col("id_a"), col("id_b"), d2.as("d2"))
+  }
+}

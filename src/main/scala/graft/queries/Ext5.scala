@@ -86,6 +86,18 @@ object Ext5 {
     "x_vocab_coverage" -> ((s, d) =>
       graft.operators.LangModel.vocabCoverage(
         t(s, d, "documents"), "doc_id", "text", vocabSize = 500)),
+
+    // grid-blocked radius self-join over md5-derived integer coords
+    // (9-cell probe + exact integer distance; the oracle brute-forces
+    // the quadratic form — blocking must be lossless)
+    "x_grid_join" -> ((s, d) => {
+      val pts = t(s, d, "customer").select(col("c_custkey").as("id"),
+        (conv(substring(md5(col("c_custkey").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 1000).as("x"),
+        (conv(substring(md5(col("c_custkey").cast("string")), 5, 4), 16, 10)
+          .cast("long") % 1000).as("y"))
+      graft.operators.Spatial.gridRadiusJoin(pts, "id", "x", "y", radius = 20L)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -236,5 +248,19 @@ object Ext5 {
                   / CAST(count(*) AS DOUBLE) AS oov_rate
          FROM tok LEFT JOIN vocab v ON tok.t = v.t
          GROUP BY doc_id""",
+
+    // brute-force quadratic radius join — the differential proof that
+    // the engine's 3x3 grid blocking is lossless
+    "x_grid_join" ->
+      """WITH pts AS (SELECT c_custkey AS id,
+                ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT
+                  % 1000 AS x,
+                ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 5, 4))::BIGINT
+                  % 1000 AS y
+              FROM customer)
+         SELECT a.id AS id_a, b.id AS id_b,
+                (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+         FROM pts a JOIN pts b ON a.id < b.id
+         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400""",
   )
 }

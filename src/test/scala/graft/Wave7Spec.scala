@@ -180,6 +180,23 @@ class Wave7Spec extends SparkSpec {
       (2, "A") -> ((3L, 3L, true, true))), s"got $got")
   }
 
+  test("gridRadiusJoin == brute-force radius pairs; cell-border pairs kept") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 300L).map(i =>
+      (i, rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+    val df = pts.toDF("id", "x", "y")
+    val r = 15L
+    val got = graft.operators.Spatial.gridRadiusJoin(df, "id", "x", "y", r)
+      .collect().map(q => (q.getLong(0), q.getLong(1), q.getLong(2))).toSet
+    val brute = (for {
+      (a, xa, ya) <- pts; (b, xb, yb) <- pts if a < b
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) if d2 <= r * r
+    } yield (a, b, d2)).toSet
+    assert(brute.nonEmpty, "no qualifying pairs in the synthetic cloud?")
+    assert(got == brute,
+      s"missed=${brute -- got} extra=${got -- brute}")
+  }
+
   test("vocabCoverage: deterministic df-ordered cut, OOV occurrence counting") {
     val docs = Seq(
       (1L, "a b a c"),   // a twice (1 doc), b, c
