@@ -443,7 +443,10 @@ object Graphs {
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val adj = sym.join(deg, Seq("src")).persist()
+    // adjacency is re-joined on src every round: cache it PARTITIONED
+    // on the join key so each iteration shuffles only the rank frame,
+    // not the data-sized edge side
+    val adj = sym.join(deg, Seq("src")).repartition(col("src")).persist()
     val n = adj.select(countDistinct(col("src")).as("n"))
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
@@ -639,10 +642,15 @@ object Graphs {
                        rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20,
       s"labelPropagation: rounds must be in [1, 20], got $rounds")
+    // the edge list is re-joined on v every round: pay ONE repartition
+    // at build and CACHE it partitioned on the join key (persist, not
+    // localCheckpoint — InMemoryRelation preserves outputPartitioning,
+    // a checkpointed RDD does not), so each iteration shuffles only the
+    // label frame, never the data-sized edge side
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().repartition(col("v")).persist()
     var labels = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
     (1 to rounds).foreach { _ =>
@@ -656,7 +664,7 @@ object Graphs {
       CheckpointBlocks.release(labels)
       labels = next
     }
-    CheckpointBlocks.release(sym)
+    sym.unpersist()
     labels
   }
 }
