@@ -590,9 +590,12 @@ object Graphs {
                     rounds: Int = 2): DataFrame = {
     require(rounds >= 1 && rounds <= 4,
       s"wlFingerprint: rounds must be in [1, 4], got $rounds")
+    // cached PARTITIONED on the per-round join key (the pageRank/LPA
+    // discipline): each WL round then shuffles only the label frame
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-      .filter(col("u") =!= col("v")).distinct().persist()
+      .filter(col("u") =!= col("v")).distinct()
+      .repartition(col("v")).persist()
     var labels = sym.groupBy("u").agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), md5(col("deg").cast("string")).as("lab"))
       .localCheckpoint(true)
