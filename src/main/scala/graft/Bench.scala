@@ -122,5 +122,8 @@ object Bench {
     "x_topn_global", "x_asof_join", "x_range_join", "x_sessionize",
     "x_gap_fill", "x_scd2", "x_incremental_agg", "x_snapshot_diff",
     "x_kcore", "x_shortest_path", "x_salted_join", "x_linreg", "x_auc",
-    "x_line_dedup", "x_html_strip", "x_entity_resolution", "x_kmv_setops")
+    "x_line_dedup", "x_html_strip", "x_entity_resolution", "x_kmv_setops",
+    // round-6 family representatives (ADDED names only — existing
+    // membership stays stable for round-over-round deltas)
+    "x_communities", "x_grid_join", "x_target_encode", "x_class_balance")
 }

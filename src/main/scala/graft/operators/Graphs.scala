@@ -536,9 +536,12 @@ object Graphs {
                     sources: DataFrame, idCol: String,
                     maxHops: Int, directed: Boolean = false): DataFrame = {
     val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // cached partitioned on u, the per-hop join key (the pageRank/LPA
+    // discipline): each BFS hop shuffles only the frontier
     val adj = (if (directed) fwd
       else fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v"))))
-      .filter(col("u") =!= col("v")).distinct().persist()
+      .filter(col("u") =!= col("v")).distinct()
+      .repartition(col("u")).persist()
     var dist = sources.select(col(idCol).as("id")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint(true)
     var frontier = dist

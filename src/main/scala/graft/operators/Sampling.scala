@@ -101,8 +101,9 @@ object Sampling {
     * would lose that pushdown and funnel whole classes through single
     * tasks. */
   def classBalance(df: DataFrame, classCol: String, idCol: String): DataFrame = {
-    val m = df.groupBy(classCol).agg(count(lit(1)).as("n"))
-      .agg(min(col("n"))).head.getLong(0)
-    hashReservoir(df, classCol, idCol, m.toInt)
+    val row = df.groupBy(classCol).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head
+    if (row.isNullAt(0)) df.withColumn("rk", lit(1)).limit(0) // empty input
+    else hashReservoir(df, classCol, idCol, row.getLong(0).toInt)
   }
 }

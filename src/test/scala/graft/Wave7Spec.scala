@@ -92,6 +92,10 @@ class Wave7Spec extends SparkSpec {
     val b = Sampling.classBalance(docs.repartition(13), "lang", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b, "selection must be partitioning-independent")
+
+    // empty input: empty output with the rk column, not an NPE
+    val empty = Sampling.classBalance(docs.limit(0), "lang", "doc_id")
+    assert(empty.columns.contains("rk") && empty.count() == 0)
   }
 
   test("targetEncodeLoo: brute-force parity, leakage guard, rare-class shrink") {
