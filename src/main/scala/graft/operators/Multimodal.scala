@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * plugs in at the same signature (binary frame in, pixels out,
   * row-parallel); `fakeDecodeFeatures` / [[sampleFrames]] remain as
   * the codec-agnostic feature/chunk stubs.
+  *
+  * On top of decode sit the perceptual ops: [[dHash64]] (64-bit
+  * difference hash over decoded pixels, anti-aliased to 9×8 by an
+  * exact integer box resample), [[phashDedup]] (hash-partitioned
+  * near-dup clustering — the image twin of exact dedup, robust to
+  * resolution and brightness variants), and [[resizeImage]] (real
+  * decode → box resample → PNG re-encode).
   */
 object Multimodal {
 
@@ -393,13 +400,224 @@ object Multimodal {
         "sum_r", "sum_g", "sum_b", "r00", "g00", "b00")
   }
 
-  /** "Resize" stub: truncate/pad payload to `target` bytes — stands in for
-    * a real resample; keeps the metadata consistent. */
-  def resizeStub(media: DataFrame, target: Int): DataFrame =
-    media.withColumn("payload",
-      substring(col("payload"), 1, target))
-      .withColumn("meta", struct(col("meta.media_type"),
-        length(col("payload")).as("n_bytes"), md5(col("payload")).as("checksum")))
+  // --------------------------------------------------------------------
+  // Perceptual image hashing (dHash) + real area resampling
+  // --------------------------------------------------------------------
+
+  /** MD5 hex of a string — the same digest DuckDB's `md5(varchar)`
+    * returns, so generator closed forms keyed on it replay in SQL. */
+  private[graft] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+
+  /** Bit `k` (0-based) of an MD5 hex string, MSB-first within each
+    * nibble read left to right — the one convention the gradient synth
+    * and the DuckDB oracle both spell out. */
+  private[graft] def md5Bit(hex: String, k: Int): Int = {
+    val nib = Character.digit(hex.charAt(k / 4), 16)
+    (nib >> (3 - (k % 4))) & 1
+  }
+
+  /** Exact area-weighted box resample of a `w`×`h` integer grid to
+    * `tw`×`th`, floor-rounded — all-integer rational arithmetic (source
+    * coordinates scaled by `tw`/`th` so fractional box overlaps stay
+    * integral), so the result is deterministic across partitionings and
+    * replayable by an arithmetic oracle. For integer-ratio downscales
+    * (e.g. 2×-replicated pixels back to base resolution) the average is
+    * exact: a pixel-replicate upscale round-trips to the identical grid.
+    * This is the classic anti-aliasing kernel for thumbnail/perceptual-
+    * hash pipelines (every source pixel contributes, unlike nearest-
+    * neighbor sampling which drops pixels and breaks near-dup hashing
+    * across resolutions). */
+  private[graft] def boxResize(src: Array[Int], w: Int, h: Int,
+                                   tw: Int, th: Int): Array[Int] = {
+    require(w >= 1 && h >= 1 && tw >= 1 && th >= 1,
+      s"boxResize: degenerate dims ${w}x$h -> ${tw}x$th")
+    val out = new Array[Int](tw * th)
+    val denom = w.toLong * h
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty.toLong * h; val y1 = y0 + h       // units of 1/th rows
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx.toLong * w; val x1 = x0 + w     // units of 1/tw cols
+        var sum = 0L
+        var sy = (y0 / th).toInt
+        while (sy.toLong * th < y1) {
+          val oy = math.min((sy + 1L) * th, y1) - math.max(sy.toLong * th, y0)
+          var sx = (x0 / tw).toInt
+          while (sx.toLong * tw < x1) {
+            val ox = math.min((sx + 1L) * tw, x1) - math.max(sx.toLong * tw, x0)
+            sum += src(sy * w + sx).toLong * ox * oy
+            sx += 1
+          }
+          sy += 1
+        }
+        out(ty * tw + tx) = (sum / denom).toInt
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Decode any ImageIO-supported payload to a row-major grayscale grid
+    * (`(r+g+b)/3` floor — exact on the gray synth where channels are
+    * equal); undecodable payloads yield None (quarantine, don't crash). */
+  private[operators] def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { im =>
+        val (w, h) = (im.getWidth, im.getHeight)
+        val g = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = im.getRGB(x, y)
+            g(y * w + x) = (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, g)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Synthesize near-duplicate FAMILIES of gradient PNGs: family
+    * `f = id / famSize` fixes a 9×8 base image whose horizontal walk
+    * steps ±6 by the bits of `md5(f)` (gray(0,y)=128; step x→x+1 by bit
+    * y·8+x, MSB-first nibbles — the exact convention `md5Bit` spells
+    * out); each VARIANT perturbs every pixel by `(id·53+x·11+y·17) mod 3`
+    * (too small to flip a ±6 step's sign) and alternates between base
+    * resolution and a 2× pixel-replicated upscale. So all famSize
+    * variants are near-duplicates that an anti-aliased dHash MUST send
+    * to one bucket, across resolutions — and the 64 comparison bits are
+    * exactly the md5 bits, which a SQL oracle predicts without touching
+    * a single pixel. Encoded through the real JDK PNG codec. */
+  def synthGradientPngs(df: DataFrame, idCol: String, famSize: Int = 4): DataFrame = {
+    require(famSize >= 1, s"synthGradientPngs: famSize must be >= 1, got $famSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val hex = md5Hex((id / famSize).toString)
+        val scale = 1 + (id % famSize).toInt % 2
+        val gray = new Array[Int](8 * 9)
+        var y = 0
+        while (y < 8) {
+          var g = 128
+          var x = 0
+          while (x < 9) {
+            gray(y * 9 + x) = g + ((id * 53 + x * 11 + y * 17) % 3).toInt
+            if (x < 8) g += (if (md5Bit(hex, y * 8 + x) == 1) 6 else -6)
+            x += 1
+          }
+          y += 1
+        }
+        val img = new java.awt.image.BufferedImage(
+          9 * scale, 8 * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var yy = 0
+        while (yy < 8 * scale) {
+          var xx = 0
+          while (xx < 9 * scale) {
+            val v = gray((yy / scale) * 9 + xx / scale)
+            img.setRGB(xx, yy, (v << 16) | (v << 8) | v)
+            xx += 1
+          }
+          yy += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  /** 64-bit difference hash (dHash) over REAL decoded pixels: decode,
+    * gray, box-resample to the canonical 9×8, then bit `k = y·8+x` is
+    * `gray(x+1,y) > gray(x,y)` — the standard perceptual fingerprint
+    * (Krawetz's dHash) that survives re-encoding, resolution changes,
+    * and small brightness jitter. Emitted as two unsigned 32-bit halves
+    * in BIGINTs (`phash_hi` = bits 32..63, `phash_lo` = bits 0..31) so
+    * both engines sum `bit · 2^k` without sign traps. Row-parallel;
+    * undecodable payloads yield null hashes. */
+  def dHash64(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          decodeGray(bytes) match {
+            case Some((w, h, g0)) =>
+              val g = if (w == 9 && h == 8) g0 else boxResize(g0, w, h, 9, 8)
+              var hi = 0L; var lo = 0L
+              var k = 0
+              while (k < 64) {
+                val x = k % 8; val y = k / 8
+                val bit = if (g(y * 9 + x + 1) > g(y * 9 + x)) 1L else 0L
+                if (k < 32) lo |= bit << k else hi |= bit << (k - 32)
+                k += 1
+              }
+              (id, Some(w), Some(h), Some(hi), Some(lo))
+            case None => (id, None, None, None, None)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "phash_hi", "phash_lo")
+  }
+
+  /** Image near-dup dedup by perceptual hash: dHash every payload, then
+    * ONE hash-partitioned window assigns each image its duplicate
+    * cluster (representative = min id, size = count) — the image-side
+    * twin of `x_dedup_exact`, robust to resolution/jitter variants the
+    * byte-level checksum misses. One shuffle on the 64-bit hash;
+    * cluster sizes are bounded by duplication multiplicity, never
+    * corpus-sized, so the window state stays tiny at any scale. */
+  def phashDedup(media: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("phash_hi", "phash_lo")
+    dHash64(media).select(col("media_id"),
+      col("phash_hi"), col("phash_lo"),
+      min("media_id").over(w).as("rep_id"),
+      count(lit(1)).over(w).as("dup_n"))
+  }
+
+  /** REAL image resize: decode → exact box resample ([[boxResize]]) →
+    * re-encode through the PNG codec, gray payloads (the perceptual-
+    * pipeline normal form). Undecodable payloads pass through null. */
+  def resizeImage(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          decodeGray(bytes) match {
+            case Some((w, h, g0)) =>
+              val g = boxResize(g0, w, h, tw, th)
+              val img = new java.awt.image.BufferedImage(
+                tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < th) {
+                var x = 0
+                while (x < tw) {
+                  val v = g(y * tw + x)
+                  img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", out)
+              (id, Some(out.toByteArray))
+            case None => (id, None)
+          }
+        }
+      }
+      .toDF("media_id", "payload")
+  }
 
   /** Frame-sampling stub for video-like payloads: split the payload into
     * fixed-size "frames" and keep every `stride`-th — exercises the

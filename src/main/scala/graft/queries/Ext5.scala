@@ -98,6 +98,22 @@ object Ext5 {
           .cast("long") % 1000).as("y"))
       graft.operators.Spatial.gridRadiusJoin(pts, "id", "x", "y", radius = 20L)
     }),
+
+    // Density clustering over the same md5 point cloud: DBSCAN =
+    // grid-blocked ε-neighbor join + neighborhood-count cores +
+    // connected components over the core-core graph; the oracle
+    // brute-forces the quadratic neighbor join and replays the cluster
+    // closure as a recursive CTE, proving the whole blocked pipeline
+    // (grid join, core census, CC, min-rule border assignment) exact
+    "x_dbscan" -> ((s, d) => {
+      val pts = t(s, d, "customer").select(col("c_custkey").as("id"),
+        (conv(substring(md5(col("c_custkey").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 1000).as("x"),
+        (conv(substring(md5(col("c_custkey").cast("string")), 5, 4), 16, 10)
+          .cast("long") % 1000).as("y"))
+      graft.operators.Spatial.dbscan(pts, "id", "x", "y",
+        eps = 25L, minPts = 4)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -262,5 +278,44 @@ object Ext5 {
                 (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
          FROM pts a JOIN pts b ON a.id < b.id
          WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400""",
+
+    // quadratic ε-neighbor join, core census (count includes self),
+    // transitive closure of the core-core graph as a recursive CTE
+    // (min reachable core id = the cluster label), min-rule border
+    // assignment — the unblocked ground truth for the grid+CC pipeline
+    "x_dbscan" ->
+      """WITH RECURSIVE
+         pts AS (SELECT c_custkey AS id,
+                ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4))::BIGINT
+                  % 1000 AS x,
+                ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 5, 4))::BIGINT
+                  % 1000 AS y
+              FROM customer),
+         pairs AS (SELECT a.id AS ia, b.id AS ib
+                   FROM pts a JOIN pts b ON a.id <> b.id
+                   WHERE (a.x - b.x) * (a.x - b.x) +
+                         (a.y - b.y) * (a.y - b.y) <= 625),
+         core AS (SELECT ia AS id FROM pairs GROUP BY ia
+                  HAVING count(*) + 1 >= 4),
+         ce AS (SELECT ia, ib FROM pairs
+                WHERE ia IN (SELECT id FROM core)
+                  AND ib IN (SELECT id FROM core)),
+         reach(id, r) AS (
+           SELECT id, id FROM core
+           UNION
+           SELECT reach.id, ce.ib FROM reach JOIN ce ON ce.ia = reach.r),
+         comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         border AS (SELECT p.ia AS id, min(c.cluster) AS bcluster
+                    FROM pairs p JOIN comp c ON p.ib = c.id
+                    WHERE p.ia NOT IN (SELECT id FROM core)
+                    GROUP BY p.ia)
+         SELECT pts.id,
+                CASE WHEN comp.id IS NOT NULL THEN 'core'
+                     WHEN border.id IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                COALESCE(comp.cluster, border.bcluster) AS cluster
+         FROM pts
+         LEFT JOIN comp ON pts.id = comp.id
+         LEFT JOIN border ON pts.id = border.id""",
   )
 }

@@ -402,13 +402,51 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.demuxAviFrames(garbage).count() == 0L)
   }
 
-  test("multimodal: resize stub keeps metadata consistent") {
-    val media = Multimodal.asMedia(
-      docs.withColumn("payload", encode(col("text"), "utf-8")),
-      "doc_id", "payload", "image")
-    val resized = Multimodal.resizeStub(media, 32)
-    assert(resized.filter(col("meta.n_bytes") > 32).count() == 0)
-    assert(resized.filter(col("meta.checksum") =!= md5(col("payload"))).count() == 0)
+  test("multimodal: dHash is invariant across jitter and 2x-upscale variants") {
+    val media = Multimodal.synthGradientPngs(
+      docs.filter(col("doc_id") < 80), "doc_id")
+    val hashed = Multimodal.dHash64(media)
+    // every family of 4 variants (2 resolutions x jittered pixels)
+    // lands on ONE hash; distinct families land on distinct hashes
+    val fams = hashed
+      .groupBy((col("media_id") / 4).cast("long").as("f"))
+      .agg(countDistinct(col("phash_hi"), col("phash_lo")).as("nh"))
+    assert(fams.filter(col("nh") =!= 1).count() == 0, "family hash split")
+    assert(hashed.select("phash_hi", "phash_lo").distinct().count() ==
+      fams.count(), "cross-family collision")
+    // the bits are EXACTLY the md5(family) bits the synth walked
+    val row = hashed.filter(col("media_id") === 0)
+      .select("phash_hi", "phash_lo").head()
+    val hex = Multimodal.md5Hex("0")
+    var (hi, lo) = (0L, 0L)
+    for (k <- 0 until 64) {
+      val b = Multimodal.md5Bit(hex, k).toLong
+      if (k < 32) lo |= b << k else hi |= b << (k - 32)
+    }
+    assert(row.getLong(0) == hi && row.getLong(1) == lo, "bit convention drift")
+  }
+
+  test("multimodal: real resize round-trips a pixel-replicate upscale exactly") {
+    val media = Multimodal.synthGradientPngs(
+      docs.filter(col("doc_id") < 8), "doc_id")
+    // resize everything to the canonical 9x8 and re-hash from the
+    // RESIZED payloads: identical hashes prove the resample is the
+    // anti-aliasing average (nearest-neighbor would still pass the
+    // replicate case, so also check fractional-box determinism below)
+    val hcols = Seq("media_id", "phash_hi", "phash_lo").map(col)
+    val viaResize = Multimodal.dHash64(Multimodal.resizeImage(media, 9, 8))
+      .select(hcols: _*)
+    val direct = Multimodal.dHash64(media).select(hcols: _*)
+    assert(viaResize.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaResize).count() == 0)
+    // fractional overlap: 3x2 grid [10,20,30 / 50,60,70] to 2x1 --
+    // each target cell is the exact area-weighted floor average
+    val g = Multimodal.boxResize(Array(10, 20, 30, 50, 60, 70), 3, 2, 2, 1)
+    // left cell: floor((10*2 + 20*1 + 50*2 + 60*1) / 6) = floor(200/6) = 33
+    assert(g.toSeq == Seq(33, 46), s"fractional box math: ${g.toSeq}")
+    // undecodable payloads quarantine to null hashes, not crashes
+    val junk = Seq((7L, Array[Byte](9, 9, 9))).toDF("media_id", "payload")
+    assert(Multimodal.dHash64(junk).filter(col("phash_hi").isNull).count() == 1)
   }
 
   test("session_window built-in agrees with gaps-and-islands session count") {

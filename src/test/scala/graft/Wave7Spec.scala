@@ -201,6 +201,63 @@ class Wave7Spec extends SparkSpec {
       s"missed=${brute -- got} extra=${got -- brute}")
   }
 
+  test("dbscan == brute-force reference on a random cloud; blob/noise shapes") {
+    val rnd = new scala.util.Random(11)
+    // two dense blobs + scattered background: exercises core, border,
+    // noise, multi-cluster CC, and isolated-core labeling in one cloud
+    val blobA = (1L to 40L).map(i =>
+      (i, 50L + rnd.nextInt(12), 50L + rnd.nextInt(12)))
+    val blobB = (41L to 80L).map(i =>
+      (i, 150L + rnd.nextInt(12), 150L + rnd.nextInt(12)))
+    val bg = (81L to 140L).map(i =>
+      (i, rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+    // a constructed quad (each member: 3 neighbors + self = minPts ->
+    // core) plus one satellite seeing exactly 2 of them (2 + self <
+    // minPts, has core neighbors) -> guaranteed border geometry
+    val quad = Seq((141L, 300L, 300L), (142L, 302L, 300L),
+      (143L, 300L, 302L), (144L, 302L, 302L), (145L, 309L, 301L))
+    val pts = blobA ++ blobB ++ bg ++ quad
+    val (eps, minPts) = (8L, 4)
+    val got = graft.operators.Spatial.dbscan(
+        pts.toDF("id", "x", "y"), "id", "x", "y", eps, minPts)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    // brute-force reference: quadratic neighbors, textbook roles,
+    // min-core-id cluster labels through an explicit closure
+    val nbr = pts.map { case (a, xa, ya) =>
+      a -> pts.collect { case (b, xb, yb)
+        if b != a && (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= eps * eps
+        => b }.toSet
+    }.toMap
+    val core = pts.collect { case (a, _, _) if nbr(a).size + 1 >= minPts => a }.toSet
+    def reach(seed: Long): Set[Long] = {
+      var seen = Set(seed); var frontier = Set(seed)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(nbr).filter(core).diff(seen)
+        seen ++= frontier
+      }
+      seen
+    }
+    val cluster = core.map(c => c -> reach(c).min).toMap
+    val expect = pts.map { case (a, _, _) =>
+      if (core(a)) a -> (("core", Some(cluster(a))))
+      else {
+        val coreNbrs = nbr(a).filter(core)
+        if (coreNbrs.nonEmpty) a -> (("border", Some(coreNbrs.map(cluster).min)))
+        else a -> (("noise", None))
+      }
+    }.toMap
+    assert(expect.values.count(_._1 == "core") > 20 &&
+      expect.values.count(_._1 == "border") > 0 &&
+      expect.values.count(_._1 == "noise") > 10,
+      s"degenerate cloud: ${expect.values.groupBy(_._1).view.mapValues(_.size).toMap}")
+    assert(expect.values.flatMap(_._2).toSet.size >= 2, "want >=2 clusters")
+    assert(got == expect,
+      s"diff=${(expect.toSet diff got.toSet) ++ (got.toSet diff expect.toSet)}")
+  }
+
   test("vocabCoverage: deterministic df-ordered cut, OOV occurrence counting") {
     val docs = Seq(
       (1L, "a b a c"),   // a twice (1 doc), b, c
