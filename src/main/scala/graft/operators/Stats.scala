@@ -1060,4 +1060,53 @@ object Stats {
       ((col("n").cast("double") / col("n_total").cast("double")) - expCase)
         .as("dev"))
   }
+
+  /** Single changepoint per key — binary segmentation's first split
+    * (Scott & Knott / CUSUM-of-squares family): over the step-
+    * aggregated series x₁..xₙ choose the split k maximizing the
+    * between-segment fit S²ₖ/k + (Sₙ−Sₖ)²/(n−k) (equivalently the SSE
+    * drop; the constant S²ₙ/n is omitted from the reported score since
+    * it cannot move the argmax). The drift localizer that answers
+    * "WHEN did this metric move", next to x_cusum's "did it move".
+    *
+    * Exactness: the series is integer cents, prefix sums are exact
+    * decimals, and each candidate's score numerator
+    * S²ₖ(n−k) + (Sₙ−Sₖ)²k stays an exact decimal — doubles appear only
+    * via the repo's string-mediated cast followed by one division, so
+    * both engines derive bit-identical scores; the argmax is a total
+    * order (score DESC, k ASC).
+    *
+    * Scale shape: one hash aggregate to the (key, step) spine, then
+    * key-partitioned windows over AGGREGATED rows only (the spine is
+    * calendar-sized, not data-sized), and a rank-1 filter Spark plans
+    * as WindowGroupLimit. Keys with a single step emit nothing (no
+    * candidate split exists). */
+  def changepointSplit(df: DataFrame, keyCol: String, orderExpr: Column,
+                       valueExpr: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val series = df.groupBy(col(keyCol).as("key"), orderExpr.as("step"))
+      .agg(sum(floor(valueExpr * lit(100.0)).cast("decimal(38,0)")).as("v"))
+    val wOrd = Window.partitionBy("key").orderBy("step")
+    val wAll = Window.partitionBy("key")
+    val pre = series.select(col("key"), col("step"),
+      row_number().over(wOrd).as("k"),
+      sum(col("v")).over(wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).as("sk"),
+      sum(col("v")).over(wAll).as("sn"),
+      count(lit(1)).over(wAll).as("n"))
+    val cand = pre.filter(col("k") < col("n"))
+      .select(col("key"), col("step"), col("k"), col("n"), col("sk"), col("sn"),
+        (col("sk") * col("sk") * (col("n") - col("k")).cast("decimal(38,0)") +
+          (col("sn") - col("sk")) * (col("sn") - col("sk")) *
+            col("k").cast("decimal(38,0)")).as("num"),
+        (col("k") * (col("n") - col("k"))).as("den"))
+      .withColumn("score", dbl(col("num")) / col("den").cast("double"))
+    val pick = Window.partitionBy("key").orderBy(col("score").desc, col("k"))
+    cand.withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+      .select(col("key"), col("step").as("split_step"), col("k"), col("n"),
+        (dbl(col("sk")) / (col("k").cast("double") * 100.0)).as("mean_before"),
+        (dbl(col("sn") - col("sk")) /
+          ((col("n") - col("k")).cast("double") * 100.0)).as("mean_after"),
+        col("score"))
+  }
 }

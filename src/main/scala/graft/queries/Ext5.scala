@@ -114,6 +114,18 @@ object Ext5 {
       graft.operators.Spatial.dbscan(pts, "id", "x", "y",
         eps = 25L, minPts = 4)
     }),
+
+    // WHEN did each metric move: binary segmentation's first split over
+    // the hourly cents series — exact decimal score numerators, one
+    // string-mediated division, total (score DESC, k ASC) argmax the
+    // oracle replays window-for-window
+    "x_changepoint" -> ((s, d) =>
+      Stats.changepointSplit(t(s, d, "events"), "event_type",
+        date_trunc("hour", col("ts")), col("value"))
+        .select(col("key").as("event_type"),
+          unix_seconds(col("split_step")).as("split_s"),
+          col("k"), col("n"), col("mean_before"), col("mean_after"),
+          col("score"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -317,5 +329,38 @@ object Ext5 {
          FROM pts
          LEFT JOIN comp ON pts.id = comp.id
          LEFT JOIN border ON pts.id = border.id""",
+
+    // hourly cents series, exact prefix sums, HUGEINT score numerators,
+    // one VARCHAR-mediated division, rank-1 by (score DESC, k ASC)
+    "x_changepoint" ->
+      """WITH hourly AS (SELECT event_type AS key,
+                           date_trunc('hour', ts) AS step,
+                           sum(CAST(floor(value * 100.0) AS HUGEINT)) AS v
+                         FROM events GROUP BY 1, 2),
+         pre AS (SELECT key, step,
+                   row_number() OVER w AS k,
+                   sum(v) OVER (w ROWS UNBOUNDED PRECEDING) AS sk,
+                   sum(v) OVER (PARTITION BY key) AS sn,
+                   count(*) OVER (PARTITION BY key) AS n
+                 FROM hourly
+                 WINDOW w AS (PARTITION BY key ORDER BY step)),
+         cand AS (SELECT key, step, k, n, sk, sn,
+                    sk * sk * (n - k) + (sn - sk) * (sn - sk) * k AS num,
+                    k * (n - k) AS den
+                  FROM pre WHERE k < n),
+         sc AS (SELECT key, step, k, n, sk, sn,
+                  CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+                    CAST(den AS DOUBLE) AS score
+                FROM cand),
+         pick AS (SELECT *, row_number() OVER
+                    (PARTITION BY key ORDER BY score DESC, k) AS rn
+                  FROM sc)
+         SELECT key AS event_type, epoch(step) AS split_s, k, n,
+                CAST(CAST(sk AS VARCHAR) AS DOUBLE) / (k * 100.0)
+                  AS mean_before,
+                CAST(CAST(sn - sk AS VARCHAR) AS DOUBLE) /
+                  ((n - k) * 100.0) AS mean_after,
+                score
+         FROM pick WHERE rn = 1""",
   )
 }

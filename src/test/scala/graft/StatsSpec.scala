@@ -577,4 +577,31 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Double]("exp_frac") == Stats.benfordExpected(d - 1))
     }
   }
+
+  test("changepointSplit: recovers a planted level shift; constant ties to k=1") {
+    // key "shift": 10 steps at 2.00 then 15 steps at 9.00 -> split k=10
+    val shift = (1 to 10).map(i => ("shift", i, 2.0)) ++
+      (11 to 25).map(i => ("shift", i, 9.0))
+    // key "flat": constant series -> every candidate scores EXACTLY
+    //   c^2*n (sk=k*c makes num = k(n-k)c^2*n), tie-break picks k=1
+    val flat = (1 to 12).map(i => ("flat", i, 5.0))
+    // key "lone": single step -> no candidate split, key absent
+    val df = (shift ++ flat :+ (("lone", 1, 7.0)))
+      .toDF("key", "stp", "v")
+    val got = Stats.changepointSplit(df, "key", col("stp"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set("shift", "flat"))
+    val (k, n, mb, ma) = got("shift")
+    assert(k == 10 && n == 25 && mb == 2.0 && ma == 9.0,
+      s"planted shift not localized: $k $n $mb $ma")
+    assert(got("flat")._1 == 1, s"constant-series tie must break to k=1")
+    // noisy series still splits at the planted boundary
+    val rnd = new scala.util.Random(3)
+    val noisy = (1 to 20).map(i => ("n1", i, 10.0 + rnd.nextInt(3))) ++
+      (21 to 40).map(i => ("n1", i, 50.0 + rnd.nextInt(3)))
+    val gk = Stats.changepointSplit(noisy.toDF("key", "stp", "v"),
+      "key", col("stp"), col("v")).collect()(0).getInt(2)
+    assert(gk == 20, s"noisy shift split at $gk, want 20")
+  }
 }
