@@ -308,4 +308,110 @@ object Similarity {
         lit(j).as("list"))
     }: _*)
   }
+
+  /** Top principal component of an embedding column — the whitening /
+    * dominant-direction probe every embedding pipeline wants (ABTT
+    * "all-but-the-top" de-biasing drops exactly this component before
+    * similarity search).
+    *
+    * Distributed shape: ONE pass builds the exact second-moment matrix —
+    * embeddings quantized to ⌊e·2²⁰⌋ integers, upper-triangle (i,j)
+    * products hash-aggregated into dim(dim+1)/2 decimal cells (map-side
+    * combine collapses everything before the shuffle; the shuffle
+    * carries ≤ dim² rows per partition, never data-sized). The
+    * dim×dim centered matrix n·Σxy − ΣxΣy (still exact integers) is
+    * then collected — a PARAM-bounded driver action like
+    * [[kmeansCentroids]]'s, Θ(dim²) ≤ [[MaxPcaDim]]² cells — and 40
+    * fixed power-method rounds with j-ordered folds extract the
+    * eigenvector (sign pinned: first nonzero component positive, so the
+    * result is a function of the data, not the iteration count parity).
+    * Scores project every row onto the component via a codegen'd
+    * literal-vector dot — one more narrow pass.
+    *
+    * Determinism: every aggregate is an integer sum (associative,
+    * partition-order-proof); doubles appear only in the driver loop
+    * (fixed op order) and the final per-row projection (fixed fold
+    * order). NOT SQL-replayable (the driver iteration), so its graded
+    * query is rows-only with the ScalaTest differential as the
+    * correctness anchor — the x_bpe_merges precedent.
+    *
+    * Returns (id, pc1) plus the component/eigenvalue via the second
+    * return value. */
+  val MaxPcaDim = 2048
+
+  def pcaTopComponent(df: DataFrame, idCol: String, vecCol: String,
+                      iters: Int = 40): (DataFrame, Array[Double], Double) = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim >= 1 && dim <= MaxPcaDim,
+      s"pcaTopComponent: dim=$dim outside [1, $MaxPcaDim] — the moment " +
+        "matrix is a driver-side dim^2 collect; reduce the embedding first")
+    val scale = 1048576.0 // 2^20, the repo's fixed-point quantum
+    val q = df.select(
+      transform(col(vecCol), e => floor(e.cast("double") * lit(scale))
+        .cast("long")).as("q"))
+    val cells = q.select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum((col("qi") * col("qj")).cast("decimal(38,0)")).as("sxy"))
+      .collect()                          // <= dim^2 cells, param-bounded
+    val sums = q.select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("i").agg(sum(col("qi").cast("decimal(38,0)")).as("sx"),
+        count(lit(1)).as("n"))
+      .collect()                          // dim rows
+    val n = BigInt(sums.head.getLong(2))
+    val sx = new Array[BigInt](dim)
+    sums.foreach(r => sx(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+    // centered scatter: n*Sxy - Sx*Sy, exact integers -> doubles once
+    val m = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = (n * BigInt(r.getDecimal(2).toBigInteger) - sx(i) * sx(j)).toDouble
+      m(i)(j) = v; m(j)(i) = v
+    }
+    // power method, fixed op order; deterministic start vector
+    var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      val mv = Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += m(i)(j) * v(j); j += 1 }; s
+      }
+      var norm2 = 0.0; var i = 0
+      while (i < dim) { norm2 += mv(i) * mv(i); i += 1 }
+      val norm = math.sqrt(norm2)
+      if (norm == 0.0) { lambda = 0.0 } else {
+        var k = 0
+        while (k < dim) { mv(k) = mv(k) / norm; k += 1 }
+        // Rayleigh quotient in the scaled space, j-ordered
+        var rq = 0.0; var a = 0
+        while (a < dim) {
+          var s = 0.0; var b = 0
+          while (b < dim) { s += m(a)(b) * mv(b); b += 1 }
+          rq += mv(a) * s; a += 1
+        }
+        lambda = rq
+        v = mv
+      }
+    }
+    // pin the sign: first component with |v_i| > 1e-12 must be positive
+    val lead = v.indexWhere(x => math.abs(x) > 1e-12)
+    if (lead >= 0 && v(lead) < 0) v = v.map(x => -x)
+    // project rows onto the component in the ORIGINAL units:
+    // pc1 = sum_j (e_j - mu_j) * v_j with mu_j = Sx_j / (n * 2^20)
+    val mu = Array.tabulate(dim)(j =>
+      (BigDecimal(sx(j)) / (BigDecimal(n) * scale)).toDouble)
+    val centeredDot = {
+      val terms = (0 until dim).map { j =>
+        (floor(element_at(col(vecCol), j + 1).cast("double") * lit(scale)) /
+          lit(scale) - lit(mu(j))) * lit(v(j))
+      }
+      terms.reduce(_ + _)  // j-ordered fixed fold
+    }
+    val scored = df.select(col(idCol), centeredDot.as("pc1"))
+    // eigenvalue back in original units: lambda is of n * (2^20)^2 * n-scaled
+    // scatter; variance = lambda / (n^2 * 2^40) of the quantized grid
+    val varExplained = lambda / (n.toDouble * n.toDouble * scale * scale)
+    (scored, v, varExplained)
+  }
 }

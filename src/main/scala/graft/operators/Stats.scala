@@ -1109,4 +1109,48 @@ object Stats {
           ((col("n") - col("k")).cast("double") * 100.0)).as("mean_after"),
         col("score"))
   }
+
+  /** Classical additive seasonal decomposition — the seasonal PROFILE
+    * per key: detrend the step series with the standard 2×m centered
+    * moving average (even period m ⇒ half-weight endpoints: trend·2m =
+    * v₋ₘ/₂ + 2Σ|i|<m/2 vᵢ + vₘ/₂), then average the detrended values by
+    * phase (step index mod m). The "what does a normal day look like"
+    * readout that x_seasonal_baseline's per-hour z-scores assume.
+    *
+    * Exactness: the series is integer cents and the 2m-scaled trend
+    * numerator stays integral, so detrended·2m = 2m·v − trendNum is an
+    * exact integer per row; per-phase seasonal = one division of its
+    * integer sum. No unordered double sums anywhere.
+    *
+    * Scale shape: one hash aggregate to the (key, step) spine, one
+    * key-partitioned frame window over aggregated rows, one phase
+    * aggregate. Rows without a full ±m/2 trend window are excluded
+    * (textbook edge handling), so keys need > m steps to contribute. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, orderExpr: Column,
+                        phaseExpr: Column => Column, valueExpr: Column,
+                        period: Int): DataFrame = {
+    require(period >= 2 && period % 2 == 0,
+      s"seasonalDecompose: need an even period >= 2, got $period")
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val half = period / 2
+    val series = df.groupBy(col(keyCol).as("key"), orderExpr.as("step"))
+      .agg(sum(floor(valueExpr * lit(100.0)).cast("decimal(38,0)")).as("v"))
+    val wOrd = Window.partitionBy("key").orderBy("step")
+    val inner = sum(col("v")).over(
+      wOrd.rowsBetween(-(half - 1), half - 1)) * lit(2)
+    val trended = series.select(col("key"), col("step"), col("v"),
+      row_number().over(wOrd).as("k"),
+      count(lit(1)).over(Window.partitionBy("key")).as("n"),
+      (inner + lag(col("v"), half).over(wOrd) +
+        lead(col("v"), half).over(wOrd)).as("trend_num"))
+    trended
+      .filter(col("k") > half && col("k") <= col("n") - half)
+      .select(col("key"), phaseExpr(col("step")).as("phase"),
+        (col("v") * lit(2 * period) - col("trend_num")).as("det_num"))
+      .groupBy("key", "phase")
+      .agg(count(lit(1)).as("n_obs"),
+        (dbl(sum(col("det_num"))) /
+          (lit(2.0 * period) * lit(100.0) * count(lit(1)).cast("double")))
+          .as("seasonal"))
+  }
 }

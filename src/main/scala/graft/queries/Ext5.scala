@@ -126,6 +126,27 @@ object Ext5 {
           unix_seconds(col("split_step")).as("split_s"),
           col("k"), col("n"), col("mean_before"), col("mean_after"),
           col("score"))),
+
+    // what a normal day looks like per metric: classical additive
+    // seasonal profile — 2x24 centered-MA detrend in exact integers,
+    // hour-of-day phase means as single divisions of integer sums
+    "x_seasonal_decompose" -> ((s, d) =>
+      Stats.seasonalDecompose(t(s, d, "events"), "event_type",
+        date_trunc("hour", col("ts")), step => hour(step), col("value"),
+        period = 24)
+        .select(col("key").as("event_type"), col("phase"), col("n_obs"),
+          col("seasonal"))),
+
+    // dominant embedding direction (ABTT de-biasing / whitening probe):
+    // exact integer moment matrix -> driver power iteration (param-
+    // bounded dim^2, the kmeansCentroids pattern) -> codegen projection.
+    // Rows-only by design (the driver iteration is not SQL-replayable);
+    // Wave7Spec anchors correctness against a plain-Scala reference
+    "x_pca_project" -> ((s, d) => {
+      val (scored, _, _) = graft.operators.Similarity.pcaTopComponent(
+        t(s, d, "embeddings"), "vec_id", "embedding")
+      scored
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -362,5 +383,27 @@ object Ext5 {
                   ((n - k) * 100.0) AS mean_after,
                 score
          FROM pick WHERE rn = 1""",
+
+    // 2x24 centered moving average as a 48x-scaled integer numerator,
+    // full-window rows only, per-phase single-division means
+    "x_seasonal_decompose" ->
+      """WITH hourly AS (SELECT event_type AS key,
+                           date_trunc('hour', ts) AS step,
+                           sum(CAST(floor(value * 100.0) AS HUGEINT)) AS v
+                         FROM events GROUP BY 1, 2),
+         t AS (SELECT key, step, v,
+                 row_number() OVER w AS k,
+                 count(*) OVER (PARTITION BY key) AS n,
+                 2 * sum(v) OVER
+                   (w ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) +
+                   lag(v, 12) OVER w + lead(v, 12) OVER w AS trend_num
+               FROM hourly
+               WINDOW w AS (PARTITION BY key ORDER BY step)),
+         d AS (SELECT key, hour(step) AS phase, 48 * v - trend_num AS det
+               FROM t WHERE k > 12 AND k <= n - 12)
+         SELECT key AS event_type, phase, count(*) AS n_obs,
+                CAST(CAST(sum(det) AS VARCHAR) AS DOUBLE) /
+                  (48.0 * 100.0 * count(*)) AS seasonal
+         FROM d GROUP BY 1, 2""",
   )
 }

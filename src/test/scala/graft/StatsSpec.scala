@@ -604,4 +604,27 @@ class StatsSpec extends SparkSpec {
       "key", col("stp"), col("v")).collect()(0).getInt(2)
     assert(gk == 20, s"noisy shift split at $gk, want 20")
   }
+
+  test("seasonalDecompose: linear trend + zero-mean periodic recovered exactly") {
+    // v_t = 10t + s(t mod 4) with s = (0, 5, -3, -2): a 2x4 centered MA
+    // reproduces the linear part exactly and mean(s)=0, so the
+    // detrended value IS the seasonal component, bit-for-bit
+    val s = Array(0.0, 5.0, -3.0, -2.0)
+    val df = (1 to 24).map(t => ("m", t, 10.0 * t + s(t % 4)))
+      .toDF("key", "stp", "v")
+    val got = Stats.seasonalDecompose(df, "key", col("stp"),
+        step => step % 4, col("v"), period = 4)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(0, 1, 2, 3))
+    (0 to 3).foreach { p =>
+      assert(got(p)._2 == s(p), s"phase $p: ${got(p)._2} != ${s(p)}")
+    }
+    // full-window trimming: t=1..24 minus 2 edges each side = 20 obs,
+    // phases of t=3..22 -> each phase seen 5 times
+    assert(got.values.map(_._1).toSeq.sorted == Seq(5L, 5L, 5L, 5L))
+    // a key with too few steps contributes nothing
+    val tiny = (1 to 4).map(t => ("t", t, 1.0)).toDF("key", "stp", "v")
+    assert(Stats.seasonalDecompose(tiny, "key", col("stp"),
+      step => step % 4, col("v"), period = 4).count() == 0)
+  }
 }

@@ -258,6 +258,52 @@ class Wave7Spec extends SparkSpec {
       s"diff=${(expect.toSet diff got.toSet) ++ (got.toSet diff expect.toSet)}")
   }
 
+  test("pcaTopComponent: recovers a planted direction; partition-proof; " +
+    "matches the plain-Scala reference bit-for-bit") {
+    val dim = 6
+    val rnd = new scala.util.Random(5)
+    val dir = Array(0.8, 0.4, -0.2, 0.1, 0.3, -0.1)
+    val rows = (1L to 200L).map { i =>
+      val t = rnd.nextGaussian() * 3.0
+      (i, Array.tabulate(dim)(j =>
+        (t * dir(j) + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("id", "vec")
+    val (scored, v, lam) = graft.operators.Similarity.pcaTopComponent(
+      df, "id", "vec", iters = 40)
+    // planted direction recovered (up to sign, which is pinned)
+    val dn = math.sqrt(dir.map(x => x * x).sum)
+    val cos = v.zip(dir).map { case (a, b) => a * b }.sum / dn
+    assert(math.abs(cos) > 0.995, s"cos(v, planted)=$cos")
+    assert(lam > 0.0, "eigenvalue must be positive on non-degenerate data")
+    // partitioning cannot move a single bit: all aggregates are exact
+    val (scored2, v2, lam2) = graft.operators.Similarity.pcaTopComponent(
+      df.repartition(7), "id", "vec", iters = 40)
+    assert(v.toSeq == v2.toSeq && lam == lam2, "partition-dependent result")
+    assert(scored.exceptAll(scored2).count() == 0 &&
+      scored2.exceptAll(scored).count() == 0)
+    // plain-Scala reference: same quantized moments, same power method
+    val scale = 1048576.0
+    val q = rows.map(_._2.map(e => math.floor(e.toDouble * scale).toLong))
+    val n = BigInt(q.length)
+    val sx = Array.tabulate(dim)(j => q.map(r => BigInt(r(j))).sum)
+    val m = Array.tabulate(dim, dim) { (i, j) =>
+      (n * q.map(r => BigInt(r(i)) * BigInt(r(j))).sum - sx(i) * sx(j)).toDouble
+    }
+    var pv = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 0 until 40) {
+      val mv = Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += m(i)(j) * pv(j); j += 1 }; s
+      }
+      val norm = math.sqrt(mv.map(x => x * x).sum)
+      pv = mv.map(_ / norm)
+    }
+    val lead = pv.indexWhere(x => math.abs(x) > 1e-12)
+    if (lead >= 0 && pv(lead) < 0) pv = pv.map(-_)
+    assert(v.toSeq == pv.toSeq, "driver iteration drifted from reference")
+  }
+
   test("vocabCoverage: deterministic df-ordered cut, OOV occurrence counting") {
     val docs = Seq(
       (1L, "a b a c"),   // a twice (1 doc), b, c
