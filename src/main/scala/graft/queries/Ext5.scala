@@ -156,6 +156,21 @@ object Ext5 {
         col("ts"), col("value"))
         .select(col("key").as("event_type"),
           unix_seconds(col("day")).as("day_s"), col("sax_word"))),
+
+    // the ENCODE half of BPE: merges learned on a FIXED-size sample
+    // (tokenizers train on samples — the learner's k-round driver loop
+    // must not grow with the corpus), then the whole corpus encodes
+    // row-parallel under the broadcast merge table. Rows-only (the
+    // k-round learn+apply chain is not one SQL query); PmathSpec holds
+    // the differential against the plain-Scala reference
+    "x_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.LangModel.bpeMerges(
+          docs.filter(col("doc_id") < 1000), "doc_id", "text", k = 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.LangModel.bpeEncode(docs, "doc_id", "text", merges)
+    }),
   )
 
   val oracle: Map[String, String] = Map(

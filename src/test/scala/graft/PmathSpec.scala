@@ -175,6 +175,53 @@ class PmathSpec extends SparkSpec {
     assert(got == referenceBpe(docs, 6), s"fixture merges diverged: $got")
   }
 
+  test("BPE encode == plain-Scala reference; training-corpus round trip") {
+    import spark.implicits._
+    def refEncode(text: String, ms: Seq[(String, String)]): (Long, Long, String) = {
+      val words = text.split(" ", -1).filter(_.nonEmpty)
+      var nSyms = 0L
+      val sb = new StringBuilder
+      words.foreach { w =>
+        var syms: Vector[String] = w.map(_.toString).toVector
+        ms.foreach { case (l, r) =>
+          syms = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (acc.last + x)
+            else acc :+ x
+          }
+        }
+        nSyms += syms.size
+        if (sb.nonEmpty) sb.append('')
+        sb.append(syms.mkString(""))
+      }
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(sb.toString.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      (words.length.toLong, nSyms, dig)
+    }
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val texts = docs.as[(Long, String)].collect().toMap
+    val ms = referenceBpe(texts.values.toSeq, 6).map(m => (m._2, m._3))
+    val enc = graft.operators.LangModel.bpeEncode(docs, "doc_id", "text", ms)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(enc.keySet == texts.keySet)
+    texts.foreach { case (id, t) =>
+      assert(enc(id) == refEncode(t, ms), s"doc $id encode diverged")
+    }
+    // merged symbols shrink the stream: with >0 merges applied some doc
+    // must have n_syms < total chars of its words
+    val shrunk = texts.count { case (id, t) =>
+      enc(id)._2 < t.split(" ", -1).filter(_.nonEmpty).map(_.length).sum
+    }
+    assert(shrunk > 0, "no doc compressed — merges not applied?")
+    // partition invariance
+    val enc2 = graft.operators.LangModel.bpeEncode(
+        docs.repartition(7), "doc_id", "text", ms)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(enc2 == enc)
+  }
+
   test("token entropy: 0 for constant docs, ln(n) for all-distinct, partition-invariant") {
     import spark.implicits._
     val docs = Seq(
