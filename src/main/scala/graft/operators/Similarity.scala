@@ -339,8 +339,14 @@ object Similarity {
     * return value. */
   val MaxPcaDim = 2048
 
+  /** Fitted top-component model: the eigenvector, its explained
+    * variance (original units), and the per-dimension means — enough to
+    * project or debias any vector without touching the data again. */
+  final case class PcaModel(component: Array[Double], varExplained: Double,
+                            mu: Array[Double])
+
   def pcaTopComponent(df: DataFrame, idCol: String, vecCol: String,
-                      iters: Int = 40): (DataFrame, Array[Double], Double) = {
+                      iters: Int = 40): (DataFrame, PcaModel) = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim >= 1 && dim <= MaxPcaDim,
       s"pcaTopComponent: dim=$dim outside [1, $MaxPcaDim] — the moment " +
@@ -412,6 +418,30 @@ object Similarity {
     // eigenvalue back in original units: lambda is of n * (2^20)^2 * n-scaled
     // scatter; variance = lambda / (n^2 * 2^40) of the quantized grid
     val varExplained = lambda / (n.toDouble * n.toDouble * scale * scale)
-    (scored, v, varExplained)
+    (scored, PcaModel(v, varExplained, mu))
+  }
+
+  /** All-but-the-top debiasing (Mu & Viswanath, ICLR'18): subtract each
+    * vector's projection onto the fitted top component — embedding
+    * spaces concentrate a huge common direction that drowns cosine
+    * contrast; removing it is the standard one-line isotropy fix before
+    * similarity search. Fit is [[pcaTopComponent]]; the debias itself
+    * is a pure map (codegen literal-vector arithmetic, ZERO exchanges
+    * in the returned frame's plan — Wave8PlanSpec pins that), so it
+    * composes with every ANN operator at any scale.
+    *
+    * Returns (idCol, dvec) in the quantized grid the model was fit on. */
+  def abttDebias(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val (_, model) = pcaTopComponent(df, idCol, vecCol)
+    val dim = model.component.length
+    val scale = 1048576.0
+    def cexpr(j: Int) =
+      floor(element_at(col(vecCol), j + 1).cast("double") * lit(scale)) /
+        lit(scale) - lit(model.mu(j))
+    val proj = (0 until dim).map(j => cexpr(j) * lit(model.component(j)))
+      .reduce(_ + _) // j-ordered fixed fold
+    df.withColumn("_pc1", proj)
+      .select(col(idCol), array((0 until dim).map(j =>
+        cexpr(j) - col("_pc1") * lit(model.component(j))): _*).as("dvec"))
   }
 }

@@ -143,9 +143,21 @@ object Ext5 {
     // Rows-only by design (the driver iteration is not SQL-replayable);
     // Wave7Spec anchors correctness against a plain-Scala reference
     "x_pca_project" -> ((s, d) => {
-      val (scored, _, _) = graft.operators.Similarity.pcaTopComponent(
+      val (scored, _) = graft.operators.Similarity.pcaTopComponent(
         t(s, d, "embeddings"), "vec_id", "embedding")
       scored
+    }),
+
+    // isotropy-fixed similarity: debias every embedding by the fitted
+    // top component (ABTT), then exact cosine top-10 for the first 20
+    // ids — the de-biased twin of x_cos_topk. Rows-only (PCA fit);
+    // Wave7Spec pins the residual-variance-zero property
+    "x_ann_abtt" -> ((s, d) => {
+      val deb = graft.operators.Similarity.abttDebias(
+        t(s, d, "embeddings"), "vec_id", "embedding")
+      graft.operators.Similarity.bruteForceTopK(
+        deb.filter(col("vec_id") < 20), deb,
+        "vec_id", "dvec", "vec_id", "dvec", k = 10)
     }),
 
     // time series as text: each (metric, day) becomes a 6-letter SAX

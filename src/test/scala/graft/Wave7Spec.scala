@@ -269,17 +269,19 @@ class Wave7Spec extends SparkSpec {
         (t * dir(j) + rnd.nextGaussian() * 0.05).toFloat))
     }
     val df = rows.toDF("id", "vec")
-    val (scored, v, lam) = graft.operators.Similarity.pcaTopComponent(
+    val (scored, model) = graft.operators.Similarity.pcaTopComponent(
       df, "id", "vec", iters = 40)
+    val (v, lam) = (model.component, model.varExplained)
     // planted direction recovered (up to sign, which is pinned)
     val dn = math.sqrt(dir.map(x => x * x).sum)
     val cos = v.zip(dir).map { case (a, b) => a * b }.sum / dn
     assert(math.abs(cos) > 0.995, s"cos(v, planted)=$cos")
     assert(lam > 0.0, "eigenvalue must be positive on non-degenerate data")
     // partitioning cannot move a single bit: all aggregates are exact
-    val (scored2, v2, lam2) = graft.operators.Similarity.pcaTopComponent(
+    val (scored2, model2) = graft.operators.Similarity.pcaTopComponent(
       df.repartition(7), "id", "vec", iters = 40)
-    assert(v.toSeq == v2.toSeq && lam == lam2, "partition-dependent result")
+    assert(v.toSeq == model2.component.toSeq && lam == model2.varExplained,
+      "partition-dependent result")
     assert(scored.exceptAll(scored2).count() == 0 &&
       scored2.exceptAll(scored).count() == 0)
     // plain-Scala reference: same quantized moments, same power method
@@ -302,6 +304,13 @@ class Wave7Spec extends SparkSpec {
     val lead = pv.indexWhere(x => math.abs(x) > 1e-12)
     if (lead >= 0 && pv(lead) < 0) pv = pv.map(-_)
     assert(v.toSeq == pv.toSeq, "driver iteration drifted from reference")
+    // ABTT: after debias the removed direction carries ~zero variance
+    val deb = graft.operators.Similarity.abttDebias(df, "id", "vec")
+    val resid = deb.select(
+        graft.functions.Vectors.dot(col("dvec"),
+          typedlit(v)).as("p"))
+      .agg(sum(col("p") * col("p"))).head().getDouble(0)
+    assert(math.abs(resid) < 1e-9, s"variance along v survives debias: $resid")
   }
 
   test("vocabCoverage: deterministic df-ordered cut, OOV occurrence counting") {

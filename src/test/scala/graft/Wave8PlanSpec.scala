@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity, Stats, Temporal}
+
+/** Physical-plan shape of the round-6 second wave — what keeps each
+  * operator alive at 100 TB: key-partitioned windows (never a
+  * single-partition Exchange), one shuffle where one suffices, and
+  * map-only debias/projection stages. */
+class Wave8PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def noGlobalWindow(plan: String, what: String): Unit =
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"$what funnels rows through one partition:\n$plan")
+
+  test("changepoint/seasonal/sax windows stay key-partitioned") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    noGlobalWindow(planOf(Stats.changepointSplit(ev, "event_type",
+      date_trunc("hour", col("ts")), col("value"))), "changepointSplit")
+    noGlobalWindow(planOf(Stats.seasonalDecompose(ev, "event_type",
+      date_trunc("hour", col("ts")), s => hour(s), col("value"), 24)),
+      "seasonalDecompose")
+    noGlobalWindow(planOf(Temporal.saxWords(ev, "event_type", col("ts"),
+      col("value"))), "saxWords")
+  }
+
+  test("phashDedup clusters in ONE hash-partitioned shuffle") {
+    val media = Multimodal.synthGradientPngs(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .filter(col("doc_id") < 40), "doc_id")
+    val plan = planOf(Multimodal.phashDedup(media))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly one shuffle on the hash key, got $shuffles:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"hash clustering must never serialize through one partition:\n$plan")
+  }
+
+  test("abttDebias emits a map-only frame (zero exchanges)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = planOf(Similarity.abttDebias(emb, "vec_id", "embedding"))
+    assert(!plan.contains("Exchange"),
+      s"debias is literal-vector arithmetic; any exchange is a bug:\n$plan")
+  }
+}
