@@ -125,5 +125,8 @@ object Bench {
     "x_line_dedup", "x_html_strip", "x_entity_resolution", "x_kmv_setops",
     // round-6 family representatives (ADDED names only — existing
     // membership stays stable for round-over-round deltas)
-    "x_communities", "x_grid_join", "x_target_encode", "x_class_balance")
+    "x_communities", "x_grid_join", "x_target_encode", "x_class_balance",
+    // round-6 wave-11 representatives (ADDED names only)
+    "x_image_phash", "x_dbscan", "x_cdc_dedup", "x_changepoint",
+    "x_pca_project", "x_bpe_encode")
 }

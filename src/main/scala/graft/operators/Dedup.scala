@@ -536,4 +536,72 @@ object Dedup {
         (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_tokens")).as("dup_frac"))
   }
+
+  /** Content-defined chunking (the LBFS/rsync/restic boundary trick,
+    * word-granular): a chunk boundary falls after word i whenever the
+    * md5 of the w-gram ENDING at i starts with `hexZeros` zero nibbles
+    * (expected chunk length 16^hexZeros words). Because boundaries
+    * depend only on local CONTENT, inserting or deleting a prefix
+    * shifts every fixed-size chunk but leaves almost all
+    * content-defined chunks intact — the property that makes
+    * chunk-level dedup survive edits, which `chunkDedup`'s fixed
+    * windows cannot.
+    *
+    * Emits one row per chunk: (doc_id, chunk_idx, chunk_hash, n_words).
+    * Degenerate docs (shorter than w, or no boundary hit) emit their
+    * whole text as one chunk.
+    *
+    * Scale shape: the ENTIRE chunker is a narrow map — boundary flags,
+    * edge list, and chunk substrings are all in-row array expressions
+    * (state bounded by the doc's own word count, the lineDedup rebuild
+    * class); zero shuffles until a consumer aggregates chunk hashes.
+    * Portability: word-split + md5 over space-joined grams is the
+    * winnowing machinery, so the oracle replays every boundary. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                w: Int = 2, hexZeros: Int = 1): DataFrame = {
+    require(w >= 1, s"cdcChunks: gram width must be >= 1, got $w")
+    require(hexZeros >= 1 && hexZeros <= 8,
+      s"cdcChunks: hexZeros must be in [1, 8], got $hexZeros")
+    val zeros = "0" * hexZeros
+    val base = df.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("ws"))
+    val withBounds = base
+      .withColumn("n", size(col("ws")))
+      .withColumn("bs", filter(
+        transform(sequence(lit(w), greatest(col("n"), lit(w))), i =>
+          when(col("n") >= i &&
+            substring(md5(concat_ws(" ",
+              slice(col("ws"), i - lit(w) + 1, lit(w)))), 1, hexZeros)
+              === lit(zeros), i)),
+        x => x.isNotNull))
+      .withColumn("edges", concat(array(lit(0)), col("bs"),
+        when(coalesce(try_element_at(col("bs"), lit(-1)), lit(-1)) =!= col("n"),
+          array(col("n"))).otherwise(array().cast("array<int>"))))
+    withBounds.select(col("doc_id"), col("ws"), col("edges"),
+        posexplode(transform(sequence(lit(0), size(col("edges")) - 2), j =>
+          struct(
+            md5(concat_ws(" ", slice(col("ws"),
+              element_at(col("edges"), j + 1) + 1,
+              element_at(col("edges"), j + 2) -
+                element_at(col("edges"), j + 1)))).as("chunk_hash"),
+            (element_at(col("edges"), j + 2) -
+              element_at(col("edges"), j + 1)).as("n_words"))))
+          .as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("c.chunk_hash").as("chunk_hash"), col("c.n_words").as("n_words"))
+  }
+
+  /** Cross-document chunk-level dedup census over [[cdcChunks]]: which
+    * content-defined chunks recur across documents, and how much text
+    * they cover — the storage-dedup readout (shared boilerplate,
+    * quoted passages, syndicated fragments) that is robust to edits.
+    * One hash aggregate keyed by chunk_hash. */
+  def cdcDedup(df: DataFrame, idCol: String, textCol: String,
+               w: Int = 2, hexZeros: Int = 1): DataFrame =
+    cdcChunks(df, idCol, textCol, w, hexZeros)
+      .groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        max(col("n_words")).as("n_words"))
+      .filter(col("n_docs") >= 2)
 }

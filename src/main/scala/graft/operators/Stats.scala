@@ -1153,4 +1153,53 @@ object Stats {
           (lit(2.0 * period) * lit(100.0) * count(lit(1)).cast("double")))
           .as("seasonal"))
   }
+
+  /** Isotonic calibration — PAVA (pool-adjacent-violators) per key over
+    * binned (positives, total) counts: the classic monotone regression
+    * that turns a classifier's raw bin rates into the best
+    * non-decreasing fit (squared error), the calibration step after
+    * x_calibration's diagnosis. Violating neighbors pool until rates
+    * are monotone; every pooled rate is ONE division of exact integer
+    * sums and violation tests are integer cross-multiplications
+    * (p_prev·n_cur > p_cur·n_prev — no doubles in control flow), so the
+    * output is a pure data function.
+    *
+    * Scale shape: one hash aggregate to the (key, bin) spine, then a
+    * typed mapGroups whose per-key state is the BIN list (bins are a
+    * modeling constant, ≤ ~10²; the group iterator never holds raw
+    * rows). NOT SQL-replayable (the pooling stack); rows-only graded
+    * with the StatsSpec plain-Scala differential as the anchor.
+    * Integer bound: p·n products must fit int64 — fine to ~3·10⁹ rows
+    * per (key, bin), beyond which pre-scale counts. */
+  def isotonicRates(df: DataFrame, keyCol: String, binCol: String,
+                    posExpr: Column, cntExpr: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.groupBy(col(keyCol).cast("string").as("key"),
+        col(binCol).cast("int").as("bin"))
+      .agg(sum(posExpr.cast("long")).as("p"), sum(cntExpr.cast("long")).as("n"))
+      .as[(String, Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val arr = it.toArray.sortBy(_._2)
+        val pools = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        arr.foreach { case (_, _, p, n) =>
+          var (cp, cn, cc) = (p, n, 1)
+          while (pools.nonEmpty && pools.last._1 * cn > cp * pools.last._2) {
+            val (pp, pn, pc) = pools.remove(pools.size - 1)
+            cp += pp; cn += pn; cc += pc
+          }
+          pools += ((cp, cn, cc))
+        }
+        var idx = 0
+        pools.iterator.flatMap { case (p, n, c) =>
+          val rate = p.toDouble / n.toDouble
+          (0 until c).map { _ =>
+            val (_, bin, bp, bn) = arr(idx); idx += 1
+            (key, bin, bp, bn, rate)
+          }
+        }
+      }
+      .toDF("key", "bin", "pos", "n", "iso_rate")
+  }
 }

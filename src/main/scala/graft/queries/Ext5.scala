@@ -183,6 +183,41 @@ object Ext5 {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.LangModel.bpeEncode(docs, "doc_id", "text", merges)
     }),
+
+    // content-defined chunking: boundaries wherever the md5 of the
+    // 2-gram ending at a word starts with a zero nibble — chunking that
+    // survives prefix edits where fixed windows shift everything
+    "x_cdc_chunks" -> ((s, d) =>
+      graft.operators.Dedup.cdcChunks(
+        t(s, d, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text")),
+
+    // cross-doc census of recurring content-defined chunks — the
+    // edit-robust chunk-level dedup readout
+    "x_cdc_dedup" -> ((s, d) =>
+      graft.operators.Dedup.cdcDedup(t(s, d, "documents"),
+        "doc_id", "text")),
+
+    // monotone calibration of the hashed classifier per source: margin
+    // deciles via exact integer arithmetic, PAVA pooling with integer
+    // cross-multiplied violation tests. Rows-only (the pooling stack is
+    // not one SQL query); StatsSpec holds the PAVA differential
+    "x_isotonic" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hc = graft.operators.LangModel.hashedClassifier(
+        docs, "doc_id", "text")
+      val binned = hc.join(
+          docs.select(col("doc_id"), col("source"),
+            (col("lang") === "en").as("lab")), Seq("doc_id"))
+        // decile of margin in [-8, 8] without touching a double:
+        // floor((score + 8n) * 10 / (16n)) clamped to [0, 9]
+        .withColumn("bin", least(greatest(
+          call_function("div",
+            (col("score") + lit(8) * col("n_tokens")) * lit(10),
+            lit(16) * col("n_tokens")).cast("int"), lit(0)), lit(9)))
+      Stats.isotonicRates(binned, "source", "bin",
+        when(col("lab"), 1L).otherwise(0L), lit(1L))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -460,5 +495,55 @@ object Ext5 {
          SELECT key AS event_type, epoch(day) AS day_s,
                 string_agg(chr(CAST(96 + b AS INTEGER)), '' ORDER BY seg) AS sax_word
          FROM nt GROUP BY 1, 2""",
+
+    // word-split, md5 2-gram boundary probe, edge-list chunk rebuild —
+    // the winnowing machinery replayed list-for-list
+    "x_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE doc_id < 300),
+         g AS (SELECT doc_id, unnest(range(2, len(ws) + 1)) AS i, ws
+               FROM d WHERE len(ws) >= 2),
+         b AS (SELECT doc_id, i FROM g
+               WHERE substr(md5(array_to_string(ws[i-1:i], ' ')), 1, 1) = '0'),
+         bz AS (SELECT doc_id, list_sort(list(i)) AS bs FROM b GROUP BY doc_id),
+         bl AS (SELECT d.doc_id, d.ws, len(d.ws) AS n,
+                       coalesce(bz.bs, []) AS bs
+                FROM d LEFT JOIN bz USING (doc_id)),
+         e AS (SELECT doc_id, ws,
+                 CASE WHEN len(bs) = 0 OR bs[-1] <> n
+                      THEN [0] || bs || [n] ELSE [0] || bs END AS edges
+               FROM bl),
+         c AS (SELECT doc_id, unnest(range(1, len(edges))) AS j, ws, edges
+               FROM e)
+         SELECT doc_id, CAST(j - 1 AS INTEGER) AS chunk_idx,
+                md5(array_to_string(ws[edges[j]+1:edges[j+1]], ' '))
+                  AS chunk_hash,
+                CAST(edges[j+1] - edges[j] AS INTEGER) AS n_words
+         FROM c""",
+
+    "x_cdc_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, unnest(range(2, len(ws) + 1)) AS i, ws
+               FROM d WHERE len(ws) >= 2),
+         b AS (SELECT doc_id, i FROM g
+               WHERE substr(md5(array_to_string(ws[i-1:i], ' ')), 1, 1) = '0'),
+         bz AS (SELECT doc_id, list_sort(list(i)) AS bs FROM b GROUP BY doc_id),
+         bl AS (SELECT d.doc_id, d.ws, len(d.ws) AS n,
+                       coalesce(bz.bs, []) AS bs
+                FROM d LEFT JOIN bz USING (doc_id)),
+         e AS (SELECT doc_id, ws,
+                 CASE WHEN len(bs) = 0 OR bs[-1] <> n
+                      THEN [0] || bs || [n] ELSE [0] || bs END AS edges
+               FROM bl),
+         c AS (SELECT doc_id, unnest(range(1, len(edges))) AS j, ws, edges
+               FROM e),
+         ch AS (SELECT doc_id,
+                  md5(array_to_string(ws[edges[j]+1:edges[j+1]], ' ')) AS chunk_hash,
+                  edges[j+1] - edges[j] AS nw
+                FROM c)
+         SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_occ, CAST(max(nw) AS INTEGER) AS n_words
+         FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
   )
 }

@@ -402,6 +402,33 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.demuxAviFrames(garbage).count() == 0L)
   }
 
+  test("cdcChunks: edit-robust boundaries; chunks rebuild the doc; degenerate docs") {
+    val rnd = new scala.util.Random(13)
+    val words = (1 to 400).map(_ => f"w${rnd.nextInt(5000)}%04d")
+    val a = words.mkString(" ")
+    val b = "inserted prefix goes here " + a   // prefix edit
+    val df = Seq((1L, a), (2L, b), (3L, "tiny"), (4L, "")).toDF("doc_id", "text")
+    val chunks = graft.operators.Dedup.cdcChunks(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // chunk word counts rebuild each doc exactly
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc(1L).map(_._4).sum == 400 && byDoc(2L).map(_._4).sum == 404)
+    assert(byDoc(3L).map(_._4).sum == 1 && byDoc(4L).map(_._4).sum == 1,
+      "short/empty docs must emit exactly their whole text as one chunk")
+    // edit robustness: the prefix edit can only disturb chunks up to the
+    // first boundary after it — the overwhelming share of A's chunks
+    // must reappear verbatim in B (fixed-size chunking would share ~none)
+    val ha = byDoc(1L).map(_._3).toSet
+    val hb = byDoc(2L).map(_._3).toSet
+    val shared = ha.intersect(hb).size.toDouble / ha.size
+    assert(ha.size > 10, s"chunking too coarse: ${ha.size} chunks")
+    assert(shared > 0.8, s"only ${(shared * 100).round}% of chunks survived a prefix edit")
+    // boundaries are content-defined: chunk sequences differ only at the head
+    assert(byDoc(1L).sortBy(_._2).map(_._3).reverse.zip(
+      byDoc(2L).sortBy(_._2).map(_._3).reverse).takeWhile(p => p._1 == p._2)
+      .size >= ha.size - 2, "tail chunks must align after the edit point")
+  }
+
   test("multimodal: dHash is invariant across jitter and 2x-upscale variants") {
     val media = Multimodal.synthGradientPngs(
       docs.filter(col("doc_id") < 80), "doc_id")

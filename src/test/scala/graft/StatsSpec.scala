@@ -627,4 +627,48 @@ class StatsSpec extends SparkSpec {
     assert(Stats.seasonalDecompose(tiny, "key", col("stp"),
       step => step % 4, col("v"), period = 4).count() == 0)
   }
+
+  test("isotonicRates == plain-Scala PAVA; monotone; mass-preserving") {
+    // per-bin (pos, n) with deliberate violations [.5, .2, .8, .3, .9]
+    val bins = Seq(("k", 0, 5L, 10L), ("k", 1, 2L, 10L), ("k", 2, 8L, 10L),
+      ("k", 3, 3L, 10L), ("k", 4, 9L, 10L),
+      // a second key, already monotone -> identity
+      ("m", 0, 1L, 10L), ("m", 1, 5L, 10L), ("m", 2, 9L, 10L))
+    val rows = bins.flatMap { case (k, b, p, n) =>
+      (0 until n.toInt).map(i => (k, b, if (i < p) 1L else 0L))
+    }
+    val got = Stats.isotonicRates(rows.toDF("key", "bin", "y"),
+        "key", "bin", col("y"), lit(1L))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // plain-Scala PAVA reference
+    def pava(xs: Seq[(Long, Long)]): Seq[Double] = {
+      val pools = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      xs.foreach { case (p, n) =>
+        var (cp, cn, cc) = (p, n, 1)
+        while (pools.nonEmpty && pools.last._1 * cn > cp * pools.last._2) {
+          val (pp, pn, pc) = pools.remove(pools.size - 1)
+          cp += pp; cn += pn; cc += pc
+        }
+        pools += ((cp, cn, cc))
+      }
+      pools.flatMap { case (p, n, c) =>
+        Seq.fill(c)(p.toDouble / n.toDouble) }.toSeq
+    }
+    Seq("k", "m").foreach { key =>
+      val mine = bins.filter(_._1 == key).sortBy(_._2)
+      val ref = pava(mine.map(b => (b._3, b._4)))
+      mine.zip(ref).foreach { case ((_, b, p, n), r) =>
+        assert(got((key, b)) == ((p, n, r)), s"$key bin $b: ${got((key, b))} != $r")
+      }
+      // monotone non-decreasing; pooled mass preserved
+      val rates = mine.map(b => got((key, b._2))._3)
+      assert(rates.zip(rates.tail).forall { case (a2, b2) => a2 <= b2 })
+      val mass = mine.map { case (_, b, _, n) => got((key, b))._3 * n }.sum
+      assert(math.abs(mass - mine.map(_._3).sum) < 1e-9, "mass drifted")
+    }
+    // the already-monotone key must come back untouched
+    assert(got(("m", 0))._3 == 0.1 && got(("m", 1))._3 == 0.5 &&
+      got(("m", 2))._3 == 0.9)
+  }
 }

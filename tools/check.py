@@ -34,10 +34,17 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(qdir):
             continue
         name = os.path.basename(qdir)
-        got_rows_raw = con.execute(
-            f"SELECT * FROM '{qdir}/*.parquet'").fetchall()
-        got_cols = [d[0] for d in con.execute(
-            f"SELECT * FROM '{qdir}/*.parquet' LIMIT 0").description]
+        try:
+            got_rows_raw = con.execute(
+                f"SELECT * FROM '{qdir}/*.parquet'").fetchall()
+            got_cols = [d[0] for d in con.execute(
+                f"SELECT * FROM '{qdir}/*.parquet' LIMIT 0").description]
+        except Exception as e:
+            # a query that threw in Verify leaves an empty/missing dir —
+            # report and keep grading the rest (the driver does the same)
+            print(f"FAIL  {name}: no engine output ({str(e)[:120]})")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"SKIP  {name}: rows={len(got_rows_raw)} (no oracle)")
             n_skip += 1
