@@ -101,8 +101,13 @@ object Spatial {
       .join(coreIds.select(col("id").as("id_a")), Seq("id_a"))
       .join(coreIds.select(col("id").as("id_b")), Seq("id_b"))
     // cores connected to no other core never enter CC — they label
-    // themselves via the coalesce; CC output is (id, component=min id)
-    val comps = Graphs.connectedComponents(coreEdges, "id_a", "id_b")
+    // themselves via the coalesce; CC output is (id, component=min id).
+    // The LOG-ROUND variant is mandatory here, not an option: a cluster
+    // is by construction a dense blob at the density threshold, and its
+    // ε-graph diameter grows with its spatial extent — at sf0.1 the
+    // largest cluster already exceeds min-label propagation's 25-round
+    // budget, while large-star/small-star closes it in O(log²) rounds.
+    val comps = Graphs.connectedComponentsLogRounds(coreEdges, "id_a", "id_b")
     val coreClusters = coreIds
       .join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))

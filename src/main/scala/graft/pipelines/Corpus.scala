@@ -219,4 +219,65 @@ object Corpus {
       .filter(col("cluster_rep").isNull || col("cluster_rep") === col("doc_id"))
       .select("doc_id")
   }
+
+  /** The Gopher document-quality rule stack (Rae et al. 2021, Appendix
+    * A1.1 — the named filter set MassiveText/Gopher shipped and most
+    * later corpora copied): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, bullet/ellipsis line shares, alphabetic-word
+    * fraction, and the ≥2-distinct-stopwords requirement. Emits every
+    * rule verdict separately (curation wants the per-rule loss
+    * breakdown, not just the gate) plus the conjunction.
+    *
+    * Exactness: every rule tests as an INTEGER comparison (sum ≥ 3·n
+    * instead of mean ≥ 3.0, 5·alpha ≥ 4·n instead of frac ≥ 0.8, …);
+    * reported ratios are single divisions of those exact integers. One
+    * narrow map — no shuffle, no state; scales with input splits. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stops = Text.langMarkers.toMap.apply("en")
+    val t = col(textCol)
+    val ws = filter(split(t, " "), w => w =!= "")
+    val lines = split(t, "\n")
+    def occurrences(needle: String) =
+      ((length(t) - length(call_function("replace", t, lit(needle), lit("")))) /
+        lit(needle.length)).cast("long")
+    docs.select(col(idCol).as("doc_id"), ws.as("ws"), lines.as("ls"),
+        (occurrences("#") + occurrences("...")).as("n_sym0"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("sum_chars"),
+        size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha"),
+        col("n_sym0").as("n_sym"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(filter(col("ls"), l =>
+          l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+          .cast("long").as("n_bullet"),
+        size(filter(col("ls"), l => l.endsWith("..."))).cast("long")
+          .as("n_ell"),
+        size(filter(typedlit(stops), m => array_contains(col("ws"), m)))
+          .cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        (col("sum_chars").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double")).as("mean_word_len"),
+        (col("n_alpha").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double")).as("frac_alpha"),
+        (col("n_sym").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double")).as("sym_ratio"),
+        col("n_stop"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("r_wordcount"),
+        (col("sum_chars") >= lit(3L) * col("n_words") &&
+          col("sum_chars") <= lit(10L) * col("n_words")).as("r_wordlen"),
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words")).as("r_alpha"),
+        (lit(10L) * col("n_sym") <= col("n_words")).as("r_symbol"),
+        (lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines")).as("r_bullets"),
+        (lit(10L) * col("n_ell") <= lit(3L) * col("n_lines")).as("r_ellipsis"),
+        (col("n_stop") >= 2L).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_wordlen") && col("r_alpha") &&
+          col("r_symbol") && col("r_bullets") && col("r_ellipsis") &&
+          col("r_stopwords"))
+  }
 }

@@ -218,6 +218,13 @@ object Ext5 {
       Stats.isotonicRates(binned, "source", "bin",
         when(col("lab"), 1L).otherwise(0L), lit(1L))
     }),
+
+    // the named Gopher rule stack (Rae et al. A1.1) with per-rule
+    // verdicts — every rule tests as an integer comparison, ratios are
+    // single divisions of the same integers
+    "x_gopher_rules" -> ((s, d) =>
+      graft.pipelines.Corpus.gopherRules(t(s, d, "documents"),
+        "doc_id", "text")),
   )
 
   val oracle: Map[String, String] = Map(
@@ -545,5 +552,52 @@ object Ext5 {
          SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
                 count(*) AS n_occ, CAST(max(nw) AS INTEGER) AS n_words
          FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
+
+    // every rule as an integer comparison over list aggregates the
+    // engine computes with the same arithmetic
+    "x_gopher_rules" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+             string_split(text, chr(10)) AS ls,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) +
+               CAST((length(text) - length(replace(text, '...', ''))) // 3
+                    AS BIGINT) AS n_sym
+           FROM documents),
+         m AS (SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(coalesce(list_sum(list_transform(ws, w -> length(w))),
+                      0) AS BIGINT) AS sum_chars,
+                 CAST(len(list_filter(ws,
+                      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                 n_sym,
+                 CAST(len(ls) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%'
+                      OR l LIKE '•%')) AS BIGINT) AS n_bullet,
+                 CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT)
+                   AS n_ell,
+                 CAST(len(list_filter(['the','a','of','and','to','in','is'],
+                      s -> list_contains(ws, s))) AS BIGINT) AS n_stop
+               FROM d)
+         SELECT doc_id, n_words,
+           CAST(sum_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+             AS mean_word_len,
+           CAST(n_alpha AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+             AS frac_alpha,
+           CAST(n_sym AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+             AS sym_ratio,
+           n_stop,
+           n_words >= 50 AND n_words <= 100000 AS r_wordcount,
+           sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words AS r_wordlen,
+           5 * n_alpha >= 4 * n_words AS r_alpha,
+           10 * n_sym <= n_words AS r_symbol,
+           10 * n_bullet <= 9 * n_lines AS r_bullets,
+           10 * n_ell <= 3 * n_lines AS r_ellipsis,
+           n_stop >= 2 AS r_stopwords,
+           (n_words >= 50 AND n_words <= 100000) AND
+           (sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words) AND
+           (5 * n_alpha >= 4 * n_words) AND (10 * n_sym <= n_words) AND
+           (10 * n_bullet <= 9 * n_lines) AND (10 * n_ell <= 3 * n_lines) AND
+           (n_stop >= 2) AS keep
+         FROM m""",
   )
 }

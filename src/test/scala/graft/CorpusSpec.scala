@@ -190,4 +190,36 @@ class CorpusSpec extends SparkSpec {
       assert(b.size > n / 6 && b.size < n / 2, s"bucket sizes skewed: ${
         byBucket.view.mapValues(_.size).toMap}"))
   }
+
+  test("gopherRules: each rule trips on its own pathology, good doc keeps") {
+    import spark.implicits._
+    import graft.pipelines.Corpus
+    val goodBody = ("the quick brown fox jumps over a lazy dog and " * 6).trim
+    val docs = Seq(
+      (1L, goodBody),                                        // 60 words, keeps
+      (2L, "the a of and to in"),                            // too few words
+      (3L, ("supercalifragilisticexpialidocious " * 60).trim +
+        " the a of"),                                        // mean word len > 10
+      (4L, (("## " * 30) + goodBody).trim),                  // symbols + non-alpha words
+      (5L, (1 to 60).map(_ => "42").mkString(" ") + " the a"), // no alphabetic words
+      (6L, ("zig zag fox " * 20).trim))                      // < 2 stopwords
+      .toDF("doc_id", "text")
+    val got = Corpus.gopherRules(docs, "doc_id", "text", minWords = 50)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"), s"good doc dropped: ${got(1L)}")
+    assert(!got(2L).getAs[Boolean]("r_wordcount"))
+    assert(!got(3L).getAs[Boolean]("r_wordlen"))
+    assert(!got(4L).getAs[Boolean]("r_alpha") ||
+      !got(4L).getAs[Boolean]("r_symbol"), s"symbol doc survived: ${got(4L)}")
+    assert(!got(5L).getAs[Boolean]("r_alpha"))
+    assert(!got(6L).getAs[Boolean]("r_stopwords"))
+    Seq(2L, 3L, 4L, 5L, 6L).foreach(id =>
+      assert(!got(id).getAs[Boolean]("keep"), s"doc $id kept"))
+    // integer-rule / reported-ratio consistency on the good doc
+    val g = got(1L)
+    assert(g.getAs[Long]("n_words") == 60)
+    assert(g.getAs[Double]("mean_word_len") >= 3.0 &&
+      g.getAs[Double]("mean_word_len") <= 10.0)
+    assert(g.getAs[Double]("frac_alpha") == 1.0)
+  }
 }
