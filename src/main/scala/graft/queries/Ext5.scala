@@ -225,6 +225,32 @@ object Ext5 {
     "x_gopher_rules" -> ((s, d) =>
       graft.pipelines.Corpus.gopherRules(t(s, d, "documents"),
         "doc_id", "text")),
+
+    // leave-one-out kNN label vote over the proven exact-cosine top-k:
+    // 11 nearest incl. self, self dropped, majority label with a total
+    // (votes DESC, label ASC) tie order — the embedding-quality probe
+    // (label coherence of the neighborhood structure)
+    "x_knn_classify" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val knn = graft.operators.Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 100), e,
+          "vec_id", "embedding", "vec_id", "embedding", k = 11)
+        .filter(col("neighbor_id") =!= col("query_id"))
+      val votes = knn.join(
+          e.select(col("vec_id").as("neighbor_id"),
+            col("label").as("nlabel")), Seq("neighbor_id"))
+        .groupBy("query_id", "nlabel")
+        .agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("votes").desc, col("nlabel").asc)
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(e.select(col("vec_id").as("query_id"), col("label")),
+          Seq("query_id"))
+        .select(col("query_id"), col("label"),
+          col("nlabel").as("pred"), col("votes"),
+          (col("label") === col("nlabel")).as("correct"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -599,5 +625,35 @@ object Ext5 {
            (10 * n_bullet <= 9 * n_lines) AND (10 * n_ell <= 3 * n_lines) AND
            (n_stop >= 2) AS keep
          FROM m""",
+
+    // the x_cos_topk machinery at k=11, self dropped, label vote with
+    // the (votes DESC, label ASC) total order
+    "x_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+                      sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+               FROM n WHERE vec_id < 100),
+         scored AS (SELECT query_id, n.vec_id AS neighbor_id, n.label AS nlabel,
+                    CASE WHEN qn * nrm <> 0
+                         THEN list_dot_product(qv, v) / (qn * nrm) END AS cos
+                    FROM n CROSS JOIN q),
+         ranked AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+                      AS rank
+                    FROM scored),
+         knn AS (SELECT query_id, neighbor_id, nlabel FROM ranked
+                 WHERE rank <= 11 AND neighbor_id <> query_id),
+         votes AS (SELECT query_id, nlabel, count(*) AS votes
+                   FROM knn GROUP BY 1, 2),
+         best AS (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY votes DESC, nlabel ASC) AS rn
+                  FROM votes)
+         SELECT b.query_id, e.label, b.nlabel AS pred, b.votes,
+                e.label = b.nlabel AS correct
+         FROM best b JOIN e ON e.vec_id = b.query_id
+         WHERE b.rn = 1""",
   )
 }
