@@ -111,6 +111,46 @@ object Graphs {
     * the monotone count stabilizes). Returns
     * (id, component) like [[connectedComponents]]; GraphsSpec asserts
     * the two variants agree on chains, cycles, and random graphs. */
+  /** HITS hubs & authorities (Kleinberg '99) on a directed bipartite-ish
+    * edge set, UNNORMALIZED integer rounds: h₀ ≡ 1, a₁ = Aᵀh₀ (indegree),
+    * h₁ = Aa₁, a₂ = Aᵀh₁ — the mutual-reinforcement scores stay exact
+    * integers (normalization cannot change the ranking, so it is applied
+    * once at the end as a single division by the max), which is what
+    * makes the operator a pure data function AND lets a SQL oracle
+    * replay the rounds as plain join+sum CTEs (the k-core/LPA unrolled-
+    * round precedent). PageRank answers "globally important"; HITS
+    * splits it into "good hub" (points at good authorities) vs "good
+    * authority" (pointed at by good hubs) — the right lens for
+    * supplier↔part style incidence data.
+    *
+    * Scale shape: each half-round is ONE equi-join of the edge frame
+    * against a node-keyed score frame plus ONE hash aggregate — the
+    * pagerank round shape; the edge frame is touched twice per full
+    * round and should arrive partitioned on the join key for iterative
+    * use. Fixed 1.5 rounds (a₁, h₁, a₂) — the bench-stable prefix; more
+    * rounds compose the same two joins. Decimal sums: degrees multiply
+    * per round, and int64 would overflow on a 100 TB power-law graph. */
+  def hitsScores(edges: DataFrame, srcCol: String, dstCol: String,
+                 topK: Int = 20): DataFrame = {
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("p")).distinct()
+      .persist()
+    val a1 = e.groupBy("p").agg(count(lit(1)).cast("decimal(38,0)").as("a1"))
+    val h1 = e.join(a1, Seq("p"))
+      .groupBy("s").agg(sum(col("a1")).as("h1"))
+    val a2 = e.join(h1, Seq("s"))
+      .groupBy("p").agg(sum(col("h1")).as("a2"))
+    val top = a1.join(a2, Seq("p"))
+      .orderBy(col("a2").desc, col("p").asc).limit(topK)
+    val out = top
+      .crossJoin(broadcast(a2.agg(max(col("a2")).as("amax"))))
+      .select(col("p"), col("a1"), col("a2"),
+        (col("a2").cast("string").cast("double") /
+          col("amax").cast("string").cast("double")).as("authority"))
+    out.cache().count()  // materialize before releasing the edge frame
+    e.unpersist()
+    out
+  }
+
   def connectedComponentsLogRounds(edges: DataFrame, srcCol: String,
                                    dstCol: String, maxIter: Int = 50): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {

@@ -64,6 +64,46 @@ object Temporal {
       .drop("_side", "_p")
   }
 
+  /** NEAREST-event join: attach to each left row the right row with the
+    * minimum |Δt| for the same key, in EITHER direction — pandas
+    * `merge_asof(direction='nearest')` semantics, with the tie pinned
+    * to the EARLIER right row (backward wins an exact-distance tie).
+    * Composed as two [[asofJoin]] passes — backward on event micros,
+    * forward on their negation — so it inherits the one-shuffle
+    * distributed-merge shape; the combine is a narrow integer-micros
+    * comparison. Right rows should be unique per (key, ts) (dedup
+    * first, as with asofJoin) for a fully deterministic pick.
+    *
+    * Returns the left frame + `_nearest` (payload struct incl. `_rts`
+    * micros), `nearest_delta_us`, and `nearest_dir` ('back'/'fwd'). */
+  def nearestJoin(left: DataFrame, right: DataFrame, key: String,
+                  tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val l0 = left.withColumn("_us", unix_micros(col(tsCol)))
+    val r0 = right
+      .select((Seq(key, tsCol) ++ payloadCols).distinct.map(col): _*)
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_rts", col("_us"))
+    val pays = payloadCols :+ "_rts"
+    val back = asofJoin(l0, r0, key, "_us", pays)
+      .withColumnRenamed("_asof", "_back")
+    val fwd = asofJoin(back.withColumn("_nus", -col("_us")),
+        r0.withColumn("_nus", -col("_us")), key, "_nus", pays)
+      .withColumnRenamed("_asof", "_fwd")
+    val db = col("_us") - col("_back._rts")
+    val df = col("_fwd._rts") - col("_us")
+    val any = col("_back").isNotNull || col("_fwd").isNotNull
+    val pickBack = col("_fwd").isNull ||
+      (col("_back").isNotNull && db <= df)
+    fwd
+      .withColumn("_nearest",
+        when(any, when(pickBack, col("_back")).otherwise(col("_fwd"))))
+      .withColumn("nearest_delta_us",
+        when(any, when(pickBack, db).otherwise(df)))
+      .withColumn("nearest_dir",
+        when(any, when(pickBack, lit("back")).otherwise(lit("fwd"))))
+      .drop("_us", "_nus", "_back", "_fwd")
+  }
+
   /** Per-event count of OTHER events within ±`radiusSec` seconds — a pure
     * range self-join (no equi key) made shuffle-joinable by binning time
     * at the radius: a qualifying pair is always within one bin of each

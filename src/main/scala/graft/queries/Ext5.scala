@@ -226,6 +226,33 @@ object Ext5 {
       graft.pipelines.Corpus.gopherRules(t(s, d, "documents"),
         "doc_id", "text")),
 
+    // nearest-purchase join (merge_asof direction='nearest'): each
+    // click pairs with its closest purchase in EITHER direction, exact
+    // micro tie to the earlier purchase; two asof passes + a narrow
+    // integer combine — the oracle brute-forces the per-user argmin
+    "x_nearest_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("purchase_id"))
+      graft.operators.Temporal.nearestJoin(clicks, purchases,
+        "user_id", "ts", Seq("purchase_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("_nearest.purchase_id").as("purchase_id"),
+          col("nearest_delta_us"), col("nearest_dir"))
+    }),
+
+    // HITS authorities over the supplier->part incidence graph: which
+    // parts are stocked by the best-connected suppliers — integer
+    // mutual-reinforcement rounds, one final max-division
+    "x_hits" -> ((s, d) =>
+      Graphs.hitsScores(
+        t(s, d, "lineitem").select(col("l_suppkey").as("s"),
+          col("l_partkey").as("p")),
+        "s", "p", topK = 20)),
+
     // leave-one-out kNN label vote over the proven exact-cosine top-k:
     // 11 nearest incl. self, self dropped, majority label with a total
     // (votes DESC, label ASC) tie order — the embedding-quality probe
@@ -625,6 +652,51 @@ object Ext5 {
            (10 * n_bullet <= 9 * n_lines) AND (10 * n_ell <= 3 * n_lines) AND
            (n_stop >= 2) AS keep
          FROM m""",
+
+    // per-click argmin over the user's purchases by (|delta| ASC,
+    // purchase-ts ASC) — the quadratic ground truth for the two-pass
+    // asof composition
+    "x_nearest_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts,
+                           epoch_us(ts) AS us
+                         FROM events WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts, max(event_id) AS purchase_id,
+                          epoch_us(ts) AS rus
+                   FROM events WHERE event_type = 'purchase'
+                   GROUP BY user_id, ts),
+         pairs AS (SELECT c.event_id, c.user_id, c.us, p.purchase_id,
+                          p.rus, abs(p.rus - c.us) AS ad
+                   FROM clicks c JOIN purch p USING (user_id)),
+         pick AS (SELECT *, row_number() OVER
+                    (PARTITION BY event_id ORDER BY ad, rus) AS rn
+                  FROM pairs)
+         SELECT c.event_id, c.user_id, c.us AS ts_us,
+                k.purchase_id,
+                CASE WHEN k.event_id IS NOT NULL THEN k.ad END
+                  AS nearest_delta_us,
+                CASE WHEN k.event_id IS NULL THEN NULL
+                     WHEN k.rus <= c.us THEN 'back' ELSE 'fwd' END
+                  AS nearest_dir
+         FROM clicks c
+         LEFT JOIN (SELECT * FROM pick WHERE rn = 1) k USING (event_id)""",
+
+    // a1 = indegree, h1 = A a1, a2 = A^T h1 — exact integer CTE rounds,
+    // one division by the global max at the end
+    "x_hits" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                    FROM lineitem),
+         a1 AS (SELECT p, CAST(count(*) AS HUGEINT) AS a1 FROM e GROUP BY p),
+         h1 AS (SELECT s, sum(a1.a1) AS h1 FROM e JOIN a1 USING (p)
+                GROUP BY s),
+         a2 AS (SELECT p, sum(h1.h1) AS a2 FROM e JOIN h1 USING (s)
+                GROUP BY p),
+         amax AS (SELECT max(a2) AS amax FROM a2),
+         top AS (SELECT a1.p, a1.a1, a2.a2 FROM a1 JOIN a2 USING (p)
+                 ORDER BY a2.a2 DESC, a1.p ASC LIMIT 20)
+         SELECT p, a1, a2,
+                CAST(CAST(a2 AS VARCHAR) AS DOUBLE) /
+                CAST(CAST(amax AS VARCHAR) AS DOUBLE) AS authority
+         FROM top CROSS JOIN amax""",
 
     // the x_cos_topk machinery at k=11, self dropped, label vote with
     // the (votes DESC, label ASC) total order

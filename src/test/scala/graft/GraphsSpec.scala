@@ -319,4 +319,19 @@ class GraphsSpec extends SparkSpec {
     // refinement is monotone: round 2 never has FEWER distinct labels
     assert(hist(g, rounds = 2).size >= hist(g, rounds = 1).size)
   }
+
+  test("hitsScores: hand-computed authorities on a small bipartite graph") {
+    // s1->{p1,p2}, s2->{p1}, s3->{p1,p3} (with a duplicate edge that
+    // must be ignored): a1 = (3,1,1); h1 = (4,3,4); a2 = (11,4,4)
+    val e = Seq(("s1", "p1"), ("s1", "p2"), ("s2", "p1"), ("s3", "p1"),
+      ("s3", "p3"), ("s3", "p1")).toDF("src", "dst")
+    val got = Graphs.hitsScores(e, "src", "dst", topK = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getDecimal(1).longValueExact, r.getDecimal(2).longValueExact,
+          r.getDouble(3))).toMap
+    assert(got == Map(
+      "p1" -> ((3L, 11L, 1.0)),
+      "p2" -> ((1L, 4L, 4.0 / 11.0)),
+      "p3" -> ((1L, 4L, 4.0 / 11.0))), s"got=$got")
+  }
 }

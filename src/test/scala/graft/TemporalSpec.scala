@@ -79,6 +79,35 @@ class TemporalSpec extends SparkSpec {
     assert(got.filter(_._2 > 0) == brute, s"got=$got brute=$brute")
   }
 
+  test("nearestJoin: direction pick, exact-distance tie -> backward, no-match null") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // back 09:00 (1h) vs fwd 12:00 (2h) -> back
+      (2L, 10L, ts("2024-01-01 11:30:00")), // back 09:00 (2.5h) vs fwd 12:00 (0.5h) -> fwd
+      (3L, 20L, ts("2024-01-01 10:00:00")), // equidistant +/-1h -> tie to back
+      (4L, 30L, ts("2024-01-01 10:00:00")), // forward only
+      (5L, 40L, ts("2024-01-01 10:00:00"))) // no right rows -> null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 101L),
+      (10L, ts("2024-01-01 12:00:00"), 102L),
+      (20L, ts("2024-01-01 09:00:00"), 201L),
+      (20L, ts("2024-01-01 11:00:00"), 202L),
+      (30L, ts("2024-01-01 10:30:00"), 301L))
+      .toDF("user_id", "ts", "purchase_id")
+    val got = Temporal.nearestJoin(left, right, "user_id", "ts",
+        Seq("purchase_id"))
+      .select(col("event_id"), col("_nearest.purchase_id").as("p"),
+        col("nearest_delta_us"), col("nearest_dir"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(1L) == ((Some(101L), Some(3600000000L), Some("back"))))
+    assert(got(2L) == ((Some(102L), Some(1800000000L), Some("fwd"))))
+    assert(got(3L) == ((Some(201L), Some(3600000000L), Some("back"))),
+      s"tie must go backward: ${got(3L)}")
+    assert(got(4L) == ((Some(301L), Some(1800000000L), Some("fwd"))))
+    assert(got(5L) == ((None, None, None)))
+  }
+
   test("saxWords: monotone day quantizes to the expected word; partial days drop") {
     // day 1: 24 slots with value = slot (cents 0..2300): segment sums
     // strictly increase -> ntile(4) over 6 segments = [a,a,b,b,c,d]
