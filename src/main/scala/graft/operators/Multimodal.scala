@@ -494,7 +494,12 @@ object Multimodal {
     * variants are near-duplicates that an anti-aliased dHash MUST send
     * to one bucket, across resolutions — and the 64 comparison bits are
     * exactly the md5 bits, which a SQL oracle predicts without touching
-    * a single pixel. Encoded through the real JDK PNG codec. */
+    * a single pixel. Variant famSize−1 additionally BUMPS pixel (4,2)
+    * by +12 — enough to force comparisons 19 (3→4) and 20 (4→5) of row
+    * 2 to 1 and 0 regardless of the walk — a NEAR-MISS at Hamming ≤ 2
+    * from its family, the planted positive for [[phashNearDup]] (still
+    * closed-form, so the oracle predicts the perturbed bits too).
+    * Encoded through the real JDK PNG codec. */
   def synthGradientPngs(df: DataFrame, idCol: String, famSize: Int = 4): DataFrame = {
     require(famSize >= 1, s"synthGradientPngs: famSize must be >= 1, got $famSize")
     val spark = df.sparkSession
@@ -503,13 +508,15 @@ object Multimodal {
       ids.map { id =>
         val hex = md5Hex((id / famSize).toString)
         val scale = 1 + (id % famSize).toInt % 2
+        val bump = famSize > 1 && id % famSize == famSize - 1
         val gray = new Array[Int](8 * 9)
         var y = 0
         while (y < 8) {
           var g = 128
           var x = 0
           while (x < 9) {
-            gray(y * 9 + x) = g + ((id * 53 + x * 11 + y * 17) % 3).toInt
+            gray(y * 9 + x) = g + ((id * 53 + x * 11 + y * 17) % 3).toInt +
+              (if (bump && x == 4 && y == 2) 12 else 0)
             if (x < 8) g += (if (md5Bit(hex, y * 8 + x) == 1) 6 else -6)
             x += 1
           }
@@ -582,6 +589,51 @@ object Multimodal {
       col("phash_hi"), col("phash_lo"),
       min("media_id").over(w).as("rep_id"),
       count(lit(1)).over(w).as("dup_n"))
+  }
+
+  /** Perceptual NEAR-dup pairs: all image pairs within `maxHamming`
+    * bits of dHash distance — the banded-signature trick ([[phashDedup]]
+    * catches only exact hash collisions; real re-encodes/crops move a
+    * few bits). The 64-bit hash splits into 4 16-bit bands; a pair
+    * within Hamming ≤ 3 differs in at most 3 bands, so BY PIGEONHOLE it
+    * shares at least one band — candidates come from ONE equi-join on
+    * (band, key16) and only they pay the popcount verify. The SimHash
+    * recipe applied to the image fingerprint.
+    *
+    * Scale shape: 4× narrow fanout, one shuffle on the 16-bit band key
+    * (md5-uniform here; adversarial pileups are ordinary hot join
+    * keys), exact codegen xor/bit_count verify on candidates only.
+    * `maxHamming` is capped at 3 — band blocking is lossless only up to
+    * bands−1 flips; wider radii need more bands. */
+  def phashNearDup(media: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"phashNearDup: 4-band blocking is lossless only to Hamming 3, got $maxHamming")
+    val hashed = dHash64(media)
+      .filter(col("phash_hi").isNotNull)
+      .select(col("media_id"), col("phash_hi"), col("phash_lo"))
+    val banded = hashed.select(col("media_id"), col("phash_hi"),
+      col("phash_lo"), explode(array(
+        struct(lit(0).as("band"),
+          col("phash_lo").bitwiseAND(lit(65535L)).as("key")),
+        struct(lit(1).as("band"), shiftright(col("phash_lo"), 16).as("key")),
+        struct(lit(2).as("band"),
+          col("phash_hi").bitwiseAND(lit(65535L)).as("key")),
+        struct(lit(3).as("band"), shiftright(col("phash_hi"), 16).as("key"))))
+        .as("b"))
+      .select(col("media_id"), col("phash_hi"), col("phash_lo"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("media_id").as("id_a"),
+      col("phash_hi").as("ha"), col("phash_lo").as("la"))
+    val b = banded.select(col("band"), col("key"), col("media_id").as("id_b"),
+      col("phash_hi").as("hb"), col("phash_lo").as("lb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** REAL image resize: decode → exact box resample ([[boxResize]]) →

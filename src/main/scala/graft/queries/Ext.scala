@@ -1083,7 +1083,16 @@ object Ext {
     // endianness bug hash-mismatches.
     "x_image_phash" -> ((s, d) =>
       Multimodal.phashDedup(Multimodal.synthGradientPngs(
-        t(s, d, "documents").filter(col("doc_id") < 400), "doc_id")))
+        t(s, d, "documents").filter(col("doc_id") < 400), "doc_id"))),
+
+    // perceptual NEAR-dup: the planted bump variants sit at Hamming ≤ 2
+    // from their family; banded blocking + popcount verify must find
+    // exactly the pairs the oracle's quadratic bit-level census finds —
+    // the blocking-losslessness proof (the x_grid_join pattern)
+    "x_phash_neardup" -> ((s, d) =>
+      Multimodal.phashNearDup(Multimodal.synthGradientPngs(
+        t(s, d, "documents").filter(col("doc_id") < 400), "doc_id"),
+        maxHamming = 2))
   )
 
   /** Transitive-closure CTE prefix over the ngram-jaccard pair set
@@ -2831,31 +2840,62 @@ object Ext {
     // what a correct pixel-level dHash MUST produce: comparison bit
     // y*8+x equals md5(family) bit y*8+x (MSB-first nibbles) because
     // the synth walks ±6 by exactly those bits and the jitter/upscale
-    // can't flip a comparison — the oracle builds the 64-bit hash from
-    // the digest alone and replays the min-id/count clustering
+    // can't flip a comparison — except the variant-3 bump, which forces
+    // bits 19/20 to 1/0 — so the oracle builds every media's 64-bit
+    // hash from the digest alone and replays the min-id/count clustering
     "x_image_phash" ->
-      """WITH ids AS (SELECT doc_id AS media_id, doc_id // 4 AS f
+      """WITH ids AS (SELECT doc_id AS media_id, doc_id // 4 AS f,
+                             doc_id % 4 AS v
                       FROM documents WHERE doc_id < 400),
          fam AS (SELECT DISTINCT f, md5(CAST(f AS VARCHAR)) AS h FROM ids),
-         bits AS (SELECT f, k,
+         bits0 AS (SELECT f, k,
                     (instr('0123456789abcdef',
                            substr(h, CAST(k // 4 AS INTEGER) + 1, 1)) - 1)
-                      // CAST(power(2, 3 - (k % 4)) AS INTEGER) % 2 AS bit
+                      // CAST(power(2, 3 - (k % 4)) AS INTEGER) % 2 AS mbit
                   FROM (SELECT f, h, unnest(range(64)) AS k FROM fam)),
-         ph AS (SELECT f,
+         bits AS (SELECT i.media_id, b.k,
+                    CASE WHEN i.v = 3 AND b.k = 19 THEN 1
+                         WHEN i.v = 3 AND b.k = 20 THEN 0
+                         ELSE b.mbit END AS bit
+                  FROM ids i JOIN bits0 b ON b.f = i.f),
+         m AS (SELECT media_id,
                   CAST(sum(CASE WHEN k >= 32
                        THEN bit * CAST(power(2, k - 32) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS phash_hi,
                   CAST(sum(CASE WHEN k < 32
                        THEN bit * CAST(power(2, k) AS BIGINT)
                        ELSE 0 END) AS BIGINT) AS phash_lo
-                FROM bits GROUP BY f),
-         m AS (SELECT i.media_id, p.phash_hi, p.phash_lo
-               FROM ids i JOIN ph p USING (f)),
+                FROM bits GROUP BY media_id),
          g AS (SELECT phash_hi, phash_lo, min(media_id) AS rep_id,
                       count(*) AS dup_n
                FROM m GROUP BY 1, 2)
          SELECT m.media_id, m.phash_hi, m.phash_lo, g.rep_id, g.dup_n
-         FROM m JOIN g USING (phash_hi, phash_lo)"""
+         FROM m JOIN g USING (phash_hi, phash_lo)""",
+
+    // quadratic bit-level census: every pair's Hamming distance counted
+    // straight off the predicted bits — the banded engine join must
+    // return exactly this set (blocking losslessness)
+    "x_phash_neardup" ->
+      """WITH ids AS (SELECT doc_id AS media_id, doc_id // 4 AS f,
+                             doc_id % 4 AS v
+                      FROM documents WHERE doc_id < 400),
+         fam AS (SELECT DISTINCT f, md5(CAST(f AS VARCHAR)) AS h FROM ids),
+         bits0 AS (SELECT f, k,
+                    (instr('0123456789abcdef',
+                           substr(h, CAST(k // 4 AS INTEGER) + 1, 1)) - 1)
+                      // CAST(power(2, 3 - (k % 4)) AS INTEGER) % 2 AS mbit
+                  FROM (SELECT f, h, unnest(range(64)) AS k FROM fam)),
+         bits AS (SELECT i.media_id, b.k,
+                    CASE WHEN i.v = 3 AND b.k = 19 THEN 1
+                         WHEN i.v = 3 AND b.k = 20 THEN 0
+                         ELSE b.mbit END AS bit
+                  FROM ids i JOIN bits0 b ON b.f = i.f)
+         SELECT a.media_id AS id_a, b.media_id AS id_b,
+                CAST(count(*) FILTER (WHERE a.bit <> b.bit) AS BIGINT)
+                  AS hamming
+         FROM bits a JOIN bits b
+           ON a.k = b.k AND a.media_id < b.media_id
+         GROUP BY 1, 2
+         HAVING count(*) FILTER (WHERE a.bit <> b.bit) <= 2"""
   )
 }

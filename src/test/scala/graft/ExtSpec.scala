@@ -433,14 +433,37 @@ class ExtSpec extends SparkSpec {
     val media = Multimodal.synthGradientPngs(
       docs.filter(col("doc_id") < 80), "doc_id")
     val hashed = Multimodal.dHash64(media)
-    // every family of 4 variants (2 resolutions x jittered pixels)
-    // lands on ONE hash; distinct families land on distinct hashes
-    val fams = hashed
-      .groupBy((col("media_id") / 4).cast("long").as("f"))
-      .agg(countDistinct(col("phash_hi"), col("phash_lo")).as("nh"))
-    assert(fams.filter(col("nh") =!= 1).count() == 0, "family hash split")
-    assert(hashed.select("phash_hi", "phash_lo").distinct().count() ==
-      fams.count(), "cross-family collision")
+    // variants 0..2 of a family (2 resolutions x jittered pixels) land
+    // on ONE hash; the bumped variant 3 sits within Hamming 2 of it
+    val rows = hashed.collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val fams = rows.keys.map(_ / 4).toSet
+    fams.foreach { f =>
+      val base = rows(f * 4)
+      assert(rows(f * 4 + 1) == base && rows(f * 4 + 2) == base,
+        s"family $f jitter/upscale variants split")
+      val (h3, l3) = rows(f * 4 + 3)
+      val d = java.lang.Long.bitCount(h3 ^ base._1) +
+        java.lang.Long.bitCount(l3 ^ base._2)
+      assert(d <= 2, s"family $f bumped variant at Hamming $d")
+    }
+    // distinct families stay far apart (md5 bits ~ independent)
+    assert(fams.toSeq.combinations(2).forall { case Seq(f1, f2) =>
+      val (a, b) = (rows(f1 * 4), rows(f2 * 4))
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2) > 2
+    }, "cross-family near-collision")
+    // the banded near-dup join returns exactly the brute-force pair set
+    val got = Multimodal.phashNearDup(media, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ids = rows.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(rows(a)._1 ^ rows(b)._1) +
+        java.lang.Long.bitCount(rows(a)._2 ^ rows(b)._2) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(brute.exists(_._3 > 0), "no planted near-miss pair in the fixture?")
+    assert(got == brute, s"missed=${brute -- got} extra=${got -- brute}")
     // the bits are EXACTLY the md5(family) bits the synth walked
     val row = hashed.filter(col("media_id") === 0)
       .select("phash_hi", "phash_lo").head()
