@@ -326,6 +326,113 @@ object LangModel {
           + size(col("ps")) * col("lnconst")).as("dsir_logw"))
   }
 
+  /** Multinomial Naive Bayes language classifier with add-one
+    * smoothing, trained on one slice of the corpus (`trainPred`) and
+    * scored on the rest — the classic lightweight quality/language
+    * filter (the fastText-style baseline a curation pipeline trains on
+    * its own labels). Scores the binary `labelCol` (positive vs rest).
+    *
+    * margin(d) = ln P(+) − ln P(−)
+    *           + Σ_t [ln(c₊(t)+1) − ln(c₋(t)+1)]
+    *           + |d| · [ln(T₋+V) − ln(T₊+V)]
+    * — the per-token denominator terms factor out into the one |d|
+    * multiple, so every ln argument is an integer ≥ 1, inside
+    * [[graft.functions.Pmath.lnColumn]]'s portable domain, and the
+    * per-doc Σ folds in position order (the x_lm_score recipe).
+    * Unseen test tokens hit c+1 = 1 on both classes (ln 1 = 0), which
+    * the left join's fill reproduces exactly.
+    *
+    * Scale shape: token explode → one vocabulary-sized conditional
+    * count aggregate (the model — O(V), never corpus-sized) → test
+    * tokens hash-join the model on the token key → one per-doc fold
+    * shuffle. The four corpus constants ride a broadcast 1-row frame.
+    * No driver loop, no global window. */
+  def naiveBayesMargin(df: DataFrame, idCol: String, textCol: String,
+                       labelCol: Column, trainPred: Column): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"), labelCol.as("y"),
+      trainPred.as("tr"),
+      Text.explodePositionalShingles(col(textCol), 1).as(Seq("pos", "t")))
+    val model = toks.filter(col("tr"))
+      .groupBy("t")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("cn"))
+    val consts = model
+      .agg(sum("cp").as("tp"), sum("cn").as("tn"),
+        count(lit(1)).as("v"))
+      .crossJoin(df.filter(trainPred)
+        .agg(sum(when(labelCol, 1L).otherwise(0L)).as("np"),
+          sum(when(!labelCol, 1L).otherwise(0L)).as("nn")))
+      .select(
+        (Pmath.lnColumn(col("np")) - Pmath.lnColumn(col("nn"))).as("ln_prior"),
+        (Pmath.lnColumn(col("tn") + col("v")) -
+          Pmath.lnColumn(col("tp") + col("v"))).as("ln_den"))
+    toks.filter(!col("tr"))
+      .join(model, Seq("t"), "left")
+      .na.fill(0L, Seq("cp", "cn"))
+      .withColumn("lnx",
+        Pmath.lnColumn(col("cp") + 1) - Pmath.lnColumn(col("cn") + 1))
+      .groupBy("doc", "y")
+      .agg(sort_array(collect_list(struct(col("pos"), col("lnx")))).as("ps"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc").as("doc_id"),
+        size(col("ps")).cast("long").as("n_tokens"),
+        (col("ln_prior") +
+          aggregate(transform(col("ps"), p => p.getField("lnx")),
+            lit(0.0), (a, x) => a + x) +
+          size(col("ps")).cast("double") * col("ln_den")).as("margin"),
+        col("y").as("actual"))
+      .withColumn("pred", col("margin") > 0)
+      .withColumn("correct", col("pred") === col("actual"))
+  }
+
+  /** Zipf's-law fit of the corpus term-frequency distribution: OLS of
+    * ln(freq) on ln(rank) over the top `topN` terms — the standard
+    * "does this corpus look like natural language" diagnostic (a
+    * healthy corpus fits slope ≈ −1; boilerplate- or spam-heavy crawls
+    * bend it).
+    *
+    * Float discipline: both lns are portable ([[Pmath.lnColumn]],
+    * integer args ≥ 1), then QUANTIZED to 2⁻²⁰ fixed point
+    * (floor(ln·2²⁰) — the same IEEE double op on every engine) so the
+    * OLS moment sums are exact integer aggregates; the slope is a
+    * single division of two string-mediated exact decimals, the
+    * x_linreg recipe. The 2²⁰ scale cancels in the slope ratio.
+    *
+    * Scale shape: one vocabulary-sized count aggregate, then a global
+    * top-`topN` via TakeOrdered (no global sort of the vocabulary);
+    * the rank window runs over the `topN`-row frame only — a
+    * parameter-bounded spine, never data-sized. */
+  def zipfSlope(df: DataFrame, idCol: String, textCol: String,
+                topN: Int): DataFrame = {
+    val scale = 1048576.0 // 2^20
+    val tf = df.select(explode(Text.tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("t").asc)
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("t").asc)
+    val pts = tf.withColumn("rank", row_number().over(w))
+      .select(
+        floor(Pmath.lnColumn(col("rank")) * lit(scale))
+          .cast("decimal(38,0)").as("xi"),
+        floor(Pmath.lnColumn(col("freq")) * lit(scale))
+          .cast("decimal(38,0)").as("yi"))
+    def dbl(c: Column) = c.cast("string").cast("double")
+    pts.agg(count(lit(1)).as("n_terms"),
+        sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+        sum(col("xi") * col("yi")).as("sxy"),
+        sum(col("xi") * col("xi")).as("sxx"))
+      .select(col("n_terms"),
+        (dbl(col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          dbl(col("n_terms") * col("sxx") - col("sx") * col("sx")))
+          .as("slope"),
+        col("sx"), col("sy"))
+      .select(col("n_terms"), col("slope"),
+        ((dbl(col("sy")) - col("slope") * dbl(col("sx"))) /
+          (dbl(col("n_terms")) * lit(scale))).as("intercept"))
+  }
+
   /** CCNet-style (Wenzek et al. 2020) head/middle/tail perplexity
     * bucketing of the corpus by its own bigram-LM score. Cutoffs are the
     * exact interpolated terciles of the per-doc score (`percentile` —

@@ -1202,4 +1202,47 @@ object Stats {
       }
       .toDF("key", "bin", "pos", "n", "iso_rate")
   }
+
+  /** Brown–Forsythe test (the robust Levene variant): does the SPREAD
+    * of the metric differ across groups? z_ij = |x_ij − median_g| fed
+    * through the one-way ANOVA F identity — the variance-homogeneity
+    * companion to [[anovaF]]'s mean test (an assumption check before
+    * trusting that F, and a per-segment volatility audit in its own
+    * right).
+    *
+    * Exactness: values quantize to integer cents (floor(x·100), the
+    * grain-rollup recipe), group medians come off the per-group
+    * distinct-VALUE histogram (exact low/high central elements; med2 =
+    * lo+hi so the half stays integral), and z_ij = |2·cents − med2| is
+    * an exact integer in half-cent units — the scale cancels in the F
+    * ratio. The ANOVA reduction is [[anovaF]] itself (decimal moment
+    * sums, group-key-ordered fold, string-mediated final doubles).
+    *
+    * Scale shape: one (group, value)-keyed count aggregate builds the
+    * histogram; the cumulative-count window runs per group over
+    * DISTINCT quantized values — for bounded-cardinality measures
+    * (prices, quantities, scores) that spine is histogram-sized, not
+    * row-sized. For genuinely continuous measures, pre-bin the value
+    * (the PSI discipline) before calling. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueCol: Column): DataFrame = {
+    val cents = df.select(col(groupCol).as("g"),
+      floor(valueCol * lit(100.0)).cast("long").as("c"))
+    val hist = cents.groupBy("g", "c").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("g").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("g")))
+    // lo = value at position ceil(n/2), hi at floor(n/2)+1 (equal when
+    // n is odd): cum ≥ (n+1) div 2 and cum ≥ n div 2 + 1 respectively
+    val med = cum.groupBy("g").agg(
+      min(when(col("cum") * 2 >= col("n") + pmod(col("n"), lit(2)),
+        col("c"))).as("lo"),
+      min(when(col("cum") * 2 >= col("n") + 2 - pmod(col("n"), lit(2)),
+        col("c"))).as("hi"))
+    val z = cents.join(med, Seq("g"))
+      .select(col("g"), abs(col("c") * 2 - (col("lo") + col("hi"))).as("z"))
+    anovaF(z, "g", col("z"))
+  }
 }

@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Pmath, Text}
+import graft.operators.{LangModel, Ranking, Stats}
+
+/** Round-6 wave: the evaluation layer over the engine's own rankings
+  * and classifiers — offline IR metrics (NDCG@10, MRR/P/R@10) of a
+  * term-frequency ranking against the language label, a trained
+  * multinomial Naive Bayes filter scored on a held-out slice, the
+  * Brown–Forsythe spread test, and the Zipf-law corpus diagnostic.
+  *
+  * Oracle discipline: position discounts and reciprocal ranks are
+  * driver-precomputed literal doubles shared with the SQL replay
+  * ([[graft.operators.Ranking.discountCaseSql]]); every ln is the
+  * portable series over integer args; per-doc/per-query double sums
+  * fold in explicit rank order; OLS moments are fixed-point integers.
+  */
+object Ext6 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The four graded query terms for the IR-metric pair (all frequent
+    * in the synthetic corpus; relevance = the doc's language label). */
+  private val irTerms = Seq("join", "merge", "scan", "filter")
+
+  /** tf-ranked candidates per query term with the binary en-label gain
+    * — shared by x_ndcg and x_mrr. */
+  private def irCands(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(irTerms: _*))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        max(when(col("lang") === "en", 1L).otherwise(0L)).as("gain"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // NDCG@10 of the per-term tf ranking against the en label: does
+    // ranking by raw term frequency surface English documents first?
+    // Per-term WindowGroupLimit top-k, rank-ordered literal-discount
+    // folds; the ideal ordering re-ranks the same candidate set
+    "x_ndcg" -> ((s, d) =>
+      Ranking.ndcgAtK(irCands(s, d), "term", "doc_id", "tf", "gain",
+        k = 10)),
+
+    // MRR + precision/recall@10 of the same ranking: first relevant
+    // position (literal reciprocal), top-10 hit count vs the term's
+    // full relevant set
+    "x_mrr" -> ((s, d) =>
+      Ranking.mrrAtK(
+        irCands(s, d).withColumn("rel", col("gain") === 1L),
+        "term", "doc_id", "tf", "rel", k = 10)),
+
+    // Multinomial NB en-vs-rest filter: trained on doc_id%10<8,
+    // scored on the held-out 20% — portable-ln likelihoods, position-
+    // ordered fold, O(vocab) model, no driver loop
+    "x_naive_bayes" -> ((s, d) =>
+      LangModel.naiveBayesMargin(t(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en", pmod(col("doc_id"), lit(10)) < 8)),
+
+    // Brown–Forsythe spread test: does quantity dispersion differ by
+    // return flag? |x − group median| in exact half-cent integers
+    // through the ANOVA F identity
+    "x_levene" -> ((s, d) =>
+      Stats.brownForsythe(t(s, d, "lineitem"), "l_returnflag",
+        col("l_quantity"))),
+
+    // Zipf-law fit of the term-frequency distribution: OLS of
+    // portable-ln(freq) on portable-ln(rank) over the top 200 terms in
+    // 2^-20 fixed point — the "does this corpus look like language"
+    // readout
+    "x_zipf_fit" -> ((s, d) =>
+      LangModel.zipfSlope(t(s, d, "documents"), "doc_id", "text",
+        topN = 200)),
+  )
+
+  private val termList = irTerms.map(x => s"'$x'").mkString(", ")
+
+  /** Candidate + ranking CTEs shared by the two IR-metric oracles. */
+  private val irBase =
+    s"""tok AS (SELECT doc_id, lang,
+                      unnest(string_split(text, ' ')) AS term
+               FROM documents),
+       c AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                    max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS gain
+             FROM tok WHERE term IN ($termList) GROUP BY term, doc_id),
+       r AS (SELECT *,
+               row_number() OVER
+                 (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn,
+               row_number() OVER
+                 (PARTITION BY term
+                  ORDER BY gain DESC, tf DESC, doc_id) AS rn_i
+             FROM c)"""
+
+  val oracle: Map[String, String] = Map(
+
+    "x_ndcg" -> {
+      val disc = Ranking.discountCaseSql("rn", 10)
+      val discI = Ranking.discountCaseSql("rn_i", 10)
+      s"""WITH $irBase,
+         tot AS (SELECT term, CAST(count(*) AS BIGINT) AS n_cand,
+                        CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_gain
+                 FROM c GROUP BY term),
+         dv AS (SELECT term,
+                  list_sum(list(CAST(gain AS DOUBLE) * ($disc)
+                    ORDER BY rn)) AS dcg
+                FROM r WHERE rn <= 10 GROUP BY term),
+         iv AS (SELECT term,
+                  list_sum(list(CAST(gain AS DOUBLE) * ($discI)
+                    ORDER BY rn_i)) AS idcg
+                FROM r WHERE rn_i <= 10 GROUP BY term)
+         SELECT t.term AS query, t.n_cand, t.n_gain,
+                coalesce(dv.dcg, 0.0) AS dcg,
+                coalesce(iv.idcg, 0.0) AS idcg,
+                coalesce(dv.dcg, 0.0) / nullif(coalesce(iv.idcg, 0.0), 0.0)
+                  AS ndcg
+         FROM tot t LEFT JOIN dv ON t.term = dv.term
+                    LEFT JOIN iv ON t.term = iv.term"""
+    },
+
+    "x_mrr" -> {
+      val rr = Ranking.reciprocalCaseSql("first_pos", 10)
+      s"""WITH $irBase,
+         tot AS (SELECT term,
+                   CAST(sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_rel
+                 FROM c GROUP BY term),
+         tk AS (SELECT term,
+                  CAST(min(CASE WHEN gain = 1 THEN rn END) AS INTEGER)
+                    AS first_pos,
+                  CAST(sum(CASE WHEN gain = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits
+                FROM r WHERE rn <= 10 GROUP BY term)
+         SELECT t.term AS query, t.n_rel, tk.first_pos,
+                ($rr) AS rr,
+                CAST(coalesce(tk.hits, 0) AS DOUBLE)
+                  / CAST('10.0' AS DOUBLE) AS p_at_k,
+                CAST(coalesce(tk.hits, 0) AS DOUBLE)
+                  / CAST(nullif(t.n_rel, 0) AS DOUBLE) AS r_at_k
+         FROM tot t LEFT JOIN tk ON t.term = tk.term"""
+    },
+
+    "x_naive_bayes" -> {
+      val (p1, p2, p3) = Pmath.lnSqlCtes("lnin", "lxp")
+      val (q1, q2, q3) = Pmath.lnSqlCtes("lnin", "lxn")
+      val (r1, r2, r3) = Pmath.lnSqlCtes("lnin", "lnp")
+      val (r4, r5, r6) = Pmath.lnSqlCtes("lnin", "lnn")
+      val (e1, e2, e3) = Pmath.lnSqlCtes("lnin", "ldn")
+      val (e4, e5, e6) = Pmath.lnSqlCtes("lnin", "ldp")
+      s"""WITH w AS (SELECT doc_id, lang = 'en' AS y,
+                            doc_id % 10 < 8 AS tr,
+                            string_split(text, ' ') AS ws FROM documents),
+         tk AS (SELECT doc_id, y, tr, i AS pos, ws[i] AS t
+                FROM (SELECT doc_id, y, tr, ws,
+                             unnest(range(1, len(ws) + 1)) AS i FROM w)),
+         model AS (SELECT t,
+                     CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                     CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS cn
+                   FROM tk WHERE tr GROUP BY t),
+         ms AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
+                       CAST(sum(cn) AS BIGINT) AS tn,
+                       CAST(count(*) AS BIGINT) AS v FROM model),
+         ds AS (SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                       CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS nn
+                FROM w WHERE tr),
+         pr0 AS (SELECT np, nn, CAST(np AS DOUBLE) AS lnin FROM ds),
+         pr1 AS (SELECT *, $r1 FROM pr0),
+         pr2 AS (SELECT *, $r2 FROM pr1),
+         pr3 AS (SELECT nn, lnp FROM (SELECT *, $r3 FROM pr2)),
+         pn0 AS (SELECT lnp, CAST(nn AS DOUBLE) AS lnin FROM pr3),
+         pn1 AS (SELECT *, $r4 FROM pn0),
+         pn2 AS (SELECT *, $r5 FROM pn1),
+         pn3 AS (SELECT lnp, lnn FROM (SELECT *, $r6 FROM pn2)),
+         de0 AS (SELECT tp, v, CAST(tn + v AS DOUBLE) AS lnin FROM ms),
+         de1 AS (SELECT *, $e1 FROM de0),
+         de2 AS (SELECT *, $e2 FROM de1),
+         de3 AS (SELECT tp, v, ldn FROM (SELECT *, $e3 FROM de2)),
+         dp0 AS (SELECT ldn, CAST(tp + v AS DOUBLE) AS lnin FROM de3),
+         dp1 AS (SELECT *, $e4 FROM dp0),
+         dp2 AS (SELECT *, $e5 FROM dp1),
+         dp3 AS (SELECT ldn, ldp FROM (SELECT *, $e6 FROM dp2)),
+         consts AS (SELECT lnp - lnn AS ln_prior, ldn - ldp AS ln_den
+                    FROM pn3 CROSS JOIN dp3),
+         s0 AS (SELECT tk.doc_id, tk.y, tk.pos,
+                       coalesce(model.cp, 0) AS cp,
+                       coalesce(model.cn, 0) AS cn
+                FROM tk LEFT JOIN model ON tk.t = model.t
+                WHERE NOT tk.tr),
+         a0 AS (SELECT doc_id, y, pos, cn,
+                       CAST(cp + 1 AS DOUBLE) AS lnin FROM s0),
+         a1 AS (SELECT *, $p1 FROM a0),
+         a2 AS (SELECT *, $p2 FROM a1),
+         a3 AS (SELECT doc_id, y, pos, cn, lxp
+                FROM (SELECT *, $p3 FROM a2)),
+         b0 AS (SELECT doc_id, y, pos, lxp,
+                       CAST(cn + 1 AS DOUBLE) AS lnin FROM a3),
+         b1 AS (SELECT *, $q1 FROM b0),
+         b2 AS (SELECT *, $q2 FROM b1),
+         b3 AS (SELECT doc_id, y, pos, lxp, lxn
+                FROM (SELECT *, $q3 FROM b2)),
+         per AS (SELECT doc_id, y,
+                        list(lxp - lxn ORDER BY pos) AS ls
+                 FROM b3 GROUP BY doc_id, y)
+         SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_tokens,
+                (ln_prior + list_sum(ls))
+                  + CAST(len(ls) AS DOUBLE) * ln_den AS margin,
+                y AS actual,
+                ((ln_prior + list_sum(ls))
+                  + CAST(len(ls) AS DOUBLE) * ln_den) > 0 AS pred,
+                (((ln_prior + list_sum(ls))
+                  + CAST(len(ls) AS DOUBLE) * ln_den) > 0) = y AS correct
+         FROM per CROSS JOIN consts"""
+    },
+
+    "x_levene" ->
+      """WITH cents AS (SELECT l_returnflag AS g,
+                          CAST(floor(l_quantity * 100.0) AS BIGINT) AS c
+                        FROM lineitem),
+         hist AS (SELECT g, c, CAST(count(*) AS BIGINT) AS cnt
+                  FROM cents GROUP BY g, c),
+         cum AS (SELECT g, c, cnt,
+                   sum(cnt) OVER (PARTITION BY g ORDER BY c
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum,
+                   sum(cnt) OVER (PARTITION BY g) AS n
+                 FROM hist),
+         med AS (SELECT g,
+                   min(CASE WHEN cum * 2 >= n + (n % 2) THEN c END) AS lo,
+                   min(CASE WHEN cum * 2 >= n + 2 - (n % 2) THEN c END)
+                     AS hi
+                 FROM cum GROUP BY g),
+         z AS (SELECT cents.g AS g,
+                      abs(cents.c * 2 - (med.lo + med.hi)) AS z
+               FROM cents JOIN med ON cents.g = med.g),
+         per AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+                   sum(CAST(z AS DECIMAL(18,2))) AS sg,
+                   sum(CAST(z AS DECIMAL(18,2)) * CAST(z AS DECIMAL(18,2)))
+                     AS qg
+                 FROM z GROUP BY g),
+         pd AS (SELECT g, ng,
+                  CAST(CAST(sg AS VARCHAR) AS DOUBLE) AS sgd,
+                  sg, qg FROM per),
+         fo AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(ng) AS BIGINT) AS n,
+                  CAST(CAST(sum(sg) AS VARCHAR) AS DOUBLE) AS s_all,
+                  CAST(CAST(sum(qg) AS VARCHAR) AS DOUBLE) AS q_all,
+                  list_sum(list((sgd * sgd) / CAST(ng AS DOUBLE)
+                    ORDER BY g)) AS t_sum
+                FROM pd),
+         ss AS (SELECT k, n,
+                  t_sum - (s_all * s_all) / CAST(n AS DOUBLE) AS ssb,
+                  q_all - t_sum AS ssw FROM fo)
+         SELECT k, n, ssb, ssw,
+                (ssb / CAST(k - 1 AS DOUBLE))
+                  / (ssw / CAST(n - k AS DOUBLE)) AS f_stat
+         FROM ss""",
+
+    "x_zipf_fit" -> {
+      val (x1, x2, x3) = Pmath.lnSqlCtes("lnin", "lnr")
+      val (y1, y2, y3) = Pmath.lnSqlCtes("lnin", "lnf")
+      s"""WITH tf AS (SELECT t, CAST(count(*) AS BIGINT) AS freq
+                      FROM (SELECT unnest(string_split(text, ' ')) AS t
+                            FROM documents)
+                      WHERE t <> '' GROUP BY t
+                      ORDER BY freq DESC, t LIMIT 200),
+         r AS (SELECT freq,
+                 row_number() OVER (ORDER BY freq DESC, t) AS rank
+               FROM tf),
+         g0 AS (SELECT freq, CAST(rank AS DOUBLE) AS lnin FROM r),
+         g1 AS (SELECT *, $x1 FROM g0),
+         g2 AS (SELECT *, $x2 FROM g1),
+         g3 AS (SELECT freq, lnr FROM (SELECT *, $x3 FROM g2)),
+         h0 AS (SELECT lnr, CAST(freq AS DOUBLE) AS lnin FROM g3),
+         h1 AS (SELECT *, $y1 FROM h0),
+         h2 AS (SELECT *, $y2 FROM h1),
+         h3 AS (SELECT lnr, lnf FROM (SELECT *, $y3 FROM h2)),
+         fx AS (SELECT
+                  CAST(floor(lnr * CAST('1048576.0' AS DOUBLE)) AS HUGEINT)
+                    AS xi,
+                  CAST(floor(lnf * CAST('1048576.0' AS DOUBLE)) AS HUGEINT)
+                    AS yi
+                FROM h3),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                  sum(xi) AS sx, sum(yi) AS sy,
+                  sum(xi * yi) AS sxy, sum(xi * xi) AS sxx
+                FROM fx),
+         sl AS (SELECT n_terms, sx, sy,
+                  CAST(CAST(CAST(n_terms AS HUGEINT) * sxy - sx * sy
+                    AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(CAST(n_terms AS HUGEINT) * sxx - sx * sx
+                    AS VARCHAR) AS DOUBLE) AS slope
+                FROM ag)
+         SELECT n_terms, slope,
+                (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                  - slope * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                / (CAST(CAST(n_terms AS VARCHAR) AS DOUBLE)
+                   * CAST('1048576.0' AS DOUBLE)) AS intercept
+         FROM sl"""
+    },
+  )
+}

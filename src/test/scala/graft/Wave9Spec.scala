@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{LangModel, Ranking, Stats}
+
+/** Round-6 eval-wave semantics against hand-computed references:
+  * NDCG/MRR on tiny rankings with known ideal orderings, Naive Bayes
+  * margins on a separable toy corpus (incl. unseen-token behavior),
+  * Brown–Forsythe on groups with engineered spreads, and the Zipf fit
+  * on an exact power-law frequency profile. */
+class Wave9Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def log2(x: Double) = math.log(x) / math.log(2.0)
+
+  test("ndcgAtK: perfect ranking scores 1, adversarial ranking matches hand DCG") {
+    // q1: scores rank rel docs first -> ndcg = 1
+    // q2: the two relevant docs sit at ranks 3 and 4 of 4
+    val cands = Seq(
+      ("q1", 1L, 9.0, 1L), ("q1", 2L, 8.0, 1L), ("q1", 3L, 7.0, 0L),
+      ("q2", 1L, 9.0, 0L), ("q2", 2L, 8.0, 0L), ("q2", 3L, 7.0, 1L),
+      ("q2", 4L, 6.0, 1L),
+    ).toDF("q", "doc", "score", "gain")
+    val got = Ranking.ndcgAtK(cands, "q", "doc", "score", "gain", k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got("q1")._5 == 1.0, s"perfect ranking must be 1, got ${got("q1")}")
+    val dcg2 = 1.0 / log2(4.0) + 1.0 / log2(5.0)
+    val idcg2 = 1.0 / log2(2.0) + 1.0 / log2(3.0)
+    assert(math.abs(got("q2")._3 - dcg2) < 1e-12, s"dcg ${got("q2")._3} vs $dcg2")
+    assert(math.abs(got("q2")._5 - dcg2 / idcg2) < 1e-12, s"got ${got("q2")}")
+    assert(got("q2")._1 == 4L && got("q2")._2 == 2L)
+  }
+
+  test("ndcgAtK: graded gains use the candidate set's own ideal ordering") {
+    // gains 3,1,2 by score order; ideal is 3,2,1
+    val cands = Seq(("q", 1L, 9.0, 3L), ("q", 2L, 8.0, 1L), ("q", 3L, 7.0, 2L))
+      .toDF("q", "doc", "score", "gain")
+    val r = Ranking.ndcgAtK(cands, "q", "doc", "score", "gain", 10).collect()(0)
+    val dcg = 3.0 / log2(2.0) + 1.0 / log2(3.0) + 2.0 / log2(4.0)
+    val idcg = 3.0 / log2(2.0) + 2.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(math.abs(r.getDouble(3) - dcg) < 1e-12)
+    assert(math.abs(r.getDouble(5) - dcg / idcg) < 1e-12)
+  }
+
+  test("mrrAtK: first position, reciprocal literals, precision and recall") {
+    val cands = Seq(
+      ("q1", 1L, 9.0, false), ("q1", 2L, 8.0, true), ("q1", 3L, 7.0, true),
+      ("q2", 1L, 9.0, false), ("q2", 2L, 8.0, false),
+    ).toDF("q", "doc", "score", "rel")
+    val got = Ranking.mrrAtK(cands, "q", "doc", "score", "rel", k = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("q1").getLong(1) == 2L)
+    assert(got("q1").getInt(2) == 2)
+    assert(got("q1").getDouble(3) == 0.5)
+    assert(got("q1").getDouble(4) == 0.2) // 2 hits / k=10
+    assert(got("q1").getDouble(5) == 1.0) // 2 hits / 2 relevant
+    assert(got("q2").isNullAt(2) && got("q2").getDouble(3) == 0.0)
+    assert(got("q2").isNullAt(5)) // no relevant at all -> recall NULL
+  }
+
+  test("mrrAtK: relevant doc below rank k does not count") {
+    val cands = (1 to 12).map(i => ("q", i.toLong, 100.0 - i, i == 12))
+      .toDF("q", "doc", "score", "rel")
+    val r = Ranking.mrrAtK(cands, "q", "doc", "score", "rel", k = 10).collect()(0)
+    assert(r.isNullAt(2) && r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+    assert(r.getDouble(5) == 0.0) // 0 hits / 1 relevant
+  }
+
+  test("naiveBayesMargin: separable corpus classifies held-out docs; unseen tokens are neutral") {
+    // train: pos docs say "good", neg docs say "bad"; test docs repeat
+    // one class word (plus one UNSEEN token, which must not move the
+    // margin's token sum)
+    val docs = Seq(
+      (0L, "good good good", "pos"), (2L, "good good", "pos"),
+      (1L, "bad bad bad", "neg"), (3L, "bad bad", "neg"),
+      (10L, "good good novelword", "pos"), // test
+      (11L, "bad bad", "neg"),             // test
+    ).toDF("doc_id", "text", "lab")
+    val got = LangModel.naiveBayesMargin(docs, "doc_id", "text",
+        col("lab") === "pos", col("doc_id") < 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got(10L)._3 && got(10L)._4, s"pos test doc misclassified: $got")
+    assert(!got(11L)._3 && got(11L)._4, s"neg test doc misclassified: $got")
+    // hand margin for doc 11: prior ln(2/2)=0; per 'bad' token
+    // ln((0+1)/(5+1)); den term 2*(ln(5+2)-ln(5+2))=0 => 2*ln(1/6)
+    val expect11 = 2.0 * math.log(1.0 / 6.0)
+    assert(math.abs(got(11L)._2 - expect11) < 1e-9,
+      s"margin ${got(11L)._2} vs $expect11")
+    // unseen token contributes ln(1)-ln(1) = 0 exactly: doc 10's margin
+    // equals the two-'good'-token doc margin
+    val expect10 = 2.0 * math.log(6.0 / 1.0)
+    assert(math.abs(got(10L)._2 - expect10) < 1e-9)
+  }
+
+  test("brownForsythe: spread difference drives F, equal spreads zero SSB") {
+    // g1 tight around 10, g2 wide around 10 -> medians equal, |dev|
+    // means differ -> SSB > 0 and F > 1
+    val df = Seq(
+      ("g1", 9.0), ("g1", 10.0), ("g1", 11.0), ("g1", 10.0), ("g1", 10.0),
+      ("g2", 2.0), ("g2", 10.0), ("g2", 18.0), ("g2", 1.0), ("g2", 19.0),
+    ).toDF("g", "v")
+    val r = Stats.brownForsythe(df, "g", col("v")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 10L)
+    assert(r.getDouble(4) > 1.0, s"expected F > 1, got $r")
+
+    // identical value multisets -> identical z multisets -> SSB = 0
+    val same = Seq(("a", 1.0), ("a", 5.0), ("a", 9.0),
+      ("b", 1.0), ("b", 5.0), ("b", 9.0)).toDF("g", "v")
+    val r2 = Stats.brownForsythe(same, "g", col("v")).collect()(0)
+    assert(math.abs(r2.getDouble(2)) < 1e-9, s"ssb must be 0, got $r2")
+  }
+
+  test("brownForsythe: even-count group uses the lo/hi central pair") {
+    // group a: values 1,2,3,4 -> med2 = (2+3)*100*? in cents: lo=200,
+    // hi=300 -> z of value 1 = |200-500| = 300 half-cents
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val r = Stats.brownForsythe(df, "g", col("v")).collect()(0)
+    // z for a: |2c-500| = {300,100,100,300}; b: all 0
+    // SSW_a = sum z^2 - (sum z)^2/4 = 200000 - 640000/4 = 40000
+    assert(r.getLong(1) == 7L)
+    assert(math.abs(r.getDouble(3) - 40000.0) < 1e-6, s"ssw: $r")
+  }
+
+  test("zipfSlope: exact power law recovers slope -1 within fixed-point tolerance") {
+    // freq(rank r) = round(1024 / r) for ranks 1..8 via repeated words
+    val words = (1 to 8).flatMap { r =>
+      val f = math.round(1024.0 / r).toInt
+      Seq.fill(f)(s"w$r")
+    }
+    // shuffle deterministically so rank order comes from counts, not input order
+    val text = new scala.util.Random(7).shuffle(words.toList).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = LangModel.zipfSlope(df, "doc_id", "text", topN = 8).collect()(0)
+    assert(r.getLong(0) == 8L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 0.01,
+      s"slope ${r.getDouble(1)} not ~ -1")
+    assert(math.abs(r.getDouble(2) - math.log(1024.0)) < 0.02,
+      s"intercept ${r.getDouble(2)} not ~ ln 1024")
+  }
+}
