@@ -115,4 +115,30 @@ object Pmath {
         .replace("pln_t2", "(pln_t * pln_t)")}))) AS $outCol"
     (layer1, layer2, layer3)
   }
+
+  /** N sequential [[lnSqlCtes]] chains over one row set — for oracles
+    * that need several portable lns per row (Naive Bayes likelihoods,
+    * G² cells). `specs` is (inputExprSql, outCol) per ln; `carry` the
+    * base columns every chain must keep. Returns the comma-joined CTE
+    * definitions (splice after a `,`) and the final CTE name, which
+    * exposes `carry ++ specs.map(outCol)`. Intermediate pln_* columns
+    * are dropped between chains so the names never collide. */
+  def lnSqlChainCtes(baseCte: String, prefix: String,
+                     specs: Seq[(String, String)],
+                     carry: Seq[String]): (String, String) = {
+    var prev = baseCte
+    val out = Seq.newBuilder[String]
+    specs.zipWithIndex.foreach { case ((inExpr, outCol), j) =>
+      val keep = (carry ++ specs.take(j).map(_._2)).mkString(", ")
+      val (l1, l2, l3) = lnSqlCtes("lnin", outCol)
+      val (n0, n1, n2, n3) = (s"${prefix}_${j}a", s"${prefix}_${j}b",
+        s"${prefix}_${j}c", s"${prefix}_${j}d")
+      out += s"$n0 AS (SELECT $keep, CAST(($inExpr) AS DOUBLE) AS lnin FROM $prev)"
+      out += s"$n1 AS (SELECT *, $l1 FROM $n0)"
+      out += s"$n2 AS (SELECT *, $l2 FROM $n1)"
+      out += s"$n3 AS (SELECT $keep, $outCol FROM (SELECT *, $l3 FROM $n2))"
+      prev = n3
+    }
+    (out.result().mkString(",\n          "), prev)
+  }
 }

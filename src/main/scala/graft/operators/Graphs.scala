@@ -713,4 +713,51 @@ object Graphs {
     sym.unpersist()
     labels
   }
+
+  /** Deterministic uniform random walks (the DeepWalk/node2vec p=q=1
+    * corpus generator, Perozzi et al. 2014): one `steps`-step walk per
+    * node of the symmetrized graph, emitted as a wide row
+    * (start, s1…s_steps) ready for the engine's sequence/embedding
+    * stack. The "randomness" is an md5 of (start, step, current node)
+    * reduced mod the current degree — fully replayable across engines
+    * and partitionings (the x_split_assign discipline); vary a salt in
+    * the start column upstream for more walks per node.
+    *
+    * Scale shape: the indexed adjacency (per-source row_number, a
+    * partitioned window) and the degree table are built once and
+    * cached PARTITIONED on the source key (the pageRank discipline);
+    * each of the bounded `steps` rounds is then two hash joins keyed
+    * on the current node — the walk frontier shuffles, the adjacency
+    * does not. No driver loop over data, no global window. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  steps: Int): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val adj = sym
+      .withColumn("idx",
+        row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+      .repartition(col("src")).persist()
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      .repartition(col("src")).persist()
+    var walk = deg.select(col("src").as("start"))
+    var cur = "start"
+    (1 to steps).foreach { i =>
+      val d = deg.select(col("src").as("_u"), col("deg").as("_deg"))
+      val a = adj.select(col("src").as("_v"), col("dst").as(s"s$i"),
+        col("idx").as("_idx"))
+      walk = walk
+        .join(d, col(cur) === col("_u"))
+        .withColumn("_pick",
+          conv(substring(md5(concat_ws("|", col("start"), lit(i.toString),
+            col(cur))), 1, 8), 16, 10).cast("long") % col("_deg"))
+        .join(a, col(cur) === col("_v") && col("_pick") === col("_idx"))
+        .drop("_u", "_deg", "_pick", "_v", "_idx")
+      cur = s"s$i"
+    }
+    val out = walk.localCheckpoint()
+    adj.unpersist(); deg.unpersist()
+    out
+  }
 }

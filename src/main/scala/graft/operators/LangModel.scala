@@ -433,6 +433,63 @@ object LangModel {
           (dbl(col("n_terms")) * lit(scale))).as("intercept"))
   }
 
+  /** Bigram collocation mining by Dunning's (1993) log-likelihood
+    * ratio G² — the statistically-sound replacement for raw PMI when
+    * counts are small: G² = 2·Σ_cells O·ln(O/E) over the 2×2
+    * contingency table of (first word = w₁) × (second word = w₂).
+    * High-G² pairs are multiword expressions worth protecting from
+    * tokenization/dedup mangling.
+    *
+    * Float discipline: every cell term expands to
+    * O · ((ln O + ln N) − (ln Rᵢ + ln Cⱼ)) with all ln args integers
+    * ≥ 1 through the portable series (zero cells contribute exactly 0
+    * and their guarded ln reads greatest(·,1) on BOTH engines); the
+    * four cell terms add in fixed written order. Integer domain: O·N
+    * needs N < 2²⁰ bigrams for the ln args to stay inside the
+    * portable 2⁴⁰ — we never form O·N, only ln O + ln N, so the real
+    * bound is N < 2⁴⁰.
+    *
+    * Scale shape: positional bigram explode → three vocabulary-sized
+    * hash aggregates (pair / left-margin / right-margin) → two
+    * margin joins keyed on the word → global top-k via TakeOrdered.
+    * No window, no driver loop. */
+  def collocationsG2(df: DataFrame, idCol: String, textCol: String,
+                     minCount: Long, k: Int): DataFrame = {
+    val bg = df.select(col(idCol).as("doc"),
+        Text.explodePositionalShingles(col(textCol), 2).as(Seq("pos", "b")))
+      .select(split(col("b"), " ").as("ws"))
+      .select(element_at(col("ws"), 1).as("w1"),
+        element_at(col("ws"), 2).as("w2"))
+    val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("o"))
+    val left = bg.groupBy("w1").agg(count(lit(1)).as("r1"))
+    val right = bg.groupBy("w2").agg(count(lit(1)).as("c1"))
+    val nn = bg.agg(count(lit(1)).as("nn"))
+    def pln(c: Column) = Pmath.lnColumn(greatest(c, lit(1L)))
+    val cells = pair.filter(col("o") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(nn))
+      .withColumn("o12", col("r1") - col("o"))
+      .withColumn("o21", col("c1") - col("o"))
+      .withColumn("o22", col("nn") - col("r1") - col("c1") + col("o"))
+      .withColumn("ln_n", pln(col("nn")))
+      .withColumn("lr1", pln(col("r1")))
+      .withColumn("lr2", pln(col("nn") - col("r1")))
+      .withColumn("lc1", pln(col("c1")))
+      .withColumn("lc2", pln(col("nn") - col("c1")))
+    def term(o: Column, lo: Column, lr: Column, lc: Column): Column =
+      when(o > 0, o.cast("double") * ((lo + col("ln_n")) - (lr + lc)))
+        .otherwise(lit(0.0))
+    cells
+      .withColumn("g2", lit(2.0) *
+        (((term(col("o"), pln(col("o")), col("lr1"), col("lc1")) +
+          term(col("o12"), pln(col("o12")), col("lr1"), col("lc2"))) +
+          term(col("o21"), pln(col("o21")), col("lr2"), col("lc1"))) +
+          term(col("o22"), pln(col("o22")), col("lr2"), col("lc2"))))
+      .select(col("w1"), col("w2"), col("o").as("n_occ"), col("g2"))
+      .orderBy(col("g2").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /** CCNet-style (Wenzek et al. 2020) head/middle/tail perplexity
     * bucketing of the corpus by its own bigram-LM score. Cutoffs are the
     * exact interpolated terciles of the per-doc score (`percentile` —

@@ -78,6 +78,37 @@ object Ext6 {
     "x_zipf_fit" -> ((s, d) =>
       LangModel.zipfSlope(t(s, d, "documents"), "doc_id", "text",
         topN = 200)),
+
+    // ε-DP noisy count release of the event-type histogram: Laplace
+    // mechanism with a deterministic md5-seeded draw through the
+    // portable-ln inverse CDF — replayable across engines by design
+    "x_dp_release" -> ((s, d) =>
+      graft.operators.Privacy.dpNoisyCounts(t(s, d, "events"),
+        "event_type", epsilon = 1.0, salt = "r6")),
+
+    // Dunning G² bigram collocations: 2×2 contingency per adjacent
+    // pair, all four cell terms through integer-arg portable lns,
+    // top-20 by likelihood ratio
+    "x_collocations" -> ((s, d) =>
+      LangModel.collocationsG2(t(s, d, "documents"), "doc_id", "text",
+        minCount = 5L, k = 20)),
+
+    // DeepWalk corpus generation: one deterministic 4-step uniform
+    // walk per node of the supplier-part graph — md5-mod-degree
+    // transitions, cached indexed adjacency, per-step hash joins
+    "x_random_walks" -> ((s, d) =>
+      graft.operators.Graphs.randomWalks(
+        t(s, d, "lineitem").select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
+        "src", "dst", steps = 4)),
+
+    // RAKE keyphrases: maximal stopword-free runs scored by summed
+    // word deg/freq, phrase folds in word order, global top-20
+    "x_rake_keywords" -> ((s, d) =>
+      graft.operators.Keywords.rakeKeywords(t(s, d, "documents"),
+        "doc_id", "text", stopwords = Seq("a", "the"), maxWords = 3,
+        k = 20)),
   )
 
   private val termList = irTerms.map(x => s"'$x'").mkString(", ")
@@ -304,5 +335,129 @@ object Ext6 {
                    * CAST('1048576.0' AS DOUBLE)) AS intercept
          FROM sl"""
     },
+
+    "x_dp_release" -> {
+      val (chains, last) = Pmath.lnSqlChainCtes("pv", "dp",
+        Seq("65536" -> "l64k", "m" -> "lm"),
+        carry = Seq("k", "n", "sgn", "m"))
+      s"""WITH counts AS (SELECT CAST(event_type AS VARCHAR) AS k,
+                            CAST(count(*) AS BIGINT) AS n
+                          FROM events GROUP BY 1),
+          par AS (SELECT k, n,
+                    ('0x' || substr(md5(k || '|r6'), 1, 4))::BIGINT AS h
+                  FROM counts),
+          pv AS (SELECT k, n,
+                   65536 - abs(h * 2 + 1 - 65536) AS m,
+                   CASE WHEN h * 2 + 1 > 65536
+                        THEN CAST('1.0' AS DOUBLE)
+                        ELSE CAST('-1.0' AS DOUBLE) END AS sgn
+                 FROM par),
+          $chains
+          SELECT k AS event_type, n,
+                 (CAST('1.0' AS DOUBLE) * sgn) * (l64k - lm) AS noise,
+                 CAST(n AS DOUBLE)
+                   + (CAST('1.0' AS DOUBLE) * sgn) * (l64k - lm) AS release
+          FROM $last"""
+    },
+
+    "x_collocations" -> {
+      val specs = Seq(
+        "greatest(o, 1)" -> "lo", "greatest(o12, 1)" -> "lo12",
+        "greatest(o21, 1)" -> "lo21", "greatest(o22, 1)" -> "lo22",
+        "greatest(r1, 1)" -> "lr1", "greatest(nn - r1, 1)" -> "lr2",
+        "greatest(c1, 1)" -> "lc1", "greatest(nn - c1, 1)" -> "lc2",
+        "greatest(nn, 1)" -> "lnn")
+      val (chains, last) = Pmath.lnSqlChainCtes("base", "g2", specs,
+        carry = Seq("w1", "w2", "o", "o12", "o21", "o22", "r1", "c1", "nn"))
+      def term(o: String, lo: String, lr: String, lc: String) =
+        s"CASE WHEN $o > 0 THEN CAST($o AS DOUBLE) * (($lo + lnn) - ($lr + $lc)) ELSE 0.0 END"
+      s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+          bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                 FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                       FROM w WHERE len(ws) >= 2)),
+          pair AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS o
+                   FROM bg GROUP BY w1, w2),
+          lft AS (SELECT w1, CAST(count(*) AS BIGINT) AS r1
+                  FROM bg GROUP BY w1),
+          rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS c1
+                  FROM bg GROUP BY w2),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM bg),
+          base AS (SELECT p.w1, p.w2, o, r1 - o AS o12, c1 - o AS o21,
+                          tot.nn - r1 - c1 + o AS o22, r1, c1, tot.nn AS nn
+                   FROM pair p JOIN lft USING (w1) JOIN rgt USING (w2)
+                   CROSS JOIN tot
+                   WHERE o >= 5),
+          $chains
+          SELECT w1, w2, o AS n_occ,
+                 CAST('2.0' AS DOUBLE) *
+                   (((${term("o", "lo", "lr1", "lc1")}
+                      + ${term("o12", "lo12", "lr1", "lc2")})
+                     + ${term("o21", "lo21", "lr2", "lc1")})
+                    + ${term("o22", "lo22", "lr2", "lc2")}) AS g2
+          FROM $last
+          ORDER BY g2 DESC, w1, w2 LIMIT 20"""
+    },
+
+    "x_random_walks" -> {
+      val steps = (1 to 4).map { i =>
+        val prev = if (i == 1) "start" else s"s${i - 1}"
+        val prevCte = s"w${i - 1}"
+        val cols = "start" +: (1 until i).map(j => s"s$j")
+        val colList = cols.map(c => s"$prevCte.$c").mkString(", ")
+        s"""w$i AS (SELECT $colList, a.dst AS s$i
+               FROM $prevCte
+               JOIN deg d ON $prevCte.$prev = d.src
+               JOIN adj a ON a.src = $prevCte.$prev
+                AND a.idx = ('0x' || substr(md5($prevCte.start || '|$i|'
+                      || $prevCte.$prev), 1, 8))::BIGINT % d.deg)"""
+      }.mkString(",\n          ")
+      s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                             'p' || l_partkey AS dst FROM lineitem),
+          sym AS (SELECT src, dst FROM e0
+                  UNION SELECT dst AS src, src AS dst FROM e0),
+          adj AS (SELECT src, dst,
+                    row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                      AS idx
+                  FROM sym),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                  FROM sym GROUP BY src),
+          w0 AS (SELECT src AS start FROM deg),
+          $steps
+          SELECT start, s1, s2, s3, s4 FROM w4"""
+    },
+
+    "x_rake_keywords" ->
+      """WITH tk AS (SELECT doc, pos, t FROM
+                      (SELECT doc_id AS doc, i AS pos, ws[i] AS t
+                       FROM (SELECT doc_id, ws,
+                                    unnest(range(1, len(ws) + 1)) AS i
+                             FROM (SELECT doc_id,
+                                     string_split(text, ' ') AS ws
+                                   FROM documents)))
+                    WHERE t <> ''),
+         runs AS (SELECT doc, pos, t,
+                    pos - row_number() OVER
+                      (PARTITION BY doc ORDER BY pos) AS grp
+                  FROM tk WHERE t NOT IN ('a', 'the')),
+         ph AS (SELECT doc, grp, list(t ORDER BY pos) AS ws
+                FROM runs GROUP BY doc, grp),
+         ph2 AS (SELECT doc, grp, ws, len(ws) AS len
+                 FROM ph WHERE len(ws) <= 3),
+         occ AS (SELECT doc, grp, len, i AS wi, ws[i] AS w
+                 FROM (SELECT doc, grp, len, ws,
+                              unnest(range(1, len(ws) + 1)) AS i
+                       FROM ph2)),
+         wstats AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                           CAST(sum(len) AS BIGINT) AS deg
+                    FROM occ GROUP BY w),
+         sc AS (SELECT doc, grp,
+                  list_sum(list(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+                    ORDER BY wi)) AS score
+                FROM occ JOIN wstats USING (w) GROUP BY doc, grp),
+         par AS (SELECT array_to_string(ws, ' ') AS phrase, score
+                 FROM ph2 JOIN sc USING (doc, grp))
+         SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+                max(score) AS score
+         FROM par GROUP BY phrase ORDER BY score DESC, phrase LIMIT 20""",
   )
 }

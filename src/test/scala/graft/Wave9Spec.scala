@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{LangModel, Ranking, Stats}
+import graft.operators.{Graphs, Keywords, LangModel, Privacy, Ranking, Stats}
 
 /** Round-6 eval-wave semantics against hand-computed references:
   * NDCG/MRR on tiny rankings with known ideal orderings, Naive Bayes
@@ -140,5 +140,75 @@ class Wave9Spec extends SparkSpec {
       s"slope ${r.getDouble(1)} not ~ -1")
     assert(math.abs(r.getDouble(2) - math.log(1024.0)) < 0.02,
       s"intercept ${r.getDouble(2)} not ~ ln 1024")
+  }
+
+  test("dpNoisyCounts: deterministic per salt, fresh draw per salt, Laplace shape") {
+    val df = Seq.tabulate(100)(i => (s"k${i % 4}", i)).toDF("k", "v")
+    def run(salt: String) = Privacy.dpNoisyCounts(df, "k", 1.0, salt)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val a = run("s1"); val b = run("s1"); val c = run("s2")
+    assert(a == b, "same salt must replay identically")
+    assert(a.keySet == c.keySet && a.exists { case (k, v) => c(k)._2 != v._2 },
+      "different salt must redraw the noise")
+    a.foreach { case (k, (n, noise, rel)) =>
+      assert(n == 25L)
+      assert(rel == n.toDouble + noise, s"$k release must be n + noise")
+      // inverse-CDF range: |noise| <= (1/eps) ln(65536)
+      assert(math.abs(noise) <= math.log(65536.0) + 1e-9, s"$k noise $noise")
+    }
+  }
+
+  test("collocationsG2: a planted always-together bigram dominates independent pairs") {
+    // 'new york' always adjacent; filler words shuffled independently
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 40).map { i =>
+      val filler = rnd.shuffle(List("alpha", "beta", "gamma", "delta"))
+      (i.toLong, (filler.take(2) ++ List("new", "york") ++ filler.drop(2))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val top = LangModel.collocationsG2(docs, "doc_id", "text",
+      minCount = 5L, k = 5).collect()
+    assert(top(0).getString(0) == "new" && top(0).getString(1) == "york",
+      s"expected (new, york) first, got ${top.toSeq}")
+    assert(top(0).getDouble(3) > top(1).getDouble(3),
+      "planted pair must strictly dominate")
+    assert(top.forall(_.getDouble(3) >= 0.0), "G2 is non-negative")
+  }
+
+  test("randomWalks: every transition is a real edge, deterministic, one walk per node") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("b", "d"))
+      .toDF("s", "t")
+    val w1 = Graphs.randomWalks(edges, "s", "t", steps = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    val w2 = Graphs.randomWalks(edges, "s", "t", steps = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(w1.toSeq == w2.toSeq, "walks must be deterministic")
+    assert(w1.map(_._1).toSeq == Seq("a", "b", "c", "d"), "one walk per node")
+    val und = Set(("a","b"),("b","c"),("c","d"),("a","d"),("b","d"))
+      .flatMap { case (x, y) => Set((x, y), (y, x)) }
+    w1.foreach { case (s0, s1, s2, s3) =>
+      assert(und((s0, s1)) && und((s1, s2)) && und((s2, s3)),
+        s"non-edge transition in walk ($s0,$s1,$s2,$s3)")
+    }
+  }
+
+  test("rakeKeywords: stopword-split phrases score summed deg/freq") {
+    val docs = Seq(
+      (1L, "deep learning is a great field"),
+      (2L, "deep learning is the future"),
+    ).toDF("doc_id", "text")
+    val got = Keywords.rakeKeywords(docs, "doc_id", "text",
+        stopwords = Seq("is", "a", "the"), maxWords = 3, k = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // phrases: 'deep learning' x2, 'great field', 'future'
+    // freq: deep 2, learning 2, great 1, field 1, future 1
+    // deg:  deep 4, learning 4, great 2, field 2, future 1
+    assert(got("deep learning") == ((2L, 4.0)), s"got $got")
+    assert(got("great field") == ((1L, 4.0)))
+    assert(got("future") == ((1L, 1.0)))
   }
 }
