@@ -126,4 +126,27 @@ object Ranking {
         (col("hits").cast("double") /
           nullif(col("n_rel"), lit(0L)).cast("double")).as("r_at_k"))
   }
+
+  /** Classifier confusion matrix with per-cell row/column fractions:
+    * each (actual, predicted) cell carries its count, its share of the
+    * actual class (the diagonal cell's row_frac IS that class's
+    * recall) and its share of the predicted class (diagonal col_frac =
+    * precision). One hash aggregate to the label-pair cells, then two
+    * windows over the cell frame — bounded by the label-domain square,
+    * never by rows. Fractions are single divisions of exact counts. */
+  def confusionMatrix(df: DataFrame, actualCol: Column,
+                      predCol: Column): DataFrame = {
+    val cells = df.groupBy(actualCol.as("actual"), predCol.as("pred"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_actual",
+        sum(col("n")).over(Window.partitionBy("actual")))
+      .withColumn("n_pred",
+        sum(col("n")).over(Window.partitionBy("pred")))
+      .select(col("actual"), col("pred"), col("n"),
+        (col("n").cast("double") / col("n_actual").cast("double"))
+          .as("row_frac"),
+        (col("n").cast("double") / col("n_pred").cast("double"))
+          .as("col_frac"))
+  }
 }

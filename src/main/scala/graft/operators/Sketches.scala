@@ -123,6 +123,42 @@ object Sketches {
     * price/amount domains this targets. One narrow projection + one
     * bucket-keyed hash aggregate; merging shards is `GROUP BY bucket`
     * again. */
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
+    * estimates: a depth×width integer matrix (bucket j-th row =
+    * md5(j|term) mod width), point estimate = min over rows — the
+    * fixed-size mergeable heavy-hitter structure next to the
+    * Misra-Gries sketch, here probed for the true top-`topK` terms so
+    * the oracle can grade estimate AND overcount exactly (the hash
+    * family is the same md5 on both engines, so the sketch content
+    * replays bit-for-bit; overcount ≥ 0 is the CMS guarantee).
+    *
+    * Scale shape: the matrix is depth·width cells regardless of corpus
+    * size — the explode-by-depth pass combines map-side onto ≤ d·w
+    * keys, the probe side is topK·depth rows joined against the tiny
+    * cell frame (broadcast). Merging shards = summing cell frames. */
+  def countMinEstimates(df: DataFrame, termCol: Column, depth: Int,
+                        width: Int, topK: Int): DataFrame = {
+    val terms = df.select(termCol.as("t")).filter(col("t") =!= "")
+    def bucket(j: Column, t: Column): Column =
+      conv(substring(md5(concat(j.cast("string"), lit("|"), t)), 1, 4),
+        16, 10).cast("long") % width
+    val cells = terms
+      .select(col("t"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("b", bucket(col("j"), col("t")))
+      .groupBy("j", "b").agg(count(lit(1)).as("cell"))
+    val truth = terms.groupBy("t").agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("t").asc).limit(topK)
+    truth
+      .select(col("t"), col("true_n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("b", bucket(col("j"), col("t")))
+      .join(cells, Seq("j", "b"))
+      .groupBy("t", "true_n")
+      .agg(min(col("cell")).as("est_n"))
+      .select(col("t").as("term"), col("true_n"), col("est_n"),
+        (col("est_n") - col("true_n")).as("overcount"))
+  }
+
   def ddsketchBuckets(df: DataFrame, valueCol: Column,
                       gamma: Double = 1.02): DataFrame = {
     require(gamma > 1.0, s"ddsketchBuckets: gamma must be > 1, got $gamma")

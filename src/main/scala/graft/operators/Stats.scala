@@ -1245,4 +1245,32 @@ object Stats {
       .select(col("g"), abs(col("c") * 2 - (col("lo") + col("hi"))).as("z"))
     anovaF(z, "g", col("z"))
   }
+
+  /** Shannon diversity of a categorical column per group —
+    * H = ln N − (Σᵢ nᵢ·ln nᵢ)/N in nats over the category counts: the
+    * standard "how balanced is this slice" readout (language mix per
+    * source, domain mix per shard) a corpus-mixing stage monitors.
+    *
+    * Float discipline: both lns are portable over integer counts; the
+    * per-group Σ nᵢ·ln nᵢ folds in category order (each term one exact
+    * int→double product), and the division by N is single. Scale
+    * shape: one (group, category) hash aggregate, then a group-level
+    * aggregate whose fold state is the group's category list —
+    * bounded by the category domain, never by rows. */
+  def shannonDiversity(df: DataFrame, groupCol: String,
+                       catCol: String): DataFrame = {
+    val cnt = df.groupBy(col(groupCol).as("g"), col(catCol).as("c"))
+      .agg(count(lit(1)).as("ni"))
+    cnt.withColumn("term",
+        col("ni").cast("double") * Pmath.lnColumn(col("ni")))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_cats"), sum(col("ni")).as("n"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("c"), col("term")))),
+            x => x.getField("term")),
+          lit(0.0), (a, x) => a + x).as("s"))
+      .select(col("g").as(groupCol), col("n_cats"), col("n"),
+        (Pmath.lnColumn(col("n")) - col("s") / col("n").cast("double"))
+          .as("entropy"))
+  }
 }

@@ -109,6 +109,26 @@ object Ext6 {
       graft.operators.Keywords.rakeKeywords(t(s, d, "documents"),
         "doc_id", "text", stopwords = Seq("a", "the"), maxWords = 3,
         k = 20)),
+
+    // Count-Min sketch probed at the true top-20 terms: 4×256
+    // md5-bucketed cell matrix, min-over-rows estimates, exact
+    // overcount audit (CMS guarantees overcount >= 0)
+    "x_count_min" -> ((s, d) =>
+      graft.operators.Sketches.countMinEstimates(
+        t(s, d, "documents")
+          .select(explode(Text.tokens(col("text"))).as("t")),
+        col("t"), depth = 4, width = 256, topK = 20)),
+
+    // Shannon diversity of the language mix per source — the corpus
+    // balance monitor; both lns portable over integer counts
+    "x_diversity" -> ((s, d) =>
+      Stats.shannonDiversity(t(s, d, "documents"), "source", "lang")),
+
+    // Confusion matrix of the heuristic language-ID against the label:
+    // per-cell counts with recall (row) and precision (column) shares
+    "x_confusion_matrix" -> ((s, d) =>
+      Ranking.confusionMatrix(t(s, d, "documents"), col("lang"),
+        Text.langId(col("text")))),
   )
 
   private val termList = irTerms.map(x => s"'$x'").mkString(", ")
@@ -459,5 +479,79 @@ object Ext6 {
          SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
                 max(score) AS score
          FROM par GROUP BY phrase ORDER BY score DESC, phrase LIMIT 20""",
+
+    "x_count_min" ->
+      """WITH t2 AS (SELECT t FROM
+                      (SELECT unnest(string_split(text, ' ')) AS t
+                       FROM documents) WHERE t <> ''),
+         withb AS (SELECT t, j,
+                     ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || t),
+                       1, 4))::BIGINT % 256 AS b
+                   FROM t2 CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+         cells AS (SELECT j, b, CAST(count(*) AS BIGINT) AS cell
+                   FROM withb GROUP BY j, b),
+         truth AS (SELECT t, CAST(count(*) AS BIGINT) AS true_n
+                   FROM t2 GROUP BY t ORDER BY true_n DESC, t LIMIT 20),
+         probes AS (SELECT t, true_n, j,
+                      ('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || t),
+                        1, 4))::BIGINT % 256 AS b
+                    FROM truth
+                    CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
+         SELECT p.t AS term, p.true_n, min(c.cell) AS est_n,
+                min(c.cell) - p.true_n AS overcount
+         FROM probes p JOIN cells c ON p.j = c.j AND p.b = c.b
+         GROUP BY p.t, p.true_n""",
+
+    "x_diversity" -> {
+      val (ch1, l1) = Pmath.lnSqlChainCtes("cnt", "dv",
+        Seq("ni" -> "lni"), carry = Seq("g", "c", "ni"))
+      val (ch2, l2) = Pmath.lnSqlChainCtes("per", "dn",
+        Seq("n" -> "lnn"), carry = Seq("g", "n_cats", "n", "s"))
+      s"""WITH cnt AS (SELECT source AS g, lang AS c,
+                         CAST(count(*) AS BIGINT) AS ni
+                       FROM documents GROUP BY 1, 2),
+          $ch1,
+          per AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cats,
+                    CAST(sum(ni) AS BIGINT) AS n,
+                    list_sum(list(CAST(ni AS DOUBLE) * lni ORDER BY c))
+                      AS s
+                  FROM $l1 GROUP BY g),
+          $ch2
+          SELECT g AS source, n_cats, n,
+                 lnn - s / CAST(n AS DOUBLE) AS entropy
+          FROM $l2"""
+    },
+
+    "x_confusion_matrix" -> {
+      def mk(vs: Seq[String]) =
+        s"len(list_filter(string_split(text, ' '), t -> t IN (${
+          vs.map(v => s"'$v'").mkString(",")})))"
+      val m = Text.langMarkers.toMap
+      val ladder =
+        s"""CASE WHEN length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1) > 0.3 THEN 'zh'
+               WHEN ${mk(m("es"))} > ${mk(m("en"))}
+                AND ${mk(m("es"))} >= ${mk(m("fr"))}
+                AND ${mk(m("es"))} >= ${mk(m("de"))} THEN 'es'
+               WHEN ${mk(m("fr"))} > ${mk(m("en"))}
+                AND ${mk(m("fr"))} > ${mk(m("es"))}
+                AND ${mk(m("fr"))} >= ${mk(m("de"))} THEN 'fr'
+               WHEN ${mk(m("de"))} > ${mk(m("en"))}
+                AND ${mk(m("de"))} > ${mk(m("es"))}
+                AND ${mk(m("de"))} > ${mk(m("fr"))} THEN 'de'
+               ELSE 'en' END"""
+      s"""WITH p AS (SELECT lang AS actual, $ladder AS pred
+                     FROM documents),
+          cells AS (SELECT actual, pred, CAST(count(*) AS BIGINT) AS n
+                    FROM p GROUP BY 1, 2),
+          w AS (SELECT actual, pred, n,
+                  sum(n) OVER (PARTITION BY actual) AS n_actual,
+                  sum(n) OVER (PARTITION BY pred) AS n_pred
+                FROM cells)
+          SELECT actual, pred, n,
+                 CAST(n AS DOUBLE) / CAST(n_actual AS DOUBLE) AS row_frac,
+                 CAST(n AS DOUBLE) / CAST(n_pred AS DOUBLE) AS col_frac
+          FROM w"""
+    },
   )
 }

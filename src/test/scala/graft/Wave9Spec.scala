@@ -211,4 +211,45 @@ class Wave9Spec extends SparkSpec {
     assert(got("great field") == ((1L, 4.0)))
     assert(got("future") == ((1L, 1.0)))
   }
+
+  test("countMinEstimates: estimates never undercount and are exact without collisions") {
+    val terms = Seq.tabulate(300)(i => s"t${i % 3}") // 3 terms, 100 each
+    val df = terms.toDF("t")
+    val got = graft.operators.Sketches
+      .countMinEstimates(df, col("t"), depth = 4, width = 256, topK = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set("t0", "t1", "t2"))
+    got.values.foreach { case (tr, est, over) =>
+      assert(tr == 100L && est >= tr && over == est - tr,
+        s"CMS must never undercount: $got")
+    }
+    // 3 distinct terms in a 256-wide sketch: some row must be collision-
+    // free, so the min-estimate is exact
+    assert(got.values.forall(_._2 == 100L), s"expected exact estimates: $got")
+  }
+
+  test("shannonDiversity: uniform mix hits ln k, single category is zero") {
+    val df = (Seq.tabulate(40)(i => ("balanced", s"c${i % 4}")) ++
+      Seq.fill(10)(("mono", "only"))).toDF("g", "c")
+    val got = Stats.shannonDiversity(df, "g", "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("balanced")._1 == 4L && got("balanced")._2 == 40L)
+    assert(math.abs(got("balanced")._3 - math.log(4.0)) < 1e-9,
+      s"uniform 4-way mix must score ln 4: $got")
+    assert(got("mono") == ((1L, 10L, 0.0)), s"single category: $got")
+  }
+
+  test("confusionMatrix: diagonal row_frac is recall, col_frac is precision") {
+    // actual a: 3 rows (2 predicted a, 1 predicted b); actual b: 1 row -> b
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"))
+      .toDF("y", "p")
+    val got = Ranking.confusionMatrix(df, col("y"), col("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(("a", "a")) == ((2L, 2.0 / 3.0, 1.0)), s"got $got")
+    assert(got(("a", "b")) == ((1L, 1.0 / 3.0, 0.5)))
+    assert(got(("b", "b")) == ((1L, 1.0, 0.5)))
+  }
 }
