@@ -481,4 +481,58 @@ object EventOps {
         countDistinct(col("k")).as("n_keys"))
       .where(col("n_keys") >= minKeys)
   }
+
+  /** Wald's Sequential Probability Ratio Test over the event stream —
+    * the "stop the experiment as soon as the evidence is in" companion
+    * to the fixed-horizon [[graft.operators.Stats.abTest]]: per
+    * md5-half variant, trials (conversion Bernoullis) accumulate hour
+    * by hour, the log-likelihood ratio s·ln(p₁/p₀) + f·ln((1−p₁)/(1−p₀))
+    * walks between the decision boundaries ln((1−β)/α) (accept H₁) and
+    * ln(β/(1−α)) (accept H₀), and the first decisive hour is reported.
+    *
+    * Float discipline: the four ln constants are DRIVER-precomputed
+    * literal doubles (the Ranking-discount pattern — the SQL replay
+    * reads identical literals), the LLR is two exact int→double
+    * products added in fixed order, boundary compares are therefore
+    * bit-replayable.
+    *
+    * Scale shape: one filtered count aggregate to the (variant, hour)
+    * grain; the cumulative window runs per variant over the HOURLY
+    * spine (calendar-bounded, never event-sized); a k-variant summary
+    * aggregate ends it. */
+  def sprt(df: DataFrame, userCol: String, tsCol: String,
+           typeCol: String, successType: String, trialTypes: Seq[String],
+           p0: Double, p1: Double, alpha: Double,
+           beta: Double): DataFrame = {
+    val c1 = math.log(p1 / p0)
+    val c2 = math.log((1.0 - p1) / (1.0 - p0))
+    val bndA = math.log((1.0 - beta) / alpha)
+    val bndB = math.log(beta / (1.0 - alpha))
+    val hourly = df.filter(col(typeCol).isin(trialTypes: _*))
+      .select(
+        (conv(substring(md5(col(userCol).cast("string")), 1, 4), 16, 10)
+          .cast("long") % 2).as("variant"),
+        date_trunc("hour", col(tsCol)).as("h"),
+        when(col(typeCol) === successType, 1L).otherwise(0L).as("s"))
+      .groupBy("variant", "h")
+      .agg(count(lit(1)).as("th"), sum(col("s")).as("sh"))
+    val w = Window.partitionBy("variant").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hourly
+      .withColumn("ct", sum(col("th")).over(w))
+      .withColumn("cs", sum(col("sh")).over(w))
+      .withColumn("llr", col("cs").cast("double") * lit(c1) +
+        (col("ct") - col("cs")).cast("double") * lit(c2))
+      .withColumn("decision",
+        when(col("llr") >= lit(bndA), "accept_h1")
+          .when(col("llr") <= lit(bndB), "accept_h0")
+          .otherwise("continue"))
+    cum.groupBy("variant")
+      .agg(max(col("ct")).as("n_trials"), max(col("cs")).as("n_success"),
+        min(when(col("decision") =!= "continue",
+          struct(col("h"), col("decision")))).as("first"))
+      .select(col("variant"), col("n_trials"), col("n_success"),
+        unix_seconds(col("first.h")).as("decided_at_s"),
+        col("first.decision").as("decision"))
+  }
 }

@@ -433,6 +433,38 @@ object LangModel {
           (dbl(col("n_terms")) * lit(scale))).as("intercept"))
   }
 
+  /** Statistical text-watermark detector (the Kirchenbauer et al. 2023
+    * green-list scheme): a watermarking sampler biases each token
+    * toward a "green list" seeded by the previous token; the detector
+    * recomputes green membership per bigram (here: md5 of the bigram,
+    * low bit) and tests the per-doc green count against the null
+    * binomial(n, ½) — z = (2g − n)/√n. Docs with z above the
+    * threshold carry the watermark; a curation pipeline runs this to
+    * keep synthetic text out of pretraining corpora.
+    *
+    * Exactness: green membership is integer md5 arithmetic; z is one
+    * int→double subtraction over one correctly-rounded √ of an integer
+    * — IEEE sqrt is exact-rounded on every engine, so the score and
+    * the flag replay bit-for-bit. Scale: bigram explode + one per-doc
+    * aggregate; single-token docs have no bigrams and are absent by
+    * construction on both engines. */
+  def watermarkDetect(df: DataFrame, idCol: String, textCol: String,
+                      zThreshold: Double): DataFrame = {
+    val bg = df.select(col(idCol).as("doc"),
+      Text.explodePositionalShingles(col(textCol), 2).as(Seq("pos", "b")))
+    val green = (conv(substring(md5(col("b")), 1, 4), 16, 10)
+      .cast("long") % 2).as("green")
+    bg.select(col("doc"), green)
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("green")).as("n_green"))
+      .select(col("doc").as("doc_id"), col("n_bigrams"), col("n_green"),
+        (col("n_green").cast("double") / col("n_bigrams").cast("double"))
+          .as("green_frac"),
+        ((col("n_green") * 2 - col("n_bigrams")).cast("double") /
+          sqrt(col("n_bigrams").cast("double"))).as("z"))
+      .withColumn("watermarked", col("z") > lit(zThreshold))
+  }
+
   /** Bigram collocation mining by Dunning's (1993) log-likelihood
     * ratio G² — the statistically-sound replacement for raw PMI when
     * counts are small: G² = 2·Σ_cells O·ln(O/E) over the 2×2

@@ -1246,6 +1246,62 @@ object Stats {
     anovaF(z, "g", col("z"))
   }
 
+  /** k-fold cross-validated simple OLS — the honest generalization
+    * readout for the engine's regression family: fold assignment is a
+    * pure function of the id column, each fold's model is fit on the
+    * COMPLEMENT via the subtraction trick (complement moments = totals
+    * − fold moments, so one per-fold aggregate covers all k fits —
+    * no k passes over the data), and each row scores against its own
+    * fold's held-out coefficients.
+    *
+    * Exactness: x/y quantize to integer cents; all OLS moments are
+    * exact decimals; slope/intercept are string-mediated divisions
+    * (the x_linreg recipe); per-row |residual| quantizes to 2⁻¹⁰
+    * fixed point so the MAE numerator is an exact integer sum.
+    *
+    * Scale shape: one cents projection, one k-row fold aggregate, a
+    * k-row broadcast coefficient join back, one fold-keyed final
+    * aggregate. Two passes over the data total, independent of k. */
+  def cvOls(df: DataFrame, idCol: Column, xCol: Column, yCol: Column,
+            k: Int): DataFrame = {
+    def dbl(c: Column) = c.cast("string").cast("double")
+    val base = df.select(pmod(idCol, lit(k.toLong)).as("fold"),
+      floor(xCol * lit(100.0)).cast("decimal(38,0)").as("xc"),
+      floor(yCol * lit(100.0)).cast("decimal(38,0)").as("yc"))
+    val per = base.groupBy("fold").agg(count(lit(1)).as("nf"),
+      sum(col("xc")).as("sxf"), sum(col("yc")).as("syf"),
+      sum(col("xc") * col("yc")).as("sxyf"),
+      sum(col("xc") * col("xc")).as("sxxf"))
+    val tot = per.agg(sum(col("nf")).as("n"), sum(col("sxf")).as("sx"),
+      sum(col("syf")).as("sy"), sum(col("sxyf")).as("sxy"),
+      sum(col("sxxf")).as("sxx"))
+    val coef = per.crossJoin(broadcast(tot))
+      .select(col("fold"), col("nf"),
+        (col("n") - col("nf")).as("np"),
+        (col("sx") - col("sxf")).as("sxp"),
+        (col("sy") - col("syf")).as("syp"),
+        (col("sxy") - col("sxyf")).as("sxyp"),
+        (col("sxx") - col("sxxf")).as("sxxp"))
+      .select(col("fold"), col("nf"),
+        (dbl(col("np") * col("sxyp") - col("sxp") * col("syp")) /
+          dbl(col("np") * col("sxxp") - col("sxp") * col("sxp")))
+          .as("slope"),
+        col("np"), col("sxp"), col("syp"))
+      .select(col("fold"), col("nf"), col("slope"),
+        ((dbl(col("syp")) - col("slope") * dbl(col("sxp"))) /
+          dbl(col("np"))).as("intercept"))
+    base.join(broadcast(coef), Seq("fold"))
+      .withColumn("q",
+        floor(abs(dbl(col("yc")) -
+          (col("intercept") + col("slope") * dbl(col("xc")))) *
+          lit(1024.0)).cast("decimal(38,0)"))
+      .groupBy("fold", "slope", "intercept")
+      .agg(count(lit(1)).as("n_test"), sum(col("q")).as("sq"))
+      .select(col("fold"), col("n_test"), col("slope"), col("intercept"),
+        (dbl(col("sq")) / lit(1024.0) / col("n_test").cast("double"))
+          .as("mae_cents"))
+  }
+
   /** Shannon diversity of a categorical column per group —
     * H = ln N − (Σᵢ nᵢ·ln nᵢ)/N in nats over the category counts: the
     * standard "how balanced is this slice" readout (language mix per

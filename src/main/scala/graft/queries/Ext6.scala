@@ -129,6 +129,30 @@ object Ext6 {
     "x_confusion_matrix" -> ((s, d) =>
       Ranking.confusionMatrix(t(s, d, "documents"), col("lang"),
         Text.langId(col("text")))),
+
+    // 5-fold cross-validated OLS (price ~ quantity): leave-one-fold-out
+    // coefficients by moment subtraction (one aggregate fits all
+    // folds), fixed-point MAE — the generalization readout
+    "x_crossval" -> ((s, d) =>
+      Stats.cvOls(t(s, d, "lineitem"),
+        col("l_orderkey") * lit(7L) + col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), k = 5)),
+
+    // Wald SPRT over the purchase-conversion stream: per md5-half
+    // variant the hourly cumulative LLR walks between literal decision
+    // boundaries; first decisive hour reported
+    "x_sprt" -> ((s, d) =>
+      graft.operators.EventOps.sprt(t(s, d, "events"), "user_id", "ts",
+        "event_type", successType = "purchase",
+        trialTypes = Seq("click", "purchase"),
+        p0 = 0.10, p1 = 0.15, alpha = 0.05, beta = 0.05)),
+
+    // Green-list watermark detector: per-doc bigram green counts vs
+    // the binomial(n, 1/2) null, z = (2g-n)/sqrt(n) via exact-rounded
+    // IEEE sqrt — the synthetic-text gate
+    "x_watermark" -> ((s, d) =>
+      LangModel.watermarkDetect(t(s, d, "documents"), "doc_id", "text",
+        zThreshold = 4.0)),
   )
 
   private val termList = irTerms.map(x => s"'$x'").mkString(", ")
@@ -553,5 +577,104 @@ object Ext6 {
                  CAST(n AS DOUBLE) / CAST(n_pred AS DOUBLE) AS col_frac
           FROM w"""
     },
+
+    "x_crossval" ->
+      """WITH base AS (SELECT (l_orderkey * 7 + l_linenumber) % 5 AS fold,
+                         CAST(floor(l_quantity * 100.0) AS HUGEINT) AS xc,
+                         CAST(floor(l_extendedprice * 100.0) AS HUGEINT)
+                           AS yc
+                       FROM lineitem),
+         per AS (SELECT fold, CAST(count(*) AS BIGINT) AS nf,
+                   sum(xc) AS sxf, sum(yc) AS syf,
+                   sum(xc * yc) AS sxyf, sum(xc * xc) AS sxxf
+                 FROM base GROUP BY fold),
+         tot AS (SELECT CAST(sum(nf) AS BIGINT) AS n, sum(sxf) AS sx,
+                   sum(syf) AS sy, sum(sxyf) AS sxy, sum(sxxf) AS sxx
+                 FROM per),
+         cf0 AS (SELECT fold, nf, CAST(n - nf AS HUGEINT) AS np,
+                   sx - sxf AS sxp, sy - syf AS syp,
+                   sxy - sxyf AS sxyp, sxx - sxxf AS sxxp
+                 FROM per CROSS JOIN tot),
+         cf AS (SELECT fold, nf,
+                  CAST(CAST(np * sxyp - sxp * syp AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(np * sxxp - sxp * sxp AS VARCHAR) AS DOUBLE)
+                    AS slope,
+                  np, sxp, syp FROM cf0),
+         cf2 AS (SELECT fold, nf, slope,
+                   (CAST(CAST(syp AS VARCHAR) AS DOUBLE)
+                     - slope * CAST(CAST(sxp AS VARCHAR) AS DOUBLE))
+                   / CAST(CAST(np AS VARCHAR) AS DOUBLE) AS intercept
+                 FROM cf),
+         sc AS (SELECT b.fold, slope, intercept,
+                  CAST(floor(abs(CAST(CAST(yc AS VARCHAR) AS DOUBLE)
+                    - (intercept + slope
+                       * CAST(CAST(xc AS VARCHAR) AS DOUBLE))) * 1024.0)
+                    AS HUGEINT) AS q
+                FROM base b JOIN cf2 USING (fold))
+         SELECT fold, CAST(count(*) AS BIGINT) AS n_test, slope, intercept,
+                CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) / 1024.0
+                  / CAST(count(*) AS DOUBLE) AS mae_cents
+         FROM sc GROUP BY fold, slope, intercept""",
+
+    "x_sprt" -> {
+      def dl(x: Double) = s"CAST('${x.toString}' AS DOUBLE)"
+      val (p0, p1, alpha, beta) = (0.10, 0.15, 0.05, 0.05)
+      val c1 = math.log(p1 / p0)
+      val c2 = math.log((1.0 - p1) / (1.0 - p0))
+      val bndA = math.log((1.0 - beta) / alpha)
+      val bndB = math.log(beta / (1.0 - alpha))
+      s"""WITH hourly AS (SELECT
+                  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                    ::BIGINT % 2 AS variant,
+                  date_trunc('hour', ts) AS h,
+                  CAST(count(*) AS BIGINT) AS th,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS sh
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                GROUP BY 1, 2),
+          cum AS (SELECT variant, h,
+                    sum(th) OVER win AS ct, sum(sh) OVER win AS cs
+                  FROM hourly
+                  WINDOW win AS (PARTITION BY variant ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          dc AS (SELECT variant, h, ct, cs,
+                   CASE WHEN CAST(cs AS DOUBLE) * ${dl(c1)}
+                             + CAST(ct - cs AS DOUBLE) * ${dl(c2)}
+                             >= ${dl(bndA)} THEN 'accept_h1'
+                        WHEN CAST(cs AS DOUBLE) * ${dl(c1)}
+                             + CAST(ct - cs AS DOUBLE) * ${dl(c2)}
+                             <= ${dl(bndB)} THEN 'accept_h0'
+                        ELSE 'continue' END AS decision
+                 FROM cum)
+          SELECT variant, max(ct) AS n_trials, max(cs) AS n_success,
+                 epoch(min(CASE WHEN decision <> 'continue' THEN h END))
+                   AS decided_at_s,
+                 arg_min(decision, h)
+                   FILTER (WHERE decision <> 'continue') AS decision
+          FROM dc GROUP BY variant"""
+    },
+
+    "x_watermark" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+                FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                      FROM w WHERE len(ws) >= 2)),
+         g AS (SELECT doc_id,
+                 ('0x' || substr(md5(b), 1, 4))::BIGINT % 2 AS green
+               FROM bg),
+         per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(green) AS BIGINT) AS n_green
+                 FROM g GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, n_green,
+                CAST(n_green AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                  AS green_frac,
+                CAST(n_green * 2 - n_bigrams AS DOUBLE)
+                  / sqrt(CAST(n_bigrams AS DOUBLE)) AS z,
+                CAST(n_green * 2 - n_bigrams AS DOUBLE)
+                  / sqrt(CAST(n_bigrams AS DOUBLE))
+                  > CAST('4.0' AS DOUBLE) AS watermarked
+         FROM per""",
   )
 }

@@ -252,4 +252,83 @@ class Wave9Spec extends SparkSpec {
     assert(got(("a", "b")) == ((1L, 1.0 / 3.0, 0.5)))
     assert(got(("b", "b")) == ((1L, 1.0, 0.5)))
   }
+
+  test("cvOls: exact linear data recovers the line with zero MAE in every fold") {
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, (i % 10 + 1).toDouble, 2.0 * (i % 10 + 1) + 5.0))
+      .toDF("id", "x", "y")
+    val got = Stats.cvOls(df, col("id"), col("x"), col("y"), k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    got.values.foreach { case (n, slope, icept, mae) =>
+      assert(n == 20L)
+      assert(math.abs(slope - 2.0) < 1e-9, s"slope $slope")
+      // intercept in cents: y_c = 100*icept_y + slope*x_c -> 500
+      assert(math.abs(icept - 500.0) < 1e-6, s"intercept $icept")
+      assert(mae < 1e-6, s"exact fit must have ~0 MAE, got $mae")
+    }
+  }
+
+  test("sprt: a strong planted effect reaches accept_h1, a null reaches accept_h0") {
+    import java.sql.Timestamp
+    def ts(hr: Int, m: Int) = new Timestamp((hr * 3600L + m * 60L) * 1000L)
+    // variant is md5(user)%2: build streams per user and check decisions
+    // user pool A converts always, pool B never; both variants get both
+    // pools mixed, but we plant asymmetry by volume
+    val rows = (0 until 400).map { i =>
+      val user = i % 20
+      val conv = user < 10 // half the users always convert
+      (user.toLong, ts(i / 20, i % 20),
+        if (conv) "purchase" else "click")
+    }.toDF("user_id", "ts", "event_type")
+    val got = graft.operators.EventOps.sprt(rows, "user_id", "ts",
+        "event_type", "purchase", Seq("click", "purchase"),
+        p0 = 0.10, p1 = 0.15, alpha = 0.05, beta = 0.05)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.isNullAt(3), r.getString(4))).toMap
+    // ~50% conversion >> p1 in both variants: both must accept H1, fast
+    got.values.foreach { case (t, s, noDecision, dec) =>
+      assert(!noDecision && dec == "accept_h1",
+        s"50%-conversion stream must accept H1: $got")
+      assert(s * 2 >= t - 40, s"sanity: roughly half successes: $got")
+    }
+  }
+
+  test("sprt: all-failure stream accepts H0") {
+    import java.sql.Timestamp
+    def ts(hr: Int, m: Int) = new Timestamp((hr * 3600L + m * 60L) * 1000L)
+    val rows = (0 until 200).map(i =>
+      ((i % 8).toLong, ts(i / 8, i % 8), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = graft.operators.EventOps.sprt(rows, "user_id", "ts",
+        "event_type", "purchase", Seq("click", "purchase"),
+        p0 = 0.10, p1 = 0.15, alpha = 0.05, beta = 0.05)
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(4) == "accept_h0", s"no-conversion stream: $r")
+      assert(r.getLong(2) == 0L)
+    }
+  }
+
+  test("watermarkDetect: unbiased text stays under threshold, z matches hand formula") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two"),
+    ).toDF("doc_id", "text")
+    val got = LangModel.watermarkDetect(docs, "doc_id", "text", 4.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got(1L)._1 == 9L && got(2L)._1 == 1L)
+    got.foreach { case (_, (n, g, z, flag)) =>
+      val expect = (2.0 * g - n) / math.sqrt(n.toDouble)
+      assert(z == expect, s"z must be the exact closed form")
+      assert(flag == (z > 4.0))
+    }
+    // single-token docs are absent by construction
+    val single = LangModel.watermarkDetect(
+      Seq((9L, "lonely")).toDF("doc_id", "text"), "doc_id", "text", 4.0)
+    assert(single.count() == 0L)
+  }
 }
