@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -480,6 +480,74 @@ object EventOps {
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("k")).as("n_keys"))
       .where(col("n_keys") >= minKeys)
+  }
+
+  /** Linear multi-touch attribution — the fair-share companion to
+    * [[lastTouch]]: every `targetType` event splits one unit of credit
+    * EQUALLY across all of the same user's `sourceType` events within
+    * the horizon before it. Output is the per-source credit ledger
+    * (how much conversion each click actually drove).
+    *
+    * Exactness: the equal share is the INTEGER floor(2²⁰/n) fixed-point
+    * weight — identical arithmetic on every engine, and per-source
+    * credit sums stay exact integers until one final division.
+    *
+    * Scale shape: one user-keyed equi-join bounded by the horizon
+    * predicate (per-user activity is the fanout, never the cross
+    * product), one target-keyed count window, one source-keyed final
+    * aggregate. */
+  def multiTouchLinear(df: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String, sourceType: String,
+                       targetType: String, horizonSec: Long): DataFrame = {
+    val src = df.filter(col(typeCol) === sourceType)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("sus"),
+        col(idCol).as("source_id"))
+    val tgt = df.filter(col(typeCol) === targetType)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("tus"),
+        col(idCol).as("target_id"))
+    val pairs = tgt.join(src, Seq("u"))
+      .filter(col("sus") <= col("tus") &&
+        col("tus") - col("sus") <= horizonSec * 1000000L)
+    val w = Window.partitionBy("target_id")
+    pairs
+      .withColumn("n_touch", count(lit(1)).over(w))
+      .withColumn("credit_fp",
+        call_function("div", lit(1048576L), col("n_touch")))
+      .groupBy(col("u").as(userCol), col("source_id"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("credit_fp")).as("credit_fp"))
+      .withColumn("credit",
+        col("credit_fp").cast("double") / lit(1048576.0))
+  }
+
+  /** Cohort lifetime-value curve — revenue per user by cohort age, the
+    * money twin of [[cohortRetention]]: users cohort by the epoch-week
+    * of their first event, every `revenueType` event's cents land in
+    * the (cohort, age-in-weeks) cell, and the running cumulative per
+    * cohort divides by the cohort's size. Integer epoch-week and cents
+    * arithmetic throughout; the cumulative window runs per cohort over
+    * the bounded week spine. */
+  def ltvCurve(df: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, revenueType: String,
+               valueCol: Column): DataFrame = {
+    val wk = (c: Column) => floor(unix_seconds(c) / lit(604800L))
+    val firsts = df.groupBy(col(userCol).as("u"))
+      .agg(min(wk(col(tsCol))).as("cohort"))
+    val sizes = firsts.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    val rev = df.filter(col(typeCol) === revenueType)
+      .select(col(userCol).as("u"), wk(col(tsCol)).as("w"),
+        floor(valueCol * lit(100.0)).cast("decimal(38,0)").as("cents"))
+      .join(firsts, Seq("u"))
+      .groupBy(col("cohort"), (col("w") - col("cohort")).as("age"))
+      .agg(sum(col("cents")).as("cents"))
+    val cum = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_cents", sum(col("cents")).over(cum))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("age"), col("n_users"), col("cents"),
+        col("cum_cents"),
+        (col("cum_cents").cast("string").cast("double") /
+          lit(100.0) / col("n_users").cast("double")).as("ltv_per_user"))
   }
 
   /** Wald's Sequential Probability Ratio Test over the event stream —

@@ -1246,6 +1246,36 @@ object Stats {
     anovaF(z, "g", col("z"))
   }
 
+  /** Hill estimator of the tail index (Hill 1975) — how heavy is the
+    * upper tail of the metric? H = (1/k)·Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over
+    * the k largest values; α = 1/H is the Pareto exponent. The
+    * tail-risk readout for value/latency/size distributions (α ≤ 2
+    * means infinite variance — sampling and skew planning must change).
+    *
+    * Exactness: values quantize to cents; the top k+1 come from a
+    * global TakeOrdered (never a full sort — and the estimator reads
+    * VALUES only, so ties at the boundary cannot change it); both lns
+    * are portable over integer cents; the Σ folds in value order (the
+    * x₍ₖ₊₁₎ term is exactly 0, so summing all k+1 terms equals the
+    * textbook k-term sum). One aggregate + a (k+1)-row reduce. */
+  def hillTail(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    val top = df.filter(valueCol > 0)
+      .select(floor(valueCol * lit(100.0)).cast("long").as("c"))
+      .orderBy(col("c").desc).limit(k + 1)
+    val kth = top.agg(min(col("c")).as("xk1"))
+    top.crossJoin(broadcast(kth))
+      .withColumn("term",
+        Pmath.lnColumn(col("c")) - Pmath.lnColumn(col("xk1")))
+      .agg(count(lit(1)).as("n_top"), max(col("xk1")).as("xk1_cents"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("c"), col("term")))),
+            x => x.getField("term")),
+          lit(0.0), (a, x) => a + x).as("s"))
+      .select(col("n_top"), col("xk1_cents"),
+        (col("s") / lit(k.toDouble)).as("hill_mean"))
+      .withColumn("alpha", lit(1.0) / col("hill_mean"))
+  }
+
   /** k-fold cross-validated simple OLS — the honest generalization
     * readout for the engine's regression family: fold assignment is a
     * pure function of the id column, each fold's model is fit on the

@@ -153,6 +153,27 @@ object Ext6 {
     "x_watermark" -> ((s, d) =>
       LangModel.watermarkDetect(t(s, d, "documents"), "doc_id", "text",
         zThreshold = 4.0)),
+
+    // Hill tail-index of the event-value distribution: top-201 order
+    // statistics via TakeOrdered, portable-ln ratio fold, alpha = 1/H
+    "x_hill_tail" -> ((s, d) =>
+      Stats.hillTail(t(s, d, "events"), col("value"), k = 200)),
+
+    // Linear multi-touch attribution: each purchase splits one unit of
+    // credit equally (integer fixed-point shares) across the user's
+    // clicks in the 7-day horizon — the fair-share ledger next to
+    // x_attribution's last-touch
+    "x_multi_touch" -> ((s, d) =>
+      graft.operators.EventOps.multiTouchLinear(t(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        sourceType = "click", targetType = "purchase",
+        horizonSec = 7L * 86400)),
+
+    // Cohort LTV curve: purchase cents by (first-event epoch week,
+    // age in weeks), running cumulative divided by cohort size
+    "x_ltv_curve" -> ((s, d) =>
+      graft.operators.EventOps.ltvCurve(t(s, d, "events"), "user_id",
+        "ts", "event_type", revenueType = "purchase", col("value"))),
   )
 
   private val termList = irTerms.map(x => s"'$x'").mkString(", ")
@@ -676,5 +697,69 @@ object Ext6 {
                   / sqrt(CAST(n_bigrams AS DOUBLE))
                   > CAST('4.0' AS DOUBLE) AS watermarked
          FROM per""",
+
+    "x_hill_tail" -> {
+      val (chains, last) = Pmath.lnSqlChainCtes("base", "ht",
+        Seq("c" -> "lc", "xk1" -> "lxk1"), carry = Seq("c", "xk1"))
+      s"""WITH top AS (SELECT CAST(floor(value * 100.0) AS BIGINT) AS c
+                       FROM events WHERE value > 0
+                       ORDER BY c DESC LIMIT 201),
+          kth AS (SELECT min(c) AS xk1 FROM top),
+          base AS (SELECT c, xk1 FROM top CROSS JOIN kth),
+          $chains
+          SELECT CAST(count(*) AS BIGINT) AS n_top,
+                 max(xk1) AS xk1_cents,
+                 list_sum(list(lc - lxk1 ORDER BY c))
+                   / CAST('200.0' AS DOUBLE) AS hill_mean,
+                 CAST('1.0' AS DOUBLE) /
+                   (list_sum(list(lc - lxk1 ORDER BY c))
+                    / CAST('200.0' AS DOUBLE)) AS alpha
+          FROM $last"""
+    },
+
+    "x_multi_touch" ->
+      """WITH src AS (SELECT user_id AS u, epoch_us(ts) AS sus,
+                        event_id AS source_id
+                      FROM events WHERE event_type = 'click'),
+         tgt AS (SELECT user_id AS u, epoch_us(ts) AS tus,
+                   event_id AS target_id
+                 FROM events WHERE event_type = 'purchase'),
+         pairs AS (SELECT t.u, t.target_id, s.source_id
+                   FROM tgt t JOIN src s ON t.u = s.u
+                    AND s.sus <= t.tus
+                    AND t.tus - s.sus <= 604800000000),
+         nt AS (SELECT *, count(*) OVER (PARTITION BY target_id)
+                  AS n_touch FROM pairs),
+         cr AS (SELECT u, source_id, 1048576 // n_touch AS credit_fp
+                FROM nt)
+         SELECT u AS user_id, source_id,
+                CAST(count(*) AS BIGINT) AS n_conversions,
+                CAST(sum(credit_fp) AS BIGINT) AS credit_fp,
+                CAST(sum(credit_fp) AS DOUBLE) / 1048576.0 AS credit
+         FROM cr GROUP BY u, source_id""",
+
+    "x_ltv_curve" ->
+      """WITH f AS (SELECT user_id AS u,
+                      CAST(min(floor(epoch(ts) / 604800)) AS BIGINT)
+                        AS cohort
+                    FROM events GROUP BY 1),
+         sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+                FROM f GROUP BY 1),
+         rev AS (SELECT cohort,
+                   CAST(floor(epoch(ts) / 604800) AS BIGINT) - cohort
+                     AS age,
+                   sum(CAST(floor(value * 100.0) AS HUGEINT)) AS cents
+                 FROM events e JOIN f ON e.user_id = f.u
+                 WHERE event_type = 'purchase'
+                 GROUP BY 1, 2),
+         cum AS (SELECT cohort, age, cents,
+                   sum(cents) OVER (PARTITION BY cohort ORDER BY age
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_cents
+                 FROM rev)
+         SELECT c.cohort, age, n_users, cents, cum_cents,
+                CAST(CAST(cum_cents AS VARCHAR) AS DOUBLE) / 100.0
+                  / CAST(n_users AS DOUBLE) AS ltv_per_user
+         FROM cum c JOIN sz ON c.cohort = sz.cohort""",
   )
 }

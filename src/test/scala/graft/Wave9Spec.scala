@@ -331,4 +331,57 @@ class Wave9Spec extends SparkSpec {
       Seq((9L, "lonely")).toDF("doc_id", "text"), "doc_id", "text", 4.0)
     assert(single.count() == 0L)
   }
+
+  test("hillTail: exact Pareto cents recover the planted alpha") {
+    // x_(i) = 1000000 / i^(1/2) cents -> Pareto tail with alpha = 2
+    val vals = (1 to 2000).map(i => 10000.0 / math.sqrt(i.toDouble))
+    val df = vals.toDF("v")
+    val r = Stats.hillTail(df, col("v"), k = 200).collect()(0)
+    assert(r.getLong(0) == 201L)
+    assert(math.abs(r.getDouble(3) - 2.0) < 0.1,
+      s"alpha ${r.getDouble(3)} should be ~2")
+  }
+
+  test("multiTouchLinear: equal split across in-horizon clicks, exact fixed-point ledger") {
+    import java.sql.Timestamp
+    def ts(h: Long) = new Timestamp(h * 3600000L)
+    val rows = Seq(
+      (1L, ts(0), 10L, "click"), (1L, ts(1), 11L, "click"),
+      (1L, ts(2), 20L, "purchase"),           // split between 10, 11
+      (1L, ts(500), 12L, "click"),
+      (1L, ts(501), 21L, "purchase"),         // only 12 in horizon
+      (2L, ts(0), 13L, "click"),
+      (2L, ts(300), 22L, "purchase"),         // 13 beyond 7d -> no credit
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.EventOps.multiTouchLinear(rows, "user_id",
+        "ts", "event_id", "event_type", "click", "purchase",
+        horizonSec = 7L * 86400)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L), s"got $got")
+    assert(got(10L) == ((1L, 524288L, 0.5)))
+    assert(got(11L) == ((1L, 524288L, 0.5)))
+    assert(got(12L) == ((1L, 1048576L, 1.0)))
+  }
+
+  test("ltvCurve: cumulative revenue per cohort age over cohort size") {
+    import java.sql.Timestamp
+    val week = 604800000L
+    def ts(w: Long) = new Timestamp(w * week + 1000L)
+    val rows = Seq(
+      (1L, ts(0), "purchase", 10.0), (2L, ts(0), "click", 0.0),
+      (1L, ts(1), "purchase", 20.0), (2L, ts(1), "purchase", 40.0),
+      (3L, ts(1), "purchase", 100.0),
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = graft.operators.EventOps.ltvCurve(rows, "user_id", "ts",
+        "event_type", "purchase", col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    // cohort week0: users 1,2 -> age0: 10 -> 5/user; age1: +60 -> 35/user
+    // cohort week1: user 3 -> age0: 100 -> 100/user
+    val c0 = got.keys.map(_._1).min
+    assert(got((c0, 0L)) == ((2L, 5.0)), s"got $got")
+    assert(got((c0, 1L)) == ((2L, 35.0)))
+    assert(got((c0 + 1, 0L)) == ((1L, 100.0)))
+  }
 }
