@@ -40,6 +40,46 @@ object Retrieval {
     * tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)). Terms absent from a doc
     * contribute 0 (coalesce), so conjunctive-ish queries still rank
     * partial matches. */
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    * 2004) — the language-modeling alternative to [[bm25TopK]]:
+    * score(d, q) = Σ_w ln((c(w,d) + μ·p(w|C)) / (|d| + μ)). EVERY doc
+    * scores (absent terms fall back to the corpus model), which is the
+    * semantic difference from BM25's partial-match filter.
+    *
+    * Float discipline: multiplying the ratio through by the corpus
+    * token count turns both ln args into INTEGERS —
+    * ln = pln(c·|C| + μ·cf) − pln((|d| + μ)·|C|) — inside the portable
+    * series; per-term scores pivot to columns and add left-to-right
+    * (the bm25 recipe). Zero-frequency corpus terms guard through
+    * greatest(·, 1) identically on both engines.
+    *
+    * Scale shape: ONE tokenize + groupBy(doc) conditional aggregate,
+    * one single-row stats broadcast, global top-k via TakeOrdered. */
+  def dirichletTopK(df: DataFrame, idCol: String, textCol: String,
+                    queryTerms: Seq[String], mu: Long = 2000L,
+                    k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "dirichletTopK: empty query")
+    val occ = occurrences(df, idCol, textCol)
+    val perDoc = occ.groupBy("doc").agg(
+      count(lit(1)).as("dl"),
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        count(when(col("term") === t, 1)).as(s"tf_$i")
+      }: _*)
+    val statsAggs = sum(col("dl")).as("cn") +:
+      queryTerms.indices.map(i => sum(col(s"tf_$i")).as(s"cf_$i"))
+    val stats = perDoc.agg(statsAggs.head, statsAggs.tail: _*)
+    def termScore(i: Int): Column =
+      Pmath.lnColumn(greatest(
+        col(s"tf_$i") * col("cn") + lit(mu) * col(s"cf_$i"), lit(1L))) -
+        Pmath.lnColumn((col("dl") + lit(mu)) * col("cn"))
+    val total = queryTerms.indices.map(termScore).reduceLeft(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc").as("doc_id"), total.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+  }
+
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {

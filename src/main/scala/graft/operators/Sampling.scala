@@ -106,4 +106,20 @@ object Sampling {
     if (row.isNullAt(0)) df.withColumn("rk", lit(1)).limit(0) // empty input
     else hashReservoir(df, classCol, idCol, row.getLong(0).toInt)
   }
+
+  /** Curriculum ordering (Bengio et al. 2009 applied to corpus
+    * assembly): a deterministic global training sequence that presents
+    * easy buckets first — rows order by (difficulty bucket, md5(id),
+    * id) and receive a GLOBAL 1-based sequence number through the
+    * distributed rank ([[Rank.withRowNumber]]: range-partitioned
+    * spine + broadcast prefix offsets — never a single-partition
+    * window). The md5 shuffles within a bucket so the curriculum is
+    * stable across reruns but not input-ordered. */
+  def curriculumOrder(df: DataFrame, idCol: String,
+                      difficultyCol: Column): DataFrame =
+    Rank.withRowNumber(
+      df.select(col(idCol).as("id"), difficultyCol.as("bucket"),
+        md5(col(idCol).cast("string")).as("h")),
+      Seq("bucket", "h", "id"), "seq")
+      .select(col("id").as(idCol), col("bucket"), col("h"), col("seq"))
 }

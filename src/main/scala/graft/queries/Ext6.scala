@@ -174,6 +174,24 @@ object Ext6 {
     "x_ltv_curve" -> ((s, d) =>
       graft.operators.EventOps.ltvCurve(t(s, d, "events"), "user_id",
         "ts", "event_type", revenueType = "purchase", col("value"))),
+
+    // Dirichlet query-likelihood top-20 (the LM retrieval model next
+    // to BM25): every doc scores, ratio lns integerized by the corpus
+    // token count, one aggregate + one broadcast + TakeOrdered
+    "x_dirichlet_lm" -> ((s, d) =>
+      graft.operators.Retrieval.dirichletTopK(t(s, d, "documents"),
+        "doc_id", "text", Seq("join", "merge", "scan"),
+        mu = 2000L, k = 20)),
+
+    // Curriculum ordering: global training sequence by (length bucket,
+    // md5 shuffle) through the distributed rank — easy docs first,
+    // stable across reruns and partitionings
+    "x_curriculum" -> ((s, d) => {
+      val nTok = size(Text.tokens(col("text")))
+      graft.operators.Sampling.curriculumOrder(t(s, d, "documents"),
+        "doc_id",
+        when(nTok < 110, 0).when(nTok < 130, 1).otherwise(2))
+    }),
   )
 
   private val termList = irTerms.map(x => s"'$x'").mkString(", ")
@@ -761,5 +779,51 @@ object Ext6 {
                 CAST(CAST(cum_cents AS VARCHAR) AS DOUBLE) / 100.0
                   / CAST(n_users AS DOUBLE) AS ltv_per_user
          FROM cum c JOIN sz ON c.cohort = sz.cohort""",
+
+    "x_dirichlet_lm" -> {
+      val terms = Seq("join", "merge", "scan")
+      val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf_$i"
+      }.mkString(", ")
+      val cfAggs = terms.indices.map(i =>
+        s"CAST(sum(tf_$i) AS BIGINT) AS cf_$i").mkString(", ")
+      val carryCols = Seq("doc", "dl") ++ terms.indices.map(i => s"tf_$i") ++
+        Seq("cn") ++ terms.indices.map(i => s"cf_$i")
+      val specs = terms.indices.map(i =>
+        s"greatest(tf_$i * cn + 2000 * cf_$i, 1)" -> s"lnum_$i") :+
+        ("(dl + 2000) * cn" -> "lden")
+      val (chains, last) = Pmath.lnSqlChainCtes("base", "dq", specs,
+        carry = carryCols)
+      val total = terms.indices.map(i => s"(lnum_$i - lden)")
+        .reduceLeft((a, b) => s"($a + $b)")
+      s"""WITH occ AS (SELECT doc_id AS doc,
+                         unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+          pd AS (SELECT doc, CAST(count(*) AS BIGINT) AS dl, $tfAggs
+                 FROM occ GROUP BY doc),
+          st AS (SELECT CAST(sum(dl) AS BIGINT) AS cn, $cfAggs FROM pd),
+          base AS (SELECT ${carryCols.mkString(", ")}
+                   FROM pd CROSS JOIN st),
+          $chains,
+          sc AS (SELECT doc, $total AS score FROM $last),
+          top AS (SELECT doc AS doc_id, score FROM sc
+                  ORDER BY score DESC, doc LIMIT 20)
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS INTEGER) AS rank
+          FROM top"""
+    },
+
+    "x_curriculum" ->
+      """WITH b AS (SELECT doc_id,
+                      CASE WHEN len(string_split(text, ' ')) < 110 THEN 0
+                           WHEN len(string_split(text, ' ')) < 130 THEN 1
+                           ELSE 2 END AS bucket,
+                      md5(CAST(doc_id AS VARCHAR)) AS h
+                    FROM documents)
+         SELECT doc_id, bucket, h,
+                CAST(row_number() OVER (ORDER BY bucket, h, doc_id)
+                  AS BIGINT) AS seq
+         FROM b""",
   )
 }

@@ -384,4 +384,34 @@ class Wave9Spec extends SparkSpec {
     assert(got((c0, 1L)) == ((2L, 35.0)))
     assert(got((c0 + 1, 0L)) == ((1L, 100.0)))
   }
+
+  test("dirichletTopK: repeated query terms rank a doc ahead; all docs score") {
+    val docs = Seq(
+      (1L, "spark spark spark engine engine"),
+      (2L, "spark engine other words here!"),
+      (3L, "nothing relevant at all here!"),
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Retrieval.dirichletTopK(docs, "doc_id",
+        "text", Seq("spark", "engine"), mu = 10L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(got.length == 3, "QL scores every doc, not just matches")
+    assert(got(0)._1 == 1L && got(1)._1 == 2L && got(2)._1 == 3L,
+      s"order by term density: ${got.toSeq}")
+    // hand check doc 1, term 'spark': ln((3*15 + 10*4)/(15*15))
+    val s1 = math.log(85.0 / 225.0) + math.log((2 * 15 + 10 * 3) / 225.0)
+    assert(math.abs(got(0)._2 - s1) < 1e-9, s"${got(0)._2} vs $s1")
+  }
+
+  test("curriculumOrder: buckets are contiguous and seq is a permutation") {
+    val df = Seq.tabulate(30)(i => (i.toLong, i % 3)).toDF("id", "d")
+    val got = graft.operators.Sampling.curriculumOrder(df, "id", col("d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    assert(got.map(_._3).sorted.toSeq == (1L to 30L), "seq is 1..n")
+    // ordered by seq, buckets must be non-decreasing
+    val byOrder = got.sortBy(_._3).map(_._2)
+    assert(byOrder.toSeq == byOrder.sorted.toSeq, s"easy first: ${byOrder.toSeq}")
+    // within a bucket the order is the md5 shuffle, not the id order
+    val b0 = got.sortBy(_._3).filter(_._2 == 0).map(_._1)
+    assert(b0.toSeq != b0.sorted.toSeq, "md5 shuffle should break id order")
+  }
 }
