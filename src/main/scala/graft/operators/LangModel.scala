@@ -433,6 +433,51 @@ object LangModel {
           (dbl(col("n_terms")) * lit(scale))).as("intercept"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * benchmark n-gram smoothing) — the serious upgrade of
+    * [[bigramScore]]'s add-one model:
+    * P(w₂|w₁) = (c₁₂ − d)/c₁ + (d·N₁₊(w₁·)/c₁)·(N₁₊(·w₂)/B),
+    * where the continuation probability counts TYPES, not tokens
+    * ("how many contexts has w₂ completed"), with absolute discount
+    * d = 0.75 (a dyadic rational — exact in binary on every engine).
+    *
+    * Float discipline: every count is an exact integer; P is a fixed
+    * sequence of correctly-rounded double ops (the bm25 tf-component
+    * precedent), the ln goes through the portable series on 1/P, and
+    * the per-doc average folds in position order (the bigramScore
+    * shape). Scoring the corpus against its own model means every
+    * scored bigram has c₁₂ ≥ 1, so P > 0 always.
+    *
+    * Scale shape: one positional bigram explode, four vocabulary/
+    * pair-sized count aggregates, pair- and word-keyed hash joins, one
+    * per-doc fold shuffle. The model is O(bigram types). */
+  def knScore(df: DataFrame, idCol: String, textCol: String,
+              d: Double = 0.75): DataFrame = {
+    val bg = df.select(col(idCol).as("doc"),
+        Text.explodePositionalShingles(col(textCol), 2).as(Seq("pos", "b")))
+      .select(col("doc"), col("pos"), split(col("b"), " ").as("ws"))
+      .select(col("doc"), col("pos"),
+        element_at(col("ws"), 1).as("w1"), element_at(col("ws"), 2).as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val n1l = c12.groupBy("w1").agg(count(lit(1)).as("n1w1"))
+    val n1r = c12.groupBy("w2").agg(count(lit(1)).as("n1w2"))
+    val bt = c12.agg(count(lit(1)).as("bt"))
+    val p = (col("c12").cast("double") - lit(d)) / col("c1").cast("double") +
+      ((lit(d) * col("n1w1").cast("double")) / col("c1").cast("double")) *
+        (col("n1w2").cast("double") / col("bt").cast("double"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .join(n1l, Seq("w1")).join(n1r, Seq("w2"))
+      .crossJoin(broadcast(bt))
+      .withColumn("lnp", -Pmath.lnColumn(lit(1.0) / p))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("pos"), col("lnp")))).as("ps"))
+      .select(col("doc").as("doc_id"),
+        size(col("ps")).cast("long").as("n_bigrams"),
+        (aggregate(transform(col("ps"), x => x.getField("lnp")),
+          lit(0.0), (a, x) => a + x) / size(col("ps"))).as("avg_lnp"))
+  }
+
   /** Statistical text-watermark detector (the Kirchenbauer et al. 2023
     * green-list scheme): a watermarking sampler biases each token
     * toward a "green list" seeded by the previous token; the detector

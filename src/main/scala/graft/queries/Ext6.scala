@@ -192,6 +192,12 @@ object Ext6 {
         "doc_id",
         when(nTok < 110, 0).when(nTok < 130, 1).otherwise(2))
     }),
+
+    // Interpolated Kneser-Ney bigram scoring — the benchmark n-gram
+    // smoothing (type-based continuation probabilities, d = 0.75
+    // dyadic discount) upgrading x_lm_score's add-one model
+    "x_kn_score" -> ((s, d) =>
+      LangModel.knScore(t(s, d, "documents"), "doc_id", "text")),
   )
 
   private val termList = irTerms.map(x => s"'$x'").mkString(", ")
@@ -825,5 +831,42 @@ object Ext6 {
                 CAST(row_number() OVER (ORDER BY bucket, h, doc_id)
                   AS BIGINT) AS seq
          FROM b""",
+
+    "x_kn_score" -> {
+      val (chains, last) = Pmath.lnSqlChainCtes("base0", "kn",
+        Seq("CAST('1.0' AS DOUBLE) / p" -> "lnx"),
+        carry = Seq("doc", "pos"))
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+          bg AS (SELECT doc_id AS doc, i AS pos, ws[i] AS w1,
+                        ws[i + 1] AS w2
+                 FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                       FROM w WHERE len(ws) >= 2)),
+          c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                  FROM bg GROUP BY 1, 2),
+          c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                 FROM bg GROUP BY 1),
+          n1l AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1w1
+                  FROM c12 GROUP BY 1),
+          n1r AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1w2
+                  FROM c12 GROUP BY 1),
+          bt AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM c12),
+          base0 AS (SELECT doc, pos,
+                      (CAST(c12 AS DOUBLE) - CAST('0.75' AS DOUBLE))
+                        / CAST(c1 AS DOUBLE)
+                      + ((CAST('0.75' AS DOUBLE) * CAST(n1w1 AS DOUBLE))
+                          / CAST(c1 AS DOUBLE))
+                        * (CAST(n1w2 AS DOUBLE) / CAST(bt AS DOUBLE))
+                        AS p
+                    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                         JOIN n1l USING (w1) JOIN n1r USING (w2)
+                         CROSS JOIN bt),
+          $chains,
+          per AS (SELECT doc, list(-lnx ORDER BY pos) AS ls
+                  FROM $last GROUP BY doc)
+          SELECT doc AS doc_id, CAST(len(ls) AS BIGINT) AS n_bigrams,
+                 list_sum(ls) / len(ls) AS avg_lnp
+          FROM per"""
+    },
   )
 }

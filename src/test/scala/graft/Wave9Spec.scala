@@ -414,4 +414,22 @@ class Wave9Spec extends SparkSpec {
     val b0 = got.sortBy(_._3).filter(_._2 == 0).map(_._1)
     assert(b0.toSeq != b0.sorted.toSeq, "md5 shuffle should break id order")
   }
+
+  test("knScore: hand-computed Kneser-Ney probability on a two-doc corpus") {
+    // corpus bigrams: (a b) x2 from doc1, (a b),(b c) from doc2
+    val docs = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = LangModel.knScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // model: c12(a,b)=2, c12(b,c)=1; c1(a)=2, c1(b)=1; n1w1(a)=1, n1w1(b)=1
+    // n1w2(b)=1, n1w2(c)=1; B=2
+    val pab = (2.0 - 0.75) / 2.0 + ((0.75 * 1.0) / 2.0) * (1.0 / 2.0)
+    val pbc = (1.0 - 0.75) / 1.0 + ((0.75 * 1.0) / 1.0) * (1.0 / 2.0)
+    assert(got(1L)._1 == 1L && got(2L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - math.log(pab)) < 1e-9,
+      s"${got(1L)._2} vs ${math.log(pab)}")
+    assert(math.abs(got(2L)._2 - (math.log(pab) + math.log(pbc)) / 2.0) < 1e-9)
+    // KN probabilities are a proper-ish distribution: both in (0, 1]
+    assert(pab > 0 && pab <= 1 && pbc > 0 && pbc <= 1)
+  }
 }
