@@ -1246,6 +1246,55 @@ object Stats {
     anovaF(z, "g", col("z"))
   }
 
+  /** (k1, k2)-grouped exact median pair over the distinct-value
+    * histogram of integer column `v`: lo/hi central elements (equal
+    * when the count is odd), so med2 = lo + hi keeps halves integral.
+    * The brownForsythe median, factored for two-key callers. */
+  private def pairMed(df: DataFrame, v: String): DataFrame = {
+    val hist = df.groupBy("k1", "k2", v).agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("k1", "k2").orderBy(v)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("k1", "k2")))
+    cum.groupBy("k1", "k2").agg(
+      min(when(col("cum") * 2 >= col("n") + pmod(col("n"), lit(2)),
+        col(v))).as("lo"),
+      min(when(col("cum") * 2 >= col("n") + 2 - pmod(col("n"), lit(2)),
+        col(v))).as("hi"))
+  }
+
+  /** Seasonal anomaly flags — the monitoring composition over the
+    * hourly series: each (key, hour) total compares against its
+    * hour-of-day PHASE's median, scaled by the phase's MAD, flagging
+    * |x − med| > 3.5·MAD. Robust (median/MAD, not mean/σ) and fully
+    * INTEGER: cents totals, med2 = lo+hi central pair, residuals in
+    * double-cents, and the flag test 4·r > 7·m2 clears the 3.5
+    * threshold to an exact integer comparison — no float enters at
+    * all, so the replay is trivially exact.
+    *
+    * Scale shape: one (key, hour) aggregate collapses the events; both
+    * median windows run per (key, phase) over day-count-sized spines;
+    * flags are a map-side join compare. A constant series has MAD 0 —
+    * any nonzero residual flags, the documented razor. */
+  def seasonalAnomaly(df: DataFrame, keyCol: String, tsCol: Column,
+                      valueCol: Column): DataFrame = {
+    val hourly = df.groupBy(col(keyCol).as("k1"),
+        date_trunc("hour", tsCol).as("step"))
+      .agg(sum(floor(valueCol * lit(100.0)).cast("long")).as("cents"))
+      .withColumn("k2", hour(col("step")))
+    val med = pairMed(hourly, "cents")
+      .select(col("k1"), col("k2"), (col("lo") + col("hi")).as("med2"))
+    val resid = hourly.join(med, Seq("k1", "k2"))
+      .withColumn("r", abs(col("cents") * 2 - col("med2")))
+    val mad = pairMed(resid, "r")
+      .select(col("k1"), col("k2"), (col("lo") + col("hi")).as("mad2"))
+    resid.join(mad, Seq("k1", "k2"))
+      .select(col("k1").as(keyCol), unix_seconds(col("step")).as("step_s"),
+        col("cents"), col("med2"), col("r"), col("mad2"),
+        (col("r") * 4 > col("mad2") * 7).as("is_anomaly"))
+  }
+
   /** Hill estimator of the tail index (Hill 1975) — how heavy is the
     * upper tail of the metric? H = (1/k)·Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over
     * the k largest values; α = 1/H is the Pareto exponent. The

@@ -198,6 +198,20 @@ object Ext6 {
     // dyadic discount) upgrading x_lm_score's add-one model
     "x_kn_score" -> ((s, d) =>
       LangModel.knScore(t(s, d, "documents"), "doc_id", "text")),
+
+    // Seasonal anomaly flags: each hourly total vs its hour-of-day
+    // phase median, scaled by the phase MAD — the 3.5x threshold
+    // clears to the integer test 4r > 7*mad2, so no float exists
+    "x_seasonal_anomaly" -> ((s, d) =>
+      Stats.seasonalAnomaly(t(s, d, "events"), "event_type", col("ts"),
+        col("value"))),
+
+    // Referential-integrity audit of orders.o_custkey -> customer:
+    // orphans, unreferenced parents, null FKs, fanout — per-key
+    // collapse first, one key-level full outer join, one-row report
+    "x_fk_audit" -> ((s, d) =>
+      graft.sources.Warehouse.fkAudit(t(s, d, "orders"), "o_custkey",
+        t(s, d, "customer"), "c_custkey")),
   )
 
   private val termList = irTerms.map(x => s"'$x'").mkString(", ")
@@ -868,5 +882,74 @@ object Ext6 {
                  list_sum(ls) / len(ls) AS avg_lnp
           FROM per"""
     },
+
+    "x_seasonal_anomaly" ->
+      """WITH h2 AS (SELECT event_type AS k1, date_trunc('hour', ts)
+                       AS step,
+                       CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                         AS BIGINT) AS cents,
+                       hour(date_trunc('hour', ts)) AS k2
+                     FROM events GROUP BY 1, 2, 4),
+         hist1 AS (SELECT k1, k2, cents AS v,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM h2 GROUP BY 1, 2, 3),
+         cum1 AS (SELECT k1, k2, v, cnt,
+                    sum(cnt) OVER (PARTITION BY k1, k2 ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum,
+                    sum(cnt) OVER (PARTITION BY k1, k2) AS n
+                  FROM hist1),
+         med AS (SELECT k1, k2,
+                   min(CASE WHEN cum * 2 >= n + (n % 2) THEN v END)
+                   + min(CASE WHEN cum * 2 >= n + 2 - (n % 2) THEN v END)
+                     AS med2
+                 FROM cum1 GROUP BY 1, 2),
+         resid AS (SELECT h2.k1, h2.k2, step, cents, med2,
+                     abs(cents * 2 - med2) AS r
+                   FROM h2 JOIN med USING (k1, k2)),
+         hist2 AS (SELECT k1, k2, r AS v, CAST(count(*) AS BIGINT) AS cnt
+                   FROM resid GROUP BY 1, 2, 3),
+         cum2 AS (SELECT k1, k2, v, cnt,
+                    sum(cnt) OVER (PARTITION BY k1, k2 ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum,
+                    sum(cnt) OVER (PARTITION BY k1, k2) AS n
+                  FROM hist2),
+         mad AS (SELECT k1, k2,
+                   min(CASE WHEN cum * 2 >= n + (n % 2) THEN v END)
+                   + min(CASE WHEN cum * 2 >= n + 2 - (n % 2) THEN v END)
+                     AS mad2
+                 FROM cum2 GROUP BY 1, 2)
+         SELECT k1 AS event_type, epoch(step) AS step_s, cents, med2, r,
+                mad2, r * 4 > mad2 * 7 AS is_anomaly
+         FROM resid JOIN mad USING (k1, k2)""",
+
+    "x_fk_audit" ->
+      """WITH ck AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS nc
+                     FROM orders GROUP BY 1),
+         pk AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS np
+                FROM customer GROUP BY 1),
+         j AS (SELECT coalesce(ck.k, pk.k) AS k, nc, np
+               FROM ck FULL OUTER JOIN pk ON ck.k = pk.k),
+         ag AS (SELECT
+                  CAST(sum(coalesce(nc, 0)) AS BIGINT) AS n_child,
+                  CAST(sum(coalesce(np, 0)) AS BIGINT) AS n_parent,
+                  CAST(sum(CASE WHEN np IS NULL AND k IS NOT NULL
+                           THEN nc ELSE 0 END) AS BIGINT)
+                    AS n_orphan_child,
+                  CAST(sum(CASE WHEN nc IS NULL THEN np ELSE 0 END)
+                    AS BIGINT) AS n_unreferenced_parent,
+                  CAST(count(CASE WHEN nc IS NOT NULL AND np IS NOT NULL
+                             THEN 1 END) AS BIGINT) AS n_matched_keys,
+                  CAST(sum(CASE WHEN k IS NULL THEN nc ELSE 0 END)
+                    AS BIGINT) AS n_null_fk
+                FROM j)
+         SELECT n_child, n_parent, n_orphan_child, n_unreferenced_parent,
+                n_matched_keys, n_null_fk,
+                CAST(n_orphan_child AS DOUBLE) / CAST(n_child AS DOUBLE)
+                  AS orphan_rate,
+                CAST(n_child - n_orphan_child AS DOUBLE)
+                  / CAST(n_parent AS DOUBLE) AS fanout
+         FROM ag""",
   )
 }

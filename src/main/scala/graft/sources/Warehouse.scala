@@ -142,4 +142,41 @@ object Warehouse {
     }.toSeq
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Referential-integrity audit of a foreign key — the pre-join
+    * health check a warehouse runs before trusting a star join:
+    * orphan child rows (FK value absent from the parent), unreferenced
+    * parent rows, null FKs, and the fanout factor. Both sides collapse
+    * to per-key counts FIRST (one shuffle each), then a single
+    * full-outer key join aggregates to one row — the join carries
+    * key-level rows, never the tables. Rates are single divisions of
+    * exact counts. */
+  def fkAudit(child: DataFrame, childKey: String, parent: DataFrame,
+              parentKey: String): DataFrame = {
+    val ck = child.groupBy(col(childKey).as("k"))
+      .agg(count(lit(1)).as("nc"))
+    val pk = parent.groupBy(col(parentKey).as("k"))
+      .agg(count(lit(1)).as("np"))
+    // a NULL FK key never joins, so the null-key child row survives the
+    // full outer unmatched and is split out as n_null_fk (no extra pass)
+    ck.join(pk, Seq("k"), "full_outer")
+      .agg(
+        sum(coalesce(col("nc"), lit(0L))).as("n_child"),
+        sum(coalesce(col("np"), lit(0L))).as("n_parent"),
+        sum(when(col("np").isNull && col("k").isNotNull, col("nc"))
+          .otherwise(0L)).as("n_orphan_child"),
+        sum(when(col("nc").isNull, col("np")).otherwise(0L))
+          .as("n_unreferenced_parent"),
+        count(when(col("nc").isNotNull && col("np").isNotNull, 1))
+          .as("n_matched_keys"),
+        sum(when(col("k").isNull, col("nc")).otherwise(0L))
+          .as("n_null_fk"))
+      .select(col("n_child"), col("n_parent"), col("n_orphan_child"),
+        col("n_unreferenced_parent"), col("n_matched_keys"),
+        col("n_null_fk"),
+        (col("n_orphan_child").cast("double") /
+          col("n_child").cast("double")).as("orphan_rate"),
+        ((col("n_child") - col("n_orphan_child")).cast("double") /
+          col("n_parent").cast("double")).as("fanout"))
+  }
 }

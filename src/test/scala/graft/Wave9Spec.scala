@@ -432,4 +432,39 @@ class Wave9Spec extends SparkSpec {
     // KN probabilities are a proper-ish distribution: both in (0, 1]
     assert(pab > 0 && pab <= 1 && pbc > 0 && pbc <= 1)
   }
+
+  test("seasonalAnomaly: planted spike flags, steady phases don't") {
+    import java.sql.Timestamp
+    def ts(day: Int, hr: Int) = new Timestamp(
+      (day * 86400L + hr * 3600L) * 1000L)
+    // metric m: hour 3 of every day worth 10.00, except day 5 = 500.00
+    val rows = (0 until 10).flatMap { day =>
+      Seq(("m", ts(day, 3), if (day == 5) 500.0 else 10.0),
+        ("m", ts(day, 7), 20.0))
+    }.toDF("event_type", "ts", "value")
+    val got = Stats.seasonalAnomaly(rows, "event_type", col("ts"),
+        col("value"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(6)))
+    val flagged = got.filter(_._3)
+    assert(flagged.length == 1 && flagged(0)._2 == 50000L,
+      s"only the 500.00 spike flags: ${got.toSeq.sortBy(_._1)}")
+    // steady hour-7 phase: all residuals 0, never flagged
+    assert(got.count(!_._3) == 19)
+  }
+
+  test("fkAudit: orphans, unreferenced parents, null FKs, fanout") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = graft.sources.Warehouse.fkAudit(child, "fk", parent, "pk")
+      .collect()(0)
+    assert(r.getLong(0) == 5L, "n_child counts every row incl null FK")
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == 1L, "one orphan (99)")
+    assert(r.getLong(3) == 1L, "parent 3 unreferenced")
+    assert(r.getLong(4) == 2L, "keys 1, 2 matched")
+    assert(r.getLong(5) == 1L, "one null FK")
+    assert(r.getDouble(6) == 0.2)
+    assert(r.getDouble(7) == 4.0 / 3.0)
+  }
 }
