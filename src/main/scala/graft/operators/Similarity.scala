@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
@@ -443,5 +443,71 @@ object Similarity {
     df.withColumn("_pc1", proj)
       .select(col(idCol), array((0 until dim).map(j =>
         cexpr(j) - col("_pc1") * lit(model.component(j))): _*).as("dvec"))
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedily pick `k` results from each query's exact-cosine
+    * shortlist, trading relevance against redundancy —
+    * mmr(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s). The diversified
+    * retrieval layer over [[bruteForceTopK]] (a search that returns
+    * five near-copies is worse than four copies and one alternative).
+    *
+    * Exactness: rel and the candidate-pair sims ride the proven cosine
+    * machinery; λ and 1−λ are driver-computed literal doubles; every
+    * round's argmax uses a (score DESC, id ASC) total order, and max
+    * over doubles is order-independent — the whole greedy trace
+    * replays in unrolled SQL rounds (the pagerank discipline). Round 1
+    * scores with max-sim 0, so one formula covers every round.
+    *
+    * Scale shape: the expensive stage is the shortlist itself (the
+    * audited top-k); everything after runs on parameter-bounded frames
+    * — shortlist² pair sims per query, then k bounded rounds of
+    * key-partitioned joins and rank-1 windows. No driver action. */
+  def mmrDiversify(queries: DataFrame, corpus: DataFrame, qId: String,
+                   qVec: String, cId: String, cVec: String,
+                   shortlist: Int, k: Int, lambda: Double): DataFrame = {
+    val cands = bruteForceTopK(queries, corpus, qId, qVec, cId, cVec,
+      shortlist).select(col("query_id"), col("neighbor_id"),
+      col("cos").as("rel"))
+    val vecs = corpus.select(col(cId).as("id"), col(cVec).as("v"),
+      graft.functions.Vectors.l2Norm(col(cVec)).as("nv"))
+    val pairs = cands.select(col("query_id"), col("neighbor_id").as("ida"))
+      .join(vecs.select(col("id").as("ida"), col("v").as("va"),
+        col("nv").as("na")), Seq("ida"))
+      .join(cands.select(col("query_id"), col("neighbor_id").as("idb")),
+        Seq("query_id"))
+      .join(vecs.select(col("id").as("idb"), col("v").as("vb"),
+        col("nv").as("nb")), Seq("idb"))
+      .withColumn("sim", when(col("na") * col("nb") =!= 0.0,
+        graft.functions.Vectors.dot(col("va"), col("vb")) /
+          (col("na") * col("nb"))).otherwise(lit(0.0)))
+      .select("query_id", "ida", "idb", "sim")
+    def mmr(rel: Column, ms: Column): Column =
+      lit(lambda) * rel - lit(1.0 - lambda) * ms
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    var selected = cands
+      .withColumn("score", mmr(col("rel"), lit(0.0)))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("score"), lit(1).as("round"))
+    (2 to k).foreach { r =>
+      val notSel = cands.join(
+        selected.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = notSel
+        .join(pairs.withColumnRenamed("ida", "neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .join(selected.select(col("query_id"),
+          col("neighbor_id").as("idb")), Seq("query_id", "idb"))
+        .groupBy("query_id", "neighbor_id", "rel")
+        .agg(max(col("sim")).as("ms"))
+      val pick = ms.withColumn("score", mmr(col("rel"), col("ms")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          col("score"), lit(r).as("round"))
+      selected = selected.unionByName(pick)
+    }
+    selected
   }
 }

@@ -212,6 +212,16 @@ object Ext6 {
     "x_fk_audit" -> ((s, d) =>
       graft.sources.Warehouse.fkAudit(t(s, d, "orders"), "o_custkey",
         t(s, d, "customer"), "c_custkey")),
+
+    // MMR diversified re-ranking of the exact-cosine shortlist:
+    // lambda=0.7, 5 greedy picks from 10 candidates per query —
+    // bounded unrolled rounds, total-order argmax each round
+    "x_mmr_diversify" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      graft.operators.Similarity.mmrDiversify(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        "vec_id", "embedding", shortlist = 10, k = 5, lambda = 0.7)
+    }),
   )
 
   private val termList = irTerms.map(x => s"'$x'").mkString(", ")
@@ -951,5 +961,72 @@ object Ext6 {
                 CAST(n_child - n_orphan_child AS DOUBLE)
                   / CAST(n_parent AS DOUBLE) AS fanout
          FROM ag""",
+
+    "x_mmr_diversify" -> {
+      val lam = 0.7
+      val l = s"CAST('${lam.toString}' AS DOUBLE)"
+      val m = s"CAST('${(1.0 - lam).toString}' AS DOUBLE)"
+      val rounds = (2 to 5).map { r =>
+        s"""ms$r AS (SELECT c.query_id, c.neighbor_id, c.rel,
+                 max(p.sim) AS ms
+               FROM cands c
+               JOIN pairs p ON p.query_id = c.query_id
+                AND p.ida = c.neighbor_id
+               JOIN acc${r - 1} s ON s.query_id = p.query_id
+                AND s.neighbor_id = p.idb
+               WHERE NOT EXISTS (SELECT 1 FROM acc${r - 1} x
+                     WHERE x.query_id = c.query_id
+                       AND x.neighbor_id = c.neighbor_id)
+               GROUP BY 1, 2, 3),
+          sel$r AS (SELECT query_id, neighbor_id, rel, score, $r AS round
+                FROM (SELECT query_id, neighbor_id, rel,
+                        $l * rel - $m * ms AS score,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY $l * rel - $m * ms DESC, neighbor_id)
+                          AS rn
+                      FROM ms$r) WHERE rn = 1),
+          acc$r AS (SELECT * FROM acc${r - 1}
+                UNION ALL SELECT * FROM sel$r)"""
+      }.mkString(",\n          ")
+      s"""WITH e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))
+                         AS v
+                     FROM embeddings),
+          n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+                FROM e),
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                FROM n WHERE vec_id < 10),
+          scored AS (SELECT query_id, n.vec_id AS neighbor_id,
+                       CASE WHEN qn * nrm <> 0
+                            THEN list_dot_product(qv, v) / (qn * nrm) END
+                         AS cos
+                     FROM n CROSS JOIN q),
+          ranked AS (SELECT *, row_number() OVER
+                       (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+                     FROM scored),
+          cands AS (SELECT query_id, neighbor_id, cos AS rel
+                    FROM ranked WHERE rank <= 10),
+          pairs AS (SELECT a.query_id, a.neighbor_id AS ida,
+                      b.neighbor_id AS idb,
+                      CASE WHEN na.nrm * nb.nrm <> 0
+                           THEN list_dot_product(na.v, nb.v)
+                                / (na.nrm * nb.nrm)
+                           ELSE 0.0 END AS sim
+                    FROM cands a JOIN cands b
+                      ON a.query_id = b.query_id
+                    JOIN n na ON na.vec_id = a.neighbor_id
+                    JOIN n nb ON nb.vec_id = b.neighbor_id),
+          sel1 AS (SELECT query_id, neighbor_id, rel, score, 1 AS round
+                FROM (SELECT query_id, neighbor_id, rel,
+                        $l * rel - $m * 0.0 AS score,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY $l * rel - $m * 0.0 DESC, neighbor_id)
+                          AS rn
+                      FROM cands) WHERE rn = 1),
+          acc1 AS (SELECT * FROM sel1),
+          $rounds
+          SELECT query_id, neighbor_id, rel, score, round FROM acc5"""
+    },
   )
 }

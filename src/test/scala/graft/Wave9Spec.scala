@@ -467,4 +467,30 @@ class Wave9Spec extends SparkSpec {
     assert(r.getDouble(6) == 0.2)
     assert(r.getDouble(7) == 4.0 / 3.0)
   }
+
+  test("mmrDiversify: redundancy penalty promotes the diverse candidate") {
+    // query q = [1,1]; a most relevant, b = a's twin (redundant),
+    // c orthogonal to a (less relevant but diverse): mmr(b) ~ -0.12,
+    // mmr(c) ~ +0.30 at lambda 0.5
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.1f)),                 // a: rel ~.774
+      (2L, Array(1.0f, 0.08f)),                // b: twin, rel ~.761
+      (3L, Array(0.0f, 1.0f)),                 // c: diverse, rel ~.707
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.mmrDiversify(queries, corpus,
+        "vec_id", "embedding", "vec_id", "embedding",
+        shortlist = 3, k = 2, lambda = 0.5)
+      .collect().sortBy(_.getInt(4)).map(r => (r.getInt(4), r.getLong(1)))
+    assert(got(0) == ((1, 1L)), s"round 1 takes the most relevant: ${got.toSeq}")
+    assert(got(1) == ((2, 3L)),
+      s"round 2 must skip the twin and take the diverse one: ${got.toSeq}")
+
+    // with lambda = 1 (pure relevance) the twin wins instead
+    val rel = graft.operators.Similarity.mmrDiversify(queries, corpus,
+        "vec_id", "embedding", "vec_id", "embedding",
+        shortlist = 3, k = 2, lambda = 1.0)
+      .collect().sortBy(_.getInt(4)).map(_.getLong(1))
+    assert(rel.toSeq == Seq(1L, 2L), s"pure relevance keeps the twin: ${rel.toSeq}")
+  }
 }
