@@ -87,6 +87,34 @@ object Rank {
     }.drop("_pid" +: cums.map { case (_, out) => s"_o_$out" }: _*)
   }
 
+  /** Append the NEXT row's `srcCol` (SQL `lead(src, 1)`) over the
+    * global `orderCol` order as `outCol`, distributed: a per-range-
+    * partition lead patched at partition boundaries with the next
+    * partition's first value. `orderCol` must be row-unique (a
+    * distinct-value spine); `outCol` is NULL on the global last row.
+    *
+    * Same scale contract as [[withCumSums]]: the only ordered global
+    * window runs over one row per range partition (parameter-bounded),
+    * and the patch table is broadcast. Empty range partitions simply
+    * don't appear in the patch table, so `lead` over the present
+    * partition ids still hands the correct next-first value across
+    * them. */
+  def withLead1(spine: DataFrame, orderCol: String, srcCol: String,
+                outCol: String): DataFrame = {
+    val ranged = spine.repartitionByRange(col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy("_pid").orderBy(col(orderCol))
+    val local = ranged.withColumn(outCol, lead(col(srcCol), 1).over(wLocal))
+    val wNext = Window.orderBy("_pid")
+    val patch = ranged.groupBy("_pid")
+      .agg(min_by(col(srcCol), col(orderCol)).as("_first"))
+      .select(col("_pid"),
+        lead(col("_first"), 1).over(wNext).as("_next_first"))
+    local.join(broadcast(patch), Seq("_pid"))
+      .withColumn(outCol, coalesce(col(outCol), col("_next_first")))
+      .drop("_pid", "_next_first")
+  }
+
   /** Global row_number over `orderCols` (which must be row-unique —
     * include a tiebreak column) as a LONG column `outCol`, distributed
     * per [[withCumSums]]. */

@@ -1408,4 +1408,57 @@ object Stats {
         (Pmath.lnColumn(col("n")) - col("s") / col("n").cast("double"))
           .as("entropy"))
   }
+
+  /** Pairwise exact 1-D Wasserstein-1 (earth mover's) distances
+    * between the per-group empirical distributions of an integer-
+    * quantized value (callers pass cents — `floor(value·100)` — so
+    * every interval width is an integer):
+    * W1(A,B) = ∫ |F_A − F_B| dv
+    *         = Σ_i |F_A(v_i) − F_B(v_i)| · (v_{i+1} − v_i),
+    * computed over the merged distinct-value spine with
+    * cross-multiplied ECDFs — the per-interval contribution
+    * |c_A·n_B − c_B·n_A| · gap is EXACT long arithmetic, the total a
+    * HUGEINT/decimal sum, and the one division happens at the very
+    * end (string-mediated decimal→double, the x_grain_rollup recipe).
+    *
+    * Scale shape: ONE spine serves every requested pair — a single
+    * hash aggregate to distinct values carrying one count column per
+    * group, [[Rank.withCumSums]] for all CDFs in one distributed pass,
+    * [[Rank.withLead1]] for the interval widths, then an explode to
+    * (pair, contribution) rows and one hash aggregate. No
+    * single-partition window anywhere; the spine is bounded by the
+    * distinct quantized values, not by rows. */
+  def wassersteinPairs(df: DataFrame, groupCol: String,
+                       valueCents: Column,
+                       pairs: Seq[(String, String)]): DataFrame = {
+    val groups = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val f = df.select(valueCents.as("v"), col(groupCol).as("g"))
+      .where(col("g").isin(groups: _*) && col("v").isNotNull)
+    val aCols = groups.map(g =>
+      sum(when(col("g") === g, 1L).otherwise(0L)).as(s"a_$g"))
+    val perV = f.groupBy("v").agg(aCols.head, aCols.tail: _*)
+    val cum = Rank.withCumSums(perV, Seq("v"),
+      groups.map(g => s"a_$g" -> s"c_$g"))
+    val led = Rank.withLead1(cum, "v", "v", "v_next")
+    val nCols = groups.map(g =>
+      sum(when(col("g") === g, 1L).otherwise(0L)).as(s"n_$g"))
+    val tot = f.groupBy().agg(nCols.head, nCols.tail: _*)
+    val pairRows = led.crossJoin(broadcast(tot))
+      .where(col("v_next").isNotNull)
+      .select(explode(array(pairs.map { case (ga, gb) =>
+        struct(lit(ga).as("g_a"), lit(gb).as("g_b"),
+          col(s"n_$ga").as("n_a"), col(s"n_$gb").as("n_b"),
+          (abs(col(s"c_$ga") * col(s"n_$gb") -
+            col(s"c_$gb") * col(s"n_$ga")) *
+            (col("v_next") - col("v"))).as("contrib"))
+      }: _*)).as("p"))
+      .select(col("p.g_a"), col("p.g_b"), col("p.n_a"), col("p.n_b"),
+        col("p.contrib"))
+    pairRows.groupBy("g_a", "g_b", "n_a", "n_b")
+      .agg(sum(col("contrib").cast("decimal(38,0)")).as("w_num"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        (col("w_num").cast("string").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double") *
+            lit(100.0))).as("w1"))
+  }
 }

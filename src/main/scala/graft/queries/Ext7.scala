@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.{Rank, Stats}
+
+/** Round-6 wave 2: distribution distance and classifier-agreement
+  * diagnostics — the exact 1-D Wasserstein-1 (earth mover's) distance
+  * between every pair of event-type value distributions (the drift
+  * metric that, unlike KS, weighs HOW FAR mass moved), the full
+  * precision/recall operating curve of a scorer at every threshold,
+  * and the rater-agreement pair Cohen's kappa + McNemar's paired test
+  * over the heuristic language-ID against the stored label.
+  *
+  * Oracle discipline (the repo's standing float rules): cents-
+  * quantized integer geometry for W1 with one string-mediated
+  * decimal→double hop at the end; cross-multiplied integer ECDFs; all
+  * curve ratios are single divisions of exact integer counts. The
+  * rank spines run on [[graft.operators.Rank]]'s distributed
+  * recipe — no single-partition window over a data-sized spine.
+  */
+object Ext7 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The five event types, sorted — the W1 pair grid is the sorted
+    * upper triangle so engine and oracle enumerate identically. */
+  private val eventTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+  private val w1Pairs: Seq[(String, String)] =
+    for { i <- eventTypes.indices; j <- (i + 1) until eventTypes.size }
+      yield (eventTypes(i), eventTypes(j))
+
+  /** DuckDB rendering of the en-stopword-marker count (shared token
+    * semantics with [[Text.markerCount]]). */
+  private def dMarker(vs: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${vs.map(v => s"'$v'").mkString(",")})))"
+
+  /** DuckDB rendering of [[Text.langId]]'s CASE ladder (the x_lang_id
+    * oracle's expression, reused as a rater here). */
+  private def dLangId: String = {
+    val m = Text.langMarkers.toMap
+    s"""CASE WHEN length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))::DOUBLE
+                  / greatest(length(text), 1) > 0.3 THEN 'zh'
+             WHEN ${dMarker(m("es"))} > ${dMarker(m("en"))}
+              AND ${dMarker(m("es"))} >= ${dMarker(m("fr"))}
+              AND ${dMarker(m("es"))} >= ${dMarker(m("de"))} THEN 'es'
+             WHEN ${dMarker(m("fr"))} > ${dMarker(m("en"))}
+              AND ${dMarker(m("fr"))} > ${dMarker(m("es"))}
+              AND ${dMarker(m("fr"))} >= ${dMarker(m("de"))} THEN 'fr'
+             WHEN ${dMarker(m("de"))} > ${dMarker(m("en"))}
+              AND ${dMarker(m("de"))} > ${dMarker(m("es"))}
+              AND ${dMarker(m("de"))} > ${dMarker(m("fr"))} THEN 'de'
+             ELSE 'en' END"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact W1 between every pair of event-type value distributions:
+    // ONE distinct-cents spine carries all five ECDFs (5 cum-sums in
+    // one distributed rank pass), one distributed lead supplies the
+    // interval widths, and the 10 pair totals are exact integer sums
+    "x_wasserstein" -> ((s, d) =>
+      Stats.wassersteinPairs(t(s, d, "events"), "event_type",
+        floor(col("value") * lit(100.0)).cast("long"), w1Pairs)
+        .orderBy("g_a", "g_b")),
+
+    // Full precision/recall operating curve of the en-stopword-count
+    // scorer against the en label, one row per distinct threshold
+    // (predict positive at score ≥ t): cumulative counts over the
+    // DESCENDING score spine via the distributed rank, ratios as
+    // single divisions of exact counts
+    "x_pr_curve" -> ((s, d) => {
+      val m = Text.langMarkers.toMap
+      val sc = t(s, d, "documents").select(
+        Text.markerCount(col("text"), m("en")).cast("long").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val perS = sc.groupBy("score")
+        .agg(count(lit(1)).as("cnt"), sum("pos").as("p"))
+        .withColumn("_ord", -col("score"))
+      val cum = Rank.withCumSums(perS, Seq("_ord"),
+        Seq("cnt" -> "k", "p" -> "tp"))
+      val tot = sc.groupBy().agg(sum("pos").as("p_all"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("score").as("threshold"), col("k"), col("tp"),
+          (col("tp").cast("double") / col("k").cast("double"))
+            .as("precision"),
+          (col("tp").cast("double") / col("p_all").cast("double"))
+            .as("recall"))
+    }),
+
+    // Cohen's kappa between the language-ID heuristic and the stored
+    // label: kappa = (n·agree − Σ_c r_truth·r_pred)/(n² − Σ_c …) —
+    // chance agreement from the exact marginal products (full-outer
+    // class join, absent classes contribute 0), one final division.
+    // Class-marginal frames are |lang-domain|-bounded, so the join is
+    // broadcast-sized at any corpus scale; the counts are longs (exact
+    // to 2^53 in the final double hop — beyond that, swap the last
+    // cast for the string-mediated decimal recipe)
+    "x_cohens_kappa" -> ((s, d) => {
+      val pr = t(s, d, "documents").select(col("lang").as("truth"),
+        Text.langId(col("text")).as("pred"))
+      val na = pr.groupBy().agg(count(lit(1)).as("n"),
+        sum(when(col("truth") === col("pred"), 1L).otherwise(0L))
+          .as("agree"))
+      val tc = pr.groupBy(col("truth").as("cls"))
+        .agg(count(lit(1)).as("rt"))
+      val pc = pr.groupBy(col("pred").as("cls"))
+        .agg(count(lit(1)).as("rp"))
+      val pe = tc.join(pc, Seq("cls"), "full_outer")
+        .agg(sum(coalesce(col("rt"), lit(0L)) *
+          coalesce(col("rp"), lit(0L))).as("pe_num"))
+      na.crossJoin(pe).select(col("n"), col("agree"), col("pe_num"),
+        ((col("n") * col("agree") - col("pe_num")).cast("double") /
+          (col("n") * col("n") - col("pe_num")).cast("double"))
+          .as("kappa"))
+    }),
+
+    // McNemar's paired test between two en-detectors (stopword-count
+    // ≥ 2 vs the full language-ID ladder) on the en label: b/c are the
+    // discordant-error counts, the statistic (b−c)²/(b+c) one exact
+    // integer square over one division (NULL when never discordant)
+    "x_mcnemar" -> ((s, d) => {
+      val m = Text.langMarkers.toMap
+      val f = t(s, d, "documents").select(
+        (Text.markerCount(col("text"), m("en")) >= 2).as("pa"),
+        (Text.langId(col("text")) === "en").as("pb"),
+        (col("lang") === "en").as("y"))
+      f.groupBy().agg(
+          sum(when(col("pa") === col("y") && col("pb") =!= col("y"), 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("pa") =!= col("y") && col("pb") === col("y"), 1L)
+            .otherwise(0L)).as("c"))
+        .select(col("b"), col("c"),
+          when(col("b") + col("c") === 0L, lit(null).cast("double"))
+            .otherwise(
+              ((col("b") - col("c")) * (col("b") - col("c")))
+                .cast("double") /
+                (col("b") + col("c")).cast("double")).as("chi2"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "x_wasserstein" -> {
+      val perVCols = eventTypes.map(g =>
+        s"sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS a_$g").mkString(", ")
+      val cumCols = eventTypes.map(g =>
+        s"sum(a_$g) OVER w AS c_$g").mkString(", ")
+      val totCols = eventTypes.map(g =>
+        s"sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS n_$g").mkString(", ")
+      val pairSelects = w1Pairs.map { case (ga, gb) =>
+        s"""SELECT '$ga' AS g_a, '$gb' AS g_b,
+             CAST(n_$ga AS BIGINT) AS n_a, CAST(n_$gb AS BIGINT) AS n_b,
+             sum(abs(c_$ga * n_$gb - c_$gb * n_$ga) * (v_next - v)) AS w_num
+           FROM cum, tot WHERE v_next IS NOT NULL GROUP BY 1, 2, 3, 4"""
+      }.mkString(" UNION ALL ")
+      s"""WITH f AS (SELECT CAST(floor(value * 100.0) AS BIGINT) AS v,
+                       event_type AS g
+                     FROM events WHERE value IS NOT NULL),
+         perv AS (SELECT v, $perVCols FROM f GROUP BY 1),
+         cum AS (SELECT v, $cumCols, lead(v) OVER (ORDER BY v) AS v_next
+                 FROM perv
+                 WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         tot AS (SELECT $totCols FROM f),
+         pairs AS ($pairSelects)
+         SELECT g_a, g_b, n_a, n_b,
+                CAST(CAST(w_num AS VARCHAR) AS DOUBLE) /
+                  (n_a::DOUBLE * n_b::DOUBLE * 100.0) AS w1
+         FROM pairs ORDER BY g_a, g_b"""
+    },
+
+    "x_pr_curve" -> {
+      val m = Text.langMarkers.toMap
+      s"""WITH sc AS (SELECT CAST(${dMarker(m("en"))} AS BIGINT) AS score,
+                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+                      FROM documents),
+         per AS (SELECT score, count(*) AS cnt, sum(pos) AS p
+                 FROM sc GROUP BY 1),
+         cum AS (SELECT score, sum(cnt) OVER w AS k, sum(p) OVER w AS tp
+                 FROM per
+                 WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)),
+         tot AS (SELECT sum(pos) AS p_all FROM sc)
+         SELECT score AS threshold, CAST(k AS BIGINT) AS k,
+                CAST(tp AS BIGINT) AS tp,
+                tp::DOUBLE / k::DOUBLE AS "precision",
+                tp::DOUBLE / p_all::DOUBLE AS recall
+         FROM cum, tot"""
+    },
+
+    "x_cohens_kappa" ->
+      s"""WITH pr AS (SELECT lang AS truth, $dLangId AS pred
+                      FROM documents),
+         na AS (SELECT count(*) AS n,
+                  sum(CASE WHEN truth = pred THEN 1 ELSE 0 END) AS agree
+                FROM pr),
+         tc AS (SELECT truth AS cls, count(*) AS rt FROM pr GROUP BY 1),
+         pc AS (SELECT pred AS cls, count(*) AS rp FROM pr GROUP BY 1),
+         pe AS (SELECT sum(coalesce(rt, 0) * coalesce(rp, 0)) AS pe_num
+                FROM tc FULL OUTER JOIN pc USING (cls))
+         SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+                CAST(pe_num AS BIGINT) AS pe_num,
+                (n * agree - pe_num)::DOUBLE /
+                  (n * n - pe_num)::DOUBLE AS kappa
+         FROM na, pe""",
+
+    "x_mcnemar" -> {
+      val m = Text.langMarkers.toMap
+      s"""WITH f AS (SELECT ${dMarker(m("en"))} >= 2 AS pa,
+                       ($dLangId) = 'en' AS pb,
+                       lang = 'en' AS y
+                     FROM documents),
+         ag AS (SELECT
+             sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS c
+           FROM f)
+         SELECT CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
+                CASE WHEN b + c = 0 THEN NULL
+                     ELSE ((b - c) * (b - c))::DOUBLE / (b + c)::DOUBLE
+                END AS chi2
+         FROM ag"""
+    })
+}

@@ -88,7 +88,9 @@ class StatsPlanSpec extends SparkSpec {
       "theilsen" -> planOf(Stats.theilSenSlope(rows, col("id"), col("x"), col("y"))),
       "quantilenorm" -> planOf(Stats.quantileNormalize(rows, "g", col("x"))),
       "conformal" -> planOf(Stats.conformalInterval(rows, col("id"), col("x"), col("y"))),
-      "concentration" -> planOf(Stats.concentration(rows, col("g"), col("x"))))
+      "concentration" -> planOf(Stats.concentration(rows, col("g"), col("x"))),
+      "wasserstein" -> planOf(Stats.wassersteinPairs(rows, "g", col("id"),
+        Seq(("g0", "g1"), ("g1", "g2")))))
     plans.foreach { case (name, plan) =>
       assert(!singlePartitionWindow(plan),
         s"$name ranks a data-sized spine through ONE task:\n$plan")

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Rank, Stats}
+import graft.queries.Ext7
+
+/** Round-6 wave 2: distributed lead, exact Wasserstein-1, and the
+  * agreement/curve diagnostics — each against a plain-Scala brute
+  * force or its own invariants (the DuckDB differential gate does the
+  * bit-exact replay). */
+class Wave10Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("Rank.withLead1 equals single-partition lead on a distinct spine") {
+    val vs = Seq(5L, 1L, 9L, 3L, 12L, 7L, 2L, 100L, 42L, 6L)
+    val df = vs.toDF("v").repartition(7)
+    val got = Rank.withLead1(df, "v", "v", "nxt")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1)
+    val sorted = vs.sorted
+    val want = sorted.zip(sorted.drop(1).map(Some(_)) :+ None)
+    assert(got.toSeq == want)
+  }
+
+  test("wassersteinPairs equals the brute-force ECDF integral") {
+    val rnd = new scala.util.Random(7)
+    val a = Seq.fill(80)(rnd.nextInt(500).toLong + 1)
+    val b = Seq.fill(120)(rnd.nextInt(500).toLong + 200)
+    val c = Seq.fill(50)(rnd.nextInt(100).toLong)
+    val df = (a.map(("a", _)) ++ b.map(("b", _)) ++ c.map(("c", _)))
+      .toDF("g", "cents")
+    val got = Stats.wassersteinPairs(df, "g", col("cents"),
+        Seq(("a", "b"), ("a", "c"), ("b", "c")))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(4)))
+      .toMap
+
+    def brute(x: Seq[Long], y: Seq[Long]): Double = {
+      val vs = (x ++ y).distinct.sorted
+      var acc = BigInt(0)
+      for (i <- 0 until vs.size - 1) {
+        val v = vs(i)
+        val ca = x.count(_ <= v).toLong
+        val cb = y.count(_ <= v).toLong
+        acc += BigInt((ca * y.size - cb * x.size).abs) * (vs(i + 1) - v)
+      }
+      acc.toDouble / ((x.size.toDouble * y.size.toDouble) * 100.0)
+    }
+    for (((ga, gb), w) <- Map(("a", "b") -> brute(a, b),
+        ("a", "c") -> brute(a, c), ("b", "c") -> brute(b, c)))
+      assert(math.abs(got((ga, gb)) - w) <= 1e-12 * math.max(1.0, w.abs),
+        s"pair ($ga,$gb): got ${got((ga, gb))}, want $w")
+  }
+
+  test("wasserstein of a distribution against itself is zero, and shifts scale it") {
+    val base = (1 to 60).map(_.toLong * 7 % 101)
+    val df = (base.map(("p", _)) ++ base.map(("q", _)) ++
+      base.map(v => ("r", v + 250L))).toDF("g", "cents")
+    val got = Stats.wassersteinPairs(df, "g", col("cents"),
+        Seq(("p", "q"), ("p", "r")))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(4)))
+      .toMap
+    assert(got(("p", "q")) == 0.0)
+    // a pure +250-cent shift of the same sample moves every unit of
+    // mass exactly 2.50
+    assert(math.abs(got(("p", "r")) - 2.50) <= 1e-12)
+  }
+
+  test("x_pr_curve invariants: k strictly decreasing thresholds, cumulative counts, exact ratios") {
+    val rows = Ext7.queries("x_pr_curve")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(-_._1)
+    assert(rows.nonEmpty)
+    // k cumulative in descending-threshold order; tp <= k; ratios exact
+    rows.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi._1 > lo._1 && hi._2 < lo._2 && hi._3 <= lo._3)
+      case _ => ()
+    }
+    rows.foreach { case (_, k, tp, prec, rec) =>
+      assert(tp <= k && prec == tp.toDouble / k.toDouble)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the loosest threshold admits every document: recall hits 1
+    assert(rows.last._5 == 1.0)
+  }
+
+  test("x_cohens_kappa and x_mcnemar are in-range on the corpus") {
+    val k = Ext7.queries("x_cohens_kappa")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val n = k.getLong(0)
+    assert(n > 0 && k.getLong(1) <= n)
+    val kappa = k.getDouble(3)
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    val m = Ext7.queries("x_mcnemar")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(m.getLong(0) >= 0 && m.getLong(1) >= 0)
+  }
+}
