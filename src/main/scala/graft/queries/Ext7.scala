@@ -58,7 +58,96 @@ object Ext7 {
              ELSE 'en' END"""
   }
 
+  /** Shapley attribution setup (Shapley 1953; Zhao, Mahboobi &
+    * Moosavi 2018's coalition-rate estimator): the four touch
+    * channels, sorted, bit i = position in this list; `purchase` is
+    * the conversion event, never a channel. The coalition value
+    * v(S) is the observed conversion rate of users whose touch set is
+    * EXACTLY S (0 when unobserved), grounded at v(∅) = 0. */
+  private val shapChannels = Seq("click", "error", "signup", "view")
+
+  /** (channel, S-mask, S∪{i}-mask, weight |S|!·(n−1−|S|)!/n!) for every
+    * channel i and S ⊆ N∖{i} — 32 literal rows shared verbatim (same
+    * Double.toString rendering) by engine and oracle. */
+  private val shapTerms: Seq[(String, Int, Int, Double)] = {
+    def fact(k: Int): Long = (1 to k).map(_.toLong).product
+    val n = shapChannels.size
+    for {
+      (c, i) <- shapChannels.zipWithIndex
+      s <- 0 until (1 << n) if (s & (1 << i)) == 0
+    } yield {
+      val sz = Integer.bitCount(s)
+      (c, s, s | (1 << i),
+        fact(sz).toDouble * fact(n - 1 - sz).toDouble / fact(n).toDouble)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact Shapley-value channel attribution: one shuffle collapses
+    // events to (user, coalition-bitmask, converted); coalitions
+    // aggregate to ≤ 2⁴ rows, so the subset-enumeration joins (32
+    // literal marginal-contribution terms × coalition rates) are
+    // driver-free and broadcast-sized at ANY event volume. φ_c folds
+    // its 8 weighted marginals in s_mask order (the pagerank ordered-
+    // fold discipline), each a literal weight × one exact-count-rate
+    // difference
+    "x_shapley" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val bitCols = shapChannels.zipWithIndex.map { case (c, i) =>
+        max(when(col("event_type") === c, lit(1L << i)).otherwise(0L))
+          .as(s"b$i")
+      }
+      val users = ev.groupBy("user_id")
+        .agg(bitCols.head, (bitCols.tail :+
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv")): _*)
+        .select(shapChannels.indices.map(i => col(s"b$i"))
+          .reduce(_ + _).as("m"), col("conv"))
+      val v = users.where(col("m") =!= 0L).groupBy("m")
+        .agg(count(lit(1)).as("nu"), sum("conv").as("nc"))
+        .select(col("m"),
+          (col("nc").cast("double") / col("nu").cast("double")).as("v"))
+      val terms = shapTerms
+        .toDF("channel", "s_mask", "su_mask", "w")
+        .withColumn("s_mask", col("s_mask").cast("long"))
+        .withColumn("su_mask", col("su_mask").cast("long"))
+      terms
+        .join(broadcast(v).as("a"), col("s_mask") === col("a.m"), "left")
+        .join(broadcast(v).as("b"), col("su_mask") === col("b.m"), "left")
+        .select(col("channel"), col("s_mask"),
+          (col("w") * (coalesce(col("b.v"), lit(0.0)) -
+            coalesce(col("a.v"), lit(0.0)))).as("term"))
+        .groupBy("channel")
+        .agg(aggregate(
+          transform(
+            sort_array(collect_list(struct(col("s_mask"), col("term")))),
+            x => x.getField("term")),
+          lit(0.0), (acc, x) => acc + x).as("phi"))
+    }),
+
+    // Per-document 5-gram novelty (the arrival-order memorization
+    // curve): which fraction of a doc's distinct shingles is FIRST
+    // seen in that doc (owner = min doc_id per fingerprint). Two hash
+    // aggregates + one fingerprint equi-join — no windows, no
+    // all-pairs; the Lee-et-al dup-span measurement's set-level
+    // complement
+    "x_ngram_novelty" -> ((s, d) => {
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.explodeWordShingles(col("text"), 5).as("sh"))
+        .select(col("doc_id"), md5(col("sh")).as("fp")).distinct()
+      val owner = sh.groupBy("fp").agg(min("doc_id").as("first_doc"))
+      sh.join(owner, Seq("fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_grams").cast("double"))
+            .as("novelty"))
+    }),
 
     // Exact W1 between every pair of event-type value distributions:
     // ONE distinct-cents spine carries all five ECDFs (5 cum-sums in
@@ -144,6 +233,45 @@ object Ext7 {
     }))
 
   val oracle: Map[String, String] = Map(
+
+    "x_shapley" -> {
+      val maskExpr = shapChannels.zipWithIndex.map { case (c, i) =>
+        s"max(CASE WHEN event_type = '$c' THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      val values = shapTerms.map { case (c, sm, su, w) =>
+        s"('$c', $sm, $su, ${w.toString})"
+      }.mkString(", ")
+      s"""WITH pres AS (SELECT user_id, $maskExpr AS m,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+           FROM events GROUP BY 1),
+         v AS (SELECT m, sum(conv)::DOUBLE / count(*)::DOUBLE AS v
+               FROM pres WHERE m <> 0 GROUP BY 1),
+         terms(channel, s_mask, su_mask, w) AS (VALUES $values),
+         tj AS (SELECT channel, s_mask,
+                  w * (coalesce(b.v, 0.0) - coalesce(a.v, 0.0)) AS term
+                FROM terms
+                LEFT JOIN v a ON terms.s_mask = a.m
+                LEFT JOIN v b ON terms.su_mask = b.m)
+         SELECT channel, list_sum(list(term ORDER BY s_mask)) AS phi
+         FROM tj GROUP BY 1"""
+    },
+
+    "x_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+         sh0 AS (SELECT doc_id,
+                   unnest([array_to_string(list_slice(ws, i, i+4), ' ')
+                           for i in range(1, len(ws) - 3)]) AS s
+                 FROM w),
+         sh AS (SELECT DISTINCT doc_id, md5(s) AS fp FROM sh0),
+         own AS (SELECT fp, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+                sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE
+                  / count(*)::DOUBLE AS novelty
+         FROM sh JOIN own USING (fp) GROUP BY 1""",
 
     "x_wasserstein" -> {
       val perVCols = eventTypes.map(g =>

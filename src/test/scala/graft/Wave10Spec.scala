@@ -85,6 +85,43 @@ class Wave10Spec extends SparkSpec {
     assert(rows.last._5 == 1.0)
   }
 
+  test("x_shapley satisfies the efficiency axiom: phis sum to v(full coalition) - v(empty)") {
+    // Σφ_i = v(N) − v(∅) holds for ANY characteristic function by the
+    // Shapley formula; with v(∅) grounded at 0 the phi total must equal
+    // the observed conversion rate of the full-touch coalition (or 0 if
+    // mask 15 is unobserved at this scale)
+    val sf = "/root/testdata/sf0.001"
+    val phis = Ext7.queries("x_shapley")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(phis.keySet == Set("click", "error", "signup", "view"))
+    val ev = Tables.load(spark, sf, "events")
+    val users = ev.groupBy("user_id").agg(
+      max(when(col("event_type") === "click", 1L).otherwise(0L)).as("b0"),
+      max(when(col("event_type") === "error", 2L).otherwise(0L)).as("b1"),
+      max(when(col("event_type") === "signup", 4L).otherwise(0L)).as("b2"),
+      max(when(col("event_type") === "view", 8L).otherwise(0L)).as("b3"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select((col("b0") + col("b1") + col("b2") + col("b3")).as("m"), col("conv"))
+    val full = users.where(col("m") === 15L)
+      .agg(count(lit(1)).as("nu"), sum("conv").as("nc")).collect().head
+    val vFull = if (full.getLong(0) == 0L) 0.0
+      else full.getLong(1).toDouble / full.getLong(0).toDouble
+    assert(math.abs(phis.values.sum - vFull) <= 1e-12,
+      s"sum ${phis.values.sum} != v(N) $vFull")
+  }
+
+  test("x_ngram_novelty: the earliest doc is fully novel; ratios are exact count divisions") {
+    val rows = Ext7.queries("x_ngram_novelty")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_._1)
+    assert(first._3 == first._2 && first._4 == 1.0,
+      s"min doc_id must own all its shingles: $first")
+    rows.foreach { case (_, g, nv, r) =>
+      assert(nv <= g && r == nv.toDouble / g.toDouble)
+    }
+  }
+
   test("x_cohens_kappa and x_mcnemar are in-range on the corpus") {
     val k = Ext7.queries("x_cohens_kappa")(spark, "/root/testdata/sf0.001")
       .collect().head
