@@ -153,6 +153,52 @@ object Temporal {
     * Scale shape: two hash aggregates down the calendar spine, one
     * key-partitioned window over segments-per-key rows (calendar-sized,
     * never data-sized), one day-keyed rebuild aggregate. */
+  /** Exact dynamic time warping distance (Sakoe & Chiba 1978, full
+    * window) between two integer-valued daily series, with
+    * |a_i − b_j| cell costs:
+    * D(i,j) = c(i,j) + min(D(i−1,j), D(i,j−1), D(i−1,j−1)).
+    *
+    * The DP runs entirely inside ONE nested `aggregate` higher-order
+    * expression over the two collected series — legitimate
+    * concentration because the series are CALENDAR-bounded (one value
+    * per day), never data-sized: at 100 TB the per-day aggregation
+    * upstream is the only row-scale work, and the DP stays
+    * O(days²) on one executor. Integer arithmetic throughout (the
+    * sentinel 10¹⁵ never overflows: path length ≤ l_a + l_b and cell
+    * costs are cents), so the result replays bit-exactly in the
+    * oracle's recursive-CTE formulation of the same recurrence.
+    *
+    * `seriesA`/`seriesB`: (day-orderable key, long value) frames —
+    * callers pre-aggregate; this operator only sorts each into its
+    * array. Output: l_a, l_b, dtw (the raw integer distance). */
+  def dtwDistance(seriesA: DataFrame, seriesB: DataFrame,
+                  orderCol: String, valCol: String): DataFrame = {
+    val inf = lit(1000000000000000L)
+    def arr(df: DataFrame, out: String) = df.groupBy().agg(
+      transform(
+        sort_array(collect_list(struct(col(orderCol), col(valCol)))),
+        x => x.getField(valCol)).as(out))
+    val dims = arr(seriesA, "av").crossJoin(arr(seriesB, "bv"))
+      .select(col("av"), col("bv"),
+        size(col("av")).as("la"), size(col("bv")).as("lb"))
+    val row0 = concat(array(lit(0L)),
+      transform(sequence(lit(1), col("lb")), _ => inf))
+    val dp = aggregate(
+      sequence(lit(1), col("la")),
+      row0,
+      (prev, i) => aggregate(
+        sequence(lit(1), col("lb")),
+        array(inf),
+        (acc, j) => concat(acc, array(
+          abs(element_at(col("av"), i.cast("int")) -
+            element_at(col("bv"), j.cast("int"))) +
+            least(element_at(prev, j.cast("int") + 1),
+              element_at(prev, j.cast("int")),
+              element_at(acc, size(acc)))))))
+    dims.select(col("la"), col("lb"),
+      element_at(dp, col("lb") + 1).as("dtw"))
+  }
+
   def saxWords(df: DataFrame, keyCol: String, tsCol: Column,
                valueExpr: Column, slotsPerSeg: Int = 4,
                alphabet: Int = 4): DataFrame = {

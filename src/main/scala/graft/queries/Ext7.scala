@@ -127,6 +127,22 @@ object Ext7 {
           lit(0.0), (acc, x) => acc + x).as("phi"))
     }),
 
+    // Exact DTW between the daily click and purchase cents series:
+    // row-scale work is the two per-day aggregations; the O(days²) DP
+    // runs in one nested aggregate() HOF over the CALENDAR-bounded
+    // arrays and replays as the oracle's recursive CTE over the same
+    // integer recurrence
+    "x_dtw" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def ser(tp: String) = ev.where(col("event_type") === tp)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      graft.operators.Temporal.dtwDistance(
+          ser("click"), ser("purchase"), "day", "v")
+        .select(col("la"), col("lb"), col("dtw").as("dtw_cents"),
+          (col("dtw").cast("double") / lit(100.0)).as("dtw"))
+    }),
+
     // Per-document 5-gram novelty (the arrival-order memorization
     // curve): which fraction of a doc's distinct shingles is FIRST
     // seen in that doc (owner = min doc_id per fingerprint). Two hash
@@ -256,6 +272,37 @@ object Ext7 {
          SELECT channel, list_sum(list(term ORDER BY s_mask)) AS phi
          FROM tj GROUP BY 1"""
     },
+
+    "x_dtw" ->
+      """WITH RECURSIVE
+         sa AS (SELECT list(v ORDER BY day) AS av FROM (
+             SELECT date_trunc('day', ts) AS day,
+                    sum(CAST(floor(value*100.0) AS BIGINT)) AS v
+             FROM events WHERE event_type = 'click' GROUP BY 1)),
+         sb AS (SELECT list(v ORDER BY day) AS bv FROM (
+             SELECT date_trunc('day', ts) AS day,
+                    sum(CAST(floor(value*100.0) AS BIGINT)) AS v
+             FROM events WHERE event_type = 'purchase' GROUP BY 1)),
+         dims AS (SELECT av, bv, len(av) AS la, len(bv) AS lb FROM sa, sb),
+         dp(i, row) AS (
+           SELECT 0, [0::BIGINT] ||
+                  [1000000000000000::BIGINT for _ in range(1, lb+1)]
+           FROM dims
+           UNION ALL
+           SELECT i+1,
+             list_reduce(
+               [[1000000000000000::BIGINT]] ||
+                 [[j::BIGINT] for j in range(1, lb+1)],
+               (acc, e) -> acc ||
+                 [abs(av[i+1] - bv[CAST(e[1] AS INTEGER)]) +
+                  least(row[CAST(e[1] AS INTEGER)+1],
+                        row[CAST(e[1] AS INTEGER)],
+                        acc[len(acc)])])
+           FROM dp, dims WHERE i < la)
+         SELECT CAST(la AS INTEGER) AS la, CAST(lb AS INTEGER) AS lb,
+                CAST(row[lb+1] AS BIGINT) AS dtw_cents,
+                row[lb+1]::DOUBLE / 100.0 AS dtw
+         FROM dp, dims WHERE i = la""",
 
     "x_ngram_novelty" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

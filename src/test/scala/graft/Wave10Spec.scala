@@ -85,6 +85,30 @@ class Wave10Spec extends SparkSpec {
     assert(rows.last._5 == 1.0)
   }
 
+  test("dtwDistance equals the brute-force DP and is zero on identical series") {
+    val rnd = new scala.util.Random(11)
+    val a = Seq.fill(23)(rnd.nextInt(1000).toLong)
+    val b = Seq.fill(31)(rnd.nextInt(1000).toLong)
+    def df(xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("day", "v")
+    val got = graft.operators.Temporal.dtwDistance(df(a), df(b), "day", "v")
+      .collect().head
+    def brute(x: Seq[Long], y: Seq[Long]): Long = {
+      val inf = Long.MaxValue / 4
+      val d = Array.fill(x.size + 1, y.size + 1)(inf)
+      d(0)(0) = 0L
+      for (i <- 1 to x.size; j <- 1 to y.size)
+        d(i)(j) = math.abs(x(i - 1) - y(j - 1)) +
+          math.min(d(i - 1)(j), math.min(d(i)(j - 1), d(i - 1)(j - 1)))
+      d(x.size)(y.size)
+    }
+    assert(got.getInt(0) == 23 && got.getInt(1) == 31)
+    assert(got.getLong(2) == brute(a, b))
+    val same = graft.operators.Temporal.dtwDistance(df(a), df(a), "day", "v")
+      .collect().head
+    assert(same.getLong(2) == 0L)
+  }
+
   test("x_shapley satisfies the efficiency axiom: phis sum to v(full coalition) - v(empty)") {
     // Σφ_i = v(N) − v(∅) holds for ANY characteristic function by the
     // Shapley formula; with v(∅) grounded at 0 the phi total must equal
