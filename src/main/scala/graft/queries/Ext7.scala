@@ -127,6 +127,77 @@ object Ext7 {
           lit(0.0), (acc, x) => acc + x).as("phi"))
     }),
 
+    // Decile gains/lift table of the engagement-score ranking (summed
+    // view+click cents per user) against purchase response: deciles
+    // from the DISTRIBUTED row-number spine + Rank.ntileCol (proven ≡
+    // SQL ntile by x_rfm_segments), then a 10-row bounded cumulative
+    // window; rate/gain/lift are single divisions of exact counts
+    "x_gains_curve" -> ((s, d) => {
+      val per = t(s, d, "events").groupBy("user_id").agg(
+        sum(when(col("event_type").isin("view", "click"),
+          floor(col("value") * lit(100.0)).cast("long")).otherwise(0L))
+          .as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("resp"))
+      val rn = Rank.withRowNumber(per.withColumn("_ord", -col("score")),
+        Seq("_ord", "user_id"), "rn")
+      val n = per.groupBy().agg(count(lit(1)).as("n_all"),
+        sum("resp").as("r_all"))
+      val dec = rn.crossJoin(broadcast(n))
+        .withColumn("decile", Rank.ntileCol(col("rn"), col("n_all"), 10))
+        .groupBy("decile").agg(count(lit(1)).as("n"),
+          sum("resp").as("responders"),
+          max("n_all").as("n_all"), max("r_all").as("r_all"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      dec.withColumn("cum_resp", sum("responders").over(w))
+        .select(col("decile"), col("n"), col("responders"),
+          (col("responders").cast("double") / col("n").cast("double"))
+            .as("rate"),
+          (col("cum_resp").cast("double") / col("r_all").cast("double"))
+            .as("cum_gain"),
+          ((col("responders").cast("double") / col("n").cast("double")) /
+            (col("r_all").cast("double") / col("n_all").cast("double")))
+            .as("lift"))
+    }),
+
+    // Flesch reading-ease from structural counts only (words,
+    // [.!?]+ sentence runs, vowel-group syllables — RE2∩Java-safe
+    // classes), literal coefficients, fixed-order arithmetic
+    "x_readability" -> ((s, d) => {
+      val txt = col("text")
+      val words = greatest(size(split(txt, " ")), lit(1)).cast("long")
+      val sents = greatest(regexp_count(txt, lit("[.!?]+")), lit(1))
+        .cast("long")
+      val sylls = regexp_count(txt, lit("[aeiouyAEIOUY]+")).cast("long")
+      t(s, d, "documents").select(col("doc_id"),
+        words.as("n_words"), sents.as("n_sentences"),
+        sylls.as("n_syllables"),
+        (lit(206.835) -
+          lit(1.015) * (words.cast("double") / sents.cast("double")) -
+          lit(84.6) * (sylls.cast("double") / words.cast("double")))
+          .as("flesch"))
+    }),
+
+    // Empirical-Bayes rate shrinkage: per-source en-rate pulled toward
+    // the global rate with a literal pseudo-count of 10 —
+    // shrunk = (k + 10·μ)/(n + 10), μ the exact global ratio. The
+    // low-volume-source CTR-smoothing recipe; every double op is a
+    // fixed-order single operation on exact counts
+    "x_eb_shrinkage" -> ((s, d) => {
+      val per = t(s, d, "documents").groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("k"))
+      val g = per.groupBy().agg(sum("k").as("kg"), sum("n").as("ng"))
+      per.crossJoin(broadcast(g))
+        .select(col("source"), col("n"), col("k"),
+          (col("k").cast("double") / col("n").cast("double")).as("rate"),
+          ((col("k").cast("double") + lit(10.0) *
+            (col("kg").cast("double") / col("ng").cast("double"))) /
+            (col("n").cast("double") + lit(10.0))).as("shrunk"))
+    }),
+
     // Exact DTW between the daily click and purchase cents series:
     // row-scale work is the two per-day aggregations; the O(days²) DP
     // runs in one nested aggregate() HOF over the CALENDAR-bounded
@@ -272,6 +343,59 @@ object Ext7 {
          SELECT channel, list_sum(list(term ORDER BY s_mask)) AS phi
          FROM tj GROUP BY 1"""
     },
+
+    "x_gains_curve" ->
+      """WITH per AS (SELECT user_id,
+             sum(CASE WHEN event_type IN ('view', 'click')
+                 THEN CAST(floor(value*100.0) AS BIGINT) ELSE 0 END)
+               AS score,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS resp
+           FROM events GROUP BY 1),
+         n AS (SELECT count(*) AS n_all, sum(resp) AS r_all FROM per),
+         dec0 AS (SELECT resp,
+                    ntile(10) OVER (ORDER BY score DESC, user_id)
+                      AS decile
+                  FROM per),
+         dec AS (SELECT decile, count(*) AS n, sum(resp) AS responders
+                 FROM dec0 GROUP BY 1),
+         cum AS (SELECT decile, n, responders,
+                   sum(responders) OVER (ORDER BY decile
+                     ROWS UNBOUNDED PRECEDING) AS cum_resp
+                 FROM dec)
+         SELECT CAST(decile AS INTEGER) AS decile, CAST(n AS BIGINT) AS n,
+                CAST(responders AS BIGINT) AS responders,
+                responders::DOUBLE / n::DOUBLE AS rate,
+                cum_resp::DOUBLE / r_all::DOUBLE AS cum_gain,
+                (responders::DOUBLE / n::DOUBLE) /
+                  (r_all::DOUBLE / n_all::DOUBLE) AS lift
+         FROM cum, n""",
+
+    "x_readability" ->
+      """SELECT doc_id,
+           CAST(greatest(len(string_split(text, ' ')), 1) AS BIGINT)
+             AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+             AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+             AS BIGINT) AS n_syllables,
+           206.835 -
+             1.015 * (greatest(len(string_split(text, ' ')), 1)::DOUBLE /
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE) -
+             84.6 * (len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::DOUBLE /
+               greatest(len(string_split(text, ' ')), 1)::DOUBLE) AS flesch
+         FROM documents""",
+
+    "x_eb_shrinkage" ->
+      """WITH per AS (SELECT source, count(*) AS n,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS k
+           FROM documents GROUP BY 1),
+         g AS (SELECT sum(k) AS kg, sum(n) AS ng FROM per)
+         SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+                k::DOUBLE / n::DOUBLE AS rate,
+                (k::DOUBLE + 10.0 * (kg::DOUBLE / ng::DOUBLE)) /
+                  (n::DOUBLE + 10.0) AS shrunk
+         FROM per, g""",
 
     "x_dtw" ->
       """WITH RECURSIVE

@@ -146,6 +146,42 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("x_gains_curve: ten deciles partition the users and cumulative gain ends at 1") {
+    val rows = Ext7.queries("x_gains_curve")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    val users = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == users)
+    assert(rows.last._5 == 1.0, s"terminal cumulative gain: ${rows.last._5}")
+    rows.foreach { case (_, n, resp, rate, _, _) =>
+      assert(rate == resp.toDouble / n.toDouble)
+    }
+  }
+
+  test("x_eb_shrinkage pulls every source rate strictly toward the global rate") {
+    val rows = Ext7.queries("x_eb_shrinkage")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val (kg, ng) = (rows.map(_._2).sum, rows.map(_._1).sum)
+    val mu = kg.toDouble / ng.toDouble
+    rows.foreach { case (_, _, rate, shrunk) =>
+      assert(shrunk >= math.min(rate, mu) - 1e-12 &&
+        shrunk <= math.max(rate, mu) + 1e-12,
+        s"shrunk $shrunk outside [$rate, $mu]")
+    }
+  }
+
+  test("x_readability emits finite scores and positive structural counts") {
+    val rows = Ext7.queries("x_readability")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1 && r.getLong(3) >= 0)
+      assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)
+    }
+  }
+
   test("x_cohens_kappa and x_mcnemar are in-range on the corpus") {
     val k = Ext7.queries("x_cohens_kappa")(spark, "/root/testdata/sf0.001")
       .collect().head
