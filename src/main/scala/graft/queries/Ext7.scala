@@ -127,6 +127,38 @@ object Ext7 {
           lit(0.0), (acc, x) => acc + x).as("phi"))
     }),
 
+    // QQ plot between the click and purchase value distributions:
+    // exact type-1 order statistics at the 19 vigintile fractions for
+    // BOTH groups from ONE distinct-cents spine — rank targets are
+    // exact integer ceilings (r = ⌈q·n⌉ via (q_num·n + 19) div 20),
+    // and each quantile is min(v | cum ≥ r), an aggregate over the
+    // broadcast-fraction cross join; no per-group sort, no
+    // single-partition window
+    "x_qq_plot" -> ((s, d) => {
+      import s.implicits._
+      def idiv(a: Column, b: Column) = call_function("div", a, b)
+      val f = t(s, d, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(floor(col("value") * lit(100.0)).cast("long").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("a"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("b"))
+      val perV = f.groupBy("v").agg(sum("a").as("a"), sum("b").as("b"))
+      val cum = Rank.withCumSums(perV, Seq("v"),
+        Seq("a" -> "ca", "b" -> "cb"))
+      val tot = f.groupBy().agg(sum("a").as("na"), sum("b").as("nb"))
+      val qs = (1L to 19L).toDF("qn")
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
+        .groupBy("qn").agg(
+          min(when(col("ca") >=
+            idiv(col("qn") * col("na") + lit(19L), lit(20L)), col("v")))
+            .as("va"),
+          min(when(col("cb") >=
+            idiv(col("qn") * col("nb") + lit(19L), lit(20L)), col("v")))
+            .as("vb"))
+        .select((col("qn").cast("double") / lit(20.0)).as("q"),
+          col("va"), col("vb"))
+    }),
+
     // Decile gains/lift table of the engagement-score ranking (summed
     // view+click cents per user) against purchase response: deciles
     // from the DISTRIBUTED row-number spine + Rank.ntileCol (proven ≡
@@ -343,6 +375,24 @@ object Ext7 {
          SELECT channel, list_sum(list(term ORDER BY s_mask)) AS phi
          FROM tj GROUP BY 1"""
     },
+
+    "x_qq_plot" ->
+      """WITH f AS (SELECT CAST(floor(value*100.0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         perv AS (SELECT v, sum(a) AS a, sum(b) AS b FROM f GROUP BY 1),
+         cum AS (SELECT v, sum(a) OVER w AS ca, sum(b) OVER w AS cb
+                 FROM perv
+                 WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM f),
+         qs AS (SELECT unnest(range(1, 20)) AS qn)
+         SELECT qn::DOUBLE / 20.0 AS q,
+                CAST(min(CASE WHEN ca >= (qn*na + 19) // 20 THEN v END)
+                  AS BIGINT) AS va,
+                CAST(min(CASE WHEN cb >= (qn*nb + 19) // 20 THEN v END)
+                  AS BIGINT) AS vb
+         FROM cum, tot, qs GROUP BY qn""",
 
     "x_gains_curve" ->
       """WITH per AS (SELECT user_id,

@@ -146,6 +146,26 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("x_qq_plot picks the exact type-1 order statistics of both groups") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Ext7.queries("x_qq_plot")(spark, sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), floor(col("value") * lit(100.0)).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def pick(tp: String, qn: Int): Long = {
+      val xs = ev.filter(_._1 == tp).map(_._2).sorted
+      xs((qn * xs.length + 19) / 20 - 1)
+    }
+    got.zipWithIndex.foreach { case ((q, va, vb), i) =>
+      val qn = i + 1
+      assert(q == qn.toDouble / 20.0)
+      assert(va == pick("click", qn), s"q=$q click")
+      assert(vb == pick("purchase", qn), s"q=$q purchase")
+    }
+  }
+
   test("x_gains_curve: ten deciles partition the users and cumulative gain ends at 1") {
     val rows = Ext7.queries("x_gains_curve")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
