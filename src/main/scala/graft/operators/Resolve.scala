@@ -113,4 +113,71 @@ object Resolve {
     labeled.join(stats, Seq("component"))
       .select("id", "component", "golden_id", "cluster_size")
   }
+
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    * 1969) fitted by EM (Winkler 1988): a two-class mixture of
+    * independent Bernoullis over the 3-bit field-agreement vector of
+    * candidate pairs.
+    *
+    * The decisive scale property: the EM never touches pairs — pairs
+    * aggregate ONCE to the ≤ 2³ agreement-pattern counts, and every
+    * E/M step runs on that parameter-bounded frame (8 rows: tiny
+    * ordered-fold aggregates + broadcast cross joins, the x_shapley
+    * shape). `iters` rounds are unrolled deterministically; every
+    * cross-pattern sum folds in pattern-id order and every double op
+    * is a fixed-order single operation, so the whole fit replays
+    * bit-exactly as unrolled SQL CTEs.
+    *
+    * @param pairs candidate pairs with INTEGER 0/1 columns d1, d2, d3
+    *              (callers block and compare upstream)
+    * @return one row per observed pattern: d1, d2, d3, n,
+    *         gamma (match posterior after `iters` rounds)
+    */
+  def fellegiSunterEm(pairs: DataFrame, iters: Int = 3,
+                      pi0: Double = 0.1, m0: Double = 0.8,
+                      u0: Double = 0.3): DataFrame = {
+    val bits = Seq("d1", "d2", "d3")
+    val pat = pairs.groupBy(bits.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pid",
+        col("d1") * lit(4L) + col("d2") * lit(2L) + col("d3"))
+    // ordered cross-pattern fold (≤ 8 rows): sum in pid order
+    def osum(x: Column): Column = aggregate(
+      transform(sort_array(collect_list(struct(col("pid"), x.as("x")))),
+        t => t.getField("x")),
+      lit(0.0), (a, v) => a + v)
+    def bern(d: String, p: Column): Column =
+      when(col(d) === 1, p).otherwise(lit(1.0) - p)
+    val par0 = Seq(("pi", pi0), ("m1", m0), ("m2", m0), ("m3", m0),
+      ("u1", u0), ("u2", u0), ("u3", u0))
+    var par: DataFrame = pat.sparkSession.range(1).select(
+      par0.map { case (c, v) => lit(v).as(c) }: _*)
+    var g: DataFrame = null
+    for (_ <- 1 to iters) {
+      val j = pat.crossJoin(broadcast(par))
+      val wm = col("pi") * bern("d1", col("m1")) *
+        bern("d2", col("m2")) * bern("d3", col("m3"))
+      val wu = (lit(1.0) - col("pi")) * bern("d1", col("u1")) *
+        bern("d2", col("u2")) * bern("d3", col("u3"))
+      g = j.select(col("pid"), col("d1"), col("d2"), col("d3"), col("n"),
+        (wm / (wm + wu)).as("gam"))
+      val ng = col("n").cast("double") * col("gam")
+      val nu = col("n").cast("double") * (lit(1.0) - col("gam"))
+      par = g.groupBy().agg(
+        (osum(ng) / osum(col("n").cast("double"))).as("pi"),
+        (osum(when(col("d1") === 1, ng).otherwise(lit(0.0))) / osum(ng))
+          .as("m1"),
+        (osum(when(col("d2") === 1, ng).otherwise(lit(0.0))) / osum(ng))
+          .as("m2"),
+        (osum(when(col("d3") === 1, ng).otherwise(lit(0.0))) / osum(ng))
+          .as("m3"),
+        (osum(when(col("d1") === 1, nu).otherwise(lit(0.0))) / osum(nu))
+          .as("u1"),
+        (osum(when(col("d2") === 1, nu).otherwise(lit(0.0))) / osum(nu))
+          .as("u2"),
+        (osum(when(col("d3") === 1, nu).otherwise(lit(0.0))) / osum(nu))
+          .as("u3"))
+    }
+    g.select("d1", "d2", "d3", "n", "gam")
+  }
 }

@@ -127,6 +127,27 @@ object Ext7 {
           lit(0.0), (acc, x) => acc + x).as("phi"))
     }),
 
+    // Fellegi–Sunter probabilistic record linkage: candidate pairs
+    // blocked on (nation, segment), 3-bit field-agreement vectors
+    // (balance within $1000, same phone tail, comment length within
+    // 20), aggregated ONCE to ≤8 pattern counts; three EM rounds of
+    // the two-class Bernoulli mixture run entirely on that
+    // parameter-bounded frame and replay as unrolled SQL CTEs
+    "x_fellegi_sunter" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("id"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * lit(100.0)).cast("long").as("bal"),
+        call_function("right", col("c_name"), lit(2)).as("n2"))
+      val p = c.as("a").join(c.as("b"),
+          col("a.nk") === col("b.nk") && col("a.id") < col("b.id"))
+        .select(
+          (col("a.seg") === col("b.seg")).cast("int").as("d1"),
+          (abs(col("a.bal") - col("b.bal")) <= 100000L).cast("int")
+            .as("d2"),
+          (col("a.n2") === col("b.n2")).cast("int").as("d3"))
+      graft.operators.Resolve.fellegiSunterEm(p)
+    }),
+
     // QQ plot between the click and purchase value distributions:
     // exact type-1 order statistics at the 19 vigintile fractions for
     // BOTH groups from ONE distinct-cents spine — rank targets are
@@ -374,6 +395,60 @@ object Ext7 {
                 LEFT JOIN v b ON terms.su_mask = b.m)
          SELECT channel, list_sum(list(term ORDER BY s_mask)) AS phi
          FROM tj GROUP BY 1"""
+    },
+
+    "x_fellegi_sunter" -> {
+      def bern(d: String, p: String) =
+        s"(CASE WHEN $d = 1 THEN $p ELSE 1.0 - $p END)"
+      // strict left fold (0.0 seed) — list_sum may re-associate at
+      // this precision, the lambda fold cannot
+      def osum(x: String) =
+        s"list_reduce([0.0] || list($x ORDER BY pid), (a, v) -> a + v)"
+      def mStep(d: String, w: String, tot: String) =
+        s"${osum(s"CASE WHEN $d = 1 THEN $w ELSE 0.0 END")} / ${osum(tot)}"
+      val rounds = (1 to 3).map { r =>
+        val pv = if (r == 1) "par0" else s"par${r - 1}"
+        s"""em$r AS (SELECT pid, d1, d2, d3, n,
+             pi * ${bern("d1", "m1")} * ${bern("d2", "m2")} *
+               ${bern("d3", "m3")} AS wm,
+             (1.0 - pi) * ${bern("d1", "u1")} * ${bern("d2", "u2")} *
+               ${bern("d3", "u3")} AS wu
+           FROM pat, $pv),
+         g$r AS (SELECT pid, d1, d2, d3, n, wm / (wm + wu) AS gam
+                 FROM em$r),
+         par$r AS (SELECT
+             ${osum("n::DOUBLE * gam")} / ${osum("n::DOUBLE")} AS pi,
+             ${mStep("d1", "n::DOUBLE * gam", "n::DOUBLE * gam")} AS m1,
+             ${mStep("d2", "n::DOUBLE * gam", "n::DOUBLE * gam")} AS m2,
+             ${mStep("d3", "n::DOUBLE * gam", "n::DOUBLE * gam")} AS m3,
+             ${mStep("d1", "n::DOUBLE * (1.0 - gam)",
+               "n::DOUBLE * (1.0 - gam)")} AS u1,
+             ${mStep("d2", "n::DOUBLE * (1.0 - gam)",
+               "n::DOUBLE * (1.0 - gam)")} AS u2,
+             ${mStep("d3", "n::DOUBLE * (1.0 - gam)",
+               "n::DOUBLE * (1.0 - gam)")} AS u3
+           FROM g$r)"""
+      }.mkString(", ")
+      s"""WITH c AS (SELECT c_custkey AS id, c_nationkey AS nk,
+             c_mktsegment AS seg,
+             CAST(floor(c_acctbal*100.0) AS BIGINT) AS bal,
+             right(c_name, 2) AS n2
+           FROM customer),
+         p AS (SELECT
+             CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS d1,
+             CASE WHEN abs(a.bal - b.bal) <= 100000 THEN 1 ELSE 0 END
+               AS d2,
+             CASE WHEN a.n2 = b.n2 THEN 1 ELSE 0 END AS d3
+           FROM c a JOIN c b ON a.nk = b.nk AND a.id < b.id),
+         pat AS (SELECT d1, d2, d3, count(*) AS n,
+                   d1*4 + d2*2 + d3 AS pid
+                 FROM p GROUP BY 1, 2, 3),
+         par0 AS (SELECT 0.1::DOUBLE AS pi,
+                    0.8::DOUBLE AS m1, 0.8::DOUBLE AS m2,
+                    0.8::DOUBLE AS m3, 0.3::DOUBLE AS u1,
+                    0.3::DOUBLE AS u2, 0.3::DOUBLE AS u3),
+         $rounds
+         SELECT d1, d2, d3, CAST(n AS BIGINT) AS n, gam FROM g3"""
     },
 
     "x_qq_plot" ->

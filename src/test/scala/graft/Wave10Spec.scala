@@ -146,6 +146,54 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("fellegiSunterEm matches a plain-Scala EM replica bit for bit") {
+    val rnd = new scala.util.Random(3)
+    val pairs = Seq.fill(5000)((
+      if (rnd.nextInt(4) == 0) 1 else 0,
+      if (rnd.nextInt(3) == 0) 1 else 0,
+      if (rnd.nextInt(5) == 0) 1 else 0)).map { case (a, b, c) =>
+      // plant correlation: a block of near-certain matches agrees on all
+      if (rnd.nextInt(10) == 0) (1, 1, 1) else (a, b, c)
+    }
+    val df = pairs.toDF("d1", "d2", "d3")
+    val got = graft.operators.Resolve.fellegiSunterEm(df)
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        (r.getLong(3), r.getDouble(4)))).toMap
+    // replica with identical op order
+    val pat = pairs.groupBy(identity).map { case (k, v) =>
+      (k, v.size.toLong) }.toSeq
+      .map { case ((a, b, c), n) => (a * 4 + b * 2 + c, Seq(a, b, c), n) }
+      .sortBy(_._1)
+    var pi = 0.1; var m = Seq(0.8, 0.8, 0.8); var u = Seq(0.3, 0.3, 0.3)
+    var gams: Seq[(Int, Seq[Int], Long, Double)] = null
+    for (_ <- 1 to 3) {
+      gams = pat.map { case (pid, ds, n) =>
+        var wm = pi; var wu = 1.0 - pi
+        for (j <- 0 until 3) {
+          wm = wm * (if (ds(j) == 1) m(j) else 1.0 - m(j))
+          wu = wu * (if (ds(j) == 1) u(j) else 1.0 - u(j))
+        }
+        (pid, ds, n, wm / (wm + wu))
+      }
+      def osum(f: (Seq[Int], Long, Double) => Double): Double =
+        gams.foldLeft(0.0) { case (a, (_, ds, n, g)) => a + f(ds, n, g) }
+      val sng = osum((_, n, g) => n.toDouble * g)
+      val snu = osum((_, n, g) => n.toDouble * (1.0 - g))
+      pi = sng / osum((_, n, _) => n.toDouble)
+      m = (0 until 3).map(j =>
+        osum((ds, n, g) => if (ds(j) == 1) n.toDouble * g else 0.0) / sng)
+      u = (0 until 3).map(j =>
+        osum((ds, n, g) =>
+          if (ds(j) == 1) n.toDouble * (1.0 - g) else 0.0) / snu)
+    }
+    gams.foreach { case (_, ds, n, g) =>
+      val (gn, gg) = got((ds(0), ds(1), ds(2)))
+      assert(gn == n && gg == g, s"pattern $ds: got ($gn,$gg) want ($n,$g)")
+    }
+    // the all-agree pattern must carry the highest match posterior
+    assert(got((1, 1, 1))._2 == got.values.map(_._2).max)
+  }
+
   test("x_qq_plot picks the exact type-1 order statistics of both groups") {
     val sf = "/root/testdata/sf0.001"
     val got = Ext7.queries("x_qq_plot")(spark, sf)
