@@ -199,6 +199,66 @@ object Temporal {
       element_at(dp, col("lb") + 1).as("dtw"))
   }
 
+  /** Two-state Viterbi decoding (Viterbi 1967; the Kleinberg-burst
+    * two-state shape) over a calendar-bounded observation series:
+    * integer-scaled log-scores only — score_t(j) =
+    * emit(j, bin_t) + max_i(score_{t−1}(i) + trans(i, j)) with a
+    * deterministic prefer-state-0 tie-break — so the decode replays
+    * bit-exactly in SQL.
+    *
+    * Same concentration contract as [[dtwDistance]]: upstream per-day
+    * aggregation is the row-scale work; the DP folds once over the
+    * day-ordered array inside one `aggregate` HOF carrying
+    * (score0, score1, path0, path1) and emits the argmax path.
+    *
+    * @param series (orderCol, bin) rows, bin ∈ [0, emit(_).length)
+    * @param init   integer start scores per state (length 2)
+    * @param trans  trans(i)(j) integer scores
+    * @param emit   emit(state)(bin) integer scores
+    * @return (orderCol, state) — one row per input row */
+  def viterbiTwoState(series: DataFrame, orderCol: String, binCol: String,
+                      init: Seq[Long], trans: Seq[Seq[Long]],
+                      emit: Seq[Seq[Long]]): DataFrame = {
+    def emitScore(s: Int, bin: Column): Column =
+      emit(s).zipWithIndex.foldLeft(lit(Long.MinValue / 4)) {
+        case (acc, (e, b)) => when(bin === b, lit(e)).otherwise(acc)
+      }
+    val packed = series.groupBy().agg(
+      transform(sort_array(collect_list(struct(col(orderCol), col(binCol)))),
+        x => x.getField(orderCol)).as("days"),
+      transform(sort_array(collect_list(struct(col(orderCol), col(binCol)))),
+        x => x.getField(binCol)).as("bins"))
+    // fold state: (sc0, sc1, p0, p1); step t moves both states
+    val init0 = struct(
+      (lit(init(0)) + emitScore(0, element_at(col("bins"), 1))).as("sc0"),
+      (lit(init(1)) + emitScore(1, element_at(col("bins"), 1))).as("sc1"),
+      array(lit(0)).as("p0"), array(lit(1)).as("p1"))
+    val dp = aggregate(
+      slice(sequence(lit(1), size(col("bins"))), lit(2),
+        size(col("bins")) - 1),
+      init0,
+      (st, t) => {
+        val bin = element_at(col("bins"), t.cast("int"))
+        def move(j: Int): (Column, Column) = {
+          val via0 = st.getField("sc0") + lit(trans(0)(j))
+          val via1 = st.getField("sc1") + lit(trans(1)(j))
+          val best = greatest(via0, via1) + emitScore(j, bin)
+          val path = when(via0 >= via1, st.getField("p0"))
+            .otherwise(st.getField("p1"))
+          (best, concat(path, array(lit(j))))
+        }
+        val (s0, p0) = move(0)
+        val (s1, p1) = move(1)
+        struct(s0.as("sc0"), s1.as("sc1"), p0.as("p0"), p1.as("p1"))
+      })
+    packed.select(col("days"),
+        when(dp.getField("sc0") >= dp.getField("sc1"), dp.getField("p0"))
+          .otherwise(dp.getField("p1")).as("path"))
+      .select(posexplode(col("days")).as(Seq("i", orderCol)), col("path"))
+      .select(col(orderCol),
+        element_at(col("path"), col("i") + 1).as("state"))
+  }
+
   def saxWords(df: DataFrame, keyCol: String, tsCol: Column,
                valueExpr: Column, slotsPerSeg: Int = 4,
                alphabet: Int = 4): DataFrame = {

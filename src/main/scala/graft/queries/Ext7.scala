@@ -82,6 +82,14 @@ object Ext7 {
     }
   }
 
+  /** Viterbi burst-model scores (integer-scaled log-likelihoods),
+    * shared verbatim by engine and oracle: state 0 = quiet,
+    * state 1 = burst; emission bins 0/1/2 = below/near/above the
+    * global daily mean. */
+  private val burstInit = Seq(0L, -20L)
+  private val burstTrans = Seq(Seq(-1L, -40L), Seq(-30L, -5L))
+  private val burstEmit = Seq(Seq(0L, -15L, -40L), Seq(-25L, -10L, -2L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact Shapley-value channel attribution: one shuffle collapses
@@ -125,6 +133,27 @@ object Ext7 {
             sort_array(collect_list(struct(col("s_mask"), col("term")))),
             x => x.getField("term")),
           lit(0.0), (acc, x) => acc + x).as("phi"))
+    }),
+
+    // Two-state Viterbi burst decoding of the daily error-count
+    // series: scale-free integer binning (cross-multiplied
+    // count-vs-mean compares), integer-scaled log-scores, and the
+    // calendar-bounded DP of Temporal.viterbiTwoState; the oracle
+    // replays the decode as a recursive CTE carrying both state
+    // scores and both argmax paths
+    "x_burst_states" -> ((s, d) => {
+      val daily = t(s, d, "events").where(col("event_type") === "error")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = daily.groupBy().agg(sum("cnt").as("tot"),
+        count(lit(1)).as("nd"))
+      val binned = daily.crossJoin(broadcast(tot)).select(
+        unix_seconds(col("day")).as("day_s"),
+        when(col("cnt") * 4 * col("nd") < col("tot") * 3, 0)
+          .when(col("cnt") * 4 * col("nd") > col("tot") * 5, 2)
+          .otherwise(1).as("bin"))
+      graft.operators.Temporal.viterbiTwoState(binned, "day_s", "bin",
+        burstInit, burstTrans, burstEmit)
     }),
 
     // Fellegi–Sunter probabilistic record linkage: candidate pairs
@@ -395,6 +424,43 @@ object Ext7 {
                 LEFT JOIN v b ON terms.su_mask = b.m)
          SELECT channel, list_sum(list(term ORDER BY s_mask)) AS phi
          FROM tj GROUP BY 1"""
+    },
+
+    "x_burst_states" -> {
+      def emitCase(s: Int, bin: String) =
+        s"(CASE WHEN $bin = 0 THEN ${burstEmit(s)(0)} WHEN $bin = 1 THEN ${burstEmit(s)(1)} ELSE ${burstEmit(s)(2)} END)"
+      s"""WITH RECURSIVE
+         daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS cnt
+                   FROM events WHERE event_type = 'error' GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS tot, count(*) AS nd FROM daily),
+         b AS (SELECT epoch(day) AS day_s,
+                 CASE WHEN cnt*4*nd < tot*3 THEN 0
+                      WHEN cnt*4*nd > tot*5 THEN 2 ELSE 1 END AS bin
+               FROM daily, tot),
+         arr AS (SELECT list(day_s ORDER BY day_s) AS days,
+                   list(bin ORDER BY day_s) AS bins,
+                   count(*) AS n
+                 FROM b),
+         dp(t, sc0, sc1, p0, p1) AS (
+           SELECT 1,
+             ${burstInit(0)} + ${emitCase(0, "bins[1]")},
+             ${burstInit(1)} + ${emitCase(1, "bins[1]")},
+             [0], [1]
+           FROM arr
+           UNION ALL
+           SELECT t+1,
+             greatest(sc0 + ${burstTrans(0)(0)},
+               sc1 + ${burstTrans(1)(0)}) + ${emitCase(0, "bins[t+1]")},
+             greatest(sc0 + ${burstTrans(0)(1)},
+               sc1 + ${burstTrans(1)(1)}) + ${emitCase(1, "bins[t+1]")},
+             (CASE WHEN sc0 + ${burstTrans(0)(0)} >=
+                sc1 + ${burstTrans(1)(0)} THEN p0 ELSE p1 END) || [0],
+             (CASE WHEN sc0 + ${burstTrans(0)(1)} >=
+                sc1 + ${burstTrans(1)(1)} THEN p0 ELSE p1 END) || [1]
+           FROM dp, arr WHERE t < n)
+         SELECT unnest(days) AS day_s,
+                unnest(CASE WHEN sc0 >= sc1 THEN p0 ELSE p1 END) AS state
+         FROM dp, arr WHERE t = n"""
     },
 
     "x_fellegi_sunter" -> {

@@ -146,6 +146,33 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("viterbiTwoState equals exhaustive best-path enumeration") {
+    val init = Seq(0L, -20L)
+    val trans = Seq(Seq(-1L, -40L), Seq(-30L, -5L))
+    val emit = Seq(Seq(0L, -15L, -40L), Seq(-25L, -10L, -2L))
+    val rnd = new scala.util.Random(5)
+    val bins = Seq.fill(12)(rnd.nextInt(3))
+    val df = bins.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("day_s", "bin")
+    val got = graft.operators.Temporal
+      .viterbiTwoState(df, "day_s", "bin", init, trans, emit)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      .map(_._2).toSeq
+    // exhaustive: all 2^12 state paths, max score; ties prefer the
+    // lexicographically-0-first path (the DP's prefer-0 tie-break
+    // applied at every step and at the final argmax)
+    val paths = (0 until (1 << bins.size)).map { m =>
+      (0 until bins.size).map(t => (m >> t) & 1)
+    }
+    def score(p: Seq[Int]): Long =
+      init(p.head) + emit(p.head)(bins.head) +
+        (1 until p.size).map(t =>
+          trans(p(t - 1))(p(t)) + emit(p(t))(bins(t))).sum
+    val best = paths.maxBy(p => (score(p), -p.reverse.foldLeft(0L)((a, s) => a * 2 + s)))
+    assert(score(got) == score(best),
+      s"got score ${score(got)}, best ${score(best)}")
+  }
+
   test("fellegiSunterEm matches a plain-Scala EM replica bit for bit") {
     val rnd = new scala.util.Random(3)
     val pairs = Seq.fill(5000)((
