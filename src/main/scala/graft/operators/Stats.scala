@@ -1409,6 +1409,54 @@ object Stats {
           .as("entropy"))
   }
 
+  /** Bradley–Terry strength fitting by `iters` unrolled MM rounds
+    * (Bradley & Terry 1952; Hunter 2004's minorization update
+    * θ'_i = W_i / Σ_{j≠i} n_ij/(θ_i+θ_j), unnormalized between
+    * rounds): the arena-ranking fit over pairwise win counts.
+    *
+    * Scale contract: `wins` is ITEM-pair-bounded (both directions
+    * present, zero-win rows included) — the row-scale comparison work
+    * happens upstream (e.g. all pairwise strict-win counts from ONE
+    * value spine via [[Rank.withCumSums]]); every MM round is joins +
+    * ordered folds over the ≤ items² frame. Doubles follow the
+    * standing fold discipline (per-i sums fold in j order, final
+    * normalizer folds in i order), so the fit replays bit-exactly as
+    * unrolled SQL rounds.
+    *
+    * @param wins (i, j, w) strict win counts, both ordered directions
+    * @return (i, theta, p) — round-`iters` strength and its
+    *         normalized share */
+  def bradleyTerry(wins: DataFrame, iters: Int = 3): DataFrame = {
+    def ofold(key: Column, x: Column): Column = aggregate(
+      transform(sort_array(collect_list(struct(key.as("k"), x.as("x")))),
+        t => t.getField("x")),
+      lit(0.0), (a, v) => a + v)
+    val nij = wins.as("x").join(wins.as("y"),
+        col("x.i") === col("y.j") && col("x.j") === col("y.i"))
+      .select(col("x.i").as("i"), col("x.j").as("j"),
+        (col("x.w") + col("y.w")).as("n"))
+    val wi = wins.groupBy("i").agg(sum("w").as("wi"))
+    var th = wi.select(col("i"), lit(1.0).as("th"))
+    for (_ <- 1 to iters) {
+      val terms = nij
+        .join(th.select(col("i").as("ii"), col("th").as("thi")),
+          col("i") === col("ii"))
+        .join(th.select(col("i").as("jj"), col("th").as("thj")),
+          col("j") === col("jj"))
+        .select(col("i"), col("j"),
+          (col("n").cast("double") / (col("thi") + col("thj")))
+            .as("term"))
+      val den = terms.groupBy("i")
+        .agg(ofold(col("j"), col("term")).as("den"))
+      th = wi.join(den, Seq("i"))
+        .select(col("i"), (col("wi").cast("double") / col("den")).as("th"))
+    }
+    val z = th.groupBy().agg(ofold(col("i"), col("th")).as("z"))
+    th.crossJoin(broadcast(z))
+      .select(col("i"), col("th").as("theta"),
+        (col("th") / col("z")).as("p"))
+  }
+
   /** Pairwise exact 1-D Wasserstein-1 (earth mover's) distances
     * between the per-group empirical distributions of an integer-
     * quantized value (callers pass cents — `floor(value·100)` — so

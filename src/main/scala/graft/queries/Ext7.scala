@@ -135,6 +135,49 @@ object Ext7 {
           lit(0.0), (acc, x) => acc + x).as("phi"))
     }),
 
+    // Bradley–Terry arena ranking of the five language corpora by
+    // pairwise doc-length wins: ALL 20 directed strict-win counts come
+    // from ONE distinct-length spine (per-lang counts × strict-below
+    // cumulatives — the Mann–Whitney identity), then three unrolled
+    // MM rounds on the 20-row pair frame
+    "x_bradley_terry" -> ((s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val f = t(s, d, "documents")
+        .select(col("n_chars").as("v"), col("lang").as("g"))
+      val aCols = langs.map(g =>
+        sum(when(col("g") === g, 1L).otherwise(0L)).as(s"a_$g"))
+      val perV = f.groupBy("v").agg(aCols.head, aCols.tail: _*)
+      val cum = Rank.withCumSums(perV, Seq("v"),
+        langs.map(g => s"a_$g" -> s"c_$g"), inclusive = false)
+      val wins = cum.select(explode(array(
+          (for { a <- langs; b <- langs if a != b } yield
+            struct(lit(a).as("i"), lit(b).as("j"),
+              (col(s"a_$a") * col(s"c_$b")).as("w"))): _*)).as("p"))
+        .select(col("p.i"), col("p.j"), col("p.w"))
+        .groupBy("i", "j").agg(sum("w").as("w"))
+      Stats.bradleyTerry(wins, iters = 3)
+        .select(col("i").as("lang"), col("theta"), col("p"))
+    }),
+
+    // Local-DP randomized response over the is-English bit: every doc
+    // reports truthfully with probability 3/4 (md5-seeded integer
+    // coin — exactly replayable), and the debiased estimate inverts
+    // the known flip rate: est = (rate − 1/4)/(1/2)
+    "x_rand_response" -> ((s, d) => {
+      val truth = (col("lang") === "en").cast("long")
+      val keep = expr(
+        "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
+        .cast("long") % 4 < 3
+      val rep = when(keep, truth).otherwise(lit(1L) - truth)
+      t(s, d, "documents")
+        .select(truth.as("t"), rep.as("r"))
+        .groupBy().agg(count(lit(1)).as("n"), sum("t").as("k_true"),
+          sum("r").as("k_reported"))
+        .select(col("n"), col("k_true"), col("k_reported"),
+          (((col("k_reported").cast("double") / col("n").cast("double")) -
+            lit(0.25)) / lit(0.5)).as("est"))
+    }),
+
     // Two-state Viterbi burst decoding of the daily error-count
     // series: scale-free integer binning (cross-multiplied
     // count-vs-mean compares), integer-scaled log-scores, and the
@@ -425,6 +468,59 @@ object Ext7 {
          SELECT channel, list_sum(list(term ORDER BY s_mask)) AS phi
          FROM tj GROUP BY 1"""
     },
+
+    "x_bradley_terry" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      def lfold(x: String, k: String) =
+        s"list_reduce([0.0] || list($x ORDER BY $k), (a, v) -> a + v)"
+      val perVCols = langs.map(g =>
+        s"sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS a_$g").mkString(", ")
+      val cumCols = langs.map(g =>
+        s"coalesce(sum(a_$g) OVER w, 0) AS c_$g").mkString(", ")
+      val winSelects = (for { a <- langs; b <- langs if a != b } yield
+        s"""SELECT '$a' AS i, '$b' AS j, sum(a_$a * c_$b) AS w
+            FROM cum GROUP BY 1, 2""").mkString(" UNION ALL ")
+      val rounds = (1 to 3).map { r =>
+        val pv = s"th${r - 1}"
+        s"""den$r AS (SELECT n.i,
+               ${lfold("n.n::DOUBLE / (ti.th + tj.th)", "n.j")} AS den
+             FROM nij n
+             JOIN $pv ti ON n.i = ti.i
+             JOIN $pv tj ON n.j = tj.i
+             GROUP BY n.i),
+           th$r AS (SELECT w.i, w.wi::DOUBLE / d.den AS th
+                    FROM wi w JOIN den$r d ON w.i = d.i)"""
+      }.mkString(", ")
+      s"""WITH f AS (SELECT n_chars AS v, lang AS g FROM documents),
+         perv AS (SELECT v, $perVCols FROM f GROUP BY 1),
+         cum AS (SELECT v, ${langs.map(g => s"a_$g").mkString(", ")},
+                   $cumCols
+                 FROM perv
+                 WINDOW w AS (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         wins AS ($winSelects),
+         nij AS (SELECT x.i, x.j, x.w + y.w AS n
+                 FROM wins x JOIN wins y ON x.i = y.j AND x.j = y.i),
+         wi AS (SELECT i, sum(w) AS wi FROM wins GROUP BY 1),
+         th0 AS (SELECT i, 1.0::DOUBLE AS th FROM wi),
+         $rounds,
+         z AS (SELECT ${lfold("th", "i")} AS z FROM th3)
+         SELECT th3.i AS lang, th AS theta, th / z AS p FROM th3, z"""
+    },
+
+    "x_rand_response" ->
+      """WITH f AS (SELECT
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 4 < 3
+                  THEN CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                  ELSE 1 - CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+             END AS r
+           FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(t) AS BIGINT) AS k_true,
+                CAST(sum(r) AS BIGINT) AS k_reported,
+                ((sum(r)::DOUBLE / count(*)::DOUBLE) - 0.25) / 0.5 AS est
+         FROM f""",
 
     "x_burst_states" -> {
       def emitCase(s: Int, bin: String) =

@@ -146,6 +146,47 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("bradleyTerry matches a plain-Scala MM replica and ranks the dominant item first") {
+    val items = Seq("a", "b", "c", "d")
+    val rnd = new scala.util.Random(17)
+    // "a" dominates: it wins most cross matches
+    val winsRaw = for { i <- items; j <- items if i != j } yield {
+      val base = rnd.nextInt(20) + 1
+      (i, j, (if (i == "a") base + 40 else base).toLong)
+    }
+    val got = Stats.bradleyTerry(winsRaw.toDF("i", "j", "w"), iters = 3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val wmap = winsRaw.map { case (i, j, w) => (i, j) -> w }.toMap
+    var th = items.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      th = items.map { i =>
+        val wi = items.filter(_ != i).map(j => wmap((i, j))).sum.toDouble
+        val den = items.filter(_ != i).sorted.foldLeft(0.0) { (a, j) =>
+          a + (wmap((i, j)) + wmap((j, i))).toDouble / (th(i) + th(j))
+        }
+        i -> wi / den
+      }.toMap
+    }
+    val z = items.sorted.foldLeft(0.0)((a, i) => a + th(i))
+    items.foreach { i =>
+      assert(got(i)._1 == th(i), s"$i: got ${got(i)._1} want ${th(i)}")
+      assert(got(i)._2 == th(i) / z)
+    }
+    assert(got("a")._1 == got.values.map(_._1).max)
+  }
+
+  test("x_rand_response debiases with the exact closed form") {
+    val r = Ext7.queries("x_rand_response")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (n, kt, kr, est) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(kr <= n && kt <= n)
+    assert(est == ((kr.toDouble / n.toDouble) - 0.25) / 0.5)
+    // the debiased estimate should land near the true rate (not a
+    // tight bound — the coin is a fixed md5 draw)
+    assert(math.abs(est - kt.toDouble / n.toDouble) < 0.25)
+  }
+
   test("viterbiTwoState equals exhaustive best-path enumeration") {
     val init = Seq(0L, -20L)
     val trans = Seq(Seq(-1L, -40L), Seq(-30L, -5L))
