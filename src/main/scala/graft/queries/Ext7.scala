@@ -135,6 +135,42 @@ object Ext7 {
           lit(0.0), (acc, x) => acc + x).as("phi"))
     }),
 
+    // COEC position-bias correction (clicks over expected clicks, the
+    // click-model debias ranker-training pipelines apply before
+    // learning from logged clicks): slot priors are global exact-count
+    // CTRs, each item's expected clicks fold its ≤10 slot terms in
+    // slot order, and the final COEC is one division
+    "x_coec_debias" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        (get_json_object(col("props"), "$.k").cast("long") % 10)
+          .as("slot"),
+        (col("user_id") % 50).as("item"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("c"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("v"))
+        .where(col("c") === 1L || col("v") === 1L)
+      val prior = ev.groupBy("slot")
+        .agg(sum("c").as("cs"), sum("v").as("vs"))
+        .where(col("vs") > 0L)
+        .select(col("slot"),
+          (col("cs").cast("double") / col("vs").cast("double"))
+            .as("prior"))
+      val per = ev.groupBy("item", "slot")
+        .agg(sum("c").as("ci"), sum("v").as("vi"))
+      per.join(broadcast(prior), Seq("slot"))
+        .withColumn("exp_c", col("vi").cast("double") * col("prior"))
+        .groupBy("item")
+        .agg(sum("ci").as("clicks"),
+          aggregate(
+            transform(
+              sort_array(collect_list(struct(col("slot"), col("exp_c")))),
+              x => x.getField("exp_c")),
+            lit(0.0), (a, x) => a + x).as("expected"))
+        .select(col("item"), col("clicks"), col("expected"),
+          when(col("expected") > 0.0,
+            col("clicks").cast("double") / col("expected"))
+            .otherwise(lit(null).cast("double")).as("coec"))
+    }),
+
     // Bradley–Terry arena ranking of the five language corpora by
     // pairwise doc-length wins: ALL 20 directed strict-win counts come
     // from ONE distinct-length spine (per-lang counts × strict-below
@@ -468,6 +504,34 @@ object Ext7 {
          SELECT channel, list_sum(list(term ORDER BY s_mask)) AS phi
          FROM tj GROUP BY 1"""
     },
+
+    "x_coec_debias" ->
+      """WITH ev AS (SELECT
+             CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+               AS slot,
+             user_id % 50 AS item,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS v
+           FROM events
+           WHERE event_type IN ('click', 'view')),
+         prior AS (SELECT slot,
+                     sum(c)::DOUBLE / sum(v)::DOUBLE AS prior
+                   FROM ev GROUP BY 1 HAVING sum(v) > 0),
+         per AS (SELECT item, slot, sum(c) AS ci, sum(v) AS vi
+                 FROM ev GROUP BY 1, 2)
+         SELECT item, CAST(sum(ci) AS BIGINT) AS clicks,
+                list_reduce([0.0] ||
+                  list(vi::DOUBLE * prior ORDER BY per.slot),
+                  (a, x) -> a + x) AS expected,
+                CASE WHEN list_reduce([0.0] ||
+                    list(vi::DOUBLE * prior ORDER BY per.slot),
+                    (a, x) -> a + x) > 0.0
+                  THEN sum(ci)::DOUBLE / list_reduce([0.0] ||
+                    list(vi::DOUBLE * prior ORDER BY per.slot),
+                    (a, x) -> a + x)
+                  ELSE NULL END AS coec
+         FROM per JOIN prior ON per.slot = prior.slot
+         GROUP BY item""",
 
     "x_bradley_terry" -> {
       val langs = Seq("de", "en", "es", "fr", "zh")

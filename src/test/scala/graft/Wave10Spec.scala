@@ -146,6 +146,17 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("x_coec_debias: expected clicks reproduce totals (COEC averages to 1 weighted)") {
+    val rows = Ext7.queries("x_coec_debias")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // Σ_items expected = Σ_slots vi·(cs/vs) summed per slot = Σ clicks:
+    // the calibration identity of COEC priors (up to float fold order)
+    val clicks = rows.map(_._1).sum.toDouble
+    val expected = rows.map(_._2).sum
+    assert(math.abs(clicks - expected) <= 1e-9 * clicks,
+      s"calibration: clicks $clicks vs expected $expected")
+  }
+
   test("bradleyTerry matches a plain-Scala MM replica and ranks the dominant item first") {
     val items = Seq("a", "b", "c", "d")
     val rnd = new scala.util.Random(17)
