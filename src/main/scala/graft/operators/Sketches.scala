@@ -167,4 +167,55 @@ object Sketches {
     df.select(bucket.as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
   }
+
+  /** Portable HyperLogLog (Flajolet et al. 2007) whose REGISTERS —
+    * not just the estimate — replay bit-exactly in SQL: the item hash
+    * is md5, bucket = low 6 bits of the first 16, rho = leading-zero
+    * rank of the next 32 (via the binary-string length, the bin()
+    * both engines share), registers are per-(key, bucket) maxima, and
+    * the union rollup (`__all__`) is the bucket-wise max across keys —
+    * the mergeability that makes HLL THE distributed distinct sketch.
+    *
+    * Exactness of the estimate arithmetic: every 2^(−M) term is an
+    * exact dyadic rational and the 64-term sum spans < 53 mantissa
+    * bits, so S is EXACT in any summation order; the bias constant
+    * multiplies as ::DOUBLE-cast literals; the small-range linear-
+    * counting branch runs the portable ln on the ≥ 1 ratio. m = 64
+    * registers (α = 0.709), the standard small-m configuration.
+    *
+    * Scale shape: one distinct + two hash aggregates; register frames
+    * are (keys × 64)-bounded. */
+  def hllPortable(df: DataFrame, keyCol: String,
+                  item: Column): DataFrame = {
+    val h = df.select(col(keyCol).as("k"), md5(item).as("h")).distinct()
+    val reg0 = h.select(col("k"),
+        (conv(substring(col("h"), 1, 4), 16, 10).cast("long") % 64)
+          .as("b"),
+        conv(substring(col("h"), 5, 8), 16, 10).cast("long").as("v"))
+      .select(col("k"), col("b"),
+        when(col("v") === 0L, lit(33L))
+          .otherwise(lit(33L) - length(bin(col("v"))).cast("long"))
+          .as("rho"))
+    val regs = reg0.groupBy("k", "b").agg(max("rho").as("m"))
+    val allRegs = regs.unionByName(
+      regs.groupBy("b").agg(max("m").as("m"))
+        .select(lit("__all__").as("k"), col("b"), col("m")))
+    val ex = h.groupBy("k").agg(count(lit(1)).as("n_exact"))
+      .unionByName(h.agg(countDistinct(col("h")).as("n_exact"))
+        .select(lit("__all__").as("k"), col("n_exact")))
+    val agg = allRegs.groupBy("k").agg(count(lit(1)).as("nb"),
+      sum(lit(1.0) /
+        expr("shiftleft(1L, cast(m as int))").cast("double")).as("s_part"))
+    val pre = agg.select(col("k"), col("nb"),
+      (col("s_part") + (lit(64L) - col("nb")).cast("double")).as("s"),
+      (lit(64L) - col("nb")).as("zeros"))
+    val raw = (lit(0.709) * lit(4096.0)) / col("s")
+    val lnx = Pmath.lnColumn(
+      when(col("zeros") > 0L, lit(64.0) / col("zeros").cast("double"))
+        .otherwise(lit(1.0)))
+    pre.join(ex, Seq("k"))
+      .select(col("k").as(keyCol), col("n_exact"), col("nb"),
+        when(raw <= lit(160.0) && col("zeros") > 0L, lit(64.0) * lnx)
+          .otherwise(raw).as("est"))
+  }
 }

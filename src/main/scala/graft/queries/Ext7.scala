@@ -135,6 +135,37 @@ object Ext7 {
           lit(0.0), (acc, x) => acc + x).as("phi"))
     }),
 
+    // Portable HLL distinct rollup: per-source register sets AND the
+    // bucket-wise-max union estimate replay bit-exactly (md5 buckets,
+    // bin()-length rho, dyadic-exact 2^-M sums, portable-ln linear
+    // counting) — the exact-oracle twin of the rows-only Datasketches
+    // x_hll_rollup
+    "x_hll_portable" -> ((s, d) =>
+      graft.operators.Sketches.hllPortable(
+        t(s, d, "documents"), "source", col("text"))),
+
+    // AMS second frequency moment (Alon–Matias–Szegedy 1996): 16
+    // md5-signed ±1 sketches of the token frequency vector; every Z_s
+    // and the Σ Z² average are INTEGER-exact, reported against the
+    // exact F2 — the self-join-size estimator entirely in one pass
+    "x_ams_f2" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("f"))
+      val exact = tok.groupBy().agg(sum(col("f") * col("f")).as("f2_exact"))
+      val ams = tok
+        .select(explode(sequence(lit(0), lit(15))).as("s"), col("t"),
+          col("f"))
+        .withColumn("sgn",
+          when(conv(substring(md5(concat(col("s").cast("string"),
+            lit("|"), col("t"))), 1, 4), 16, 10).cast("long") % 2 === 0,
+            1L).otherwise(-1L))
+        .groupBy("s").agg(sum(col("sgn") * col("f")).as("z"))
+        .groupBy().agg((sum(col("z") * col("z")).cast("double") /
+          lit(16.0)).as("f2_ams"))
+      exact.crossJoin(ams)
+    }),
+
     // COEC position-bias correction (clicks over expected clicks, the
     // click-model debias ranker-training pipelines apply before
     // learning from logged clicks): slot priors are global exact-count
@@ -504,6 +535,59 @@ object Ext7 {
          SELECT channel, list_sum(list(term ORDER BY s_mask)) AS phi
          FROM tj GROUP BY 1"""
     },
+
+    "x_hll_portable" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      s"""WITH h AS (SELECT DISTINCT source AS k, md5(text) AS h
+                     FROM documents),
+         r0 AS (SELECT k, ('0x' || substr(h, 1, 4))::BIGINT % 64 AS b,
+                  ('0x' || substr(h, 5, 8))::BIGINT AS v
+                FROM h),
+         r1 AS (SELECT k, b,
+                  CASE WHEN v = 0 THEN 33
+                       ELSE 33 - length(bin(v)) END AS rho
+                FROM r0),
+         regs AS (SELECT k, b, max(rho) AS m FROM r1 GROUP BY 1, 2),
+         allregs AS (SELECT k, b, m FROM regs
+                     UNION ALL
+                     SELECT '__all__', b, max(m) FROM regs GROUP BY 2),
+         agg AS (SELECT k, count(*) AS nb,
+                   sum(1.0::DOUBLE / (1::BIGINT << m)::DOUBLE) AS s_part
+                 FROM allregs GROUP BY 1),
+         ex AS (SELECT k, count(*) AS n_exact FROM h GROUP BY 1
+                UNION ALL
+                SELECT '__all__', count(DISTINCT h) FROM h),
+         pre AS (SELECT k, nb, s_part + (64 - nb)::DOUBLE AS s,
+                   64 - nb AS zeros
+                 FROM agg),
+         pa AS (SELECT k, nb, s, zeros,
+                  CAST(CASE WHEN zeros > 0 THEN 64.0 / zeros::DOUBLE
+                       ELSE 1.0 END AS DOUBLE) AS lnin
+                FROM pre),
+         pb AS (SELECT *, $l1 FROM pa),
+         pc AS (SELECT *, $l2 FROM pb),
+         pd AS (SELECT *, $l3 FROM pc)
+         SELECT pd.k AS source, CAST(n_exact AS BIGINT) AS n_exact,
+                CAST(nb AS BIGINT) AS nb,
+                CASE WHEN (0.709::DOUBLE * 4096.0::DOUBLE) / s
+                       <= 160.0 AND zeros > 0
+                  THEN 64.0 * lnx
+                  ELSE (0.709::DOUBLE * 4096.0::DOUBLE) / s END AS est
+         FROM pd JOIN ex ON pd.k = ex.k"""
+    },
+
+    "x_ams_f2" ->
+      """WITH tok AS (SELECT t, count(*) AS f FROM (
+             SELECT unnest(string_split(text, ' ')) AS t
+             FROM documents) GROUP BY 1),
+         ex AS (SELECT sum(f * f) AS f2_exact FROM tok),
+         sk AS (SELECT s,
+                  sum(CASE WHEN ('0x' || substr(md5(s::VARCHAR || '|' || t), 1, 4))::BIGINT % 2 = 0
+                      THEN f ELSE -f END) AS z
+                FROM tok, (SELECT unnest(range(0, 16)) AS s)
+                GROUP BY 1),
+         a AS (SELECT sum(z * z)::DOUBLE / 16.0 AS f2_ams FROM sk)
+         SELECT CAST(f2_exact AS BIGINT) AS f2_exact, f2_ams FROM ex, a""",
 
     "x_coec_debias" ->
       """WITH ev AS (SELECT

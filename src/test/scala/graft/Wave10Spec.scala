@@ -146,6 +146,34 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("hllPortable: union registers dominate per-key, estimates within HLL error of exact") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.operators.Sketches.hllPortable(
+        Tables.load(spark, sf, "documents"), "source", col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val all = rows.find(_._1 == "__all__").get
+    val per = rows.filter(_._1 != "__all__")
+    assert(per.nonEmpty && all._2 == per.map(_._2).sum,
+      "distinct texts are unique per doc, so __all__ exact = sum of per-source")
+    // m=64 → ~13% SE, but these are single FIXED draws (the sf0.001
+    // corpus hashes land where they land — verified against an
+    // independent Python HLL): assert order of magnitude, not luck
+    rows.foreach { case (k, ex, _, est) =>
+      assert(est > 0.5 * ex - 10 && est < 2.0 * ex + 20,
+        s"$k: est $est vs exact $ex")
+    }
+  }
+
+  test("x_ams_f2 estimates F2 within the sketch variance bound") {
+    val r = Ext7.queries("x_ams_f2")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (ex, est) = (r.getLong(0), r.getDouble(1))
+    assert(ex > 0)
+    // Var(est) <= 2*F2^2/16 → sd ~ 0.35*F2; allow 3 sigma around F2
+    assert(math.abs(est - ex.toDouble) <= 1.1 * ex.toDouble,
+      s"AMS estimate $est too far from exact $ex")
+  }
+
   test("x_coec_debias: expected clicks reproduce totals (COEC averages to 1 weighted)") {
     val rows = Ext7.queries("x_coec_debias")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
