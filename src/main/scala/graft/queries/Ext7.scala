@@ -135,6 +135,79 @@ object Ext7 {
           lit(0.0), (acc, x) => acc + x).as("phi"))
     }),
 
+    // t-closeness privacy audit (Li, Li & Venkatasubramanian 2007):
+    // per-QI-group EMD of the banded sensitive distribution against
+    // the global one — 20 literal bands make every group's CDF a
+    // 20-row PARTITIONED window (parameter-bounded, never data-sized),
+    // cross-multiplied integer CDFs, one final division per group
+    "x_t_closeness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bands = 20
+      val c = t(s, d, "customer").select(
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+        least(lit(bands - 1L), greatest(lit(0L),
+          floor((floor(col("c_acctbal") * lit(100.0)) + lit(100000.0)) /
+            lit(55000.0)).cast("long"))).as("band"))
+      val gb = c.groupBy("nk", "seg", "band").agg(count(lit(1)).as("cnt"))
+      val grid = c.select("nk", "seg").distinct()
+        .crossJoin(broadcast(
+          c.sparkSession.range(0, bands).select(col("id").as("band"))))
+        .join(gb, Seq("nk", "seg", "band"), "left")
+        .select(col("nk"), col("seg"), col("band"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      // global CDF on the 20-row band frame (parameter-bounded window)
+      val wa = Window.orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val globCum = c.sparkSession.range(0, bands)
+        .select(col("id").as("band"))
+        .join(c.groupBy("band").agg(count(lit(1)).as("gcnt")),
+          Seq("band"), "left")
+        .select(col("band"),
+          sum(coalesce(col("gcnt"), lit(0L))).over(wa).as("ca"))
+      val wg = Window.partitionBy("nk", "seg").orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wgAll = Window.partitionBy("nk", "seg")
+      val tot = c.groupBy().agg(count(lit(1)).as("nall"))
+      grid.withColumn("cg", sum("cnt").over(wg))
+        .withColumn("ngrp", sum("cnt").over(wgAll))
+        .join(broadcast(globCum), Seq("band"))
+        .crossJoin(broadcast(tot))
+        .where(col("band") < bands - 1)
+        .groupBy("nk", "seg")
+        .agg(max("ngrp").as("n"), max("nall").as("nall"),
+          sum(abs(col("cg") * col("nall") - col("ca") * col("ngrp")))
+            .as("t_num"))
+        .select(col("nk"), col("seg"), col("n"),
+          (col("t_num").cast("double") /
+            (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
+    }),
+
+    // Simpson's-paradox audit: sign of the quantity–price association
+    // per return-flag group vs pooled, entirely in integer
+    // cross-products (S = n·Σxy − Σx·Σy over cents) — the aggregation
+    // sanity check every per-segment report should run before
+    // publishing a pooled trend
+    "x_simpsons_flag" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag").as("g"),
+        floor(col("l_quantity")).cast("long").as("x"),
+        floor(col("l_extendedprice") * lit(100.0)).cast("long").as("y"))
+      val per = li.groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      val tot = per.groupBy().agg(sum("n").as("nn"), sum("sx").as("tx"),
+        sum("sy").as("ty"), sum("sxy").as("txy"))
+      def sgn(c: Column): Column =
+        when(c > 0, 1).when(c < 0, -1).otherwise(0)
+      per.crossJoin(broadcast(tot))
+        .select(col("g"), col("n"),
+          sgn(col("n").cast("decimal(38,0)") * col("sxy") -
+            col("sx") * col("sy")).as("sign_group"),
+          sgn(col("nn").cast("decimal(38,0)") * col("txy") -
+            col("tx") * col("ty")).as("sign_all"))
+        .withColumn("reversal", col("sign_group") =!= col("sign_all"))
+    }),
+
     // Portable HLL distinct rollup: per-source register sets AND the
     // bucket-wise-max union estimate replay bit-exactly (md5 buckets,
     // bin()-length rho, dyadic-exact 2^-M sums, portable-ln linear
@@ -535,6 +608,59 @@ object Ext7 {
          SELECT channel, list_sum(list(term ORDER BY s_mask)) AS phi
          FROM tj GROUP BY 1"""
     },
+
+    "x_t_closeness" ->
+      """WITH c AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+             least(19, greatest(0, CAST(floor(
+               (floor(c_acctbal*100.0) + 100000.0) / 55000.0)
+               AS BIGINT))) AS band
+           FROM customer),
+         gb AS (SELECT nk, seg, band, count(*) AS cnt
+                FROM c GROUP BY 1, 2, 3),
+         grid AS (SELECT q.nk, q.seg, b.band, coalesce(gb.cnt, 0) AS cnt
+                  FROM (SELECT DISTINCT nk, seg FROM c) q
+                  CROSS JOIN (SELECT unnest(range(0, 20)) AS band) b
+                  LEFT JOIN gb ON gb.nk = q.nk AND gb.seg = q.seg
+                    AND gb.band = b.band),
+         globcum AS (SELECT b.band,
+                       sum(coalesce(g.gcnt, 0)) OVER (ORDER BY b.band
+                         ROWS UNBOUNDED PRECEDING) AS ca
+                     FROM (SELECT unnest(range(0, 20)) AS band) b
+                     LEFT JOIN (SELECT band, count(*) AS gcnt FROM c
+                                GROUP BY 1) g ON g.band = b.band),
+         tot AS (SELECT count(*) AS nall FROM c),
+         st AS (SELECT grid.nk, grid.seg, grid.band, cnt,
+                  sum(cnt) OVER (PARTITION BY grid.nk, grid.seg
+                    ORDER BY grid.band ROWS UNBOUNDED PRECEDING) AS cg,
+                  sum(cnt) OVER (PARTITION BY grid.nk, grid.seg) AS ngrp,
+                  ca
+                FROM grid JOIN globcum ON grid.band = globcum.band)
+         SELECT nk, seg, CAST(max(ngrp) AS BIGINT) AS n,
+                sum(abs(cg * nall - ca * ngrp))::DOUBLE /
+                  (max(ngrp) * max(nall) * 19)::DOUBLE AS t
+         FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_simpsons_flag" ->
+      """WITH li AS (SELECT l_returnflag AS g,
+             CAST(floor(l_quantity) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice*100.0) AS BIGINT) AS y
+           FROM lineitem),
+         per AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x*y) AS sxy
+                 FROM li GROUP BY 1),
+         tot AS (SELECT sum(n) AS nn, sum(sx) AS tx, sum(sy) AS ty,
+                   sum(sxy) AS txy
+                 FROM per)
+         SELECT g, CAST(n AS BIGINT) AS n,
+           CASE WHEN n*sxy - sx*sy > 0 THEN 1
+                WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 0 END AS sign_group,
+           CASE WHEN nn*txy - tx*ty > 0 THEN 1
+                WHEN nn*txy - tx*ty < 0 THEN -1 ELSE 0 END AS sign_all,
+           (CASE WHEN n*sxy - sx*sy > 0 THEN 1
+                 WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 0 END) <>
+           (CASE WHEN nn*txy - tx*ty > 0 THEN 1
+                 WHEN nn*txy - tx*ty < 0 THEN -1 ELSE 0 END) AS reversal
+         FROM per, tot""",
 
     "x_hll_portable" -> {
       val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")

@@ -146,6 +146,53 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("x_t_closeness: t in [0,1], and a group equal to the population has t = 0") {
+    val rows = Ext7.queries("x_t_closeness")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, tv) =>
+      assert(n > 0 && tv >= 0.0 && tv <= 1.0, s"t out of range: $tv")
+    }
+    // brute-force one group's banded EMD against the collected data
+    val c = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        least(lit(19L), greatest(lit(0L),
+          floor((floor(col("c_acctbal") * lit(100.0)) + lit(100000.0)) /
+            lit(55000.0)).cast("long"))).as("band"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    val (gk, gseg, gn, gt) = rows.head
+    val grp = c.filter(_._1 == (gk, gseg)).map(_._2)
+    val all = c.map(_._2)
+    assert(grp.size == gn)
+    val tNum = (0L until 19L).map { b =>
+      math.abs(grp.count(_ <= b).toLong * all.size -
+        all.count(_ <= b).toLong * grp.size)
+    }.sum
+    assert(gt == tNum.toDouble / (grp.size.toLong * all.size * 19).toDouble)
+  }
+
+  test("x_simpsons_flag signs agree with collected covariance signs") {
+    val rows = Ext7.queries("x_simpsons_flag")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("long"),
+        floor(col("l_extendedprice") * lit(100.0)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def sgn(xs: Seq[(Long, Long)]): Int = {
+      val n = BigInt(xs.size)
+      val s = n * xs.map { case (x, y) => BigInt(x) * BigInt(y) }.sum -
+        xs.map(t => BigInt(t._1)).sum * xs.map(t => BigInt(t._2)).sum
+      s.signum
+    }
+    val allSign = sgn(li.map(t => (t._2, t._3)))
+    rows.foreach { case (g, n, sg, sa, rev) =>
+      val sub = li.filter(_._1 == g).map(t => (t._2, t._3))
+      assert(n == sub.size && sg == sgn(sub) && sa == allSign &&
+        rev == (sg != sa))
+    }
+  }
+
   test("hllPortable: union registers dominate per-key, estimates within HLL error of exact") {
     val sf = "/root/testdata/sf0.001"
     val rows = graft.operators.Sketches.hllPortable(
