@@ -182,6 +182,91 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Exact Kendall tau-b between quantity and price band from the
+    // BOUNDED contingency grid (≤ 50×20 cells): concordant/discordant
+    // pair counts are cell-product sums over the grid self-join, tie
+    // terms come from the marginals, and the only irrational op is
+    // one IEEE-exact sqrt — O(n) scan + parameter-bounded pair work,
+    // never an O(n²) row join
+    "x_kendall_tau" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        floor(col("l_quantity")).cast("long").as("x"),
+        least(lit(19L), floor(floor(col("l_extendedprice") * lit(100.0)) /
+          lit(500000.0)).cast("long")).as("y"))
+      val grid = li.groupBy("x", "y").agg(count(lit(1)).as("c"))
+      val pairs = grid.as("a").join(grid.as("b"),
+          col("b.x") < col("a.x"))
+        .groupBy().agg(
+          sum(when(col("b.y") < col("a.y"),
+            col("a.c") * col("b.c")).otherwise(0L)).as("conc"),
+          sum(when(col("b.y") > col("a.y"),
+            col("a.c") * col("b.c")).otherwise(0L)).as("disc"))
+      val margs = li.groupBy().agg(count(lit(1)).as("n"))
+      val tx = grid.groupBy("x").agg(sum("c").as("r"))
+        .groupBy().agg(sum(col("r") * (col("r") - 1) / 2).as("n1"))
+      val ty = grid.groupBy("y").agg(sum("c").as("r"))
+        .groupBy().agg(sum(col("r") * (col("r") - 1) / 2).as("n2"))
+      pairs.crossJoin(margs).crossJoin(tx).crossJoin(ty)
+        .select(col("n"), col("conc"), col("disc"),
+          ((col("conc") - col("disc")).cast("double") /
+            sqrt((col("n") * (col("n") - 1) / 2 - col("n1"))
+              .cast("double") *
+              (col("n") * (col("n") - 1) / 2 - col("n2"))
+                .cast("double"))).as("tau_b"))
+    }),
+
+    // Log-rank test between the even/odd user arms on day-binned
+    // activity spans (observed = the user purchased): the duration
+    // spine is CALENDAR-bounded, so at-risk reverse cumulatives and
+    // the O/E/V folds all run over ≤ span-days rows; hypergeometric
+    // variance terms use fixed-order double ops and one final division
+    "x_logrank" -> ((s, d) => {
+      val u = t(s, d, "events").groupBy("user_id").agg(
+        datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("dur"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("obs"))
+        .withColumn("grp", (col("user_id") % 2 === 0).cast("int"))
+      val per = u.groupBy("dur").agg(
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("e1"),
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("e2"),
+        sum(when(col("grp") === 1 && col("obs") === 1L, 1L)
+          .otherwise(0L)).as("d1"),
+        sum(when(col("grp") === 0 && col("obs") === 1L, 1L)
+          .otherwise(0L)).as("d2"))
+      // at-risk = users with duration >= t: reverse cumulative over the
+      // calendar-bounded spine (single bounded window)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("dur")
+        .rowsBetween(0, org.apache.spark.sql.expressions.Window
+          .unboundedFollowing)
+      val risk = per
+        .withColumn("n1", sum("e1").over(w))
+        .withColumn("n2", sum("e2").over(w))
+        .where(col("d1") + col("d2") > 0L)
+      val terms = risk.select(col("dur"),
+        (col("d1") + col("d2")).cast("double").as("dt"),
+        col("n1").cast("double").as("n1d"),
+        (col("n1") + col("n2")).cast("double").as("nt"),
+        col("d1").cast("double").as("o1t"))
+        .select(col("dur"), col("o1t"),
+          (col("dt") * (col("n1d") / col("nt"))).as("e1t"),
+          when(col("nt") > 1.0,
+            col("dt") * (col("n1d") / col("nt")) *
+              (lit(1.0) - col("n1d") / col("nt")) *
+              ((col("nt") - col("dt")) / (col("nt") - lit(1.0))))
+            .otherwise(lit(0.0)).as("vt"))
+      def ofold(x: Column): Column = aggregate(
+        transform(sort_array(collect_list(struct(col("dur"), x.as("x")))),
+          t => t.getField("x")),
+        lit(0.0), (a, v) => a + v)
+      terms.groupBy().agg(ofold(col("o1t")).as("o1"),
+          ofold(col("e1t")).as("e1"), ofold(col("vt")).as("v"))
+        .select(col("o1"), col("e1"), col("v"),
+          when(col("v") > 0.0,
+            ((col("o1") - col("e1")) * (col("o1") - col("e1"))) /
+              col("v")).otherwise(lit(null).cast("double")).as("chi2"))
+    }),
+
     // Simpson's-paradox audit: sign of the quantity–price association
     // per return-flag group vs pooled, entirely in integer
     // cross-products (S = n·Σxy − Σx·Σy over cents) — the aggregation
@@ -639,6 +724,75 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_kendall_tau" ->
+      """WITH li AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+             least(19, CAST(floor(floor(l_extendedprice*100.0) / 500000.0)
+               AS BIGINT)) AS y
+           FROM lineitem),
+         grid AS (SELECT x, y, count(*) AS c FROM li GROUP BY 1, 2),
+         pairs AS (SELECT
+             sum(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END) AS conc,
+             sum(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END) AS disc
+           FROM grid a JOIN grid b ON b.x < a.x),
+         m AS (SELECT count(*) AS n FROM li),
+         tx AS (SELECT sum(r * (r - 1) / 2) AS n1 FROM
+                  (SELECT sum(c) AS r FROM grid GROUP BY x)),
+         ty AS (SELECT sum(r * (r - 1) / 2) AS n2 FROM
+                  (SELECT sum(c) AS r FROM grid GROUP BY y))
+         SELECT CAST(n AS BIGINT) AS n, CAST(conc AS BIGINT) AS conc,
+                CAST(disc AS BIGINT) AS disc,
+                (conc - disc)::DOUBLE /
+                  sqrt((n * (n - 1) / 2 - n1)::DOUBLE *
+                       (n * (n - 1) / 2 - n2)::DOUBLE) AS tau_b
+         FROM pairs, m, tx, ty""",
+
+    "x_logrank" ->
+      """WITH u AS (SELECT user_id,
+             CAST(datediff('day', min(CAST(ts AS DATE)),
+               max(CAST(ts AS DATE))) AS BIGINT) AS dur,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS obs,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp
+           FROM events GROUP BY user_id),
+         per AS (SELECT dur,
+                   sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS e1,
+                   sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS e2,
+                   sum(CASE WHEN grp = 1 AND obs = 1 THEN 1 ELSE 0 END)
+                     AS d1,
+                   sum(CASE WHEN grp = 0 AND obs = 1 THEN 1 ELSE 0 END)
+                     AS d2
+                 FROM u GROUP BY 1),
+         risk AS (SELECT dur, d1, d2,
+                    sum(e1) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING) AS n1,
+                    sum(e2) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING) AS n2
+                  FROM per),
+         terms AS (SELECT dur, d1::DOUBLE AS o1t,
+                     ((d1 + d2)::DOUBLE * (n1::DOUBLE /
+                       (n1 + n2)::DOUBLE)) AS e1t,
+                     CASE WHEN (n1 + n2)::DOUBLE > 1.0
+                       THEN (d1 + d2)::DOUBLE *
+                         (n1::DOUBLE / (n1 + n2)::DOUBLE) *
+                         (1.0 - n1::DOUBLE / (n1 + n2)::DOUBLE) *
+                         (((n1 + n2)::DOUBLE - (d1 + d2)::DOUBLE) /
+                          ((n1 + n2)::DOUBLE - 1.0))
+                       ELSE 0.0 END AS vt
+                   FROM risk WHERE d1 + d2 > 0),
+         ag AS (SELECT
+             list_reduce([0.0] || list(o1t ORDER BY dur),
+               (a, v) -> a + v) AS o1,
+             list_reduce([0.0] || list(e1t ORDER BY dur),
+               (a, v) -> a + v) AS e1,
+             list_reduce([0.0] || list(vt ORDER BY dur),
+               (a, v) -> a + v) AS v
+           FROM terms)
+         SELECT o1, e1, v,
+                CASE WHEN v > 0.0
+                  THEN ((o1 - e1) * (o1 - e1)) / v
+                  ELSE NULL END AS chi2
+         FROM ag""",
 
     "x_simpsons_flag" ->
       """WITH li AS (SELECT l_returnflag AS g,

@@ -146,6 +146,36 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("x_kendall_tau equals the O(n^2) pair count on collected rows") {
+    val got = Ext7.queries("x_kendall_tau")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(floor(col("l_quantity")).cast("long"),
+        least(lit(19L), floor(floor(col("l_extendedprice") * lit(100.0)) /
+          lit(500000.0)).cast("long")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var conc = 0L; var disc = 0L
+    for (i <- li.indices; j <- 0 until i) {
+      val ((xi, yi), (xj, yj)) = (li(i), li(j))
+      if (xi != xj && yi != yj) {
+        if ((xi < xj) == (yi < yj)) conc += 1 else disc += 1
+      }
+    }
+    assert(got.getLong(0) == li.length)
+    assert(got.getLong(1) == conc && got.getLong(2) == disc,
+      s"got (${got.getLong(1)},${got.getLong(2)}) want ($conc,$disc)")
+    assert(got.getDouble(3) >= -1.0 && got.getDouble(3) <= 1.0)
+  }
+
+  test("x_logrank: O1 and E1 totals behave (E1 sums to total deaths with E2)") {
+    val r = Ext7.queries("x_logrank")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (o1, e1, v) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(o1 >= 0 && e1 > 0 && v > 0)
+    // chi2 consistency with its own parts
+    assert(r.getDouble(3) == (o1 - e1) * (o1 - e1) / v)
+  }
+
   test("x_t_closeness: t in [0,1], and a group equal to the population has t = 0") {
     val rows = Ext7.queries("x_t_closeness")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
