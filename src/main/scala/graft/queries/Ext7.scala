@@ -182,6 +182,63 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Difference-in-differences on the even/odd user arms across the
+    // month midpoint: four cell means of purchase cents (each ONE
+    // division of exact integer sums), DID in fixed subtraction order
+    "x_did" -> ((s, d) => {
+      val ev = t(s, d, "events").where(col("event_type") === "purchase")
+      val minDay = ev.groupBy().agg(min(to_date(col("ts"))).as("d0"))
+      val cells = ev.crossJoin(broadcast(minDay))
+        .select((col("user_id") % 2 === 0).cast("int").as("treat"),
+          (datediff(to_date(col("ts")), col("d0")) >= 15).cast("int")
+            .as("post"),
+          floor(col("value") * lit(100.0)).cast("long").as("cents"))
+        .groupBy("treat", "post")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+        .select(col("treat"), col("post"), col("n"),
+          (col("sc").cast("double") / col("n").cast("double")).as("m"))
+      val wide = cells.groupBy().agg(
+        max(when(col("treat") === 1 && col("post") === 1, col("m")))
+          .as("tp"),
+        max(when(col("treat") === 1 && col("post") === 0, col("m")))
+          .as("tr"),
+        max(when(col("treat") === 0 && col("post") === 1, col("m")))
+          .as("cp"),
+        max(when(col("treat") === 0 && col("post") === 0, col("m")))
+          .as("cr"))
+      wide.select(col("tp"), col("tr"), col("cp"), col("cr"),
+        ((col("tp") - col("tr")) - (col("cp") - col("cr"))).as("did"))
+    }),
+
+    // Hamilton largest-remainder apportionment of a literal sampling
+    // budget across sources: integer quotas, floor allocations, and
+    // the extra seats to the largest remainders with a deterministic
+    // (remainder desc, source asc) tie-break — the exact way a
+    // sampling job splits a row budget proportionally
+    "x_apportion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def idiv(a: Column, b: Column) = call_function("div", a, b)
+      val budget = 1000L
+      val per = t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n"))
+      val tot = per.groupBy().agg(sum("n").as("nall"),
+        count(lit(1)).as("k"))
+      val q = per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n"),
+          idiv(lit(budget) * col("n"), col("nall")).as("base"),
+          ((lit(budget) * col("n")) % col("nall")).as("rem"),
+          col("nall"))
+      // source-domain-bounded window (≤ #sources rows)
+      val w = Window.orderBy(col("rem").desc, col("source").asc)
+      val extra = q.crossJoin(broadcast(
+          q.groupBy().agg((lit(budget) - sum("base")).as("extra"))))
+        .withColumn("rk", row_number().over(w))
+        .select(col("source"), col("n"),
+          (col("base") + when(col("rk") <= col("extra"), 1L)
+            .otherwise(0L)).as("alloc"))
+      extra
+    }),
+
     // Exact Kendall tau-b between quantity and price band from the
     // BOUNDED contingency grid (≤ 50×20 cells): concordant/discordant
     // pair counts are cell-product sums over the grid self-join, tie
@@ -724,6 +781,43 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_did" ->
+      """WITH ev AS (SELECT user_id, ts,
+             CAST(floor(value*100.0) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM ev),
+         cells AS (SELECT
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat,
+             CASE WHEN datediff('day', d0, CAST(ts AS DATE)) >= 15
+               THEN 1 ELSE 0 END AS post,
+             count(*) AS n, sum(cents) AS sc
+           FROM ev, d0 GROUP BY 1, 2),
+         m AS (SELECT treat, post, sc::DOUBLE / n::DOUBLE AS m
+               FROM cells),
+         wide AS (SELECT
+             max(CASE WHEN treat = 1 AND post = 1 THEN m END) AS tp,
+             max(CASE WHEN treat = 1 AND post = 0 THEN m END) AS tr,
+             max(CASE WHEN treat = 0 AND post = 1 THEN m END) AS cp,
+             max(CASE WHEN treat = 0 AND post = 0 THEN m END) AS cr
+           FROM m)
+         SELECT tp, tr, cp, cr, (tp - tr) - (cp - cr) AS did FROM wide""",
+
+    "x_apportion" ->
+      """WITH per AS (SELECT source, count(*) AS n
+                      FROM documents GROUP BY 1),
+         tot AS (SELECT sum(n) AS nall FROM per),
+         q AS (SELECT source, n, (1000 * n) // nall AS base,
+                 (1000 * n) % nall AS rem
+               FROM per, tot),
+         e AS (SELECT 1000 - sum(base) AS extra FROM q),
+         r AS (SELECT source, n, base,
+                 row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+               FROM q)
+         SELECT source, CAST(n AS BIGINT) AS n,
+                CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc
+         FROM r, e""",
 
     "x_kendall_tau" ->
       """WITH li AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,

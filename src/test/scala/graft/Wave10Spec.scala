@@ -146,6 +146,26 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("x_apportion allocates exactly the budget, proportionally") {
+    val rows = Ext7.queries("x_apportion")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == 1000L)
+    val nall = rows.map(_._2).sum
+    rows.foreach { case (src, n, alloc) =>
+      val quota = 1000.0 * n / nall
+      assert(alloc >= quota.floor.toLong && alloc <= quota.ceil.toLong,
+        s"$src: alloc $alloc violates quota $quota")
+    }
+  }
+
+  test("x_did recombines its own cells") {
+    val r = Ext7.queries("x_did")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (tp, tr, cp, cr, did) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(did == (tp - tr) - (cp - cr))
+  }
+
   test("x_kendall_tau equals the O(n^2) pair count on collected rows") {
     val got = Ext7.queries("x_kendall_tau")(spark, "/root/testdata/sf0.001")
       .collect().head
