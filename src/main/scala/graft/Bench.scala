@@ -128,5 +128,8 @@ object Bench {
     "x_communities", "x_grid_join", "x_target_encode", "x_class_balance",
     // round-6 wave-11 representatives (ADDED names only)
     "x_image_phash", "x_dbscan", "x_cdc_dedup", "x_changepoint",
-    "x_pca_project", "x_bpe_encode")
+    "x_pca_project", "x_bpe_encode",
+    // round-6 session-3 representatives (ADDED names only)
+    "x_wasserstein", "x_fellegi_sunter", "x_bradley_terry",
+    "x_kendall_tau", "x_hll_portable", "x_ngram_novelty")
 }

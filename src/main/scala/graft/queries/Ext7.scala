@@ -182,6 +182,69 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Mantel–Haenszel common odds ratio across source strata
+    // (exposure = above-median length by a literal cut, outcome = en):
+    // per-stratum a·d/n and b·c/n are single divisions of exact
+    // counts, the two totals fold in stratum order, one final division
+    "x_mh_odds" -> ((s, d) => {
+      val f = t(s, d, "documents").select(col("source"),
+        (col("n_chars") >= 300L).cast("int").as("e"),
+        (col("lang") === "en").cast("int").as("y"))
+      val strata = f.groupBy("source").agg(
+        sum(when(col("e") === 1 && col("y") === 1, 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("e") === 1 && col("y") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("e") === 0 && col("y") === 1, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("e") === 0 && col("y") === 0, 1L).otherwise(0L))
+          .as("dd"))
+        .withColumn("n", col("a") + col("b") + col("c") + col("dd"))
+        .where(col("n") > 0L)
+      def ofold(x: Column): Column = aggregate(
+        transform(
+          sort_array(collect_list(struct(col("source"), x.as("x")))),
+          t => t.getField("x")),
+        lit(0.0), (acc, v) => acc + v)
+      strata.groupBy().agg(
+          ofold((col("a") * col("dd")).cast("double") /
+            col("n").cast("double")).as("num"),
+          ofold((col("b") * col("c")).cast("double") /
+            col("n").cast("double")).as("den"))
+        .select(col("num"), col("den"),
+          when(col("den") > 0.0, col("num") / col("den"))
+            .otherwise(lit(null).cast("double")).as("or_mh"))
+    }),
+
+    // Wald–Wolfowitz runs test on the daily purchase-count series
+    // (above/below the exact global mean via cross-multiplied integer
+    // compares): runs counted with a lag over the CALENDAR-bounded
+    // spine; expected runs = 1 + 2·n1·n2/n is exact-integer-derived
+    "x_runs_test" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = daily.groupBy().agg(sum("cnt").as("tc"),
+        count(lit(1)).as("nd"))
+      val signed = daily.crossJoin(broadcast(tot))
+        .select(col("day"),
+          (col("cnt") * col("nd") >= col("tc")).cast("int").as("hi"))
+      val w = Window.orderBy("day")
+      val runs = signed
+        .withColumn("chg",
+          when(lag(col("hi"), 1).over(w).isNull, 1)
+            .when(lag(col("hi"), 1).over(w) =!= col("hi"), 1)
+            .otherwise(0))
+        .groupBy().agg(sum(col("chg")).as("runs"),
+          sum(when(col("hi") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("hi") === 0, 1L).otherwise(0L)).as("n2"))
+      runs.select(col("n1"), col("n2"), col("runs"),
+        (lit(1.0) + lit(2.0) * (col("n1") * col("n2")).cast("double") /
+          (col("n1") + col("n2")).cast("double")).as("expected_runs"))
+    }),
+
     // Difference-in-differences on the even/odd user arms across the
     // month midpoint: four cell means of purchase cents (each ONE
     // division of exact integer sums), DID in fixed subtraction order
@@ -781,6 +844,51 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_mh_odds" ->
+      """WITH f AS (SELECT source,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS e,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         st AS (SELECT source,
+             sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+             sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS dd,
+             count(*) AS n
+           FROM f GROUP BY 1 HAVING count(*) > 0),
+         ag AS (SELECT
+             list_reduce([0.0] || list((a * dd)::DOUBLE / n::DOUBLE
+               ORDER BY source), (acc, v) -> acc + v) AS num,
+             list_reduce([0.0] || list((b * c)::DOUBLE / n::DOUBLE
+               ORDER BY source), (acc, v) -> acc + v) AS den
+           FROM st)
+         SELECT num, den,
+                CASE WHEN den > 0.0 THEN num / den ELSE NULL END AS or_mh
+         FROM ag""",
+
+    "x_runs_test" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+                        FROM events WHERE event_type = 'purchase'
+                        GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS tc, count(*) AS nd FROM daily),
+         signed AS (SELECT day,
+                      CASE WHEN cnt * nd >= tc THEN 1 ELSE 0 END AS hi
+                    FROM daily, tot),
+         ch AS (SELECT hi,
+                  CASE WHEN lag(hi) OVER (ORDER BY day) IS NULL THEN 1
+                       WHEN lag(hi) OVER (ORDER BY day) <> hi THEN 1
+                       ELSE 0 END AS chg
+                FROM signed),
+         ag AS (SELECT sum(chg) AS runs,
+                  sum(CASE WHEN hi = 1 THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN hi = 0 THEN 1 ELSE 0 END) AS n2
+                FROM ch)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                CAST(runs AS BIGINT) AS runs,
+                1.0 + 2.0 * (n1 * n2)::DOUBLE / (n1 + n2)::DOUBLE
+                  AS expected_runs
+         FROM ag""",
 
     "x_did" ->
       """WITH ev AS (SELECT user_id, ts,

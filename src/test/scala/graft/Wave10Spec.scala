@@ -146,6 +146,32 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("x_mh_odds folds stratum terms consistently; x_runs_test counts runs exactly") {
+    val mh = Ext7.queries("x_mh_odds")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(mh.getDouble(0) >= 0 && mh.getDouble(1) >= 0)
+    if (!mh.isNullAt(2))
+      assert(mh.getDouble(2) == mh.getDouble(0) / mh.getDouble(1))
+    val rt = Ext7.queries("x_runs_test")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (n1, n2, runs) = (rt.getLong(0), rt.getLong(1), rt.getLong(2))
+    assert(runs >= 1 && runs <= n1 + n2)
+    // brute-force the runs from the collected daily series
+    val daily = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .where(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val tc = daily.map(_._2).sum
+    val nd = daily.length
+    val his = daily.map { case (_, c) => c * nd >= tc }
+    val bruteRuns = 1 + his.sliding(2).count {
+      case Array(a, b) => a != b
+      case _ => false
+    }
+    assert(runs == bruteRuns && n1 == his.count(identity))
+  }
+
   test("x_apportion allocates exactly the budget, proportionally") {
     val rows = Ext7.queries("x_apportion")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
