@@ -182,6 +182,39 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Friedman blocked rank test: days are blocks, event types the
+    // k=5 treatments, values daily cents totals; within-block average
+    // ranks are kept EXACT as doubled ranks (2·rank = 2·#less +
+    // #equal + 1, an integer from the ≤k² in-block self-join), and
+    // the χ² assembles from k-ordered folds of exact dyadic R_j
+    "x_friedman" -> ((s, d) => {
+      val k = 5
+      val per = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"),
+          col("event_type").as("tr"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      val r2 = per.as("a").join(per.as("b"), col("a.day") === col("b.day"))
+        .groupBy(col("a.day").as("day"), col("a.tr").as("tr"))
+        .agg((sum(when(col("b.v") < col("a.v"), 2L)
+          .when(col("b.v") === col("a.v"), 1L).otherwise(0L)) + 1L)
+          .as("r2"))
+      val sums = r2.groupBy("tr").agg(sum("r2").as("r2j"))
+      val nb = per.groupBy()
+        .agg(countDistinct(col("day")).cast("double").as("nb"))
+      def ofold(x: Column): Column = aggregate(
+        transform(sort_array(collect_list(struct(col("tr"), x.as("x")))),
+          t => t.getField("x")),
+        lit(0.0), (acc, v) => acc + v)
+      sums.groupBy().agg(
+          ofold((col("r2j").cast("double") / lit(2.0)) *
+            (col("r2j").cast("double") / lit(2.0))).as("s"))
+        .crossJoin(broadcast(nb))
+        .select(col("nb").cast("long").as("n_blocks"), col("s"),
+          (lit(12.0) * col("s") /
+            (col("nb") * lit(k.toDouble) * lit((k + 1).toDouble)) -
+            lit(3.0) * col("nb") * lit((k + 1).toDouble)).as("chi2"))
+    }),
+
     // Mantel–Haenszel common odds ratio across source strata
     // (exposure = above-median length by a literal cut, outcome = en):
     // per-stratum a·d/n and b·c/n are single divisions of exact
@@ -844,6 +877,26 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_friedman" ->
+      """WITH per AS (SELECT CAST(ts AS DATE) AS day,
+             event_type AS tr,
+             sum(CAST(floor(value*100.0) AS BIGINT)) AS v
+           FROM events GROUP BY 1, 2),
+         r2 AS (SELECT a.day, a.tr,
+                  sum(CASE WHEN b.v < a.v THEN 2
+                           WHEN b.v = a.v THEN 1 ELSE 0 END) + 1 AS r2
+                FROM per a JOIN per b ON a.day = b.day
+                GROUP BY 1, 2),
+         sums AS (SELECT tr, sum(r2) AS r2j FROM r2 GROUP BY 1),
+         nb AS (SELECT count(DISTINCT day)::DOUBLE AS nb FROM per),
+         s AS (SELECT list_reduce([0.0] ||
+                 list((r2j::DOUBLE / 2.0) * (r2j::DOUBLE / 2.0)
+                   ORDER BY tr), (acc, v) -> acc + v) AS s
+               FROM sums)
+         SELECT CAST(nb AS BIGINT) AS n_blocks, s,
+                12.0 * s / (nb * 5.0 * 6.0) - 3.0 * nb * 6.0 AS chi2
+         FROM s, nb""",
 
     "x_mh_odds" ->
       """WITH f AS (SELECT source,

@@ -146,6 +146,33 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("x_friedman matches the textbook statistic on collected ranks") {
+    val r = Ext7.queries("x_friedman")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val per = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type").as("tr"))
+      .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      .collect().map(x => (x.get(0).toString, x.getString(1), x.getLong(2)))
+    val byDay = per.groupBy(_._1)
+    val k = 5
+    val rankSums = scala.collection.mutable.Map[String, Double]()
+    byDay.values.foreach { rows =>
+      rows.foreach { case (_, tr, v) =>
+        val less = rows.count(_._3 < v)
+        val eq = rows.count(_._3 == v)
+        val rank = less + (eq + 1) / 2.0
+        rankSums(tr) = rankSums.getOrElse(tr, 0.0) + rank
+      }
+    }
+    val n = byDay.size
+    val s = rankSums.toSeq.sortBy(_._1).map(t => t._2 * t._2).sum
+    val chi2 = 12.0 * s / (n.toDouble * k * (k + 1)) -
+      3.0 * n.toDouble * (k + 1)
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(2) - chi2) < 1e-9,
+      s"chi2 ${r.getDouble(2)} vs $chi2")
+  }
+
   test("x_mh_odds folds stratum terms consistently; x_runs_test counts runs exactly") {
     val mh = Ext7.queries("x_mh_odds")(spark, "/root/testdata/sf0.001")
       .collect().head
