@@ -182,6 +182,25 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // ABC (Pareto) part classification by revenue: cumulative revenue
+    // share over the DISTRIBUTED descending spine (Rank.withCumSums,
+    // revenue-desc + partkey tiebreak), class cuts as cross-multiplied
+    // integer compares (cum·5 ≤ total·4 → A, cum·20 ≤ total·19 → B)
+    "x_abc_analysis" -> ((s, d) => {
+      val per = t(s, d, "lineitem").groupBy("l_partkey")
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("rev"))
+        .withColumn("_ord", -col("rev"))
+      val cum = Rank.withCumSums(per, Seq("_ord", "l_partkey"),
+        Seq("rev" -> "crev"))
+      val tot = per.groupBy().agg(sum("rev").as("trev"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("rev"),
+          when(col("crev") * 5 <= col("trev") * 4, "A")
+            .when(col("crev") * 20 <= col("trev") * 19, "B")
+            .otherwise("C").as("abc_class"))
+    }),
+
     // Friedman blocked rank test: days are blocks, event types the
     // k=5 treatments, values daily cents totals; within-block average
     // ranks are kept EXACT as doubled ranks (2·rank = 2·#less +
@@ -877,6 +896,21 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_abc_analysis" ->
+      """WITH per AS (SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice*100.0) AS BIGINT)) AS rev
+           FROM lineitem GROUP BY 1),
+         cum AS (SELECT l_partkey, rev,
+                   sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                     ROWS UNBOUNDED PRECEDING) AS crev
+                 FROM per),
+         tot AS (SELECT sum(rev) AS trev FROM per)
+         SELECT l_partkey, CAST(rev AS BIGINT) AS rev,
+                CASE WHEN crev * 5 <= trev * 4 THEN 'A'
+                     WHEN crev * 20 <= trev * 19 THEN 'B'
+                     ELSE 'C' END AS abc_class
+         FROM cum, tot""",
 
     "x_friedman" ->
       """WITH per AS (SELECT CAST(ts AS DATE) AS day,
