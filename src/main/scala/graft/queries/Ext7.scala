@@ -182,6 +182,102 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Pettitt nonparametric changepoint on the daily purchase series:
+    // U_t over the CALENDAR-bounded ≤n² sign-pair frame, split point =
+    // argmax |U_t| with a min-day tie-break — all integers
+    "x_pettitt" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.day") < col("b.day"))
+        .select(col("a.day").as("di"), col("b.day").as("dj"),
+          signum(col("a.v") - col("b.v")).cast("long").as("sg"))
+      val ut = daily.select(col("day").as("t"))
+        .join(pairs, col("di") <= col("t") && col("dj") > col("t"))
+        .groupBy("t").agg(sum("sg").as("u"))
+      val best = ut.groupBy().agg(max(abs(col("u"))).as("k"))
+      ut.crossJoin(broadcast(best))
+        .where(abs(col("u")) === col("k"))
+        .groupBy().agg(min(col("t")).as("t_star"), max(col("k")).as("k"),
+          min(when(abs(col("u")) === col("k"), col("u"))).as("u_at"))
+        .select(date_format(col("t_star"), "yyyy-MM-dd").as("t_star"),
+          col("k"), col("u_at"))
+    }),
+
+    // Mann–Kendall trend test on the same daily series: S from the
+    // bounded sign-pair sum, tie-corrected variance kept as the
+    // INTEGER numerator (18ths), z with one sqrt and fixed-order ops
+    "x_mann_kendall" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      val sAgg = daily.as("a").join(daily.as("b"),
+          col("a.day") < col("b.day"))
+        .groupBy().agg(sum(signum(col("b.v") - col("a.v")).cast("long"))
+          .as("s"))
+      val n = daily.groupBy().agg(count(lit(1)).as("n"))
+      val ties = daily.groupBy("v").agg(count(lit(1)).as("tt"))
+        .groupBy().agg(sum(col("tt") * (col("tt") - 1) *
+          (lit(2L) * col("tt") + 5L)).as("tie_term"))
+      sAgg.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+        .select(col("n"), col("s"),
+          (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5L) -
+            col("tie_term")).as("var18"))
+        .select(col("n"), col("s"), col("var18"),
+          when(col("var18") > 0L,
+            (col("s").cast("double") -
+              signum(col("s").cast("double"))) /
+              sqrt(col("var18").cast("double") / lit(18.0)))
+            .otherwise(lit(null).cast("double")).as("z"))
+    }),
+
+    // Lead–lag cross-correlation of the click and purchase daily
+    // series at lags −7..7: raw integer cent dot products per lag
+    // (one calendar-bounded join per lag via a literal lag explode)
+    "x_cross_corr" -> ((s, d) => {
+      def ser(tp: String) = t(s, d, "events")
+        .where(col("event_type") === tp)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      val a = ser("click")
+      val b = ser("purchase")
+      a.select(col("day"), col("v").as("av"),
+          explode(sequence(lit(-7), lit(7))).as("lag"))
+        .join(b.select(col("day").as("bday"), col("v").as("bv")),
+          expr("date_add(day, lag) = bday"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_overlap"),
+          sum(col("av") * col("bv")).as("dot"))
+    }),
+
+    // Goh–Barabási burstiness per user over inter-event seconds:
+    // B = (σ−μ)/(σ+μ) reduced to (√D − Σg)/(√D + Σg) with the
+    // INTEGER discriminant D = n·Σg² − (Σg)² — one sqrt, one division
+    "x_burstiness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap",
+          unix_seconds(date_trunc("second", col("ts"))) -
+            unix_seconds(date_trunc("second", lag(col("ts"), 1).over(w))))
+        .where(col("gap").isNotNull)
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("gap").as("sg"),
+          sum(col("gap") * col("gap")).as("sg2"))
+        .where(col("n") >= 2L)
+        .select(col("user_id"), col("n"),
+          when(col("n") * col("sg2") - col("sg") * col("sg") >= 0L,
+            (sqrt((col("n") * col("sg2") - col("sg") * col("sg"))
+              .cast("double")) - col("sg").cast("double")) /
+              (sqrt((col("n") * col("sg2") - col("sg") * col("sg"))
+                .cast("double")) + col("sg").cast("double")))
+            .otherwise(lit(null).cast("double")).as("b"))
+    }),
+
     // ABC (Pareto) part classification by revenue: cumulative revenue
     // share over the DISTRIBUTED descending spine (Rank.withCumSums,
     // revenue-desc + partkey tiebreak), class cuts as cross-multiplied
@@ -896,6 +992,78 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_pettitt" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value*100.0) AS BIGINT)) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         pairs AS (SELECT a.day AS di, b.day AS dj,
+                     CASE WHEN a.v > b.v THEN 1
+                          WHEN a.v < b.v THEN -1 ELSE 0 END AS sg
+                   FROM daily a JOIN daily b ON a.day < b.day),
+         ut AS (SELECT t.day AS t, sum(sg) AS u
+                FROM (SELECT day FROM daily) t
+                JOIN pairs ON di <= t.day AND dj > t.day
+                GROUP BY 1),
+         best AS (SELECT max(abs(u)) AS k FROM ut)
+         SELECT strftime(min(t), '%Y-%m-%d') AS t_star,
+                CAST(max(k) AS BIGINT) AS k,
+                CAST(min(u) AS BIGINT) AS u_at
+         FROM ut, best WHERE abs(u) = k""",
+
+    "x_mann_kendall" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value*100.0) AS BIGINT)) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         sv AS (SELECT sum(CASE WHEN b.v > a.v THEN 1
+                            WHEN b.v < a.v THEN -1 ELSE 0 END) AS s
+                FROM daily a JOIN daily b ON a.day < b.day),
+         nn AS (SELECT count(*) AS n FROM daily),
+         ties AS (SELECT coalesce(sum(tt*(tt-1)*(2*tt+5)), 0) AS tie_term
+                  FROM (SELECT count(*) AS tt FROM daily GROUP BY v)),
+         vv AS (SELECT n, s, n*(n-1)*(2*n+5) - tie_term AS var18
+                FROM sv, nn, ties)
+         SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+                CAST(var18 AS BIGINT) AS var18,
+                CASE WHEN var18 > 0 THEN
+                  (s::DOUBLE - (CASE WHEN s > 0 THEN 1.0
+                                     WHEN s < 0 THEN -1.0
+                                     ELSE 0.0 END)) /
+                    sqrt(var18::DOUBLE / 18.0)
+                ELSE NULL END AS z
+         FROM vv""",
+
+    "x_cross_corr" ->
+      """WITH a AS (SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value*100.0) AS BIGINT)) AS av
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         b AS (SELECT CAST(ts AS DATE) AS bday,
+             sum(CAST(floor(value*100.0) AS BIGINT)) AS bv
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         l AS (SELECT unnest(range(-7, 8)) AS lag)
+         SELECT CAST(l.lag AS INTEGER) AS lag,
+                CAST(count(*) AS BIGINT) AS n_overlap,
+                CAST(sum(av * bv) AS BIGINT) AS dot
+         FROM a CROSS JOIN l
+         JOIN b ON a.day + CAST(l.lag AS INTEGER) = b.bday
+         GROUP BY 1""",
+
+    "x_burstiness" ->
+      """WITH g AS (SELECT user_id,
+             epoch(date_trunc('second', ts)) -
+               epoch(date_trunc('second', lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id))) AS gap
+           FROM events),
+         a AS (SELECT user_id, count(*) AS n, sum(gap) AS sg,
+                 sum(gap * gap) AS sg2
+               FROM g WHERE gap IS NOT NULL
+               GROUP BY 1 HAVING count(*) >= 2)
+         SELECT user_id, CAST(n AS BIGINT) AS n,
+                CASE WHEN n*sg2 - sg*sg >= 0 THEN
+                  (sqrt((n*sg2 - sg*sg)::DOUBLE) - sg::DOUBLE) /
+                  (sqrt((n*sg2 - sg*sg)::DOUBLE) + sg::DOUBLE)
+                ELSE NULL END AS b
+         FROM a""",
 
     "x_abc_analysis" ->
       """WITH per AS (SELECT l_partkey,

@@ -146,6 +146,47 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("time-series diagnostics: Pettitt/Mann-Kendall/cross-corr/burstiness invariants") {
+    val sf = "/root/testdata/sf0.001"
+    // Mann-Kendall vs collected brute force
+    val mk = Ext7.queries("x_mann_kendall")(spark, sf).collect().head
+    val daily = Tables.load(spark, sf, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1)
+    var sStat = 0L
+    for (i <- daily.indices; j <- 0 until i)
+      sStat += java.lang.Long.signum(daily(i)._2 - daily(j)._2)
+    assert(mk.getLong(0) == daily.length && mk.getLong(1) == sStat)
+    // Pettitt: |U| at split equals reported K, brute-forced
+    val pt = Ext7.queries("x_pettitt")(spark, sf).collect().head
+    val us = daily.indices.dropRight(1).map { ti =>
+      val t = daily(ti)._1
+      (t, daily.flatMap { case (di, vi) =>
+        daily.collect { case (dj, vj) if di <= t && dj > t && di < dj =>
+          java.lang.Long.signum(vi - vj).toLong }
+      }.sum)
+    }
+    assert(pt.getLong(1) == us.map(u => math.abs(u._2)).max)
+    // cross-corr lag 0 equals the direct dot
+    val cc = Ext7.queries("x_cross_corr")(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = Tables.load(spark, sf, "events")
+      .where(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    val bm = daily.toMap
+    val dot0 = a.collect { case (d, av) if bm.contains(d) => av * bm(d) }.sum
+    assert(cc(0)._2 == dot0)
+    // burstiness in [-1, 1]
+    Ext7.queries("x_burstiness")(spark, sf).collect().foreach { r =>
+      if (!r.isNullAt(2))
+        assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("x_friedman matches the textbook statistic on collected ranks") {
     val r = Ext7.queries("x_friedman")(spark, "/root/testdata/sf0.001")
       .collect().head
