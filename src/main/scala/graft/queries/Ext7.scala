@@ -182,6 +182,53 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // BLEU-2 between adjacent same-source documents (the text-gen
+    // eval metric as a corpus self-similarity probe): clipped n-gram
+    // precisions from EXACT multiset counts (positional shingles ×
+    // token-level equi-joins), brevity penalty in log form, log-BLEU
+    // via the portable ln on the inverted ≥1 ratios
+    "x_bleu2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val wnd = Window.partitionBy("source").orderBy("doc_id")
+      val pairs = docs.select(col("doc_id").as("cand"),
+          lead(col("doc_id"), 1).over(wnd).as("ref"))
+        .where(col("ref").isNotNull)
+      def counts(n: Int) = docs.select(col("doc_id"),
+          Text.explodePositionalShingles(col("text"), n)
+            .as(Seq("pos", "g")))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      def clipped(n: Int, sfx: String) = {
+        val cnt = counts(n)
+        pairs.join(cnt.as("cc"), col("cand") === col("cc.doc_id"))
+          .join(cnt.as("rc"), col("ref") === col("rc.doc_id") &&
+            col("cc.g") === col("rc.g"), "left")
+          .groupBy(col("cand"), col("ref"))
+          .agg(sum(least(col("cc.c"), coalesce(col("rc.c"), lit(0L))))
+            .as(s"clip$sfx"),
+            sum(col("cc.c")).as(s"tot$sfx"))
+      }
+      val lens = docs.select(col("doc_id"),
+        Text.tokenCountWs(col("text")).cast("long").as("len"))
+      val j = pairs.join(clipped(1, "1"), Seq("cand", "ref"))
+        .join(clipped(2, "2"), Seq("cand", "ref"))
+        .join(lens.select(col("doc_id").as("cand"),
+          col("len").as("clen")), Seq("cand"))
+        .join(lens.select(col("doc_id").as("ref"),
+          col("len").as("rlen")), Seq("ref"))
+      val logBp = least(lit(0.0), lit(1.0) -
+        col("rlen").cast("double") / col("clen").cast("double"))
+      val lnP1 = -graft.functions.Pmath.lnColumn(
+        col("tot1").cast("double") / col("clip1").cast("double"))
+      val lnP2 = -graft.functions.Pmath.lnColumn(
+        col("tot2").cast("double") / col("clip2").cast("double"))
+      j.select(col("cand"), col("ref"), col("clip1"), col("tot1"),
+        col("clip2"), col("tot2"),
+        when(col("clip1") > 0L && col("clip2") > 0L,
+          logBp + lit(0.5) * (lnP1 + lnP2))
+          .otherwise(lit(null).cast("double")).as("log_bleu"))
+    }),
+
     // Pettitt nonparametric changepoint on the daily purchase series:
     // U_t over the CALENDAR-bounded ≤n² sign-pair frame, split point =
     // argmax |U_t| with a min-day tie-break — all integers
@@ -992,6 +1039,59 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_bleu2" -> {
+      val (ctes, last) = graft.functions.Pmath.lnSqlChainCtes("j", "bl",
+        Seq(
+          ("CASE WHEN clip1 > 0 THEN tot1::DOUBLE / clip1::DOUBLE ELSE 1.0 END", "lnq1"),
+          ("CASE WHEN clip2 > 0 THEN tot2::DOUBLE / clip2::DOUBLE ELSE 1.0 END", "lnq2")),
+        Seq("cand", "ref", "clip1", "tot1", "clip2", "tot2", "clen",
+          "rlen"))
+      s"""WITH pr AS (SELECT doc_id AS cand,
+             lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+               AS ref
+           FROM documents),
+         p AS (SELECT cand, ref FROM pr WHERE ref IS NOT NULL),
+         u AS (SELECT doc_id, g, count(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS g
+             FROM documents) GROUP BY 1, 2),
+         bg AS (SELECT doc_id, g, count(*) AS c FROM (
+             SELECT doc_id,
+               unnest([array_to_string(list_slice(ws, i, i+1), ' ')
+                       for i in range(1, len(ws))]) AS g
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents)) GROUP BY 1, 2),
+         c1 AS (SELECT cand, ref,
+                  sum(least(cc.c, coalesce(rc.c, 0))) AS clip1,
+                  sum(cc.c) AS tot1
+                FROM p JOIN u cc ON cand = cc.doc_id
+                LEFT JOIN u rc ON ref = rc.doc_id AND cc.g = rc.g
+                GROUP BY 1, 2),
+         c2 AS (SELECT cand, ref,
+                  sum(least(cc.c, coalesce(rc.c, 0))) AS clip2,
+                  sum(cc.c) AS tot2
+                FROM p JOIN bg cc ON cand = cc.doc_id
+                LEFT JOIN bg rc ON ref = rc.doc_id AND cc.g = rc.g
+                GROUP BY 1, 2),
+         lens AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT
+                    AS len FROM documents),
+         j AS (SELECT p.cand, p.ref, clip1, tot1, clip2, tot2,
+                 cl.len AS clen, rl.len AS rlen
+               FROM p JOIN c1 USING (cand, ref)
+               JOIN c2 USING (cand, ref)
+               JOIN lens cl ON p.cand = cl.doc_id
+               JOIN lens rl ON p.ref = rl.doc_id),
+         $ctes
+         SELECT cand, ref, CAST(clip1 AS BIGINT) AS clip1,
+                CAST(tot1 AS BIGINT) AS tot1,
+                CAST(clip2 AS BIGINT) AS clip2,
+                CAST(tot2 AS BIGINT) AS tot2,
+                CASE WHEN clip1 > 0 AND clip2 > 0 THEN
+                  least(0.0, 1.0 - rlen::DOUBLE / clen::DOUBLE) +
+                    0.5 * ((-lnq1) + (-lnq2))
+                ELSE NULL END AS log_bleu
+         FROM $last"""
+    },
 
     "x_pettitt" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,

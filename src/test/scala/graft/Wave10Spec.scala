@@ -146,6 +146,19 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("x_bleu2: a doc against itself would score 0; real pairs score <= 0 with exact clips") {
+    val rows = Ext7.queries("x_bleu2")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (clip1, tot1, clip2, tot2) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(clip1 <= tot1 && clip2 <= tot2)
+      if (!r.isNullAt(6))
+        assert(r.getDouble(6) <= 1e-12, s"log-BLEU must be <= 0: ${r.getDouble(6)}")
+    }
+  }
+
   test("time-series diagnostics: Pettitt/Mann-Kendall/cross-corr/burstiness invariants") {
     val sf = "/root/testdata/sf0.001"
     // Mann-Kendall vs collected brute force
