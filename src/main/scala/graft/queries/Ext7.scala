@@ -182,6 +182,66 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Partial autocorrelation (lags 1–3) of the daily total series by
+    // Durbin–Levinson closed forms: autocovariances are kept EXACT as
+    // n²-scaled INTEGER sums (c_k·n² = n²·Σx_t·x_{t+k} − n·S·(H_k+T_k)
+    // + (n−k)·S², every term a long), ratios r_k = ck2/c02 are single
+    // divisions, and the φ recursion is a fixed-order double chain
+    // mirrored verbatim in SQL
+    "x_pacf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      val w = Window.orderBy("day")
+      val lagged = daily
+        .withColumn("v1", lag(col("v"), 1).over(w))
+        .withColumn("v2", lag(col("v"), 2).over(w))
+        .withColumn("v3", lag(col("v"), 3).over(w))
+      val agg = lagged.groupBy().agg(
+        count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(col("v") * col("v")).as("sxx0"),
+        sum(when(col("v1").isNotNull, col("v") * col("v1"))
+          .otherwise(0L)).as("sxx1"),
+        sum(when(col("v1").isNotNull, col("v")).otherwise(0L)).as("h1"),
+        sum(when(col("v1").isNotNull, col("v1")).otherwise(0L)).as("t1"),
+        sum(when(col("v2").isNotNull, col("v") * col("v2"))
+          .otherwise(0L)).as("sxx2"),
+        sum(when(col("v2").isNotNull, col("v")).otherwise(0L)).as("h2"),
+        sum(when(col("v2").isNotNull, col("v2")).otherwise(0L)).as("t2"),
+        sum(when(col("v3").isNotNull, col("v") * col("v3"))
+          .otherwise(0L)).as("sxx3"),
+        sum(when(col("v3").isNotNull, col("v")).otherwise(0L)).as("h3"),
+        sum(when(col("v3").isNotNull, col("v3")).otherwise(0L)).as("t3"))
+      val dec = "decimal(38,0)"
+      def D(c: Column): Column = c.cast(dec)
+      def ck2(k: Int): Column =
+        if (k == 0)
+          D(col("n")) * D(col("n")) * D(col("sxx0")) -
+            D(col("n")) * D(col("sv")) * D(col("sv"))
+        else
+          D(col("n")) * D(col("n")) * D(col(s"sxx$k")) -
+            D(col("n")) * D(col("sv")) * D(col(s"h$k") + col(s"t$k")) +
+            D(col("n") - k) * D(col("sv")) * D(col("sv"))
+      def toD(c: Column): Column = c.cast("string").cast("double")
+      val rs = agg.select(col("n"),
+        (toD(ck2(1)) / toD(ck2(0))).as("r1"),
+        (toD(ck2(2)) / toD(ck2(0))).as("r2"),
+        (toD(ck2(3)) / toD(ck2(0))).as("r3"))
+      rs.select(col("n"), col("r1"), col("r2"), col("r3"),
+          col("r1").as("pacf1"),
+          ((col("r2") - col("r1") * col("r1")) /
+            (lit(1.0) - col("r1") * col("r1"))).as("pacf2"))
+        .withColumn("phi21", col("r1") * (lit(1.0) - col("pacf2")))
+        .withColumn("pacf3",
+          (col("r3") - col("phi21") * col("r2") -
+            col("pacf2") * col("r1")) /
+            (lit(1.0) - col("phi21") * col("r1") -
+              col("pacf2") * col("r2")))
+        .select(col("n"), col("r1"), col("r2"), col("r3"),
+          col("pacf1"), col("pacf2"), col("pacf3"))
+    }),
+
     // BLEU-2 between adjacent same-source documents (the text-gen
     // eval metric as a corpus self-similarity probe): clipped n-gram
     // precisions from EXACT multiset counts (positional shingles ×
@@ -1039,6 +1099,41 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_pacf" -> {
+      def ck2(k: Int): String =
+        if (k == 0) "n*n*sxx0 - n*sv*sv"
+        else s"n*n*sxx$k - n*sv*(h$k+t$k) + (n-$k)*sv*sv"
+      def r(k: Int): String =
+        s"CAST(CAST(${ck2(k)} AS VARCHAR) AS DOUBLE) / CAST(CAST(${ck2(0)} AS VARCHAR) AS DOUBLE)"
+      val p2 = "(r2 - r1*r1) / (1.0 - r1*r1)"
+      val phi21 = s"(r1 * (1.0 - ($p2)))"
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value*100.0) AS BIGINT)) AS v
+           FROM events GROUP BY 1),
+         lg AS (SELECT v, lag(v, 1) OVER (ORDER BY day) AS v1,
+                  lag(v, 2) OVER (ORDER BY day) AS v2,
+                  lag(v, 3) OVER (ORDER BY day) AS v3
+                FROM daily),
+         ag AS (SELECT count(*) AS n, sum(v) AS sv, sum(v*v) AS sxx0,
+             sum(CASE WHEN v1 IS NOT NULL THEN v*v1 ELSE 0 END) AS sxx1,
+             sum(CASE WHEN v1 IS NOT NULL THEN v ELSE 0 END) AS h1,
+             sum(CASE WHEN v1 IS NOT NULL THEN v1 ELSE 0 END) AS t1,
+             sum(CASE WHEN v2 IS NOT NULL THEN v*v2 ELSE 0 END) AS sxx2,
+             sum(CASE WHEN v2 IS NOT NULL THEN v ELSE 0 END) AS h2,
+             sum(CASE WHEN v2 IS NOT NULL THEN v2 ELSE 0 END) AS t2,
+             sum(CASE WHEN v3 IS NOT NULL THEN v*v3 ELSE 0 END) AS sxx3,
+             sum(CASE WHEN v3 IS NOT NULL THEN v ELSE 0 END) AS h3,
+             sum(CASE WHEN v3 IS NOT NULL THEN v3 ELSE 0 END) AS t3
+           FROM lg),
+         rr AS (SELECT CAST(n AS BIGINT) AS n, ${r(1)} AS r1,
+                  ${r(2)} AS r2, ${r(3)} AS r3
+                FROM ag)
+         SELECT n, r1, r2, r3, r1 AS pacf1, $p2 AS pacf2,
+                (r3 - $phi21*r2 - ($p2)*r1) /
+                  (1.0 - $phi21*r1 - ($p2)*r2) AS pacf3
+         FROM rr"""
+    },
 
     "x_bleu2" -> {
       val (ctes, last) = graft.functions.Pmath.lnSqlChainCtes("j", "bl",

@@ -146,6 +146,31 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("x_pacf matches a plain-Scala Durbin-Levinson on collected daily totals") {
+    val r = Ext7.queries("x_pacf")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val xs = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      .collect().map(x => (x.get(0).toString, x.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val n = xs.length
+    val mu = xs.sum.toDouble / n
+    def c(k: Int): Double =
+      (0 until n - k).map(t => (xs(t) - mu) * (xs(t + k) - mu)).sum
+    val (r1, r2, r3) = (c(1) / c(0), c(2) / c(0), c(3) / c(0))
+    // loose tolerance: the engine computes in exact n^2-scaled integers,
+    // the replica in naive floating point
+    assert(math.abs(r.getDouble(1) - r1) < 1e-9)
+    assert(math.abs(r.getDouble(2) - r2) < 1e-9)
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(math.abs(r.getDouble(5) - p2) < 1e-9)
+    val phi21 = r1 * (1.0 - p2)
+    val p3 = (r3 - phi21 * r2 - p2 * r1) /
+      (1.0 - phi21 * r1 - p2 * r2)
+    assert(math.abs(r.getDouble(6) - p3) < 1e-6)
+  }
+
   test("x_bleu2: a doc against itself would score 0; real pairs score <= 0 with exact clips") {
     val rows = Ext7.queries("x_bleu2")(spark, "/root/testdata/sf0.001")
       .collect()
