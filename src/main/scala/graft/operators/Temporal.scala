@@ -259,6 +259,60 @@ object Temporal {
         element_at(col("path"), col("i") + 1).as("state"))
   }
 
+  /** Holt–Winters additive triple smoothing (Winters 1960) over a
+    * calendar-bounded series: classic init (first-period mean level,
+    * two-period mean-difference trend, first-period deviations as
+    * seasonals), then the L/B/S recurrences as a single `aggregate`
+    * fold whose state carries (level, trend, rolling seasonal queue,
+    * fitted list). Every op is a fixed-order double chain on exact
+    * cent inputs, so the whole fit replays as a recursive SQL CTE.
+    * Emits one row per post-warmup step: (orderCol, x, fitted, resid)
+    * where fitted is the one-step-ahead forecast L+B+S. */
+  def holtWintersAdditive(series: DataFrame, orderCol: String,
+                          valCol: String, alpha: Double, beta: Double,
+                          gamma: Double, period: Int): DataFrame = {
+    val p = period
+    val sorted = sort_array(collect_list(struct(col(orderCol),
+      col(valCol))))
+    val packed = series.groupBy().agg(
+      transform(sorted, x => x.getField(orderCol)).as("ks"),
+      transform(sorted, x => x.getField(valCol).cast("double")).as("xs"))
+    def ssum(arr: Column, from: Int, len: Int): Column =
+      aggregate(slice(arr, from, len), lit(0.0), (a, x) => a + x)
+    val l0 = ssum(col("xs"), 1, p) / lit(p.toDouble)
+    val b0 = (ssum(col("xs"), p + 1, p) - ssum(col("xs"), 1, p)) /
+      lit((p * p).toDouble)
+    val ss0 = transform(slice(col("xs"), 1, p), x => x - l0)
+    val st0 = struct(l0.as("l"), b0.as("b"), ss0.as("ss"),
+      expr("cast(array() as array<double>)").as("fits"))
+    val (a1, b1, g1) = (1.0 - alpha, 1.0 - beta, 1.0 - gamma)
+    val dp = aggregate(
+      sequence(lit(p + 1), size(col("xs"))),
+      st0,
+      (st, t) => {
+        val x = element_at(col("xs"), t.cast("int"))
+        val sUsed = element_at(st.getField("ss"), 1)
+        val fit = st.getField("l") + st.getField("b") + sUsed
+        val newL = lit(alpha) * (x - sUsed) +
+          lit(a1) * (st.getField("l") + st.getField("b"))
+        val newB = lit(beta) * (newL - st.getField("l")) +
+          lit(b1) * st.getField("b")
+        val newS = lit(gamma) * (x - newL) + lit(g1) * sUsed
+        struct(newL.as("l"), newB.as("b"),
+          concat(slice(st.getField("ss"), 2, p - 1), array(newS))
+            .as("ss"),
+          concat(st.getField("fits"), array(fit)).as("fits"))
+      })
+    packed.select(col("ks"), col("xs"), dp.getField("fits").as("fits"))
+      .select(posexplode(col("fits")).as(Seq("i", "fitted")),
+        col("ks"), col("xs"))
+      .select(element_at(col("ks"), col("i") + p + 1).as(orderCol),
+        element_at(col("xs"), col("i") + p + 1).as("x"),
+        col("fitted"),
+        (element_at(col("xs"), col("i") + p + 1) - col("fitted"))
+          .as("resid"))
+  }
+
   def saxWords(df: DataFrame, keyCol: String, tsCol: Column,
                valueExpr: Column, slotsPerSeg: Int = 4,
                alphabet: Int = 4): DataFrame = {

@@ -182,6 +182,17 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Holt–Winters additive forecast of daily totals (period 7):
+    // classic init, one aggregate() fold for the L/B/S recurrences,
+    // one-step-ahead fitted values + residuals per post-warmup day
+    "x_holt_winters" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(unix_seconds(date_trunc("day", col("ts"))).as("day_s"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      graft.operators.Temporal.holtWintersAdditive(daily, "day_s", "v",
+        alpha = 0.5, beta = 0.3, gamma = 0.2, period = 7)
+    }),
+
     // Partial autocorrelation (lags 1–3) of the daily total series by
     // Durbin–Levinson closed forms: autocovariances are kept EXACT as
     // n²-scaled INTEGER sums (c_k·n² = n²·Σx_t·x_{t+k} − n·S·(H_k+T_k)
@@ -1099,6 +1110,43 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_holt_winters" -> {
+      def lsum(e: String) = s"list_reduce([0.0] || $e, (a, x) -> a + x)"
+      val newL = "0.5::DOUBLE*(xs[t+1] - ss[1]) + 0.5::DOUBLE*(l + b)"
+      s"""WITH RECURSIVE
+         daily AS (SELECT epoch(date_trunc('day', ts)) AS day_s,
+                     sum(CAST(floor(value*100.0) AS BIGINT)) AS v
+                   FROM events GROUP BY 1),
+         arr AS (SELECT list(day_s ORDER BY day_s) AS ks,
+                   list(v::DOUBLE ORDER BY day_s) AS xs,
+                   count(*) AS n
+                 FROM daily),
+         init AS (SELECT
+             ${lsum("list_slice(xs, 1, 7)")} / 7.0 AS l0,
+             (${lsum("list_slice(xs, 8, 14)")} -
+               ${lsum("list_slice(xs, 1, 7)")}) / 49.0 AS b0,
+             xs, n
+           FROM arr),
+         dp(t, l, b, ss, fits) AS (
+           SELECT 7, l0, b0,
+             list_transform(list_slice(xs, 1, 7), x -> x - l0),
+             []::DOUBLE[]
+           FROM init
+           UNION ALL
+           SELECT t+1,
+             $newL,
+             0.3::DOUBLE*(($newL) - l) + 0.7::DOUBLE*b,
+             list_slice(ss, 2, 7) ||
+               [0.2::DOUBLE*(xs[t+1] - ($newL)) + 0.8::DOUBLE*ss[1]],
+             fits || [l + b + ss[1]]
+           FROM dp, init WHERE t < n)
+         SELECT day_s, x, fitted, x - fitted AS resid FROM (
+           SELECT unnest(list_slice(ks, 8, n)) AS day_s,
+                  unnest(list_slice(xs, 8, n)) AS x,
+                  unnest(fits) AS fitted
+           FROM dp, arr WHERE t = n)"""
+    },
 
     "x_pacf" -> {
       def ck2(k: Int): String =

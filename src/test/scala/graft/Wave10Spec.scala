@@ -146,6 +146,36 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("holtWintersAdditive matches a plain-Scala replica bit for bit") {
+    val rnd = new scala.util.Random(23)
+    val xs = Seq.tabulate(25)(i =>
+      (1000 + 300 * (i % 7) + rnd.nextInt(100)).toLong)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("day_s", "v")
+    val got = graft.operators.Temporal
+      .holtWintersAdditive(df, "day_s", "v", 0.5, 0.3, 0.2, 7)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    // replica with identical op order
+    val p = 7
+    val d = xs.map(_.toDouble)
+    var l = d.take(p).foldLeft(0.0)(_ + _) / 7.0
+    var b = (d.slice(p, 2 * p).foldLeft(0.0)(_ + _) -
+      d.take(p).foldLeft(0.0)(_ + _)) / 49.0
+    var ss = d.take(p).map(_ - l).toVector
+    val fits = Vector.newBuilder[Double]
+    for (t <- p until xs.size) {
+      val x = d(t); val sUsed = ss.head
+      fits += l + b + sUsed
+      val newL = 0.5 * (x - sUsed) + 0.5 * (l + b)
+      val newB = 0.3 * (newL - l) + 0.7 * b
+      val newS = 0.2 * (x - newL) + 0.8 * sUsed
+      l = newL; b = newB; ss = ss.tail :+ newS
+    }
+    val want = fits.result()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((_, f), w) => assert(f == w) }
+  }
+
   test("x_pacf matches a plain-Scala Durbin-Levinson on collected daily totals") {
     val r = Ext7.queries("x_pacf")(spark, "/root/testdata/sf0.001")
       .collect().head
