@@ -182,6 +182,46 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // ROUGE-L F1 between sampled docs and their same-source successor:
+    // the LCS DP runs as ONE nested aggregate expression PER PAIR ROW
+    // (parallel across pairs, like x_dtw's recurrence), and with β=1
+    // the score collapses to 2·LCS/(len_c+len_r) — a single division
+    // of exact integers, no ln anywhere
+    "x_rouge_l" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val wnd = Window.partitionBy("source").orderBy("doc_id")
+      val pairs = docs.select(col("source"), col("doc_id"),
+          col("text").as("ctext"),
+          lead(col("doc_id"), 1).over(wnd).as("ref"),
+          lead(col("text"), 1).over(wnd).as("rtext"))
+        .where(col("ref").isNotNull && col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("cand"), col("ref"),
+          split(col("ctext"), " ").as("ta"),
+          split(col("rtext"), " ").as("tb"))
+      val row0 = transform(sequence(lit(0), size(col("tb"))), _ => lit(0L))
+      val dp = aggregate(
+        sequence(lit(1), size(col("ta"))),
+        row0,
+        (prev, i) => aggregate(
+          sequence(lit(1), size(col("tb"))),
+          array(lit(0L)),
+          (acc, j) => concat(acc, array(
+            when(element_at(col("ta"), i.cast("int")) ===
+              element_at(col("tb"), j.cast("int")),
+              element_at(prev, j.cast("int")) + 1L)
+              .otherwise(greatest(element_at(prev, j.cast("int") + 1),
+                element_at(acc, size(acc))))))))
+      pairs.select(col("cand"), col("ref"),
+          element_at(dp, size(col("tb")) + 1).as("lcs"),
+          size(col("ta")).cast("long").as("lc"),
+          size(col("tb")).cast("long").as("lr"))
+        .select(col("cand"), col("ref"), col("lcs"), col("lc"),
+          col("lr"),
+          ((lit(2L) * col("lcs")).cast("double") /
+            (col("lc") + col("lr")).cast("double")).as("rouge_l_f"))
+    }),
+
     // Holt–Winters additive forecast of daily totals (period 7):
     // classic init, one aggregate() fold for the L/B/S recurrences,
     // one-step-ahead fitted values + residuals per post-warmup day
@@ -1110,6 +1150,40 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_rouge_l" ->
+      """WITH RECURSIVE
+         pr AS (SELECT doc_id, source, text,
+                  lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+                    AS ref,
+                  lead(text) OVER (PARTITION BY source ORDER BY doc_id)
+                    AS rtext
+                FROM documents),
+         pairs AS (SELECT doc_id AS cand, ref,
+                     string_split(text, ' ') AS ta,
+                     string_split(rtext, ' ') AS tb
+                   FROM pr
+                   WHERE ref IS NOT NULL AND doc_id % 10 = 0),
+         dp(cand, ref, ta, tb, i, row) AS (
+           SELECT cand, ref, ta, tb, 0,
+             [0::BIGINT for _ in range(0, len(tb) + 1)]
+           FROM pairs
+           UNION ALL
+           SELECT cand, ref, ta, tb, i + 1,
+             list_reduce(
+               [[0::BIGINT]] || [[j::BIGINT] for j in range(1, len(tb) + 1)],
+               (acc, e) -> acc ||
+                 [CASE WHEN ta[i+1] = tb[CAST(e[1] AS INTEGER)]
+                    THEN row[CAST(e[1] AS INTEGER)] + 1
+                    ELSE greatest(row[CAST(e[1] AS INTEGER) + 1],
+                                  acc[len(acc)]) END])
+           FROM dp WHERE i < len(ta))
+         SELECT cand, ref, CAST(row[len(tb) + 1] AS BIGINT) AS lcs,
+                CAST(len(ta) AS BIGINT) AS lc,
+                CAST(len(tb) AS BIGINT) AS lr,
+                (2 * row[len(tb) + 1])::DOUBLE /
+                  (len(ta) + len(tb))::DOUBLE AS rouge_l_f
+         FROM dp WHERE i = len(ta)""",
 
     "x_holt_winters" -> {
       def lsum(e: String) = s"list_reduce([0.0] || $e, (a, x) -> a + x)"

@@ -146,6 +146,26 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("x_rouge_l: LCS equals the classic DP on collected pairs") {
+    val rows = Ext7.queries("x_rouge_l")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val texts = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lcs(a: Array[String], b: Array[String]): Long = {
+      val d = Array.ofDim[Long](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = if (a(i - 1) == b(j - 1)) d(i - 1)(j - 1) + 1
+        else math.max(d(i - 1)(j), d(i)(j - 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { case ((cand, ref), got) =>
+      val want = lcs(texts(cand).split(" "), texts(ref).split(" "))
+      assert(got == want, s"pair ($cand,$ref): lcs $got want $want")
+    }
+  }
+
   test("holtWintersAdditive matches a plain-Scala replica bit for bit") {
     val rnd = new scala.util.Random(23)
     val xs = Seq.tabulate(25)(i =>
