@@ -1431,11 +1431,16 @@ object Stats {
       transform(sort_array(collect_list(struct(key.as("k"), x.as("x")))),
         t => t.getField("x")),
       lit(0.0), (a, v) => a + v)
+    // each MM round references θ twice (θ_i, θ_j) and nij once; without
+    // lineage truncation the upstream win-count plan re-executes
+    // O(2^iters) times — checkpoint the ITEM-pair-bounded frames once
+    // and the tiny θ each round (the logstar/kCore discipline)
     val nij = wins.as("x").join(wins.as("y"),
         col("x.i") === col("y.j") && col("x.j") === col("y.i"))
       .select(col("x.i").as("i"), col("x.j").as("j"),
         (col("x.w") + col("y.w")).as("n"))
-    val wi = wins.groupBy("i").agg(sum("w").as("wi"))
+      .localCheckpoint(true)
+    val wi = wins.groupBy("i").agg(sum("w").as("wi")).localCheckpoint(true)
     var th = wi.select(col("i"), lit(1.0).as("th"))
     for (_ <- 1 to iters) {
       val terms = nij
@@ -1450,6 +1455,7 @@ object Stats {
         .agg(ofold(col("j"), col("term")).as("den"))
       th = wi.join(den, Seq("i"))
         .select(col("i"), (col("wi").cast("double") / col("den")).as("th"))
+        .localCheckpoint(true)
     }
     val z = th.groupBy().agg(ofold(col("i"), col("th")).as("z"))
     th.crossJoin(broadcast(z))
