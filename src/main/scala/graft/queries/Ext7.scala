@@ -182,6 +182,41 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // IPF / raking (Deming & Stephan 1940): calibrate a one-third
+    // sample's (lang, source) cell weights to the FULL corpus margins
+    // by three unrolled row/column scaling rounds — every scale factor
+    // is a single division, margin sums fold in key order, and all
+    // frames are (langs × sources)-bounded; per-round localCheckpoint
+    // keeps the referenced-twice lineage linear (the Bradley–Terry
+    // lesson)
+    "x_ipf_raking" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def ofold(key: Column, x: Column): Column = aggregate(
+        transform(sort_array(collect_list(struct(key.as("k"), x.as("x")))),
+          t => t.getField("x")),
+        lit(0.0), (a, v) => a + v)
+      val rowT = docs.groupBy("lang").agg(count(lit(1)).as("rt"))
+      val colT = docs.groupBy("source").agg(count(lit(1)).as("ct"))
+      var w = docs.where(col("doc_id") % 3 === 0)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_sample"))
+        .withColumn("w", col("n_sample").cast("double"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val rowS = w.groupBy("lang")
+          .agg(ofold(col("source"), col("w")).as("rs"))
+        w = w.join(rowS, Seq("lang")).join(broadcast(rowT), Seq("lang"))
+          .select(col("lang"), col("source"), col("n_sample"),
+            (col("w") * (col("rt").cast("double") / col("rs"))).as("w"))
+        val colS = w.groupBy("source")
+          .agg(ofold(col("lang"), col("w")).as("cs"))
+        w = w.join(colS, Seq("source")).join(broadcast(colT), Seq("source"))
+          .select(col("lang"), col("source"), col("n_sample"),
+            (col("w") * (col("ct").cast("double") / col("cs"))).as("w"))
+          .localCheckpoint(true)
+      }
+      w
+    }),
+
     // ROUGE-L F1 between sampled docs and their same-source successor:
     // the LCS DP runs as ONE nested aggregate expression PER PAIR ROW
     // (parallel across pairs, like x_dtw's recurrence), and with β=1
@@ -1150,6 +1185,38 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_ipf_raking" -> {
+      def lfold(x: String, k: String) =
+        s"list_reduce([0.0] || list($x ORDER BY $k), (a, v) -> a + v)"
+      val rounds = (1 to 3).map { r =>
+        val prev = if (r == 1) "w0" else s"w${r - 1}c"
+        s"""rs$r AS (SELECT lang, ${lfold("w", "source")} AS rs
+                     FROM $prev GROUP BY 1),
+           w${r}r AS (SELECT p.lang, p.source, p.n_sample,
+                        p.w * (rt.rt::DOUBLE / rs$r.rs) AS w
+                      FROM $prev p
+                      JOIN rs$r ON p.lang = rs$r.lang
+                      JOIN rowt rt ON p.lang = rt.lang),
+           cs$r AS (SELECT source, ${lfold("w", "lang")} AS cs
+                    FROM w${r}r GROUP BY 1),
+           w${r}c AS (SELECT p.lang, p.source, p.n_sample,
+                        p.w * (ct.ct::DOUBLE / cs$r.cs) AS w
+                      FROM w${r}r p
+                      JOIN cs$r ON p.source = cs$r.source
+                      JOIN colt ct ON p.source = ct.source)"""
+      }.mkString(", ")
+      s"""WITH rowt AS (SELECT lang, count(*) AS rt
+                        FROM documents GROUP BY 1),
+         colt AS (SELECT source, count(*) AS ct
+                  FROM documents GROUP BY 1),
+         w0 AS (SELECT lang, source, count(*) AS n_sample,
+                  count(*)::DOUBLE AS w
+                FROM documents WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+         $rounds
+         SELECT lang, source, CAST(n_sample AS BIGINT) AS n_sample, w
+         FROM w3c"""
+    },
 
     "x_rouge_l" ->
       """WITH RECURSIVE

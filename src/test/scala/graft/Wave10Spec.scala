@@ -146,6 +146,21 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("x_ipf_raking: column margins calibrate after the final column pass") {
+    val rows = Ext7.queries("x_ipf_raking")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    val colT = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .groupBy("source").agg(count(lit(1)).as("ct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // after the last COLUMN scaling, every observed source's weight sum
+    // must match its full-corpus margin to float tolerance
+    rows.groupBy(_._2).foreach { case (src, cells) =>
+      val s = cells.map(_._3).sum
+      assert(math.abs(s - colT(src)) <= 1e-9 * colT(src),
+        s"$src: weight sum $s vs margin ${colT(src)}")
+    }
+  }
+
   test("x_rouge_l: LCS equals the classic DP on collected pairs") {
     val rows = Ext7.queries("x_rouge_l")(spark, "/root/testdata/sf0.001")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
