@@ -303,6 +303,25 @@ object StreamOps {
 
   /** Replay a bounded parquet directory through a streaming query into a
     * memory sink; returns the sink table name. Used by tests and demos. */
+  /** Native gap-session counts via Spark's `session_window` — the
+    * DECLARATIVE counterpart of [[sessionCounts]]' custom
+    * flatMapGroupsWithState state machine: same gap-merge semantics,
+    * session state managed by the engine (RocksDB-ready at scale), and
+    * the plan stays a streaming aggregation the optimizer understands.
+    * Works batch and streaming; streaming callers must watermark
+    * upstream (append emits a session only after the watermark passes
+    * its close — the bounded-replay tail stays buffered, which the
+    * equivalence spec accounts for by asserting containment). */
+  def sessionWindowCounts(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+
   def replayToMemory(spark: SparkSession, df: DataFrame, name: String): Unit = {
     val q = df.writeStream.outputMode("complete")
       .format("memory").queryName(name).start()
