@@ -182,6 +182,62 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Cochran's Q across three binary en-detectors on the same docs
+    // (the k-treatment McNemar): Q = (k−1)(k·ΣT_j² − S²)/(k·S − Σr_i²)
+    // — entirely integer until one division
+    "x_cochran_q" -> ((s, d) => {
+      val m = Text.langMarkers.toMap
+      val f = t(s, d, "documents").select(
+        (Text.markerCount(col("text"), m("en")) >= 2).cast("long")
+          .as("d1"),
+        (Text.langId(col("text")) === "en").cast("long").as("d2"),
+        (Text.nonAsciiRatio(col("text")) < 0.1).cast("long").as("d3"))
+        .withColumn("r", col("d1") + col("d2") + col("d3"))
+      f.groupBy().agg(count(lit(1)).as("n"),
+          sum("d1").as("t1"), sum("d2").as("t2"), sum("d3").as("t3"),
+          sum("r").as("ss"), sum(col("r") * col("r")).as("sr2"))
+        .select(col("n"), col("t1"), col("t2"), col("t3"),
+          when(lit(3L) * col("ss") - col("sr2") > 0L,
+            (lit(2L) * (lit(3L) * (col("t1") * col("t1") +
+              col("t2") * col("t2") + col("t3") * col("t3")) -
+              col("ss") * col("ss"))).cast("double") /
+              (lit(3L) * col("ss") - col("sr2")).cast("double"))
+            .otherwise(lit(null).cast("double")).as("q"))
+    }),
+
+    // Binary-classifier report card for the stopword en-detector:
+    // confusion cells, precision/recall/F1/specificity, Youden's J,
+    // and Matthews correlation — exact integer cells, single
+    // divisions, one IEEE sqrt for the MCC denominator
+    "x_classifier_report" -> ((s, d) => {
+      val m = Text.langMarkers.toMap
+      val f = t(s, d, "documents").select(
+        (Text.markerCount(col("text"), m("en")) >= 2).as("p"),
+        (col("lang") === "en").as("y"))
+      f.groupBy().agg(
+          sum(when(col("p") && col("y"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("p") && !col("y"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("p") && col("y"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("p") && !col("y"), 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          (col("tp").cast("double") / (col("tp") + col("fp"))
+            .cast("double")).as("precision"),
+          (col("tp").cast("double") / (col("tp") + col("fn"))
+            .cast("double")).as("recall"),
+          ((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+            .as("f1"),
+          (col("tp").cast("double") / (col("tp") + col("fn"))
+            .cast("double") +
+            col("tn").cast("double") / (col("tn") + col("fp"))
+              .cast("double") - lit(1.0)).as("youden_j"),
+          ((col("tp") * col("tn") - col("fp") * col("fn")).cast("double") /
+            sqrt(((col("tp") + col("fp")) * (col("tp") + col("fn")))
+              .cast("double") *
+              ((col("tn") + col("fp")) * (col("tn") + col("fn")))
+                .cast("double"))).as("mcc"))
+    }),
+
     // IPF / raking (Deming & Stephan 1940): calibrate a one-third
     // sample's (lang, source) cell weights to the FULL corpus margins
     // by three unrolled row/column scaling rounds — every scale factor
@@ -1185,6 +1241,52 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_cochran_q" -> {
+      val m = Text.langMarkers.toMap
+      s"""WITH f AS (SELECT
+             CASE WHEN ${dMarker(m("en"))} >= 2 THEN 1 ELSE 0 END AS d1,
+             CASE WHEN ($dLangId) = 'en' THEN 1 ELSE 0 END AS d2,
+             CASE WHEN length(regexp_replace(text, '[\\x00-\\x7F]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1) < 0.1
+               THEN 1 ELSE 0 END AS d3
+           FROM documents),
+         g AS (SELECT d1, d2, d3, d1 + d2 + d3 AS r FROM f),
+         ag AS (SELECT count(*) AS n, sum(d1) AS t1, sum(d2) AS t2,
+                  sum(d3) AS t3, sum(r) AS ss, sum(r*r) AS sr2
+                FROM g)
+         SELECT CAST(n AS BIGINT) AS n, CAST(t1 AS BIGINT) AS t1,
+                CAST(t2 AS BIGINT) AS t2, CAST(t3 AS BIGINT) AS t3,
+                CASE WHEN 3*ss - sr2 > 0 THEN
+                  (2 * (3 * (t1*t1 + t2*t2 + t3*t3) - ss*ss))::DOUBLE /
+                    (3*ss - sr2)::DOUBLE
+                ELSE NULL END AS q
+         FROM ag"""
+    },
+
+    "x_classifier_report" -> {
+      val m = Text.langMarkers.toMap
+      s"""WITH f AS (SELECT ${dMarker(m("en"))} >= 2 AS p,
+                       lang = 'en' AS y
+                     FROM documents),
+         c AS (SELECT
+             sum(CASE WHEN p AND y THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END) AS fn,
+             sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END) AS tn
+           FROM f)
+         SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+                tp::DOUBLE / (tp + fp)::DOUBLE AS "precision",
+                tp::DOUBLE / (tp + fn)::DOUBLE AS recall,
+                (2*tp)::DOUBLE / (2*tp + fp + fn)::DOUBLE AS f1,
+                tp::DOUBLE / (tp + fn)::DOUBLE +
+                  tn::DOUBLE / (tn + fp)::DOUBLE - 1.0 AS youden_j,
+                (tp*tn - fp*fn)::DOUBLE /
+                  sqrt(((tp + fp) * (tp + fn))::DOUBLE *
+                       ((tn + fp) * (tn + fn))::DOUBLE) AS mcc
+         FROM c"""
+    },
 
     "x_ipf_raking" -> {
       def lfold(x: String, k: String) =
