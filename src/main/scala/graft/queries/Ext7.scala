@@ -182,6 +182,46 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Newman modularity of the LPA communities on the supplier–part
+    // graph: Q = Σ_c(4m·e_c − d_c²)/(4m²) — intra-edge and degree
+    // sums are one label join each, the numerator stays integer, and
+    // the single division lands at the very end. Grades the QUALITY
+    // of x_communities' clustering, not just its labels
+    "x_modularity" -> ((s, d) => {
+      val edgesRaw = t(s, d, "lineitem").select(
+        concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+      val labels = graft.operators.Graphs.labelPropagation(
+        edgesRaw, "src", "dst", rounds = 3)
+      val und = edgesRaw.where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      val mdf = und.groupBy().agg(count(lit(1)).as("m"))
+      val ec = und
+        .join(labels.select(col("id").as("u"), col("lbl").as("la")),
+          Seq("u"))
+        .join(labels.select(col("id").as("v"), col("lbl").as("lb")),
+          Seq("v"))
+        .where(col("la") === col("lb"))
+        .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("ec"))
+      val dc = und.select(col("u").as("id"))
+        .unionAll(und.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .join(labels, Seq("id"))
+        .groupBy("lbl").agg(sum("deg").as("dc"))
+      dc.join(ec, Seq("lbl"), "left")
+        .select(col("lbl"), coalesce(col("ec"), lit(0L)).as("ec"),
+          col("dc"))
+        .crossJoin(broadcast(mdf))
+        .select((lit(4L) * col("m") * col("ec") -
+          col("dc") * col("dc")).as("term"), col("m"))
+        .groupBy().agg(count(lit(1)).as("n_comms"), max("m").as("m"),
+          sum("term").as("q_num"))
+        .select(col("n_comms"), col("m"), col("q_num"),
+          (col("q_num").cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double")).as("q"))
+    }),
+
     // Cochran's Q across three binary en-detectors on the same docs
     // (the k-treatment McNemar): Q = (k−1)(k·ΣT_j² − S²)/(k·S − Σr_i²)
     // — entirely integer until one division
@@ -1241,6 +1281,50 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_modularity" -> {
+      // the x_communities LPA replay (same rounds construction), then
+      // the modularity assembly over the undirected distinct edge set
+      val rounds = (1 to 3).map { i =>
+        s""", c$i AS MATERIALIZED (SELECT e.u AS id, l.lbl,
+                count(*) AS n
+              FROM e0 e JOIN l${i - 1} l ON e.v = l.id GROUP BY 1, 2),
+           l$i AS MATERIALIZED (SELECT id, lbl FROM (
+              SELECT id, lbl, row_number() OVER (PARTITION BY id
+                ORDER BY n DESC, lbl ASC) AS rn FROM c$i) q$i
+              WHERE rn = 1)"""
+      }.mkString
+      s"""WITH raw AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS u,
+                'p' || CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+         e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+              SELECT u, v FROM raw
+              UNION ALL SELECT v AS u, u AS v FROM raw) s
+              WHERE u <> v),
+         l0 AS MATERIALIZED (SELECT id, id AS lbl FROM
+              (SELECT DISTINCT u AS id FROM e0) n0)$rounds,
+         und AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+                 FROM raw WHERE u <> v),
+         mm AS (SELECT count(*) AS m FROM und),
+         ec AS (SELECT la.lbl, count(*) AS ec
+                FROM und
+                JOIN l3 la ON und.u = la.id
+                JOIN l3 lb ON und.v = lb.id
+                WHERE la.lbl = lb.lbl GROUP BY 1),
+         dg AS (SELECT id, count(*) AS deg FROM (
+                  SELECT u AS id FROM und
+                  UNION ALL SELECT v FROM und) GROUP BY 1),
+         dc AS (SELECT l3.lbl, sum(dg.deg) AS dc
+                FROM dg JOIN l3 ON dg.id = l3.id GROUP BY 1),
+         per AS (SELECT dc.lbl, coalesce(ec.ec, 0) AS ec, dc.dc, m
+                 FROM dc LEFT JOIN ec ON dc.lbl = ec.lbl, mm),
+         ag AS (SELECT count(*) AS n_comms, max(m) AS m,
+                  sum(4*m*ec - dc*dc) AS q_num
+                FROM per)
+         SELECT CAST(n_comms AS BIGINT) AS n_comms, CAST(m AS BIGINT) AS m,
+                CAST(q_num AS BIGINT) AS q_num,
+                q_num::DOUBLE / (4*m*m)::DOUBLE AS q
+         FROM ag"""
+    },
 
     "x_cochran_q" -> {
       val m = Text.langMarkers.toMap
