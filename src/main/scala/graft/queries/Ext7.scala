@@ -182,6 +182,64 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Index of dispersion (variance-to-mean) of daily counts per
+    // event type — the Poisson overdispersion audit with the ratio
+    // held as exact integer cross-products until ONE division:
+    // VMR = (n·Σx² − (Σx)²) / ((n−1)·Σx)
+    "x_dispersion" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sx2"))
+        .select(col("event_type"), col("n"), col("sx"),
+          when(col("n") > 1L && col("sx") > 0L,
+            (col("n") * col("sx2") - col("sx") * col("sx"))
+              .cast("double") /
+              ((col("n") - 1) * col("sx")).cast("double"))
+            .otherwise(lit(null).cast("double")).as("vmr"))
+    }),
+
+    // Decision-stump split finder: the n_chars threshold minimizing
+    // weighted Gini impurity for the en label — cumulative class
+    // counts over the DISTRIBUTED distinct-value spine, impurity as a
+    // fixed-order two-division chain, argmin via global min +
+    // min-threshold tie-break (the Pettitt pattern, no ordered
+    // single-partition window)
+    "x_best_split" -> ((s, d) => {
+      val f = t(s, d, "documents").select(col("n_chars").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("a"),
+        when(col("lang") =!= "en", 1L).otherwise(0L).as("b"))
+      val perV = f.groupBy("v").agg(sum("a").as("pa"), sum("b").as("pb"))
+      val cum = Rank.withCumSums(perV, Seq("v"),
+        Seq("pa" -> "ca", "pb" -> "cb"))
+      val tot = f.groupBy().agg(sum("a").as("ta"), sum("b").as("tb"))
+      val sc = cum.crossJoin(broadcast(tot))
+        .select(col("v"), col("ca"), col("cb"),
+          (col("ca") + col("cb")).as("nl"),
+          (col("ta") - col("ca")).as("ra"),
+          (col("tb") - col("cb")).as("rb"),
+          (col("ta") + col("tb") - col("ca") - col("cb")).as("nr"))
+        .select(col("v"),
+          // guard INSIDE the expression: ANSI division-by-zero must be
+          // unreachable even if the optimizer evaluates the projection
+          // before the row filter
+          when(col("nl") > 0L && col("nr") > 0L,
+            ((col("nl") * col("nl") - col("ca") * col("ca") -
+              col("cb") * col("cb")).cast("double") /
+              col("nl").cast("double")) +
+              ((col("nr") * col("nr") - col("ra") * col("ra") -
+                col("rb") * col("rb")).cast("double") /
+                col("nr").cast("double"))).as("imp"))
+        .where(col("imp").isNotNull)
+      val best = sc.groupBy().agg(min("imp").as("best_imp"))
+      sc.crossJoin(broadcast(best))
+        .where(col("imp") === col("best_imp"))
+        .groupBy().agg(min("v").as("threshold"),
+          max("best_imp").as("weighted_gini"))
+    }),
+
     // Newman modularity of the LPA communities on the supplier–part
     // graph: Q = Σ_c(4m·e_c − d_c²)/(4m²) — intra-edge and degree
     // sums are one label join each, the numerator stays integer, and
@@ -1281,6 +1339,45 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_dispersion" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          count(*) AS x
+                        FROM events GROUP BY 1, 2),
+         ag AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+                  sum(x*x) AS sx2
+                FROM daily GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                CAST(sx AS BIGINT) AS sx,
+                CASE WHEN n > 1 AND sx > 0 THEN
+                  (n*sx2 - sx*sx)::DOUBLE / ((n-1)*sx)::DOUBLE
+                ELSE NULL END AS vmr
+         FROM ag""",
+
+    "x_best_split" ->
+      """WITH f AS (SELECT n_chars AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+             CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS b
+           FROM documents),
+         perv AS (SELECT v, sum(a) AS pa, sum(b) AS pb
+                  FROM f GROUP BY 1),
+         cum AS (SELECT v, sum(pa) OVER w AS ca, sum(pb) OVER w AS cb
+                 FROM perv
+                 WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM f),
+         sc AS (SELECT v,
+                  ((nl*nl - ca*ca - cb*cb)::DOUBLE / nl::DOUBLE) +
+                    ((nr*nr - ra*ra - rb*rb)::DOUBLE / nr::DOUBLE)
+                    AS imp
+                FROM (SELECT v, ca, cb, ca + cb AS nl,
+                        ta - ca AS ra, tb - cb AS rb,
+                        ta + tb - ca - cb AS nr
+                      FROM cum, tot)
+                WHERE nl > 0 AND nr > 0),
+         best AS (SELECT min(imp) AS best_imp FROM sc)
+         SELECT CAST(min(v) AS BIGINT) AS threshold,
+                max(best_imp) AS weighted_gini
+         FROM sc, best WHERE imp = best_imp""",
 
     "x_modularity" -> {
       // the x_communities LPA replay (same rounds construction), then
