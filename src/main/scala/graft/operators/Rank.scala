@@ -87,6 +87,33 @@ object Rank {
     }.drop("_pid" +: cums.map { case (_, out) => s"_o_$out" }: _*)
   }
 
+  /** Append the exact global RUNNING MAX of `srcCol` over `orderCols`
+    * as `outCol`, distributed exactly like [[withCumSums]] — max is
+    * associative, so per-range-partition running maxima plus a
+    * parameter-bounded broadcast of strictly-preceding partition
+    * maxima reproduce the single-partition window bit for bit.
+    * `inclusive = false` gives the strictly-preceding max (NULL on the
+    * global first row) — the late-arrival / high-watermark shape. */
+  def withCumMax(spine: DataFrame, orderCols: Seq[String], srcCol: String,
+                 outCol: String, inclusive: Boolean = true): DataFrame = {
+    val ranged = spine.repartitionByRange(orderCols.map(col): _*)
+      .withColumn("_pid", spark_partition_id())
+    val hi = if (inclusive) 0L else -1L
+    val wLocal = Window.partitionBy("_pid")
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, hi)
+    val local = ranged.withColumn(outCol, max(col(srcCol)).over(wLocal))
+    val wOff = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged.groupBy("_pid").agg(max(col(srcCol)).as("_t"))
+      .select(col("_pid"), max(col("_t")).over(wOff).as("_prevmax"))
+    local.join(broadcast(offs), Seq("_pid"))
+      .withColumn(outCol, greatest(
+        coalesce(col(outCol), col("_prevmax")),
+        coalesce(col("_prevmax"), col(outCol))))
+      .drop("_pid", "_prevmax")
+  }
+
   /** Append the NEXT row's `srcCol` (SQL `lead(src, 1)`) over the
     * global `orderCol` order as `outCol`, distributed: a per-range-
     * partition lead patched at partition boundaries with the next

@@ -182,6 +182,29 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Late-arrival audit (the streaming watermark diagnostic run in
+    // batch): treating event_id as arrival order, an event is LATE
+    // when its event time sits more than 1 hour behind the strictly-
+    // preceding arrival high-watermark — running max via the NEW
+    // distributed Rank.withCumMax (associative max over range
+    // partitions + broadcast prefix maxima), daily lateness counts
+    "x_late_arrivals" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"),
+        unix_seconds(date_trunc("second", col("ts"))).as("ts_s"),
+        to_date(col("ts")).as("day"))
+      val marked = Rank.withCumMax(ev, Seq("event_id"), "ts_s", "hwm",
+        inclusive = false)
+      marked
+        .select(col("day"),
+          (col("hwm").isNotNull &&
+            col("ts_s") + lit(3600L) < col("hwm")).cast("long")
+            .as("late"))
+        .groupBy("day").agg(count(lit(1)).as("n"),
+          sum("late").as("n_late"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("n_late"))
+    }),
+
     // Index of dispersion (variance-to-mean) of daily counts per
     // event type — the Poisson overdispersion audit with the ratio
     // held as exact integer cross-products until ONE division:
@@ -1339,6 +1362,23 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_late_arrivals" ->
+      """WITH ev AS (SELECT event_id,
+             epoch(date_trunc('second', ts)) AS ts_s,
+             CAST(ts AS DATE) AS day
+           FROM events),
+         mk AS (SELECT day, ts_s,
+                  max(ts_s) OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS hwm
+                FROM ev)
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN hwm IS NOT NULL
+                          AND ts_s + 3600 < hwm
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+         FROM mk GROUP BY day""",
 
     "x_dispersion" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -12,6 +12,24 @@ import graft.queries.Ext7
 class Wave10Spec extends SparkSpec {
   import spark.implicits._
 
+  test("Rank.withCumMax equals the single-partition running max, both modes") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("k", "x").repartition(9)
+    val inc = Rank.withCumMax(df, Seq("k"), "x", "rm")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val exc = Rank.withCumMax(df, Seq("k"), "x", "rm", inclusive = false)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1)
+    var m = Long.MinValue
+    rows.sortBy(_._1).zipWithIndex.foreach { case ((k, x), i) =>
+      val prev = if (i == 0) None else Some(m)
+      m = math.max(m, x)
+      assert(inc(i) == ((k, m)))
+      assert(exc(i) == ((k, prev)))
+    }
+  }
+
   test("Rank.withLead1 equals single-partition lead on a distinct spine") {
     val vs = Seq(5L, 1L, 9L, 3L, 12L, 7L, 2L, 100L, 42L, 6L)
     val df = vs.toDF("v").repartition(7)
