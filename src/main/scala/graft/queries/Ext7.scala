@@ -7,20 +7,37 @@ import graft.Tables
 import graft.functions.Text
 import graft.operators.{Rank, Stats}
 
-/** Round-6 wave 2: distribution distance and classifier-agreement
-  * diagnostics — the exact 1-D Wasserstein-1 (earth mover's) distance
-  * between every pair of event-type value distributions (the drift
-  * metric that, unlike KS, weighs HOW FAR mass moved), the full
-  * precision/recall operating curve of a scorer at every threshold,
-  * and the rater-agreement pair Cohen's kappa + McNemar's paired test
-  * over the heuristic language-ID against the stored label.
+/** Round-6 session-3 waves — forty-plus graded operators across six
+  * families, every one with a bit-exact DuckDB oracle:
   *
-  * Oracle discipline (the repo's standing float rules): cents-
-  * quantized integer geometry for W1 with one string-mediated
-  * decimal→double hop at the end; cross-multiplied integer ECDFs; all
-  * curve ratios are single divisions of exact integer counts. The
-  * rank spines run on [[graft.operators.Rank]]'s distributed
-  * recipe — no single-partition window over a data-sized spine.
+  *  - distribution distance & drift: Wasserstein-1 pairs, QQ plot,
+  *    PSI-adjacent diagnostics (Pettitt, Mann–Kendall, runs test,
+  *    cross-correlation, dispersion index, PACF, t-closeness EMD)
+  *  - ranking/eval: PR curve, gains/lift deciles, kappa, McNemar,
+  *    Cochran's Q, classifier report card (MCC/F1/Youden), BLEU-2,
+  *    ROUGE-L, Bradley–Terry arena ranking
+  *  - sequence DP in one expression: DTW, two-state Viterbi bursts,
+  *    Holt–Winters, LCS — each replayed as a recursive SQL CTE
+  *  - parameter-bounded iterative fits: Shapley attribution,
+  *    Fellegi–Sunter EM linkage, IPF raking, Bradley–Terry MM —
+  *    all rounds run on ≤items² frames with localCheckpoint lineage
+  *  - corpus/warehouse: n-gram novelty, EB shrinkage, COEC debias,
+  *    ABC classes, apportionment, best-split stump, burstiness,
+  *    late-arrival audit, modularity, portable HLL, AMS F2
+  *  - experimentation: DID, Mantel–Haenszel, log-rank, Friedman,
+  *    randomized response
+  *
+  * Oracle discipline (the repo's standing float rules): integer/cents
+  * geometry with cross-multiplied compares wherever possible; one
+  * string-mediated decimal→double hop for wide integers; single
+  * divisions of exact operands; k-ordered folds for cross-row double
+  * sums (engine `aggregate`+`sort_array`, oracle
+  * `list_reduce([0.0] || list(x ORDER BY k))` — list_sum may
+  * re-associate); SQL literal seeds always ::DOUBLE-cast (bare
+  * literals parse as DECIMAL and multiply exactly). Rank spines run
+  * on [[graft.operators.Rank]]'s distributed recipe — no
+  * single-partition window over a data-sized spine (Wave10PlanSpec
+  * pins this).
   */
 object Ext7 {
 
