@@ -199,6 +199,45 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Nelson–Aalen cumulative hazard of time-to-purchase (completes
+    // the survival triple next to Kaplan–Meier and the log-rank
+    // test): hour-binned durations make the event spine CALENDAR-
+    // bounded, so the per-time d/n hazard increments fold exactly via
+    // bounded slice-folds (one per output row), with the
+    // Greenwood-style d/n² variance alongside
+    "x_nelson_aalen" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val users = t(s, d, "events").groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("first_us"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("purch_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      val per = users.select(
+        expr("(coalesce(purch_us, last_us) - first_us) div 3600000000")
+          .as("dur"),
+        col("purch_us").isNotNull.cast("long").as("obs"))
+      val spine = per.groupBy("dur")
+        .agg(count(lit(1)).as("c"), sum("obs").as("d"))
+      val wRev = Window.orderBy("dur")
+        .rowsBetween(0, Window.unboundedFollowing)
+      val risk = spine.withColumn("n", sum("c").over(wRev))
+        .where(col("d") > 0L)
+      val packed = risk.groupBy().agg(
+        sort_array(collect_list(struct(col("dur"), col("d"), col("n"))))
+          .as("rows"))
+      packed
+        .select(posexplode(col("rows")).as(Seq("i0", "r")), col("rows"))
+        .select(col("r.dur").as("dur"), col("r.d").as("d"),
+          col("r.n").as("n_at_risk"),
+          aggregate(slice(col("rows"), lit(1), col("i0") + 1), lit(0.0),
+            (a, x) => a + x.getField("d").cast("double") /
+              x.getField("n").cast("double")).as("h"),
+          aggregate(slice(col("rows"), lit(1), col("i0") + 1), lit(0.0),
+            (a, x) => a + x.getField("d").cast("double") /
+              (x.getField("n") * x.getField("n")).cast("double"))
+            .as("var_h"))
+    }),
+
     // Late-arrival audit (the streaming watermark diagnostic run in
     // batch): treating event_id as arrival order, an event is LATE
     // when its event time sits more than 1 hour behind the strictly-
@@ -1379,6 +1418,40 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_nelson_aalen" ->
+      """WITH users AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS purch_us,
+             max(epoch_us(ts)) AS last_us
+           FROM events GROUP BY 1),
+         per AS (SELECT
+             (coalesce(purch_us, last_us) - first_us) // 3600000000
+               AS dur,
+             CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS obs
+           FROM users),
+         spine AS (SELECT dur, count(*) AS c, sum(obs) AS d
+                   FROM per GROUP BY 1),
+         risk AS (SELECT dur, d,
+                    sum(c) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING) AS n
+                  FROM spine),
+         rr AS (SELECT list(struct_pack(dur := dur, d := d, n := n)
+                  ORDER BY dur) AS rows
+                FROM risk WHERE d > 0),
+         ex AS (SELECT unnest(rows) AS r,
+                  generate_subscripts(rows, 1) AS i
+                FROM rr)
+         SELECT CAST(r['dur'] AS BIGINT) AS dur,
+                CAST(r['d'] AS BIGINT) AS d,
+                CAST(r['n'] AS BIGINT) AS n_at_risk,
+                list_reduce([0.0] || list_transform(list_slice(rows, 1, i),
+                  x -> x['d']::DOUBLE / x['n']::DOUBLE),
+                  (a, v) -> a + v) AS h,
+                list_reduce([0.0] || list_transform(list_slice(rows, 1, i),
+                  x -> x['d']::DOUBLE / (x['n'] * x['n'])::DOUBLE),
+                  (a, v) -> a + v) AS var_h
+         FROM ex, rr""",
 
     "x_late_arrivals" ->
       """WITH ev AS (SELECT event_id,
