@@ -199,6 +199,39 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Linear-kernel MMD² between every pair of embedding label groups
+    // — the EMBEDDING-space distribution distance next to the 1-D
+    // Wasserstein: over SQ8-quantized codes the mean difference is
+    // exact integer geometry, ||μa−μb||² = Σ_d(Sa·nb − Sb·na)²/(na·nb)²
+    // with an integer numerator and one string-mediated final hop; all
+    // 45 pairs come from the 10 label-sum vectors (labels×dim frame)
+    "x_mmd_embed" -> ((s, d) => {
+      val q = t(s, d, "embeddings").select(col("label"),
+        graft.functions.Vectors.quantizeInt8(col("embedding")).as("q8"))
+      val per = q.select(col("label"),
+          posexplode(col("q8")).as(Seq("i", "c")))
+        .groupBy("label", "i").agg(sum("c").as("sd"))
+      val ns = q.groupBy("label").agg(count(lit(1)).as("n"))
+      per.as("a").join(per.as("b"),
+          col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+        .join(ns.select(col("label").as("la0"), col("n").as("na")),
+          col("a.label") === col("la0"))
+        .join(ns.select(col("label").as("lb0"), col("n").as("nb")),
+          col("b.label") === col("lb0"))
+        .select(col("a.label").as("la"), col("b.label").as("lb"),
+          col("na"), col("nb"),
+          ((col("a.sd") * col("nb") - col("b.sd") * col("na")) *
+            (col("a.sd") * col("nb") - col("b.sd") * col("na")))
+            .as("term"))
+        .groupBy("la", "lb", "na", "nb")
+        .agg(sum(col("term").cast("decimal(38,0)")).as("num"))
+        .select(col("la"), col("lb"), col("na"), col("nb"),
+          (col("num").cast("string").cast("double") /
+            ((col("na").cast("double") * col("nb").cast("double")) *
+              (col("na").cast("double") * col("nb").cast("double"))))
+            .as("mmd2"))
+    }),
+
     // Nelson–Aalen cumulative hazard of time-to-purchase (completes
     // the survival triple next to Kaplan–Meier and the log-rank
     // test): hour-binned durations make the event spine CALENDAR-
@@ -1418,6 +1451,41 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_mmd_embed" ->
+      """WITH e AS (SELECT label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT label, v,
+                 coalesce(list_max(list_transform(v, x -> abs(x))), 0.0)
+                   / 127.0 AS scale
+               FROM e),
+         q AS (SELECT label,
+                 CASE WHEN scale = 0
+                   THEN list_transform(v, x -> 0)
+                   ELSE list_transform(v, x ->
+                     CAST(floor(x / scale + 0.5) AS INTEGER))
+                 END AS q8
+               FROM s),
+         per AS (SELECT label, i, sum(q8[CAST(i AS INTEGER)]) AS sd
+                 FROM q, (SELECT unnest(range(1, 65)) AS i)
+                 GROUP BY 1, 2),
+         ns AS (SELECT label, count(*) AS n FROM q GROUP BY 1),
+         pr AS (SELECT a.label AS la, b.label AS lb,
+                  na.n AS na, nb.n AS nb,
+                  sum((a.sd * nb.n - b.sd * na.n) *
+                      (a.sd * nb.n - b.sd * na.n)) AS num
+                FROM per a JOIN per b
+                  ON a.i = b.i AND a.label < b.label
+                JOIN ns na ON a.label = na.label
+                JOIN ns nb ON b.label = nb.label
+                GROUP BY 1, 2, 3, 4)
+         SELECT la, lb, CAST(na AS BIGINT) AS na,
+                CAST(nb AS BIGINT) AS nb,
+                CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+                  ((na::DOUBLE * nb::DOUBLE) *
+                   (na::DOUBLE * nb::DOUBLE)) AS mmd2
+         FROM pr""",
 
     "x_nelson_aalen" ->
       """WITH users AS (SELECT user_id, min(epoch_us(ts)) AS first_us,
