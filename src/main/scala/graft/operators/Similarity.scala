@@ -486,17 +486,23 @@ object Similarity {
       lit(lambda) * rel - lit(1.0 - lambda) * ms
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    var selected = cands
+    // each greedy round references `selected` twice and re-joins cands/
+    // pairs — truncate lineage (the Bradley–Terry fit's lesson) or the
+    // shortlist plan re-executes exponentially in k
+    val candsCk = cands.localCheckpoint(true)
+    val pairsCk = pairs.localCheckpoint(true)
+    var selected = candsCk
       .withColumn("score", mmr(col("rel"), lit(0.0)))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("query_id"), col("neighbor_id"), col("rel"),
         col("score"), lit(1).as("round"))
+      .localCheckpoint(true)
     (2 to k).foreach { r =>
-      val notSel = cands.join(
+      val notSel = candsCk.join(
         selected.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"), "left_anti")
       val ms = notSel
-        .join(pairs.withColumnRenamed("ida", "neighbor_id"),
+        .join(pairsCk.withColumnRenamed("ida", "neighbor_id"),
           Seq("query_id", "neighbor_id"))
         .join(selected.select(col("query_id"),
           col("neighbor_id").as("idb")), Seq("query_id", "idb"))
@@ -506,7 +512,7 @@ object Similarity {
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rel"),
           col("score"), lit(r).as("round"))
-      selected = selected.unionByName(pick)
+      selected = selected.unionByName(pick).localCheckpoint(true)
     }
     selected
   }
