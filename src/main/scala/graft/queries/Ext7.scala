@@ -199,6 +199,102 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Sample entropy (Richman & Moorman 2000, m=2) of the daily cents
+    // series: template-match counts A (length-3) and B (length-2)
+    // from the CALENDAR-bounded pair self-join with an integer
+    // tolerance r = range/5, SampEn = −ln(A/B) via the portable ln on
+    // the ≥1 inverted ratio — the regularity diagnostic for series
+    "x_sample_entropy" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      val w = Window.orderBy("day")
+      val tpl = daily
+        .withColumn("v1", lead(col("v"), 1).over(w))
+        .withColumn("v2", lead(col("v"), 2).over(w))
+        .withColumn("i", row_number().over(w))
+        .where(col("v2").isNotNull)
+      val tol = daily.groupBy()
+        .agg(call_function("div", max("v") - min("v"), lit(5L)).as("r"))
+      val pairs = tpl.as("a").join(tpl.as("b"),
+          col("a.i") < col("b.i"))
+        .crossJoin(broadcast(tol))
+        .select(
+          (greatest(abs(col("a.v") - col("b.v")),
+            abs(col("a.v1") - col("b.v1"))) <= col("r")).cast("long")
+            .as("m2"),
+          (greatest(abs(col("a.v") - col("b.v")),
+            abs(col("a.v1") - col("b.v1")),
+            abs(col("a.v2") - col("b.v2"))) <= col("r")).cast("long")
+            .as("m3"))
+      pairs.groupBy().agg(sum("m2").as("b"), sum("m3").as("a"))
+        .crossJoin(broadcast(tol))
+        .select(col("r"), col("b"), col("a"),
+          when(col("a") > 0L && col("b") > 0L,
+            graft.functions.Pmath.lnColumn(
+              col("b").cast("double") / col("a").cast("double")))
+            .otherwise(lit(null).cast("double")).as("sampen"))
+    }),
+
+    // Permutation entropy (Bandt & Pompe 2002, m=3): ordinal patterns
+    // of consecutive day triples with a strict (value, position)
+    // tie-break, pattern frequencies exact, H = Σ p·ln(N/c) via the
+    // portable ln, folded in pattern order
+    "x_perm_entropy" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      val w = Window.orderBy("day")
+      val tri = daily
+        .withColumn("v1", lead(col("v"), 1).over(w))
+        .withColumn("v2", lead(col("v"), 2).over(w))
+        .where(col("v2").isNotNull)
+      // (value, position) tie-break: each compare runs earlier-to-later
+      // position, so "earlier ranks first on ties" reduces to <=
+      val pat = tri.select(
+        (when(col("v") <= col("v1"), 1).otherwise(0) * 4 +
+          when(col("v") <= col("v2"), 1).otherwise(0) * 2 +
+          when(col("v1") <= col("v2"), 1).otherwise(0))
+          .as("pattern"))
+      val cnt = pat.groupBy("pattern").agg(count(lit(1)).as("c"))
+      val tot = pat.groupBy().agg(count(lit(1)).as("n"))
+      val terms = cnt.crossJoin(broadcast(tot))
+        .select(col("pattern"), col("c"), col("n"),
+          ((col("c").cast("double") / col("n").cast("double")) *
+            graft.functions.Pmath.lnColumn(
+              col("n").cast("double") / col("c").cast("double")))
+            .as("term"))
+      val h = terms.groupBy().agg(aggregate(
+        transform(sort_array(collect_list(struct(col("pattern"),
+          col("term").as("t")))), x => x.getField("t")),
+        lit(0.0), (a, x) => a + x).as("h"))
+      terms.crossJoin(broadcast(h))
+        .select(col("pattern"), col("c"),
+          (col("c").cast("double") / col("n").cast("double")).as("p"),
+          col("h"))
+    }),
+
+    // Mean-excess (EVT tail diagnostic next to the Hill index): for a
+    // literal threshold grid, the average exceedance above u from
+    // exact integer cent sums, one division per threshold
+    "x_mean_excess" -> ((s, d) => {
+      import s.implicits._
+      val cents = t(s, d, "events")
+        .select(floor(col("value") * lit(100.0)).cast("long").as("x"))
+      val grid = Seq(10000L, 15000L, 20000L, 25000L, 30000L).toDF("u")
+      cents.crossJoin(broadcast(grid))
+        .where(col("x") > col("u"))
+        .groupBy("u")
+        .agg(count(lit(1)).as("n_exceed"),
+          sum(col("x") - col("u")).as("sum_excess"))
+        .select(col("u"), col("n_exceed"),
+          ((col("sum_excess").cast("double") /
+            col("n_exceed").cast("double")) / lit(100.0))
+            .as("mean_excess"))
+    }),
+
     // Linear-kernel MMD² between every pair of embedding label groups
     // — the EMBEDDING-space distribution distance next to the 1-D
     // Wasserstein: over SQ8-quantized codes the mean difference is
@@ -1451,6 +1547,81 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_sample_entropy" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value*100.0) AS BIGINT)) AS v
+           FROM events GROUP BY 1),
+         tpl AS (SELECT v, lead(v, 1) OVER (ORDER BY day) AS v1,
+                   lead(v, 2) OVER (ORDER BY day) AS v2,
+                   row_number() OVER (ORDER BY day) AS i
+                 FROM daily),
+         t2 AS (SELECT * FROM tpl WHERE v2 IS NOT NULL),
+         tol AS (SELECT (max(v) - min(v)) // 5 AS r FROM daily),
+         p AS (SELECT
+             CASE WHEN greatest(abs(a.v - b.v), abs(a.v1 - b.v1)) <= r
+               THEN 1 ELSE 0 END AS m2,
+             CASE WHEN greatest(abs(a.v - b.v), abs(a.v1 - b.v1),
+                 abs(a.v2 - b.v2)) <= r
+               THEN 1 ELSE 0 END AS m3
+           FROM t2 a JOIN t2 b ON a.i < b.i, tol),
+         ag AS (SELECT sum(m2) AS bb, sum(m3) AS aa FROM p),
+         j AS (SELECT r, bb, aa,
+                 CAST(CASE WHEN aa > 0 AND bb > 0
+                   THEN bb::DOUBLE / aa::DOUBLE ELSE 1.0 END AS DOUBLE)
+                   AS lnin
+               FROM ag, tol),
+         pb AS (SELECT *, $l1 FROM j),
+         pc AS (SELECT *, $l2 FROM pb),
+         pd AS (SELECT *, $l3 FROM pc)
+         SELECT CAST(r AS BIGINT) AS r, CAST(bb AS BIGINT) AS b,
+                CAST(aa AS BIGINT) AS a,
+                CASE WHEN aa > 0 AND bb > 0 THEN lnx ELSE NULL END
+                  AS sampen
+         FROM pd"""
+    },
+
+    "x_perm_entropy" -> {
+      val (ctes, last) = graft.functions.Pmath.lnSqlChainCtes("t0", "pe",
+        Seq(("n::DOUBLE / c::DOUBLE", "lnx")), Seq("pattern", "c", "n"))
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value*100.0) AS BIGINT)) AS v
+           FROM events GROUP BY 1),
+         tri AS (SELECT v, lead(v, 1) OVER (ORDER BY day) AS v1,
+                   lead(v, 2) OVER (ORDER BY day) AS v2
+                 FROM daily),
+         t2 AS (SELECT * FROM tri WHERE v2 IS NOT NULL),
+         pat AS (SELECT
+             (CASE WHEN v <= v1 THEN 1 ELSE 0 END) * 4 +
+             (CASE WHEN v <= v2 THEN 1 ELSE 0 END) * 2 +
+             (CASE WHEN v1 <= v2 THEN 1 ELSE 0 END) AS pattern
+           FROM t2),
+         cnt AS (SELECT pattern, count(*) AS c FROM pat GROUP BY 1),
+         tot AS (SELECT count(*) AS n FROM pat),
+         t0 AS (SELECT pattern, c, n FROM cnt, tot),
+         $ctes,
+         tm AS (SELECT pattern, c, n,
+                  (c::DOUBLE / n::DOUBLE) * lnx AS term
+                FROM $last),
+         h AS (SELECT list_reduce([0.0] || list(term ORDER BY pattern),
+                 (a, v) -> a + v) AS h
+               FROM tm)
+         SELECT pattern, CAST(c AS BIGINT) AS c,
+                c::DOUBLE / n::DOUBLE AS p, h
+         FROM tm, h"""
+    },
+
+    "x_mean_excess" ->
+      """WITH cents AS (SELECT CAST(floor(value*100.0) AS BIGINT) AS x
+                        FROM events),
+         grid AS (SELECT unnest([10000, 15000, 20000, 25000, 30000])
+                    AS u)
+         SELECT CAST(u AS BIGINT) AS u,
+                CAST(count(*) AS BIGINT) AS n_exceed,
+                (sum(x - u)::DOUBLE / count(*)::DOUBLE) / 100.0
+                  AS mean_excess
+         FROM cents, grid WHERE x > u GROUP BY u""",
 
     "x_mmd_embed" ->
       """WITH e AS (SELECT label,
