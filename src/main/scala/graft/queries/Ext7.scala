@@ -199,7 +199,57 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
-    // Sample entropy (Richman & Moorman 2000, m=2) of the daily cents
+    // Turning-points randomness check: local extrema of the daily
+    // series counted over lag windows (calendar-bounded), with the
+    // closed-form expectation 2(n−2)/3 and variance (16n−29)/90 as
+    // exact rationals
+    "x_turning_points" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      val w = Window.orderBy("day")
+      val tri = daily
+        .withColumn("vp", lag(col("v"), 1).over(w))
+        .withColumn("vn", lead(col("v"), 1).over(w))
+        .where(col("vp").isNotNull && col("vn").isNotNull)
+      tri.groupBy().agg(
+          (count(lit(1)) + 2L).as("n"),
+          sum(when((col("v") > col("vp") && col("v") > col("vn")) ||
+            (col("v") < col("vp") && col("v") < col("vn")), 1L)
+            .otherwise(0L)).as("turns"))
+        .select(col("n"), col("turns"),
+          ((lit(2L) * (col("n") - 2)).cast("double") / lit(3.0))
+            .as("expected"),
+          ((lit(16L) * col("n") - 29L).cast("double") / lit(90.0))
+            .as("variance"))
+    }),
+
+    // Von Neumann successive-difference ratio (the serial-correlation
+    // screen): VN = Σd²/Σ(x−x̄)² = n·Σ(x_{t+1}−x_t)²/(n·Σx² − (Σx)²)
+    // — both sides exact integer cross-products, ONE division; ≈2 for
+    // white noise
+    "x_von_neumann" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      val w = Window.orderBy("day")
+      val lagd = daily.withColumn("vn", lead(col("v"), 1).over(w))
+      val diffs = lagd.where(col("vn").isNotNull)
+        .groupBy().agg(sum((col("vn") - col("v")) *
+          (col("vn") - col("v"))).as("sd2"))
+      val moms = daily.groupBy().agg(count(lit(1)).as("n"),
+        sum("v").as("sv"), sum(col("v") * col("v")).as("sv2"))
+      diffs.crossJoin(broadcast(moms))
+        .select(col("n"), col("sd2"),
+          (col("n") * col("sv2") - col("sv") * col("sv")).as("ss"),
+          when(col("n") * col("sv2") - col("sv") * col("sv") > 0L,
+            (col("n") * col("sd2")).cast("double") /
+              (col("n") * col("sv2") - col("sv") * col("sv"))
+                .cast("double"))
+            .otherwise(lit(null).cast("double")).as("vn_ratio"))
+    }),
     // series: template-match counts A (length-3) and B (length-2)
     // from the CALENDAR-bounded pair self-join with an integer
     // tolerance r = range/5, SampEn = −ln(A/B) via the portable ln on
@@ -1547,6 +1597,43 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_turning_points" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value*100.0) AS BIGINT)) AS v
+           FROM events GROUP BY 1),
+         tri AS (SELECT v, lag(v) OVER (ORDER BY day) AS vp,
+                   lead(v) OVER (ORDER BY day) AS vn
+                 FROM daily),
+         t2 AS (SELECT * FROM tri
+                WHERE vp IS NOT NULL AND vn IS NOT NULL),
+         ag AS (SELECT count(*) + 2 AS n,
+                  sum(CASE WHEN (v > vp AND v > vn)
+                        OR (v < vp AND v < vn)
+                      THEN 1 ELSE 0 END) AS turns
+                FROM t2)
+         SELECT CAST(n AS BIGINT) AS n, CAST(turns AS BIGINT) AS turns,
+                (2 * (n - 2))::DOUBLE / 3.0 AS expected,
+                (16 * n - 29)::DOUBLE / 90.0 AS variance
+         FROM ag""",
+
+    "x_von_neumann" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value*100.0) AS BIGINT)) AS v
+           FROM events GROUP BY 1),
+         lagd AS (SELECT v, lead(v) OVER (ORDER BY day) AS vn
+                  FROM daily),
+         diffs AS (SELECT sum((vn - v) * (vn - v)) AS sd2
+                   FROM lagd WHERE vn IS NOT NULL),
+         moms AS (SELECT count(*) AS n, sum(v) AS sv,
+                    sum(v*v) AS sv2
+                  FROM daily)
+         SELECT CAST(n AS BIGINT) AS n, CAST(sd2 AS BIGINT) AS sd2,
+                CAST(n*sv2 - sv*sv AS BIGINT) AS ss,
+                CASE WHEN n*sv2 - sv*sv > 0 THEN
+                  (n*sd2)::DOUBLE / (n*sv2 - sv*sv)::DOUBLE
+                ELSE NULL END AS vn_ratio
+         FROM diffs, moms""",
 
     "x_sample_entropy" -> {
       val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
