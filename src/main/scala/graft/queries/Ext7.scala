@@ -199,6 +199,58 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Ljung–Box portmanteau test (lags 1–3) on the daily totals:
+    // autocorrelations from the same n²-scaled INTEGER autocovariances
+    // as x_pacf, the statistic a fixed-order 3-term chain
+    // LB = n(n+2)·Σ r_k²/(n−k)
+    "x_ljung_box" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+      val w = Window.orderBy("day")
+      val lagged = daily
+        .withColumn("v1", lag(col("v"), 1).over(w))
+        .withColumn("v2", lag(col("v"), 2).over(w))
+        .withColumn("v3", lag(col("v"), 3).over(w))
+      val agg = lagged.groupBy().agg(
+        count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(col("v") * col("v")).as("sxx0"),
+        sum(when(col("v1").isNotNull, col("v") * col("v1"))
+          .otherwise(0L)).as("sxx1"),
+        sum(when(col("v1").isNotNull, col("v")).otherwise(0L)).as("h1"),
+        sum(when(col("v1").isNotNull, col("v1")).otherwise(0L)).as("t1"),
+        sum(when(col("v2").isNotNull, col("v") * col("v2"))
+          .otherwise(0L)).as("sxx2"),
+        sum(when(col("v2").isNotNull, col("v")).otherwise(0L)).as("h2"),
+        sum(when(col("v2").isNotNull, col("v2")).otherwise(0L)).as("t2"),
+        sum(when(col("v3").isNotNull, col("v") * col("v3"))
+          .otherwise(0L)).as("sxx3"),
+        sum(when(col("v3").isNotNull, col("v")).otherwise(0L)).as("h3"),
+        sum(when(col("v3").isNotNull, col("v3")).otherwise(0L)).as("t3"))
+      val dec = "decimal(38,0)"
+      def D(c: Column): Column = c.cast(dec)
+      def ck2(k: Int): Column =
+        if (k == 0)
+          D(col("n")) * D(col("n")) * D(col("sxx0")) -
+            D(col("n")) * D(col("sv")) * D(col("sv"))
+        else
+          D(col("n")) * D(col("n")) * D(col(s"sxx$k")) -
+            D(col("n")) * D(col("sv")) * D(col(s"h$k") + col(s"t$k")) +
+            D(col("n") - k) * D(col("sv")) * D(col("sv"))
+      def toD(c: Column): Column = c.cast("string").cast("double")
+      val rs = agg.select(col("n"),
+        (toD(ck2(1)) / toD(ck2(0))).as("r1"),
+        (toD(ck2(2)) / toD(ck2(0))).as("r2"),
+        (toD(ck2(3)) / toD(ck2(0))).as("r3"))
+      rs.select(col("n"), col("r1"), col("r2"), col("r3"),
+        ((col("n") * (col("n") + 2)).cast("double") *
+          (col("r1") * col("r1") / (col("n") - 1).cast("double") +
+            col("r2") * col("r2") / (col("n") - 2).cast("double") +
+            col("r3") * col("r3") / (col("n") - 3).cast("double")))
+          .as("lb"))
+    }),
+
     // Turning-points randomness check: local extrema of the daily
     // series counted over lag windows (calendar-bounded), with the
     // closed-form expectation 2(n−2)/3 and variance (16n−29)/90 as
@@ -1597,6 +1649,41 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_ljung_box" -> {
+      def ck2(k: Int): String =
+        if (k == 0) "n*n*sxx0 - n*sv*sv"
+        else s"n*n*sxx$k - n*sv*(h$k+t$k) + (n-$k)*sv*sv"
+      def r(k: Int): String =
+        s"CAST(CAST(${ck2(k)} AS VARCHAR) AS DOUBLE) / CAST(CAST(${ck2(0)} AS VARCHAR) AS DOUBLE)"
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value*100.0) AS BIGINT)) AS v
+           FROM events GROUP BY 1),
+         lg AS (SELECT v, lag(v, 1) OVER (ORDER BY day) AS v1,
+                  lag(v, 2) OVER (ORDER BY day) AS v2,
+                  lag(v, 3) OVER (ORDER BY day) AS v3
+                FROM daily),
+         ag AS (SELECT count(*) AS n, sum(v) AS sv, sum(v*v) AS sxx0,
+             sum(CASE WHEN v1 IS NOT NULL THEN v*v1 ELSE 0 END) AS sxx1,
+             sum(CASE WHEN v1 IS NOT NULL THEN v ELSE 0 END) AS h1,
+             sum(CASE WHEN v1 IS NOT NULL THEN v1 ELSE 0 END) AS t1,
+             sum(CASE WHEN v2 IS NOT NULL THEN v*v2 ELSE 0 END) AS sxx2,
+             sum(CASE WHEN v2 IS NOT NULL THEN v ELSE 0 END) AS h2,
+             sum(CASE WHEN v2 IS NOT NULL THEN v2 ELSE 0 END) AS t2,
+             sum(CASE WHEN v3 IS NOT NULL THEN v*v3 ELSE 0 END) AS sxx3,
+             sum(CASE WHEN v3 IS NOT NULL THEN v ELSE 0 END) AS h3,
+             sum(CASE WHEN v3 IS NOT NULL THEN v3 ELSE 0 END) AS t3
+           FROM lg),
+         rr AS (SELECT CAST(n AS BIGINT) AS n, ${r(1)} AS r1,
+                  ${r(2)} AS r2, ${r(3)} AS r3
+                FROM ag)
+         SELECT n, r1, r2, r3,
+                (n * (n + 2))::DOUBLE *
+                  (r1 * r1 / (n - 1)::DOUBLE +
+                   r2 * r2 / (n - 2)::DOUBLE +
+                   r3 * r3 / (n - 3)::DOUBLE) AS lb
+         FROM rr"""
+    },
 
     "x_turning_points" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
