@@ -199,6 +199,66 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Exact skewness/kurtosis panel per event type: population central
+    // moments from nᵏ-scaled INTEGER power sums (decimal(38,0)/HUGEINT
+    // — S4 per-row terms already exceed int64), string-mediated
+    // casts, then the two classic shape ratios with one sqrt
+    "x_moments" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      def D(c: Column): Column = c.cast(dec)
+      val f = t(s, d, "events").select(col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("x"))
+      val agg = f.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(D(col("x"))).as("s1"),
+        sum(D(col("x") * col("x"))).as("s2"),
+        sum(D(col("x") * col("x") * col("x"))).as("s3"),
+        sum(D(col("x") * col("x")) * D(col("x") * col("x"))).as("s4"))
+      def toD(c: Column): Column = c.cast("string").cast("double")
+      val m2num = D(col("n")) * col("s2") - col("s1") * col("s1")
+      val m3num = D(col("n")) * D(col("n")) * col("s3") -
+        D(lit(3L)) * D(col("n")) * col("s1") * col("s2") +
+        D(lit(2L)) * col("s1") * col("s1") * col("s1")
+      val m4num = D(col("n")) * D(col("n")) * D(col("n")) * col("s4") -
+        D(lit(4L)) * D(col("n")) * D(col("n")) * col("s1") * col("s3") +
+        D(lit(6L)) * D(col("n")) * col("s1") * col("s1") * col("s2") -
+        D(lit(3L)) * col("s1") * col("s1") * col("s1") * col("s1")
+      agg.select(col("event_type"), col("n"),
+          (toD(m2num) / (col("n") * col("n")).cast("double")).as("m2"),
+          (toD(m3num) /
+            (col("n") * col("n") * col("n")).cast("double")).as("m3"),
+          (toD(m4num) / ((col("n") * col("n")) * (col("n") * col("n")))
+            .cast("double")).as("m4"))
+        .select(col("event_type"), col("n"),
+          (col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
+          (col("m4") / (col("m2") * col("m2")) - lit(3.0))
+            .as("excess_kurtosis"))
+    }),
+
+    // Bowley quartile skewness of the event cents: exact type-1
+    // quartiles from the distributed cum-count spine (the x_qq_plot
+    // selection), one integer-derived division
+    "x_bowley_skew" -> ((s, d) => {
+      def idiv(a: Column, b: Column) = call_function("div", a, b)
+      val f = t(s, d, "events")
+        .select(floor(col("value") * lit(100.0)).cast("long").as("v"))
+      val perV = f.groupBy("v").agg(count(lit(1)).as("c"))
+      val cum = Rank.withCumSums(perV, Seq("v"), Seq("c" -> "cc"))
+      val tot = f.groupBy().agg(count(lit(1)).as("n"))
+      val q = cum.crossJoin(broadcast(tot)).groupBy().agg(
+        min(when(col("cc") >= idiv(col("n") + 3L, lit(4L)), col("v")))
+          .as("q1"),
+        min(when(col("cc") >= idiv(col("n") + 1L, lit(2L)), col("v")))
+          .as("q2"),
+        min(when(col("cc") >= idiv(lit(3L) * col("n") + 3L, lit(4L)),
+          col("v"))).as("q3"))
+      q.select(col("q1"), col("q2"), col("q3"),
+        when(col("q3") > col("q1"),
+          (col("q3") + col("q1") - lit(2L) * col("q2")).cast("double") /
+            (col("q3") - col("q1")).cast("double"))
+          .otherwise(lit(null).cast("double")).as("bowley"))
+    }),
+
     // Ljung–Box portmanteau test (lags 1–3) on the daily totals:
     // autocorrelations from the same n²-scaled INTEGER autocovariances
     // as x_pacf, the statistic a fixed-order 3-term chain
@@ -1649,6 +1709,50 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_moments" ->
+      """WITH f AS (SELECT event_type,
+             CAST(floor(value*100.0) AS BIGINT) AS x
+           FROM events),
+         ag AS (SELECT event_type, count(*) AS n,
+                  sum(x::HUGEINT) AS s1,
+                  sum((x*x)::HUGEINT) AS s2,
+                  sum((x*x*x)::HUGEINT) AS s3,
+                  sum((x*x)::HUGEINT * (x*x)) AS s4
+                FROM f GROUP BY 1),
+         m AS (SELECT event_type, n,
+             CAST(CAST(n*s2 - s1*s1 AS VARCHAR) AS DOUBLE)
+               / (n*n)::DOUBLE AS m2,
+             CAST(CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS VARCHAR)
+               AS DOUBLE) / (n*n*n)::DOUBLE AS m3,
+             CAST(CAST(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2
+               - 3*s1*s1*s1*s1 AS VARCHAR) AS DOUBLE)
+               / ((n*n)*(n*n))::DOUBLE AS m4
+           FROM ag)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                m3 / (m2 * sqrt(m2)) AS skewness,
+                m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+         FROM m""",
+
+    "x_bowley_skew" ->
+      """WITH f AS (SELECT CAST(floor(value*100.0) AS BIGINT) AS v
+                    FROM events),
+         perv AS (SELECT v, count(*) AS c FROM f GROUP BY 1),
+         cum AS (SELECT v, sum(c) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cc
+                 FROM perv),
+         tot AS (SELECT count(*) AS n FROM f),
+         q AS (SELECT
+             min(CASE WHEN cc >= (n+3) // 4 THEN v END) AS q1,
+             min(CASE WHEN cc >= (n+1) // 2 THEN v END) AS q2,
+             min(CASE WHEN cc >= (3*n+3) // 4 THEN v END) AS q3
+           FROM cum, tot)
+         SELECT CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2,
+                CAST(q3 AS BIGINT) AS q3,
+                CASE WHEN q3 > q1 THEN
+                  (q3 + q1 - 2*q2)::DOUBLE / (q3 - q1)::DOUBLE
+                ELSE NULL END AS bowley
+         FROM q""",
 
     "x_ljung_box" -> {
       def ck2(k: Int): String =
