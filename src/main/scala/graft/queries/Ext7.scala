@@ -199,6 +199,36 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Two-sample Cramér–von Mises statistic between click and
+    // purchase values — the L² distribution distance completing the
+    // trio with KS (L∞, x_ks_drift) and Wasserstein (L¹): per merged
+    // observation (F1−F2)² via cross-multiplied integer ECDFs on the
+    // distributed spine, T = Σ cnt·(c1·m − c2·n)² / (N²·n·m)
+    "x_cramer_vm" -> ((s, d) => {
+      val f = t(s, d, "events")
+        .where(col("event_type").isin("click", "purchase"))
+        .select(floor(col("value") * lit(100.0)).cast("long").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("a"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("b"))
+      val perV = f.groupBy("v").agg(sum("a").as("a"), sum("b").as("b"))
+      val cum = Rank.withCumSums(perV, Seq("v"),
+        Seq("a" -> "c1", "b" -> "c2"))
+      val tot = f.groupBy().agg(sum("a").as("n"), sum("b").as("m"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("n"), col("m"),
+          ((col("a") + col("b")).cast("decimal(38,0)") *
+            ((col("c1") * col("m") - col("c2") * col("n")) *
+              (col("c1") * col("m") - col("c2") * col("n")))
+              .cast("decimal(38,0)")).as("term"))
+        .groupBy("n", "m").agg(sum("term").as("num"))
+        .select(col("n"), col("m"),
+          (col("num").cast("string").cast("double") /
+            (((col("n") + col("m")) * (col("n") + col("m")))
+              .cast("double") * (col("n") * col("m")).cast("double")))
+            .as("t_cvm"))
+    }),
+
     // Exact skewness/kurtosis panel per event type: population central
     // moments from nᵏ-scaled INTEGER power sums (decimal(38,0)/HUGEINT
     // — S4 per-row terms already exceed int64), string-mediated
@@ -1709,6 +1739,26 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_cramer_vm" ->
+      """WITH f AS (SELECT CAST(floor(value*100.0) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         perv AS (SELECT v, sum(a) AS a, sum(b) AS b FROM f GROUP BY 1),
+         cum AS (SELECT v, a, b, sum(a) OVER w AS c1, sum(b) OVER w AS c2
+                 FROM perv
+                 WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         tot AS (SELECT sum(a) AS n, sum(b) AS m FROM f),
+         ag AS (SELECT n, m,
+                  sum((a + b)::HUGEINT *
+                    ((c1*m - c2*n) * (c1*m - c2*n))::HUGEINT) AS num
+                FROM cum, tot GROUP BY 1, 2)
+         SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+                CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+                  (((n + m) * (n + m))::DOUBLE * (n * m)::DOUBLE)
+                  AS t_cvm
+         FROM ag""",
 
     "x_moments" ->
       """WITH f AS (SELECT event_type,
