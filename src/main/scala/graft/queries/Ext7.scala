@@ -199,6 +199,35 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Palma inequality ratio of part revenues (top-10% share over
+    // bottom-40% share — the concentration diagnostic next to
+    // Gini/HHI): row-unique revenue spine (partkey tiebreak), TWO
+    // distributed cum sums (count + revenue), integer rank cuts, one
+    // division of exact cent sums
+    "x_palma" -> ((s, d) => {
+      def idiv(a: Column, b: Column) = call_function("div", a, b)
+      val per = t(s, d, "lineitem").groupBy("l_partkey")
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("rev"))
+        .withColumn("one", lit(1L))
+      val cum = Rank.withCumSums(per, Seq("rev", "l_partkey"),
+        Seq("one" -> "rn", "rev" -> "crev"))
+      val tot = per.groupBy().agg(count(lit(1)).as("n"),
+        sum("rev").as("trev"))
+      cum.crossJoin(broadcast(tot)).groupBy().agg(
+          max(when(col("rn") <= idiv(lit(4L) * col("n"), lit(10L)),
+            col("crev"))).as("b40"),
+          max(when(col("rn") <= idiv(lit(9L) * col("n"), lit(10L)),
+            col("crev"))).as("c90"),
+          max("n").as("n"), max("trev").as("trev"))
+        .select(col("n"), col("b40"),
+          (col("trev") - col("c90")).as("top10"),
+          when(col("b40") > 0L,
+            (col("trev") - col("c90")).cast("double") /
+              col("b40").cast("double"))
+            .otherwise(lit(null).cast("double")).as("palma"))
+    }),
+
     // Two-sample Cramér–von Mises statistic between click and
     // purchase values — the L² distribution distance completing the
     // trio with KS (L∞, x_ks_drift) and Wasserstein (L¹): per merged
@@ -1739,6 +1768,28 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_palma" ->
+      """WITH per AS (SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice*100.0) AS BIGINT)) AS rev
+           FROM lineitem GROUP BY 1),
+         cum AS (SELECT l_partkey, rev,
+                   row_number() OVER (ORDER BY rev, l_partkey) AS rn,
+                   sum(rev) OVER (ORDER BY rev, l_partkey
+                     ROWS UNBOUNDED PRECEDING) AS crev
+                 FROM per),
+         tot AS (SELECT count(*) AS n, sum(rev) AS trev FROM per),
+         ag AS (SELECT
+             max(CASE WHEN rn <= (4*n) // 10 THEN crev END) AS b40,
+             max(CASE WHEN rn <= (9*n) // 10 THEN crev END) AS c90,
+             max(n) AS n, max(trev) AS trev
+           FROM cum, tot)
+         SELECT CAST(n AS BIGINT) AS n, CAST(b40 AS BIGINT) AS b40,
+                CAST(trev - c90 AS BIGINT) AS top10,
+                CASE WHEN b40 > 0 THEN
+                  (trev - c90)::DOUBLE / b40::DOUBLE
+                ELSE NULL END AS palma
+         FROM ag""",
 
     "x_cramer_vm" ->
       """WITH f AS (SELECT CAST(floor(value*100.0) AS BIGINT) AS v,
