@@ -199,6 +199,55 @@ object Ext7 {
             (col("n") * col("nall") * lit(19L)).cast("double")).as("t"))
     }),
 
+    // Chatterjee's ξ rank correlation (Chatterjee 2020) of event value
+    // against arrival order — the modern dependence coefficient that
+    // detects ANY functional relationship: max-ranks of y from the
+    // distributed cum spine (ties = count ≤ y), adjacent rank jumps in
+    // arrival order via the distributed lead, ξ = 1 − 3Σ|Δr|/(n²−1)
+    // entirely in integers until two final ops
+    "x_chatterjee_xi" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"),
+        floor(col("value") * lit(100.0)).cast("long").as("y"))
+      val spine = ev.groupBy("y").agg(count(lit(1)).as("c"))
+      val ranks = Rank.withCumSums(spine, Seq("y"), Seq("c" -> "r"))
+        .select(col("y"), col("r"))
+      val seq0 = ev.join(ranks, Seq("y"))
+      val led = Rank.withLead1(seq0, "event_id", "r", "r_next")
+      val tot = ev.groupBy().agg(count(lit(1)).as("n"))
+      led.where(col("r_next").isNotNull)
+        .groupBy().agg(sum(abs(col("r_next") - col("r"))).as("s"))
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("s"),
+          (lit(1.0) - (lit(3L) * col("s")).cast("double") /
+            (col("n") * col("n") - 1L).cast("double")).as("xi"))
+    }),
+
+    // Blomqvist's β (median quadrant correlation) between quantity and
+    // price: exact type-1 medians from two distributed spines,
+    // quadrant concordance counts, one division
+    "x_blomqvist" -> ((s, d) => {
+      def idiv(a: Column, b: Column) = call_function("div", a, b)
+      val li = t(s, d, "lineitem").select(
+        floor(col("l_quantity")).cast("long").as("x"),
+        floor(col("l_extendedprice") * lit(100.0)).cast("long").as("y"))
+      val tot = li.groupBy().agg(count(lit(1)).as("n"))
+      def med(c: String) = {
+        val spine = li.groupBy(c).agg(count(lit(1)).as("cnt"))
+        Rank.withCumSums(spine, Seq(c), Seq("cnt" -> "cc"))
+          .crossJoin(broadcast(tot))
+          .groupBy().agg(min(when(col("cc") >=
+            idiv(col("n") + 1L, lit(2L)), col(c))).as(s"med_$c"))
+      }
+      li.crossJoin(broadcast(med("x"))).crossJoin(broadcast(med("y")))
+        .crossJoin(broadcast(tot))
+        .groupBy("n").agg(
+          sum(when((col("x") > col("med_x")) === (col("y") > col("med_y")),
+            1L).otherwise(-1L)).as("conc"))
+        .select(col("n"), col("conc"),
+          (col("conc").cast("double") / col("n").cast("double"))
+            .as("beta"))
+    }),
+
     // Palma inequality ratio of part revenues (top-10% share over
     // bottom-40% share — the concentration diagnostic next to
     // Gini/HHI): row-unique revenue spine (partkey tiebreak), TWO
@@ -1768,6 +1817,50 @@ object Ext7 {
                 sum(abs(cg * nall - ca * ngrp))::DOUBLE /
                   (max(ngrp) * max(nall) * 19)::DOUBLE AS t
          FROM st, tot WHERE band < 19 GROUP BY 1, 2""",
+
+    "x_chatterjee_xi" ->
+      """WITH ev AS (SELECT event_id,
+             CAST(floor(value*100.0) AS BIGINT) AS y
+           FROM events),
+         spine AS (SELECT y, count(*) AS c FROM ev GROUP BY 1),
+         ranks AS (SELECT y, sum(c) OVER (ORDER BY y
+                     ROWS UNBOUNDED PRECEDING) AS r
+                   FROM spine),
+         sq AS (SELECT ev.event_id, ranks.r
+                FROM ev JOIN ranks ON ev.y = ranks.y),
+         led AS (SELECT r, lead(r) OVER (ORDER BY event_id) AS r_next
+                 FROM sq),
+         tot AS (SELECT count(*) AS n FROM ev),
+         ag AS (SELECT sum(abs(r_next - r)) AS s FROM led
+                WHERE r_next IS NOT NULL)
+         SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+                1.0 - (3*s)::DOUBLE / (n*n - 1)::DOUBLE AS xi
+         FROM ag, tot""",
+
+    "x_blomqvist" ->
+      """WITH li AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice*100.0) AS BIGINT) AS y
+           FROM lineitem),
+         tot AS (SELECT count(*) AS n FROM li),
+         mx AS (SELECT min(CASE WHEN cc >= (n+1) // 2 THEN x END)
+                  AS med_x
+                FROM (SELECT x, sum(cnt) OVER (ORDER BY x
+                        ROWS UNBOUNDED PRECEDING) AS cc
+                      FROM (SELECT x, count(*) AS cnt FROM li
+                            GROUP BY 1)), tot),
+         my AS (SELECT min(CASE WHEN cc >= (n+1) // 2 THEN y END)
+                  AS med_y
+                FROM (SELECT y, sum(cnt) OVER (ORDER BY y
+                        ROWS UNBOUNDED PRECEDING) AS cc
+                      FROM (SELECT y, count(*) AS cnt FROM li
+                            GROUP BY 1)), tot),
+         ag AS (SELECT n,
+                  sum(CASE WHEN (x > med_x) = (y > med_y)
+                      THEN 1 ELSE -1 END) AS conc
+                FROM li, mx, my, tot GROUP BY 1)
+         SELECT CAST(n AS BIGINT) AS n, CAST(conc AS BIGINT) AS conc,
+                conc::DOUBLE / n::DOUBLE AS beta
+         FROM ag""",
 
     "x_palma" ->
       """WITH per AS (SELECT l_partkey,

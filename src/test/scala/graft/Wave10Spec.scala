@@ -164,6 +164,20 @@ class Wave10Spec extends SparkSpec {
     }
   }
 
+  test("x_chatterjee_xi matches the textbook formula on collected data") {
+    val r = Ext7.queries("x_chatterjee_xi")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), floor(col("value") * lit(100.0)).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val ys = ev.map(_._2)
+    val rank = ys.map(y => ys.count(_ <= y).toLong)
+    val s = rank.sliding(2).map { case Array(a, b) => math.abs(b - a) }.sum
+    val n = ys.length.toLong
+    assert(r.getLong(0) == n && r.getLong(1) == s)
+    assert(r.getDouble(2) == 1.0 - (3 * s).toDouble / (n * n - 1).toDouble)
+  }
+
   test("x_ipf_raking: column margins calibrate after the final column pass") {
     val rows = Ext7.queries("x_ipf_raking")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
