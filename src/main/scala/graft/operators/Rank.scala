@@ -133,13 +133,22 @@ object Rank {
     val wLocal = Window.partitionBy("_pid").orderBy(col(orderCol))
     val local = ranged.withColumn(outCol, lead(col(srcCol), 1).over(wLocal))
     val wNext = Window.orderBy("_pid")
+    // patch ONLY the last row of each range partition (identified by
+    // its max orderCol) — coalescing on NULL output would also clobber
+    // a mid-partition row whose next srcCol is legitimately NULL, so
+    // the boundary row is matched positionally instead; if the next
+    // partition's first srcCol IS null, the patched lead is null too,
+    // exactly as SQL lead(src, 1) would produce
     val patch = ranged.groupBy("_pid")
-      .agg(min_by(col(srcCol), col(orderCol)).as("_first"))
-      .select(col("_pid"),
+      .agg(min_by(col(srcCol), col(orderCol)).as("_first"),
+        max(col(orderCol)).as("_last_ord"))
+      .select(col("_pid"), col("_last_ord"),
         lead(col("_first"), 1).over(wNext).as("_next_first"))
     local.join(broadcast(patch), Seq("_pid"))
-      .withColumn(outCol, coalesce(col(outCol), col("_next_first")))
-      .drop("_pid", "_next_first")
+      .withColumn(outCol,
+        when(col(orderCol) === col("_last_ord"), col("_next_first"))
+          .otherwise(col(outCol)))
+      .drop("_pid", "_next_first", "_last_ord")
   }
 
   /** Global row_number over `orderCols` (which must be row-unique —

@@ -207,12 +207,8 @@ object Similarity {
     val dim = Vectors.deriveDim(corpus, cVec)
     require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
     val sub = dim / m
-    val books: Seq[Array[Array[Double]]] = (0 until m).map { j =>
-      kmeansCentroids(
-        corpus.select(col(cId).as("id"),
-          slice(col(cVec), j * sub + 1, sub).as("v")),
-        "id", "v", nCodes, seed + j, lloydIters)
-    }
+    val books: Seq[Array[Array[Double]]] =
+      pqCodebooks(corpus, cId, cVec, m, sub, nCodes, seed, lloydIters).toSeq
     def codeOf(v: org.apache.spark.sql.Column, j: Int) =
       array_min(centroidScores(books(j), slice(v, j * sub + 1, sub)))
         .getField("list")
@@ -295,6 +291,64 @@ object Similarity {
       cents = next
     }
     cents
+  }
+
+  /** All `m` product-quantizer sub-codebooks learned in ONE driver
+    * loop — numerically IDENTICAL to m independent [[kmeansCentroids]]
+    * calls on the sliced subspaces (the md5-sample init and the
+    * fixed-point Lloyd mean are both separable by subspace, so
+    * grouping by an extra `j` column changes nothing), but with
+    * 1 + lloydIters corpus passes TOTAL instead of m·(1 + lloydIters):
+    * the init explodes every subspace's (md5, slice) in one pass and
+    * takes the per-j nCodes smallest hashes with a j-partitioned
+    * window, and each Lloyd step assigns/averages all m subspaces in
+    * one explode → hash-agg → ≤ m·nCodes·sub-row collect. At 100 TB
+    * the driver round-trips — each a full scheduler cycle over the
+    * corpus — are the dominant fit cost, so batching is an m× cut. */
+  def pqCodebooks(corpus: DataFrame, cId: String, cVec: String,
+                  m: Int, sub: Int, nCodes: Int, seed: Long,
+                  lloydIters: Int): Array[Array[Array[Double]]] = {
+    require(nCodes >= 1 && nCodes <= MaxLists,
+      s"pqCodebooks: nCodes=$nCodes outside [1, $MaxLists]")
+    val wInit = Window.partitionBy("j").orderBy("h")
+    val initRows = corpus
+      .select(col(cId).cast("string").as("sid"), col(cVec).as("v"))
+      .select(explode(array((0 until m).map { j =>
+        struct(lit(j).as("j"),
+          md5(concat_ws("|", lit(seed + j), col("sid"))).as("h"),
+          slice(col("v"), j * sub + 1, sub).as("sv"))
+      }: _*)).as("s"))
+      .select(col("s.j").as("j"), col("s.h").as("h"), col("s.sv").as("sv"))
+      .withColumn("rn", row_number().over(wInit))
+      .where(col("rn") <= nCodes)
+      .collect()
+    var books: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      initRows.filter(_.getAs[Int]("j") == j)
+        .sortBy(_.getAs[Int]("rn"))
+        .map(r => r.getSeq[Float](r.fieldIndex("sv"))
+          .map(_.toDouble).toArray)
+    }.toArray
+    for (_ <- 0 until lloydIters) {
+      val means = corpus.select(col(cVec).as("v"))
+        .select(explode(array((0 until m).map { j =>
+          val sv = slice(col("v"), j * sub + 1, sub)
+          struct(lit(j).as("j"),
+            array_min(centroidScores(books(j), sv)).getField("list")
+              .as("list"),
+            sv.as("sv"))
+        }: _*)).as("s"))
+        .select(col("s.j").as("j"), col("s.list").as("list"),
+          posexplode(col("s.sv")))
+        .groupBy("j", "list", "pos")
+        .agg((sum(floor(col("col").cast("double") * 1048576.0).cast("long"))
+          .cast("double") / (count(lit(1)) * 1048576.0)).as("m"))
+        .collect()                     // ≤ m·nCodes·sub rows, param-bounded
+      val next = books.map(_.map(_.clone()))  // empty lists keep centroids
+      means.foreach(r => next(r.getAs[Int]("j"))(r.getAs[Int]("list"))(
+        r.getAs[Int]("pos")) = r.getAs[Double]("m"))
+      books = next
+    }
+    books
   }
 
   /** Distance proxies to every centroid as an array of (score, list)

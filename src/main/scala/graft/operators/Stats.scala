@@ -1320,8 +1320,14 @@ object Stats {
           transform(sort_array(collect_list(struct(col("c"), col("term")))),
             x => x.getField("term")),
           lit(0.0), (a, x) => a + x).as("s"))
+      // divide by the ACTUAL top count minus the x_(k+1) row, not the
+      // requested k — an input with fewer than k+1 positive values
+      // would otherwise silently deflate hill_mean; n_top == 1 (a
+      // degenerate single-value input) yields NULL rather than a
+      // division by zero
       .select(col("n_top"), col("xk1_cents"),
-        (col("s") / lit(k.toDouble)).as("hill_mean"))
+        when(col("n_top") > 1,
+          col("s") / (col("n_top") - 1).cast("double")).as("hill_mean"))
       .withColumn("alpha", lit(1.0) / col("hill_mean"))
   }
 
@@ -1471,9 +1477,12 @@ object Stats {
     *         = Σ_i |F_A(v_i) − F_B(v_i)| · (v_{i+1} − v_i),
     * computed over the merged distinct-value spine with
     * cross-multiplied ECDFs — the per-interval contribution
-    * |c_A·n_B − c_B·n_A| · gap is EXACT long arithmetic, the total a
-    * HUGEINT/decimal sum, and the one division happens at the very
-    * end (string-mediated decimal→double, the x_grain_rollup recipe).
+    * |c_A·n_B − c_B·n_A| · gap is computed in decimal(38,0) from the
+    * first cross-multiplication (at 100 TB the cumulative-count ×
+    * group-count product exceeds 2⁶³, so a long intermediate would
+    * silently wrap while DuckDB's HUGEINT raises), the total a decimal
+    * sum, and the one division happens at the very end
+    * (string-mediated decimal→double, the x_grain_rollup recipe).
     *
     * Scale shape: ONE spine serves every requested pair — a single
     * hash aggregate to distinct values carrying one count column per
@@ -1502,8 +1511,8 @@ object Stats {
       .select(explode(array(pairs.map { case (ga, gb) =>
         struct(lit(ga).as("g_a"), lit(gb).as("g_b"),
           col(s"n_$ga").as("n_a"), col(s"n_$gb").as("n_b"),
-          (abs(col(s"c_$ga") * col(s"n_$gb") -
-            col(s"c_$gb") * col(s"n_$ga")) *
+          (abs(col(s"c_$ga").cast("decimal(38,0)") * col(s"n_$gb") -
+            col(s"c_$gb").cast("decimal(38,0)") * col(s"n_$ga")) *
             (col("v_next") - col("v"))).as("contrib"))
       }: _*)).as("p"))
       .select(col("p.g_a"), col("p.g_b"), col("p.n_a"), col("p.n_b"),

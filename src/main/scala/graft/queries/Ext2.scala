@@ -706,11 +706,12 @@ object Ext2 {
          daily AS (SELECT event_type, date_trunc('day', bucket) AS bucket,
                      sum(n) AS n, sum(cents) AS cents
                    FROM hourly GROUP BY 1, 2)
-         SELECT 'hour' AS grain, event_type, epoch(bucket) AS bucket_s, n,
+         SELECT 'hour' AS grain, event_type, epoch(bucket)::BIGINT AS bucket_s,
+                n::BIGINT AS n,
                 CAST(CAST(cents AS VARCHAR) AS DOUBLE) / 100.0 AS total
          FROM hourly
          UNION ALL
-         SELECT 'day', event_type, epoch(bucket), n,
+         SELECT 'day', event_type, epoch(bucket)::BIGINT, n::BIGINT,
                 CAST(CAST(cents AS VARCHAR) AS DOUBLE) / 100.0 FROM daily""",
 
     "x_incremental_dedup" ->

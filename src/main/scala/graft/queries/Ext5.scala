@@ -507,7 +507,7 @@ object Ext5 {
          pick AS (SELECT *, row_number() OVER
                     (PARTITION BY key ORDER BY score DESC, k) AS rn
                   FROM sc)
-         SELECT key AS event_type, epoch(step) AS split_s, k, n,
+         SELECT key AS event_type, epoch(step)::BIGINT AS split_s, k, n,
                 CAST(CAST(sk AS VARCHAR) AS DOUBLE) / (k * 100.0)
                   AS mean_before,
                 CAST(CAST(sn - sk AS VARCHAR) AS DOUBLE) /
@@ -552,7 +552,7 @@ object Ext5 {
          nt AS (SELECT key, day, seg,
                   ntile(4) OVER (PARTITION BY key ORDER BY s, day, seg) AS b
                 FROM full_d WHERE nday = 24)
-         SELECT key AS event_type, epoch(day) AS day_s,
+         SELECT key AS event_type, epoch(day)::BIGINT AS day_s,
                 string_agg(chr(CAST(96 + b AS INTEGER)), '' ORDER BY seg) AS sax_word
          FROM nt GROUP BY 1, 2""",
 
@@ -693,7 +693,7 @@ object Ext5 {
          amax AS (SELECT max(a2) AS amax FROM a2),
          top AS (SELECT a1.p, a1.a1, a2.a2 FROM a1 JOIN a2 USING (p)
                  ORDER BY a2.a2 DESC, a1.p ASC LIMIT 20)
-         SELECT p, a1, a2,
+         SELECT p, a1::DECIMAL(38,0) AS a1, a2::DECIMAL(38,0) AS a2,
                 CAST(CAST(a2 AS VARCHAR) AS DOUBLE) /
                 CAST(CAST(amax AS VARCHAR) AS DOUBLE) AS authority
          FROM top CROSS JOIN amax""",

@@ -716,9 +716,10 @@ object Ext6 {
                              <= ${dl(bndB)} THEN 'accept_h0'
                         ELSE 'continue' END AS decision
                  FROM cum)
-          SELECT variant, max(ct) AS n_trials, max(cs) AS n_success,
+          SELECT variant, max(ct)::BIGINT AS n_trials,
+                 max(cs)::BIGINT AS n_success,
                  epoch(min(CASE WHEN decision <> 'continue' THEN h END))
-                   AS decided_at_s,
+                   ::BIGINT AS decided_at_s,
                  arg_min(decision, h)
                    FILTER (WHERE decision <> 'continue') AS decision
           FROM dc GROUP BY variant"""
@@ -758,10 +759,10 @@ object Ext6 {
           SELECT CAST(count(*) AS BIGINT) AS n_top,
                  max(xk1) AS xk1_cents,
                  list_sum(list(lc - lxk1 ORDER BY c))
-                   / CAST('200.0' AS DOUBLE) AS hill_mean,
+                   / CAST(count(*) - 1 AS DOUBLE) AS hill_mean,
                  CAST('1.0' AS DOUBLE) /
                    (list_sum(list(lc - lxk1 ORDER BY c))
-                    / CAST('200.0' AS DOUBLE)) AS alpha
+                    / CAST(count(*) - 1 AS DOUBLE)) AS alpha
           FROM $last"""
     },
 
@@ -805,7 +806,8 @@ object Ext6 {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS cum_cents
                  FROM rev)
-         SELECT c.cohort, age, n_users, cents, cum_cents,
+         SELECT c.cohort, age, n_users, cents::DECIMAL(38,0) AS cents,
+                cum_cents::DECIMAL(38,0) AS cum_cents,
                 CAST(CAST(cum_cents AS VARCHAR) AS DOUBLE) / 100.0
                   / CAST(n_users AS DOUBLE) AS ltv_per_user
          FROM cum c JOIN sz ON c.cohort = sz.cohort""",
@@ -930,8 +932,8 @@ object Ext6 {
                    + min(CASE WHEN cum * 2 >= n + 2 - (n % 2) THEN v END)
                      AS mad2
                  FROM cum2 GROUP BY 1, 2)
-         SELECT k1 AS event_type, epoch(step) AS step_s, cents, med2, r,
-                mad2, r * 4 > mad2 * 7 AS is_anomaly
+         SELECT k1 AS event_type, epoch(step)::BIGINT AS step_s, cents,
+                med2, r, mad2, r * 4 > mad2 * 7 AS is_anomaly
          FROM resid JOIN mad USING (k1, k2)""",
 
     "x_fk_audit" ->

@@ -2380,7 +2380,7 @@ object Ext7 {
       def lsum(e: String) = s"list_reduce([0.0] || $e, (a, x) -> a + x)"
       val newL = "0.5::DOUBLE*(xs[t+1] - ss[1]) + 0.5::DOUBLE*(l + b)"
       s"""WITH RECURSIVE
-         daily AS (SELECT epoch(date_trunc('day', ts)) AS day_s,
+         daily AS (SELECT epoch(date_trunc('day', ts))::BIGINT AS day_s,
                      sum(CAST(floor(value*100.0) AS BIGINT)) AS v
                    FROM events GROUP BY 1),
          arr AS (SELECT list(day_s ORDER BY day_s) AS ks,
@@ -2922,7 +2922,7 @@ object Ext7 {
          daily AS (SELECT date_trunc('day', ts) AS day, count(*) AS cnt
                    FROM events WHERE event_type = 'error' GROUP BY 1),
          tot AS (SELECT sum(cnt) AS tot, count(*) AS nd FROM daily),
-         b AS (SELECT epoch(day) AS day_s,
+         b AS (SELECT epoch(day)::BIGINT AS day_s,
                  CASE WHEN cnt*4*nd < tot*3 THEN 0
                       WHEN cnt*4*nd > tot*5 THEN 2 ELSE 1 END AS bin
                FROM daily, tot),

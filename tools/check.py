@@ -23,6 +23,23 @@ def norm_cell(v):
 def table(con, sql):
     return con.execute(sql).fetchall()
 
+# The driver hashes typed values (via pandas dtypes), so an oracle column
+# whose DuckDB type renders to a different python/pandas class than the
+# engine's parquet column hash-mismatches even when values are equal:
+#   epoch(ts) -> DOUBLE vs engine BIGINT      => 5.0 vs 5       (fatal)
+#   sum(BIGINT) -> HUGEINT vs BIGINT/DECIMAL  => float64/obj    (fatal)
+# but INTEGER vs BIGINT both land in int64    => tolerated.
+_INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+
+def type_class(t):
+    t = t.upper()
+    if t in _INT_FAMILY:
+        return "INT"
+    return t
+
+def describe_types(con, sql):
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE ({sql})").fetchall()}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -62,6 +79,21 @@ def main(sf_dir, out_dir):
         eidx = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL  {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # type gate: oracle DESCRIBE must class-match the engine parquet
+        # (this is what the driver's hash actually compares — see above)
+        try:
+            got_t = describe_types(con, f"SELECT * FROM '{qdir}/*.parquet'")
+            exp_t = describe_types(con, oracle[name])
+            bad = [(c, got_t[c], exp_t[c]) for c in got_t
+                   if c in exp_t and type_class(got_t[c]) != type_class(exp_t[c])]
+        except Exception as e:
+            bad = []
+            print(f"WARN  {name}: describe failed: {str(e)[:120]}")
+        if bad:
+            print(f"FAIL  {name}: TYPE mismatch (engine vs oracle): "
+                  + ", ".join(f"{c}: {g} != {e}" for c, g, e in bad))
             n_fail += 1
             continue
         key = lambda r: tuple((x is None, str(x)) for x in r)
