@@ -1524,4 +1524,308 @@ object Stats {
           (col("n_a").cast("double") * col("n_b").cast("double") *
             lit(100.0))).as("w1"))
   }
+
+  /** Cliff's delta ordinal effect size between the rows matching `inA`
+    * and those matching `inB`: δ = (#{a>b} − #{a<b}) / (n_a·n_b) — the
+    * distribution-free companion readout to [[mannWhitneyU]]'s z (how
+    * BIG is the stochastic dominance, not just how significant).
+    *
+    * Exact: pair counts come from the shared distinct-value spine —
+    * for each value v, A-rows at v beat exactly the B-rows strictly
+    * below v (the exclusive B-cumulative), so
+    * #{a>b} = Σ_v ca_v · cumB_excl_v, and symmetrically for `<` with
+    * the B-rows strictly above. Products accumulate in decimal(38,0)
+    * (n_a·n_b passes 2⁶³ near 10¹⁰ rows); the single division lands at
+    * the very end. Scale shape: one value-spine aggregate +
+    * [[Rank.withCumSums]] + a 1-row reduce — no pair materialization,
+    * no single-partition window. */
+  def cliffsDelta(df: DataFrame, inA: Column, inB: Column,
+                  valueCol: Column): DataFrame = {
+    val f = df.filter(inA || inB).select(valueCol.as("v"),
+      when(inA, 1L).otherwise(0L).as("ya")).where(col("v").isNotNull)
+    val perV = f.groupBy("v").agg(sum("ya").as("ca"),
+      (count(lit(1)) - sum("ya")).as("cb"))
+    val cum = Rank.withCumSums(perV, Seq("v"),
+      Seq("ca" -> "cuma", "cb" -> "cumb"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tot = f.agg(sum("ya").as("na"), (count(lit(1)) - sum("ya")).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select(
+        (dec(col("ca")) * (col("cumb") - col("cb"))).as("gt"),
+        (dec(col("ca")) * (col("nb") - col("cumb"))).as("lt"),
+        col("na"), col("nb"))
+      .groupBy("na", "nb")
+      .agg(sum("gt").as("n_gt"), sum("lt").as("n_lt"))
+      .select(col("na"), col("nb"), col("n_gt"), col("n_lt"),
+        ((col("n_gt") - col("n_lt")).cast("string").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")))
+          .as("delta"))
+  }
+
+  /** Jonckheere–Terpstra trend statistic across ordered groups (the
+    * ordered-alternative upgrade of [[kruskalWallis]]): J = Σ_{i<j}
+    * U_ij where U_ij counts G_i-rows below G_j-rows (ties ½). Reported
+    * doubled (j2 = 2J) so ties stay integer. `groups` supplies the
+    * ordering — engine and oracle must enumerate the same sequence.
+    *
+    * Exact: ONE distinct-value spine carries a count column per group;
+    * [[Rank.withCumSums]] yields every group's inclusive cumulative in
+    * a single distributed pass, and each spine row contributes
+    * Σ_{i<j} (2·c_j·cumExcl_i + c_i·c_j) in decimal(38,0). Scale
+    * shape: spine aggregate + cum pass + 1-row reduce, groups² terms
+    * per spine row (parameter-bounded). */
+  def jonckheere(df: DataFrame, groupCol: Column, valueCol: Column,
+                 groups: Seq[String]): DataFrame = {
+    val f = df.select(groupCol.as("g"), valueCol.as("v"))
+      .where(col("g").isin(groups: _*) && col("v").isNotNull)
+    val cnts = groups.map(g =>
+      sum(when(col("g") === g, 1L).otherwise(0L)).as(s"c_$g"))
+    val perV = f.groupBy("v").agg(cnts.head, cnts.tail: _*)
+    val cum = Rank.withCumSums(perV, Seq("v"),
+      groups.map(g => s"c_$g" -> s"cum_$g"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pairTerms = for {
+      i <- groups.indices; j <- (i + 1) until groups.size
+    } yield {
+      val (gi, gj) = (groups(i), groups(j))
+      dec(col(s"c_$gj")) * (lit(2L) * (col(s"cum_$gi") - col(s"c_$gi")) +
+        col(s"c_$gi"))
+    }
+    cum.select(pairTerms.reduce(_ + _).as("term"))
+      .agg(sum("term").as("j2"))
+      .crossJoin(broadcast(f.agg(count(lit(1)).as("n"))))
+      .select(col("n"), col("j2"))
+  }
+
+  /** Ansari–Bradley scale statistic between two groups: each row
+    * scores min(rank, N+1−rank) (midranks under ties) and AB = the
+    * A-group score sum — small AB means A sits in the tails (larger
+    * dispersion). Doubled scores (2·score, integer under midranks) off
+    * the shared spine: s2_v = min(m2_v, 2(N+1) − m2_v) with m2 the
+    * doubled midrank; ab2 = Σ_v ca_v·s2_v in decimal. Same
+    * spine + cum + reduce shape as [[cliffsDelta]]. */
+  def ansariBradley(df: DataFrame, inA: Column, inB: Column,
+                    valueCol: Column): DataFrame = {
+    val f = df.filter(inA || inB).select(valueCol.as("v"),
+      when(inA, 1L).otherwise(0L).as("ya")).where(col("v").isNotNull)
+    val perV = f.groupBy("v").agg(count(lit(1)).as("cnt"),
+      sum("ya").as("ca"))
+    val cum = Rank.withCumSums(perV, Seq("v"), Seq("cnt" -> "cum_incl"))
+    val tot = f.agg(sum("ya").as("na"),
+      (count(lit(1)) - sum("ya")).as("nb"))
+    val m2 = lit(2L) * (col("cum_incl") - col("cnt")) + col("cnt") + lit(1L)
+    cum.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        (col("ca").cast("decimal(38,0)") *
+          least(m2, lit(2L) * (col("na") + col("nb") + lit(1L)) - m2))
+          .as("s"))
+      .groupBy("na", "nb").agg(sum("s").as("ab2"))
+      .select(col("na"), col("nb"), col("ab2"),
+        (col("ab2").cast("string").cast("double") / lit(2.0)).as("ab_stat"))
+  }
+
+  /** Page–Hinkley drift detector per key over a daily value series,
+    * run against the key's own global mean (the offline form: the
+    * monitored statistic is m_t = Σ_{u≤t}(x_u − x̄), and drift fires
+    * when m_t − min_{s≤t} m_s exceeds λ). Everything is integer:
+    * deviations scale by n (n·x_u − S), prefix sums and prefix mins
+    * stay in decimal(38,0), and the readout divides once — ph_max =
+    * max_t(m_t − min m)/(n·100) in value units, with the first alarm
+    * day where the scaled excess passes λ·n·100.
+    *
+    * Scale shape: one (key, day) aggregate, a 1-row-per-key totals
+    * join, and ONE key-partitioned ordered window over the calendar-
+    * bounded daily series — the seasonal-family shape, never a global
+    * or data-sized window. */
+  def pageHinkley(df: DataFrame, keyCol: String, tsCol: Column,
+                  valueCol: Column, lambda: Double): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("k"),
+        date_trunc("day", tsCol).as("day"))
+      .agg(coalesce(sum(floor(valueCol * lit(100.0)).cast("long")),
+        lit(0L)).as("v"))
+    val tot = daily.groupBy("k").agg(count(lit(1)).as("n"),
+      sum("v").as("s"))
+    val w = Window.partitionBy("k").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dev = daily.join(tot, Seq("k"))
+      .withColumn("m",
+        sum((col("n") * col("v") - col("s")).cast("decimal(38,0)")).over(w))
+      .withColumn("ph", col("m") - min(col("m")).over(w))
+    val thresh = (col("n") * lit(100L)).cast("decimal(38,0)") *
+      lit(lambda).cast("decimal(18,6)")
+    dev.groupBy(col("k").as(keyCol)).agg(
+        max("n").as("n_days"),
+        max("ph").as("ph_num"),
+        min(when(col("ph") >= thresh, unix_seconds(col("day"))))
+          .as("alarm_day_s"))
+      .select(col(keyCol), col("n_days"), col("ph_num"), col("alarm_day_s"),
+        (col("ph_num").cast("string").cast("double") /
+          (col("n_days").cast("double") * lit(100.0))).as("ph_max"))
+  }
+
+  /** First four sample L-moments per group (Hosking 1990) from the
+    * group's order statistics — the robust distribution fingerprint
+    * (λ1 location, λ2 scale, t3 = λ3/λ2 L-skewness, t4 L-kurtosis)
+    * that trains EVT/quantile models without any higher-power moment
+    * blowup.
+    *
+    * Exactness: b_k needs Σ_i x_(i)·C(i−1,k); under ties a value v
+    * occupying positions p+1..p+c contributes the hockey-stick-closed
+    * form C(p+c,k+1) − C(p,k+1), so everything reads off the
+    * per-group distinct-value spine with exclusive cumulatives. The
+    * binomials are scaled by 24 = lcm(1..4) so they stay products (no
+    * divisions): F₁=24m, F₂=12m(m−1), F₃=4m(m−1)(m−2),
+    * F₄=m(m−1)(m−2)(m−3), accumulated in decimal(38,0). Headroom
+    * bound: v·F₄ ≈ v·n⁴ must stay under 10³⁸ — exact up to ~10⁷ rows
+    * per group at cent scale; beyond that, pre-bin the values (the
+    * ksTwoSample discipline). Final λ/τ readouts are string-mediated
+    * double divisions of exact decimals.
+    *
+    * Scale shape: one (group, value) aggregate, one key-partitioned
+    * cumulative window over each group's value spine, a groups-row
+    * reduce. */
+  def lMoments(df: DataFrame, groupCol: String,
+               valueCents: Column): DataFrame = {
+    val perV = df.select(col(groupCol).as("g"), valueCents.as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sp = perV.withColumn("p", coalesce(sum("c").over(w), lit(0L)))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def scaled(m: Column, r: Int): Column = r match {
+      case 1 => dec(m) * lit(24L)
+      case 2 => dec(m) * (m - lit(1L)) * lit(12L)
+      case 3 => dec(m) * (m - lit(1L)) * (m - lit(2L)) * lit(4L)
+      case 4 => dec(m) * (m - lit(1L)) * (m - lit(2L)) * (m - lit(3L))
+    }
+    def bNum(k: Int): Column =
+      sum(dec(col("v")) *
+        (scaled(col("p") + col("c"), k + 1) - scaled(col("p"), k + 1)))
+        .as(s"b$k")
+    val agg = sp.groupBy("g").agg(sum("c").as("n"),
+      bNum(0), bNum(1), bNum(2), bNum(3))
+    // b_k = B_k·k! / (24·n·(n−1)···(n−k)) — multiplied through by k!
+    // so BOTH sides stay pure decimal products (no decimal division
+    // anywhere), then ONE string-mediated double division per b_k
+    val fact = Array(1L, 1L, 2L, 6L)
+    def den(k: Int): Column = {
+      val n = col("n")
+      (1 to k).foldLeft(lit(24L).cast("decimal(38,0)") * n)(
+        (acc, t) => acc * (n - lit(t.toLong)))
+    }
+    def b(k: Int): Column =
+      (col(s"b$k") * lit(fact(k))).cast("string").cast("double") /
+        den(k).cast("string").cast("double")
+    val l1 = b(0)
+    val l2 = lit(2.0) * b(1) - b(0)
+    val l3 = lit(6.0) * b(2) - lit(6.0) * b(1) + b(0)
+    val l4 = lit(20.0) * b(3) - lit(30.0) * b(2) + lit(12.0) * b(1) - b(0)
+    agg.select(col("g").as(groupCol), col("n"),
+      (l1 / lit(100.0)).as("l1"), (l2 / lit(100.0)).as("l2"),
+      (l3 / l2).as("t3"), (l4 / l2).as("t4"))
+  }
+
+  /** Grubbs outlier statistic per group: G = max|x − x̄|/s (sample
+    * std) plus the offending value — the "is the extreme point
+    * believable" audit next to [[madOutliers]]' robust flags. Exact:
+    * the deviation maximum runs over integers (|n·v − S|, cents), the
+    * variance numerator n·Σv² − S² is decimal, G is one double
+    * expression of exact operands; the argmax value rides the same
+    * max(struct) so ties break on the larger value deterministically.
+    * Scale: per-(group, value) aggregate + a groups-row reduce. */
+  def grubbs(df: DataFrame, groupCol: String,
+             valueCents: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perV = df.select(col(groupCol).as("g"), valueCents.as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val tot = perV.groupBy("g").agg(sum(col("c")).as("n"),
+      sum(dec(col("v")) * col("c")).as("s"),
+      sum(dec(col("v")) * col("v") * col("c")).as("q"))
+    perV.join(tot, Seq("g"))
+      .select(col("g"), col("n"), col("s"), col("q"),
+        struct(abs(dec(col("v")) * col("n") - col("s")).as("dev"),
+          col("v").as("v")).as("dv"))
+      .groupBy("g").agg(max("n").as("n"), max("s").as("s"),
+        max("q").as("q"), max("dv").as("dv"))
+      .select(col("g").as(groupCol), col("n"),
+        (col("dv.v").cast("double") / lit(100.0)).as("outlier_value"),
+        (col("dv.dev").cast("string").cast("double") /
+          (col("n").cast("double") * lit(100.0))).as("max_abs_dev"),
+        ((col("dv.dev").cast("string").cast("double") /
+          col("n").cast("double")) /
+          sqrt((col("n").cast("decimal(38,0)") * col("q") -
+            col("s") * col("s")).cast("string").cast("double") /
+            (col("n").cast("double") *
+              (col("n").cast("double") - lit(1.0))))).as("g_stat"))
+  }
+
+  /** Theil T inequality index per group over positive cents:
+    * T = (1/n)Σ (x/μ)·ln(x/μ) = [Σ x·ln x]/(n·μ) − ln μ. The cross-row
+    * Σ x·ln x cannot fold ordered at data scale, so the portable ln
+    * quantizes to 2⁻²⁰ fixed point per DISTINCT value (floor of the
+    * identical [[Pmath.lnColumn]] double on both engines) and the
+    * weighted sum Σ c_v·v·⌊2²⁰·ln v⌋ accumulates as an exact decimal —
+    * associative, partition-invariant, SQL-replayable. Two portable
+    * lns on the 1-row-per-group aggregate finish the formula.
+    * Scale: per-(group, value) aggregate + groups-row reduce. */
+  def theilIndex(df: DataFrame, groupCol: String,
+                 valueCents: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perV = df.select(col(groupCol).as("g"), valueCents.as("v"))
+      .where(col("v") > 0)
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .withColumn("q", floor(Pmath.lnColumn(col("v")) * lit(1048576.0))
+        .cast("long"))
+    val agg = perV.groupBy("g").agg(sum("c").as("n"),
+      sum(dec(col("v")) * col("c")).as("s"),
+      sum(dec(col("v")) * col("c") * col("q")).as("xlx"))
+    agg.select(col("g").as(groupCol), col("n"),
+      (col("s").cast("string").cast("double") /
+        (col("n").cast("double") * lit(100.0))).as("mean_value"),
+      (col("xlx").cast("string").cast("double") / lit(1048576.0) /
+        col("s").cast("string").cast("double") -
+        (Pmath.lnColumn(col("s").cast("string").cast("double")) -
+          Pmath.lnColumn(col("n").cast("double")))).as("theil_t"))
+  }
+
+  /** Single-window Hurst rescaled-range readout per key on the daily
+    * series: R/S over the whole span (R = range of the mean-centered
+    * prefix sums, S = population std) and the point estimate
+    * H = ln(R/S)/ln(n/2). Deviations scale by n so prefixes stay
+    * integer (decimal(38,0)); R and S meet in one double expression;
+    * both lns are the portable [[Pmath.lnColumn]]. Same
+    * key-partitioned calendar-bounded window shape as
+    * [[pageHinkley]]. */
+  def hurstRs(df: DataFrame, keyCol: String, tsCol: Column,
+              valueCol: Column): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("k"),
+        date_trunc("day", tsCol).as("day"))
+      .agg(coalesce(sum(floor(valueCol * lit(100.0)).cast("long")),
+        lit(0L)).as("v"))
+    val tot = daily.groupBy("k").agg(count(lit(1)).as("n"),
+      sum("v").as("s"),
+      sum(col("v").cast("decimal(38,0)") * col("v")).as("q"))
+    val w = Window.partitionBy("k").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = daily.join(tot, Seq("k"))
+      .withColumn("m",
+        sum((col("n") * col("v") - col("s")).cast("decimal(38,0)")).over(w))
+    val dbl = (c: Column) => c.cast("string").cast("double")
+    pre.groupBy(col("k").as(keyCol))
+      .agg(max("n").as("n"), max("s").as("s"), max("q").as("q"),
+        greatest(max("m"), lit(0L).cast("decimal(38,0)")).as("mx"),
+        least(min("m"), lit(0L).cast("decimal(38,0)")).as("mn"))
+      .select(col(keyCol), col("n"),
+        ((dbl(col("mx")) - dbl(col("mn"))) / col("n").cast("double") /
+          lit(100.0)).as("r_range"),
+        (sqrt((col("n").cast("decimal(38,0)") * col("q") -
+          col("s") * col("s")).cast("string").cast("double")) /
+          col("n").cast("double") / lit(100.0)).as("s_std"))
+      .withColumn("rs", col("r_range") / col("s_std"))
+      .withColumn("hurst",
+        Pmath.lnColumn(col("rs")) /
+          Pmath.lnColumn(col("n").cast("double") / lit(2.0)))
+  }
 }

@@ -1,0 +1,477 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Pmath
+import graft.operators.Stats
+
+/** Round-7 wave — ordinal effect sizes, L-moment fingerprints, drift
+  * detectors, inequality/entropy readouts, and two LLM-corpus ops
+  * (T5-style span corruption, tokenizer fertility). Every query carries
+  * a bit-exact DuckDB oracle built from the repo's standing recipes:
+  *
+  *  - rank-spine integer geometry ([[graft.operators.Rank.withCumSums]])
+  *    for Cliff's δ, Jonckheere–Terpstra and Ansari–Bradley — pairwise
+  *    statistics WITHOUT pair materialization, decimal(38,0) products,
+  *    one string-mediated double division at the end;
+  *  - calendar-bounded key-partitioned windows (the seasonal-family
+  *    shape) for Page–Hinkley and the Hurst rescaled range;
+  *  - the portable ln ([[Pmath.lnColumn]]) replayed via
+  *    [[Pmath.lnSqlChainCtes]] for entropy rate, Theil T and Hurst —
+  *    with the Theil cross-row Σ x·ln x QUANTIZED to 2⁻²⁰ fixed point
+  *    per distinct value so the data-scale sum stays an exact decimal
+  *    (no ordered fold over data-sized lists);
+  *  - md5-derived block decisions (the x_watermark/x_split_assign
+  *    idiom) for span corruption, so masking replays exactly in SQL.
+  */
+object Ext8 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val eventTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  private def cents(c: Column): Column =
+    floor(c * lit(100.0)).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Cliff's delta ordinal effect size, click vs purchase values —
+    // the dominance magnitude next to x_mannwhitney's significance
+    "x_cliffs_delta" -> ((s, d) =>
+      Stats.cliffsDelta(t(s, d, "events"),
+        col("event_type") === "click", col("event_type") === "purchase",
+        cents(col("value")))),
+
+    // Jonckheere–Terpstra ordered-trend statistic across the five
+    // event types (alphabetical order as the tested ordering)
+    "x_jonckheere" -> ((s, d) =>
+      Stats.jonckheere(t(s, d, "events"), col("event_type"),
+        cents(col("value")), eventTypes)),
+
+    // Ansari–Bradley rank scale test: click vs view dispersion
+    "x_ansari_bradley" -> ((s, d) =>
+      Stats.ansariBradley(t(s, d, "events"),
+        col("event_type") === "click", col("event_type") === "view",
+        cents(col("value")))),
+
+    // Page–Hinkley drift detector per event type on the daily cents
+    // series (offline form against the series' own mean, λ = 50.0)
+    "x_page_hinkley" -> ((s, d) =>
+      Stats.pageHinkley(t(s, d, "events"), "event_type", col("ts"),
+        col("value"), lambda = 50.0)),
+
+    // First four L-moments (λ1, λ2, L-skew, L-kurt) per event type —
+    // the robust distribution fingerprint off per-group order stats
+    "x_lmoments" -> ((s, d) =>
+      Stats.lMoments(t(s, d, "events"), "event_type",
+        cents(col("value")))),
+
+    // Grubbs max-studentized-deviation outlier audit per event type
+    "x_grubbs" -> ((s, d) =>
+      Stats.grubbs(t(s, d, "events"), "event_type",
+        cents(col("value")))),
+
+    // Theil T inequality of value concentration per event type —
+    // fixed-point-quantized portable ln keeps Σ x·ln x exact
+    "x_theil_index" -> ((s, d) =>
+      Stats.theilIndex(t(s, d, "events"), "event_type",
+        cents(col("value")))),
+
+    // single-window Hurst rescaled-range per event type on daily cents
+    "x_hurst" -> ((s, d) =>
+      Stats.hurstRs(t(s, d, "events"), "event_type", col("ts"),
+        col("value"))),
+
+    // Markov entropy rate of the user event-type chain: H =
+    // (1/N)·Σ_ij n_ij·(ln n_i − ln n_ij) over x_markov's transition
+    // counts — k²-bounded ordered fold, portable lns
+    "x_entropy_rate" -> ((s, d) => {
+      val ord = Window.partitionBy("u").orderBy(col("ts"), col("eid"))
+      val steps = t(s, d, "events").select(col("user_id").as("u"),
+          col("ts"), col("event_id").as("eid"),
+          col("event_type").as("to_s"))
+        .withColumn("from_s", lag(col("to_s"), 1).over(ord))
+        .filter(col("from_s").isNotNull)
+      val nij = steps.groupBy("from_s", "to_s").agg(count(lit(1)).as("nij"))
+      val ni = nij.groupBy("from_s").agg(sum("nij").as("ni"))
+      val terms = nij.join(ni, Seq("from_s"))
+        .select(col("from_s"), col("to_s"), col("nij"),
+          (col("nij").cast("double") *
+            (Pmath.lnColumn(col("ni")) - Pmath.lnColumn(col("nij"))))
+            .as("h"))
+      terms.agg(sum("nij").as("n_trans"),
+          aggregate(
+            transform(sort_array(collect_list(struct(col("from_s"),
+              col("to_s"), col("h")))), x => x.getField("h")),
+            lit(0.0), (a, x) => a + x).as("h_num"))
+        .select(col("n_trans"),
+          (col("h_num") / col("n_trans").cast("double")).as("h_rate"))
+    }),
+
+    // T5-style span corruption: every 3-word block masks iff
+    // md5(doc_id|block) lands in the 1-in-5 bucket; masked text swaps
+    // each corrupted block for one <extra_id_k> sentinel, the target
+    // lists sentinel + original words. Deterministic, shuffle shape =
+    // one doc-keyed aggregate + one doc-partitioned block window
+    "x_span_corruption" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id").as("doc"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "word")
+        .withColumn("blk", call_function("div", col("pos"), lit(3)))
+        .withColumn("corrupt",
+          conv(substring(md5(concat_ws("|", col("doc"), col("blk"))), 1, 4),
+            16, 10).cast("long") % 5 === 0)
+      val wB = Window.partitionBy("doc").orderBy("blk")
+      val blocks = toks.select("doc", "blk", "corrupt").distinct()
+        .withColumn("sid",
+          sum(when(col("corrupt"), 1L).otherwise(0L)).over(wB))
+      val j = toks.drop("corrupt").join(blocks, Seq("doc", "blk"))
+      def joined(c: Column) = {
+        val arr = transform(sort_array(collect_list(c)),
+          x => x.getField("tok"))
+        when(size(arr) === 0, lit(null).cast("string"))
+          .otherwise(array_join(arr, " "))
+      }
+      val sentinel =
+        concat(lit("<extra_id_"), (col("sid") - 1).cast("string"), lit(">"))
+      j.groupBy(col("doc").as("doc_id"))
+        .agg(max(when(col("corrupt"), col("sid")).otherwise(0L))
+            .as("n_spans"),
+          joined(when(!col("corrupt"),
+              struct(col("pos"), col("word").as("tok")))
+            .when(col("pos") % 3 === 0,
+              struct(col("pos"), sentinel.as("tok")))).as("masked"),
+          joined(when(col("corrupt") && col("pos") % 3 === 0,
+              struct(col("pos"),
+                concat(sentinel, lit(" "), col("word")).as("tok")))
+            .when(col("corrupt"),
+              struct(col("pos"), col("word").as("tok")))).as("target"))
+    }),
+
+    // tokenizer fertility per language: sub-word tokens (letters-run /
+    // digits-run / single punctuation regex — the BPE-ish pre-split)
+    // per whitespace word
+    "x_tokenizer_fertility" -> ((s, d) =>
+      t(s, d, "documents").select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("nw"),
+          expr("size(regexp_extract_all(text, " +
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))").cast("long").as("nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+          sum("nt").as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"))),
+  )
+
+  // ---------------------------------------------------------------- SQL
+
+  private def perTypeCounts(tag: String): String = eventTypes.map(g =>
+    s"CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS ${tag}_$g")
+    .mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+
+    "x_cliffs_delta" ->
+      """WITH f AS (SELECT CAST(floor(value * 100.0) AS BIGINT) AS v,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ya
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')
+                      AND value IS NOT NULL),
+         g AS (SELECT v, CAST(sum(ya) AS BIGINT) AS ca,
+                 CAST(count(*) - sum(ya) AS BIGINT) AS cb
+               FROM f GROUP BY v),
+         s AS (SELECT v, ca, cb,
+                 CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+                 CAST(sum(cb) OVER w AS BIGINT) AS cumb
+               FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         t AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+                 CAST(count(*) - sum(ya) AS BIGINT) AS nb FROM f),
+         o AS (SELECT na, nb,
+                 sum(ca::DECIMAL(38,0) * (cumb - cb)) AS n_gt,
+                 sum(ca::DECIMAL(38,0) * (nb - cumb)) AS n_lt
+               FROM s CROSS JOIN t GROUP BY na, nb)
+         SELECT na, nb, n_gt::DECIMAL(38,0) AS n_gt,
+                n_lt::DECIMAL(38,0) AS n_lt,
+                CAST(CAST(n_gt - n_lt AS VARCHAR) AS DOUBLE) /
+                  (na::DOUBLE * nb::DOUBLE) AS delta
+         FROM o""",
+
+    "x_jonckheere" -> {
+      val pairTerms = (for {
+        i <- eventTypes.indices; j <- (i + 1) until eventTypes.size
+      } yield {
+        val (gi, gj) = (eventTypes(i), eventTypes(j))
+        s"c_$gj::DECIMAL(38,0) * (2 * (cum_$gi - c_$gi) + c_$gi)"
+      }).mkString(" + ")
+      val cums = eventTypes.map(g =>
+        s"CAST(sum(c_$g) OVER w AS BIGINT) AS cum_$g").mkString(", ")
+      s"""WITH f AS (SELECT CAST(floor(value * 100.0) AS BIGINT) AS v,
+                       event_type AS g
+                     FROM events WHERE value IS NOT NULL),
+         p AS (SELECT v, ${perTypeCounts("c")} FROM f GROUP BY v),
+         s AS (SELECT *, $cums FROM p
+               WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         a AS (SELECT sum($pairTerms)::DECIMAL(38,0) AS j2 FROM s),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)
+         SELECT n, j2 FROM a CROSS JOIN n"""
+    },
+
+    "x_ansari_bradley" ->
+      """WITH f AS (SELECT CAST(floor(value * 100.0) AS BIGINT) AS v,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ya
+                    FROM events
+                    WHERE event_type IN ('click', 'view')
+                      AND value IS NOT NULL),
+         g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(ya) AS BIGINT) AS ca
+               FROM f GROUP BY v),
+         s AS (SELECT v, cnt, ca,
+                 CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cum_incl
+               FROM g),
+         t AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+                 CAST(count(*) - sum(ya) AS BIGINT) AS nb FROM f),
+         o AS (SELECT na, nb,
+                 sum(ca::DECIMAL(38,0) *
+                   least(2 * (cum_incl - cnt) + cnt + 1,
+                     2 * (na + nb + 1)
+                       - (2 * (cum_incl - cnt) + cnt + 1))) AS ab2
+               FROM s CROSS JOIN t GROUP BY na, nb)
+         SELECT na, nb, ab2::DECIMAL(38,0) AS ab2,
+                CAST(CAST(ab2 AS VARCHAR) AS DOUBLE) / 2.0 AS ab_stat
+         FROM o""",
+
+    "x_page_hinkley" ->
+      """WITH daily AS (SELECT event_type AS k, date_trunc('day', ts) AS day,
+                 CAST(coalesce(sum(CAST(floor(value * 100.0) AS BIGINT)), 0)
+                   AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+         t AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS DECIMAL(38,0)) AS s
+               FROM daily GROUP BY k),
+         pre AS (SELECT daily.k, day, n,
+                   sum((n::HUGEINT * v - s)::DECIMAL(38,0)) OVER
+                     (PARTITION BY daily.k ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS m
+                 FROM daily JOIN t ON daily.k = t.k),
+         ph AS (SELECT k, day, n,
+                  m - min(m) OVER (PARTITION BY k ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS ph
+                FROM pre)
+         SELECT k AS event_type, max(n) AS n_days,
+                max(ph)::DECIMAL(38,0) AS ph_num,
+                min(CASE WHEN ph >= (n * 100)::DECIMAL(38,0)
+                      * CAST('50.0' AS DECIMAL(18,6))
+                    THEN epoch(day)::BIGINT END) AS alarm_day_s,
+                CAST(CAST(max(ph) AS VARCHAR) AS DOUBLE) /
+                  (max(n)::DOUBLE * 100.0) AS ph_max
+         FROM ph GROUP BY k""",
+
+    "x_lmoments" -> {
+      def fF(m: String, r: Int): String = r match {
+        case 1 => s"24 * $m::HUGEINT"
+        case 2 => s"12 * $m::HUGEINT * ($m - 1)"
+        case 3 => s"4 * $m::HUGEINT * ($m - 1) * ($m - 2)"
+        case 4 => s"$m::HUGEINT * ($m - 1) * ($m - 2) * ($m - 3)"
+      }
+      def bNum(k: Int): String =
+        s"sum(v::HUGEINT * ((${fF("(p + c)", k + 1)}) - (${fF("p", k + 1)}))) AS b$k"
+      val fact = Array(1, 1, 2, 6)
+      def den(k: Int): String =
+        (1 to k).foldLeft("24 * n::HUGEINT")((acc, t) => s"$acc * (n - $t)")
+      // parenthesized: 20.0 * X / Y rounds differently than
+      // 20.0 * (X / Y), and the engine computes the ratio first
+      def b(k: Int): String =
+        s"(CAST(CAST(b$k * ${fact(k)} AS VARCHAR) AS DOUBLE) / " +
+          s"CAST(CAST(${den(k)} AS VARCHAR) AS DOUBLE))"
+      val l2 = s"2.0 * ${b(1)} - ${b(0)}"
+      s"""WITH f AS (SELECT event_type AS g,
+                       CAST(floor(value * 100.0) AS BIGINT) AS v
+                     FROM events WHERE value IS NOT NULL),
+         p AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+               FROM f GROUP BY 1, 2),
+         sp AS (SELECT g, v, c,
+                  CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS p
+                FROM p),
+         a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                 ${bNum(0)}, ${bNum(1)}, ${bNum(2)}, ${bNum(3)}
+               FROM sp GROUP BY g)
+         SELECT g AS event_type, n,
+                (${b(0)}) / 100.0 AS l1,
+                ($l2) / 100.0 AS l2,
+                (6.0 * ${b(2)} - 6.0 * ${b(1)} + ${b(0)}) / ($l2) AS t3,
+                (20.0 * ${b(3)} - 30.0 * ${b(2)} + 12.0 * ${b(1)}
+                  - ${b(0)}) / ($l2) AS t4
+         FROM a"""
+    },
+
+    "x_grubbs" ->
+      """WITH f AS (SELECT event_type AS g,
+                      CAST(floor(value * 100.0) AS BIGINT) AS v
+                    FROM events WHERE value IS NOT NULL),
+         p AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+               FROM f GROUP BY 1, 2),
+         t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                 sum(v::HUGEINT * c) AS s,
+                 sum(v::HUGEINT * v * c) AS q
+               FROM p GROUP BY g),
+         j AS (SELECT p.g, n, s, q, v,
+                 abs(v::HUGEINT * n - s) AS dev
+               FROM p JOIN t ON p.g = t.g),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY g ORDER BY dev DESC, v DESC) AS rn
+               FROM j)
+         SELECT g AS event_type, n,
+                CAST(v AS DOUBLE) / 100.0 AS outlier_value,
+                CAST(CAST(dev AS VARCHAR) AS DOUBLE) /
+                  (n::DOUBLE * 100.0) AS max_abs_dev,
+                (CAST(CAST(dev AS VARCHAR) AS DOUBLE) / n::DOUBLE) /
+                  sqrt(CAST(CAST(n::HUGEINT * q - s * s AS VARCHAR)
+                    AS DOUBLE) / (n::DOUBLE * (n::DOUBLE - 1.0)))
+                  AS g_stat
+         FROM r WHERE rn = 1""",
+
+    "x_theil_index" -> {
+      val (chain1, last1) = Pmath.lnSqlChainCtes("p", "tq",
+        Seq("v" -> "lv"), carry = Seq("g", "v", "c"))
+      val (chain2, last2) = Pmath.lnSqlChainCtes("a", "tg",
+        Seq("CAST(CAST(s AS VARCHAR) AS DOUBLE)" -> "ls",
+          "n" -> "ln_n"),
+        carry = Seq("g", "n", "s", "xlx"))
+      s"""WITH f AS (SELECT event_type AS g,
+                       CAST(floor(value * 100.0) AS BIGINT) AS v
+                     FROM events WHERE value IS NOT NULL),
+         p AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+               FROM f WHERE v > 0 GROUP BY 1, 2),
+         $chain1,
+         q AS (SELECT g, v, c,
+                 CAST(floor(lv * 1048576.0) AS BIGINT) AS q
+               FROM $last1),
+         a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                 sum(v::HUGEINT * c) AS s,
+                 sum(v::HUGEINT * c * q) AS xlx
+               FROM q GROUP BY g),
+         $chain2
+         SELECT g AS event_type, n,
+                CAST(CAST(s AS VARCHAR) AS DOUBLE) /
+                  (n::DOUBLE * 100.0) AS mean_value,
+                CAST(CAST(xlx AS VARCHAR) AS DOUBLE) / 1048576.0 /
+                  CAST(CAST(s AS VARCHAR) AS DOUBLE) - (ls - ln_n)
+                  AS theil_t
+         FROM $last2"""
+    },
+
+    "x_hurst" -> {
+      val (chains, last) = Pmath.lnSqlChainCtes("rr", "hq",
+        Seq("r_range / s_std" -> "lrs", "n / 2.0" -> "lnh"),
+        carry = Seq("k", "n", "r_range", "s_std"))
+      s"""WITH daily AS (SELECT event_type AS k,
+                 date_trunc('day', ts) AS day,
+                 CAST(coalesce(sum(CAST(floor(value * 100.0) AS BIGINT)), 0)
+                   AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+         t AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                 sum(v::HUGEINT) AS s, sum(v::HUGEINT * v) AS q
+               FROM daily GROUP BY k),
+         pre AS (SELECT daily.k, day, n, s, q,
+                   sum((n::HUGEINT * v - s)::DECIMAL(38,0)) OVER
+                     (PARTITION BY daily.k ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS m
+                 FROM daily JOIN t ON daily.k = t.k),
+         ag AS (SELECT k, max(n) AS n, max(s) AS s, max(q) AS q,
+                  greatest(max(m), 0::DECIMAL(38,0)) AS mx,
+                  least(min(m), 0::DECIMAL(38,0)) AS mn
+                FROM pre GROUP BY k),
+         rr AS (SELECT k, n,
+                  (CAST(CAST(mx AS VARCHAR) AS DOUBLE) -
+                    CAST(CAST(mn AS VARCHAR) AS DOUBLE)) / n::DOUBLE
+                    / 100.0 AS r_range,
+                  sqrt(CAST(CAST(n::HUGEINT * q - s * s AS VARCHAR)
+                    AS DOUBLE)) / n::DOUBLE / 100.0 AS s_std
+                FROM ag),
+         $chains
+         SELECT k AS event_type, n, r_range, s_std,
+                r_range / s_std AS rs, lrs / lnh AS hurst
+         FROM $last"""
+    },
+
+    "x_entropy_rate" -> {
+      val (chains, last) = Pmath.lnSqlChainCtes("nij", "eq",
+        Seq("ni" -> "lni", "nij" -> "lnij"),
+        carry = Seq("from_s", "to_s", "nij", "ni"))
+      s"""WITH st AS (SELECT event_type AS to_s,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS from_s
+               FROM events),
+         cts AS (SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS nij
+                 FROM st WHERE from_s IS NOT NULL GROUP BY 1, 2),
+         ni AS (SELECT from_s, CAST(sum(nij) AS BIGINT) AS ni
+                FROM cts GROUP BY 1),
+         nij AS (SELECT cts.from_s, to_s, nij, ni
+                 FROM cts JOIN ni ON cts.from_s = ni.from_s),
+         $chains
+         SELECT CAST(sum(nij) AS BIGINT) AS n_trans,
+                list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+                  list(CAST(nij AS DOUBLE) * (lni - lnij)
+                    ORDER BY from_s, to_s)), (a, x) -> a + x)
+                  / CAST(CAST(sum(nij) AS BIGINT) AS DOUBLE) AS h_rate
+         FROM $last"""
+    },
+
+    "x_span_corruption" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         tok AS (SELECT doc_id, ws[i] AS word, i - 1 AS pos,
+                   (i - 1) // 3 AS blk
+                 FROM (SELECT doc_id, ws,
+                         unnest(range(1, len(ws) + 1)) AS i
+                       FROM w)),
+         cb AS (SELECT doc_id, blk,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                    CAST(blk AS VARCHAR)), 1, 4))::BIGINT % 5 = 0
+                    AS corrupt
+                FROM (SELECT DISTINCT doc_id, blk FROM tok)),
+         sb AS (SELECT doc_id, blk, corrupt,
+                  CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) OVER
+                    (PARTITION BY doc_id ORDER BY blk
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+                FROM cb),
+         j AS (SELECT t.doc_id, t.word, t.pos, s.corrupt, s.sid
+               FROM tok t JOIN sb s
+                 ON t.doc_id = s.doc_id AND t.blk = s.blk)
+         SELECT doc_id,
+                CAST(max(CASE WHEN corrupt THEN sid ELSE 0 END)
+                  AS BIGINT) AS n_spans,
+                string_agg(CASE WHEN NOT corrupt THEN word
+                    WHEN pos % 3 = 0
+                    THEN '<extra_id_' || CAST(sid - 1 AS VARCHAR) || '>'
+                  END, ' ' ORDER BY pos) AS masked,
+                string_agg(CASE WHEN corrupt AND pos % 3 = 0
+                    THEN '<extra_id_' || CAST(sid - 1 AS VARCHAR) || '>'
+                      || ' ' || word
+                    WHEN corrupt THEN word
+                  END, ' ' ORDER BY pos) AS target
+         FROM j GROUP BY doc_id""",
+
+    "x_tokenizer_fertility" ->
+      """WITH f AS (SELECT lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+                      CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS nt
+                    FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nw) AS BIGINT) AS n_words,
+                CAST(sum(nt) AS BIGINT) AS n_tokens,
+                CAST(sum(nt) AS BIGINT)::DOUBLE /
+                  CAST(sum(nw) AS BIGINT)::DOUBLE AS fertility
+         FROM f GROUP BY lang""",
+  )
+}

