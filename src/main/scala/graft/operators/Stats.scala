@@ -1790,6 +1790,100 @@ object Stats {
           Pmath.lnColumn(col("n").cast("double")))).as("theil_t"))
   }
 
+  /** Exact two-sample energy distance on an integer-quantized value:
+    * D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — the distribution-distance
+    * companion of [[wassersteinPairs]] that is zero iff the
+    * distributions coincide, with every expectation an EXACT interval
+    * sum off the shared distinct-value spine:
+    * ΣΣ|x−y| = Σ_intervals gap·[cumA·(nB−cumB) + cumB·(nA−cumA)]
+    * (ordered pairs), within-group likewise with 2·cum·(n−cum).
+    * decimal(38,0) cross-products, three string-mediated double
+    * divisions at the very end. Same scale shape as Wasserstein: one
+    * spine aggregate, [[Rank.withCumSums]], [[Rank.withLead1]], one
+    * 1-row reduce. */
+  def energyDistance(df: DataFrame, inA: Column, inB: Column,
+                     valueCents: Column): DataFrame = {
+    val f = df.filter(inA || inB).select(valueCents.as("v"),
+      when(inA, 1L).otherwise(0L).as("ya")).where(col("v").isNotNull)
+    val perV = f.groupBy("v").agg(sum("ya").as("ca"),
+      (count(lit(1)) - sum("ya")).as("cb"))
+    val cum = Rank.withCumSums(perV, Seq("v"),
+      Seq("ca" -> "cuma", "cb" -> "cumb"))
+    val led = Rank.withLead1(cum, "v", "v", "v_next")
+    val tot = f.agg(sum("ya").as("na"), (count(lit(1)) - sum("ya")).as("nb"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gap = (col("v_next") - col("v"))
+    val agg = led.crossJoin(broadcast(tot))
+      .where(col("v_next").isNotNull)
+      .select(col("na"), col("nb"),
+        (gap * (dec(col("cuma")) * (col("nb") - col("cumb")) +
+          dec(col("cumb")) * (col("na") - col("cuma")))).as("tab"),
+        (gap * (dec(col("cuma")) * (col("na") - col("cuma")))).as("taa"),
+        (gap * (dec(col("cumb")) * (col("nb") - col("cumb")))).as("tbb"))
+      .groupBy("na", "nb")
+      .agg(sum("tab").as("sab"), sum("taa").as("saa"),
+        sum("tbb").as("sbb"))
+    val dbl = (c: Column) => c.cast("string").cast("double")
+    agg.select(col("na"), col("nb"),
+        (dbl(col("sab")) /
+          (col("na").cast("double") * col("nb").cast("double") *
+            lit(100.0))).as("e_ab"),
+        (lit(2.0) * dbl(col("saa")) /
+          (col("na").cast("double") * col("na").cast("double") *
+            lit(100.0))).as("e_aa"),
+        (lit(2.0) * dbl(col("sbb")) /
+          (col("nb").cast("double") * col("nb").cast("double") *
+            lit(100.0))).as("e_bb"))
+      .withColumn("energy",
+        lit(2.0) * col("e_ab") - col("e_aa") - col("e_bb"))
+  }
+
+  /** Dickey–Fuller unit-root statistic per key on the daily cents
+    * series (no lag augmentation): regress Δv_t on v_{t−1}; DF =
+    * b̂/se(b̂). All six regression moments are exact decimals off ONE
+    * key-partitioned lag window (calendar-bounded, the
+    * [[pageHinkley]] shape); slope is the cross-multiplied integer
+    * ratio (the x_linreg recipe), the residual sum of squares expands
+    * to moment arithmetic in a fixed double order, and the one sqrt
+    * closes the statistic. */
+  def dickeyFuller(df: DataFrame, keyCol: String, tsCol: Column,
+                   valueCol: Column): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("k"),
+        date_trunc("day", tsCol).as("day"))
+      .agg(coalesce(sum(floor(valueCol * lit(100.0)).cast("long")),
+        lit(0L)).as("v"))
+    val w = Window.partitionBy("k").orderBy("day")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pairs = daily.withColumn("x", lag(col("v"), 1).over(w))
+      .where(col("x").isNotNull)
+      .select(col("k"), col("x"), (col("v") - col("x")).as("y"))
+    val m = pairs.groupBy("k").agg(count(lit(1)).as("m"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val dbl = (c: Column) => c.cast("string").cast("double")
+    val num = dec(col("m")) * col("sxy") - col("sx") * col("sy")
+    val den = dec(col("m")) * col("sxx") - col("sx") * col("sx")
+    m.select(col("k").as(keyCol), col("m"),
+        dbl(col("sx")).as("sx"), dbl(col("sy")).as("sy"),
+        dbl(col("sxx")).as("sxx"), dbl(col("sxy")).as("sxy"),
+        dbl(col("syy")).as("syy"),
+        (dbl(num) / dbl(den)).as("slope"), dbl(den).as("den_d"))
+      .withColumn("icept",
+        (col("sy") - col("slope") * col("sx")) / col("m").cast("double"))
+      .withColumn("ssr",
+        col("syy") + col("m").cast("double") * col("icept") * col("icept") +
+          col("slope") * col("slope") * col("sxx") -
+          lit(2.0) * col("icept") * col("sy") -
+          lit(2.0) * col("slope") * col("sxy") +
+          lit(2.0) * col("icept") * col("slope") * col("sx"))
+      .select(col(keyCol), col("m"), col("slope"),
+        (col("slope") /
+          sqrt((col("ssr") / (col("m").cast("double") - lit(2.0))) *
+            col("m").cast("double") / col("den_d"))).as("df_stat"))
+  }
+
   /** Single-window Hurst rescaled-range readout per key on the daily
     * series: R/S over the whole span (R = range of the mean-centered
     * prefix sums, S = population std) and the point estimate

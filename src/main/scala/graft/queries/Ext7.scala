@@ -727,11 +727,18 @@ object Ext7 {
       val edgesRaw = t(s, d, "lineitem").select(
         concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
         concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
-      val labels = graft.operators.Graphs.labelPropagation(
-        edgesRaw, "src", "dst", rounds = 3)
+      // dedupe the undirected edge set ONCE and checkpoint it: the
+      // frame feeds FOUR consumers (LPA's symmetrize, m, the
+      // intra-edge census, the degree table) — without materialization
+      // each re-scans lineitem and re-pays the distinct; LPA on the
+      // deduped set propagates identical labels (same edge SET after
+      // its own symmetrize+distinct)
       val und = edgesRaw.where(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("u"),
           greatest(col("src"), col("dst")).as("v")).distinct()
+        .localCheckpoint(true)
+      val labels = graft.operators.Graphs.labelPropagation(
+        und, "u", "v", rounds = 3)
       val mdf = und.groupBy().agg(count(lit(1)).as("m"))
       val ec = und
         .join(labels.select(col("id").as("u"), col("lbl").as("la")),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.Pmath
+import graft.functions.{Pmath, Vectors}
 import graft.operators.Stats
 
 /** Round-7 wave — ordinal effect sizes, L-moment fingerprints, drift
@@ -153,6 +153,81 @@ object Ext8 {
               struct(col("pos"), col("word").as("tok")))).as("target"))
     }),
 
+    // two-sample energy distance, click vs purchase — zero iff the
+    // distributions coincide; interval-exact off the shared spine
+    "x_energy_distance" -> ((s, d) =>
+      Stats.energyDistance(t(s, d, "events"),
+        col("event_type") === "click", col("event_type") === "purchase",
+        cents(col("value")))),
+
+    // GPD parameters per event type by the method of L-moments
+    // (Hosking): κ, σ, μ are RATIONAL in (λ1, λ2, t3) — no special
+    // functions, so the fit composes x_lmoments exactly
+    "x_gpd_fit" -> ((s, d) =>
+      Stats.lMoments(t(s, d, "events"), "event_type", cents(col("value")))
+        .withColumn("kappa",
+          (lit(1.0) - lit(3.0) * col("t3")) / (lit(1.0) + col("t3")))
+        .withColumn("sigma", col("l2") * (lit(1.0) - col("kappa")) *
+          (lit(2.0) - col("kappa")))
+        .withColumn("mu",
+          col("l1") - col("sigma") / (lit(2.0) - col("kappa")))
+        .select("event_type", "n", "kappa", "sigma", "mu")),
+
+    // per-source KL divergence of the term distribution against the
+    // corpus: Σ (c_st/N_s)·ln(c_st·N / (N_s·c_t)) with the four
+    // portable lns summed per (source, term) and quantized to 2⁻²⁰
+    // fixed point so the cross-row sum stays an exact decimal (the
+    // x_theil_index discipline — no data-sized ordered folds)
+    "x_kl_source" -> ((s, d) => {
+      val occ = t(s, d, "documents").select(col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      val cst = occ.groupBy("source", "term").agg(count(lit(1)).as("cst"))
+      val ct = cst.groupBy("term").agg(sum("cst").as("ct"))
+      val ns = cst.groupBy("source").agg(sum("cst").as("ns"))
+      val nn = cst.agg(sum("cst").as("nn"))
+      cst.join(ct, Seq("term")).join(ns, Seq("source"))
+        .crossJoin(broadcast(nn))
+        .withColumn("q", floor(
+          (Pmath.lnColumn(col("cst")) + Pmath.lnColumn(col("nn")) -
+            Pmath.lnColumn(col("ns")) - Pmath.lnColumn(col("ct"))) *
+            lit(1048576.0)).cast("long"))
+        .groupBy("source").agg(count(lit(1)).as("n_terms"),
+          max("ns").as("n_tokens"),
+          sum(col("cst").cast("decimal(38,0)") * col("q")).as("klq"))
+        .select(col("source"), col("n_terms"), col("n_tokens"),
+          (col("klq").cast("string").cast("double") /
+            (lit(1048576.0) * col("n_tokens").cast("double"))).as("kl"))
+    }),
+
+    // Dickey–Fuller unit-root statistic per event type on daily cents
+    "x_adf" -> ((s, d) =>
+      Stats.dickeyFuller(t(s, d, "events"), "event_type", col("ts"),
+        col("value"))),
+
+    // contrastive hard negatives: per query vector the top-5 by cosine
+    // among rows with a DIFFERENT label — the broadcast-query
+    // brute-force shape (corpus never shuffles) with the label
+    // anti-filter before ranking
+    "x_hard_negatives" -> ((s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"),
+        col("embedding").as("v"), col("label"),
+        Vectors.l2Norm(col("embedding")).as("nrm"))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("label").as("qlabel"), col("nrm").as("qn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      base.crossJoin(broadcast(q))
+        .where(col("label") =!= col("qlabel"))
+        .withColumn("neighbor_id", col("vec_id"))
+        .withColumn("cos", when(col("qn") * col("nrm") =!= 0.0,
+          Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("label").as("neg_label"), col("cos"), col("rank"))
+    }),
+
     // tokenizer fertility per language: sub-word tokens (letters-run /
     // digits-run / single punctuation regex — the BPE-ish pre-split)
     // per whitespace word
@@ -174,6 +249,47 @@ object Ext8 {
   private def perTypeCounts(tag: String): String = eventTypes.map(g =>
     s"CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS ${tag}_$g")
     .mkString(", ")
+
+  /** The x_lmoments SQL, shared with x_gpd_fit (which nests it). */
+  private def lmomentsSql: String = {
+    def fF(m: String, r: Int): String = r match {
+      case 1 => s"24 * $m::HUGEINT"
+      case 2 => s"12 * $m::HUGEINT * ($m - 1)"
+      case 3 => s"4 * $m::HUGEINT * ($m - 1) * ($m - 2)"
+      case 4 => s"$m::HUGEINT * ($m - 1) * ($m - 2) * ($m - 3)"
+    }
+    def bNum(k: Int): String =
+      s"sum(v::HUGEINT * ((${fF("(p + c)", k + 1)}) - (${fF("p", k + 1)}))) AS b$k"
+    val fact = Array(1, 1, 2, 6)
+    def den(k: Int): String =
+      (1 to k).foldLeft("24 * n::HUGEINT")((acc, t) => s"$acc * (n - $t)")
+    // parenthesized: 20.0 * X / Y rounds differently than
+    // 20.0 * (X / Y), and the engine computes the ratio first
+    def b(k: Int): String =
+      s"(CAST(CAST(b$k * ${fact(k)} AS VARCHAR) AS DOUBLE) / " +
+        s"CAST(CAST(${den(k)} AS VARCHAR) AS DOUBLE))"
+    val l2 = s"2.0 * ${b(1)} - ${b(0)}"
+    s"""WITH f AS (SELECT event_type AS g,
+                     CAST(floor(value * 100.0) AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL),
+       p AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+             FROM f GROUP BY 1, 2),
+       sp AS (SELECT g, v, c,
+                CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS p
+              FROM p),
+       a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+               ${bNum(0)}, ${bNum(1)}, ${bNum(2)}, ${bNum(3)}
+             FROM sp GROUP BY g)
+       SELECT g AS event_type, n,
+              (${b(0)}) / 100.0 AS l1,
+              ($l2) / 100.0 AS l2,
+              (6.0 * ${b(2)} - 6.0 * ${b(1)} + ${b(0)}) / ($l2) AS t3,
+              (20.0 * ${b(3)} - 30.0 * ${b(2)} + 12.0 * ${b(1)}
+                - ${b(0)}) / ($l2) AS t4
+       FROM a"""
+  }
 
   val oracle: Map[String, String] = Map(
 
@@ -273,45 +389,7 @@ object Ext8 {
                   (max(n)::DOUBLE * 100.0) AS ph_max
          FROM ph GROUP BY k""",
 
-    "x_lmoments" -> {
-      def fF(m: String, r: Int): String = r match {
-        case 1 => s"24 * $m::HUGEINT"
-        case 2 => s"12 * $m::HUGEINT * ($m - 1)"
-        case 3 => s"4 * $m::HUGEINT * ($m - 1) * ($m - 2)"
-        case 4 => s"$m::HUGEINT * ($m - 1) * ($m - 2) * ($m - 3)"
-      }
-      def bNum(k: Int): String =
-        s"sum(v::HUGEINT * ((${fF("(p + c)", k + 1)}) - (${fF("p", k + 1)}))) AS b$k"
-      val fact = Array(1, 1, 2, 6)
-      def den(k: Int): String =
-        (1 to k).foldLeft("24 * n::HUGEINT")((acc, t) => s"$acc * (n - $t)")
-      // parenthesized: 20.0 * X / Y rounds differently than
-      // 20.0 * (X / Y), and the engine computes the ratio first
-      def b(k: Int): String =
-        s"(CAST(CAST(b$k * ${fact(k)} AS VARCHAR) AS DOUBLE) / " +
-          s"CAST(CAST(${den(k)} AS VARCHAR) AS DOUBLE))"
-      val l2 = s"2.0 * ${b(1)} - ${b(0)}"
-      s"""WITH f AS (SELECT event_type AS g,
-                       CAST(floor(value * 100.0) AS BIGINT) AS v
-                     FROM events WHERE value IS NOT NULL),
-         p AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
-               FROM f GROUP BY 1, 2),
-         sp AS (SELECT g, v, c,
-                  CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    AS BIGINT) AS p
-                FROM p),
-         a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
-                 ${bNum(0)}, ${bNum(1)}, ${bNum(2)}, ${bNum(3)}
-               FROM sp GROUP BY g)
-         SELECT g AS event_type, n,
-                (${b(0)}) / 100.0 AS l1,
-                ($l2) / 100.0 AS l2,
-                (6.0 * ${b(2)} - 6.0 * ${b(1)} + ${b(0)}) / ($l2) AS t3,
-                (20.0 * ${b(3)} - 30.0 * ${b(2)} + 12.0 * ${b(1)}
-                  - ${b(0)}) / ($l2) AS t4
-         FROM a"""
-    },
+    "x_lmoments" -> lmomentsSql,
 
     "x_grubbs" ->
       """WITH f AS (SELECT event_type AS g,
@@ -460,6 +538,141 @@ object Ext8 {
                     WHEN corrupt THEN word
                   END, ' ' ORDER BY pos) AS target
          FROM j GROUP BY doc_id""",
+
+    "x_energy_distance" ->
+      """WITH f AS (SELECT CAST(floor(value * 100.0) AS BIGINT) AS v,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ya
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')
+                      AND value IS NOT NULL),
+         g AS (SELECT v, CAST(sum(ya) AS BIGINT) AS ca,
+                 CAST(count(*) - sum(ya) AS BIGINT) AS cb
+               FROM f GROUP BY v),
+         s AS (SELECT v, ca, cb,
+                 CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+                 CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+                 lead(v) OVER (ORDER BY v) AS v_next
+               FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         t AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+                 CAST(count(*) - sum(ya) AS BIGINT) AS nb FROM f),
+         o AS (SELECT na, nb,
+                 sum((v_next - v) * (cuma::DECIMAL(38,0) * (nb - cumb)
+                   + cumb::DECIMAL(38,0) * (na - cuma))) AS sab,
+                 sum((v_next - v) * (cuma::DECIMAL(38,0) * (na - cuma)))
+                   AS saa,
+                 sum((v_next - v) * (cumb::DECIMAL(38,0) * (nb - cumb)))
+                   AS sbb
+               FROM s CROSS JOIN t WHERE v_next IS NOT NULL
+               GROUP BY na, nb),
+         e AS (SELECT na, nb,
+                 CAST(CAST(sab AS VARCHAR) AS DOUBLE) /
+                   (na::DOUBLE * nb::DOUBLE * 100.0) AS e_ab,
+                 2.0 * CAST(CAST(saa AS VARCHAR) AS DOUBLE) /
+                   (na::DOUBLE * na::DOUBLE * 100.0) AS e_aa,
+                 2.0 * CAST(CAST(sbb AS VARCHAR) AS DOUBLE) /
+                   (nb::DOUBLE * nb::DOUBLE * 100.0) AS e_bb
+               FROM o)
+         SELECT na, nb, e_ab, e_aa, e_bb,
+                2.0 * e_ab - e_aa - e_bb AS energy
+         FROM e""",
+
+    "x_gpd_fit" ->
+      s"""WITH lm AS ($lmomentsSql),
+         k AS (SELECT event_type, n, l1, l2,
+                 (1.0 - 3.0 * t3) / (1.0 + t3) AS kappa FROM lm),
+         s2 AS (SELECT *, l2 * (1.0 - kappa) * (2.0 - kappa) AS sigma
+                FROM k)
+         SELECT event_type, n, kappa, sigma,
+                l1 - sigma / (2.0 - kappa) AS mu
+         FROM s2""",
+
+    "x_kl_source" -> {
+      val (chains, last) = Pmath.lnSqlChainCtes("j", "kq",
+        Seq("cst" -> "lcst", "nn" -> "lnn", "ns" -> "lns2",
+          "ct" -> "lct"),
+        carry = Seq("source", "term", "cst", "ct", "ns", "nn"))
+      s"""WITH occ AS (SELECT source,
+                 unnest(string_split(text, ' ')) AS term
+               FROM documents),
+         cst AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cst
+                 FROM occ GROUP BY 1, 2),
+         ct AS (SELECT term, CAST(sum(cst) AS BIGINT) AS ct
+                FROM cst GROUP BY 1),
+         ns AS (SELECT source, CAST(sum(cst) AS BIGINT) AS ns
+                FROM cst GROUP BY 1),
+         nn AS (SELECT CAST(sum(cst) AS BIGINT) AS nn FROM cst),
+         j AS (SELECT cst.source, cst.term, cst.cst, ct.ct, ns.ns, nn.nn
+               FROM cst JOIN ct USING (term) JOIN ns USING (source)
+               CROSS JOIN nn),
+         $chains,
+         q AS (SELECT source, cst, ns,
+                 CAST(floor((((lcst + lnn) - lns2) - lct) * 1048576.0)
+                   AS BIGINT) AS q
+               FROM $last)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                max(ns) AS n_tokens,
+                CAST(CAST(sum(cst::DECIMAL(38,0) * q) AS VARCHAR)
+                  AS DOUBLE) /
+                  (1048576.0 * max(ns)::DOUBLE) AS kl
+         FROM q GROUP BY source"""
+    },
+
+    "x_adf" ->
+      """WITH daily AS (SELECT event_type AS k, date_trunc('day', ts) AS day,
+                 CAST(coalesce(sum(CAST(floor(value * 100.0) AS BIGINT)), 0)
+                   AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+         lg AS (SELECT k, v,
+                  lag(v) OVER (PARTITION BY k ORDER BY day) AS x
+                FROM daily),
+         pr AS (SELECT k, x, v - x AS y FROM lg WHERE x IS NOT NULL),
+         mo AS (SELECT k, CAST(count(*) AS BIGINT) AS m,
+                  sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                  sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
+                  sum(y::HUGEINT * y) AS syy
+                FROM pr GROUP BY k),
+         d AS (SELECT k, m,
+                 CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx,
+                 CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy,
+                 CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx,
+                 CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy,
+                 CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy,
+                 CAST(CAST(m::HUGEINT * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(m::HUGEINT * sxx - sx * sx AS VARCHAR)
+                     AS DOUBLE) AS slope,
+                 CAST(CAST(m::HUGEINT * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                   AS den_d
+               FROM mo),
+         ic AS (SELECT *, (sy - slope * sx) / m::DOUBLE AS icept FROM d),
+         sr AS (SELECT *, syy + m::DOUBLE * icept * icept
+                  + slope * slope * sxx - 2.0 * icept * sy
+                  - 2.0 * slope * sxy + 2.0 * icept * slope * sx AS ssr
+                FROM ic)
+         SELECT k AS event_type, m, slope,
+                slope / sqrt(ssr / (m::DOUBLE - 2.0) * m::DOUBLE / den_d)
+                  AS df_stat
+         FROM sr""",
+
+    "x_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+                 sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel,
+                 nrm AS qn
+               FROM n WHERE vec_id < 10),
+         scored AS (SELECT query_id, n.vec_id AS neighbor_id,
+                      n.label AS neg_label,
+                      CASE WHEN qn * nrm <> 0
+                        THEN list_dot_product(qv, v) / (qn * nrm) END AS cos
+                    FROM n CROSS JOIN q WHERE n.label <> qlabel),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+                    FROM scored)
+         SELECT query_id, neighbor_id, neg_label, cos,
+                CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 5""",
 
     "x_tokenizer_fertility" ->
       """WITH f AS (SELECT lang,

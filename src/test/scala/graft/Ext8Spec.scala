@@ -195,6 +195,99 @@ class Ext8Spec extends SparkSpec {
       real.getAs[Double]("h_rate") <= math.log(5.0) + 1e-9)
   }
 
+  test("energyDistance == brute force; zero on identical samples") {
+    val row = Stats.energyDistance(ab, col("g") === "a", col("g") === "b",
+      col("v")).collect().head
+    def mean(xs: Seq[Long], ys: Seq[Long]) =
+      (for (x <- xs; y <- ys) yield math.abs(x - y).toDouble).sum /
+        (xs.size.toLong * ys.size).toDouble / 100.0
+    assert(math.abs(row.getAs[Double]("e_ab") - mean(a, b)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("e_aa") - mean(a, a)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("energy") -
+      (2 * mean(a, b) - mean(a, a) - mean(b, b))) < 1e-9)
+    val same = (a.map((_, "a")) ++ a.map((_, "b"))).toDF("v", "g")
+    val z = Stats.energyDistance(same, col("g") === "a", col("g") === "b",
+      col("v")).collect().head
+    assert(z.getAs[Double]("energy") == 0.0)
+  }
+
+  test("GPD-from-L-moments recovers parameters on the graded surface") {
+    val rows = graft.queries.Ext8.queries("x_gpd_fit")(spark,
+      "/root/testdata/sf0.001").collect()
+    val lm = graft.queries.Ext8.queries("x_lmoments")(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("l1"), r.getAs[Double]("l2"),
+          r.getAs[Double]("t3"))).toMap
+    rows.foreach { r =>
+      val (l1, l2, t3) = lm(r.getAs[String]("event_type"))
+      val k = (1.0 - 3.0 * t3) / (1.0 + t3)
+      assert(r.getAs[Double]("kappa") == k)
+      val sigma = l2 * (1.0 - k) * (2.0 - k)
+      assert(math.abs(r.getAs[Double]("sigma") - sigma) < 1e-12)
+      assert(math.abs(r.getAs[Double]("mu") -
+        (l1 - sigma / (2.0 - k))) < 1e-12)
+    }
+  }
+
+  test("kl_source matches the direct divergence within ln quantization") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("source", "text").as[(String, String)].collect()
+    val terms = docs.flatMap { case (s, t) => t.split(" ").map((s, _)) }
+    val bySrc = terms.groupBy(_._1)
+    val ctAll = terms.groupBy(_._2).map { case (t, xs) => t -> xs.size }
+    val n = terms.size.toDouble
+    val rows = graft.queries.Ext8.queries("x_kl_source")(spark,
+      "/root/testdata/sf0.001").collect()
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val mine = bySrc(s).groupBy(_._2).map { case (t, xs) => t -> xs.size }
+      val ns = bySrc(s).size.toDouble
+      val direct = mine.map { case (t, c) =>
+        c / ns * math.log(c * n / (ns * ctAll(t))) }.sum
+      assert(math.abs(r.getAs[Double]("kl") - direct) < 1e-4,
+        s"source $s: ${r.getAs[Double]("kl")} vs $direct")
+      assert(r.getAs[Double]("kl") >= -1e-4)
+    }
+  }
+
+  test("dickeyFuller == brute-force OLS t-statistic") {
+    def day(i: Int) = Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    val vs = (1 to 28).map(_ => rnd.nextInt(300) / 100.0 + 1.0)
+    val df = vs.zipWithIndex.map { case (v, i) => ("k", day(i + 1), v) }
+      .toDF("k", "ts", "value")
+    val row = Stats.dickeyFuller(df, "k", col("ts"), col("value"))
+      .collect().head
+    val c = vs.map(v => math.floor(v * 100.0))
+    val xs = c.dropRight(1); val ys = c.tail.zip(xs).map(p => p._1 - p._2)
+    val m = xs.size.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map(p => p._1 * p._2).sum
+    val bHat = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val aHat = (sy - bHat * sx) / m
+    val ssr = xs.zip(ys).map { case (x, y) =>
+      val e = y - aHat - bHat * x; e * e }.sum
+    val se = math.sqrt(ssr / (m - 2) * m / (m * sxx - sx * sx))
+    assert(math.abs(row.getAs[Double]("slope") - bHat) < 1e-9)
+    assert(math.abs(row.getAs[Double]("df_stat") - bHat / se) < 1e-6)
+  }
+
+  test("hard negatives never share the query's label and rank by cosine") {
+    val out = graft.queries.Ext8.queries("x_hard_negatives")(spark,
+      "/root/testdata/sf0.001").collect()
+    val labels = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      rs.foreach(r =>
+        assert(r.getAs[Int]("neg_label") != labels(q)))
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Double]("cos")).sliding(2).forall(
+        s => s.size < 2 || s(0) >= s(1)))
+    }
+  }
+
   test("tokenizer fertility >= 1 and counts a known sentence exactly") {
     val df = Seq(("xx", "ab3 cd, e!")).toDF("lang", "text")
       .selectExpr("lang",
