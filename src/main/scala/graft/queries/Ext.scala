@@ -1293,7 +1293,7 @@ object Ext {
     * and the SemDeDup oracle: md5-ordered centroid seed sample, two
     * unrolled fixed-point Lloyd iterations, final assignment `listed`
     * (neighbor_id, cv, list) plus the scored s3 pass it derives from. */
-  private def dKmeansCommon: String = {
+  private[queries] def dKmeansCommon: String = {
     val (nLists, dim, seed) = (16, 64, 42)
     def lloyd(prev: String, n: Int): String =
       s"""s$n AS (SELECT e.vec_id, e.v, c.list,

@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Pmath, Vectors}
-import graft.operators.Stats
+import graft.functions.{Pmath, Text, Vectors}
+import graft.operators.{Similarity, Stats}
 
 /** Round-7 wave — ordinal effect sizes, L-moment fingerprints, drift
   * detectors, inequality/entropy readouts, and two LLM-corpus ops
@@ -226,6 +226,114 @@ object Ext8 {
         .filter(col("rank") <= 5)
         .select(col("query_id"), col("neighbor_id"),
           col("label").as("neg_label"), col("cos"), col("rank"))
+    }),
+
+    // cluster purity of the portable-k-means clustering vs the labeled
+    // classes — the unsupervised-quality readout that tells a curation
+    // pipeline whether its embedding clusters track semantics
+    "x_cluster_purity" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        nLists = 16, seed = 42, lloydIters = 2)
+      val assigned = e.select(col("vec_id"), col("label"),
+        array_min(Similarity.centroidScores(cents, col("embedding")))
+          .getField("list").as("list"))
+      val perLab = assigned.groupBy("list", "label")
+        .agg(count(lit(1)).as("nl"))
+      val wTop = Window.partitionBy("list")
+        .orderBy(col("nl").desc, col("label").asc)
+      val top = perLab.withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+      assigned.groupBy("list").agg(count(lit(1)).as("n_vecs"))
+        .join(top, Seq("list"))
+        .select(col("list"), col("n_vecs"), col("label").as("top_label"),
+          col("nl").as("n_top"),
+          (col("nl").cast("double") / col("n_vecs").cast("double"))
+            .as("purity"))
+    }),
+
+    // cluster-balanced corpus sampling: per-cluster quotas ∝ √size by
+    // largest-remainder apportionment (500 total), then a deterministic
+    // md5 pick inside each cluster — the semantic-coverage sampler a
+    // pretraining mix uses so head clusters can't drown the tail. The
+    // only ordered window over the quota frame is nLists rows —
+    // parameter-bounded, never data-sized
+    "x_cluster_balance" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        nLists = 16, seed = 42, lloydIters = 2)
+      val assigned = e.select(col("vec_id"),
+        array_min(Similarity.centroidScores(cents, col("embedding")))
+          .getField("list").as("list"))
+      val sizes = assigned.groupBy("list").agg(count(lit(1)).as("n_vecs"))
+        .withColumn("w", sqrt(col("n_vecs").cast("double")))
+      val tot = sizes.agg(aggregate(
+        transform(sort_array(collect_list(struct(col("list"), col("w")))),
+          x => x.getField("w")), lit(0.0), (a, x) => a + x).as("wsum"))
+      val q0 = sizes.crossJoin(broadcast(tot))
+        .withColumn("base",
+          floor(lit(500.0) * col("w") / col("wsum")).cast("long"))
+        .withColumn("rem", lit(500.0) * col("w") / col("wsum") -
+          col("base").cast("double"))
+      val sf = q0.agg((lit(500L) - sum("base")).as("shortfall"))
+      val wRem = Window.orderBy(col("rem").desc, col("list").asc)
+      val quota = q0.crossJoin(broadcast(sf))
+        .withColumn("tr", row_number().over(wRem).cast("long"))
+        .withColumn("quota", col("base") +
+          when(col("tr") <= col("shortfall"), 1L).otherwise(0L))
+      val wSel = Window.partitionBy("list")
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      assigned.join(quota.select("list", "quota", "n_vecs"), Seq("list"))
+        .withColumn("pick_rank", row_number().over(wSel).cast("long"))
+        .filter(col("pick_rank") <= col("quota"))
+        .select(col("list"), col("vec_id"), col("pick_rank"),
+          col("quota"), col("n_vecs"))
+    }),
+
+    // per-source quality gate: keep each source's top-80% documents by
+    // the integer stopword-density score (rank·10 ≤ 8·n — pure integer
+    // compare, no percentile estimation); the curation step between
+    // scoring and mixing
+    "x_quality_gate" -> ((s, d) => {
+      val en = Text.langMarkers.toMap.apply("en")
+      val f = t(s, d, "documents").select(col("doc_id"), col("source"),
+          Text.markerCount(col("text"), en).cast("long").as("stop"),
+          Text.tokenCountWs(col("text")).cast("long").as("nw"))
+        .withColumn("score",
+          call_function("div", col("stop") * lit(1000000L), col("nw")))
+      val n = f.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val wR = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      f.withColumn("rank", row_number().over(wR).cast("long"))
+        .join(n, Seq("source"))
+        .filter(col("rank") * 10 <= col("n_docs") * 8)
+        .select(col("source"), col("doc_id"), col("score"), col("rank"),
+          col("n_docs"))
+    }),
+
+    // longest period-3 repetition tiling per document: word_i ==
+    // word_{i−3} matches grouped into runs via the islands trick —
+    // the "how long does the loop run" readout next to x_repetition's
+    // duplicated-gram ratio
+    "x_repetition_runs" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      val wD = Window.partitionBy("doc_id").orderBy("pos")
+      val m = toks.withColumn("prev3", lag(col("col"), 3).over(wD))
+        .filter(col("prev3").isNotNull && col("col") === col("prev3"))
+      val runs = m
+        .withColumn("grp", col("pos") - row_number().over(wD))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      val perDoc = runs.groupBy("doc_id")
+        .agg(sum("run").as("n_matches"), max("run").as("max_run"))
+      t(s, d, "documents").select("doc_id")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("max_run"), lit(0L)).as("max_run"),
+          when(coalesce(col("max_run"), lit(0L)) > 0,
+            coalesce(col("max_run"), lit(0L)) + lit(3L))
+            .otherwise(lit(0L)).as("longest_tile"))
     }),
 
     // tokenizer fertility per language: sub-word tokens (letters-run /
@@ -673,6 +781,102 @@ object Ext8 {
          SELECT query_id, neighbor_id, neg_label, cos,
                 CAST(rank AS INTEGER) AS rank
          FROM ranked WHERE rank <= 5""",
+
+    "x_cluster_purity" ->
+      s"""WITH ${Ext.dKmeansCommon},
+         lab AS (SELECT l.neighbor_id AS vec_id, l.list, em.label
+                 FROM listed l JOIN embeddings em
+                   ON em.vec_id = l.neighbor_id),
+         pl AS (SELECT list, label, CAST(count(*) AS BIGINT) AS nl
+                FROM lab GROUP BY 1, 2),
+         tp AS (SELECT list, label, nl FROM
+                (SELECT *, row_number() OVER (PARTITION BY list
+                   ORDER BY nl DESC, label ASC) AS rn FROM pl)
+                WHERE rn = 1),
+         sz AS (SELECT list, CAST(count(*) AS BIGINT) AS n_vecs
+                FROM lab GROUP BY 1)
+         SELECT sz.list, n_vecs, label AS top_label, nl AS n_top,
+                nl::DOUBLE / n_vecs::DOUBLE AS purity
+         FROM sz JOIN tp ON sz.list = tp.list""",
+
+    "x_cluster_balance" ->
+      s"""WITH ${Ext.dKmeansCommon},
+         asg AS (SELECT neighbor_id AS vec_id, list FROM listed),
+         sz AS (SELECT list, CAST(count(*) AS BIGINT) AS n_vecs,
+                  sqrt(CAST(count(*) AS BIGINT)::DOUBLE) AS w
+                FROM asg GROUP BY 1),
+         ws AS (SELECT list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+                  list(w ORDER BY list)), (a, x) -> a + x) AS wsum
+                FROM sz),
+         q0 AS (SELECT list, n_vecs, w,
+                  CAST(floor(500.0 * w / wsum) AS BIGINT) AS base,
+                  500.0 * w / wsum
+                    - CAST(floor(500.0 * w / wsum) AS BIGINT)::DOUBLE
+                    AS rem
+                FROM sz CROSS JOIN ws),
+         sf AS (SELECT 500 - CAST(sum(base) AS BIGINT) AS shortfall
+                FROM q0),
+         qt AS (SELECT list, n_vecs, base +
+                  (CASE WHEN tr <= shortfall THEN 1 ELSE 0 END) AS quota
+                FROM (SELECT *, CAST(row_number() OVER
+                        (ORDER BY rem DESC, list ASC) AS BIGINT) AS tr
+                      FROM q0) CROSS JOIN sf),
+         sel AS (SELECT asg.list, vec_id, quota, n_vecs,
+                   CAST(row_number() OVER (PARTITION BY asg.list
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                     AS BIGINT) AS pick_rank
+                 FROM asg JOIN qt ON asg.list = qt.list)
+         SELECT list, vec_id, pick_rank, CAST(quota AS BIGINT) AS quota,
+                n_vecs
+         FROM sel WHERE pick_rank <= quota""",
+
+    "x_quality_gate" -> {
+      val en = Text.langMarkers.toMap.apply("en")
+        .map(v => s"'$v'").mkString(",")
+      s"""WITH f AS (SELECT doc_id, source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   t -> t IN ($en))) AS BIGINT) AS stop,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+               FROM documents),
+         sc AS (SELECT doc_id, source, stop, nw,
+                  stop * 1000000 // nw AS score FROM f),
+         n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM sc GROUP BY 1),
+         r AS (SELECT sc.source, doc_id, score,
+                 CAST(row_number() OVER (PARTITION BY sc.source
+                   ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+                 n_docs
+               FROM sc JOIN n ON sc.source = n.source)
+         SELECT source, doc_id, score, rank, n_docs
+         FROM r WHERE rank * 10 <= n_docs * 8"""
+    },
+
+    "x_repetition_runs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         tok AS (SELECT doc_id, ws[i] AS word, i - 1 AS pos
+                 FROM (SELECT doc_id, ws,
+                         unnest(range(1, len(ws) + 1)) AS i
+                       FROM w)),
+         lg AS (SELECT doc_id, pos, word,
+                  lag(word, 3) OVER (PARTITION BY doc_id ORDER BY pos)
+                    AS prev3
+                FROM tok),
+         mt AS (SELECT doc_id, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id
+                    ORDER BY pos) AS grp
+                FROM lg WHERE prev3 IS NOT NULL AND word = prev3),
+         runs AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run
+                  FROM mt GROUP BY 1, 2),
+         pd AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_matches,
+                  CAST(max(run) AS BIGINT) AS max_run
+                FROM runs GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(n_matches, 0) AS n_matches,
+                coalesce(max_run, 0) AS max_run,
+                CASE WHEN coalesce(max_run, 0) > 0
+                  THEN coalesce(max_run, 0) + 3 ELSE 0 END AS longest_tile
+         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
 
     "x_tokenizer_fertility" ->
       """WITH f AS (SELECT lang,

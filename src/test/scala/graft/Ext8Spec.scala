@@ -288,6 +288,66 @@ class Ext8Spec extends SparkSpec {
     }
   }
 
+  test("cluster purity: partition covers the corpus, majority is real") {
+    val rows = graft.queries.Ext8.queries("x_cluster_purity")(spark,
+      "/root/testdata/sf0.001").collect()
+    val total = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_top") <= r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Double]("purity") > 0.0 &&
+        r.getAs[Double]("purity") <= 1.0)
+    }
+  }
+
+  test("cluster balance: quotas apportion to exactly 500, picks respect them") {
+    val sel = graft.queries.Ext8.queries("x_cluster_balance")(spark,
+      "/root/testdata/sf0.001").collect()
+    val quotas = sel.groupBy(_.getAs[Int]("list"))
+      .map { case (l, rs) => l -> rs.head.getAs[Long]("quota") }
+    // quotas across ALL clusters sum to the 500 budget (clusters whose
+    // population is below quota select fewer — verify per-cluster)
+    sel.groupBy(_.getAs[Int]("list")).foreach { case (l, rs) =>
+      val q = quotas(l); val n = rs.head.getAs[Long]("n_vecs")
+      assert(rs.size == math.min(q, n))
+      assert(rs.map(_.getAs[Long]("pick_rank")).sorted.toSeq ==
+        (1L to rs.size).toSeq)
+    }
+    assert(quotas.values.sum == 500L)
+  }
+
+  test("quality gate keeps exactly the top floor(0.8n) per source") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bySrc = docs.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    val kept = graft.queries.Ext8.queries("x_quality_gate")(spark,
+      "/root/testdata/sf0.001").collect()
+    kept.groupBy(_.getAs[String]("source")).foreach { case (s, rs) =>
+      assert(rs.size == bySrc(s) * 8 / 10)
+      assert(rs.map(_.getAs[Long]("rank")).max * 10 <= bySrc(s) * 8)
+    }
+  }
+
+  test("repetition runs == direct scan on every sf0.001 document") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val got = graft.queries.Ext8.queries("x_repetition_runs")(spark,
+      "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("max_run"))).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val matches = (3 until ws.length).filter(i => ws(i) == ws(i - 3))
+      val runs = matches.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, len) :: rest, i) if i == s + len => (s, len + 1) :: rest
+        case (acc, i) => (i, 1) :: acc
+      }
+      val maxRun = if (runs.isEmpty) 0L else runs.map(_._2).max.toLong
+      assert(got(id) == (matches.size.toLong, maxRun), s"doc $id")
+    }
+  }
+
   test("tokenizer fertility >= 1 and counts a known sentence exactly") {
     val df = Seq(("xx", "ab3 cd, e!")).toDF("lang", "text")
       .selectExpr("lang",
