@@ -134,9 +134,10 @@ object LangModel {
     * — embarrassingly parallel mapPartitions, zero shuffles (the
     * tokenizer-inner-loop case the mapPartitions escape hatch exists
     * for: k chained array-fold HOF expressions would defeat codegen
-    * long before real vocab sizes). Rows-only graded; `PmathSpec`
-    * anchors it against the independent plain-Scala reference and the
-    * learner-state identity. */
+    * long before real vocab sizes). Fully oracle-graded since r7 (the
+    * SQL replay applies the same fold per rank over the distinct-word
+    * frame); `PmathSpec` anchors it against the independent plain-Scala
+    * reference and the learner-state identity. */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession

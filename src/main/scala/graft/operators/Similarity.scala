@@ -458,9 +458,13 @@ object Similarity {
     val lead = v.indexWhere(x => math.abs(x) > 1e-12)
     if (lead >= 0 && v(lead) < 0) v = v.map(x => -x)
     // project rows onto the component in the ORIGINAL units:
-    // pc1 = sum_j (e_j - mu_j) * v_j with mu_j = Sx_j / (n * 2^20)
+    // pc1 = sum_j (e_j - mu_j) * v_j with mu_j = Sx_j / (n * 2^20),
+    // computed as correctly-rounded double ops (BigInt.toDouble is
+    // exact-rounded, as is DuckDB's HUGEINT::DOUBLE) so the whole fit
+    // replays bit-for-bit in SQL — this is what lets x_pca_project and
+    // x_ann_abtt carry full value oracles instead of rows-only grades
     val mu = Array.tabulate(dim)(j =>
-      (BigDecimal(sx(j)) / (BigDecimal(n) * scale)).toDouble)
+      sx(j).toDouble / (n.toDouble * scale))
     val centeredDot = {
       val terms = (0 until dim).map { j =>
         (floor(element_at(col(vecCol), j + 1).cast("double") * lit(scale)) /

@@ -1167,8 +1167,13 @@ object Stats {
     * Scale shape: one hash aggregate to the (key, bin) spine, then a
     * typed mapGroups whose per-key state is the BIN list (bins are a
     * modeling constant, ≤ ~10²; the group iterator never holds raw
-    * rows). NOT SQL-replayable (the pooling stack); rows-only graded
-    * with the StatsSpec plain-Scala differential as the anchor.
+    * rows). SQL-replayable after all — NOT via the stack but via the
+    * Robertson–Wright minimax closed form ŷᵢ = max_{l≤i} min_{r≥i}
+    * pooled-rate(l,r), which the x_isotonic oracle uses (rational→
+    * double conversion is monotone, so min/max over the double rates
+    * equals the double of the rational minimax = the pooled rate this
+    * stack emits); the StatsSpec plain-Scala differential anchors it
+    * independently.
     * Integer bound: p·n products must fit int64 — fine to ~3·10⁹ rows
     * per (key, bin), beyond which pre-scale counts. */
   def isotonicRates(df: DataFrame, keyCol: String, binCol: String,

@@ -412,10 +412,10 @@ object Ext {
       LangModel.bigramScore(t(s, d, "documents"), "doc_id", "text")),
 
     // BPE merge training: k rounds of weighted-pair argmax + greedy
-    // merge rewrite over the distinct-word vocabulary — rows-only (the
-    // iterative argmax/rewrite loop has no single-query SQL form);
-    // PmathSpec checks the merge sequence against an independent
-    // plain-Scala BPE reference
+    // merge rewrite over the distinct-word vocabulary — exact since r7
+    // (the oracle unrolls the k rounds: SQL argmax + list_reduce merge
+    // fold per round); PmathSpec checks the merge sequence against an
+    // independent plain-Scala BPE reference too
     "x_bpe_merges" -> ((s, d) =>
       LangModel.bpeMerges(t(s, d, "documents"), "doc_id", "text", k = 8)),
 
@@ -1293,6 +1293,52 @@ object Ext {
     * and the SemDeDup oracle: md5-ordered centroid seed sample, two
     * unrolled fixed-point Lloyd iterations, final assignment `listed`
     * (neighbor_id, cv, list) plus the scored s3 pass it derives from. */
+  /** CTE chain replaying [[graft.operators.LangModel.bpeMerges]]: the
+    * per-round pair argmax in SQL and the greedy-leftmost merge rewrite
+    * as a list_reduce whose accumulator is the chr(31)-joined symbol
+    * string (DuckDB's fold accumulator must share the element type, so
+    * the symbol LIST rides as a separator-joined string — corpus tokens
+    * never contain control bytes). `flt` filters the learning corpus
+    * (x_bpe_encode learns on the doc_id<1000 sample); ends with
+    * `best{r}_{tag}` one-row CTEs (l, rr, pc) and `words{k}_{tag}`. */
+  private[queries] def bpeChainSql(tag: String, flt: String,
+                                   k: Int): String = {
+    val ss = "string_split(acc, chr(31))"
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""w0_$tag AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM
+        (SELECT unnest(string_split(text, ' ')) AS w FROM documents $flt)
+        WHERE w <> '' GROUP BY w)"""
+    ctes += s"""words0_$tag AS (SELECT cnt,
+        array_to_string(list_transform(range(1, len(w) + 1),
+          i -> substr(w, i, 1)), chr(31)) AS s FROM w0_$tag)"""
+    (1 to k).foreach { r =>
+      val prev = s"words${r - 1}_$tag"
+      ctes += s"""pr${r}_$tag AS (SELECT ss[i] AS l, ss[i+1] AS rr,
+            CAST(sum(cnt) AS BIGINT) AS pc
+          FROM (SELECT cnt, ss, unnest(range(1, len(ss))) AS i
+                FROM (SELECT cnt, string_split(s, chr(31)) AS ss
+                      FROM $prev))
+          GROUP BY 1, 2)"""
+      ctes += s"""best${r}_$tag AS (SELECT l, rr, pc FROM pr${r}_$tag
+          ORDER BY pc DESC, l ASC, rr ASC LIMIT 1)"""
+      ctes += s"""words${r}_$tag AS (SELECT cnt, ${bpeFold(ss)} AS s
+          FROM $prev CROSS JOIN best${r}_$tag b)"""
+    }
+    ctes.result().mkString(",\n")
+  }
+
+  /** The greedy-leftmost merge rewrite fold (engine: aggregate over the
+    * symbol array; oracle: list_reduce over the joined string). */
+  private[queries] def bpeFold(ss: String): String =
+    s"""list_reduce(list_prepend('', string_split(s, chr(31))),
+        (acc, x) -> CASE
+          WHEN acc = '' THEN x
+          WHEN $ss[-1] = b.l AND x = b.rr THEN
+            CASE WHEN len($ss) = 1 THEN acc || x
+                 ELSE array_to_string(list_slice($ss, 1, len($ss) - 1),
+                        chr(31)) || chr(31) || $ss[-1] || x END
+          ELSE acc || chr(31) || x END)"""
+
   private[queries] def dKmeansCommon: String = {
     val (nLists, dim, seed) = (16, 64, 42)
     def lloyd(prev: String, n: Int): String =
@@ -1479,6 +1525,19 @@ object Ext {
         SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n - 3)"""
 
   val oracle: Map[String, String] = Map(
+    // the k-round learner replayed: per-round SQL argmax + the
+    // list_reduce merge rewrite (see bpeChainSql) — converts the
+    // long-standing rows-only grade to a full value oracle
+    "x_bpe_merges" -> {
+      val k = 8
+      s"""WITH ${bpeChainSql("m", "", k)},
+         mg AS (${(1 to k).map(r =>
+        s"""SELECT CAST($r AS INTEGER) AS rank, l AS "left",
+              rr AS "right", pc AS pair_count FROM best${r}_m""")
+        .mkString(" UNION ALL ")})
+         SELECT * FROM mg"""
+    },
+
     "x_decontaminate" ->
       s"""WITH tf AS (SELECT * FROM ${dWinnow("doc_id % 10 <> 0")}),
           ef AS (SELECT DISTINCT fp FROM ${dWinnow("doc_id % 10 = 0")})

@@ -140,8 +140,9 @@ object Ext5 {
     // dominant embedding direction (ABTT de-biasing / whitening probe):
     // exact integer moment matrix -> driver power iteration (param-
     // bounded dim^2, the kmeansCentroids pattern) -> codegen projection.
-    // Rows-only by design (the driver iteration is not SQL-replayable);
-    // Wave7Spec anchors correctness against a plain-Scala reference
+    // Exact since r7: the 40-round power method replays as a recursive
+    // CTE over a DOUBLE[] state (every op IEEE-identical, ordered
+    // folds); Wave7Spec anchors the plain-Scala differential too
     "x_pca_project" -> ((s, d) => {
       val (scored, _) = graft.operators.Similarity.pcaTopComponent(
         t(s, d, "embeddings"), "vec_id", "embedding")
@@ -150,7 +151,8 @@ object Ext5 {
 
     // isotropy-fixed similarity: debias every embedding by the fitted
     // top component (ABTT), then exact cosine top-10 for the first 20
-    // ids — the de-biased twin of x_cos_topk. Rows-only (PCA fit);
+    // ids — the de-biased twin of x_cos_topk. Exact since r7 (the PCA
+    // recursive-CTE replay feeds the debias + cosine rerank);
     // Wave7Spec pins the residual-variance-zero property
     "x_ann_abtt" -> ((s, d) => {
       val deb = graft.operators.Similarity.abttDebias(
@@ -172,9 +174,9 @@ object Ext5 {
     // the ENCODE half of BPE: merges learned on a FIXED-size sample
     // (tokenizers train on samples — the learner's k-round driver loop
     // must not grow with the corpus), then the whole corpus encodes
-    // row-parallel under the broadcast merge table. Rows-only (the
-    // k-round learn+apply chain is not one SQL query); PmathSpec holds
-    // the differential against the plain-Scala reference
+    // row-parallel under the broadcast merge table. Exact since r7: the
+    // oracle replays learn + rank-ordered encode with the list_reduce
+    // merge fold; PmathSpec holds the plain-Scala differential too
     "x_bpe_encode" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val merges = graft.operators.LangModel.bpeMerges(
@@ -200,8 +202,9 @@ object Ext5 {
 
     // monotone calibration of the hashed classifier per source: margin
     // deciles via exact integer arithmetic, PAVA pooling with integer
-    // cross-multiplied violation tests. Rows-only (the pooling stack is
-    // not one SQL query); StatsSpec holds the PAVA differential
+    // cross-multiplied violation tests. Exact since r7: the oracle uses
+    // the Robertson-Wright minimax closed form instead of the stack;
+    // StatsSpec additionally holds the PAVA differential
     "x_isotonic" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val hc = graft.operators.LangModel.hashedClassifier(
@@ -280,7 +283,186 @@ object Ext5 {
     }),
   )
 
+  /** Shared CTE chain replaying [[graft.operators.Similarity.pcaTopComponent]]
+    * end to end: quantized moment matrix (exact HUGEINT cells), 40
+    * power-method rounds as a recursive CTE over a DOUBLE[] state with
+    * list_reduce folds in the engine's exact op order, sign pinning,
+    * and the correctly-rounded mu list. Ends with one-row CTEs `vsig`
+    * (the component) and `mus`, plus per-row `p1` (pc1). Every double
+    * op (mult/add/div/sqrt, ordered folds, int→double conversions) is
+    * IEEE-identical on both engines, so the 40-round iteration is
+    * bit-replayable — the same argument that oracles the k-means
+    * chains. */
+  private def pcaCommonSql: String = {
+    val D1 = 65 // dim + 1 for DuckDB's 1-based range bounds
+    s"""q AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))
+              AS q
+            FROM embeddings),
+       n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+       ex AS (SELECT vec_id, i, q[i] AS qi FROM
+              (SELECT vec_id, q, unnest(range(1, $D1)) AS i FROM q)),
+       sxs AS (SELECT i, sum(qi::HUGEINT) AS sx FROM ex GROUP BY i),
+       cells AS (SELECT a.i AS i, b.i AS j,
+                   sum(a.qi::HUGEINT * b.qi) AS sxy
+                 FROM ex a JOIN ex b
+                   ON a.vec_id = b.vec_id AND b.i >= a.i
+                 GROUP BY 1, 2),
+       full_m AS (SELECT i, j, sxy FROM cells
+                  UNION ALL
+                  SELECT j, i, sxy FROM cells WHERE j > i),
+       mvt AS (SELECT f.i, f.j,
+                 (n::HUGEINT * sxy - si.sx * sj.sx)::DOUBLE AS mval
+               FROM full_m f
+               JOIN sxs si ON si.i = f.i
+               JOIN sxs sj ON sj.i = f.j
+               CROSS JOIN n0),
+       mrows AS (SELECT i, list(mval ORDER BY j) AS mrow
+                 FROM mvt GROUP BY i),
+       mat AS (SELECT list(mrow ORDER BY i) AS M FROM mrows),
+       dp(t, v) AS (
+         SELECT 0, list_transform(range(1, $D1),
+           i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END)
+         UNION ALL
+         SELECT t + 1,
+           CASE WHEN nrm = 0 THEN v
+                ELSE list_transform(mvv, x -> x / nrm) END
+         FROM (SELECT t, v, mvv,
+                 sqrt(list_reduce([CAST(0.0 AS DOUBLE)] ||
+                   list_transform(mvv, x -> x * x),
+                   (a, x) -> a + x)) AS nrm
+               FROM (SELECT t, v,
+                       list_transform(range(1, $D1), i ->
+                         list_reduce([CAST(0.0 AS DOUBLE)] ||
+                           list_transform(range(1, $D1),
+                             j -> M[i][j] * v[j]),
+                           (a, x) -> a + x)) AS mvv
+                     FROM dp, mat WHERE t < 40))),
+       vfin AS (SELECT v FROM dp WHERE t = 40),
+       vsig AS (SELECT CASE WHEN len(nz) > 0 AND nz[1] < 0
+                         THEN list_transform(v, x -> -x) ELSE v END AS v
+                FROM (SELECT v, list_filter(v, x -> abs(x) > 1e-12) AS nz
+                      FROM vfin)),
+       mus AS (SELECT list(CAST(sx AS DOUBLE) /
+                 (CAST(n AS DOUBLE) * 1048576.0) ORDER BY i) AS mu
+               FROM sxs CROSS JOIN n0),
+       p1 AS (SELECT vec_id,
+                list_reduce(list_transform(range(1, $D1),
+                  j -> (q[j]::DOUBLE / 1048576.0 - mu[j]) * v[j]),
+                  (a, x) -> a + x) AS pc1
+              FROM q CROSS JOIN vsig CROSS JOIN mus)"""
+  }
+
   val oracle: Map[String, String] = Map(
+
+    // the full BPE pipeline replayed: learn 8 merges on the doc_id<1000
+    // sample (Ext.bpeChainSql — per-round SQL argmax + list_reduce
+    // rewrite), then encode EVERY distinct corpus word by applying the
+    // merges in rank order with the same fold, and reassemble per-doc
+    // token counts + the /-joined stream digest
+    "x_bpe_encode" -> {
+      val k = 8
+      val encCtes = (1 to k).map(r =>
+        s"""enc$r AS (SELECT w, ${Ext.bpeFold("string_split(acc, chr(31))")}
+              AS s
+            FROM enc${r - 1} CROSS JOIN best${r}_m b)""").mkString(",\n")
+      s"""WITH ${Ext.bpeChainSql("m", "WHERE doc_id < 1000", k)},
+         ew0 AS (SELECT DISTINCT w FROM
+             (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             WHERE w <> ''),
+         enc0 AS (SELECT w, array_to_string(list_transform(
+             range(1, len(w) + 1), i -> substr(w, i, 1)), chr(31)) AS s
+           FROM ew0),
+         $encCtes,
+         wd AS (SELECT doc_id, i AS pos, ws[i] AS w
+                FROM (SELECT doc_id, ws,
+                        unnest(range(1, len(ws) + 1)) AS i
+                      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                            FROM documents))
+                WHERE ws[i] <> ''),
+         per AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(len(string_split(s, chr(31)))) AS BIGINT)
+                     AS n_syms,
+                   md5(string_agg(replace(s, chr(31), chr(1)), chr(2)
+                     ORDER BY pos)) AS enc_digest
+                 FROM wd JOIN enc$k ON wd.w = enc$k.w GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+                coalesce(n_syms, 0) AS n_syms,
+                coalesce(enc_digest, md5('')) AS enc_digest
+         FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+    },
+
+    "x_pca_project" ->
+      s"""WITH RECURSIVE $pcaCommonSql
+         SELECT vec_id, pc1 FROM p1""",
+
+    "x_ann_abtt" ->
+      s"""WITH RECURSIVE $pcaCommonSql,
+         dv AS (SELECT q.vec_id,
+                  list_transform(range(1, 65),
+                    j -> (q.q[j]::DOUBLE / 1048576.0 - mu[j])
+                      - pc1 * v[j]) AS dvec
+                FROM q JOIN p1 ON q.vec_id = p1.vec_id
+                CROSS JOIN vsig CROSS JOIN mus),
+         nn2 AS (SELECT vec_id, dvec,
+                   sqrt(list_dot_product(dvec, dvec)) AS nrm FROM dv),
+         qq AS (SELECT vec_id AS query_id, dvec AS qv, nrm AS qn
+                FROM nn2 WHERE vec_id < 20),
+         scored AS (SELECT query_id, n.vec_id AS neighbor_id,
+                      CASE WHEN qn * nrm <> 0
+                        THEN list_dot_product(qv, dvec) / (qn * nrm)
+                      END AS cos
+                    FROM nn2 n CROSS JOIN qq),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+                    FROM scored)
+         SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 10""",
+
+    // PAVA replayed WITHOUT the pooling stack: the weighted-L2 isotonic
+    // fit has the closed minimax form ŷ_i = max_{l≤i} min_{r≥i}
+    // (P[r]−P[l−1])/(N[r]−N[l−1]) (Robertson–Wright), and since
+    // rational→double conversion is monotone, min/max over the DOUBLE
+    // rates equals the double of the rational minimax — which is the
+    // pooled rate the engine's stack emits. Bins per key ≤ 10, so the
+    // (i, l, r) triple join is ≤ 10³ rows per key.
+    "x_isotonic" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                      FROM documents),
+         wt AS (SELECT doc_id,
+                  ('0x' || substr(md5(t), 1, 4))::BIGINT % 17 - 8 AS w
+                FROM tok),
+         sc AS (SELECT doc_id, count(*) AS n_tokens,
+                  CAST(sum(w) AS BIGINT) AS score
+                FROM wt GROUP BY doc_id),
+         b AS (SELECT d.source AS key,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS lab,
+                 least(greatest((score + 8 * n_tokens) * 10
+                   // (16 * n_tokens), 0), 9) AS bin
+               FROM sc JOIN documents d USING (doc_id)),
+         pb AS (SELECT key, bin, CAST(sum(lab) AS BIGINT) AS p,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM b GROUP BY 1, 2),
+         pre AS (SELECT key, bin, p, n,
+                   CAST(sum(p) OVER wk AS BIGINT) AS cp,
+                   CAST(sum(n) OVER wk AS BIGINT) AS cn,
+                   CAST(row_number() OVER wk AS BIGINT) AS idx
+                 FROM pb
+                 WINDOW wk AS (PARTITION BY key ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING)),
+         tri AS (SELECT i.key, i.idx, i.bin, i.p, i.n, l.idx AS li,
+                   (r.cp - (l.cp - l.p))::DOUBLE /
+                     (r.cn - (l.cn - l.n))::DOUBLE AS rate
+                 FROM pre i
+                 JOIN pre l ON l.key = i.key AND l.idx <= i.idx
+                 JOIN pre r ON r.key = i.key AND r.idx >= i.idx),
+         inner_min AS (SELECT key, idx, bin, p, n, li,
+                         min(rate) AS mn
+                       FROM tri GROUP BY 1, 2, 3, 4, 5, 6)
+         SELECT key, bin, p AS pos, n, max(mn) AS iso_rate
+         FROM inner_min GROUP BY key, bin, p, n, idx""",
 
     "x_seq_patterns" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
