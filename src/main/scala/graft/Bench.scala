@@ -131,5 +131,9 @@ object Bench {
     "x_pca_project", "x_bpe_encode",
     // round-6 session-3 representatives (ADDED names only)
     "x_wasserstein", "x_fellegi_sunter", "x_bradley_terry",
-    "x_kendall_tau", "x_hll_portable", "x_ngram_novelty")
+    "x_kendall_tau", "x_hll_portable", "x_ngram_novelty",
+    // round-7 family representatives (ADDED names only; capped at
+    // three — the printed line must stay inside the driver's 2000-char
+    // stdout tail window with sbt's trailing success line)
+    "x_cliffs_delta", "x_span_corruption", "x_cluster_balance")
 }
