@@ -1889,6 +1889,50 @@ object Stats {
             col("m").cast("double") / col("den_d"))).as("df_stat"))
   }
 
+  /** Durbin–Watson serial-correlation statistic of the residuals of
+    * each key's daily trend line: fit v_t = a + b·t by OLS (exact
+    * decimal moments, the x_linreg recipe — t is the per-key day
+    * index), then DW = Σ(e_t−e_{t−1})² / Σe_t² with both residual
+    * sums folded t-ordered (residuals are doubles of exact operands;
+    * the series is calendar-bounded per key, so the ordered fold state
+    * is a bounded list — the EWMA discipline). DW ≈ 2 means
+    * uncorrelated residuals; → 0 positive serial correlation. */
+  def durbinWatson(df: DataFrame, keyCol: String, tsCol: Column,
+                   valueCol: Column): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val dbl = (c: Column) => c.cast("string").cast("double")
+    val daily = df.groupBy(col(keyCol).as("k"),
+        date_trunc("day", tsCol).as("day"))
+      .agg(coalesce(sum(floor(valueCol * lit(100.0)).cast("long")),
+        lit(0L)).as("v"))
+      .withColumn("t",
+        row_number().over(Window.partitionBy("k").orderBy("day")))
+    val mo = daily.groupBy("k").agg(count(lit(1)).as("n"),
+      sum(dec(col("t"))).as("st"), sum(dec(col("v"))).as("sv"),
+      sum(dec(col("t")) * col("t")).as("stt"),
+      sum(dec(col("t")) * col("v")).as("stv"))
+    val fit = mo.select(col("k"), col("n"),
+      (dbl(dec(col("n")) * col("stv") - col("st") * col("sv")) /
+        dbl(dec(col("n")) * col("stt") - col("st") * col("st"))).as("b"),
+      dbl(col("st")).as("st_d"), dbl(col("sv")).as("sv_d"))
+      .withColumn("a", (col("sv_d") - col("b") * col("st_d")) /
+        col("n").cast("double"))
+    def ofold(x: Column): Column = aggregate(
+      transform(sort_array(collect_list(struct(col("t"), x.as("x")))),
+        s => s.getField("x")), lit(0.0), (acc, v) => acc + v)
+    daily.join(fit, Seq("k"))
+      .withColumn("e", col("v").cast("double") - col("a") -
+        col("b") * col("t").cast("double"))
+      .withColumn("de",
+        col("e") - lag(col("e"), 1).over(
+          Window.partitionBy("k").orderBy("t")))
+      .groupBy(col("k").as(keyCol))
+      .agg(max("n").as("n"), ofold(col("e") * col("e")).as("sse"),
+        ofold(when(col("de").isNotNull, col("de") * col("de"))
+          .otherwise(lit(0.0))).as("ssd"))
+      .select(col(keyCol), col("n"), (col("ssd") / col("sse")).as("dw"))
+  }
+
   /** Single-window Hurst rescaled-range readout per key on the daily
     * series: R/S over the whole span (R = range of the mean-centered
     * prefix sums, S = population std) and the point estimate

@@ -336,6 +336,96 @@ object Ext8 {
             .otherwise(lit(0L)).as("longest_tile"))
     }),
 
+    // partial correlation of quantity and price given discount — the
+    // confounder-adjusted association readout; all three pairwise r's
+    // from ONE exact decimal moment aggregate, doubles only at the end
+    "x_partial_corr" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val f = t(s, d, "lineitem").select(
+        floor(col("l_quantity") * 100.0).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100.0).cast("long").as("y"),
+        floor(col("l_discount") * 100.0).cast("long").as("z"))
+      val m = f.agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("z"))).as("sz"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"),
+        sum(dec(col("z")) * col("z")).as("szz"),
+        sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(dec(col("x")) * col("z")).as("sxz"),
+        sum(dec(col("y")) * col("z")).as("syz"))
+      val dbl = (c: Column) => c.cast("string").cast("double")
+      def r(sab: String, a: String, b: String,
+            saa: String, sbb: String): Column =
+        dbl(dec(col("n")) * col(sab) - col(a) * col(b)) /
+          sqrt(dbl(dec(col("n")) * col(saa) - col(a) * col(a)) *
+            dbl(dec(col("n")) * col(sbb) - col(b) * col(b)))
+      m.select(col("n"),
+          r("sxy", "sx", "sy", "sxx", "syy").as("r_xy"),
+          r("sxz", "sx", "sz", "sxx", "szz").as("r_xz"),
+          r("syz", "sy", "sz", "syy", "szz").as("r_yz"))
+        .withColumn("partial_r",
+          (col("r_xy") - col("r_xz") * col("r_yz")) /
+            sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+              (lit(1.0) - col("r_yz") * col("r_yz"))))
+    }),
+
+    // Durbin–Watson serial-correlation of each metric's daily trend
+    // residuals — DW ~ 2 means the trend line explains the series
+    "x_durbin_watson" -> ((s, d) =>
+      Stats.durbinWatson(t(s, d, "events"), "event_type", col("ts"),
+        col("value"))),
+
+    // Cook's distance screening of the quantity→price regression: the
+    // top-10 most fit-influential line items — per-row closed form
+    // from ONE global moment aggregate (leverage via the integer
+    // n·x − Σx deviation), TakeOrdered top-k, never a global sort
+    "x_cooks_distance" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val dbl = (c: Column) => c.cast("string").cast("double")
+      val f = t(s, d, "lineitem").select(
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("id"),
+        floor(col("l_quantity") * 100.0).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100.0).cast("long").as("y"))
+      val m = f.agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * col("x")).as("sxx"),
+        sum(dec(col("x")) * col("y")).as("sxy"),
+        sum(dec(col("y")) * col("y")).as("syy"))
+      val fit = m.select(col("n"), col("sx"),
+          (dbl(dec(col("n")) * col("sxy") - col("sx") * col("sy")) /
+            dbl(dec(col("n")) * col("sxx") - col("sx") * col("sx")))
+            .as("b"),
+          dbl(dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+            .as("den_d"),
+          dbl(col("sx")).as("sx_d"), dbl(col("sy")).as("sy_d"),
+          dbl(col("sxx")).as("sxx_d"), dbl(col("sxy")).as("sxy_d"),
+          dbl(col("syy")).as("syy_d"))
+        .withColumn("a", (col("sy_d") - col("b") * col("sx_d")) /
+          col("n").cast("double"))
+        .withColumn("sse",
+          col("syy_d") + col("n").cast("double") * col("a") * col("a") +
+            col("b") * col("b") * col("sxx_d") -
+            lit(2.0) * col("a") * col("sy_d") -
+            lit(2.0) * col("b") * col("sxy_d") +
+            lit(2.0) * col("a") * col("b") * col("sx_d"))
+        .withColumn("s2", col("sse") / (col("n").cast("double") - lit(2.0)))
+      f.crossJoin(broadcast(fit))
+        .withColumn("e", col("y").cast("double") - col("a") -
+          col("b") * col("x").cast("double"))
+        .withColumn("u", dbl(dec(col("n")) * col("x") - col("sx")))
+        .withColumn("h", lit(1.0) / col("n").cast("double") +
+          col("u") * col("u") /
+            (col("n").cast("double") * col("den_d")))
+        .withColumn("cook", col("e") * col("e") * col("h") /
+          (lit(2.0) * col("s2") * (lit(1.0) - col("h")) *
+            (lit(1.0) - col("h"))))
+        .orderBy(col("cook").desc, col("id").asc).limit(10)
+        .select(col("id"), col("e").as("residual"), col("h").as("leverage"),
+          col("cook"))
+    }),
+
     // tokenizer fertility per language: sub-word tokens (letters-run /
     // digits-run / single punctuation regex — the BPE-ish pre-split)
     // per whitespace word
@@ -877,6 +967,126 @@ object Ext8 {
                 CASE WHEN coalesce(max_run, 0) > 0
                   THEN coalesce(max_run, 0) + 3 ELSE 0 END AS longest_tile
          FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""",
+
+    "x_partial_corr" ->
+      """WITH f AS (SELECT CAST(floor(l_quantity * 100.0) AS BIGINT) AS x,
+                      CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS y,
+                      CAST(floor(l_discount * 100.0) AS BIGINT) AS z
+                    FROM lineitem),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                 sum(z::HUGEINT) AS sz,
+                 sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+                 sum(z::HUGEINT * z) AS szz,
+                 sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * z) AS sxz,
+                 sum(y::HUGEINT * z) AS syz
+               FROM f),
+         r AS (SELECT n,
+                 CAST(CAST(n::HUGEINT * sxy - sx * sy AS VARCHAR)
+                   AS DOUBLE) /
+                 sqrt(CAST(CAST(n::HUGEINT * sxx - sx * sx AS VARCHAR)
+                     AS DOUBLE) *
+                   CAST(CAST(n::HUGEINT * syy - sy * sy AS VARCHAR)
+                     AS DOUBLE)) AS r_xy,
+                 CAST(CAST(n::HUGEINT * sxz - sx * sz AS VARCHAR)
+                   AS DOUBLE) /
+                 sqrt(CAST(CAST(n::HUGEINT * sxx - sx * sx AS VARCHAR)
+                     AS DOUBLE) *
+                   CAST(CAST(n::HUGEINT * szz - sz * sz AS VARCHAR)
+                     AS DOUBLE)) AS r_xz,
+                 CAST(CAST(n::HUGEINT * syz - sy * sz AS VARCHAR)
+                   AS DOUBLE) /
+                 sqrt(CAST(CAST(n::HUGEINT * syy - sy * sy AS VARCHAR)
+                     AS DOUBLE) *
+                   CAST(CAST(n::HUGEINT * szz - sz * sz AS VARCHAR)
+                     AS DOUBLE)) AS r_yz
+               FROM m)
+         SELECT n, r_xy, r_xz, r_yz,
+                (r_xy - r_xz * r_yz) /
+                  sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+                  AS partial_r
+         FROM r""",
+
+    "x_durbin_watson" ->
+      """WITH daily AS (SELECT event_type AS k, date_trunc('day', ts) AS day,
+                 CAST(coalesce(sum(CAST(floor(value * 100.0) AS BIGINT)), 0)
+                   AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+         ti AS (SELECT k, v, row_number() OVER
+                  (PARTITION BY k ORDER BY day) AS t
+                FROM daily),
+         mo AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                  sum(t::HUGEINT) AS st, sum(v::HUGEINT) AS sv,
+                  sum(t::HUGEINT * t) AS stt, sum(t::HUGEINT * v) AS stv
+                FROM ti GROUP BY k),
+         fit AS (SELECT k, n,
+                   CAST(CAST(n::HUGEINT * stv - st * sv AS VARCHAR)
+                     AS DOUBLE) /
+                   CAST(CAST(n::HUGEINT * stt - st * st AS VARCHAR)
+                     AS DOUBLE) AS b,
+                   CAST(CAST(st AS VARCHAR) AS DOUBLE) AS st_d,
+                   CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS sv_d
+                 FROM mo),
+         fa AS (SELECT *, (sv_d - b * st_d) / n::DOUBLE AS a FROM fit),
+         re AS (SELECT ti.k, t, n,
+                  v::DOUBLE - a - b * t::DOUBLE AS e
+                FROM ti JOIN fa ON ti.k = fa.k),
+         de AS (SELECT k, t, n, e,
+                  e - lag(e) OVER (PARTITION BY k ORDER BY t) AS d
+                FROM re)
+         SELECT k AS event_type, max(n) AS n,
+                list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+                  list(CASE WHEN d IS NOT NULL THEN d * d
+                            ELSE CAST('0.0' AS DOUBLE) END ORDER BY t)),
+                  (acc, x) -> acc + x) /
+                list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+                  list(e * e ORDER BY t)), (acc, x) -> acc + x) AS dw
+         FROM de GROUP BY k""",
+
+    "x_cooks_distance" ->
+      """WITH f AS (SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+                      CAST(l_linenumber AS VARCHAR) AS id,
+                      CAST(floor(l_quantity * 100.0) AS BIGINT) AS x,
+                      CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS y
+                    FROM lineitem),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                 sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
+                 sum(y::HUGEINT * y) AS syy
+               FROM f),
+         fit AS (SELECT n, sx,
+                   CAST(CAST(n::HUGEINT * sxy - sx * sy AS VARCHAR)
+                     AS DOUBLE) /
+                   CAST(CAST(n::HUGEINT * sxx - sx * sx AS VARCHAR)
+                     AS DOUBLE) AS b,
+                   CAST(CAST(n::HUGEINT * sxx - sx * sx AS VARCHAR)
+                     AS DOUBLE) AS den_d,
+                   CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sx_d,
+                   CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS sy_d,
+                   CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxx_d,
+                   CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxy_d,
+                   CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syy_d
+                 FROM m),
+         fa AS (SELECT *, (sy_d - b * sx_d) / n::DOUBLE AS a FROM fit),
+         fs AS (SELECT *, syy_d + n::DOUBLE * a * a + b * b * sxx_d
+                  - 2.0 * a * sy_d - 2.0 * b * sxy_d
+                  + 2.0 * a * b * sx_d AS sse
+                FROM fa),
+         f2 AS (SELECT *, sse / (n::DOUBLE - 2.0) AS s2 FROM fs),
+         rows_ AS (SELECT id,
+                     y::DOUBLE - a - b * x::DOUBLE AS e,
+                     CAST(CAST(n::HUGEINT * x - sx AS VARCHAR) AS DOUBLE)
+                       AS u,
+                     n, den_d, s2
+                   FROM f CROSS JOIN f2),
+         hk AS (SELECT id, e,
+                  1.0 / n::DOUBLE + u * u / (n::DOUBLE * den_d) AS h,
+                  s2
+                FROM rows_)
+         SELECT id, e AS residual, h AS leverage,
+                e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) AS cook
+         FROM hk
+         ORDER BY cook DESC, id ASC LIMIT 10""",
 
     "x_tokenizer_fertility" ->
       """WITH f AS (SELECT lang,

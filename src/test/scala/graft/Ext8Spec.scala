@@ -348,6 +348,74 @@ class Ext8Spec extends SparkSpec {
     }
   }
 
+  test("partial correlation matches the textbook formula on collected data") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_quantity", "l_extendedprice", "l_discount")
+      .as[(Double, Double, Double)].collect()
+      .map(t => (math.floor(t._1 * 100).toLong,
+        math.floor(t._2 * 100).toLong, math.floor(t._3 * 100).toLong))
+    def corr(a: Seq[Long], b: Seq[Long]): Double = {
+      val n = a.size.toDouble
+      val (sa, sb) = (a.sum.toDouble, b.sum.toDouble)
+      val sab = a.zip(b).map(p => p._1.toDouble * p._2).sum
+      val (saa, sbb) = (a.map(x => x.toDouble * x).sum,
+        b.map(x => x.toDouble * x).sum)
+      (n * sab - sa * sb) /
+        math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    }
+    val (xs, ys, zs) = (li.map(_._1).toSeq, li.map(_._2).toSeq,
+      li.map(_._3).toSeq)
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val row = graft.queries.Ext8.queries("x_partial_corr")(spark,
+      "/root/testdata/sf0.001").collect().head
+    assert(math.abs(row.getAs[Double]("r_xy") - rxy) < 1e-9)
+    assert(math.abs(row.getAs[Double]("partial_r") -
+      (rxy - rxz * ryz) /
+        math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))) < 1e-9)
+  }
+
+  test("Durbin-Watson: ~2 on white noise, near 0 on a smooth wave, " +
+    "and == the direct formula") {
+    def day(i: Int) = Timestamp.valueOf(f"2024-01-${i}%02d 12:00:00")
+    def dw(vals: Seq[Double]): Double = {
+      val df = vals.zipWithIndex.map { case (v, i) => ("k", day(i + 1), v) }
+        .toDF("k", "ts", "value")
+      Stats.durbinWatson(df, "k", col("ts"), col("value"))
+        .collect().head.getAs[Double]("dw")
+    }
+    val noise = (1 to 28).map(_ => rnd.nextInt(500) / 100.0)
+    val got = dw(noise)
+    // direct computation on the same cents series
+    val c = noise.map(v => math.floor(v * 100.0))
+    val n = c.size.toDouble
+    val ts = (1 to c.size).map(_.toDouble)
+    val b = (n * ts.zip(c).map(p => p._1 * p._2).sum - ts.sum * c.sum) /
+      (n * ts.map(t => t * t).sum - ts.sum * ts.sum)
+    val a = (c.sum - b * ts.sum) / n
+    val e = ts.zip(c).map { case (t, v) => v - a - b * t }
+    val direct = e.sliding(2).map(p => (p(1) - p(0)) * (p(1) - p(0))).sum /
+      e.map(x => x * x).sum
+    assert(math.abs(got - direct) < 1e-9, s"$got vs $direct")
+    assert(got > 1.0 && got < 3.0, s"white-noise DW out of band: $got")
+    // a smooth wave's residuals drift slowly -> strong positive serial
+    // correlation, DW far below 2
+    val wave = (1 to 28).map(i => 10.0 + 5.0 * math.sin(i / 9.0))
+    assert(dw(wave) < 1.0)
+  }
+
+  test("Cook's distance: the planted extreme point dominates") {
+    val rows = graft.queries.Ext8.queries("x_cooks_distance")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Double]("cook")).sliding(2).forall(
+      s => s.size < 2 || s(0) >= s(1)))
+    rows.foreach { r =>
+      val h = r.getAs[Double]("leverage")
+      assert(h > 0.0 && h < 1.0)
+      assert(r.getAs[Double]("cook") >= 0.0)
+    }
+  }
+
   test("tokenizer fertility >= 1 and counts a known sentence exactly") {
     val df = Seq(("xx", "ab3 cd, e!")).toDF("lang", "text")
       .selectExpr("lang",
