@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Pmath, Text, Vectors}
-import graft.operators.{Similarity, Stats}
+import graft.operators.{Rank, Similarity, Stats}
 
 /** Round-7 wave — ordinal effect sizes, L-moment fingerprints, drift
   * detectors, inequality/entropy readouts, and two LLM-corpus ops
@@ -426,6 +426,82 @@ object Ext8 {
           col("cook"))
     }),
 
+    // Gumbel fit of weekly block maxima per event type by the method
+    // of L-moments: β = λ2/ln 2, μ = λ1 − γ·β — EVT's block-maxima
+    // side next to x_gpd_fit's peaks-over-threshold side; ln 2 is the
+    // portable ln, γ a shared literal double
+    "x_gumbel_fit" -> ((s, d) => {
+      val bm = t(s, d, "events")
+        .groupBy(col("event_type"),
+          floor(unix_seconds(col("ts")) / lit(604800L)).cast("long")
+            .as("week"))
+        .agg(max(floor(col("value") * lit(100.0)).cast("long")).as("v"))
+        .select(col("event_type"), col("v"))
+      Stats.lMoments(bm, "event_type", col("v"))
+        .withColumn("beta", col("l2") / Pmath.lnColumn(lit(2.0)))
+        .withColumn("mu",
+          col("l1") - lit(0.5772156649015329) * col("beta"))
+        .select("event_type", "n", "beta", "mu")
+    }),
+
+    // Bhattacharyya coefficient / Hellinger distance between the click
+    // and purchase value distributions: per-distinct-value
+    // √(ca·cb) terms quantized to 2⁻²⁰ fixed point (floor of the
+    // identical IEEE sqrt on both engines) so the spine sum stays an
+    // exact decimal — the x_theil_index discipline for a data-sized
+    // support
+    "x_bhattacharyya" -> ((s, d) => {
+      val f = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(floor(col("value") * lit(100.0)).cast("long").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("ya"))
+        .where(col("v").isNotNull)
+      val perV = f.groupBy("v").agg(sum("ya").as("ca"),
+        (count(lit(1)) - sum("ya")).as("cb"))
+      val tot = f.agg(sum("ya").as("na"),
+        (count(lit(1)) - sum("ya")).as("nb"))
+      perV
+        .select(floor(sqrt(col("ca").cast("double") *
+            col("cb").cast("double")) * lit(1048576.0)).cast("long")
+          .as("q"))
+        .agg(sum(col("q").cast("decimal(38,0)")).as("s"))
+        .crossJoin(broadcast(tot))
+        .select(col("na"), col("nb"),
+          (col("s").cast("string").cast("double") / lit(1048576.0) /
+            sqrt(col("na").cast("double") * col("nb").cast("double")))
+            .as("bc"))
+        .withColumn("hellinger",
+          sqrt(greatest(lit(0.0), lit(1.0) - col("bc"))))
+    }),
+
+    // empirical upper tail dependence of quantity and price: both 90th
+    // percentiles read exactly off the rank spines (10·cum ≥ 9·n), the
+    // joint exceedance is one integer count, λ_U one division
+    "x_tail_dependence" -> ((s, d) => {
+      val f = t(s, d, "lineitem").select(
+        floor(col("l_quantity") * 100.0).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100.0).cast("long").as("y"))
+      def thresh(c: String): DataFrame = {
+        val perV = f.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        Rank.withCumSums(perV, Seq("v"), Seq("cnt" -> "cum"))
+          .crossJoin(broadcast(f.agg(count(lit(1)).as("n"))))
+          .agg(min(when(col("cum") * 10 >= col("n") * 9, col("v")))
+            .as(s"q_$c"))
+      }
+      val th = thresh("x").crossJoin(thresh("y"))
+      f.crossJoin(broadcast(th))
+        .agg(count(lit(1)).as("n"),
+          max(col("q_x")).as("qx_cents"), max(col("q_y")).as("qy_cents"),
+          sum(when(col("x") > col("q_x"), 1L).otherwise(0L))
+            .as("n_x_exceed"),
+          sum(when(col("x") > col("q_x") && col("y") > col("q_y"), 1L)
+            .otherwise(0L)).as("n_joint"))
+        .select(col("n"), col("qx_cents"), col("qy_cents"),
+          col("n_x_exceed"), col("n_joint"),
+          (col("n_joint").cast("double") /
+            col("n_x_exceed").cast("double")).as("lambda_u"))
+    }),
+
     // tokenizer fertility per language: sub-word tokens (letters-run /
     // digits-run / single punctuation regex — the BPE-ish pre-split)
     // per whitespace word
@@ -448,8 +524,10 @@ object Ext8 {
     s"CAST(sum(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS ${tag}_$g")
     .mkString(", ")
 
-  /** The x_lmoments SQL, shared with x_gpd_fit (which nests it). */
-  private def lmomentsSql: String = {
+  /** The x_lmoments SQL over an arbitrary `(g, v)` base selection —
+    * shared with x_gpd_fit (raw cents) and x_gumbel_fit (weekly block
+    * maxima). */
+  private def lmomentsSqlOver(baseSel: String): String = {
     def fF(m: String, r: Int): String = r match {
       case 1 => s"24 * $m::HUGEINT"
       case 2 => s"12 * $m::HUGEINT * ($m - 1)"
@@ -467,9 +545,7 @@ object Ext8 {
       s"(CAST(CAST(b$k * ${fact(k)} AS VARCHAR) AS DOUBLE) / " +
         s"CAST(CAST(${den(k)} AS VARCHAR) AS DOUBLE))"
     val l2 = s"2.0 * ${b(1)} - ${b(0)}"
-    s"""WITH f AS (SELECT event_type AS g,
-                     CAST(floor(value * 100.0) AS BIGINT) AS v
-                   FROM events WHERE value IS NOT NULL),
+    s"""WITH f AS ($baseSel),
        p AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
              FROM f GROUP BY 1, 2),
        sp AS (SELECT g, v, c,
@@ -488,6 +564,10 @@ object Ext8 {
                 - ${b(0)}) / ($l2) AS t4
        FROM a"""
   }
+
+  private def lmomentsSql: String = lmomentsSqlOver(
+    """SELECT event_type AS g, CAST(floor(value * 100.0) AS BIGINT) AS v
+       FROM events WHERE value IS NOT NULL""")
 
   val oracle: Map[String, String] = Map(
 
@@ -1087,6 +1167,72 @@ object Ext8 {
                 e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) AS cook
          FROM hk
          ORDER BY cook DESC, id ASC LIMIT 10""",
+
+    "x_gumbel_fit" -> {
+      val weeklyBase =
+        """SELECT event_type AS g, v FROM (
+             SELECT event_type,
+               CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+               max(CAST(floor(value * 100.0) AS BIGINT)) AS v
+             FROM events GROUP BY 1, 2) WHERE v IS NOT NULL"""
+      val (chains, last) = Pmath.lnSqlChainCtes("lmq", "gq",
+        Seq("2.0" -> "ln2"), carry = Seq("event_type", "n", "l1", "l2"))
+      s"""WITH lmq AS (${lmomentsSqlOver(weeklyBase)}),
+         $chains
+         SELECT event_type, n, l2 / ln2 AS beta,
+                l1 - CAST('0.5772156649015329' AS DOUBLE) * (l2 / ln2)
+                  AS mu
+         FROM $last"""
+    },
+
+    "x_bhattacharyya" ->
+      """WITH f AS (SELECT CAST(floor(value * 100.0) AS BIGINT) AS v,
+                      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ya
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')
+                      AND value IS NOT NULL),
+         g AS (SELECT v, CAST(sum(ya) AS BIGINT) AS ca,
+                 CAST(count(*) - sum(ya) AS BIGINT) AS cb
+               FROM f GROUP BY v),
+         t AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+                 CAST(count(*) - sum(ya) AS BIGINT) AS nb FROM f),
+         q AS (SELECT CAST(floor(sqrt(ca::DOUBLE * cb::DOUBLE)
+                 * 1048576.0) AS BIGINT) AS q FROM g),
+         s AS (SELECT CAST(sum(q) AS DECIMAL(38,0)) AS s FROM q),
+         b AS (SELECT na, nb,
+                 CAST(CAST(s AS VARCHAR) AS DOUBLE) / 1048576.0 /
+                   sqrt(na::DOUBLE * nb::DOUBLE) AS bc
+               FROM s CROSS JOIN t)
+         SELECT na, nb, bc,
+                sqrt(greatest(CAST('0.0' AS DOUBLE), 1.0 - bc))
+                  AS hellinger
+         FROM b""",
+
+    "x_tail_dependence" ->
+      """WITH f AS (SELECT CAST(floor(l_quantity * 100.0) AS BIGINT) AS x,
+                      CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS y
+                    FROM lineitem),
+         n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         cx AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM (SELECT x AS v, count(*) AS cnt FROM f GROUP BY x)),
+         qx AS (SELECT min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS q_x
+                FROM cx CROSS JOIN n0),
+         cy AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM (SELECT y AS v, count(*) AS cnt FROM f GROUP BY y)),
+         qy AS (SELECT min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS q_y
+                FROM cy CROSS JOIN n0),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  max(q_x) AS qx_cents, max(q_y) AS qy_cents,
+                  CAST(sum(CASE WHEN x > q_x THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_x_exceed,
+                  CAST(sum(CASE WHEN x > q_x AND y > q_y THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_joint
+                FROM f CROSS JOIN qx CROSS JOIN qy)
+         SELECT n, qx_cents, qy_cents, n_x_exceed, n_joint,
+                n_joint::DOUBLE / n_x_exceed::DOUBLE AS lambda_u
+         FROM ag""",
 
     "x_tokenizer_fertility" ->
       """WITH f AS (SELECT lang,

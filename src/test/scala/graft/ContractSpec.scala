@@ -36,7 +36,7 @@ class ContractSpec extends SparkSpec {
     val n = SparkEntry.queries.size
     val exact = SparkEntry.oracleSql.size
     info(s"graded queries: $n; exact oracles: $exact; rows-only: ${n - exact}")
-    assert(n == 344 && exact == 340,
+    assert(n == 347 && exact == 343,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 }

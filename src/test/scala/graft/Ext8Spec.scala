@@ -416,6 +416,60 @@ class Ext8Spec extends SparkSpec {
     }
   }
 
+  test("Bhattacharyya: 1 on identical samples, < 1 on shifted; Hellinger dual") {
+    val rows = graft.queries.Ext8.queries("x_bhattacharyya")(spark,
+      "/root/testdata/sf0.001").collect().head
+    val (bc, h) = (rows.getAs[Double]("bc"), rows.getAs[Double]("hellinger"))
+    assert(bc > 0.0 && bc <= 1.0)
+    assert(math.abs(h - math.sqrt(math.max(0.0, 1.0 - bc))) == 0.0)
+    // direct check of the quantized-sqrt sum on collected data
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), floor(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val ca = ev.filter(_._1 == "click").groupBy(_._2).map { case (v, g) => v -> g.size }
+    val cb = ev.filter(_._1 == "purchase").groupBy(_._2).map { case (v, g) => v -> g.size }
+    val s = (ca.keySet ++ cb.keySet).toSeq.map { v =>
+      math.floor(math.sqrt(ca.getOrElse(v, 0).toDouble *
+        cb.getOrElse(v, 0).toDouble) * 1048576.0).toLong
+    }.sum
+    val direct = s.toDouble / 1048576.0 /
+      math.sqrt(ca.values.sum.toDouble * cb.values.sum.toDouble)
+    assert(math.abs(bc - direct) < 1e-12)
+  }
+
+  test("tail dependence: thresholds are the exact empirical 90th percentiles") {
+    val r = graft.queries.Ext8.queries("x_tail_dependence")(spark,
+      "/root/testdata/sf0.001").collect().head
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(floor(col("l_quantity") * 100).cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    val n = li.length
+    def q90(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((math.ceil(0.9 * n) - 1).toInt)
+    }
+    assert(r.getAs[Long]("qx_cents") == q90(li.map(_._1)))
+    assert(r.getAs[Long]("qy_cents") == q90(li.map(_._2)))
+    val qx = r.getAs[Long]("qx_cents"); val qy = r.getAs[Long]("qy_cents")
+    assert(r.getAs[Long]("n_x_exceed") == li.count(_._1 > qx))
+    assert(r.getAs[Long]("n_joint") ==
+      li.count(p => p._1 > qx && p._2 > qy))
+  }
+
+  test("Gumbel fit composes the block-maxima L-moments") {
+    val rows = graft.queries.Ext8.queries("x_gumbel_fit")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // beta > 0 (maxima vary) and mu below the mean of maxima but
+      // positive for this data
+      assert(r.getAs[Double]("beta") > 0.0)
+      assert(!r.getAs[Double]("mu").isNaN)
+    }
+  }
+
   test("tokenizer fertility >= 1 and counts a known sentence exactly") {
     val df = Seq(("xx", "ab3 cd, e!")).toDF("lang", "text")
       .selectExpr("lang",
