@@ -502,6 +502,86 @@ object Ext8 {
             col("n_x_exceed").cast("double")).as("lambda_u"))
     }),
 
+    // simplified silhouette of the portable-k-means clustering
+    // (centroid distances instead of pairwise): per row a = dist to own
+    // centroid, b = min dist to any other, sil = (b−a)/max(a,b); the
+    // per-row sil quantizes to 2⁻²⁰ fixed point so the per-cluster mean
+    // is a ratio of exact integers — the cohesion/separation reading
+    // next to x_cluster_purity's label agreement
+    "x_silhouette" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        nLists = 16, seed = 42, lloydIters = 2)
+      val scored = e.select(col("vec_id"),
+        Vectors.dot(col("embedding"), col("embedding")).as("vv"),
+        Similarity.centroidScores(cents, col("embedding")).as("scores"))
+        .withColumn("own", array_min(col("scores")).getField("list"))
+        .withColumn("a2", array_min(col("scores")).getField("s"))
+        .withColumn("b2", array_min(filter(col("scores"),
+          x => x.getField("list") =!= col("own"))).getField("s"))
+        .withColumn("a", sqrt(greatest(lit(0.0), col("a2") + col("vv"))))
+        .withColumn("b", sqrt(greatest(lit(0.0), col("b2") + col("vv"))))
+        .withColumn("sil", when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)))
+        .withColumn("q", floor(col("sil") * lit(1048576.0)).cast("long"))
+      scored.groupBy(col("own").as("list"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("q").cast("decimal(38,0)")).as("sq"))
+        .select(col("list"), col("n_vecs"),
+          (col("sq").cast("string").cast("double") /
+            (lit(1048576.0) * col("n_vecs").cast("double")))
+            .as("mean_sil"))
+    }),
+
+    // 2×2 odds ratio of the stopword en-detector against the language
+    // label, with the Woolf log-CI — exact cells, the one portable ln,
+    // ln-space bounds (no exp: it is not in the portable kernel)
+    "x_odds_ratio" -> ((s, d) => {
+      val en = Text.langMarkers.toMap.apply("en")
+      val f = t(s, d, "documents").select(
+        (Text.markerCount(col("text"), en) >= 2).as("det"),
+        (col("lang") === "en").as("pos"))
+      val dbl = (c: Column) => c.cast("double")
+      f.agg(
+          sum(when(col("det") && col("pos"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("det") && !col("pos"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("det") && col("pos"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("det") && !col("pos"), 1L).otherwise(0L)).as("d"))
+        .withColumn("odds_ratio",
+          dbl(col("a")) * dbl(col("d")) / (dbl(col("b")) * dbl(col("c"))))
+        .withColumn("ln_or", Pmath.lnColumn(col("odds_ratio")))
+        .withColumn("se", sqrt(lit(1.0) / dbl(col("a")) +
+          lit(1.0) / dbl(col("b")) + lit(1.0) / dbl(col("c")) +
+          lit(1.0) / dbl(col("d"))))
+        .select(col("a"), col("b"), col("c"), col("d"), col("odds_ratio"),
+          col("ln_or"), col("se"),
+          (col("ln_or") - lit(1.96) * col("se")).as("ci_lo_ln"),
+          (col("ln_or") + lit(1.96) * col("se")).as("ci_hi_ln"))
+    }),
+
+    // error-rate comparison of the first week vs the second week of
+    // the event log: exact counts, rate ratio, and the conditional
+    // score z = (k1 − k2)/√(k1 + k2) for equal exposures
+    "x_rate_ratio" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val t0 = ev.agg(min(unix_seconds(col("ts"))).as("t0"))
+      ev.filter(col("event_type") === "error")
+        .crossJoin(broadcast(t0))
+        .withColumn("dday", floor((unix_seconds(col("ts")) - col("t0"))
+          .cast("double") / lit(86400.0)).cast("long"))
+        .agg(
+          sum(when(col("dday") >= 0 && col("dday") < 7, 1L)
+            .otherwise(0L)).as("k1"),
+          sum(when(col("dday") >= 7 && col("dday") < 14, 1L)
+            .otherwise(0L)).as("k2"))
+        .select(col("k1"), col("k2"),
+          (col("k1").cast("double") / col("k2").cast("double"))
+            .as("rate_ratio"),
+          ((col("k1") - col("k2")).cast("double") /
+            sqrt((col("k1") + col("k2")).cast("double"))).as("z_score"))
+    }),
+
     // tokenizer fertility per language: sub-word tokens (letters-run /
     // digits-run / single punctuation regex — the BPE-ish pre-split)
     // per whitespace word
@@ -1233,6 +1313,84 @@ object Ext8 {
          SELECT n, qx_cents, qy_cents, n_x_exceed, n_joint,
                 n_joint::DOUBLE / n_x_exceed::DOUBLE AS lambda_u
          FROM ag""",
+
+    "x_silhouette" ->
+      s"""WITH ${Ext.dKmeansCommon},
+         vvt AS (SELECT vec_id, list_dot_product(v, v) AS vv FROM e),
+         own AS (SELECT neighbor_id AS vec_id, list AS own FROM listed),
+         aa AS (SELECT s3.vec_id, s AS a2 FROM s3
+                JOIN own ON s3.vec_id = own.vec_id AND s3.list = own.own),
+         bb AS (SELECT s3.vec_id, min(s) AS b2 FROM s3
+                JOIN own ON s3.vec_id = own.vec_id AND s3.list <> own.own
+                GROUP BY s3.vec_id),
+         per AS (SELECT o.vec_id, o.own,
+                   sqrt(greatest(CAST('0.0' AS DOUBLE), aa.a2 + vv)) AS a,
+                   sqrt(greatest(CAST('0.0' AS DOUBLE), bb.b2 + vv)) AS b
+                 FROM own o
+                 JOIN aa ON aa.vec_id = o.vec_id
+                 JOIN bb ON bb.vec_id = o.vec_id
+                 JOIN vvt ON vvt.vec_id = o.vec_id),
+         si AS (SELECT own AS list,
+                  CASE WHEN greatest(a, b) > 0
+                    THEN (b - a) / greatest(a, b)
+                    ELSE CAST('0.0' AS DOUBLE) END AS sil
+                FROM per),
+         q AS (SELECT list, CAST(floor(sil * 1048576.0) AS BIGINT) AS q
+               FROM si)
+         SELECT list, CAST(count(*) AS BIGINT) AS n_vecs,
+                CAST(CAST(CAST(sum(q) AS DECIMAL(38,0)) AS VARCHAR)
+                  AS DOUBLE) / (1048576.0 * count(*)::DOUBLE) AS mean_sil
+         FROM q GROUP BY list""",
+
+    "x_odds_ratio" -> {
+      val en = Text.langMarkers.toMap.apply("en")
+        .map(v => s"'$v'").mkString(",")
+      val (chains, last) = Pmath.lnSqlChainCtes("o", "oq",
+        Seq("odds_ratio" -> "ln_or"),
+        carry = Seq("a", "b", "c", "d", "odds_ratio"))
+      s"""WITH f AS (SELECT
+                 len(list_filter(string_split(text, ' '),
+                   t -> t IN ($en))) >= 2 AS det,
+                 lang = 'en' AS pos
+               FROM documents),
+         m AS (SELECT
+                 CAST(sum(CASE WHEN det AND pos THEN 1 ELSE 0 END)
+                   AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN det AND NOT pos THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN NOT det AND pos THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN NOT det AND NOT pos THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d
+               FROM f),
+         o AS (SELECT *, a::DOUBLE * d::DOUBLE /
+                 (b::DOUBLE * c::DOUBLE) AS odds_ratio FROM m),
+         $chains,
+         se AS (SELECT *, sqrt(1.0 / a::DOUBLE + 1.0 / b::DOUBLE
+                  + 1.0 / c::DOUBLE + 1.0 / d::DOUBLE) AS se
+                FROM $last)
+         SELECT a, b, c, d, odds_ratio, ln_or, se,
+                ln_or - CAST('1.96' AS DOUBLE) * se AS ci_lo_ln,
+                ln_or + CAST('1.96' AS DOUBLE) * se AS ci_hi_ln
+         FROM se"""
+    },
+
+    "x_rate_ratio" ->
+      """WITH t0 AS (SELECT CAST(min(CAST(floor(epoch(ts)) AS BIGINT))
+                 AS BIGINT) AS t0 FROM events),
+         e AS (SELECT CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) - t0)
+                 ::DOUBLE / 86400.0) AS BIGINT) AS dday
+               FROM events CROSS JOIN t0
+               WHERE event_type = 'error'),
+         m AS (SELECT
+                 CAST(sum(CASE WHEN dday >= 0 AND dday < 7 THEN 1
+                   ELSE 0 END) AS BIGINT) AS k1,
+                 CAST(sum(CASE WHEN dday >= 7 AND dday < 14 THEN 1
+                   ELSE 0 END) AS BIGINT) AS k2
+               FROM e)
+         SELECT k1, k2, k1::DOUBLE / k2::DOUBLE AS rate_ratio,
+                (k1 - k2)::DOUBLE / sqrt((k1 + k2)::DOUBLE) AS z_score
+         FROM m""",
 
     "x_tokenizer_fertility" ->
       """WITH f AS (SELECT lang,
