@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Pmath, Text}
+
+/** Round-7 second wave — agreement / association / variance-component
+  * statistics and corpus-comparison scoring, all on the standing exact
+  * recipes:
+  *
+  *  - the kendall-grid pair geometry (bin → cell-count self-join) for
+  *    the ordinal trio gamma / Somers' D / Stuart tau-c — pairwise
+  *    counts from the O(cells²) grid, never the O(n²) rows;
+  *  - the PMI ratio-branch portable ln (integer num/den, ln of the ≥1
+  *    branch, sign from the integer compare) for per-term G²;
+  *  - pure integer rating counts for Fleiss' kappa (three marker-
+  *    threshold raters), one fixed-order double epilogue;
+  *  - the 2⁻²⁰ quantized per-group S²/n term for the one-way ICC so the
+  *    between-group sum of squares accumulates as an exact decimal.
+  */
+object Ext9 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val dbl = (c: Column) => c.cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ordinal association trio over the (word-count bin, char-count bin)
+    // grid of documents: Goodman–Kruskal gamma, Somers' D (y|x) and
+    // Stuart's tau-c from one concordant/discordant pair census — the
+    // kendall_tau machinery with the tie census kept in doubled integers
+    // (2·T_y) so no division happens before the final ratios
+    "x_ordinal_assoc" -> ((s, d) => {
+      val f = t(s, d, "documents").select(
+        least(lit(19L), floor(dbl(size(split(col("text"), " "))) /
+          lit(20.0)).cast("long")).as("x"),
+        least(lit(19L), floor(dbl(col("n_chars")) / lit(100.0))
+          .cast("long")).as("y"))
+      val grid = f.groupBy("x", "y").agg(count(lit(1)).as("c"))
+      val pairs = grid.as("a").join(grid.as("b"), col("b.x") < col("a.x"))
+        .groupBy().agg(
+          sum(when(col("b.y") < col("a.y"),
+            col("a.c") * col("b.c")).otherwise(0L)).as("conc"),
+          sum(when(col("b.y") > col("a.y"),
+            col("a.c") * col("b.c")).otherwise(0L)).as("disc"))
+      val ty = grid.groupBy("y").agg(sum("c").as("r"))
+        .groupBy().agg(sum(col("r") * (col("r") - 1)).as("ty2"))
+      val tb = grid.groupBy().agg(sum(col("c") * (col("c") - 1)).as("tb2"))
+      val mm = grid.groupBy().agg(countDistinct("x").as("nx"),
+        countDistinct("y").as("ny"), sum("c").as("n"))
+      pairs.crossJoin(ty).crossJoin(tb).crossJoin(mm)
+        .withColumn("m", least(col("nx"), col("ny")))
+        .select(col("n"), col("conc"), col("disc"), col("m"),
+          (dbl(col("conc") - col("disc")) / dbl(col("conc") + col("disc")))
+            .as("gamma"),
+          (dbl(lit(2L) * (col("conc") - col("disc"))) /
+            dbl(lit(2L) * col("conc") + lit(2L) * col("disc") +
+              (col("ty2") - col("tb2")))).as("somers_d"),
+          (dbl(lit(2L) * col("m") * (col("conc") - col("disc"))) /
+            dbl(col("n") * col("n") * (col("m") - lit(1L)))).as("tau_c"))
+    }),
+
+    // per-term G² (log-likelihood-ratio keyness) of English vs the rest:
+    // the chi2_terms contingency with the information-theoretic score —
+    // integer num/den ratio branches through the portable ln, top 20
+    // by G² with the term string as the deterministic tie-break
+    "x_gtest_terms" -> ((s, d) => {
+      val tok = t(s, d, "documents").select(
+        (col("lang") === "en").as("pos"),
+        explode(split(col("text"), " ")).as("t"))
+      val term = tok.groupBy("t").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("b"))
+      val tot = tok.groupBy().agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n2"))
+      term.filter(col("a") >= 1L && col("b") >= 1L &&
+          (col("a") + col("b")) >= 50L)
+        .crossJoin(broadcast(tot))
+        .withColumn("nn", col("n1") + col("n2"))
+        .withColumn("num_a", col("a") * col("nn"))
+        .withColumn("den_a", (col("a") + col("b")) * col("n1"))
+        .withColumn("num_b", col("b") * col("nn"))
+        .withColumn("den_b", (col("a") + col("b")) * col("n2"))
+        .withColumn("ln_a", Pmath.lnColumn(
+          when(col("num_a") >= col("den_a"),
+            dbl(col("num_a")) / dbl(col("den_a")))
+            .otherwise(dbl(col("den_a")) / dbl(col("num_a")))))
+        .withColumn("ln_b", Pmath.lnColumn(
+          when(col("num_b") >= col("den_b"),
+            dbl(col("num_b")) / dbl(col("den_b")))
+            .otherwise(dbl(col("den_b")) / dbl(col("num_b")))))
+        .withColumn("g2", lit(2.0) * (
+          dbl(col("a")) * (when(col("num_a") >= col("den_a"), col("ln_a"))
+            .otherwise(-col("ln_a"))) +
+          dbl(col("b")) * (when(col("num_b") >= col("den_b"), col("ln_b"))
+            .otherwise(-col("ln_b")))))
+        .orderBy(desc("g2"), col("t"))
+        .limit(20)
+        .select(col("t").as("term"), col("a"), col("b"), col("g2"))
+    }),
+
+    // Fleiss' kappa over three deterministic "raters" (the en-marker
+    // detector at thresholds 1/2/3) on every document, binary verdicts:
+    // the whole statistic reduces to two integer sums (Σn₁, Σ(n₁²+n₀²))
+    // and a fixed-order double epilogue — exact at any scale
+    "x_fleiss_kappa" -> ((s, d) => {
+      val en = Text.langMarkers.toMap.apply("en")
+      val mc = Text.markerCount(col("text"), en)
+      val f = t(s, d, "documents").select(
+        ((mc >= 1).cast("long") + (mc >= 2).cast("long") +
+          (mc >= 3).cast("long")).as("n1"))
+      f.groupBy().agg(count(lit(1)).as("n_docs"), sum("n1").as("s1"),
+          sum(col("n1") * col("n1") +
+            (lit(3L) - col("n1")) * (lit(3L) - col("n1"))).as("s2"))
+        .withColumn("pbar", dbl(col("s2") - lit(3L) * col("n_docs")) /
+          dbl(lit(6L) * col("n_docs")))
+        .withColumn("p1", dbl(col("s1")) / dbl(lit(3L) * col("n_docs")))
+        .withColumn("p0", dbl(lit(3L) * col("n_docs") - col("s1")) /
+          dbl(lit(3L) * col("n_docs")))
+        .withColumn("pe", col("p1") * col("p1") + col("p0") * col("p0"))
+        .select(col("n_docs"), col("s1"), col("s2"), col("pbar"), col("pe"),
+          ((col("pbar") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
+    }),
+
+    // one-way intraclass correlation ICC(1) of quantity within part
+    // groups: between/within sums of squares from integer cents, the
+    // per-group S²/n rational quantized to 2⁻²⁰ fixed point and summed
+    // in decimal(38,0) (the exact-decimal rule for data-scale Σ of
+    // non-identical rationals), unequal group sizes via the k₀ =
+    // (N − Σn²/N)/(a−1) ANOVA correction
+    "x_icc" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_partkey").as("g"),
+        floor(col("l_quantity") * lit(100.0)).cast("long").as("xc"))
+      val per = li.groupBy("g").agg(count(lit(1)).as("ng"),
+          sum("xc").as("sg"))
+        .select(col("ng"), col("sg"),
+          floor((dbl(col("sg") * col("sg")) / dbl(col("ng"))) *
+            lit(1048576.0)).cast("long").as("qg"))
+      val byGroup = per.groupBy().agg(count(lit(1)).as("a"),
+        sum("ng").as("n"), sum(col("ng") * col("ng")).as("sn2"),
+        sum(col("qg").cast("decimal(38,0)")).as("qsum"))
+      val byRow = li.groupBy().agg(sum(col("xc") * col("xc")).as("ssq"),
+        sum("xc").as("sx"))
+      byGroup.crossJoin(byRow)
+        .withColumn("t1", col("qsum").cast("string").cast("double") /
+          lit(1048576.0))
+        .withColumn("ssb", col("t1") - (dbl(col("sx")) * dbl(col("sx"))) /
+          dbl(col("n")))
+        .withColumn("ssw", dbl(col("ssq")) - col("t1"))
+        .withColumn("k0", (dbl(col("n")) - dbl(col("sn2")) / dbl(col("n"))) /
+          (dbl(col("a")) - lit(1.0)))
+        .withColumn("msb", col("ssb") / (dbl(col("a")) - lit(1.0)))
+        .withColumn("msw", col("ssw") / (dbl(col("n")) - dbl(col("a"))))
+        .select(col("a"), col("n"), col("k0"), col("msb"), col("msw"),
+          ((col("msb") - col("msw")) /
+            (col("msb") + (col("k0") - lit(1.0)) * col("msw"))).as("icc"))
+    }),
+  )
+
+  // ---------------------------------------------------------------- SQL
+
+  val oracle: Map[String, String] = Map(
+
+    "x_ordinal_assoc" ->
+      """WITH f AS (SELECT
+             least(19, CAST(floor(len(string_split(text, ' '))::DOUBLE
+               / 20.0) AS BIGINT)) AS x,
+             least(19, CAST(floor(n_chars::DOUBLE / 100.0) AS BIGINT)) AS y
+           FROM documents),
+         grid AS (SELECT x, y, count(*) AS c FROM f GROUP BY 1, 2),
+         p AS (SELECT
+             sum(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END) AS conc,
+             sum(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END) AS disc
+           FROM grid a JOIN grid b ON b.x < a.x),
+         ty AS (SELECT sum(r * (r - 1)) AS ty2 FROM
+                  (SELECT sum(c) AS r FROM grid GROUP BY y)),
+         tb AS (SELECT sum(c * (c - 1)) AS tb2 FROM grid),
+         mm AS (SELECT count(DISTINCT x) AS nx, count(DISTINCT y) AS ny,
+                       sum(c) AS n FROM grid)
+         SELECT CAST(n AS BIGINT) AS n, CAST(conc AS BIGINT) AS conc,
+                CAST(disc AS BIGINT) AS disc,
+                CAST(least(nx, ny) AS BIGINT) AS m,
+                (conc - disc)::DOUBLE / (conc + disc)::DOUBLE AS gamma,
+                (2 * (conc - disc))::DOUBLE /
+                  (2 * conc + 2 * disc + (ty2 - tb2))::DOUBLE AS somers_d,
+                (2 * least(nx, ny) * (conc - disc))::DOUBLE /
+                  (n * n * (least(nx, ny) - 1))::DOUBLE AS tau_c
+         FROM p, ty, tb, mm""",
+
+    "x_gtest_terms" -> {
+      val (chains, last) = Pmath.lnSqlChainCtes("j", "gq",
+        Seq(
+          ("CASE WHEN num_a >= den_a THEN num_a::DOUBLE / den_a::DOUBLE " +
+            "ELSE den_a::DOUBLE / num_a::DOUBLE END") -> "ln_a",
+          ("CASE WHEN num_b >= den_b THEN num_b::DOUBLE / den_b::DOUBLE " +
+            "ELSE den_b::DOUBLE / num_b::DOUBLE END") -> "ln_b"),
+        carry = Seq("t", "a", "b", "num_a", "den_a", "num_b", "den_b"))
+      s"""WITH tok AS (SELECT lang = 'en' AS pos,
+                 unnest(string_split(text, ' ')) AS t FROM documents),
+         term AS (SELECT t,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS b
+           FROM tok GROUP BY t),
+         tot AS (SELECT
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n2
+           FROM tok),
+         j AS (SELECT t, a, b,
+             CAST(a * (n1 + n2) AS BIGINT) AS num_a,
+             CAST((a + b) * n1 AS BIGINT) AS den_a,
+             CAST(b * (n1 + n2) AS BIGINT) AS num_b,
+             CAST((a + b) * n2 AS BIGINT) AS den_b
+           FROM term CROSS JOIN tot
+           WHERE a >= 1 AND b >= 1 AND (a + b) >= 50),
+         $chains
+         SELECT t AS term, a, b,
+                2.0 * (a::DOUBLE * (CASE WHEN num_a >= den_a THEN ln_a
+                         ELSE -ln_a END)
+                     + b::DOUBLE * (CASE WHEN num_b >= den_b THEN ln_b
+                         ELSE -ln_b END)) AS g2
+         FROM $last ORDER BY g2 DESC, t LIMIT 20"""
+    },
+
+    "x_fleiss_kappa" -> {
+      val en = Text.langMarkers.toMap.apply("en")
+        .map(v => s"'$v'").mkString(",")
+      s"""WITH r AS (SELECT len(list_filter(string_split(text, ' '),
+                 t -> t IN ($en))) AS mc FROM documents),
+         f AS (SELECT (CASE WHEN mc >= 1 THEN 1 ELSE 0 END
+                     + CASE WHEN mc >= 2 THEN 1 ELSE 0 END
+                     + CASE WHEN mc >= 3 THEN 1 ELSE 0 END) AS n1 FROM r),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n1) AS BIGINT) AS s1,
+                      CAST(sum(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT)
+                        AS s2
+               FROM f),
+         e AS (SELECT *,
+                 (s2 - 3 * n_docs)::DOUBLE / (6 * n_docs)::DOUBLE AS pbar,
+                 s1::DOUBLE / (3 * n_docs)::DOUBLE AS p1,
+                 (3 * n_docs - s1)::DOUBLE / (3 * n_docs)::DOUBLE AS p0
+               FROM m),
+         pe AS (SELECT *, p1 * p1 + p0 * p0 AS pe FROM e)
+         SELECT n_docs, s1, s2, pbar, pe,
+                (pbar - pe) / (1.0 - pe) AS kappa
+         FROM pe"""
+    },
+
+    "x_icc" ->
+      """WITH li AS (SELECT l_partkey AS g,
+             CAST(floor(l_quantity * 100.0) AS BIGINT) AS xc
+           FROM lineitem),
+         per AS (SELECT CAST(count(*) AS BIGINT) AS ng,
+                        CAST(sum(xc) AS BIGINT) AS sg
+                 FROM li GROUP BY g),
+         q AS (SELECT ng, sg,
+                 CAST(floor(((sg * sg)::DOUBLE / ng::DOUBLE) * 1048576.0)
+                   AS BIGINT) AS qg
+               FROM per),
+         bg AS (SELECT CAST(count(*) AS BIGINT) AS a,
+                       CAST(sum(ng) AS BIGINT) AS n,
+                       CAST(sum(ng * ng) AS BIGINT) AS sn2,
+                       CAST(sum(qg) AS DECIMAL(38,0)) AS qsum
+                FROM q),
+         br AS (SELECT CAST(sum(xc * xc) AS BIGINT) AS ssq,
+                       CAST(sum(xc) AS BIGINT) AS sx
+                FROM li),
+         e AS (SELECT *, CAST(CAST(qsum AS VARCHAR) AS DOUBLE)
+                 / 1048576.0 AS t1
+               FROM bg CROSS JOIN br),
+         e2 AS (SELECT *,
+                  t1 - (sx::DOUBLE * sx::DOUBLE) / n::DOUBLE AS ssb,
+                  ssq::DOUBLE - t1 AS ssw,
+                  (n::DOUBLE - sn2::DOUBLE / n::DOUBLE)
+                    / (a::DOUBLE - 1.0) AS k0
+                FROM e),
+         e3 AS (SELECT *, ssb / (a::DOUBLE - 1.0) AS msb,
+                          ssw / (n::DOUBLE - a::DOUBLE) AS msw
+                FROM e2)
+         SELECT a, n, k0, msb, msw,
+                (msb - msw) / (msb + (k0 - 1.0) * msw) AS icc
+         FROM e3""",
+  )
+}

@@ -36,7 +36,7 @@ class ContractSpec extends SparkSpec {
     val n = SparkEntry.queries.size
     val exact = SparkEntry.oracleSql.size
     info(s"graded queries: $n; exact oracles: $exact; rows-only: ${n - exact}")
-    assert(n == 350 && exact == 346,
+    assert(n == 354 && exact == 350,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 }
