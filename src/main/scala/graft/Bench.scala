@@ -106,9 +106,8 @@ object Bench {
     * the most expensive / most representative operator per family. Keep
     * membership stable — round-over-round deltas key off these names. */
   val Headline: Set[String] = Set(
-    "q_fact_summary", "sql_fact_summary", "j1_left_join", "j2_fk_join",
-    "a1_agg_count_sum", "a3_agg_sum_count_max", "e11_round_positive",
-    "f5_drop_nonpositive", "g1_det_sample",
+    "q_fact_summary", "sql_fact_summary", "j2_fk_join",
+    "a3_agg_sum_count_max",
     "x_dedup_exact", "x_dedup_norm", "x_dedup_ngram_jaccard",
     "x_dedup_minhash", "x_dedup_simhash", "x_winnow_fingerprint",
     "x_dedup_clusters", "x_dedup_clusters_logstar", "x_corpus_clean",
@@ -135,5 +134,14 @@ object Bench {
     // round-7 family representatives (ADDED names only; capped at
     // three — the printed line must stay inside the driver's 2000-char
     // stdout tail window with sbt's trailing success line)
-    "x_cliffs_delta", "x_span_corruption", "x_cluster_balance")
+    "x_cliffs_delta", "x_span_corruption", "x_cluster_balance",
+    // round-8: the five remaining rank-spine/decimal-fix queries from
+    // the r07 verdict (regressions in that family must be visible);
+    // paid for by DROPPING five trivial scan-shaped parity members
+    // (j1_left_join, a1_agg_count_sum, e11_round_positive,
+    // f5_drop_nonpositive, g1_det_sample — all sub-0.7 s scans whose
+    // full-precision times remain in BENCH_FULL.json) because the r07
+    // line ran 1914 chars with only ~11 to spare in the tail window
+    "x_hits", "x_ltv_curve", "x_jonckheere", "x_ansari_bradley",
+    "x_page_hinkley")
 }

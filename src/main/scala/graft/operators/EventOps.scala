@@ -526,7 +526,10 @@ object EventOps {
     * the (cohort, age-in-weeks) cell, and the running cumulative per
     * cohort divides by the cohort's size. Integer epoch-week and cents
     * arithmetic throughout; the cumulative window runs per cohort over
-    * the bounded week spine. */
+    * the bounded week spine. Cents accumulate in decimal(38,0) (a 100 TB
+    * cohort's lifetime cents can pass 2⁶³); the final readout casts to
+    * BIGINT — exact while cum_cents < 2⁶³, i.e. total revenue per cohort
+    * under ~9.2×10¹⁶ currency units, comfortably past any real ledger. */
   def ltvCurve(df: DataFrame, userCol: String, tsCol: String,
                typeCol: String, revenueType: String,
                valueCol: Column): DataFrame = {
@@ -544,8 +547,9 @@ object EventOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rev.withColumn("cum_cents", sum(col("cents")).over(cum))
       .join(sizes, Seq("cohort"))
-      .select(col("cohort"), col("age"), col("n_users"), col("cents"),
-        col("cum_cents"),
+      .select(col("cohort"), col("age"), col("n_users"),
+        col("cents").cast("long").as("cents"),
+        col("cum_cents").cast("long").as("cum_cents"),
         (col("cum_cents").cast("string").cast("double") /
           lit(100.0) / col("n_users").cast("double")).as("ltv_per_user"))
   }

@@ -129,7 +129,10 @@ object Graphs {
     * round and should arrive partitioned on the join key for iterative
     * use. Fixed 1.5 rounds (a₁, h₁, a₂) — the bench-stable prefix; more
     * rounds compose the same two joins. Decimal sums: degrees multiply
-    * per round, and int64 would overflow on a 100 TB power-law graph. */
+    * per round, and int64 would overflow on a 100 TB power-law graph —
+    * accumulation stays decimal(38,0); only the top-K READOUT rows cast
+    * to BIGINT (a₂ ≤ n·d̄² — under 2⁶³ until ~10⁹ nodes at mean degree
+    * ~1000; past that, read the internal decimal frame directly). */
   def hitsScores(edges: DataFrame, srcCol: String, dstCol: String,
                  topK: Int = 20): DataFrame = {
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("p")).distinct()
@@ -143,7 +146,8 @@ object Graphs {
       .orderBy(col("a2").desc, col("p").asc).limit(topK)
     val out = top
       .crossJoin(broadcast(a2.agg(max(col("a2")).as("amax"))))
-      .select(col("p"), col("a1"), col("a2"),
+      .select(col("p"), col("a1").cast("long").as("a1"),
+        col("a2").cast("long").as("a2"),
         (col("a2").cast("string").cast("double") /
           col("amax").cast("string").cast("double")).as("authority"))
     out.cache().count()  // materialize before releasing the edge frame

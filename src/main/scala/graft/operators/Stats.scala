@@ -1541,9 +1541,11 @@ object Stats {
     * #{a>b} = Σ_v ca_v · cumB_excl_v, and symmetrically for `<` with
     * the B-rows strictly above. Products accumulate in decimal(38,0)
     * (n_a·n_b passes 2⁶³ near 10¹⁰ rows); the single division lands at
-    * the very end. Scale shape: one value-spine aggregate +
-    * [[Rank.withCumSums]] + a 1-row reduce — no pair materialization,
-    * no single-partition window. */
+    * the very end, and the n_gt/n_lt READOUT casts back to BIGINT
+    * (exact below ~10⁹·10⁹ pairs ≈ 2⁶³; past that read the decimal
+    * accumulators upstream of the final select). Scale shape: one
+    * value-spine aggregate + [[Rank.withCumSums]] + a 1-row reduce —
+    * no pair materialization, no single-partition window. */
   def cliffsDelta(df: DataFrame, inA: Column, inB: Column,
                   valueCol: Column): DataFrame = {
     val f = df.filter(inA || inB).select(valueCol.as("v"),
@@ -1561,7 +1563,8 @@ object Stats {
         col("na"), col("nb"))
       .groupBy("na", "nb")
       .agg(sum("gt").as("n_gt"), sum("lt").as("n_lt"))
-      .select(col("na"), col("nb"), col("n_gt"), col("n_lt"),
+      .select(col("na"), col("nb"), col("n_gt").cast("long").as("n_gt"),
+        col("n_lt").cast("long").as("n_lt"),
         ((col("n_gt") - col("n_lt")).cast("string").cast("double") /
           (col("na").cast("double") * col("nb").cast("double")))
           .as("delta"))
@@ -1576,9 +1579,11 @@ object Stats {
     * Exact: ONE distinct-value spine carries a count column per group;
     * [[Rank.withCumSums]] yields every group's inclusive cumulative in
     * a single distributed pass, and each spine row contributes
-    * Σ_{i<j} (2·c_j·cumExcl_i + c_i·c_j) in decimal(38,0). Scale
-    * shape: spine aggregate + cum pass + 1-row reduce, groups² terms
-    * per spine row (parameter-bounded). */
+    * Σ_{i<j} (2·c_j·cumExcl_i + c_i·c_j) in decimal(38,0); the 1-row
+    * j2 READOUT casts to BIGINT (j2 ≤ n² — exact below ~3×10⁹ rows,
+    * past which read the decimal sum upstream). Scale shape: spine
+    * aggregate + cum pass + 1-row reduce, groups² terms per spine row
+    * (parameter-bounded). */
   def jonckheere(df: DataFrame, groupCol: Column, valueCol: Column,
                  groups: Seq[String]): DataFrame = {
     val f = df.select(groupCol.as("g"), valueCol.as("v"))
@@ -1599,7 +1604,7 @@ object Stats {
     cum.select(pairTerms.reduce(_ + _).as("term"))
       .agg(sum("term").as("j2"))
       .crossJoin(broadcast(f.agg(count(lit(1)).as("n"))))
-      .select(col("n"), col("j2"))
+      .select(col("n"), col("j2").cast("long").as("j2"))
   }
 
   /** Ansari–Bradley scale statistic between two groups: each row
@@ -1607,8 +1612,10 @@ object Stats {
     * A-group score sum — small AB means A sits in the tails (larger
     * dispersion). Doubled scores (2·score, integer under midranks) off
     * the shared spine: s2_v = min(m2_v, 2(N+1) − m2_v) with m2 the
-    * doubled midrank; ab2 = Σ_v ca_v·s2_v in decimal. Same
-    * spine + cum + reduce shape as [[cliffsDelta]]. */
+    * doubled midrank; ab2 = Σ_v ca_v·s2_v in decimal, cast to BIGINT
+    * only in the 1-row readout (ab2 ≤ n_a·(N+1) — exact below ~10⁹
+    * rows per side). Same spine + cum + reduce shape as
+    * [[cliffsDelta]]. */
   def ansariBradley(df: DataFrame, inA: Column, inB: Column,
                     valueCol: Column): DataFrame = {
     val f = df.filter(inA || inB).select(valueCol.as("v"),
@@ -1625,7 +1632,7 @@ object Stats {
           least(m2, lit(2L) * (col("na") + col("nb") + lit(1L)) - m2))
           .as("s"))
       .groupBy("na", "nb").agg(sum("s").as("ab2"))
-      .select(col("na"), col("nb"), col("ab2"),
+      .select(col("na"), col("nb"), col("ab2").cast("long").as("ab2"),
         (col("ab2").cast("string").cast("double") / lit(2.0)).as("ab_stat"))
   }
 
@@ -1636,7 +1643,10 @@ object Stats {
     * deviations scale by n (n·x_u − S), prefix sums and prefix mins
     * stay in decimal(38,0), and the readout divides once — ph_max =
     * max_t(m_t − min m)/(n·100) in value units, with the first alarm
-    * day where the scaled excess passes λ·n·100.
+    * day where the scaled excess passes λ·n·100. The per-key ph_num
+    * READOUT casts to BIGINT: ph ≤ n·Σ|x−x̄|·100 — exact below ~2⁶³
+    * scaled deviation units per key (≈ 10¹⁴ cent-days), past which
+    * read the decimal window frame upstream of the final select.
     *
     * Scale shape: one (key, day) aggregate, a 1-row-per-key totals
     * join, and ONE key-partitioned ordered window over the calendar-
@@ -1663,7 +1673,8 @@ object Stats {
         max("ph").as("ph_num"),
         min(when(col("ph") >= thresh, unix_seconds(col("day"))))
           .as("alarm_day_s"))
-      .select(col(keyCol), col("n_days"), col("ph_num"), col("alarm_day_s"),
+      .select(col(keyCol), col("n_days"),
+        col("ph_num").cast("long").as("ph_num"), col("alarm_day_s"),
         (col("ph_num").cast("string").cast("double") /
           (col("n_days").cast("double") * lit(100.0))).as("ph_max"))
   }

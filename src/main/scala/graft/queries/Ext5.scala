@@ -875,7 +875,7 @@ object Ext5 {
          amax AS (SELECT max(a2) AS amax FROM a2),
          top AS (SELECT a1.p, a1.a1, a2.a2 FROM a1 JOIN a2 USING (p)
                  ORDER BY a2.a2 DESC, a1.p ASC LIMIT 20)
-         SELECT p, a1::DECIMAL(38,0) AS a1, a2::DECIMAL(38,0) AS a2,
+         SELECT p, a1::BIGINT AS a1, a2::BIGINT AS a2,
                 CAST(CAST(a2 AS VARCHAR) AS DOUBLE) /
                 CAST(CAST(amax AS VARCHAR) AS DOUBLE) AS authority
          FROM top CROSS JOIN amax""",

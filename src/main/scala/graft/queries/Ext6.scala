@@ -806,8 +806,8 @@ object Ext6 {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS cum_cents
                  FROM rev)
-         SELECT c.cohort, age, n_users, cents::DECIMAL(38,0) AS cents,
-                cum_cents::DECIMAL(38,0) AS cum_cents,
+         SELECT c.cohort, age, n_users, cents::BIGINT AS cents,
+                cum_cents::BIGINT AS cum_cents,
                 CAST(CAST(cum_cents AS VARCHAR) AS DOUBLE) / 100.0
                   / CAST(n_users AS DOUBLE) AS ltv_per_user
          FROM cum c JOIN sz ON c.cohort = sz.cohort""",

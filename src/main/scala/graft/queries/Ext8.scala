@@ -670,8 +670,8 @@ object Ext8 {
                  sum(ca::DECIMAL(38,0) * (cumb - cb)) AS n_gt,
                  sum(ca::DECIMAL(38,0) * (nb - cumb)) AS n_lt
                FROM s CROSS JOIN t GROUP BY na, nb)
-         SELECT na, nb, n_gt::DECIMAL(38,0) AS n_gt,
-                n_lt::DECIMAL(38,0) AS n_lt,
+         SELECT na, nb, n_gt::BIGINT AS n_gt,
+                n_lt::BIGINT AS n_lt,
                 CAST(CAST(n_gt - n_lt AS VARCHAR) AS DOUBLE) /
                   (na::DOUBLE * nb::DOUBLE) AS delta
          FROM o""",
@@ -693,7 +693,7 @@ object Ext8 {
                WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
          a AS (SELECT sum($pairTerms)::DECIMAL(38,0) AS j2 FROM s),
          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)
-         SELECT n, j2 FROM a CROSS JOIN n"""
+         SELECT n, j2::BIGINT AS j2 FROM a CROSS JOIN n"""
     },
 
     "x_ansari_bradley" ->
@@ -717,7 +717,7 @@ object Ext8 {
                      2 * (na + nb + 1)
                        - (2 * (cum_incl - cnt) + cnt + 1))) AS ab2
                FROM s CROSS JOIN t GROUP BY na, nb)
-         SELECT na, nb, ab2::DECIMAL(38,0) AS ab2,
+         SELECT na, nb, ab2::BIGINT AS ab2,
                 CAST(CAST(ab2 AS VARCHAR) AS DOUBLE) / 2.0 AS ab_stat
          FROM o""",
 
@@ -739,7 +739,7 @@ object Ext8 {
                     ROWS UNBOUNDED PRECEDING) AS ph
                 FROM pre)
          SELECT k AS event_type, max(n) AS n_days,
-                max(ph)::DECIMAL(38,0) AS ph_num,
+                max(ph)::BIGINT AS ph_num,
                 min(CASE WHEN ph >= (n * 100)::DECIMAL(38,0)
                       * CAST('50.0' AS DECIMAL(18,6))
                     THEN epoch(day)::BIGINT END) AS alarm_day_s,

@@ -41,27 +41,33 @@ object Ext9 {
         least(lit(19L), floor(dbl(col("n_chars")) / lit(100.0))
           .cast("long")).as("y"))
       val grid = f.groupBy("x", "y").agg(count(lit(1)).as("c"))
+      // pair products and tie terms accumulate in decimal(38,0): cell
+      // counts are data-sized, so c_a·c_b and r·(r−1) pass 2⁶³ near
+      // 3×10⁹ rows — the cliffsDelta cross-product discipline. Final
+      // conc/disc readouts cast back to BIGINT (never DECIMAL output).
+      val dec = (c: Column) => c.cast("decimal(38,0)")
       val pairs = grid.as("a").join(grid.as("b"), col("b.x") < col("a.x"))
         .groupBy().agg(
           sum(when(col("b.y") < col("a.y"),
-            col("a.c") * col("b.c")).otherwise(0L)).as("conc"),
+            dec(col("a.c")) * col("b.c")).otherwise(lit(0L))).as("conc"),
           sum(when(col("b.y") > col("a.y"),
-            col("a.c") * col("b.c")).otherwise(0L)).as("disc"))
+            dec(col("a.c")) * col("b.c")).otherwise(lit(0L))).as("disc"))
       val ty = grid.groupBy("y").agg(sum("c").as("r"))
-        .groupBy().agg(sum(col("r") * (col("r") - 1)).as("ty2"))
-      val tb = grid.groupBy().agg(sum(col("c") * (col("c") - 1)).as("tb2"))
+        .groupBy().agg(sum(dec(col("r")) * (col("r") - 1)).as("ty2"))
+      val tb = grid.groupBy().agg(sum(dec(col("c")) * (col("c") - 1)).as("tb2"))
       val mm = grid.groupBy().agg(countDistinct("x").as("nx"),
         countDistinct("y").as("ny"), sum("c").as("n"))
       pairs.crossJoin(ty).crossJoin(tb).crossJoin(mm)
         .withColumn("m", least(col("nx"), col("ny")))
-        .select(col("n"), col("conc"), col("disc"), col("m"),
+        .select(col("n"), col("conc").cast("long").as("conc"),
+          col("disc").cast("long").as("disc"), col("m"),
           (dbl(col("conc") - col("disc")) / dbl(col("conc") + col("disc")))
             .as("gamma"),
           (dbl(lit(2L) * (col("conc") - col("disc"))) /
             dbl(lit(2L) * col("conc") + lit(2L) * col("disc") +
               (col("ty2") - col("tb2")))).as("somers_d"),
           (dbl(lit(2L) * col("m") * (col("conc") - col("disc"))) /
-            dbl(col("n") * col("n") * (col("m") - lit(1L)))).as("tau_c"))
+            dbl(dec(col("n")) * col("n") * (col("m") - lit(1L)))).as("tau_c"))
     }),
 
     // per-term G² (log-likelihood-ratio keyness) of English vs the rest:
@@ -136,15 +142,19 @@ object Ext9 {
     "x_icc" -> ((s, d) => {
       val li = t(s, d, "lineitem").select(col("l_partkey").as("g"),
         floor(col("l_quantity") * lit(100.0)).cast("long").as("xc"))
+      // sg², ng², xc² square data-scale integers → decimal(38,0) before
+      // the multiply (LONG wraps past ~3×10⁹-row groups); all three are
+      // internal accumulators, never output columns
+      val dec = (c: Column) => c.cast("decimal(38,0)")
       val per = li.groupBy("g").agg(count(lit(1)).as("ng"),
           sum("xc").as("sg"))
         .select(col("ng"), col("sg"),
-          floor((dbl(col("sg") * col("sg")) / dbl(col("ng"))) *
+          floor((dbl(dec(col("sg")) * col("sg")) / dbl(col("ng"))) *
             lit(1048576.0)).cast("long").as("qg"))
       val byGroup = per.groupBy().agg(count(lit(1)).as("a"),
-        sum("ng").as("n"), sum(col("ng") * col("ng")).as("sn2"),
+        sum("ng").as("n"), sum(dec(col("ng")) * col("ng")).as("sn2"),
         sum(col("qg").cast("decimal(38,0)")).as("qsum"))
-      val byRow = li.groupBy().agg(sum(col("xc") * col("xc")).as("ssq"),
+      val byRow = li.groupBy().agg(sum(dec(col("xc")) * col("xc")).as("ssq"),
         sum("xc").as("sx"))
       byGroup.crossJoin(byRow)
         .withColumn("t1", col("qsum").cast("string").cast("double") /
@@ -160,6 +170,42 @@ object Ext9 {
           ((col("msb") - col("msw")) /
             (col("msb") + (col("k0") - lit(1.0)) * col("msw"))).as("icc"))
     }),
+
+    // driver-hash canary (round-8 verdict item 7): one row exercising
+    // every output type the engine emits — BIGINT, INTEGER, DOUBLE,
+    // VARCHAR, BOOLEAN, TIMESTAMP (µs NTZ, the testdata's own physical
+    // layout), DATE, ARRAY<BIGINT> — each produced BOTH from a plain
+    // scan and from an aggregate. Purely diagnostic: if the driver's
+    // parquet-read vs duckdb-fetch hash paths ever diverge on a dtype
+    // (the round-6/7 DECIMAL lesson), this query localizes the culprit
+    // column instantly instead of costing a round of archaeology.
+    "x_type_canary" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val one = ev.orderBy(col("event_id").asc).limit(1)
+        .select(
+          col("event_id").as("scan_big"),
+          col("event_id").cast("int").as("scan_int"),
+          col("value").as("scan_dbl"),
+          col("event_type").as("scan_str"),
+          (col("value") > lit(1.0)).as("scan_bool"),
+          col("ts").cast("timestamp_ntz").as("scan_ts"),
+          col("ts").cast("date").as("scan_date"),
+          array(col("event_id"), col("user_id")).as("scan_arr"))
+      val agg = ev.agg(
+          count(lit(1)).as("nr"),
+          max("event_id").as("mx"),
+          max("value").as("agg_dbl"),
+          max("event_type").as("agg_str"),
+          max("ts").as("mts"))
+        .select(col("nr").as("agg_big"),
+          col("mx").cast("int").as("agg_int"),
+          col("agg_dbl"), col("agg_str"),
+          (col("nr") > lit(0L)).as("agg_bool"),
+          col("mts").cast("timestamp_ntz").as("agg_ts"),
+          col("mts").cast("date").as("agg_date"),
+          array(col("nr"), col("nr") + lit(1L)).as("agg_arr"))
+      one.crossJoin(broadcast(agg))
+    }),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -174,12 +220,14 @@ object Ext9 {
            FROM documents),
          grid AS (SELECT x, y, count(*) AS c FROM f GROUP BY 1, 2),
          p AS (SELECT
-             sum(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END) AS conc,
-             sum(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END) AS disc
+             sum(CASE WHEN b.y < a.y THEN a.c::HUGEINT * b.c ELSE 0 END)
+               AS conc,
+             sum(CASE WHEN b.y > a.y THEN a.c::HUGEINT * b.c ELSE 0 END)
+               AS disc
            FROM grid a JOIN grid b ON b.x < a.x),
-         ty AS (SELECT sum(r * (r - 1)) AS ty2 FROM
+         ty AS (SELECT sum(r::HUGEINT * (r - 1)) AS ty2 FROM
                   (SELECT sum(c) AS r FROM grid GROUP BY y)),
-         tb AS (SELECT sum(c * (c - 1)) AS tb2 FROM grid),
+         tb AS (SELECT sum(c::HUGEINT * (c - 1)) AS tb2 FROM grid),
          mm AS (SELECT count(DISTINCT x) AS nx, count(DISTINCT y) AS ny,
                        sum(c) AS n FROM grid)
          SELECT CAST(n AS BIGINT) AS n, CAST(conc AS BIGINT) AS conc,
@@ -189,7 +237,7 @@ object Ext9 {
                 (2 * (conc - disc))::DOUBLE /
                   (2 * conc + 2 * disc + (ty2 - tb2))::DOUBLE AS somers_d,
                 (2 * least(nx, ny) * (conc - disc))::DOUBLE /
-                  (n * n * (least(nx, ny) - 1))::DOUBLE AS tau_c
+                  (n::HUGEINT * n * (least(nx, ny) - 1))::DOUBLE AS tau_c
          FROM p, ty, tb, mm""",
 
     "x_gtest_terms" -> {
@@ -258,15 +306,15 @@ object Ext9 {
                         CAST(sum(xc) AS BIGINT) AS sg
                  FROM li GROUP BY g),
          q AS (SELECT ng, sg,
-                 CAST(floor(((sg * sg)::DOUBLE / ng::DOUBLE) * 1048576.0)
-                   AS BIGINT) AS qg
+                 CAST(floor(((sg::HUGEINT * sg)::DOUBLE / ng::DOUBLE)
+                   * 1048576.0) AS BIGINT) AS qg
                FROM per),
          bg AS (SELECT CAST(count(*) AS BIGINT) AS a,
                        CAST(sum(ng) AS BIGINT) AS n,
-                       CAST(sum(ng * ng) AS BIGINT) AS sn2,
+                       sum(ng::HUGEINT * ng) AS sn2,
                        CAST(sum(qg) AS DECIMAL(38,0)) AS qsum
                 FROM q),
-         br AS (SELECT CAST(sum(xc * xc) AS BIGINT) AS ssq,
+         br AS (SELECT sum(xc::HUGEINT * xc) AS ssq,
                        CAST(sum(xc) AS BIGINT) AS sx
                 FROM li),
          e AS (SELECT *, CAST(CAST(qsum AS VARCHAR) AS DOUBLE)
@@ -284,5 +332,27 @@ object Ext9 {
          SELECT a, n, k0, msb, msw,
                 (msb - msw) / (msb + (k0 - 1.0) * msw) AS icc
          FROM e3""",
+
+    "x_type_canary" ->
+      """WITH one AS (SELECT event_id AS scan_big,
+                CAST(event_id AS INTEGER) AS scan_int,
+                value AS scan_dbl,
+                event_type AS scan_str,
+                value > 1.0 AS scan_bool,
+                ts AS scan_ts,
+                CAST(ts AS DATE) AS scan_date,
+                [event_id, user_id] AS scan_arr
+              FROM events ORDER BY event_id ASC LIMIT 1),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS agg_big,
+                CAST(max(event_id) AS INTEGER) AS agg_int,
+                max(value) AS agg_dbl,
+                max(event_type) AS agg_str,
+                count(*) > 0 AS agg_bool,
+                max(ts) AS agg_ts,
+                CAST(max(ts) AS DATE) AS agg_date,
+                [CAST(count(*) AS BIGINT),
+                 CAST(count(*) + 1 AS BIGINT)] AS agg_arr
+              FROM events)
+         SELECT * FROM one CROSS JOIN agg""",
   )
 }

@@ -25,8 +25,8 @@ class Ext8Spec extends SparkSpec {
       col("v")).collect().head
     val gt = (for (x <- a; y <- b) yield if (x > y) 1L else 0L).sum
     val lt = (for (x <- a; y <- b) yield if (x < y) 1L else 0L).sum
-    assert(row.getDecimal(2).longValueExact() == gt)
-    assert(row.getDecimal(3).longValueExact() == lt)
+    assert(row.getAs[Long]("n_gt") == gt)
+    assert(row.getAs[Long]("n_lt") == lt)
     assert(row.getAs[Double]("delta") ==
       (gt - lt).toDouble / (a.size.toLong * b.size).toDouble)
   }
@@ -41,7 +41,7 @@ class Ext8Spec extends SparkSpec {
       (for (p <- x; q <- y) yield
         if (p < q) 2L else if (p == q) 1L else 0L).sum
     val j2 = u2(a, b) + u2(a, c) + u2(b, c)
-    assert(row.getDecimal(1).longValueExact() == j2)
+    assert(row.getAs[Long]("j2") == j2)
     assert(row.getAs[Long]("n") == a.size + b.size + c.size)
   }
 
@@ -55,7 +55,7 @@ class Ext8Spec extends SparkSpec {
     val ab2 = a.map { v =>
       val m = m2(v); math.min(m, 2L * (n + 1) - m)
     }.sum
-    assert(row.getDecimal(2).longValueExact() == ab2)
+    assert(row.getAs[Long]("ab2") == ab2)
     assert(row.getAs[Double]("ab_stat") == ab2.toDouble / 2.0)
   }
 

@@ -327,8 +327,7 @@ class GraphsSpec extends SparkSpec {
       ("s3", "p3"), ("s3", "p1")).toDF("src", "dst")
     val got = Graphs.hitsScores(e, "src", "dst", topK = 10)
       .collect().map(r => r.getString(0) ->
-        (r.getDecimal(1).longValueExact, r.getDecimal(2).longValueExact,
-          r.getDouble(3))).toMap
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(got == Map(
       "p1" -> ((3L, 11L, 1.0)),
       "p2" -> ((1L, 4L, 4.0 / 11.0)),
