@@ -206,6 +206,39 @@ object Ext9 {
           array(col("nr"), col("nr") + lit(1L)).as("agg_arr"))
       one.crossJoin(broadcast(agg))
     }),
+
+    // single-type probes for the three dtypes NO r07-driver-green query
+    // ever emitted (TIMESTAMP, DATE, ARRAY — checked against
+    // CORRECTNESS_r07: 330 green queries output BIGINT, 217 DOUBLE,
+    // 156 VARCHAR, 72 INTEGER, 13 BOOLEAN, zero emit these three).
+    // The driver's hash is per-QUERY, so if the combined canary fails
+    // these minis say exactly WHICH dtype diverged; each also carries
+    // one proven-green BIGINT key so a mini failing isolates its own
+    // type beyond doubt.
+    "x_type_canary_ts" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.orderBy(col("event_id").asc).limit(1)
+        .select(col("event_id").as("k"),
+          col("ts").cast("timestamp_ntz").as("scan_ts"))
+        .crossJoin(broadcast(ev.agg(max("ts").as("m"))
+          .select(col("m").cast("timestamp_ntz").as("agg_ts"))))
+    }),
+
+    "x_type_canary_date" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.orderBy(col("event_id").asc).limit(1)
+        .select(col("event_id").as("k"), col("ts").cast("date").as("scan_date"))
+        .crossJoin(broadcast(ev.agg(max(col("ts").cast("date")).as("agg_date"))))
+    }),
+
+    "x_type_canary_arr" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.orderBy(col("event_id").asc).limit(1)
+        .select(col("event_id").as("k"),
+          array(col("event_id"), col("user_id")).as("scan_arr"))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("nr"))
+          .select(array(col("nr"), col("nr") + lit(1L)).as("agg_arr"))))
+    }),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -354,5 +387,22 @@ object Ext9 {
                  CAST(count(*) + 1 AS BIGINT)] AS agg_arr
               FROM events)
          SELECT * FROM one CROSS JOIN agg""",
+
+    "x_type_canary_ts" ->
+      """SELECT event_id AS k, ts AS scan_ts,
+                (SELECT max(ts) FROM events) AS agg_ts
+         FROM events ORDER BY event_id ASC LIMIT 1""",
+
+    "x_type_canary_date" ->
+      """SELECT event_id AS k, CAST(ts AS DATE) AS scan_date,
+                (SELECT CAST(max(ts) AS DATE) FROM events) AS agg_date
+         FROM events ORDER BY event_id ASC LIMIT 1""",
+
+    "x_type_canary_arr" ->
+      """SELECT event_id AS k, [event_id, user_id] AS scan_arr,
+                (SELECT [CAST(count(*) AS BIGINT),
+                         CAST(count(*) + 1 AS BIGINT)]
+                 FROM events) AS agg_arr
+         FROM events ORDER BY event_id ASC LIMIT 1""",
   )
 }
