@@ -363,6 +363,75 @@ object Similarity {
     }: _*)
   }
 
+  /** Greedy k-center selection (Gonzalez 1985, a 2-approximation of the
+    * optimal covering radius): the diversity-MAX subset seeding every
+    * curation pipeline wants next to the relevance-diversity trade of
+    * [[mmrDiversify]] — coreset seeds, active-learning initialization,
+    * eval-set spread. Round r picks the point FARTHEST from its nearest
+    * already-chosen center (argmax of min-distance, ties to the lowest
+    * id; center 0 is the lowest-id point, so the whole selection is a
+    * pure data function).
+    *
+    * Scale shape: each round is ONE corpus pass feeding a
+    * TakeOrderedAndProject(1) plus a single-row driver collect — the
+    * [[kmeansCentroids]] bounded-action loop; `k ≤ MaxLists` keeps the
+    * round count parameter-bounded, and the final assignment census is
+    * one more pass + a k-row hash aggregate. Distances are the
+    * SQL-replayable fixed-order dot arithmetic d² = v·v + (c·c − 2 v·c)
+    * (the [[centroidScores]] family), so the operator carries a full
+    * value oracle as an unrolled CTE chain.
+    *
+    * Returns k rows: (center_rank, center_id, n_assigned, radius_d2) —
+    * radius_d2 is the covering radius the selection achieves over its
+    * cell (max assigned min-distance). */
+  def kCenterSelect(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1 && k <= MaxLists,
+      s"kCenterSelect: k=$k outside [1, $MaxLists] — the greedy loop is " +
+        "one driver round-trip per center; pick fewer, coarser centers")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v")).where(col("v").isNotNull)
+    def collectOne(d: DataFrame): (Long, Array[Double]) = {
+      val r = d.limit(1).collect().head
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+    }
+    val first = collectOne(base.orderBy(col("id").asc))
+    var ids = Vector(first._1)
+    var cents = Vector(first._2)
+    // dmin over the chosen prefix: v·v + least_j(c_j·c_j − 2 v·c_j) —
+    // the shared-term shape the SQL oracle replays verbatim
+    def dmin(cs: Vector[Array[Double]]): Column = {
+      val terms = cs.map { c =>
+        lit(c.map(x => x * x).sum) - lit(2.0) * Vectors.dot(col("v"), typedlit(c))
+      }
+      Vectors.dot(col("v"), col("v")) +
+        (if (terms.size == 1) terms.head else least(terms: _*))
+    }
+    for (_ <- 1 until k) {
+      val next = collectOne(base
+        .select(col("id"), col("v"), dmin(cents).as("d"))
+        .orderBy(col("d").desc, col("id").asc))
+      ids = ids :+ next._1
+      cents = cents :+ next._2
+    }
+    val scored = array(cents.indices.map { j =>
+      struct((lit(cents(j).map(x => x * x).sum) -
+        lit(2.0) * Vectors.dot(col("v"), typedlit(cents(j)))).as("s"),
+        lit(j).as("rk"))
+    }: _*)
+    base
+      .select(col("id"), array_min(scored).as("m"),
+        Vectors.dot(col("v"), col("v")).as("vv"))
+      .select(col("m.rk").as("center_rank"),
+        (col("vv") + col("m.s")).as("d"))
+      .groupBy("center_rank")
+      .agg(count(lit(1)).as("n_assigned"), max(col("d")).as("radius_d2"))
+      .select(col("center_rank").cast("long").as("center_rank"),
+        element_at(typedlit(ids), col("center_rank").cast("int") + 1)
+          .as("center_id"),
+        col("n_assigned"), col("radius_d2"))
+  }
+
   /** Top principal component of an embedding column — the whitening /
     * dominant-direction probe every embedding pipeline wants (ABTT
     * "all-but-the-top" de-biasing drops exactly this component before

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Pmath, Text}
+import graft.operators.Similarity
 
 /** Round-7 second wave — agreement / association / variance-component
   * statistics and corpus-comparison scoring, all on the standing exact
@@ -231,6 +232,15 @@ object Ext9 {
         .crossJoin(broadcast(ev.agg(max(col("ts").cast("date")).as("agg_date"))))
     }),
 
+    // greedy k-center coreset seeding (Gonzalez) over the embeddings —
+    // the diversity-MAX census: 8 centers, each round argmax of
+    // min-distance (ties to the lowest id), then the covering census
+    // per center. All distances are the proven fixed-order dot
+    // arithmetic, so the full selection chain replays as unrolled CTEs.
+    "x_kcenter_select" -> ((s, d) =>
+      Similarity.kCenterSelect(t(s, d, "embeddings"), "vec_id",
+        "embedding", 8)),
+
     "x_type_canary_arr" -> ((s, d) => {
       val ev = t(s, d, "events")
       ev.orderBy(col("event_id").asc).limit(1)
@@ -243,7 +253,54 @@ object Ext9 {
 
   // ---------------------------------------------------------------- SQL
 
+  /** Unrolled Gonzalez k-center chain: c0 = lowest-id vector; round r
+    * computes every point's min distance to c0..c{r-1} (the engine's
+    * exact fixed-order form v·v + least(c·c − 2 v·c)) and takes the
+    * (d DESC, vec_id ASC) head; the census assigns by (s ASC, rk ASC)
+    * row_number — the array_min struct order on the engine side. */
+  private def kcenterSql(k: Int): String = {
+    def term(c: String) =
+      s"list_dot_product($c.v, $c.v) - 2.0 * list_dot_product(e.v, $c.v)"
+    val ctes = Seq.newBuilder[String]
+    ctes += """e AS (SELECT vec_id, list_transform(embedding,
+        x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL)"""
+    ctes += "c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1)"
+    (1 until k).foreach { r =>
+      val prev = (0 until r).map(j => term(s"c$j"))
+      val m = if (prev.size == 1) prev.head
+        else s"least(${prev.mkString(", ")})"
+      val joins = (0 until r).map(j => s"CROSS JOIN c$j").mkString(" ")
+      ctes += s"""d$r AS (SELECT e.vec_id, e.v,
+          list_dot_product(e.v, e.v) + ($m) AS d FROM e $joins)"""
+      ctes += s"""c$r AS (SELECT vec_id, v FROM d$r
+          ORDER BY d DESC, vec_id ASC LIMIT 1)"""
+    }
+    val union = (0 until k)
+      .map(j => s"SELECT $j AS rk, vec_id, v FROM c$j")
+      .mkString(" UNION ALL ")
+    s"""WITH ${ctes.result().mkString(",\n")},
+       cents AS ($union),
+       sc AS (SELECT e.vec_id, c.rk,
+                list_dot_product(e.v, e.v) AS vv,
+                list_dot_product(c.v, c.v) - 2.0 * list_dot_product(e.v, c.v)
+                  AS s
+              FROM e CROSS JOIN cents c),
+       asg AS (SELECT vec_id, rk, vv + s AS d FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY s ASC, rk ASC) AS rn FROM sc)
+               WHERE rn = 1)
+       SELECT CAST(a.rk AS BIGINT) AS center_rank,
+              c.vec_id AS center_id,
+              CAST(count(*) AS BIGINT) AS n_assigned,
+              max(a.d) AS radius_d2
+       FROM asg a JOIN cents c ON a.rk = c.rk
+       GROUP BY 1, 2"""
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "x_kcenter_select" -> kcenterSql(8),
 
     "x_ordinal_assoc" ->
       """WITH f AS (SELECT

@@ -547,4 +547,38 @@ class ExtSpec extends SparkSpec {
       .as[Double].collect()
     assert(selfSim.forall(c => math.abs(c - 1.0) < 1e-12))
   }
+
+  test("kCenterSelect == plain-Scala Gonzalez greedy on the collected set") {
+    val k = 5
+    val pts = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      // the operator's exact form: v·v + (c·c − 2 v·c), left folds
+      def dot(x: Array[Double], y: Array[Double]) = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+      }
+      dot(a, a) + (dot(b, b) - 2.0 * dot(a, b))
+    }
+    var chosen = Vector(pts.head)
+    for (_ <- 1 until k) {
+      val next = pts.map { p =>
+        (p, chosen.map(c => d2(p._2, c._2)).min)
+      }.maxBy { case ((id, _), d) => (d, -id) }._1
+      chosen = chosen :+ next
+    }
+    val expectIds = chosen.map(_._1)
+    val got = Similarity.kCenterSelect(emb, "vec_id", "embedding", k)
+      .orderBy("center_rank").collect()
+    assert(got.map(_.getAs[Long]("center_id")).toSeq == expectIds,
+      s"greedy selection diverged: got ${got.map(_.getLong(1)).toSeq}, " +
+        s"want $expectIds")
+    assert(got.map(_.getAs[Long]("n_assigned")).sum == pts.length)
+    assert(got.forall(_.getAs[Double]("radius_d2") >= 0.0))
+    // center 0's cell contains center 0 itself at distance exactly 0
+    // only if no other center is closer — weaker invariant: every
+    // radius is bounded by the previous round's selection distance
+    // (the Gonzalez monotonicity: farthest distances weakly decrease)
+  }
 }
