@@ -44,6 +44,28 @@ class ContractSpec extends SparkSpec {
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 
+  /** The driver captures only the TAIL 2000 chars of Bench stdout, and
+    * sbt appends a ~75-char success line after the JSON — r04 lost the
+    * whole round's numbers to silent head-truncation, and the r07 line
+    * ran 1914 chars with ~11 to spare. Budget the WORST case: every
+    * headline query present at "999.99" width plus the fixed wrapper,
+    * and fail the build before the driver ever truncates. */
+  test("bench headline line fits the driver's stdout tail window") {
+    val present = Bench.Headline.intersect(SparkEntry.queries.keySet)
+    val missing = Bench.Headline -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"headline names not in queries: $missing")
+    val entries = present.toSeq.sorted.map(k => s""""$k":999.99""")
+    val line = s"""{"metric":"total","value":99999.99,"unit":"sec",""" +
+      s""""queries":{${entries.mkString(",")}},"n_failed":0,""" +
+      s""""failed":[],"full":"BENCH_FULL.json",""" +
+      s""""sf":"/root/testdata/sf0.1"}"""
+    info(s"worst-case headline line: ${line.length} chars (${present.size} queries)")
+    assert(line.length <= 1900,
+      s"headline line ${line.length} chars risks the 2000-char tail " +
+        "window (sbt's success line needs ~80) — drop a member before " +
+        "adding one")
+  }
+
   /** Round-7 driver postmortem (VERDICT.md): every query whose FINAL
     * output schema contained a DECIMAL column failed the driver hash
     * (6/6) while no passing query emitted one (0/344) — the driver
