@@ -175,6 +175,79 @@ object LangModel {
       .toDF("doc_id", "n_words", "n_syms", "enc_digest")
   }
 
+  /** Greedy longest-match-first subword segmentation — the
+    * WordPiece-runtime half of tokenizer induction ([[bpeMerges]] /
+    * [[bpeEncode]] are the merge-learning half): the vocabulary is the
+    * top `vocabSize` substrings (length ≤ `maxPieceLen`) of the
+    * SAMPLE's words ranked by frequency-weighted occurrence count
+    * (ties to the lexicographically smaller piece), and every corpus
+    * word is walked left to right taking the LONGEST vocab piece at
+    * the cursor; a character no piece covers consumes one position as
+    * the reserved `<unk>` piece (5 chars — it cannot collide with any
+    * ≤ 4-char vocab entry). Returns the top `topK` pieces by
+    * frequency-weighted usage: (piece, n_uses).
+    *
+    * Everything is integer/string arithmetic, so the whole chain —
+    * vocab induction included — replays exactly in the SQL oracle
+    * (the fold as a list_reduce over a position-state string, the
+    * [[bpeEncode]] precedent). Deterministic: the vocab is a pure
+    * data function and the greedy walk has no ties.
+    *
+    * Scale shape: vocab induction is two hash aggregates over the
+    * BOUNDED sample plus a `vocabSize`-row driver collect (the BPE
+    * merge-table shape); segmentation is row-parallel mapPartitions
+    * over the corpus' DISTINCT words under a broadcast vocab, then
+    * one hash aggregate and a TakeOrderedAndProject(topK). Words are
+    * capped at `maxWordLen` chars on BOTH sides (the oracle fold
+    * unrolls that many steps). */
+  def wordpieceUsage(sample: DataFrame, corpus: DataFrame,
+                     textCol: String, vocabSize: Int = 64,
+                     maxPieceLen: Int = 4, maxWordLen: Int = 20,
+                     topK: Int = 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def words(df: DataFrame): DataFrame =
+      df.select(explode(split(col(textCol), " ")).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) <= maxWordLen)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val vocab: Array[String] = words(sample)
+      .select(col("cnt"), explode(flatten(
+        transform(sequence(lit(1), length(col("w"))), i =>
+          transform(sequence(lit(1), lit(maxPieceLen)), l =>
+            when(i + l - lit(1) <= length(col("w")),
+              col("w").substr(i, l)))))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy("p").agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("p").asc)
+      .limit(vocabSize)                    // param-bounded driver collect
+      .collect().map(_.getString(0))
+    val bc = spark.sparkContext.broadcast(vocab.toSet)
+    words(corpus).as[(String, Long)]
+      .mapPartitions { rows =>
+        val vs = bc.value
+        rows.flatMap { case (w, cnt) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          var pos = 0
+          while (pos < w.length) {
+            var l = math.min(maxPieceLen, w.length - pos)
+            var hit: String = null
+            while (l >= 1 && hit == null) {
+              val c = w.substring(pos, pos + l)
+              if (vs.contains(c)) hit = c else l -= 1
+            }
+            if (hit == null) { out += (("<unk>", cnt)); pos += 1 }
+            else { out += ((hit, cnt)); pos += hit.length }
+          }
+          out
+        }
+      }
+      .toDF("piece", "cnt")
+      .groupBy("piece").agg(sum("cnt").as("n_uses"))
+      .orderBy(col("n_uses").desc, col("piece").asc)
+      .limit(topK)
+      .select(col("piece"), col("n_uses"))
+  }
+
   /** Per-document token Shannon entropy — the repetitiveness signal
     * quality filters pair with length/perplexity: H = Σ (c/n)·ln(n/c)
     * over the doc's token distribution. Boilerplate and keyword-stuffed

@@ -232,6 +232,18 @@ object Ext9 {
         .crossJoin(broadcast(ev.agg(max(col("ts").cast("date")).as("agg_date"))))
     }),
 
+    // the WordPiece-runtime half of tokenizer induction: vocab = top-64
+    // substrings (len ≤ 4) of the doc_id<1000 sample's words by
+    // weighted occurrence count, then greedy longest-match segmentation
+    // of the whole corpus — pure integer/string arithmetic end to end,
+    // oracle replays vocab induction AND the walk (list_reduce over a
+    // position-state string, the bpeEncode fold precedent)
+    "x_wordpiece_segment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.LangModel.wordpieceUsage(
+        docs.filter(col("doc_id") < 1000), docs, "text")
+    }),
+
     // greedy k-center coreset seeding (Gonzalez) over the embeddings —
     // the diversity-MAX census: 8 centers, each round argmax of
     // min-distance (ties to the lowest id), then the covering census
@@ -298,9 +310,58 @@ object Ext9 {
        GROUP BY 1, 2"""
   }
 
+  /** WordPiece greedy-segmentation replay: vocab induction as plain
+    * aggregates, the longest-match walk as a list_reduce whose
+    * accumulator is a chr(30)-separated (consumed-chars, pieces)
+    * state string (pieces chr(31)-joined — the bpeFold encoding).
+    * Words are ≤ 20 chars so 20 fold steps always finish the walk;
+    * finished states pass through untouched. */
+  private def wordpieceSql: String = {
+    val P = "CAST(string_split(acc, chr(30))[1] AS INT)"
+    val PS = "string_split(acc, chr(30))[2]"
+    def mk(np: String, piece: String) =
+      s"CAST($np AS VARCHAR) || chr(30) || (CASE WHEN $PS = '' " +
+        s"THEN $piece ELSE $PS || chr(31) || $piece END)"
+    def arm(l: Int) =
+      s"WHEN $P + $l <= len(w) AND list_contains(vocab, " +
+        s"substr(w, $P + 1, $l)) THEN " +
+        mk(s"$P + $l", s"substr(w, $P + 1, $l)")
+    val step = s"""CASE WHEN $P >= len(w) THEN acc
+        ${(4 to 1 by -1).map(arm).mkString("\n        ")}
+        ELSE ${mk(s"$P + 1", "'<unk>'")} END"""
+    s"""WITH wsamp AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM
+          (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+           WHERE doc_id < 1000)
+          WHERE w <> '' AND len(w) <= 20 GROUP BY w),
+       g1 AS (SELECT cnt, w, unnest(range(1, len(w) + 1)) AS i FROM wsamp),
+       g2 AS (SELECT cnt, w, i, unnest([1, 2, 3, 4]) AS l FROM g1),
+       sub AS (SELECT substr(w, i::INT, l) AS p,
+                 CAST(sum(cnt) AS BIGINT) AS n
+               FROM g2 WHERE i + l - 1 <= len(w) GROUP BY 1),
+       voc AS (SELECT p FROM sub ORDER BY n DESC, p ASC LIMIT 64),
+       vl AS (SELECT list(p) AS vocab FROM voc),
+       wcorp AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM
+          (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' AND len(w) <= 20 GROUP BY w),
+       seg AS (SELECT cnt, list_reduce(
+                 list_prepend('0' || chr(30),
+                   list_transform(range(1, 21), x -> '')),
+                 (acc, x) -> $step) AS st
+               FROM wcorp CROSS JOIN vl),
+       pieces AS (SELECT cnt, unnest(string_split(
+                    string_split(st, chr(30))[2], chr(31))) AS piece
+                  FROM seg),
+       agg AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n_uses
+               FROM pieces WHERE piece <> '' GROUP BY 1)
+       SELECT piece, n_uses FROM agg
+       ORDER BY n_uses DESC, piece ASC LIMIT 20"""
+  }
+
   val oracle: Map[String, String] = Map(
 
     "x_kcenter_select" -> kcenterSql(8),
+
+    "x_wordpiece_segment" -> wordpieceSql,
 
     "x_ordinal_assoc" ->
       """WITH f AS (SELECT

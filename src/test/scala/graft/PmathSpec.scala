@@ -222,6 +222,52 @@ class PmathSpec extends SparkSpec {
     assert(enc2 == enc)
   }
 
+  test("wordpiece usage == plain-Scala vocab induction + greedy walk") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val texts = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    def wordCounts(ts: Seq[String]): Map[String, Long] =
+      ts.flatMap(_.split(" ", -1)).filter(w => w.nonEmpty && w.length <= 20)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sampleWords = wordCounts(texts.filter(_._1 < 1000).map(_._2).toSeq)
+    val pieceCounts = scala.collection.mutable.Map.empty[String, Long]
+    sampleWords.foreach { case (w, cnt) =>
+      for (i <- 0 until w.length; l <- 1 to 4 if i + l <= w.length)
+        pieceCounts.updateWith(w.substring(i, i + l))(
+          o => Some(o.getOrElse(0L) + cnt))
+    }
+    val vocab = pieceCounts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(64).map(_._1).toSet
+    def seg(w: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < w.length) {
+        val l = (math.min(4, w.length - pos) to 1 by -1)
+          .find(l => vocab.contains(w.substring(pos, pos + l)))
+        l match {
+          case Some(n) => out += w.substring(pos, pos + n); pos += n
+          case None    => out += "<unk>"; pos += 1
+        }
+      }
+      out.toSeq
+    }
+    val expect = wordCounts(texts.map(_._2).toSeq).toSeq
+      .flatMap { case (w, cnt) => seg(w).map(_ -> cnt) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = graft.operators.LangModel.wordpieceUsage(
+        docs.filter(col("doc_id") < 1000), docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect, s"top-20 diverged:\n got $got\n exp $expect")
+    // partition invariance: counts are hash-agg sums of exact longs
+    val got2 = graft.operators.LangModel.wordpieceUsage(
+        docs.filter(col("doc_id") < 1000).repartition(5),
+        docs.repartition(7), "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got2 == got)
+  }
+
   test("token entropy: 0 for constant docs, ln(n) for all-distinct, partition-invariant") {
     import spark.implicits._
     val docs = Seq(
