@@ -228,6 +228,68 @@ object Multimodal {
         "sum_amp", "sum_sq", "peak", "zero_crossings")
   }
 
+  /** Frame-level audio FEATURES from the real decode — the
+    * feature-extract step a curation pipeline runs after
+    * [[decodeWavs]]'s clip-level gate: fixed `frameLen`-sample frames
+    * (the last frame may be short), each reporting the integer-exact
+    * energy statistics (sum, sum of squares, peak, zero crossings
+    * counted over adjacent pairs WITHIN the frame) plus the IEEE rms —
+    * one exact integer division then one correctly-rounded sqrt, so
+    * the double replays bit-for-bit in SQL. Undecodable payloads
+    * quarantine to zero frames (the decodeWavs contract).
+    *
+    * Scale shape: row-parallel mapPartitions (one codec context per
+    * partition), output at (media_id, frame_idx) grain — ≤
+    * ⌈samples/frameLen⌉ narrow rows per clip, no shuffle at all. */
+  def decodeWavFrames(media: DataFrame, frameLen: Int = 16): DataFrame = {
+    require(frameLen >= 2,
+      s"decodeWavFrames: frameLen must be >= 2, got $frameLen")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              !fmt.isBigEndian)
+            val raw = ais.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(raw)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = raw.length / 2
+            val nFrames = (n + frameLen - 1) / frameLen
+            (0 until nFrames).map { f =>
+              val from = f * frameLen
+              val until = math.min(from + frameLen, n)
+              var (sumAmp, sumSq, zcr) = (0L, 0L, 0L)
+              var (peak, prevSign) = (0, 0)
+              var i = from
+              while (i < until) {
+                val s = bb.getShort(i * 2).toInt
+                sumAmp += s; sumSq += s.toLong * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                val sign = if (s < 0) -1 else 1
+                if (i > from && sign != prevSign) zcr += 1
+                prevSign = sign
+                i += 1
+              }
+              val cnt = (until - from).toLong
+              (id, f.toLong, cnt, sumAmp, sumSq, peak, zcr,
+                math.sqrt(sumSq.toDouble / cnt))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Seq.empty[(Long, Long, Long, Long, Long, Int, Long, Double)]
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "n_in_frame", "sum_amp", "sum_sq",
+        "peak", "zcr", "rms")
+  }
+
   // ---- video: real RIFF/AVI container with uncompressed DIB frames ----
 
   /** Little-endian byte helpers for the RIFF writer. */

@@ -232,6 +232,16 @@ object Ext9 {
         .crossJoin(broadcast(ev.agg(max(col("ts").cast("date")).as("agg_date"))))
     }),
 
+    // frame-level audio features from the REAL JDK WAV decode — the
+    // feature-extract step after x_audio_decode's clip gate: 16-sample
+    // frames, integer energy/peak/ZCR per frame plus the one-division-
+    // one-sqrt rms; the oracle regenerates every sample from the synth
+    // closed form, so any frame-boundary or sign-logic slip mismatches
+    "x_audio_frames" -> ((s, d) =>
+      graft.operators.Multimodal.decodeWavFrames(
+        graft.operators.Multimodal.synthWavs(
+          t(s, d, "documents").filter(col("doc_id") < 200), "doc_id"))),
+
     // the WordPiece-runtime half of tokenizer induction: vocab = top-64
     // substrings (len ≤ 4) of the doc_id<1000 sample's words by
     // weighted occurrence count, then greedy longest-match segmentation
@@ -362,6 +372,32 @@ object Ext9 {
     "x_kcenter_select" -> kcenterSql(8),
 
     "x_wordpiece_segment" -> wordpieceSql,
+
+    // what a correct frame split of the decoded WAV MUST report: the
+    // synth samples ((id·73 + i·37) mod 4096) − 2048 regenerated
+    // positionally, framed by i div 16, zero crossings over adjacent
+    // pairs WITHIN the frame (lag partitioned by frame), rms as one
+    // exact division then one correctly-rounded sqrt
+    "x_audio_frames" ->
+      """WITH ids AS (SELECT doc_id AS media_id, 32 + doc_id % 33 AS n
+                      FROM documents WHERE doc_id < 200),
+         s AS (SELECT media_id, i // 16 AS frame_idx, i,
+                 ((media_id * 73 + i * 37) % 4096) - 2048 AS v
+               FROM (SELECT media_id, unnest(range(n)) AS i FROM ids)),
+         z AS (SELECT media_id, frame_idx, v,
+                 CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg,
+                 lag(CASE WHEN v < 0 THEN -1 ELSE 1 END) OVER
+                   (PARTITION BY media_id, frame_idx ORDER BY i) AS psg
+               FROM s)
+         SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(count(*) AS BIGINT) AS n_in_frame,
+                CAST(sum(v) AS BIGINT) AS sum_amp,
+                CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                CAST(max(abs(v)) AS INTEGER) AS peak,
+                CAST(count(*) FILTER (WHERE psg IS NOT NULL AND sg <> psg)
+                     AS BIGINT) AS zcr,
+                sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) AS rms
+         FROM z GROUP BY media_id, frame_idx""",
 
     "x_ordinal_assoc" ->
       """WITH f AS (SELECT

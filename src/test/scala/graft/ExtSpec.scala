@@ -372,6 +372,34 @@ class ExtSpec extends SparkSpec {
     assert(bad.getLong(0) == 999L && bad.isNullAt(1) && bad.isNullAt(4))
   }
 
+  test("multimodal: frame features reconcile with clip stats; garbage -> zero frames") {
+    val wavs = Multimodal.synthWavs(docs.filter(col("doc_id") < 20), "doc_id")
+    val clips = Multimodal.decodeWavs(wavs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getInt(6))).toMap
+    val frames = Multimodal.decodeWavFrames(wavs).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5),
+          r.getLong(6), r.getDouble(7))))
+    frames.groupBy(_._1).foreach { case (id, fs) =>
+      val (n, sumAmp, sumSq, peak) = clips(id)
+      assert(fs.length == ((n + 15) / 16).toInt, s"id=$id frame count")
+      // frame indexes are 0..nFrames-1, short last frame only
+      assert(fs.map(_._2).sorted.toSeq == (0L until fs.length).toSeq)
+      assert(fs.map(_._3._1).sum == n, s"id=$id sample partition")
+      assert(fs.map(_._3._2).sum == sumAmp && fs.map(_._3._3).sum == sumSq,
+        s"id=$id frame sums don't reconcile with clip sums")
+      assert(fs.map(_._3._4).max == peak, s"id=$id peak")
+      fs.foreach { case (_, _, (cnt, _, sq, _, zcr, rms)) =>
+        assert(zcr < cnt, "zcr bounded by in-frame pairs")
+        assert(math.abs(rms - math.sqrt(sq.toDouble / cnt)) == 0.0)
+      }
+    }
+    val garbage = Seq((999L, Array[Byte](82, 73, 70, 70)))
+      .toDF("media_id", "payload")
+    assert(Multimodal.decodeWavFrames(garbage).collect().isEmpty)
+  }
+
   test("multimodal: real AVI demux+DIB decode reads back exact per-frame content; garbage -> zero frames") {
     val decoded = Multimodal.demuxAviFrames(
       Multimodal.synthAvis(docs.filter(col("doc_id") < 20), "doc_id"))

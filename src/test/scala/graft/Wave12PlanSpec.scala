@@ -51,4 +51,23 @@ class Wave12PlanSpec extends SparkSpec {
         s"$q must combine map-side before shuffling:\n$plan")
     }
   }
+
+  test("round-8 breadth ops keep bounded-top-k, product-free plans") {
+    // kCenterSelect: the selection rounds run eagerly (bounded driver
+    // collects) during plan construction; the RETURNED census plan
+    // must be a hash aggregate over broadcast-literal scoring — no
+    // cartesian product, no global sort (k rows only)
+    val kc = planOf("x_kcenter_select")
+    assert(!kc.contains("CartesianProduct"),
+      s"x_kcenter_select census must not pair frames:\n$kc")
+    assert(kc.contains("HashAggregate"),
+      s"x_kcenter_select census must reduce via hash aggregate:\n$kc")
+    // wordpieceUsage: distinct-word hash agg → mapPartitions walk →
+    // hash agg → TakeOrderedAndProject(topK); never a full global sort
+    val wp = planOf("x_wordpiece_segment")
+    assert(!wp.contains("CartesianProduct"),
+      s"x_wordpiece_segment must not pair frames:\n$wp")
+    assert(wp.contains("TakeOrderedAndProject"),
+      s"x_wordpiece_segment top-k must be a bounded heap:\n$wp")
+  }
 }
