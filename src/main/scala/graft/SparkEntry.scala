@@ -24,12 +24,14 @@ object SparkEntry {
       graft.queries.Ext2.queries ++ graft.queries.Ext3.queries ++
       graft.queries.Ext4.queries ++ graft.queries.Ext5.queries ++
       graft.queries.Ext6.queries ++ graft.queries.Ext7.queries ++
-      graft.queries.Ext8.queries ++ graft.queries.Ext9.queries
+      graft.queries.Ext8.queries ++ graft.queries.Ext9.queries ++
+      graft.queries.Ext10.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Parity.oracle ++ graft.queries.Ext.oracle ++
       graft.queries.Ext2.oracle ++ graft.queries.Ext3.oracle ++
       graft.queries.Ext4.oracle ++ graft.queries.Ext5.oracle ++
       graft.queries.Ext6.oracle ++ graft.queries.Ext7.oracle ++
-      graft.queries.Ext8.oracle ++ graft.queries.Ext9.oracle
+      graft.queries.Ext8.oracle ++ graft.queries.Ext9.oracle ++
+      graft.queries.Ext10.oracle
 }

@@ -865,6 +865,83 @@ object Stats {
         ((col("u_stat") - col("mu")) / sqrt(col("sig2"))).as("z_stat"))
   }
 
+  /** Brunner–Munzel test: the heteroscedasticity-robust generalization
+    * of [[mannWhitneyU]] (the "generalized Wilcoxon" — valid when the
+    * two groups have different variances/shapes, the realistic corpus
+    * case). Statistic per Brunner & Munzel (2000): the placement-based
+    * relative effect p̂ = (R̄₂ − (n₂+1)/2)/n₁ with the Satterthwaite-
+    * style studentization from within-group placement variances.
+    *
+    * Exactness: combined AND within-group midranks both come off ONE
+    * distinct-value spine (2·midrank integral, the [[mannWhitneyU]]
+    * device, extended with a second cumulative sum for the group-A
+    * prefix). The variance Σ(R − R⁽ⁱ⁾ − R̄ᵢ + (nᵢ+1)/2)² expands around
+    * the integer core u = 2R − 2R⁽ⁱ⁾: Σc·u and Σc·u² accumulate in
+    * decimal(38,0) (u is O(n), so u² passes 2⁶³ near ~3×10⁹ rows —
+    * never an output column), and the mean shift enters only in the
+    * one-row double epilogue, fixed op order on both engines.
+    *
+    * Scale shape: value-spine aggregate + [[Rank.withCumSums]]
+    * (distributed, two sums in one pass) + a 1-row reduce. */
+  def brunnerMunzel(df: DataFrame, inA: Column,
+                    valueCol: String): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val f = df.select(col(valueCol).as("v"),
+      when(inA, 1L).otherwise(0L).as("ya"))
+    val perV = f.groupBy("v").agg(count(lit(1)).as("cnt"), sum("ya").as("ca"))
+    val sp = Rank
+      .withCumSums(perV, Seq("v"), Seq("cnt" -> "cum", "ca" -> "cuma"))
+      .withColumn("cb", col("cnt") - col("ca"))
+      .withColumn("cumb", col("cum") - col("cuma"))
+      // 2·midrank of value v: combined, within-A, within-B (integers)
+      .withColumn("mm2",
+        lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+      .withColumn("ma2",
+        lit(2L) * (col("cuma") - col("ca")) + col("ca") + lit(1L))
+      .withColumn("mb2",
+        lit(2L) * (col("cumb") - col("cb")) + col("cb") + lit(1L))
+    // integer placement cores u = 2R − 2R⁽ⁱ⁾ (≥ 0: the combined prefix
+    // dominates the within-group prefix pointwise)
+    val sums = sp.agg(
+      sum(dec(col("ca")) * col("mm2")).as("sra"),
+      sum(dec(col("cb")) * col("mm2")).as("srb"),
+      sum(dec(col("ca")) * (col("mm2") - col("ma2"))).as("sua"),
+      sum(dec(col("cb")) * (col("mm2") - col("mb2"))).as("sub"),
+      sum(dec(col("ca")) * dec(col("mm2") - col("ma2")) *
+        (col("mm2") - col("ma2"))).as("squa"),
+      sum(dec(col("cb")) * dec(col("mm2") - col("mb2")) *
+        (col("mm2") - col("mb2"))).as("squb"))
+    val tot = f.agg(sum("ya").as("n1"), (count(lit(1)) - sum("ya")).as("n2"))
+    sums.crossJoin(broadcast(tot))
+      .withColumn("n1d", dbl(col("n1")))
+      .withColumn("n2d", dbl(col("n2")))
+      .withColumn("m1d", ddec(col("sra")) / (lit(2.0) * col("n1d")))
+      .withColumn("m2d", ddec(col("srb")) / (lit(2.0) * col("n2d")))
+      .withColumn("ka", (col("n1d") + lit(1.0)) - lit(2.0) * col("m1d"))
+      .withColumn("kb", (col("n2d") + lit(1.0)) - lit(2.0) * col("m2d"))
+      .withColumn("v1",
+        (ddec(col("squa")) + lit(2.0) * col("ka") * ddec(col("sua")) +
+          col("n1d") * col("ka") * col("ka")) /
+          (lit(4.0) * (col("n1d") - lit(1.0))))
+      .withColumn("v2",
+        (ddec(col("squb")) + lit(2.0) * col("kb") * ddec(col("sub")) +
+          col("n2d") * col("kb") * col("kb")) /
+          (lit(4.0) * (col("n2d") - lit(1.0))))
+      .withColumn("vs", col("n1d") * col("v1") + col("n2d") * col("v2"))
+      .select(col("n1"), col("n2"),
+        ((col("m2d") - (col("n2d") + lit(1.0)) / lit(2.0)) / col("n1d"))
+          .as("p_hat"),
+        (col("n1d") * col("n2d") * (col("m2d") - col("m1d")) /
+          ((col("n1d") + col("n2d")) * sqrt(col("vs")))).as("w_stat"),
+        (col("vs") * col("vs") /
+          ((col("n1d") * col("v1")) * (col("n1d") * col("v1")) /
+            (col("n1d") - lit(1.0)) +
+           (col("n2d") * col("v2")) * (col("n2d") * col("v2")) /
+            (col("n2d") - lit(1.0)))).as("df_hat"))
+  }
+
   /** Kruskal–Wallis H test: the rank-based (distribution-free) analog
     * of [[anovaF]] across k groups. Global midranks from the
     * distinct-value spine (integer 2·midrank), per-group rank sums via
