@@ -387,6 +387,76 @@ object Stats {
           lit(1.0), (a, x) => a * x).as("surv"))
   }
 
+  /** Aalen–Johansen cumulative incidence under two competing risks:
+    * the [[kaplanMeier]] generalization when units can exit via either
+    * of two mutually-exclusive event types (first purchase vs first
+    * error, churn vs conversion). Naive per-cause 1−KM overstates both
+    * curves; the CIF weights each cause's hazard by the overall
+    * survival: CIFₖ(tᵢ) = Σ_{l≤i} S(t_{l−1})·d_{k,l}/n_l.
+    *
+    * Shape: distinct-time spine + [[Rank.withCumSums]] risk sets (the
+    * KM device, one extra event-type split), then ONE sequential fold
+    * over the ≤ |distinct times| spine carrying (S, CIF₁, CIF₂) —
+    * pure fixed-order +,×,÷ doubles, recursive-CTE replayable.
+    *
+    * @param type1Col unit exited via cause 1 (exclusive with type2)
+    * @param type2Col unit exited via cause 2; neither ⇒ censored */
+  def competingRisks(df: DataFrame, durCol: Column, type1Col: Column,
+                     type2Col: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    val f = df.select(durCol.cast("long").as("t"),
+      when(type1Col, 1L).otherwise(0L).as("e1"),
+      when(type2Col, 1L).otherwise(0L).as("e2"))
+    val perT = f.groupBy("t").agg(count(lit(1)).as("n_all"),
+      sum("e1").as("d1"), sum("e2").as("d2"))
+    val tot = f.agg(count(lit(1)).as("n_total"))
+    val ev = Rank.withCumSums(perT, Seq("t"), Seq("n_all" -> "cum_b"),
+        inclusive = false)
+      .crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("n_total") - col("cum_b"))
+      .where(col("d1") + col("d2") > 0)
+    val sorted = sort_array(collect_list(struct(col("t"), col("n_risk"),
+      col("d1"), col("d2"))))
+    val packed = ev.groupBy().agg(
+      transform(sorted, x => x.getField("t")).as("ts"),
+      transform(sorted, x => x.getField("n_risk")).as("ns"),
+      transform(sorted, x => x.getField("d1")).as("d1s"),
+      transform(sorted, x => x.getField("d2")).as("d2s"))
+    val st0 = struct(lit(1.0).as("s"),
+      lit(0.0).as("v1"), lit(0.0).as("v2"),
+      expr("cast(array() as array<double>)").as("c1"),
+      expr("cast(array() as array<double>)").as("c2"),
+      expr("cast(array() as array<double>)").as("ss"))
+    val dp = aggregate(
+      sequence(lit(1), size(col("ts"))),
+      st0,
+      (st, tc) => {
+        val i = tc.cast("int")
+        val n = element_at(col("ns"), i)
+        val d1 = element_at(col("d1s"), i)
+        val d2 = element_at(col("d2s"), i)
+        val c1n = st.getField("v1") + st.getField("s") * (dbl(d1) / dbl(n))
+        val c2n = st.getField("v2") + st.getField("s") * (dbl(d2) / dbl(n))
+        val sn = st.getField("s") * (lit(1.0) - dbl(d1 + d2) / dbl(n))
+        struct(sn.as("s"), c1n.as("v1"), c2n.as("v2"),
+          concat(st.getField("c1"), array(c1n)).as("c1"),
+          concat(st.getField("c2"), array(c2n)).as("c2"),
+          concat(st.getField("ss"), array(sn)).as("ss"))
+      })
+    packed.select(col("ts"), col("ns"), col("d1s"), col("d2s"),
+        dp.getField("c1").as("c1"), dp.getField("c2").as("c2"),
+        dp.getField("ss").as("ss"))
+      .select(posexplode(col("ts")).as(Seq("i", "t_dur")),
+        col("ns"), col("d1s"), col("d2s"), col("c1"), col("c2"), col("ss"))
+      .select(col("t_dur"),
+        element_at(col("ns"), col("i") + 1).as("n_risk"),
+        element_at(col("d1s"), col("i") + 1).as("d_cause1"),
+        element_at(col("d2s"), col("i") + 1).as("d_cause2"),
+        element_at(col("c1"), col("i") + 1).as("cif_cause1"),
+        element_at(col("c2"), col("i") + 1).as("cif_cause2"),
+        element_at(col("ss"), col("i") + 1).as("surv_all"))
+  }
+
   /** Two-proportion A/B test readout: deterministic hash-half variant
     * assignment upstream, pooled two-proportion z statistic here —
     * the experimentation primitive every event warehouse serves.

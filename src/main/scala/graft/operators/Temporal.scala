@@ -313,6 +313,123 @@ object Temporal {
           .as("resid"))
   }
 
+  /** One-dimensional random-walk Kalman filter over a bounded series:
+    * state xₜ = xₜ₋₁ + w (process var `q`), observation zₜ = xₜ + v
+    * (noise var `r`), diffuse prior (x₀ = 0, large `p0`) so every step
+    * is a uniform update — no init special case. The optimal-recursive
+    * denoiser for level-tracking metrics, and the [[holtWintersAdditive]]
+    * fold shape: one `aggregate` whose state is (x, P, emitted lists).
+    *
+    * Exactness: each step is `P⁺ = P + q`, `K = P⁺/(P⁺ + r)`,
+    * `x' = x + K·(z − x)`, `P' = (1 − K)·P⁺` — only IEEE +,−,×,÷ in a
+    * fixed sequential order, so the whole trajectory replays bit-exact
+    * as a recursive SQL CTE (callers feed exact-integer-derived z).
+    *
+    * Scale shape: the data-sized reduction happens UPSTREAM (callers
+    * aggregate to a calendar-bounded series); the fold itself is a
+    * parameter-bounded single-row op, the Viterbi/Holt-Winters
+    * convention. */
+  def kalman1d(series: DataFrame, orderCol: String, valCol: String,
+               q: Double, r: Double, p0: Double): DataFrame = {
+    val sorted = sort_array(collect_list(struct(col(orderCol),
+      col(valCol))))
+    val packed = series.groupBy().agg(
+      transform(sorted, x => x.getField(orderCol)).as("ks"),
+      transform(sorted, x => x.getField(valCol).cast("double")).as("zs"))
+    val st0 = struct(lit(0.0).as("x"), lit(p0).as("p"),
+      expr("cast(array() as array<double>)").as("fx"),
+      expr("cast(array() as array<double>)").as("fp"),
+      expr("cast(array() as array<double>)").as("fk"))
+    val dp = aggregate(
+      sequence(lit(1), size(col("zs"))),
+      st0,
+      (st, tc) => {
+        val z = element_at(col("zs"), tc.cast("int"))
+        val ppred = st.getField("p") + lit(q)
+        val kg = ppred / (ppred + lit(r))
+        val xn = st.getField("x") + kg * (z - st.getField("x"))
+        val pn = (lit(1.0) - kg) * ppred
+        struct(xn.as("x"), pn.as("p"),
+          concat(st.getField("fx"), array(xn)).as("fx"),
+          concat(st.getField("fp"), array(pn)).as("fp"),
+          concat(st.getField("fk"), array(kg)).as("fk"))
+      })
+    packed.select(col("ks"), col("zs"), dp.getField("fx").as("fx"),
+        dp.getField("fp").as("fp"), dp.getField("fk").as("fk"))
+      .select(posexplode(col("ks")).as(Seq("i", orderCol)),
+        col("zs"), col("fx"), col("fp"), col("fk"))
+      .select(col(orderCol),
+        element_at(col("zs"), col("i") + 1).as("z"),
+        element_at(col("fx"), col("i") + 1).as("x_filt"),
+        element_at(col("fp"), col("i") + 1).as("p_var"),
+        element_at(col("fk"), col("i") + 1).as("k_gain"))
+  }
+
+  /** Croston's method (1972) for intermittent demand: exponential
+    * smoothing of the nonzero demand SIZES and of the INTER-DEMAND
+    * intervals separately, forecast = ẑ/p̂ — the standard sparse-series
+    * forecaster (zero-inflated SES would bias toward zero). Input is a
+    * DENSE calendar spine (callers left-join zeros in); output one row
+    * per demand day with the post-update state.
+    *
+    * Init convention: at the first demand, ẑ = that demand and p̂ = the
+    * elapsed interval since the series start (q starts at 1). Zero
+    * days only increment the interval counter. Pure +,×,÷ double
+    * chain in fold order → recursive-CTE replayable.
+    *
+    * Scale shape: same as [[kalman1d]] — calendar-bounded fold after a
+    * data-sized upstream aggregate. */
+  def croston(series: DataFrame, orderCol: String, valCol: String,
+              alpha: Double): DataFrame = {
+    val sorted = sort_array(collect_list(struct(col(orderCol),
+      col(valCol))))
+    val packed = series.groupBy().agg(
+      transform(sorted, x => x.getField(orderCol)).as("ks"),
+      transform(sorted, x => x.getField(valCol).cast("long")).as("ds"))
+    val st0 = struct(lit(false).as("seen"), lit(0.0).as("zh"),
+      lit(0.0).as("ph"), lit(1.0).as("qq"),
+      expr("cast(array() as array<int>)").as("oi"),
+      expr("cast(array() as array<double>)").as("oz"),
+      expr("cast(array() as array<double>)").as("op"))
+    val dp = aggregate(
+      sequence(lit(1), size(col("ds"))),
+      st0,
+      (st, tc) => {
+        val ti = tc.cast("int")
+        val d = element_at(col("ds"), ti)
+        val dd = d.cast("double")
+        val zhn = when(st.getField("seen"),
+          st.getField("zh") + lit(alpha) * (dd - st.getField("zh")))
+          .otherwise(dd)
+        val phn = when(st.getField("seen"),
+          st.getField("ph") + lit(alpha) *
+            (st.getField("qq") - st.getField("ph")))
+          .otherwise(st.getField("qq"))
+        when(d > 0L,
+          struct(lit(true).as("seen"), zhn.as("zh"), phn.as("ph"),
+            lit(1.0).as("qq"),
+            concat(st.getField("oi"), array(ti)).as("oi"),
+            concat(st.getField("oz"), array(zhn)).as("oz"),
+            concat(st.getField("op"), array(phn)).as("op")))
+          .otherwise(
+            struct(st.getField("seen").as("seen"),
+              st.getField("zh").as("zh"), st.getField("ph").as("ph"),
+              (st.getField("qq") + lit(1.0)).as("qq"),
+              st.getField("oi").as("oi"), st.getField("oz").as("oz"),
+              st.getField("op").as("op")))
+      })
+    packed.select(col("ks"), col("ds"), dp.getField("oi").as("oi"),
+        dp.getField("oz").as("oz"), dp.getField("op").as("op"))
+      .select(posexplode(col("oi")).as(Seq("j", "ti")),
+        col("ks"), col("ds"), col("oz"), col("op"))
+      .select(element_at(col("ks"), col("ti")).as(orderCol),
+        element_at(col("ds"), col("ti")).as("demand"),
+        element_at(col("oz"), col("j") + 1).as("z_hat"),
+        element_at(col("op"), col("j") + 1).as("p_hat"),
+        (element_at(col("oz"), col("j") + 1) /
+          element_at(col("op"), col("j") + 1)).as("forecast"))
+  }
+
   def saxWords(df: DataFrame, keyCol: String, tsCol: Column,
                valueExpr: Column, slotsPerSeg: Int = 4,
                alphabet: Int = 4): DataFrame = {

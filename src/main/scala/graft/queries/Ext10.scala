@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Pmath
-import graft.operators.{Rank, Stats}
+import graft.operators.{Rank, Stats, Temporal}
 
 /** Round-8 third wave — nonparametric / categorical-association
   * statistics on the standing exact recipes:
@@ -118,6 +118,61 @@ object Ext10 {
         .select(col("n"), col("sum_max_x"), col("max_marg"),
           (dbl(col("sum_max_x") - col("max_marg")) /
             dbl(col("n") - col("max_marg"))).as("lambda_yx"))
+    }),
+
+    // 1-D Kalman denoise of the daily revenue series: exact integer
+    // cents per day (the deterministic-sum device), one division to
+    // the observation, then the sequential filter fold — engine
+    // aggregate-fold vs oracle recursive CTE, bit-exact (only IEEE
+    // +,−,×,÷ in fixed order). q=10, r=400, diffuse p0=10000.
+    "x_kalman_1d" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).cast("long").as("day_idx"))
+        .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("cents"))
+        .select(col("day_idx"),
+          (col("cents").cast("double") / lit(100.0)).as("z"))
+      Temporal.kalman1d(daily, "day_idx", "z",
+        q = 10.0, r = 400.0, p0 = 10000.0)
+    }),
+
+    // Croston intermittent-demand forecast of daily error counts over
+    // the DENSE day spine (zero days left-joined in): size and
+    // interval smoothed separately at α=0.1, one row per demand day
+    "x_croston" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val dayIdx = datediff(col("ts").cast("date"),
+        lit("2024-01-01").cast("date")).cast("long")
+      val perDay = ev.filter(col("event_type") === "error")
+        .groupBy(dayIdx.as("day_idx")).agg(count(lit(1)).as("demand"))
+      val spine = ev.agg(max(dayIdx).as("mx"))
+        .select(explode(sequence(lit(0L), col("mx"))).as("day_idx"))
+        .join(perDay, Seq("day_idx"), "left")
+        .select(col("day_idx"),
+          coalesce(col("demand"), lit(0L)).as("demand"))
+      Temporal.croston(spine, "day_idx", "demand", alpha = 0.1)
+    }),
+
+    // Aalen–Johansen cumulative incidence: time (hours) from each
+    // user's first event to their first purchase vs first error —
+    // competing exits, censored at the last event if neither; ties go
+    // to purchase. The multi-outcome funnel curve x_survival can't
+    // express (1−KM per cause overstates both).
+    "x_competing_risks" -> ((s, d) => {
+      val users = t(s, d, "events").groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("first_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("p_us"),
+        min(when(col("event_type") === "error", unix_micros(col("ts"))))
+          .as("e_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      Stats.competingRisks(users,
+        expr("(coalesce(least(p_us, e_us), last_us) - first_us)" +
+          " div 3600000000"),
+        col("p_us").isNotNull &&
+          (col("e_us").isNull || col("p_us") <= col("e_us")),
+        col("e_us").isNotNull &&
+          (col("p_us").isNull || col("e_us") < col("p_us")))
     }),
 
     // distinct-l-diversity audit: the k-anonymity companion — for each
@@ -273,6 +328,119 @@ object Ext10 {
                 CAST(sum_max_x - max_marg AS DOUBLE)
                   / CAST(n - max_marg AS DOUBLE) AS lambda_yx
          FROM smax CROSS JOIN mm CROSS JOIN tot""",
+
+    // the filter trajectory replayed as a bounded recursive CTE: base
+    // branch literals CAST AS DOUBLE (DuckDB would otherwise unify the
+    // union type to DECIMAL), recursive arm repeats the engine's exact
+    // op order with P⁺ = p + 10.0 spelled out textually
+    "x_kalman_1d" ->
+      """WITH RECURSIVE daily AS (
+           SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+                    AS day_idx,
+                  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+                    AS BIGINT) AS cents
+           FROM events GROUP BY 1),
+         sp AS (SELECT row_number() OVER (ORDER BY day_idx) AS i, day_idx,
+                CAST(cents AS DOUBLE) / 100.0 AS z FROM daily),
+         kal AS (
+           SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS day_idx,
+                  CAST(0.0 AS DOUBLE) AS z, CAST(0.0 AS DOUBLE) AS x,
+                  CAST(10000.0 AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS kg
+           UNION ALL
+           SELECT s2.i, s2.day_idx, s2.z,
+                  k.x + ((k.p + 10.0) / ((k.p + 10.0) + 400.0))
+                    * (s2.z - k.x) AS x,
+                  (1.0 - (k.p + 10.0) / ((k.p + 10.0) + 400.0))
+                    * (k.p + 10.0) AS p,
+                  (k.p + 10.0) / ((k.p + 10.0) + 400.0) AS kg
+           FROM kal k JOIN sp s2 ON s2.i = k.i + 1)
+         SELECT day_idx, z, x AS x_filt, p AS p_var, kg AS k_gain
+         FROM kal WHERE i >= 1""",
+
+    "x_croston" ->
+      """WITH RECURSIVE err AS (
+           SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+                    AS day_idx,
+                  CAST(count(*) AS BIGINT) AS demand
+           FROM events WHERE event_type = 'error' GROUP BY 1),
+         mxd AS (SELECT CAST(max(CAST(ts AS DATE) - DATE '2024-01-01')
+                   AS BIGINT) AS mx FROM events),
+         sp AS (SELECT CAST(g.i AS BIGINT) AS day_idx,
+                CAST(COALESCE(e.demand, 0) AS BIGINT) AS demand
+                FROM (SELECT unnest(range(0, mx + 1)) AS i FROM mxd) g
+                LEFT JOIN err e ON e.day_idx = g.i),
+         c AS (
+           SELECT CAST(-1 AS BIGINT) AS day_idx, CAST(0 AS BIGINT)
+                    AS demand,
+                  false AS seen, CAST(0.0 AS DOUBLE) AS zh,
+                  CAST(0.0 AS DOUBLE) AS ph, CAST(1.0 AS DOUBLE) AS qq
+           UNION ALL
+           SELECT s.day_idx, s.demand,
+                  k.seen OR s.demand > 0 AS seen,
+                  CASE WHEN s.demand > 0 THEN
+                    CASE WHEN k.seen THEN
+                      k.zh + 0.1 * (CAST(s.demand AS DOUBLE) - k.zh)
+                    ELSE CAST(s.demand AS DOUBLE) END
+                  ELSE k.zh END AS zh,
+                  CASE WHEN s.demand > 0 THEN
+                    CASE WHEN k.seen THEN k.ph + 0.1 * (k.qq - k.ph)
+                    ELSE k.qq END
+                  ELSE k.ph END AS ph,
+                  CASE WHEN s.demand > 0 THEN CAST(1.0 AS DOUBLE)
+                  ELSE k.qq + 1.0 END AS qq
+           FROM c k JOIN sp s ON s.day_idx = k.day_idx + 1)
+         SELECT day_idx, demand, zh AS z_hat, ph AS p_hat,
+                zh / ph AS forecast
+         FROM c WHERE demand > 0""",
+
+    "x_competing_risks" ->
+      """WITH RECURSIVE u AS (SELECT user_id,
+                min(epoch_us(ts)) AS first_us,
+                min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END) AS p_us,
+                min(CASE WHEN event_type = 'error'
+                    THEN epoch_us(ts) END) AS e_us,
+                max(epoch_us(ts)) AS last_us
+              FROM events GROUP BY user_id),
+         f AS (SELECT CAST((COALESCE(least(p_us, e_us), last_us)
+                  - first_us) // 3600000000 AS BIGINT) AS t,
+               CASE WHEN p_us IS NOT NULL
+                    AND (e_us IS NULL OR p_us <= e_us)
+                    THEN 1 ELSE 0 END AS e1,
+               CASE WHEN e_us IS NOT NULL
+                    AND (p_us IS NULL OR e_us < p_us)
+                    THEN 1 ELSE 0 END AS e2
+               FROM u),
+         pt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_all,
+                CAST(sum(e1) AS BIGINT) AS d1,
+                CAST(sum(e2) AS BIGINT) AS d2 FROM f GROUP BY t),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM f),
+         ev AS (SELECT t, n_risk, d1, d2 FROM (
+                SELECT t, d1, d2,
+                  n_total - COALESCE(CAST(sum(n_all) OVER
+                    (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+                FROM pt CROSS JOIN tt) rk
+                WHERE d1 + d2 > 0),
+         sp AS (SELECT row_number() OVER (ORDER BY t) AS i, t,
+                n_risk, d1, d2 FROM ev),
+         c AS (
+           SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS t,
+                  CAST(0 AS BIGINT) AS n_risk, CAST(0 AS BIGINT) AS d1,
+                  CAST(0 AS BIGINT) AS d2, CAST(1.0 AS DOUBLE) AS s,
+                  CAST(0.0 AS DOUBLE) AS c1, CAST(0.0 AS DOUBLE) AS c2
+           UNION ALL
+           SELECT s2.i, s2.t, s2.n_risk, s2.d1, s2.d2,
+                  k.s * (1.0 - CAST(s2.d1 + s2.d2 AS DOUBLE)
+                    / CAST(s2.n_risk AS DOUBLE)) AS s,
+                  k.c1 + k.s * (CAST(s2.d1 AS DOUBLE)
+                    / CAST(s2.n_risk AS DOUBLE)) AS c1,
+                  k.c2 + k.s * (CAST(s2.d2 AS DOUBLE)
+                    / CAST(s2.n_risk AS DOUBLE)) AS c2
+           FROM c k JOIN sp s2 ON s2.i = k.i + 1)
+         SELECT t AS t_dur, n_risk, d1 AS d_cause1, d2 AS d_cause2,
+                c1 AS cif_cause1, c2 AS cif_cause2, s AS surv_all
+         FROM c WHERE i >= 1""",
 
     "x_ldiversity" ->
       """WITH g AS (SELECT source, n_chars // 500 AS bkt,
