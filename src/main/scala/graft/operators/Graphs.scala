@@ -509,6 +509,44 @@ object Graphs {
     ranks
   }
 
+  /** Edge-weighted PageRank ([[pageRank]] with each contribution scaled
+    * by the edge's share of the source's weighted out-degree) — the
+    * TextRank form (Mihalcea & Tarau 2004): on co-occurrence graphs the
+    * unweighted walk degenerates toward uniform when the graph is near-
+    * complete; the count weights are what carry the signal. Same exact-
+    * replay discipline as [[pageRank]]: ordered per-node contribution
+    * folds, integer weights, adjacency cached partitioned on the join
+    * key so each round shuffles only the rank frame. */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int = 3,
+                       damping: Double = 0.85): DataFrame = {
+    val half = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w"))
+    val sym = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val deg = sym.groupBy("src").agg(sum("w").as("wdeg"))
+    val adj = sym.join(deg, Seq("src")).repartition(col("src")).persist()
+    val n = adj.select(countDistinct(col("src")).as("n"))
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
+    (1 to iters).foreach { _ =>
+      val contribs = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"), col("src"),
+          (lit(damping) * col("rank") *
+            (col("w").cast("double") / col("wdeg").cast("double"))).as("c"))
+      ranks = contribs.groupBy("dst")
+        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("node"),
+          (lit(1.0 - damping) / col("n") +
+            aggregate(transform(col("cs"), p => p.getField("c")),
+              lit(0.0), (a, x) => a + x)).as("rank"))
+    }
+    ranks
+  }
+
   /** k-core membership: the maximal subgraph where every node keeps
     * degree ≥ k, found by iterative peeling — drop all nodes of degree
     * < k, recompute degrees on the survivor-induced subgraph, repeat to

@@ -1,11 +1,12 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Pmath
-import graft.operators.{Rank, Stats, Temporal}
+import graft.operators.{Graphs, Rank, Stats, Temporal}
 
 /** Round-8 third wave — nonparametric / categorical-association
   * statistics on the standing exact recipes:
@@ -175,6 +176,162 @@ object Ext10 {
           (col("p_us").isNull || col("e_us") < col("p_us")))
     }),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): WEIGHTED
+    // PageRank over the word co-occurrence graph — candidate words
+    // (len ≥ 4), adjacent-candidate edges weighted by co-occurrence
+    // count, 3 damped rounds via Graphs.pageRankWeighted's ordered-fold
+    // recipe. Weighted is the paper's form, and on a near-complete
+    // co-occurrence graph it is also what keeps the ranking non-uniform.
+    "x_textrank" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(length(col("w")) >= 4)
+      val wnd = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = toks.withColumn("nxt", lead(col("w"), 1).over(wnd))
+        .filter(col("nxt").isNotNull && col("w") =!= col("nxt"))
+        .groupBy(col("w").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("cw"))
+      Graphs.pageRankWeighted(pairs, "src", "dst", "cw", iters = 3)
+        .orderBy(desc("rank"), col("node")).limit(20)
+        .select(col("node").as("word"), col("rank"))
+    }),
+
+    // Kendall's coefficient of concordance W across three deterministic
+    // "raters" (total chars / doc count / total words) ranking the
+    // sources: 2·midranks off each metric's own value spine (integral,
+    // tie-general), Σ(2R)² in decimal, tie correction ΣT per rater,
+    // one-row double epilogue with Friedman's χ² = k(n−1)W alongside.
+    "x_kendall_w" -> ((s, d) => {
+      val dec12 = (c: Column) => c.cast("decimal(12,0)")
+      val per = t(s, d, "documents").groupBy("source").agg(
+        sum("n_chars").as("v1"), count(lit(1)).as("v2"),
+        sum(size(split(col("text"), " ")).cast("long")).as("v3"))
+      def spine(c: String) = {
+        val sp = per.groupBy(c).agg(count(lit(1)).as("cnt"))
+        Rank.withCumSums(sp, Seq(c), Seq("cnt" -> "cum"))
+          .select(col(c),
+            (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+              .as(s"r2_$c"),
+            (dec12(col("cnt")) * dec12(col("cnt")) * dec12(col("cnt")) -
+              dec12(col("cnt"))).as(s"tt_$c"))
+      }
+      val ranked = per
+        .join(spine("v1"), Seq("v1")).join(spine("v2"), Seq("v2"))
+        .join(spine("v3"), Seq("v3"))
+        .select((col("r2_v1") + col("r2_v2") + col("r2_v3")).as("r2s"))
+      val tie1 = spine("v1").agg(sum("tt_v1").as("t1"))
+      val tie2 = spine("v2").agg(sum("tt_v2").as("t2"))
+      val tie3 = spine("v3").agg(sum("tt_v3").as("t3"))
+      val dd = (c: Column) => c.cast("string").cast("double")
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("r2s").cast("decimal(38,0)") * col("r2s")).as("s4"))
+        .crossJoin(broadcast(tie1)).crossJoin(broadcast(tie2))
+        .crossJoin(broadcast(tie3))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("kd", lit(3.0))
+        .withColumn("sq", dd(col("s4")) / lit(4.0))
+        .withColumn("std", dd(col("t1") + col("t2") + col("t3")))
+        .withColumn("w_stat",
+          (lit(12.0) * col("sq") - lit(3.0) * (col("kd") * col("kd")) *
+            col("nd") * ((col("nd") + lit(1.0)) * (col("nd") + lit(1.0)))) /
+          ((col("kd") * col("kd")) *
+            (col("nd") * col("nd") * col("nd") - col("nd")) -
+            col("kd") * col("std")))
+        .select(col("n"), lit(3L).as("k"), col("w_stat"),
+          (col("kd") * (col("nd") - lit(1.0)) * col("w_stat")).as("chi2_f"))
+    }),
+
+    // rank-aggregation readout over the language "candidates": three
+    // deterministic metric voters (total chars / docs / words) each
+    // produce a strict ballot (row_number, ties to lang name), then
+    // Borda points (nc − rank summed) and the Condorcet pairwise-wins
+    // census — the LLM-judge-panel aggregation primitive, pure integer
+    "x_borda_count" -> ((s, d) => {
+      val per = t(s, d, "documents").groupBy("lang").agg(
+        sum("n_chars").as("v1"), count(lit(1)).as("v2"),
+        sum(size(split(col("text"), " ")).cast("long")).as("v3"))
+      val votes = Seq("v1", "v2", "v3").map { m =>
+        per.select(lit(m).as("metric"), col("lang"),
+          row_number().over(
+            Window.partitionBy(lit(1)).orderBy(desc(m), col("lang")))
+            .cast("long").as("rnk"))
+      }.reduce(_ unionByName _)
+      val nc = per.agg(count(lit(1)).as("nc"))
+      val borda = votes.crossJoin(broadcast(nc)).groupBy("lang")
+        .agg(sum(col("nc") - col("rnk")).as("borda"))
+      val beats = votes.as("a")
+        .join(votes.as("b"), col("a.metric") === col("b.metric") &&
+          col("a.lang") =!= col("b.lang"))
+        .groupBy(col("a.lang").as("lang"), col("b.lang").as("opp"))
+        .agg(sum(when(col("a.rnk") < col("b.rnk"), 1L).otherwise(0L))
+          .as("wins"))
+        .filter(col("wins") * 2 > 3)
+        .groupBy("lang").agg(count(lit(1)).as("n_beats"))
+      borda.join(beats, Seq("lang"), "left").crossJoin(broadcast(nc))
+        .select(col("lang"), col("borda"),
+          coalesce(col("n_beats"), lit(0L)).as("n_beats"),
+          (coalesce(col("n_beats"), lit(0L)) === col("nc") - lit(1L))
+            .as("condorcet_winner"))
+    }),
+
+    // Huber-loss robust regression of price ~ quantity by IRLS: exact
+    // decimal-moment OLS seed (the x_linreg recipe), then two reweight
+    // rounds where every per-row weighted term is quantized to 2⁻²⁰
+    // fixed point and summed in decimal(38,0) (the x_icc device) — the
+    // order-free exact-sum trick that makes an iterative double-weight
+    // fit bit-replayable. c = 5000 (price-scale residual knee).
+    "x_huber_irls" -> ((s, d) => {
+      val dd = (c: Column) => c.cast("string").cast("double")
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val li = t(s, d, "lineitem")
+        .select(col("l_quantity").as("xd"), col("l_extendedprice").as("yd"))
+        .filter(col("xd").isNotNull && col("yd").isNotNull)
+      val x18 = col("xd").cast("decimal(18,2)")
+      val y18 = col("yd").cast("decimal(18,2)")
+      val m0 = li.agg(count(lit(1)).as("n"), sum(x18).as("sx"),
+        sum(y18).as("sy"), sum(x18 * y18).as("sxy"),
+        sum(x18 * x18).as("sxx"))
+      val ols = m0
+        .withColumn("b1",
+          (dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+            (dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))))
+        .withColumn("b0",
+          (dd(col("sy")) - col("b1") * dd(col("sx"))) / dd(col("n")))
+        .select(col("n"), col("b0"), col("b1"))
+      val q = lit(1048576.0)
+      var fit = ols
+      (1 to 2).foreach { _ =>
+        val w0 = li.crossJoin(broadcast(fit.select("b0", "b1")))
+          .withColumn("r", col("yd") - (col("b0") + col("b1") * col("xd")))
+          .withColumn("w", when(abs(col("r")) <= lit(5000.0), lit(1.0))
+            .otherwise(lit(5000.0) / abs(col("r"))))
+        val sums = w0.agg(
+          sum(dec(floor(col("w") * q))).as("qw"),
+          sum(dec(floor((col("w") * col("xd")) * q))).as("qx"),
+          sum(dec(floor((col("w") * col("yd")) * q))).as("qy"),
+          sum(dec(floor(((col("w") * col("xd")) * col("xd")) * q)))
+            .as("qxx"),
+          sum(dec(floor(((col("w") * col("xd")) * col("yd")) * q)))
+            .as("qxy"))
+        fit = sums.crossJoin(broadcast(ols.select(col("n"))))
+          .withColumn("swd", dd(col("qw")) / q)
+          .withColumn("sxd", dd(col("qx")) / q)
+          .withColumn("syd", dd(col("qy")) / q)
+          .withColumn("sxxd", dd(col("qxx")) / q)
+          .withColumn("sxyd", dd(col("qxy")) / q)
+          .withColumn("b1",
+            (col("swd") * col("sxyd") - col("sxd") * col("syd")) /
+              (col("swd") * col("sxxd") - col("sxd") * col("sxd")))
+          .withColumn("b0",
+            (col("syd") - col("b1") * col("sxd")) / col("swd"))
+          .select(col("n"), col("b0"), col("b1"))
+      }
+      fit.crossJoin(broadcast(ols.select(col("b1").as("slope_ols"))))
+        .select(col("n"), col("slope_ols"), col("b1").as("slope_huber"),
+          col("b0").as("intercept_huber"))
+    }),
+
     // distinct-l-diversity audit: the k-anonymity companion — for each
     // (source, length-bucket) quasi-identifier group, how many DISTINCT
     // sensitive values (lang) appear; reported as the l histogram. A
@@ -328,6 +485,212 @@ object Ext10 {
                 CAST(sum_max_x - max_marg AS DOUBLE)
                   / CAST(n - max_marg AS DOUBLE) AS lambda_yx
          FROM smax CROSS JOIN mm CROSS JOIN tot""",
+
+    // the word-graph WEIGHTED PageRank replayed with the x_pagerank
+    // round CTEs (damped contribution sums as ORDER BY src list folds,
+    // each scaled by w/wdeg) on the candidate-token windowed pairing
+    "x_textrank" -> {
+      val dmp = "CAST('0.85' AS DOUBLE)"
+      val tel = "(CAST('1.0' AS DOUBLE) - CAST('0.85' AS DOUBLE))"
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT s.dst, s.src,
+                   $dmp * r.rank * (CAST(s.w AS DOUBLE)
+                     / CAST(d.wdeg AS DOUBLE)) AS c
+                 FROM sym s JOIN r${i - 1} r ON s.src = r.node
+                            JOIN deg d ON s.src = d.src),
+          r$i AS (SELECT dst AS node,
+                    $tel / n + list_sum(list(c ORDER BY src)) AS rank
+                 FROM c$i CROSS JOIN nn GROUP BY dst, n)"""
+      }.mkString(",\n          ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+          tk AS (SELECT doc_id, i AS pos, ws[i] AS w
+                 FROM (SELECT doc_id, ws,
+                         unnest(range(1, len(ws) + 1)) AS i FROM w)
+                 WHERE len(ws[i]) >= 4),
+          pr0 AS (SELECT w AS src, lead(w) OVER
+                    (PARTITION BY doc_id ORDER BY pos) AS dst FROM tk),
+          e0 AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM pr0
+                 WHERE dst IS NOT NULL AND src <> dst GROUP BY src, dst),
+          sym AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM
+                    (SELECT src, dst, w FROM e0
+                     UNION ALL SELECT dst AS src, src AS dst, w FROM e0)
+                  GROUP BY src, dst),
+          deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg
+                  FROM sym GROUP BY src),
+          nn AS (SELECT count(*) AS n FROM deg),
+          r0 AS (SELECT src AS node, CAST('1.0' AS DOUBLE) / n AS rank
+                 FROM deg CROSS JOIN nn),
+          $rounds
+          SELECT node AS word, rank FROM r3
+          ORDER BY rank DESC, node LIMIT 20"""
+    },
+
+    "x_kendall_w" ->
+      """WITH per AS (SELECT source,
+                CAST(sum(n_chars) AS BIGINT) AS v1,
+                CAST(count(*) AS BIGINT) AS v2,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS v3
+              FROM documents GROUP BY source),
+         sp1 AS (SELECT v1, cnt, CAST(2 * (cum - cnt) + cnt + 1 AS BIGINT)
+                   AS r2_v1
+                 FROM (SELECT v1, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(sum(count(*)) OVER (ORDER BY v1 ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                         AS cum
+                       FROM per GROUP BY v1)),
+         sp2 AS (SELECT v2, cnt, CAST(2 * (cum - cnt) + cnt + 1 AS BIGINT)
+                   AS r2_v2
+                 FROM (SELECT v2, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(sum(count(*)) OVER (ORDER BY v2 ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                         AS cum
+                       FROM per GROUP BY v2)),
+         sp3 AS (SELECT v3, cnt, CAST(2 * (cum - cnt) + cnt + 1 AS BIGINT)
+                   AS r2_v3
+                 FROM (SELECT v3, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(sum(count(*)) OVER (ORDER BY v3 ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                         AS cum
+                       FROM per GROUP BY v3)),
+         t1 AS (SELECT sum(CAST(cnt AS DECIMAL(12,0))
+                  * CAST(cnt AS DECIMAL(12,0)) * CAST(cnt AS DECIMAL(12,0))
+                  - CAST(cnt AS DECIMAL(12,0))) AS t1 FROM sp1),
+         t2 AS (SELECT sum(CAST(cnt AS DECIMAL(12,0))
+                  * CAST(cnt AS DECIMAL(12,0)) * CAST(cnt AS DECIMAL(12,0))
+                  - CAST(cnt AS DECIMAL(12,0))) AS t2 FROM sp2),
+         t3 AS (SELECT sum(CAST(cnt AS DECIMAL(12,0))
+                  * CAST(cnt AS DECIMAL(12,0)) * CAST(cnt AS DECIMAL(12,0))
+                  - CAST(cnt AS DECIMAL(12,0))) AS t3 FROM sp3),
+         rk AS (SELECT r2_v1 + r2_v2 + r2_v3 AS r2s
+                FROM per JOIN sp1 USING (v1) JOIN sp2 USING (v2)
+                         JOIN sp3 USING (v3)),
+         fo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                sum(r2s::HUGEINT * r2s) AS s4 FROM rk),
+         e AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                 CAST(3.0 AS DOUBLE) AS kd,
+                 CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / 4.0 AS sq,
+                 CAST(CAST(t1 + t2 + t3 AS VARCHAR) AS DOUBLE) AS std
+               FROM fo CROSS JOIN t1 CROSS JOIN t2 CROSS JOIN t3),
+         e2 AS (SELECT n,
+                 (12.0 * sq - 3.0 * (kd * kd) * nd
+                    * ((nd + 1.0) * (nd + 1.0)))
+                 / ((kd * kd) * (nd * nd * nd - nd) - kd * std) AS w_stat,
+                 nd, kd
+               FROM e)
+         SELECT n, CAST(3 AS BIGINT) AS k, w_stat,
+                kd * (nd - 1.0) * w_stat AS chi2_f
+         FROM e2""",
+
+    "x_borda_count" ->
+      """WITH per AS (SELECT lang,
+                CAST(sum(n_chars) AS BIGINT) AS v1,
+                CAST(count(*) AS BIGINT) AS v2,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS v3
+              FROM documents GROUP BY lang),
+         votes AS (
+           SELECT 'v1' AS metric, lang,
+             CAST(row_number() OVER (ORDER BY v1 DESC, lang) AS BIGINT)
+               AS rnk FROM per
+           UNION ALL
+           SELECT 'v2', lang,
+             CAST(row_number() OVER (ORDER BY v2 DESC, lang) AS BIGINT)
+             FROM per
+           UNION ALL
+           SELECT 'v3', lang,
+             CAST(row_number() OVER (ORDER BY v3 DESC, lang) AS BIGINT)
+             FROM per),
+         nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM per),
+         borda AS (SELECT lang, CAST(sum(nc - rnk) AS BIGINT) AS borda
+                   FROM votes CROSS JOIN nc GROUP BY lang),
+         beats AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_beats
+                   FROM (SELECT a.lang AS lang, b.lang AS opp,
+                         sum(CASE WHEN a.rnk < b.rnk THEN 1 ELSE 0 END)
+                           AS wins
+                         FROM votes a JOIN votes b
+                           ON a.metric = b.metric AND a.lang <> b.lang
+                         GROUP BY a.lang, b.lang) w
+                   WHERE wins * 2 > 3 GROUP BY lang)
+         SELECT p.lang, b.borda,
+                CAST(COALESCE(bt.n_beats, 0) AS BIGINT) AS n_beats,
+                COALESCE(bt.n_beats, 0) = nc - 1 AS condorcet_winner
+         FROM per p JOIN borda b ON p.lang = b.lang
+         LEFT JOIN beats bt ON p.lang = bt.lang CROSS JOIN nc""",
+
+    "x_huber_irls" ->
+      """WITH li AS (SELECT l_quantity AS xd, l_extendedprice AS yd
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+         m0 AS (SELECT count(*) AS n,
+                sum(CAST(xd AS DECIMAL(18,2))) AS sx,
+                sum(CAST(yd AS DECIMAL(18,2))) AS sy,
+                sum(CAST(xd AS DECIMAL(18,2)) * CAST(yd AS DECIMAL(18,2)))
+                  AS sxy,
+                sum(CAST(xd AS DECIMAL(18,2)) * CAST(xd AS DECIMAL(18,2)))
+                  AS sxx
+              FROM li),
+         d0 AS (SELECT n, CAST(CAST(n AS VARCHAR) AS DOUBLE) AS n0,
+                CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+                CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+                CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+                CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd
+              FROM m0),
+         f0a AS (SELECT n, n0, sxd, syd,
+                (n0 * sxyd - sxd * syd) / (n0 * sxxd - sxd * sxd) AS b1
+              FROM d0),
+         f0 AS (SELECT n, b1, (syd - b1 * sxd) / n0 AS b0 FROM f0a),
+         w1 AS (SELECT xd, yd,
+                CASE WHEN abs(yd - (b0 + b1 * xd)) <= 5000.0 THEN 1.0
+                     ELSE 5000.0 / abs(yd - (b0 + b1 * xd)) END AS w
+              FROM li CROSS JOIN f0),
+         s1 AS (SELECT
+                sum(CAST(floor(w * 1048576.0) AS HUGEINT)) AS qw,
+                sum(CAST(floor((w * xd) * 1048576.0) AS HUGEINT)) AS qx,
+                sum(CAST(floor((w * yd) * 1048576.0) AS HUGEINT)) AS qy,
+                sum(CAST(floor(((w * xd) * xd) * 1048576.0) AS HUGEINT))
+                  AS qxx,
+                sum(CAST(floor(((w * xd) * yd) * 1048576.0) AS HUGEINT))
+                  AS qxy
+              FROM w1),
+         g1 AS (SELECT
+                CAST(CAST(qw AS VARCHAR) AS DOUBLE) / 1048576.0 AS swd,
+                CAST(CAST(qx AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxd,
+                CAST(CAST(qy AS VARCHAR) AS DOUBLE) / 1048576.0 AS syd,
+                CAST(CAST(qxx AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxxd,
+                CAST(CAST(qxy AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxyd
+              FROM s1),
+         f1a AS (SELECT swd, sxd, syd,
+                (swd * sxyd - sxd * syd) / (swd * sxxd - sxd * sxd) AS b1
+              FROM g1),
+         f1 AS (SELECT b1, (syd - b1 * sxd) / swd AS b0 FROM f1a),
+         w2 AS (SELECT xd, yd,
+                CASE WHEN abs(yd - (b0 + b1 * xd)) <= 5000.0 THEN 1.0
+                     ELSE 5000.0 / abs(yd - (b0 + b1 * xd)) END AS w
+              FROM li CROSS JOIN f1),
+         s2 AS (SELECT
+                sum(CAST(floor(w * 1048576.0) AS HUGEINT)) AS qw,
+                sum(CAST(floor((w * xd) * 1048576.0) AS HUGEINT)) AS qx,
+                sum(CAST(floor((w * yd) * 1048576.0) AS HUGEINT)) AS qy,
+                sum(CAST(floor(((w * xd) * xd) * 1048576.0) AS HUGEINT))
+                  AS qxx,
+                sum(CAST(floor(((w * xd) * yd) * 1048576.0) AS HUGEINT))
+                  AS qxy
+              FROM w2),
+         g2 AS (SELECT
+                CAST(CAST(qw AS VARCHAR) AS DOUBLE) / 1048576.0 AS swd,
+                CAST(CAST(qx AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxd,
+                CAST(CAST(qy AS VARCHAR) AS DOUBLE) / 1048576.0 AS syd,
+                CAST(CAST(qxx AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxxd,
+                CAST(CAST(qxy AS VARCHAR) AS DOUBLE) / 1048576.0 AS sxyd
+              FROM s2),
+         f2a AS (SELECT swd, sxd, syd,
+                (swd * sxyd - sxd * syd) / (swd * sxxd - sxd * sxd) AS b1
+              FROM g2),
+         f2 AS (SELECT b1, (syd - b1 * sxd) / swd AS b0 FROM f2a)
+         SELECT m0.n AS n, f0.b1 AS slope_ols, f2.b1 AS slope_huber,
+                f2.b0 AS intercept_huber
+         FROM f2 CROSS JOIN f0 CROSS JOIN m0""",
 
     // the filter trajectory replayed as a bounded recursive CTE: base
     // branch literals CAST AS DOUBLE (DuckDB would otherwise unify the
