@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object Pmath {
 
   private val MaxK = 40
-  private val Ln2 = 0.6931471805599453
+  private[graft] val Ln2 = 0.6931471805599453
   /** Horner coefficients, outermost first: 1/3, 1/5, …, 1/19. */
   private[graft] val coeffs: Seq[Double] = (1 to 9).map(i => 1.0 / (2 * i + 1))
   /** (threshold 2^i, scale 2^-i, literal i·ln2) for i = MaxK..1. */
@@ -114,6 +114,84 @@ object Pmath {
       s"pln_kln2 + 2.0 * (pln_t * (1.0 + (pln_t * pln_t) * (${inner
         .replace("pln_t2", "(pln_t * pln_t)")}))) AS $outCol"
     (layer1, layer2, layer3)
+  }
+
+  // ---- portable exp ----------------------------------------------------
+
+  /** 1/ln2, correctly rounded (Java literal round-trip). */
+  private[graft] val InvLn2 = 1.4426950408889634
+  /** exp(r) Taylor coefficients 1/i!, i = 0..13, innermost-last: the
+    * Horner chain c0 + r·(c1 + r·(… + r·c13)). |r| ≤ ln2/2 after range
+    * reduction, so truncation < 1e-17 relative — below double ulp. */
+  private[graft] val expCoeffs: Seq[Double] =
+    (0 to 13).map(i => 1.0 / (1 to i).foldLeft(1.0)(_ * _))
+  private[graft] val ExpMaxK = 60
+  /** Exact power-of-two table for the 2ᵏ scaling: every 2ᵏ with
+    * |k| ≤ 60 is an exact double, and multiplying by it is an
+    * error-free exponent shift. */
+  private[graft] val pow2: Seq[(Long, Double)] =
+    (-ExpMaxK to ExpMaxK).map(k => (k.toLong, math.pow(2.0, k)))
+
+  /** Portable exp as a Column (domain |x| ≤ 40; callers clamp with
+    * least/greatest). Range reduction x = k·ln2 + r with
+    * k = ⌊x/ln2 + ½⌋ (floor is exact; the product/add are single IEEE
+    * ops, so k is identical on every engine), fixed-order Horner for
+    * exp(r), exact 2ᵏ scaling. Backed by the native codegen expression
+    * [[graft.plans.PortableExp]] — generated from the same constant
+    * table as [[expColumnLambda]] and [[expSqlChainCtes]]. */
+  def expColumn(x0: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.PortableExp(ColumnBridge.expression(
+      x0.cast("double"))))
+  }
+
+  /** The HOF/lambda reference form of [[expColumn]] — the executable
+    * specification PmathSpec sweeps against the native expression. */
+  private[graft] def expColumnLambda(x0: Column): Column = bind(x0) { x =>
+    bind(floor(x * lit(InvLn2) + lit(0.5))) { kk =>
+      bind(x - kk.cast("double") * lit(Ln2)) { r =>
+        val p = expCoeffs.reverse.tail.foldLeft(lit(expCoeffs.last)) {
+          (acc, c) => lit(c) + r * acc
+        }
+        val scale = pow2.foldLeft(when(lit(false), lit(0.0))) {
+          case (w, (k, v)) => w.when(kk === lit(k), lit(v))
+        }.otherwise(lit(Double.NaN))
+        p * scale
+      }
+    }
+  }
+
+  /** N sequential portable-exp chains over one row set — the exp
+    * analog of [[lnSqlChainCtes]]. `specs` is (inputExprSql, outCol)
+    * per exp; `carry` the base columns every chain must keep. Each
+    * chain replays [[expColumn]]'s exact op order: BIGINT k from the
+    * floor, r = x − k·ln2, the fixed Horner, a 121-branch exact-2ᵏ
+    * CASE. */
+  def expSqlChainCtes(baseCte: String, prefix: String,
+                      specs: Seq[(String, String)],
+                      carry: Seq[String]): (String, String) = {
+    val horner = expCoeffs.reverse.tail.foldLeft(d(expCoeffs.last)) {
+      (acc, c) => s"${d(c)} + pexp_r * ($acc)"
+    }
+    val scaleCase = pow2.map { case (k, v) =>
+      s"WHEN $k THEN ${d(v)}"
+    }.mkString("CASE pexp_kk ", " ", " END")
+    var prev = baseCte
+    val out = Seq.newBuilder[String]
+    specs.zipWithIndex.foreach { case ((inExpr, outCol), j) =>
+      val keep = (carry ++ specs.take(j).map(_._2)).mkString(", ")
+      val (n0, n1, n2) = (s"${prefix}_${j}a", s"${prefix}_${j}b",
+        s"${prefix}_${j}c")
+      out += s"$n0 AS (SELECT $keep, CAST(($inExpr) AS DOUBLE) AS expin FROM $prev)"
+      out += (s"$n1 AS (SELECT *, CAST(floor(expin * ${d(InvLn2)} + 0.5) " +
+        s"AS BIGINT) AS pexp_kk FROM $n0)")
+      out += (s"$n2 AS (SELECT $keep, " +
+        s"(($horner)) * ($scaleCase) AS $outCol FROM " +
+        s"(SELECT *, expin - CAST(pexp_kk AS DOUBLE) * ${d(Ln2)} " +
+        s"AS pexp_r FROM $n1))")
+      prev = n2
+    }
+    (out.result().mkString(",\n          "), prev)
   }
 
   /** N sequential [[lnSqlCtes]] chains over one row set — for oracles

@@ -802,4 +802,54 @@ object Graphs {
     adj.unpersist(); deg.unpersist()
     out
   }
+
+  /** Bounded k-truss peel: each round recomputes every edge's triangle
+    * support (the number of triangles containing it) against the
+    * CURRENT edge set and drops edges with support < k−2; `rounds`
+    * rounds of this peel, reported as one row per round with the
+    * surviving edge count. The peel is the standard cohesive-subgraph
+    * extractor one notch above [[triangleStats]]' census — a k-truss
+    * edge sits in ≥ k−2 triangles of the truss itself, so it filters
+    * out the bridge/noise edges a raw triangle count still credits.
+    *
+    * Bounded rounds (not run-to-fixpoint) keep the operator
+    * deterministic and oracle-replayable: both engines execute exactly
+    * `rounds` peels, converged or not (on most graphs the peel is dry
+    * after 3–4 rounds; callers needing the true fixpoint raise
+    * `rounds` — each round is monotone non-increasing, so a round with
+    * n_edges unchanged certifies the fixpoint in the output itself).
+    *
+    * Scale shape: per round, support is one equi-join pair over the
+    * undirected adjacency (neighbors-of-a ⋈ neighbors-of-b on the
+    * common endpoint) + one hash aggregate — never an all-pairs
+    * product; per-round localCheckpoint truncates the iterative plan
+    * exactly like [[connectedComponents]]. The per-round count is a
+    * bounded driver action (`rounds` is a small code constant). */
+  def kTrussRounds(edges: DataFrame, srcCol: String, dstCol: String,
+                   k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val counts = Seq.newBuilder[(Long, Long)]
+    (1 to rounds).foreach { r =>
+      val adj = e.select(col("a").as("u"), col("b").as("w"))
+        .union(e.select(col("b").as("u"), col("a").as("w")))
+      val nbrA = adj.select(col("u").as("a"), col("w").as("c"))
+      val nbrB = adj.select(col("u").as("b"), col("w").as("c"))
+      val sup = e.join(nbrA, Seq("a")).join(nbrB, Seq("b", "c"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      val next = e.join(sup, Seq("a", "b"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= lit((k - 2).toLong))
+        .select("a", "b").localCheckpoint(true)
+      CheckpointBlocks.release(e)
+      e = next
+      counts += ((r.toLong, e.count()))
+    }
+    val out = counts.result().toDF("peel_round", "n_edges")
+    CheckpointBlocks.release(e)
+    out
+  }
 }

@@ -1012,6 +1012,298 @@ object Stats {
             (col("n2d") - lit(1.0)))).as("df_hat"))
   }
 
+  /** Two-sample Anderson–Darling statistic (Scholz & Stephens 1987,
+    * right-continuous-ECDF form with ties): the tail-sensitive
+    * alternative to [[ksTwoSample]] — KS sees only the max ECDF gap,
+    * AD integrates the squared gap with 1/(F(1−F)) weights, so
+    * distributional differences in the tails actually register.
+    *
+    * A²₂N = Σᵢ (1/nᵢ) Σⱼ<L lⱼ·(N·Mᵢⱼ − nᵢ·Bⱼ)² / (N·Bⱼ·(N−Bⱼ))
+    * over the distinct-value spine (Bⱼ pooled cumulative, Mᵢⱼ
+    * per-sample cumulative, lⱼ ties at j; last value excluded).
+    *
+    * Exactness: spine counts are exact integers off ONE
+    * [[Rank.withCumSums]] pass; the per-spine-row term is a fixed
+    * double chain (deterministic on both engines), quantized to 2⁻²⁰
+    * fixed point and summed in decimal(38,0) — the x_icc/x_huber
+    * device, which is what makes a data-sized Σ of doubles
+    * order-free. One-row double epilogue.
+    *
+    * Scale shape: value-spine aggregate + distributed cumulative
+    * ranks + 1-row reduce ([[mannWhitneyU]]'s shape). */
+  def andersonDarling2(df: DataFrame, inA: Column,
+                       valueCol: String): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = lit(1048576.0)
+    val f = df.select(col(valueCol).as("v"),
+      when(inA, 1L).otherwise(0L).as("ya"))
+    val perV = f.groupBy("v").agg(count(lit(1)).as("cnt"), sum("ya").as("ca"))
+    val sp = Rank.withCumSums(perV, Seq("v"),
+      Seq("cnt" -> "cum", "ca" -> "cuma"))
+    val tot = f.agg(sum("ya").as("n1"), (count(lit(1)) - sum("ya")).as("n2"),
+      count(lit(1)).as("nn"))
+    val terms = sp.crossJoin(broadcast(tot))
+      .filter(col("cum") < col("nn"))
+      .withColumn("nd", dbl(col("nn")))
+      .withColumn("bd", dbl(col("cum")))
+      .withColumn("num1", col("nd") * dbl(col("cuma")) -
+        dbl(col("n1")) * col("bd"))
+      .withColumn("num2", col("nd") * dbl(col("cum") - col("cuma")) -
+        dbl(col("n2")) * col("bd"))
+      .withColumn("den", col("nd") * (col("bd") * (col("nd") - col("bd"))))
+      .withColumn("t1",
+        dbl(col("cnt")) * ((col("num1") * col("num1")) / col("den")))
+      .withColumn("t2",
+        dbl(col("cnt")) * ((col("num2") * col("num2")) / col("den")))
+    terms.agg(max("n1").as("n1"), max("n2").as("n2"),
+        count(lit(1)).as("n_terms"),
+        sum(dec(floor(col("t1") * q))).as("q1"),
+        sum(dec(floor(col("t2") * q))).as("q2"))
+      .select(col("n1"), col("n2"), col("n_terms"),
+        ((ddec(col("q1")) / q) / dbl(col("n1")) +
+          (ddec(col("q2")) / q) / dbl(col("n2"))).as("a2_stat"))
+  }
+
+  /** Two-sample Kuiper statistic V = D⁺ + D⁻: the cyclic-alignment
+    * cousin of [[ksTwoSample]] — KS's single max-gap is blind to a
+    * distribution pair whose ECDFs cross (one gap up, one gap down,
+    * both large, max unchanged); Kuiper adds the two one-sided
+    * extremes, so shifts in EITHER direction register equally.
+    *
+    * Exactness: the same cross-multiplied integer trick as KS — D⁺ and
+    * D⁻ numerators are integer maxima of (c1·n2 − c2·n1) and its
+    * negation over the merged distinct-value spine; only the final
+    * statistic divides. Scale shape identical to [[ksTwoSample]]:
+    * hash-agg to distinct values + [[Rank.withCumSums]]. */
+  def kuiperTwoSample(df: DataFrame, valueCol: String,
+                      inA: Column, inB: Column): DataFrame = {
+    val f = df.select(col(valueCol).as("v"),
+        when(inA, 1L).otherwise(0L).as("in1"),
+        when(inB, 1L).otherwise(0L).as("in2"))
+      .where(col("in1") === 1L || col("in2") === 1L)
+    val perV = f.groupBy("v").agg(sum("in1").as("a1"), sum("in2").as("a2"))
+    val cum = Rank.withCumSums(perV, Seq("v"),
+      Seq("a1" -> "c1", "a2" -> "c2")).select("c1", "c2")
+    val tot = f.agg(sum("in1").as("n1"), sum("in2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        max(col("c1") * col("n2") - col("c2") * col("n1")).as("d_plus_num"),
+        max(col("c2") * col("n1") - col("c1") * col("n2")).as("d_minus_num"))
+      .select(col("n1"), col("n2"), col("d_plus_num"), col("d_minus_num"),
+        ((col("d_plus_num") + col("d_minus_num")).cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("v_stat"))
+  }
+
+  /** Tukey HSD post-hoc: after an ANOVA says "the k group means are
+    * not all equal", which PAIRS differ — the studentized-range q for
+    * every group pair against the pooled within-group mean square.
+    * Input values must be exact integers (cents); k is bounded (a
+    * categorical grouping), so the pair set is k²-bounded.
+    *
+    * Exactness: per-group Σx and Σx² accumulate in decimal(38,0)
+    * (order-free, overflow-proof at 100 TB); means and within-group SS
+    * are per-group fixed double chains; the k-term SSW total is a
+    * group-ordered bounded fold; sqrt is IEEE-correctly-rounded on
+    * both engines. Scale shape: ONE hash aggregate over the data, then
+    * k-row arithmetic and a k²-row broadcast self-join. */
+  def tukeyHsd(df: DataFrame, groupCol: Column, valueCents: Column)
+      : DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val f = df.select(groupCol.as("g"), valueCents.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+    val grp = f.groupBy("g").agg(count(lit(1)).as("n_g"),
+      sum(dec(col("x"))).as("s_g"), sum(dec(col("x")) * col("x")).as("ss_g"))
+    val terms = grp.select(col("g"), col("n_g"),
+      (ddec(col("ss_g")) -
+        ddec(col("s_g")) * ddec(col("s_g")) / dbl(col("n_g"))).as("ssw_g"),
+      (ddec(col("s_g")) / dbl(col("n_g"))).as("mean_g"))
+    val msw = terms.agg(sum("n_g").as("n_tot"), count(lit(1)).as("k_grp"),
+        aggregate(transform(sort_array(collect_list(
+          struct(col("g"), col("ssw_g").as("t")))), x => x.getField("t")),
+          lit(0.0), (a, x) => a + x).as("ssw"))
+      .select(col("n_tot"), col("k_grp"),
+        (col("ssw") / dbl(col("n_tot") - col("k_grp"))).as("msw"))
+    val t1 = terms.select(col("g").as("g1"), col("n_g").as("n1"),
+      col("mean_g").as("mean1"))
+    val t2 = terms.select(col("g").as("g2"), col("n_g").as("n2"),
+      col("mean_g").as("mean2"))
+    t1.join(t2, col("g1") < col("g2"))
+      .crossJoin(broadcast(msw))
+      .withColumn("se", sqrt(col("msw") / lit(2.0) *
+        (lit(1.0) / dbl(col("n1")) + lit(1.0) / dbl(col("n2")))))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"), col("msw"),
+        (col("mean1") - col("mean2")).as("mean_diff"), col("se"),
+        (abs(col("mean1") - col("mean2")) / col("se")).as("q_stat"))
+  }
+
+  /** Cronbach's alpha internal-consistency coefficient over k bounded
+    * integer item scores: α = k/(k−1) · (1 − Σᵢ Var(itemᵢ) /
+    * Var(total)). The reliability readout for any battery of derived
+    * per-row metrics — here the "do these k quality signals measure
+    * one construct" check a feature pipeline wants before averaging
+    * signals into a single score.
+    *
+    * Exactness: every Σx / Σx² accumulates in decimal(38,0) off ONE
+    * hash-free global aggregate; population variances are per-item
+    * fixed double chains; the k-term variance sum is written in item
+    * order (k is a code constant). */
+  def cronbachAlpha(df: DataFrame, items: Seq[Column]): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val k = items.size
+    val named = items.zipWithIndex.map { case (c, i) =>
+      c.cast("long").as(s"i$i")
+    }
+    val withTot = df.select(named: _*)
+      .withColumn("t", (0 until k).map(i => col(s"i$i")).reduce(_ + _))
+    val aggs = (0 until k).flatMap { i =>
+      Seq(sum(dec(col(s"i$i"))).as(s"s$i"),
+        sum(dec(col(s"i$i")) * col(s"i$i")).as(s"ss$i"))
+    } ++ Seq(sum(dec(col("t"))).as("st"),
+      sum(dec(col("t")) * col("t")).as("sst"))
+    val a = withTot.agg(count(lit(1)).as("n"), aggs: _*)
+    def popVar(s: Column, ss: Column) =
+      ddec(ss) / dbl(col("n")) -
+        (ddec(s) / dbl(col("n"))) * (ddec(s) / dbl(col("n")))
+    val sumVi = (0 until k).map(i => popVar(col(s"s$i"), col(s"ss$i")))
+      .reduce(_ + _)
+    a.select(col("n"), lit(k.toLong).as("k_items"),
+        sumVi.as("sum_item_var"),
+        popVar(col("st"), col("sst")).as("var_total"))
+      .withColumn("alpha", lit(k.toDouble / (k - 1.0)) *
+        (lit(1.0) - col("sum_item_var") / col("var_total")))
+  }
+
+  /** Logistic regression (intercept + one feature) by IRLS/Newton from
+    * the β = 0 seed, `rounds` full Newton steps. The classifier-
+    * training primitive a 100 TB pipeline fits distributed: each round
+    * is ONE data pass producing five sufficient statistics (gradient
+    * and Hessian entries), then a 2×2 solve on one row.
+    *
+    * Exactness: μ = 1/(1+exp(−η)) uses [[Pmath.expColumn]] (portable,
+    * bit-identical across engines; η clamped to ±30 so the exp domain
+    * is bounded); every per-row term is quantized to 2⁻²⁰ fixed point
+    * and summed in decimal(38,0) — the x_icc/x_huber device that makes
+    * a data-sized double sum order-free. Callers pre-scale the feature
+    * to O(1) so the quantization grid is fine relative to the values. */
+  def logisticIrls(df: DataFrame, xCol: Column, yCol: Column,
+                   rounds: Int = 2): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = lit(1048576.0)
+    val o = df.select(xCol.cast("double").as("xd"), yCol.cast("double").as("y"))
+      .filter(col("xd").isNotNull && col("y").isNotNull)
+    var fit = o.agg(count(lit(1)).as("n"))
+      .select(col("n"), lit(0.0).as("b0"), lit(0.0).as("b1"))
+    (1 to rounds).foreach { _ =>
+      val w0 = o.crossJoin(broadcast(fit))
+        .withColumn("eta", least(greatest(col("b0") + col("b1") * col("xd"),
+          lit(-30.0)), lit(30.0)))
+        .withColumn("mu",
+          lit(1.0) / (lit(1.0) + Pmath.expColumn(-col("eta"))))
+        .withColumn("w", col("mu") * (lit(1.0) - col("mu")))
+      val sums = w0.agg(max("n").as("n"), max("b0").as("pb0"),
+        max("b1").as("pb1"),
+        sum(dec(floor((col("y") - col("mu")) * q))).as("qg0"),
+        sum(dec(floor(((col("y") - col("mu")) * col("xd")) * q))).as("qg1"),
+        sum(dec(floor(col("w") * q))).as("qh00"),
+        sum(dec(floor((col("w") * col("xd")) * q))).as("qh01"),
+        sum(dec(floor(((col("w") * col("xd")) * col("xd")) * q))).as("qh11"))
+      fit = sums
+        .withColumn("g0", ddec(col("qg0")) / q)
+        .withColumn("g1", ddec(col("qg1")) / q)
+        .withColumn("h00", ddec(col("qh00")) / q)
+        .withColumn("h01", ddec(col("qh01")) / q)
+        .withColumn("h11", ddec(col("qh11")) / q)
+        .withColumn("det",
+          col("h00") * col("h11") - col("h01") * col("h01"))
+        .select(col("n"),
+          (col("pb0") + (col("h11") * col("g0") - col("h01") * col("g1")) /
+            col("det")).as("b0"),
+          (col("pb1") + (col("h00") * col("g1") - col("h01") * col("g0")) /
+            col("det")).as("b1"))
+    }
+    fit.select(col("n"), col("b0").as("beta0"), col("b1").as("beta1"))
+  }
+
+  /** 1-D two-component Gaussian-mixture EM, `rounds` full EM steps
+    * from a deterministic moment seed (μ = mean ∓ sd, equal variances,
+    * π = ½). The soft-clustering / bimodality primitive (quality-score
+    * mixtures, length mixtures) in its scale shape: each round is ONE
+    * data pass producing six sufficient statistics.
+    *
+    * Exactness: the seed comes off exact decimal(38,0) integer
+    * moments; responsibilities r₁ = 1/(1 + (π₂/π₁)·√(v₁/v₂)·
+    * exp(q₁−q₂)) use [[Pmath.expColumn]] on the ±30-clamped exponent
+    * difference; every per-row weighted term is 2⁻²⁰-quantized and
+    * decimal-summed (the [[logisticIrls]] device). Input must be an
+    * integer column (exact seed moments). */
+  def gmmEm1d(df: DataFrame, xCol: Column, rounds: Int = 2): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = lit(1048576.0)
+    val docs = df.select(xCol.cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val m0 = docs.agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"),
+      sum(dec(col("x")) * col("x")).as("sxx"))
+    var fit = m0
+      .withColumn("mean", ddec(col("sx")) / dbl(col("n")))
+      .withColumn("vr",
+        ddec(col("sxx")) / dbl(col("n")) - col("mean") * col("mean"))
+      .withColumn("sd", sqrt(col("vr")))
+      .select(col("n"), lit(0.5).as("pi1"),
+        (col("mean") - col("sd")).as("mu1"),
+        (col("mean") + col("sd")).as("mu2"),
+        col("vr").as("v1"), col("vr").as("v2"))
+    (1 to rounds).foreach { _ =>
+      val e = docs.crossJoin(broadcast(fit))
+        .withColumn("xdd", dbl(col("x")))
+        .withColumn("q1", ((col("xdd") - col("mu1")) *
+          (col("xdd") - col("mu1"))) / (lit(2.0) * col("v1")))
+        .withColumn("q2", ((col("xdd") - col("mu2")) *
+          (col("xdd") - col("mu2"))) / (lit(2.0) * col("v2")))
+        .withColumn("lr", least(greatest(col("q1") - col("q2"),
+          lit(-30.0)), lit(30.0)))
+        .withColumn("ratio", ((lit(1.0) - col("pi1")) / col("pi1")) *
+          sqrt(col("v1") / col("v2")))
+        .withColumn("r1",
+          lit(1.0) / (lit(1.0) + col("ratio") * Pmath.expColumn(col("lr"))))
+        .withColumn("r2", lit(1.0) - col("r1"))
+      val sums = e.agg(max("n").as("n"),
+        sum(dec(floor(col("r1") * q))).as("qr1"),
+        sum(dec(floor((col("r1") * col("xdd")) * q))).as("qr1x"),
+        sum(dec(floor(((col("r1") * col("xdd")) * col("xdd")) * q)))
+          .as("qr1xx"),
+        sum(dec(floor(col("r2") * q))).as("qr2"),
+        sum(dec(floor((col("r2") * col("xdd")) * q))).as("qr2x"),
+        sum(dec(floor(((col("r2") * col("xdd")) * col("xdd")) * q)))
+          .as("qr2xx"))
+      fit = sums
+        .withColumn("sr1", ddec(col("qr1")) / q)
+        .withColumn("sr1x", ddec(col("qr1x")) / q)
+        .withColumn("sr1xx", ddec(col("qr1xx")) / q)
+        .withColumn("sr2", ddec(col("qr2")) / q)
+        .withColumn("sr2x", ddec(col("qr2x")) / q)
+        .withColumn("sr2xx", ddec(col("qr2xx")) / q)
+        .withColumn("nmu1", col("sr1x") / col("sr1"))
+        .withColumn("nmu2", col("sr2x") / col("sr2"))
+        .select(col("n"),
+          (col("sr1") / (col("sr1") + col("sr2"))).as("pi1"),
+          col("nmu1").as("mu1"), col("nmu2").as("mu2"),
+          (col("sr1xx") / col("sr1") - col("nmu1") * col("nmu1")).as("v1"),
+          (col("sr2xx") / col("sr2") - col("nmu2") * col("nmu2")).as("v2"))
+    }
+    fit.select(col("n"), col("pi1"), col("mu1"), col("mu2"),
+      col("v1").as("var1"), col("v2").as("var2"))
+  }
+
   /** Kruskal–Wallis H test: the rank-based (distribution-free) analog
     * of [[anovaF]] across k groups. Global midranks from the
     * distinct-value spine (integer 2·midrank), per-group rank sums via

@@ -332,6 +332,109 @@ object Ext10 {
           col("b0").as("intercept_huber"))
     }),
 
+    // two-sample Anderson–Darling (en vs rest on document length):
+    // the tail-weighted ECDF-gap integral next to x_ks_drift's max-gap
+    // — see Stats.andersonDarling2 for the quantized-spine-sum recipe
+    "x_anderson_darling" -> ((s, d) =>
+      Stats.andersonDarling2(
+        t(s, d, "documents").filter(col("n_chars").isNotNull),
+        col("lang") === "en", "n_chars")),
+
+    // Good–Turing frequency smoothing over the corpus TRIGRAM types
+    // (the sparse regime the estimator exists for — the unigram
+    // vocabulary here has no low-count mass at all): the frequency-of-
+    // frequencies census and the adjusted counts r* = (r+1)·N_{r+1}/N_r
+    // — the unseen-mass estimator every n-gram LM smoother builds on
+    // (x_kn_score's absolute discounting is the fixed-discount shortcut
+    // for exactly this). Pure integer counts, one division chain per
+    // bounded output row.
+    "x_good_turing" -> ((s, d) => {
+      val wc = t(s, d, "documents")
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(explode(expr("transform(sequence(0, size(ws) - 3), " +
+          "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("r"))
+      val fof = wc.groupBy("r").agg(count(lit(1)).as("n_r"))
+      val tot = wc.agg(sum("r").as("n_tok"))
+      val nxt = fof.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+      fof.filter(col("r") <= 10)
+        .join(nxt, Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("r_star",
+          dbl(col("r") + 1) * dbl(coalesce(col("n_r1"), lit(0L))) /
+            dbl(col("n_r")))
+        .select(col("r"), col("n_r"), col("r_star"),
+          (col("r_star") / dbl(col("n_tok"))).as("p_gt"))
+    }),
+
+    // Heaps'-law fit V(n) = K·n^β of vocabulary growth: 16 integer
+    // checkpoints over the doc_id span (each word bucketed by its
+    // FIRST document, each token by its document — two hash aggregates
+    // + a 16-row cumulative), then OLS on (ln n, ln V) through the
+    // portable ln with ≤16-term ordered folds. The sublinearity
+    // readout that says how fast new data stops buying vocabulary.
+    "x_heaps_law" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val mx = docs.agg(max("doc_id").as("mxd"))
+      val wj = toks.groupBy("w").agg(min("doc_id").as("fd"))
+        .crossJoin(broadcast(mx))
+        .select(expr("(fd * 16) div (mxd + 1) + 1").as("j"))
+        .groupBy("j").agg(count(lit(1)).as("dv"))
+      val tj = toks.crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 16) div (mxd + 1) + 1").as("j"))
+        .groupBy("j").agg(count(lit(1)).as("dn"))
+      val grid = mx.select(explode(sequence(lit(1L), lit(16L))).as("j"))
+      val wnd = Window.partitionBy(lit(1)).orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val pts = grid
+        .join(wj, Seq("j"), "left").join(tj, Seq("j"), "left")
+        .withColumn("vj", sum(coalesce(col("dv"), lit(0L))).over(wnd))
+        .withColumn("nj", sum(coalesce(col("dn"), lit(0L))).over(wnd))
+        .filter(col("vj") > 0 && col("nj") > 0)
+        .withColumn("lx", Pmath.lnColumn(dbl(col("nj"))))
+        .withColumn("ly", Pmath.lnColumn(dbl(col("vj"))))
+      def fold(term: Column, out: String) =
+        aggregate(transform(sort_array(collect_list(
+          struct(col("j"), term.as("t")))), x => x.getField("t")),
+          lit(0.0), (a, x) => a + x).as(out)
+      pts.agg(count(lit(1)).as("n_points"),
+          fold(col("lx"), "sx"), fold(col("ly"), "sy"),
+          fold(col("lx") * col("ly"), "sxy"),
+          fold(col("lx") * col("lx"), "sxx"))
+        .withColumn("kd", dbl(col("n_points")))
+        .withColumn("beta",
+          (col("kd") * col("sxy") - col("sx") * col("sy")) /
+            (col("kd") * col("sxx") - col("sx") * col("sx")))
+        .select(col("n_points"), col("beta"),
+          ((col("sy") - col("beta") * col("sx")) / col("kd")).as("ln_k"))
+    }),
+
+    // Lincoln–Petersen / Chapman capture–recapture over two
+    // independent 30% hash samples of the documents: the classic
+    // population estimator, repurposed as "how big is the true
+    // deduplicated universe" — overlap of two cheap samples estimates
+    // the total without scanning for it. Pure integers + 2 divisions;
+    // true_n alongside shows the estimator's accuracy.
+    "x_capture_recapture" -> ((s, d) => {
+      def h(salt: String) =
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(salt))), 1, 13), 16, 10).cast("long") % 10
+      t(s, d, "documents")
+        .select((h("cap_a") < 3).as("ina"), (h("cap_b") < 3).as("inb"))
+        .agg(sum(when(col("ina"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("inb"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("ina") && col("inb"), 1L).otherwise(0L)).as("m"),
+          count(lit(1)).as("true_n"))
+        .select(col("n1"), col("n2"), col("m"), col("true_n"),
+          (dbl(col("n1")) * dbl(col("n2")) / dbl(col("m"))).as("lp_est"),
+          ((dbl(col("n1")) + lit(1.0)) * (dbl(col("n2")) + lit(1.0)) /
+            (dbl(col("m")) + lit(1.0)) - lit(1.0)).as("chapman_est"))
+    }),
+
     // distinct-l-diversity audit: the k-anonymity companion — for each
     // (source, length-bucket) quasi-identifier group, how many DISTINCT
     // sensitive values (lang) appear; reported as the l histogram. A
@@ -804,6 +907,130 @@ object Ext10 {
          SELECT t AS t_dur, n_risk, d1 AS d_cause1, d2 AS d_cause2,
                 c1 AS cif_cause1, c2 AS cif_cause2, s AS surv_all
          FROM c WHERE i >= 1""",
+
+    // mirrors Stats.andersonDarling2: same spine, same fixed double
+    // chain per term, same 2⁻²⁰ quantize-then-decimal-sum
+    "x_anderson_darling" ->
+      """WITH f AS (SELECT n_chars AS v,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ya
+              FROM documents WHERE n_chars IS NOT NULL),
+         g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(ya) AS BIGINT) AS ca FROM f GROUP BY v),
+         s AS (SELECT cnt, ca,
+                CAST(sum(cnt) OVER w AS BIGINT) AS cum,
+                CAST(sum(ca) OVER w AS BIGINT) AS cuma
+              FROM g WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW)),
+         t AS (SELECT CAST(sum(ya) AS BIGINT) AS n1,
+                CAST(count(*) - sum(ya) AS BIGINT) AS n2,
+                CAST(count(*) AS BIGINT) AS nn FROM f),
+         e AS (SELECT cnt, ca, cum, cuma, n1, n2, nn,
+                CAST(nn AS DOUBLE) AS nd, CAST(cum AS DOUBLE) AS bd
+              FROM s CROSS JOIN t WHERE cum < nn),
+         e2 AS (SELECT *,
+                nd * CAST(cuma AS DOUBLE) - CAST(n1 AS DOUBLE) * bd
+                  AS num1,
+                nd * CAST(cum - cuma AS DOUBLE) - CAST(n2 AS DOUBLE) * bd
+                  AS num2,
+                nd * (bd * (nd - bd)) AS den FROM e),
+         e3 AS (SELECT *,
+                CAST(cnt AS DOUBLE) * ((num1 * num1) / den) AS t1,
+                CAST(cnt AS DOUBLE) * ((num2 * num2) / den) AS t2
+              FROM e2),
+         fo AS (SELECT max(n1) AS n1, max(n2) AS n2,
+                CAST(count(*) AS BIGINT) AS n_terms,
+                sum(CAST(floor(t1 * 1048576.0) AS HUGEINT)) AS q1,
+                sum(CAST(floor(t2 * 1048576.0) AS HUGEINT)) AS q2
+              FROM e3)
+         SELECT n1, n2, n_terms,
+                (CAST(CAST(q1 AS VARCHAR) AS DOUBLE) / 1048576.0)
+                  / CAST(n1 AS DOUBLE)
+              + (CAST(CAST(q2 AS VARCHAR) AS DOUBLE) / 1048576.0)
+                  / CAST(n2 AS DOUBLE) AS a2_stat
+         FROM fo""",
+
+    "x_good_turing" ->
+      """WITH d0 AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         wc AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM
+                (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
+                 FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i
+                       FROM d0 WHERE len(ws) >= 3))
+              GROUP BY w),
+         fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r
+              FROM wc GROUP BY r),
+         tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_tok FROM wc),
+         j AS (SELECT a.r, a.n_r,
+                CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r1
+              FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
+              WHERE a.r <= 10)
+         SELECT r, n_r,
+                CAST(r + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE)
+                  / CAST(n_r AS DOUBLE) AS r_star,
+                (CAST(r + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE)
+                  / CAST(n_r AS DOUBLE)) / CAST(n_tok AS DOUBLE) AS p_gt
+         FROM j CROSS JOIN tot""",
+
+    "x_heaps_law" -> {
+      val (chains, last) = Pmath.lnSqlChainCtes("pts", "hl",
+        Seq("CAST(nj AS DOUBLE)" -> "lx", "CAST(vj AS DOUBLE)" -> "ly"),
+        carry = Seq("j", "vj", "nj"))
+      s"""WITH toks AS (SELECT doc_id, w FROM
+                (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents) WHERE w <> ''),
+         mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mxd FROM documents),
+         wj AS (SELECT (fd * 16) // (mxd + 1) + 1 AS j,
+                CAST(count(*) AS BIGINT) AS dv
+              FROM (SELECT w, CAST(min(doc_id) AS BIGINT) AS fd
+                    FROM toks GROUP BY w) CROSS JOIN mx GROUP BY 1),
+         tj AS (SELECT (doc_id * 16) // (mxd + 1) + 1 AS j,
+                CAST(count(*) AS BIGINT) AS dn
+              FROM toks CROSS JOIN mx GROUP BY 1),
+         grid AS (SELECT CAST(unnest(range(1, 17)) AS BIGINT) AS j),
+         pts0 AS (SELECT g.j,
+                CAST(sum(COALESCE(w.dv, 0)) OVER (ORDER BY g.j
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS vj,
+                CAST(sum(COALESCE(t.dn, 0)) OVER (ORDER BY g.j
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS nj
+              FROM grid g LEFT JOIN wj w ON w.j = g.j
+                          LEFT JOIN tj t ON t.j = g.j),
+         pts AS (SELECT j, vj, nj FROM pts0 WHERE vj > 0 AND nj > 0),
+         $chains,
+         fo AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+                list_sum(list(lx ORDER BY j)) AS sx,
+                list_sum(list(ly ORDER BY j)) AS sy,
+                list_sum(list(lx * ly ORDER BY j)) AS sxy,
+                list_sum(list(lx * lx ORDER BY j)) AS sxx FROM $last),
+         e AS (SELECT n_points, CAST(n_points AS DOUBLE) AS kd,
+                sx, sy, sxy, sxx,
+                (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS beta
+              FROM fo)
+         SELECT n_points, beta, (sy - beta * sx) / kd AS ln_k FROM e"""
+    },
+
+    "x_capture_recapture" ->
+      """WITH s AS (SELECT
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap_a'),
+                  1, 13))::BIGINT % 10 < 3 AS ina,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cap_b'),
+                  1, 13))::BIGINT % 10 < 3 AS inb
+              FROM documents),
+         m AS (SELECT
+                CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n1,
+                CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n2,
+                CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m,
+                CAST(count(*) AS BIGINT) AS true_n FROM s)
+         SELECT n1, n2, m, true_n,
+                CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  / CAST(m AS DOUBLE) AS lp_est,
+                (CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+                  / (CAST(m AS DOUBLE) + 1.0) - 1.0 AS chapman_est
+         FROM m""",
 
     "x_ldiversity" ->
       """WITH g AS (SELECT source, n_chars // 500 AS bkt,

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Pmath
+import graft.operators.Stats
+
+/** Round-8 fifth wave — iterative ML fits unlocked by the portable exp
+  * kernel ([[Pmath.expColumn]] / [[graft.plans.PortableExp]]): logistic
+  * IRLS and 1-D Gaussian-mixture EM. Both follow the proven
+  * exact-iteration discipline:
+  *
+  *  - every transcendental goes through the portable kernel (same IEEE
+  *    op sequence on both engines, clamped domain);
+  *  - every data-sized double sum is 2⁻²⁰-quantized and accumulated in
+  *    decimal(38,0) (the x_icc/x_huber device) — order-free, so the
+  *    distributed sum is bit-identical to the oracle's;
+  *  - rounds chain through 1-row broadcast frames, never a driver
+  *    collect; the oracle replays each round as chained CTEs.
+  */
+object Ext12 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val Q = "1048576.0"
+
+  private def vd(s: String) = s"CAST(CAST($s AS VARCHAR) AS DOUBLE) / $Q"
+
+  /** One logistic-IRLS round as chained CTEs: eta/mu/w per row (exp via
+    * the portable chain), quantized HUGEINT sums, 2×2 Newton solve. */
+  private def logitRoundSql(r: Int): String = {
+    val prevF = s"f${r - 1}"
+    val (chain, last) = Pmath.expSqlChainCtes(s"r${r}b", s"ex$r",
+      Seq("-eta" -> "exn"), carry = Seq("xd", "y"))
+    s"""r${r}b AS (SELECT xd, y,
+                least(greatest(b0 + b1 * xd, -30.0), 30.0) AS eta
+              FROM o CROSS JOIN $prevF),
+         $chain,
+         r${r}m AS (SELECT xd, y, 1.0 / (1.0 + exn) AS mu FROM $last),
+         r${r}w AS (SELECT xd, y, mu, mu * (1.0 - mu) AS w FROM r${r}m),
+         s$r AS (SELECT
+                sum(CAST(floor((y - mu) * $Q) AS HUGEINT)) AS qg0,
+                sum(CAST(floor(((y - mu) * xd) * $Q) AS HUGEINT)) AS qg1,
+                sum(CAST(floor(w * $Q) AS HUGEINT)) AS qh00,
+                sum(CAST(floor((w * xd) * $Q) AS HUGEINT)) AS qh01,
+                sum(CAST(floor(((w * xd) * xd) * $Q) AS HUGEINT)) AS qh11
+              FROM r${r}w),
+         g$r AS (SELECT ${vd("qg0")} AS g0, ${vd("qg1")} AS g1,
+                ${vd("qh00")} AS h00, ${vd("qh01")} AS h01,
+                ${vd("qh11")} AS h11 FROM s$r),
+         d$r AS (SELECT *, h00 * h11 - h01 * h01 AS det FROM g$r),
+         f$r AS (SELECT n,
+                b0 + (h11 * g0 - h01 * g1) / det AS b0,
+                b1 + (h00 * g1 - h01 * g0) / det AS b1
+              FROM d$r CROSS JOIN $prevF)"""
+  }
+
+  /** One GMM-EM round as chained CTEs: responsibilities per row (exp
+    * via the portable chain), six quantized sums, moment updates. */
+  private def gmmRoundSql(r: Int): String = {
+    val prevF = s"f${r - 1}"
+    val (chain, last) = Pmath.expSqlChainCtes(s"r${r}d", s"ex$r",
+      Seq("lr" -> "exn"), carry = Seq("xdd", "ratio"))
+    s"""r${r}b AS (SELECT CAST(x AS DOUBLE) AS xdd,
+                pi1, mu1, mu2, v1, v2 FROM dx CROSS JOIN $prevF),
+         r${r}c AS (SELECT xdd,
+                ((xdd - mu1) * (xdd - mu1)) / (2.0 * v1) AS q1,
+                ((xdd - mu2) * (xdd - mu2)) / (2.0 * v2) AS q2,
+                ((1.0 - pi1) / pi1) * sqrt(v1 / v2) AS ratio
+              FROM r${r}b),
+         r${r}d AS (SELECT xdd, ratio,
+                least(greatest(q1 - q2, -30.0), 30.0) AS lr FROM r${r}c),
+         $chain,
+         r${r}e AS (SELECT xdd,
+                1.0 / (1.0 + ratio * exn) AS r1 FROM $last),
+         r${r}f AS (SELECT xdd, r1, 1.0 - r1 AS r2 FROM r${r}e),
+         s$r AS (SELECT
+                sum(CAST(floor(r1 * $Q) AS HUGEINT)) AS qr1,
+                sum(CAST(floor((r1 * xdd) * $Q) AS HUGEINT)) AS qr1x,
+                sum(CAST(floor(((r1 * xdd) * xdd) * $Q) AS HUGEINT))
+                  AS qr1xx,
+                sum(CAST(floor(r2 * $Q) AS HUGEINT)) AS qr2,
+                sum(CAST(floor((r2 * xdd) * $Q) AS HUGEINT)) AS qr2x,
+                sum(CAST(floor(((r2 * xdd) * xdd) * $Q) AS HUGEINT))
+                  AS qr2xx
+              FROM r${r}f),
+         g$r AS (SELECT ${vd("qr1")} AS sr1, ${vd("qr1x")} AS sr1x,
+                ${vd("qr1xx")} AS sr1xx, ${vd("qr2")} AS sr2,
+                ${vd("qr2x")} AS sr2x, ${vd("qr2xx")} AS sr2xx FROM s$r),
+         h$r AS (SELECT *, sr1x / sr1 AS nmu1, sr2x / sr2 AS nmu2
+              FROM g$r),
+         f$r AS (SELECT n, sr1 / (sr1 + sr2) AS pi1,
+                nmu1 AS mu1, nmu2 AS mu2,
+                sr1xx / sr1 - nmu1 * nmu1 AS v1,
+                sr2xx / sr2 - nmu2 * nmu2 AS v2
+              FROM h$r CROSS JOIN m0)"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // logistic regression P(status = 'F' | price) by two IRLS rounds:
+    // the distributed classifier fit — portable-exp sigmoid, quantized
+    // decimal gradient/Hessian sums, 2×2 Newton solve per round
+    "x_logistic_irls" -> ((s, d) =>
+      Stats.logisticIrls(
+        t(s, d, "orders").filter(col("o_totalprice").isNotNull &&
+          col("o_orderstatus").isNotNull),
+        col("o_totalprice") / lit(100000.0),
+        when(col("o_orderstatus") === "F", lit(1.0)).otherwise(lit(0.0)),
+        rounds = 2)),
+
+    // two-component Gaussian mixture on document length by two EM
+    // rounds from the moment seed (μ = mean ∓ sd): the soft
+    // bimodality/clustering fit — portable-exp responsibilities,
+    // six quantized decimal sufficient statistics per round
+    "x_gmm_em" -> ((s, d) =>
+      Stats.gmmEm1d(
+        t(s, d, "documents").filter(col("n_chars").isNotNull),
+        col("n_chars"), rounds = 2)))
+
+  val oracle: Map[String, String] = Map(
+
+    // mirrors Stats.logisticIrls: same clamped eta, portable-exp
+    // sigmoid, quantized HUGEINT sums, identical Newton chains
+    "x_logistic_irls" -> {
+      val rounds = (1 to 2).map(logitRoundSql).mkString(",\n         ")
+      s"""WITH o AS (SELECT o_totalprice / 100000.0 AS xd,
+                CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END
+                  AS DOUBLE) AS y
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderstatus IS NOT NULL),
+         f0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1
+              FROM o),
+         $rounds
+         SELECT n, b0 AS beta0, b1 AS beta1 FROM f2"""
+    },
+
+    // mirrors Stats.gmmEm1d: exact HUGEINT seed moments, same
+    // responsibility chain, same six quantized sums per round
+    "x_gmm_em" -> {
+      val rounds = (1 to 2).map(gmmRoundSql).mkString(",\n         ")
+      s"""WITH dx AS (SELECT CAST(n_chars AS BIGINT) AS x
+              FROM documents WHERE n_chars IS NOT NULL),
+         m0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(x AS HUGEINT)) AS sx,
+                sum(CAST(x AS HUGEINT) * x) AS sxx FROM dx),
+         sda AS (SELECT n,
+                CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                  AS mean,
+                CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                  AS ex2 FROM m0),
+         sdb AS (SELECT n, mean, ex2 - mean * mean AS vr FROM sda),
+         f0 AS (SELECT n, CAST(0.5 AS DOUBLE) AS pi1,
+                mean - sqrt(vr) AS mu1, mean + sqrt(vr) AS mu2,
+                vr AS v1, vr AS v2 FROM sdb),
+         $rounds
+         SELECT n, pi1, mu1, mu2, v1 AS var1, v2 AS var2 FROM f2"""
+    })
+}

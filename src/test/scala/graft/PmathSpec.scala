@@ -341,4 +341,32 @@ class PmathSpec extends SparkSpec {
     }
     assert(run(docs.repartition(5)) == got, "score changed under repartition")
   }
+
+  test("native codegen exp == lambda reference form, bit for bit") {
+    val xs = (-4000 to 4000).map(_ * 0.01) ++
+      (-58 to 58).map(_ * 0.6931471805599453) ++
+      Seq(0.0, -0.0, 1e-300 * 0, 29.999999, -29.999999, 1e-9, -1e-9)
+    val both = xs.toDF("x").select(
+      Pmath.expColumn(col("x")).as("native"),
+      Pmath.expColumnLambda(col("x")).as("lambda"))
+      .as[(Double, Double)].collect()
+    both.zip(xs).foreach { case ((n, l), x) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(l),
+        s"native/lambda exp diverge at $x: $n vs $l")
+    }
+  }
+
+  test("portable exp tracks Math.exp within 1e-13 relative; exp(0) == 1") {
+    val xs = (-4000 to 4000).map(_ * 0.00997) ++ Seq(0.0, 1.0, -1.0,
+      math.log(2.0), 10.0, -10.0, 39.9, -39.9)
+    val got = xs.toDF("x").select(Pmath.expColumn(col("x")).as("y"))
+      .as[Double].collect()
+    xs.zip(got).foreach { case (x, y) =>
+      val ref = math.exp(x)
+      assert(math.abs(y - ref) / ref < 1e-13, s"pexp($x)=$y vs $ref")
+    }
+    assert(xs.toDF("x").select(Pmath.expColumn(lit(0.0)))
+      .as[Double].collect().forall(_ == 1.0))
+  }
 }
