@@ -1232,6 +1232,127 @@ object Stats {
     fit.select(col("n"), col("b0").as("beta0"), col("b1").as("beta1"))
   }
 
+  /** Poisson regression (log link, intercept + one feature) by IRLS
+    * from the β = 0 seed — the count-data GLM next to
+    * [[logisticIrls]]: same one-pass sufficient statistics (score
+    * Σ(y−μ), Σ(y−μ)x; information Σμ, Σμx, Σμx²), same 2×2 Newton
+    * solve, with μ = exp(η) through [[Pmath.expColumn]] (η clamped to
+    * ±30). Same exactness discipline: 2⁻²⁰-quantized decimal(38,0)
+    * sums, so the distributed pass replays bit-identically. */
+  def poissonIrls(df: DataFrame, xCol: Column, yCol: Column,
+                  rounds: Int = 2): DataFrame = {
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = lit(1048576.0)
+    val o = df.select(xCol.cast("double").as("xd"), yCol.cast("double").as("y"))
+      .filter(col("xd").isNotNull && col("y").isNotNull)
+    var fit = o.agg(count(lit(1)).as("n"))
+      .select(col("n"), lit(0.0).as("b0"), lit(0.0).as("b1"))
+    (1 to rounds).foreach { _ =>
+      val w0 = o.crossJoin(broadcast(fit))
+        .withColumn("eta", least(greatest(col("b0") + col("b1") * col("xd"),
+          lit(-30.0)), lit(30.0)))
+        .withColumn("mu", Pmath.expColumn(col("eta")))
+      val sums = w0.agg(max("n").as("n"), max("b0").as("pb0"),
+        max("b1").as("pb1"),
+        sum(dec(floor((col("y") - col("mu")) * q))).as("qg0"),
+        sum(dec(floor(((col("y") - col("mu")) * col("xd")) * q))).as("qg1"),
+        sum(dec(floor(col("mu") * q))).as("qh00"),
+        sum(dec(floor((col("mu") * col("xd")) * q))).as("qh01"),
+        sum(dec(floor(((col("mu") * col("xd")) * col("xd")) * q)))
+          .as("qh11"))
+      fit = sums
+        .withColumn("g0", ddec(col("qg0")) / q)
+        .withColumn("g1", ddec(col("qg1")) / q)
+        .withColumn("h00", ddec(col("qh00")) / q)
+        .withColumn("h01", ddec(col("qh01")) / q)
+        .withColumn("h11", ddec(col("qh11")) / q)
+        .withColumn("det",
+          col("h00") * col("h11") - col("h01") * col("h01"))
+        .select(col("n"),
+          (col("pb0") + (col("h11") * col("g0") - col("h01") * col("g1")) /
+            col("det")).as("b0"),
+          (col("pb1") + (col("h00") * col("g1") - col("h01") * col("g0")) /
+            col("det")).as("b1"))
+    }
+    fit.select(col("n"), col("b0").as("beta0"), col("b1").as("beta1"))
+  }
+
+  /** Cox proportional-hazards fit (one covariate, Breslow ties) by
+    * `rounds` Newton steps from β = 0 — the survival-regression
+    * companion to [[kaplanMeier]]/the log-rank test: how much does the
+    * covariate scale the hazard, not just "do the arms differ".
+    *
+    * Inputs: integer day-binned duration (the CALENDAR-BOUNDED spine
+    * the survival family already rides), 0/1 event indicator, and an
+    * INTEGER covariate that is pre-scaled by 2⁻⁷ (an exact exponent
+    * shift, so x is an exact double and death-side Σx is an exact
+    * integer sum ÷ 128).
+    *
+    * Per round: per-row w = exp(βx) ([[Pmath.expColumn]], clamped ±30)
+    * quantized to 2⁻²⁰ decimal; per-duration decimal sums of (w, wx,
+    * wx²); EXACT decimal reverse-cumulatives over the bounded spine
+    * give the risk-set S₀/S₁/S₂; score U = Σ_t [Σx_dead − d·S₁/S₀] and
+    * information I = Σ_t d·[S₂/S₀ − (S₁/S₀)²] are spine-ordered
+    * bounded folds; β ← β + U/I. Scale shape: one data pass per round
+    * + calendar-bounded spine work ([[kaplanMeier]]'s shape). */
+  def coxNewton(df: DataFrame, durCol: Column, obsCol: Column,
+                xIntCol: Column, rounds: Int = 2): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = lit(1048576.0)
+    val u = df.select(durCol.cast("long").as("dur"),
+        obsCol.cast("long").as("obs"), xIntCol.cast("long").as("xn"))
+      .filter(col("dur").isNotNull && col("obs").isNotNull &&
+        col("xn").isNotNull)
+      .withColumn("xd", dbl(col("xn")) / lit(128.0))
+    var fit = u.agg(count(lit(1)).as("n"))
+      .select(col("n"), lit(0.0).as("beta"))
+    (1 to rounds).foreach { _ =>
+      val w0 = u.crossJoin(broadcast(fit))
+        .withColumn("eta", least(greatest(col("beta") * col("xd"),
+          lit(-30.0)), lit(30.0)))
+        .withColumn("w", Pmath.expColumn(col("eta")))
+      val perDur = w0.groupBy("dur").agg(
+        max("n").as("n"), max("beta").as("pbeta"),
+        sum(dec(floor(col("w") * q))).as("qw"),
+        sum(dec(floor((col("w") * col("xd")) * q))).as("qwx"),
+        sum(dec(floor(((col("w") * col("xd")) * col("xd")) * q)))
+          .as("qwxx"),
+        sum(col("obs")).as("d"),
+        sum(col("obs") * col("xn")).as("sxd"))
+      // reverse cumulatives over the calendar-bounded day spine: the
+      // at-risk set is everyone with dur >= t (bounded window — the
+      // x_logrank precedent)
+      val w = Window.orderBy("dur")
+        .rowsBetween(0, Window.unboundedFollowing)
+      val spine = perDur
+        .withColumn("cqw", sum("qw").over(w))
+        .withColumn("cqwx", sum("qwx").over(w))
+        .withColumn("cqwxx", sum("qwxx").over(w))
+        .filter(col("d") > 0L)
+        .withColumn("s0", ddec(col("cqw")) / q)
+        .withColumn("s1", ddec(col("cqwx")) / q)
+        .withColumn("s2", ddec(col("cqwxx")) / q)
+        .withColumn("rat", col("s1") / col("s0"))
+        .withColumn("tu", dbl(col("sxd")) / lit(128.0) -
+          dbl(col("d")) * col("rat"))
+        .withColumn("ti", dbl(col("d")) *
+          (col("s2") / col("s0") - col("rat") * col("rat")))
+      def fold(term: Column, out: String) =
+        aggregate(transform(sort_array(collect_list(
+          struct(col("dur"), term.as("t")))), x => x.getField("t")),
+          lit(0.0), (a, x) => a + x).as(out)
+      fit = spine.agg(max("n").as("n"), max("pbeta").as("pbeta"),
+          fold(col("tu"), "usum"), fold(col("ti"), "isum"))
+        .select(col("n"), col("usum"), col("isum"),
+          (col("pbeta") + col("usum") / col("isum")).as("beta"))
+    }
+    fit.select(col("n"), col("beta"), col("usum").as("score_last"),
+      col("isum").as("info_last"))
+  }
+
   /** 1-D two-component Gaussian-mixture EM, `rounds` full EM steps
     * from a deterministic moment seed (μ = mean ∓ sd, equal variances,
     * π = ½). The soft-clustering / bimodality primitive (quality-score

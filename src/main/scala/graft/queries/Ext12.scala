@@ -99,6 +99,74 @@ object Ext12 {
               FROM h$r CROSS JOIN m0)"""
   }
 
+  /** One Poisson-IRLS round as chained CTEs (μ = exp(η) directly). */
+  private def poissonRoundSql(r: Int): String = {
+    val prevF = s"f${r - 1}"
+    val (chain, last) = Pmath.expSqlChainCtes(s"r${r}b", s"ex$r",
+      Seq("eta" -> "mu"), carry = Seq("xd", "y"))
+    s"""r${r}b AS (SELECT xd, y,
+                least(greatest(b0 + b1 * xd, -30.0), 30.0) AS eta
+              FROM o CROSS JOIN $prevF),
+         $chain,
+         s$r AS (SELECT
+                sum(CAST(floor((y - mu) * $Q) AS HUGEINT)) AS qg0,
+                sum(CAST(floor(((y - mu) * xd) * $Q) AS HUGEINT)) AS qg1,
+                sum(CAST(floor(mu * $Q) AS HUGEINT)) AS qh00,
+                sum(CAST(floor((mu * xd) * $Q) AS HUGEINT)) AS qh01,
+                sum(CAST(floor(((mu * xd) * xd) * $Q) AS HUGEINT)) AS qh11
+              FROM $last),
+         g$r AS (SELECT ${vd("qg0")} AS g0, ${vd("qg1")} AS g1,
+                ${vd("qh00")} AS h00, ${vd("qh01")} AS h01,
+                ${vd("qh11")} AS h11 FROM s$r),
+         d$r AS (SELECT *, h00 * h11 - h01 * h01 AS det FROM g$r),
+         f$r AS (SELECT n,
+                b0 + (h11 * g0 - h01 * g1) / det AS b0,
+                b1 + (h00 * g1 - h01 * g0) / det AS b1
+              FROM d$r CROSS JOIN $prevF)"""
+  }
+
+  /** One Cox-Newton round as chained CTEs: per-row w = exp(β·x),
+    * quantized per-duration sums, HUGEINT reverse cumulatives over the
+    * day spine, spine-ordered U/I folds, β update. */
+  private def coxRoundSql(r: Int): String = {
+    val prevF = s"f${r - 1}"
+    val (chain, last) = Pmath.expSqlChainCtes(s"r${r}b", s"ex$r",
+      Seq("eta" -> "w"), carry = Seq("dur", "obs", "xn", "xd"))
+    s"""r${r}b AS (SELECT dur, obs, xn, xd,
+                least(greatest(beta * xd, -30.0), 30.0) AS eta
+              FROM u2 CROSS JOIN $prevF),
+         $chain,
+         p$r AS (SELECT dur,
+                sum(CAST(floor(w * $Q) AS HUGEINT)) AS qw,
+                sum(CAST(floor((w * xd) * $Q) AS HUGEINT)) AS qwx,
+                sum(CAST(floor(((w * xd) * xd) * $Q) AS HUGEINT)) AS qwxx,
+                CAST(sum(obs) AS BIGINT) AS d,
+                CAST(sum(obs * xn) AS BIGINT) AS sxd
+              FROM $last GROUP BY dur),
+         c$r AS (SELECT *,
+                sum(qw) OVER rw AS cqw, sum(qwx) OVER rw AS cqwx,
+                sum(qwxx) OVER rw AS cqwxx
+              FROM p$r WINDOW rw AS (ORDER BY dur ROWS BETWEEN CURRENT
+                ROW AND UNBOUNDED FOLLOWING)),
+         s${r}a AS (SELECT dur, d, sxd,
+                CAST(CAST(cqw AS VARCHAR) AS DOUBLE) / $Q AS s0,
+                CAST(CAST(cqwx AS VARCHAR) AS DOUBLE) / $Q AS s1,
+                CAST(CAST(cqwxx AS VARCHAR) AS DOUBLE) / $Q AS s2
+              FROM c$r WHERE d > 0),
+         s${r}b AS (SELECT *, s1 / s0 AS rat FROM s${r}a),
+         s${r}c AS (SELECT dur,
+                CAST(sxd AS DOUBLE) / 128.0 - CAST(d AS DOUBLE) * rat
+                  AS tu,
+                CAST(d AS DOUBLE) * (s2 / s0 - rat * rat) AS ti
+              FROM s${r}b),
+         a$r AS (SELECT list_sum(list(tu ORDER BY dur)) AS usum,
+                list_sum(list(ti ORDER BY dur)) AS isum FROM s${r}c),
+         f$r AS (SELECT $prevF.n AS n, a$r.usum AS usum,
+                a$r.isum AS isum,
+                $prevF.beta + a$r.usum / a$r.isum AS beta
+              FROM a$r CROSS JOIN $prevF)"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // logistic regression P(status = 'F' | price) by two IRLS rounds:
@@ -119,7 +187,34 @@ object Ext12 {
     "x_gmm_em" -> ((s, d) =>
       Stats.gmmEm1d(
         t(s, d, "documents").filter(col("n_chars").isNotNull),
-        col("n_chars"), rounds = 2)))
+        col("n_chars"), rounds = 2)),
+
+    // Poisson GLM (log link): expected lineitem count per order as a
+    // function of order price — the count-data companion to
+    // x_logistic_irls, same quantized one-pass Newton machinery
+    "x_poisson_glm" -> ((s, d) => {
+      val cnt = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("y"))
+      val o = t(s, d, "orders")
+        .filter(col("o_totalprice").isNotNull)
+        .join(cnt, col("o_orderkey") === col("l_orderkey"))
+      Stats.poissonIrls(o, col("o_totalprice") / lit(100000.0), col("y"),
+        rounds = 2)
+    }),
+
+    // Cox proportional hazards of purchase vs user activity: two
+    // Newton steps on the day-binned survival frame (x_logrank's
+    // construction), covariate = per-user event count · 2⁻⁷ —
+    // does activity level scale the purchase hazard
+    "x_cox_newton" -> ((s, d) => {
+      val ue = t(s, d, "events").groupBy("user_id").agg(
+        datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("dur"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("obs"),
+        count(lit(1)).as("xn"))
+      Stats.coxNewton(ue, col("dur"), col("obs"), col("xn"), rounds = 2)
+    }))
 
   val oracle: Map[String, String] = Map(
 
@@ -138,6 +233,44 @@ object Ext12 {
               FROM o),
          $rounds
          SELECT n, b0 AS beta0, b1 AS beta1 FROM f2"""
+    },
+
+    // mirrors Stats.poissonIrls: same clamped eta, portable-exp mean,
+    // quantized HUGEINT sums, identical Newton chains
+    "x_poisson_glm" -> {
+      val rounds = (1 to 2).map(poissonRoundSql).mkString(",\n         ")
+      s"""WITH o AS (SELECT o_totalprice / 100000.0 AS xd,
+                CAST(c.y AS DOUBLE) AS y
+              FROM orders
+              JOIN (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS y
+                    FROM lineitem GROUP BY l_orderkey) c
+                ON o_orderkey = c.l_orderkey
+              WHERE o_totalprice IS NOT NULL),
+         f0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1
+              FROM o),
+         $rounds
+         SELECT n, b0 AS beta0, b1 AS beta1 FROM f2"""
+    },
+
+    // mirrors Stats.coxNewton: x_logrank's survival frame, per-round
+    // portable-exp weights, HUGEINT risk-set reverse cumulatives,
+    // spine-ordered score/information folds
+    "x_cox_newton" -> {
+      val rounds = (1 to 2).map(coxRoundSql).mkString(",\n         ")
+      s"""WITH u AS (SELECT
+                CAST(datediff('day', min(CAST(ts AS DATE)),
+                  max(CAST(ts AS DATE))) AS BIGINT) AS dur,
+                CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                  ELSE 0 END) AS BIGINT) AS obs,
+                CAST(count(*) AS BIGINT) AS xn
+              FROM events GROUP BY user_id),
+         u2 AS (SELECT dur, obs, xn, CAST(xn AS DOUBLE) / 128.0 AS xd
+              FROM u),
+         f0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(0.0 AS DOUBLE) AS beta FROM u2),
+         $rounds
+         SELECT n, beta, usum AS score_last, isum AS info_last FROM f2"""
     },
 
     // mirrors Stats.gmmEm1d: exact HUGEINT seed moments, same

@@ -69,6 +69,102 @@ class Wave15Spec extends SparkSpec {
     assert(b1 > 0.5 && b0 < 0.0)
   }
 
+  test("poissonIrls is bit-identical to the scalar quantized replay") {
+    val rnd = new scala.util.Random(59)
+    // planted model: y ~ Poisson(exp(0.5 + 0.8x))
+    val data = (1 to 3000).map { _ =>
+      val x = rnd.nextInt(250) / 100.0
+      val lam = math.exp(0.5 + 0.8 * x)
+      var y = 0; var p = math.exp(-lam); var cdf = p
+      val udraw = rnd.nextDouble()
+      while (cdf < udraw && y < 200) { y += 1; p *= lam / y; cdf += p }
+      (x, y.toDouble)
+    }
+    val got = Stats.poissonIrls(data.toDF("x", "y"), col("x"), col("y"),
+      rounds = 2).collect().head
+    var (b0, b1) = (0.0, 0.0)
+    (1 to 2).foreach { _ =>
+      val rows = data.map { case (x, y) =>
+        val eta = math.min(math.max(b0 + b1 * x, -30.0), 30.0)
+        (x, y, pexp(eta))
+      }
+      val g0 = qsum(rows.map { case (_, y, mu) => y - mu })
+      val g1 = qsum(rows.map { case (x, y, mu) => (y - mu) * x })
+      val h00 = qsum(rows.map(_._3))
+      val h01 = qsum(rows.map { case (x, _, mu) => mu * x })
+      val h11 = qsum(rows.map { case (x, _, mu) => (mu * x) * x })
+      val det = h00 * h11 - h01 * h01
+      val nb0 = b0 + (h11 * g0 - h01 * g1) / det
+      val nb1 = b1 + (h00 * g1 - h01 * g0) / det
+      b0 = nb0; b1 = nb1
+    }
+    assert(got.getAs[Long]("n") == data.size)
+    assert(bits(got.getAs[Double]("beta0")) == bits(b0))
+    assert(bits(got.getAs[Double]("beta1")) == bits(b1))
+    // Newton from zero moves toward the planted positive slope
+    assert(b1 > 0.3)
+  }
+
+  test("coxNewton is bit-identical to the scalar risk-set replay") {
+    val rnd = new scala.util.Random(61)
+    // planted hazard: higher x dies earlier; ~30% censored
+    val data = (1 to 1500).map { _ =>
+      val xn = rnd.nextInt(512).toLong
+      val base = 5.0 + 40.0 * math.exp(-xn / 256.0)
+      val dur = math.max(0L, (base * (0.2 + rnd.nextDouble())).round)
+      val obs = if (rnd.nextDouble() < 0.7) 1L else 0L
+      (dur, obs, xn)
+    }
+    val got = Stats.coxNewton(data.toDF("dur", "obs", "xn"),
+      col("dur"), col("obs"), col("xn"), rounds = 2).collect().head
+
+    val q = 1048576.0
+    def toD(b: BigInt) = b.toString.toDouble
+    var beta = 0.0
+    var (usumF, isumF) = (0.0, 0.0)
+    (1 to 2).foreach { _ =>
+      val perDur = data.groupBy(_._1).map { case (dur, rows) =>
+        var qw = BigInt(0); var qwx = BigInt(0); var qwxx = BigInt(0)
+        var d = 0L; var sxd = 0L
+        rows.foreach { case (_, obs, xn) =>
+          val xd = xn.toDouble / 128.0
+          val eta = math.min(math.max(beta * xd, -30.0), 30.0)
+          val w = pexp(eta)
+          qw += BigInt(math.floor(w * q).toLong)
+          qwx += BigInt(math.floor((w * xd) * q).toLong)
+          qwxx += BigInt(math.floor(((w * xd) * xd) * q).toLong)
+          d += obs; sxd += obs * xn
+        }
+        (dur, qw, qwx, qwxx, d, sxd)
+      }.toSeq.sortBy(_._1)
+      // reverse cumulatives, then ascending-dur folds over d>0 rows
+      val rev = perDur.reverse
+      var (cq, cqx, cqxx) = (BigInt(0), BigInt(0), BigInt(0))
+      val cum = rev.map { case (dur, qw, qwx, qwxx, d, sxd) =>
+        cq += qw; cqx += qwx; cqxx += qwxx
+        (dur, cq, cqx, cqxx, d, sxd)
+      }.reverse
+      var (us, is) = (0.0, 0.0)
+      cum.filter(_._5 > 0).foreach { case (_, cw, cwx, cwxx, d, sxd) =>
+        val s0 = toD(cw) / q; val s1 = toD(cwx) / q; val s2 = toD(cwxx) / q
+        val rat = s1 / s0
+        us = us + (sxd.toDouble / 128.0 - d.toDouble * rat)
+        is = is + d.toDouble * (s2 / s0 - rat * rat)
+      }
+      beta = beta + us / is
+      usumF = us; isumF = is
+    }
+    assert(got.getAs[Long]("n") == data.size)
+    assert(bits(got.getAs[Double]("beta")) == bits(beta),
+      s"beta ${got.getAs[Double]("beta")} vs $beta")
+    assert(bits(got.getAs[Double]("score_last")) == bits(usumF))
+    assert(bits(got.getAs[Double]("info_last")) == bits(isumF))
+    // planted effect: higher activity shortens survival → beta < 0
+    // for duration-hazard… direction depends on parametrization; just
+    // require a decisively informative fit
+    assert(isumF > 0.0 && math.abs(beta) > 0.01)
+  }
+
   test("gmmEm1d is bit-identical to the scalar quantized replay") {
     val rnd = new scala.util.Random(53)
     // planted mixture: N(200, 30²) and N(800, 50²), 40/60
