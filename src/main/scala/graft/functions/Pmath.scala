@@ -194,6 +194,52 @@ object Pmath {
     (out.result().mkString(",\n          "), prev)
   }
 
+  // ---- portable sin/cos (reduced domain) -------------------------------
+
+  /** 2π, correctly rounded. */
+  private[graft] val TwoPi = 6.283185307179586
+  /** Maclaurin coefficients in u = θ²: sin θ = θ·Σ sc_n uⁿ,
+    * cos θ = Σ cc_n uⁿ, n = 0..12. The VALUES need not be exactly
+    * (−1)ⁿ/(2n+1)! — they are computed once here and embedded as the
+    * same literal on both engines, which is all portability needs;
+    * truncation at |θ| ≤ π is < 1e-12 and identical everywhere. */
+  private[graft] val sinCoeffs: Seq[Double] = (0 to 12).map { n =>
+    val f = (1 to (2 * n + 1)).foldLeft(1.0)(_ * _)
+    (if (n % 2 == 0) 1.0 else -1.0) / f
+  }
+  private[graft] val cosCoeffs: Seq[Double] = (0 to 12).map { n =>
+    val f = (1 to (2 * n)).foldLeft(1.0)(_ * _)
+    (if (n % 2 == 0) 1.0 else -1.0) / f
+  }
+
+  private def horner(u: Column, cs: Seq[Double]): Column =
+    cs.reverse.tail.foldLeft(lit(cs.last)) { (acc, c) => lit(c) + u * acc }
+
+  /** Portable sin for |θ| ≤ π (callers range-reduce with exact integer
+    * arithmetic — e.g. θ = 2π·m/N with m ∈ (−N/2, N/2]): one fixed
+    * Horner in θ², the same IEEE sequence on every engine. */
+  def sinColumn(theta: Column): Column = bind(theta.cast("double")) { th =>
+    bind(th * th) { u => th * horner(u, sinCoeffs) }
+  }
+
+  /** Portable cos for |θ| ≤ π — see [[sinColumn]]. */
+  def cosColumn(theta: Column): Column = bind(theta.cast("double")) { th =>
+    bind(th * th) { u => horner(u, cosCoeffs) }
+  }
+
+  private def hornerSql(u: String, cs: Seq[Double]): String =
+    cs.reverse.tail.foldLeft(d(cs.last)) { (acc, c) =>
+      s"${d(c)} + $u * ($acc)"
+    }
+
+  /** SQL replay of [[sinColumn]]/[[cosColumn]]: expressions over a
+    * θ column (θ² is inlined as (θ·θ), matching the engine's single
+    * bind). */
+  def sinSqlExpr(thetaCol: String): String =
+    s"$thetaCol * (${hornerSql(s"($thetaCol * $thetaCol)", sinCoeffs)})"
+  def cosSqlExpr(thetaCol: String): String =
+    s"(${hornerSql(s"($thetaCol * $thetaCol)", cosCoeffs)})"
+
   /** N sequential [[lnSqlCtes]] chains over one row set — for oracles
     * that need several portable lns per row (Naive Bayes likelihoods,
     * G² cells). `specs` is (inputExprSql, outCol) per ln; `carry` the

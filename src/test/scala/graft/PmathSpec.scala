@@ -357,6 +357,20 @@ class PmathSpec extends SparkSpec {
     }
   }
 
+  test("portable sin/cos track Math within 1e-11 absolute over |θ| <= π") {
+    val xs = (-3141 to 3141).map(_ * 0.001) ++
+      Seq(0.0, math.Pi, -math.Pi, math.Pi / 2, -math.Pi / 2)
+    val got = xs.toDF("x").select(
+      Pmath.sinColumn(col("x")).as("s"), Pmath.cosColumn(col("x")).as("c"))
+      .as[(Double, Double)].collect()
+    xs.zip(got).foreach { case (x, (s, c)) =>
+      assert(math.abs(s - math.sin(x)) < 1e-11, s"psin($x)=$s")
+      assert(math.abs(c - math.cos(x)) < 1e-11, s"pcos($x)=$c")
+      // the identity survives the truncation
+      assert(math.abs(s * s + c * c - 1.0) < 1e-10)
+    }
+  }
+
   test("portable exp tracks Math.exp within 1e-13 relative; exp(0) == 1") {
     val xs = (-4000 to 4000).map(_ * 0.00997) ++ Seq(0.0, 1.0, -1.0,
       math.log(2.0), 10.0, -10.0, 39.9, -39.9)
