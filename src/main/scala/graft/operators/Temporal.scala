@@ -457,4 +457,52 @@ object Temporal {
           x => x.getField("sym"))).as("sax_word"))
       .select(col("key"), col("day"), col("sax_word"))
   }
+
+  /** GARCH(1,1) conditional-variance filter with variance targeting:
+    * simple returns r between consecutive observed periods, ω =
+    * (1−α−β)·σ̂² with σ̂² the uncentered return second moment, then the
+    * recursion v ← ω + α·r² + β·v seeded at v = σ̂². The volatility-
+    * clustering readout (is tomorrow risky because today was) that a
+    * revenue/telemetry monitor wants next to the level forecasts.
+    *
+    * Exactness: same sequential-state-fold contract as [[kalman1d]] —
+    * ONE ordered fold over the calendar-bounded series, each step a
+    * fixed IEEE chain, so a recursive CTE replays it bit for bit; the
+    * variance target is a series-ordered fold too. Output one row per
+    * return: (order, ret, cond_var — the post-update state, var_target).
+    *
+    * Scale shape: data-sized upstream aggregate (caller), then a
+    * bounded fold — never a data-sized window. */
+  def garchFilter(series: DataFrame, orderCol: String, valCol: String,
+                  alpha: Double, beta: Double): DataFrame = {
+    val sorted = sort_array(collect_list(struct(col(orderCol),
+      col(valCol))))
+    val packed = series.groupBy().agg(
+      transform(sorted, x => x.getField(orderCol)).as("ks"),
+      transform(sorted, x => x.getField(valCol).cast("double")).as("cs"))
+    val rsExpr = transform(sequence(lit(2), size(col("cs"))), i =>
+      (element_at(col("cs"), i.cast("int")) -
+        element_at(col("cs"), (i - 1).cast("int"))) /
+        element_at(col("cs"), (i - 1).cast("int")))
+    val p2 = packed.withColumn("rs", rsExpr)
+      .withColumn("mvar",
+        aggregate(col("rs"), lit(0.0), (a, r) => a + r * r) /
+          size(col("rs")).cast("double"))
+    val omega = lit(1.0 - alpha - beta) * col("mvar")
+    val st0 = struct(col("mvar").as("v"),
+      expr("cast(array() as array<double>)").as("fv"))
+    val dp = aggregate(col("rs"), st0, (st, r) => {
+      val vn = omega + lit(alpha) * (r * r) + lit(beta) * st.getField("v")
+      struct(vn.as("v"), concat(st.getField("fv"), array(vn)).as("fv"))
+    })
+    p2.select(col("ks"), col("rs"), col("mvar"),
+        dp.getField("fv").as("fv"))
+      .select(col("ks"), col("fv"), col("mvar"),
+        posexplode(col("rs")).as(Seq("j", "ret")))
+      .select(element_at(col("ks"), (col("j") + 2).cast("int"))
+          .as(orderCol),
+        col("ret"),
+        element_at(col("fv"), (col("j") + 1).cast("int")).as("cond_var"),
+        col("mvar").as("var_target"))
+  }
 }

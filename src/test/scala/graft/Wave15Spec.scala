@@ -165,6 +165,35 @@ class Wave15Spec extends SparkSpec {
     assert(isumF > 0.0 && math.abs(beta) > 0.01)
   }
 
+  test("garchFilter is bit-identical to the sequential scalar filter") {
+    val rnd = new scala.util.Random(67)
+    val series = (0 until 200).scanLeft((0L, 10000.0)) { case ((i, c), _) =>
+      (i + 1, math.max(100.0, c * (1.0 + (rnd.nextInt(200) - 100) / 1000.0)))
+    }.map { case (i, c) => (i, math.floor(c).toLong) }
+    val out = graft.operators.Temporal.garchFilter(
+        series.toDF("k", "c"), "k", "c", alpha = 0.1, beta = 0.85)
+      .orderBy("k").collect()
+
+    val cs = series.map(_._2.toDouble)
+    val rs = (1 until cs.size).map(i => (cs(i) - cs(i - 1)) / cs(i - 1))
+    var acc = 0.0
+    rs.foreach { r => acc = acc + r * r }
+    val mvar = acc / rs.size.toDouble
+    val w = 1.0 - 0.1 - 0.85
+    var v = mvar
+    assert(out.length == rs.size)
+    rs.zip(out).zipWithIndex.foreach { case ((r, row), i) =>
+      v = w * mvar + 0.1 * (r * r) + 0.85 * v
+      assert(row.getAs[Long]("k") == series(i + 1)._1)
+      assert(bits(row.getAs[Double]("ret")) == bits(r))
+      assert(bits(row.getAs[Double]("cond_var")) == bits(v),
+        s"round $i: ${row.getAs[Double]("cond_var")} vs $v")
+      assert(bits(row.getAs[Double]("var_target")) == bits(mvar))
+    }
+    // variance targeting: the filter mean-reverts to the target
+    assert(v > 0.0 && mvar > 0.0)
+  }
+
   test("gmmEm1d is bit-identical to the scalar quantized replay") {
     val rnd = new scala.util.Random(53)
     // planted mixture: N(200, 30²) and N(800, 50²), 40/60
