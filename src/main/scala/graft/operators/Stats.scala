@@ -1425,6 +1425,181 @@ object Stats {
       col("v1").as("var1"), col("v2").as("var2"))
   }
 
+  /** Dominant eigenpair of the 4×4 population covariance of four
+    * integer features, by `iters` unrolled power iterations from the
+    * fixed seed v = (0.5, 0.5, 0.5, 0.5) — the "one strongest factor"
+    * readout (and the PCA building block) in its distributed shape:
+    * ONE data pass for exact decimal(38,0) cross-moments, then a
+    * 1-row scalar epilogue of fixed IEEE chains (matvec entries
+    * left-associated, λ = √(ΣuĮ) in index order, v ← u/λ). */
+  def powerIterCov4(df: DataFrame, items: Seq[Column],
+                    iters: Int = 3): DataFrame = {
+    require(items.size == 4, "powerIterCov4: exactly 4 features")
+    def dbl(c: Column) = c.cast("double")
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val named = items.zipWithIndex.map { case (c, i) =>
+      c.cast("long").as(s"i$i")
+    }
+    val f = df.select(named: _*)
+    val aggs = (0 until 4).map(a => sum(dec(col(s"i$a"))).as(s"s$a")) ++
+      (for { a <- 0 until 4; b <- a until 4 } yield
+        sum(dec(col(s"i$a")) * col(s"i$b")).as(s"p$a$b"))
+    var row = f.agg(count(lit(1)).as("n"), aggs: _*)
+    (0 until 4).foreach { a =>
+      row = row.withColumn(s"m$a", ddec(col(s"s$a")) / dbl(col("n")))
+    }
+    for { a <- 0 until 4; b <- a until 4 } {
+      row = row.withColumn(s"c$a$b",
+        ddec(col(s"p$a$b")) / dbl(col("n")) - col(s"m$a") * col(s"m$b"))
+    }
+    def cc(a: Int, b: Int) = if (a <= b) col(s"c$a$b") else col(s"c$b$a")
+    (0 until 4).foreach { a =>
+      row = row.withColumn(s"v$a", lit(0.5))
+    }
+    var lamCol = "lam"
+    (1 to iters).foreach { it =>
+      (0 until 4).foreach { a =>
+        row = row.withColumn(s"u${a}_$it",
+          (1 until 4).foldLeft(cc(a, 0) * col("v0")) { (acc, b) =>
+            acc + cc(a, b) * col(s"v$b")
+          })
+      }
+      row = row.withColumn(s"lam_$it",
+        sqrt((1 until 4).foldLeft(col(s"u0_$it") * col(s"u0_$it")) {
+          (acc, a) => acc + col(s"u${a}_$it") * col(s"u${a}_$it")
+        }))
+      (0 until 4).foreach { a =>
+        row = row.withColumn(s"v$a",
+          col(s"u${a}_$it") / col(s"lam_$it"))
+      }
+      lamCol = s"lam_$it"
+    }
+    row.select(col("n"), col(lamCol).as("lambda1"),
+      col("v0").as("ev1"), col("v1").as("ev2"),
+      col("v2").as("ev3"), col("v3").as("ev4"))
+  }
+
+  /** Mahalanobis outlier census over two features: exact quantized
+    * covariance (2⁻²⁰ fixed-point decimal sums — the standing device
+    * for double features), closed-form 2×2 inverse, per-row
+    * d² = zᵀΣ⁻¹z, and the χ²(2)-tail outlier count. The multivariate
+    * answer to "how many rows are jointly, not marginally, anomalous".
+    * ONE pass for moments + ONE pass for the census. */
+  def mahalanobis2d(df: DataFrame, xCol: Column, yCol: Column,
+                    d2Threshold: Double): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = lit(1048576.0)
+    val f = df.select(xCol.cast("double").as("x"),
+        yCol.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val m = f.agg(count(lit(1)).as("n"),
+        sum(dec(floor(col("x") * q))).as("qx"),
+        sum(dec(floor(col("y") * q))).as("qy"),
+        sum(dec(floor((col("x") * col("x")) * q))).as("qxx"),
+        sum(dec(floor((col("x") * col("y")) * q))).as("qxy"),
+        sum(dec(floor((col("y") * col("y")) * q))).as("qyy"))
+      .withColumn("mx", (ddec(col("qx")) / q) / dbl(col("n")))
+      .withColumn("my", (ddec(col("qy")) / q) / dbl(col("n")))
+      .withColumn("vx", (ddec(col("qxx")) / q) / dbl(col("n")) -
+        col("mx") * col("mx"))
+      .withColumn("vy", (ddec(col("qyy")) / q) / dbl(col("n")) -
+        col("my") * col("my"))
+      .withColumn("cxy", (ddec(col("qxy")) / q) / dbl(col("n")) -
+        col("mx") * col("my"))
+      .withColumn("det", col("vx") * col("vy") - col("cxy") * col("cxy"))
+      .select("n", "mx", "my", "vx", "vy", "cxy", "det")
+    val d2 = f.crossJoin(broadcast(m))
+      .withColumn("zx", col("x") - col("mx"))
+      .withColumn("zy", col("y") - col("my"))
+      .withColumn("d2",
+        (col("vy") * (col("zx") * col("zx")) -
+          lit(2.0) * (col("cxy") * (col("zx") * col("zy"))) +
+          col("vx") * (col("zy") * col("zy"))) / col("det"))
+    d2.agg(max("n").as("n"), max("mx").as("mean_x"),
+        max("my").as("mean_y"), max("vx").as("var_x"),
+        max("vy").as("var_y"), max("cxy").as("cov_xy"),
+        sum(when(col("d2") > lit(d2Threshold), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max("d2").as("max_d2"))
+  }
+
+  /** Deterministic RANSAC line fit. RANSAC's minimal-sample principle
+    * — candidate lines through point PAIRS, so an all-inlier candidate
+    * exists with overwhelming probability even under gross
+    * contamination (an OLS fit on any large subset would inherit the
+    * outliers' bias) — made seed-free and distributed: rows hash into
+    * 2·nCand buckets, each bucket elects its argmin-hash row (two hash
+    * aggregates + broadcast joins, no sort), bucket pair (2c, 2c+1)
+    * defines candidate line c, every candidate is scored by its
+    * FULL-data inlier count (|residual| ≤ `tol`), and the winner
+    * (most inliers, lowest id on ties) is refit on its inliers with an
+    * exact decimal(18,2)-moment OLS.
+    *
+    * Scale shape: every stage is one hash-aggregate or broadcast-join
+    * pass; candidates are a parameter-bounded broadcast. Exactness:
+    * hash election and the 2-point lines are integer/fixed-chain
+    * deterministic; the refit uses exact decimal moments. */
+  def ransacLine(df: DataFrame, xCol: Column, yCol: Column,
+                 idCol: Column, nCand: Int, tol: Double): DataFrame = {
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val f = df.select(xCol.cast("double").as("xd"),
+        yCol.cast("double").as("yd"), idCol.cast("string").as("rid"))
+      .filter(col("xd").isNotNull && col("yd").isNotNull)
+      .withColumn("hv",
+        conv(substring(md5(concat(col("rid"), lit("_ransac"))),
+          1, 13), 16, 10).cast("long"))
+      .withColumn("bkt", pmod(col("hv"), lit((2L * nCand))))
+    // per-bucket argmin-hash representative: two hash-agg elections
+    // (hv, then rid for the negligible-probability hv tie) — no sort
+    val m1 = f.groupBy("bkt").agg(min("hv").as("mhv"))
+      .withColumnRenamed("bkt", "b1k")
+    val f1 = f.join(broadcast(m1),
+      col("bkt") === col("b1k") && col("hv") === col("mhv"))
+    val m2 = f1.groupBy("bkt").agg(min("rid").as("mrid"))
+      .withColumnRenamed("bkt", "b2k")
+    val reps = f1.join(broadcast(m2),
+        col("bkt") === col("b2k") && col("rid") === col("mrid"))
+      .select("bkt", "xd", "yd")
+    val pa = reps.filter(pmod(col("bkt"), lit(2L)) === 0L)
+      .select((col("bkt") / 2).cast("long").as("csid"),
+        col("xd").as("x1"), col("yd").as("y1"))
+    val pb = reps.filter(pmod(col("bkt"), lit(2L)) === 1L)
+      .select(((col("bkt") - 1) / 2).cast("long").as("csid"),
+        col("xd").as("x2"), col("yd").as("y2"))
+    val cand = pa.join(pb, Seq("csid")).filter(col("x1") =!= col("x2"))
+      .withColumn("b1", (col("y2") - col("y1")) / (col("x2") - col("x1")))
+      .withColumn("b0", col("y1") - col("b1") * col("x1"))
+      .select("csid", "b0", "b1")
+    val scored = f.crossJoin(broadcast(cand))
+      .filter(abs(col("yd") - (col("b0") + col("b1") * col("xd"))) <=
+        lit(tol))
+      .groupBy("csid", "b0", "b1").agg(count(lit(1)).as("n_inl"))
+    val best = scored
+      .withColumn("rk", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(desc("n_inl"), col("csid"))))
+      .filter(col("rk") === 1)
+      .select(col("csid").as("best_sid"), col("b0").as("cb0"),
+        col("b1").as("cb1"), col("n_inl"))
+    val x18 = col("xd").cast("decimal(18,2)")
+    val y18 = col("yd").cast("decimal(18,2)")
+    val refit = f.crossJoin(broadcast(best))
+      .filter(abs(col("yd") - (col("cb0") + col("cb1") * col("xd"))) <=
+        lit(tol))
+      .groupBy("best_sid", "n_inl").agg(count(lit(1)).as("cn"),
+        sum(x18).as("sx"), sum(y18).as("sy"),
+        sum(x18 * y18).as("sxy"), sum(x18 * x18).as("sxx"))
+      .withColumn("b1",
+        (ddec(col("cn")) * ddec(col("sxy")) - ddec(col("sx")) * ddec(col("sy"))) /
+          (ddec(col("cn")) * ddec(col("sxx")) - ddec(col("sx")) * ddec(col("sx"))))
+      .withColumn("b0",
+        (ddec(col("sy")) - col("b1") * ddec(col("sx"))) / ddec(col("cn")))
+    refit.select(col("best_sid"), col("n_inl"),
+      col("b1").as("slope_refit"), col("b0").as("intercept_refit"))
+  }
+
   /** Kruskal–Wallis H test: the rank-based (distribution-free) analog
     * of [[anovaF]] across k groups. Global midranks from the
     * distinct-value spine (integer 2·midrank), per-group rank sums via

@@ -1,0 +1,116 @@
+package graft
+
+import java.math.{BigDecimal => JBD, MathContext}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+/** Round-8 wave: differential tests for the multivariate / robust
+  * operators — scalar replays with exact integer/decimal accumulation,
+  * asserting bit-equality like the DuckDB oracles do. */
+class Wave16Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+
+  test("powerIterCov4 is bit-identical to the scalar unrolled iteration") {
+    val rnd = new scala.util.Random(71)
+    val rows = (1 to 800).map { _ =>
+      val b = rnd.nextInt(100).toLong
+      Array(b + rnd.nextInt(10), b + rnd.nextInt(20),
+        rnd.nextInt(50).toLong, b / 2 + rnd.nextInt(5))
+    }
+    val df = rows.map(r => (r(0), r(1), r(2), r(3))).toDF("a", "b", "c", "d")
+    val got = Stats.powerIterCov4(df,
+      Seq(col("a"), col("b"), col("c"), col("d")), iters = 3)
+      .collect().head
+
+    val n = rows.size
+    def s(a: Int) = rows.map(r => BigInt(r(a))).sum
+    def p(a: Int, b: Int) = rows.map(r => BigInt(r(a)) * BigInt(r(b))).sum
+    val m = (0 until 4).map(a => s(a).toString.toDouble / n.toDouble)
+    val cMat = Array.tabulate(4, 4) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      p(lo, hi).toString.toDouble / n.toDouble - m(lo) * m(hi)
+    }
+    var v = Array(0.5, 0.5, 0.5, 0.5)
+    var lam = 0.0
+    (1 to 3).foreach { _ =>
+      val u = (0 until 4).map { a =>
+        (1 until 4).foldLeft(cMat(a)(0) * v(0)) { (acc, b) =>
+          acc + cMat(a)(b) * v(b)
+        }
+      }
+      lam = math.sqrt((1 until 4).foldLeft(u(0) * u(0)) { (acc, a) =>
+        acc + u(a) * u(a)
+      })
+      v = u.map(_ / lam).toArray
+    }
+    assert(got.getAs[Long]("n") == n.toLong)
+    assert(bits(got.getAs[Double]("lambda1")) == bits(lam))
+    Seq("ev1", "ev2", "ev3", "ev4").zip(v).foreach { case (c, ref) =>
+      assert(bits(got.getAs[Double](c)) == bits(ref), s"$c")
+    }
+    // the dominant direction loads on the correlated a/b/d block
+    assert(math.abs(v(0)) > math.abs(v(2)))
+  }
+
+  test("mahalanobis2d is bit-identical to the scalar quantized replay") {
+    val rnd = new scala.util.Random(73)
+    val pts = (1 to 2000).map { i =>
+      val x = rnd.nextInt(1000) / 10.0
+      val y = 2.0 * x + rnd.nextInt(200) / 10.0 +
+        (if (i % 97 == 0) 400.0 else 0.0) // planted joint outliers
+      (x, y)
+    }
+    val got = Stats.mahalanobis2d(pts.toDF("x", "y"),
+      col("x"), col("y"), d2Threshold = 9.21034).collect().head
+
+    val q = 1048576.0
+    def qs(ts: Seq[Double]) = {
+      val b = ts.map(t => BigInt(math.floor(t * q).toLong)).sum
+      b.toString.toDouble / q
+    }
+    val n = pts.size.toDouble
+    val mx = qs(pts.map(_._1)) / n; val my = qs(pts.map(_._2)) / n
+    val vx = qs(pts.map(p => p._1 * p._1)) / n - mx * mx
+    val vy = qs(pts.map(p => p._2 * p._2)) / n - my * my
+    val cxy = qs(pts.map(p => p._1 * p._2)) / n - mx * my
+    val det = vx * vy - cxy * cxy
+    val d2s = pts.map { case (x, y) =>
+      val zx = x - mx; val zy = y - my
+      (vy * (zx * zx) - 2.0 * (cxy * (zx * zy)) + vx * (zy * zy)) / det
+    }
+    assert(bits(got.getAs[Double]("mean_x")) == bits(mx))
+    assert(bits(got.getAs[Double]("cov_xy")) == bits(cxy))
+    assert(got.getAs[Long]("n_outliers") ==
+      d2s.count(_ > 9.21034).toLong)
+    assert(bits(got.getAs[Double]("max_d2")) == bits(d2s.max))
+    // the planted joint outliers are found
+    assert(got.getAs[Long]("n_outliers") >= (pts.size / 97 - 2).toLong)
+  }
+
+  test("ransacLine recovers the planted line against heavy outliers") {
+    val rnd = new scala.util.Random(79)
+    // 80% on y = 3x + 50 (small noise), 20% wild outliers
+    val rows = (1 to 3000).map { i =>
+      val x = (rnd.nextInt(10000) + 100) / 100.0
+      val y = if (rnd.nextDouble() < 0.8)
+        3.0 * x + 50.0 + (rnd.nextInt(200) - 100) / 100.0
+      else rnd.nextInt(100000) / 10.0
+      (i.toLong, x, y)
+    }
+    val got = Stats.ransacLine(rows.toDF("id", "x", "y"),
+      col("x"), col("y"), col("id"), nCand = 16, tol = 10.0)
+      .collect().head
+    val slope = got.getAs[Double]("slope_refit")
+    val icpt = got.getAs[Double]("intercept_refit")
+    // every hash subset is outlier-contaminated the same way, so the
+    // candidate fits are biased — but the inlier vote + refit recovers
+    // the planted parameters to consensus precision
+    assert(math.abs(slope - 3.0) < 0.2, s"slope $slope")
+    assert(math.abs(icpt - 50.0) < 5.0, s"intercept $icpt")
+    assert(got.getAs[Long]("n_inl") > 2000L)
+  }
+}
