@@ -1600,6 +1600,61 @@ object Stats {
       col("b1").as("slope_refit"), col("b0").as("intercept_refit"))
   }
 
+  /** Deterministic 1-D isolation forest census: `nTrees` random-
+    * binary-search trees of fixed `depth` over one integer feature —
+    * each tree splits the CURRENT interval at a per-(tree, level)
+    * pseudo-random fraction (Knuth-hash constants, embedded as
+    * literals on both engines), every row walks its 2^depth leaf id
+    * through per-row interval tracking, and the per-tree leaf-
+    * population census is the anomaly readout (sparse leaves =
+    * isolated rows — the data-quality filter shape: rows that isolate
+    * fast are the distribution's outliers).
+    *
+    * Scale shape: rows × nTrees via one explode, `depth` fixed chained
+    * projections (no joins), ONE hash aggregate to leaves, one bounded
+    * aggregate per tree. Everything is a fixed IEEE chain off exact
+    * integer min/max bounds → oracle-replayable. */
+  def isolationCensus(df: DataFrame, xCol: Column, nTrees: Int,
+                      depth: Int): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    val f = df.select(xCol.cast("long").as("x")).filter(col("x").isNotNull)
+    val b = f.agg((dbl(min("x")) - lit(0.5)).as("lo0"),
+      (dbl(max("x")) + lit(0.5)).as("hi0"))
+    var g = f.crossJoin(broadcast(b))
+      .select(col("x"), col("lo0").as("lo"), col("hi0").as("hi"),
+        explode(sequence(lit(1L), lit(nTrees.toLong))).as("t"))
+      .withColumn("leaf", lit(0L))
+    (1 to depth).foreach { l =>
+      val thr = (1 to nTrees).foldLeft(when(lit(false), lit(0.0))) {
+        (w, t) => w.when(col("t") === t,
+          col("lo") + lit(isoFrac(t, l)) * (col("hi") - col("lo")))
+      }.otherwise(lit(0.0))
+      g = g.withColumn("thr", thr)
+        .select(col("x"), col("t"),
+          when(col("x") < col("thr"), col("lo")).otherwise(col("thr"))
+            .as("lo"),
+          when(col("x") < col("thr"), col("thr")).otherwise(col("hi"))
+            .as("hi"),
+          (col("leaf") + when(col("x") < col("thr"), 0L)
+            .otherwise(lit(1L << (l - 1)))).as("leaf"))
+    }
+    val leaves = g.groupBy("t", "leaf").agg(count(lit(1)).as("sz"))
+    leaves.groupBy("t").agg(count(lit(1)).as("n_leaves"),
+        max("sz").as("max_leaf_size"),
+        sum(when(col("sz") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("sz") <= 4L, col("sz")).otherwise(0L))
+          .as("n_rows_isolated"))
+      .select(col("t"), col("n_leaves"), col("max_leaf_size"),
+        col("n_singletons"), col("n_rows_isolated"))
+  }
+
+  /** Per-(tree, level) split fraction: a fixed Knuth multiplicative
+    * hash, computed once here and embedded as the same literal in the
+    * engine plan and the SQL oracle. */
+  private[graft] def isoFrac(t: Int, l: Int): Double =
+    (((t * 31 + l).toLong * 2654435761L) & 0xffffffffL).toDouble /
+      4294967296.0
+
   /** Kruskal–Wallis H test: the rank-based (distribution-free) analog
     * of [[anovaF]] across k groups. Global midranks from the
     * distinct-value spine (integer 2·midrank), per-group rank sums via

@@ -59,7 +59,15 @@ object Ext14 {
         col("l_quantity"), col("l_extendedprice"),
         concat(col("l_orderkey").cast("string"), lit("_"),
           col("l_linenumber").cast("string")),
-        nCand = 16, tol = 5000.0)))
+        nCand = 16, tol = 5000.0)),
+
+    // deterministic isolation census on document length: 4 random-
+    // binary-search trees × depth 6, per-tree leaf-population census —
+    // the "which rows isolate fast" anomaly/data-quality readout
+    "x_iforest" -> ((s, d) =>
+      Stats.isolationCensus(
+        t(s, d, "documents").filter(col("n_chars").isNotNull),
+        col("n_chars"), nTrees = 4, depth = 6)))
 
   val oracle: Map[String, String] = Map(
 
@@ -141,6 +149,42 @@ object Ext14 {
                   AS BIGINT) AS n_outliers,
                 max(d2) AS max_d2
          FROM d2""",
+
+    // mirrors Stats.isolationCensus: same Knuth-hash split fractions,
+    // same per-level interval chains, same leaf census
+    "x_iforest" -> {
+      val levels = (1 to 6).map { l =>
+        val caseF = (1 to 4).map(t =>
+          s"WHEN $t THEN CAST('${Stats.isoFrac(t, l)}' AS DOUBLE)")
+          .mkString("CASE t ", " ", " END")
+        val bit = 1L << (l - 1)
+        s"""l${l}t AS (SELECT *, lo + ($caseF) * (hi - lo) AS thr
+                FROM l${l - 1}),
+         l$l AS (SELECT x, t,
+                CASE WHEN x < thr THEN lo ELSE thr END AS lo,
+                CASE WHEN x < thr THEN thr ELSE hi END AS hi,
+                leaf + CASE WHEN x < thr THEN 0 ELSE $bit END AS leaf
+              FROM l${l}t)"""
+      }.mkString(",\n         ")
+      s"""WITH f AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+              WHERE n_chars IS NOT NULL),
+         b AS (SELECT CAST(min(x) AS DOUBLE) - 0.5 AS lo0,
+                CAST(max(x) AS DOUBLE) + 0.5 AS hi0 FROM f),
+         l0 AS (SELECT x, lo0 AS lo, hi0 AS hi,
+                CAST(t AS BIGINT) AS t, CAST(0 AS BIGINT) AS leaf
+              FROM f CROSS JOIN b
+              CROSS JOIN (SELECT unnest(range(1, 5)) AS t)),
+         $levels,
+         lv AS (SELECT t, leaf, CAST(count(*) AS BIGINT) AS sz
+              FROM l6 GROUP BY t, leaf)
+         SELECT t, CAST(count(*) AS BIGINT) AS n_leaves,
+                max(sz) AS max_leaf_size,
+                CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_singletons,
+                CAST(sum(CASE WHEN sz <= 4 THEN sz ELSE 0 END) AS BIGINT)
+                  AS n_rows_isolated
+         FROM lv GROUP BY t"""
+    },
 
     // mirrors Stats.ransacLine: same md5 bucket elections, same
     // 2-point candidate lines, full-data inlier vote, winner refit

@@ -91,6 +91,39 @@ class Wave16Spec extends SparkSpec {
     assert(got.getAs[Long]("n_outliers") >= (pts.size / 97 - 2).toLong)
   }
 
+  test("isolationCensus matches the scalar tree walk; outliers isolate") {
+    val rnd = new scala.util.Random(83)
+    // dense cluster at 1000±20 plus a few extreme outliers
+    val xs = (1 to 1500).map(_ => 1000L + rnd.nextInt(41) - 20) ++
+      Seq(5L, 90000L, 70000L, 12L)
+    val got = Stats.isolationCensus(xs.toDF("x"), col("x"),
+      nTrees = 4, depth = 6).orderBy("t").collect()
+
+    val lo0 = xs.min.toDouble - 0.5
+    val hi0 = xs.max.toDouble + 0.5
+    (1 to 4).foreach { t =>
+      val leaves = xs.groupBy { x =>
+        var lo = lo0; var hi = hi0; var leaf = 0L
+        (1 to 6).foreach { l =>
+          val thr = lo + Stats.isoFrac(t, l) * (hi - lo)
+          if (x.toDouble < thr) hi = thr
+          else { lo = thr; leaf += (1L << (l - 1)) }
+        }
+        leaf
+      }.map { case (leaf, rows) => leaf -> rows.size }
+      val row = got(t - 1)
+      assert(row.getAs[Long]("n_leaves") == leaves.size.toLong)
+      assert(row.getAs[Long]("max_leaf_size") == leaves.values.max.toLong)
+      assert(row.getAs[Long]("n_singletons") ==
+        leaves.values.count(_ == 1).toLong)
+      assert(row.getAs[Long]("n_rows_isolated") ==
+        leaves.values.filter(_ <= 4).sum.toLong)
+      // the extreme outliers sit far from the cluster: some isolation
+      // must register (small leaves exist in every tree here)
+      assert(row.getAs[Long]("n_rows_isolated") >= 1L)
+    }
+  }
+
   test("ransacLine recovers the planted line against heavy outliers") {
     val rnd = new scala.util.Random(79)
     // 80% on y = 3x + 50 (small noise), 20% wild outliers
