@@ -202,6 +202,81 @@ object Ext12 {
         rounds = 2)
     }),
 
+    // inverse-propensity-weighted ATE of high order priority on
+    // completion: propensity P(treat | price) from the logistic-IRLS
+    // kernel, then one Horvitz–Thompson weighting pass (quantized
+    // decimal sums) next to the naive difference — the causal
+    // estimator the raw group gap overstates
+    "x_ipw_ate" -> ((s, d) => {
+      def dbl(c: Column) = c.cast("double")
+      def dd(c: Column) = c.cast("string").cast("double")
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val q = lit(1048576.0)
+      val o = t(s, d, "orders")
+        .filter(col("o_totalprice").isNotNull &&
+          col("o_orderstatus").isNotNull &&
+          col("o_orderpriority").isNotNull)
+        .select((col("o_totalprice") / lit(100000.0)).as("xd"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit(1.0)).otherwise(lit(0.0)).as("tr"),
+          when(col("o_orderstatus") === "F", lit(1.0)).otherwise(lit(0.0))
+            .as("yy"))
+      val fit = Stats.logisticIrls(o, col("xd"), col("tr"), rounds = 2)
+        .select(col("n"), col("beta0").as("b0"), col("beta1").as("b1"))
+      val w = o.crossJoin(broadcast(fit))
+        .withColumn("eta", least(greatest(col("b0") + col("b1") * col("xd"),
+          lit(-30.0)), lit(30.0)))
+        .withColumn("p",
+          lit(1.0) / (lit(1.0) + Pmath.expColumn(-col("eta"))))
+      w.agg(max("n").as("n"),
+          sum(dec(floor((col("tr") / col("p")) * q))).as("qt1"),
+          sum(dec(floor(((col("tr") * col("yy")) / col("p")) * q)))
+            .as("qy1"),
+          sum(dec(floor(((lit(1.0) - col("tr")) /
+            (lit(1.0) - col("p"))) * q))).as("qt0"),
+          sum(dec(floor((((lit(1.0) - col("tr")) * col("yy")) /
+            (lit(1.0) - col("p"))) * q))).as("qy0"),
+          sum(col("tr").cast("long")).as("nt"),
+          sum((col("tr") * col("yy")).cast("long")).as("nty"),
+          sum((lit(1.0) - col("tr")).cast("long")).as("nc"),
+          sum(((lit(1.0) - col("tr")) * col("yy")).cast("long")).as("ncy"))
+        .select(col("n"), col("nt"), col("nc"),
+          ((dd(col("qy1")) / q) / (dd(col("qt1")) / q) -
+            (dd(col("qy0")) / q) / (dd(col("qt0")) / q)).as("ate_ipw"),
+          (dbl(col("nty")) / dbl(col("nt")) -
+            dbl(col("ncy")) / dbl(col("nc"))).as("naive_diff"))
+    }),
+
+    // Dean's overdispersion score test on the Poisson fit: T =
+    // Σ((y−μ)²−y) / √(2Σμ²) — "is Poisson even the right likelihood",
+    // the diagnostic pass every count-GLM deployment needs; one extra
+    // portable-exp pass over the fitted means
+    "x_overdisp" -> ((s, d) => {
+      def dd(c: Column) = c.cast("string").cast("double")
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val q = lit(1048576.0)
+      val cnt = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("yc"))
+      val o = t(s, d, "orders")
+        .filter(col("o_totalprice").isNotNull)
+        .join(cnt, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_totalprice") / lit(100000.0)).as("xd"),
+          col("yc").cast("double").as("y"))
+      val fit = Stats.poissonIrls(o, col("xd"), col("y"), rounds = 2)
+        .select(col("n"), col("beta0").as("b0"), col("beta1").as("b1"))
+      val w = o.crossJoin(broadcast(fit))
+        .withColumn("eta", least(greatest(col("b0") + col("b1") * col("xd"),
+          lit(-30.0)), lit(30.0)))
+        .withColumn("mu", Pmath.expColumn(col("eta")))
+      w.agg(max("n").as("n"),
+          sum(dec(floor(((col("y") - col("mu")) * (col("y") - col("mu")) -
+            col("y")) * q))).as("qnum"),
+          sum(dec(floor((col("mu") * col("mu")) * q))).as("qden"))
+        .select(col("n"), (dd(col("qnum")) / q).as("score_num"),
+          ((dd(col("qnum")) / q) /
+            sqrt(lit(2.0) * (dd(col("qden")) / q))).as("t_overdisp"))
+    }),
+
     // Cox proportional hazards of purchase vs user activity: two
     // Newton steps on the day-binned survival frame (x_logrank's
     // construction), covariate = per-user event count · 2⁻⁷ —
@@ -251,6 +326,84 @@ object Ext12 {
               FROM o),
          $rounds
          SELECT n, b0 AS beta0, b1 AS beta1 FROM f2"""
+    },
+
+    // mirrors the x_ipw_ate engine: the logistic rounds fit the
+    // propensity (treat plays the y role), then one portable-exp
+    // weighting pass with quantized Horvitz–Thompson sums
+    "x_ipw_ate" -> {
+      val rounds = (1 to 2).map(logitRoundSql).mkString(",\n         ")
+      val (chain, last) = Pmath.expSqlChainCtes("w3", "exw",
+        Seq("-eta" -> "exn"), carry = Seq("y", "yy"))
+      s"""WITH o AS (SELECT o_totalprice / 100000.0 AS xd,
+                CAST(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+                CAST(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END
+                  AS DOUBLE) AS yy
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderstatus IS NOT NULL
+                AND o_orderpriority IS NOT NULL),
+         f0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1
+              FROM o),
+         $rounds,
+         w3 AS (SELECT y, yy,
+                least(greatest(b0 + b1 * xd, -30.0), 30.0) AS eta
+              FROM o CROSS JOIN f2),
+         $chain,
+         w4 AS (SELECT y, yy, 1.0 / (1.0 + exn) AS p FROM $last),
+         s3 AS (SELECT
+                sum(CAST(floor((y / p) * $Q) AS HUGEINT)) AS qt1,
+                sum(CAST(floor(((y * yy) / p) * $Q) AS HUGEINT)) AS qy1,
+                sum(CAST(floor(((1.0 - y) / (1.0 - p)) * $Q) AS HUGEINT))
+                  AS qt0,
+                sum(CAST(floor((((1.0 - y) * yy) / (1.0 - p)) * $Q)
+                  AS HUGEINT)) AS qy0,
+                CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS nt,
+                CAST(sum(CAST(y * yy AS BIGINT)) AS BIGINT) AS nty,
+                CAST(sum(CAST(1.0 - y AS BIGINT)) AS BIGINT) AS nc,
+                CAST(sum(CAST((1.0 - y) * yy AS BIGINT)) AS BIGINT)
+                  AS ncy
+              FROM w4)
+         SELECT n, nt, nc,
+                (${vd("qy1")}) / (${vd("qt1")})
+                  - (${vd("qy0")}) / (${vd("qt0")}) AS ate_ipw,
+                CAST(nty AS DOUBLE) / CAST(nt AS DOUBLE)
+                  - CAST(ncy AS DOUBLE) / CAST(nc AS DOUBLE) AS naive_diff
+         FROM s3 CROSS JOIN f2"""
+    },
+
+    // mirrors the x_overdisp engine: the Poisson rounds, then one
+    // portable-exp pass over the fitted means for Dean's score test
+    "x_overdisp" -> {
+      val rounds = (1 to 2).map(poissonRoundSql).mkString(",\n         ")
+      val (chain, last) = Pmath.expSqlChainCtes("w3", "exd",
+        Seq("eta" -> "mu"), carry = Seq("y"))
+      s"""WITH o AS (SELECT o_totalprice / 100000.0 AS xd,
+                CAST(c.y AS DOUBLE) AS y
+              FROM orders
+              JOIN (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS y
+                    FROM lineitem GROUP BY l_orderkey) c
+                ON o_orderkey = c.l_orderkey
+              WHERE o_totalprice IS NOT NULL),
+         f0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1
+              FROM o),
+         $rounds,
+         w3 AS (SELECT y,
+                least(greatest(b0 + b1 * xd, -30.0), 30.0) AS eta
+              FROM o CROSS JOIN f2),
+         $chain,
+         s3 AS (SELECT
+                sum(CAST(floor(((y - mu) * (y - mu) - y) * $Q)
+                  AS HUGEINT)) AS qnum,
+                sum(CAST(floor((mu * mu) * $Q) AS HUGEINT)) AS qden
+              FROM $last)
+         SELECT n, ${vd("qnum")} AS score_num,
+                (${vd("qnum")}) / sqrt(2.0 * (${vd("qden")}))
+                  AS t_overdisp
+         FROM s3 CROSS JOIN f2"""
     },
 
     // mirrors Stats.coxNewton: x_logrank's survival frame, per-round
