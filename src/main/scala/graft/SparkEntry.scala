@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Ext8.queries ++ graft.queries.Ext9.queries ++
       graft.queries.Ext10.queries ++ graft.queries.Ext11.queries ++
       graft.queries.Ext12.queries ++ graft.queries.Ext13.queries ++
-      graft.queries.Ext14.queries
+      graft.queries.Ext14.queries ++
+      graft.queries.Ext15.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Parity.oracle ++ graft.queries.Ext.oracle ++
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Ext8.oracle ++ graft.queries.Ext9.oracle ++
       graft.queries.Ext10.oracle ++ graft.queries.Ext11.oracle ++
       graft.queries.Ext12.oracle ++ graft.queries.Ext13.oracle ++
-      graft.queries.Ext14.oracle
+      graft.queries.Ext14.oracle ++
+      graft.queries.Ext15.oracle
 }

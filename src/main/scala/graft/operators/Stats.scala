@@ -1655,6 +1655,94 @@ object Stats {
     (((t * 31 + l).toLong * 2654435761L) & 0xffffffffL).toDouble /
       4294967296.0
 
+  /** Log-log OLS (elasticity regression): slope of ln y on ln x over
+    * POSITIVE pairs — the constant-elasticity readout (demand vs
+    * price, size vs rank). Regression on a transformed feature at
+    * scale: both lns are [[Pmath.lnColumn]] (portable, ≥ 1 domain —
+    * callers feed ratios ≥ 1 or pre-scale), the four moment sums are
+    * 2⁻²⁰-quantized decimal(38,0) (order-free), and the slope/
+    * intercept are one fixed chain. ONE pass over the rows. */
+  def lnLnOls(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = lit(1048576.0)
+    val f = df.select(xCol.cast("double").as("xr"),
+        yCol.cast("double").as("yr"))
+      .filter(col("xr") >= 1.0 && col("yr") >= 1.0)
+      .withColumn("lx", Pmath.lnColumn(col("xr")))
+      .withColumn("ly", Pmath.lnColumn(col("yr")))
+    f.agg(count(lit(1)).as("n"),
+        sum(dec(floor(col("lx") * q))).as("qx"),
+        sum(dec(floor(col("ly") * q))).as("qy"),
+        sum(dec(floor((col("lx") * col("ly")) * q))).as("qxy"),
+        sum(dec(floor((col("lx") * col("lx")) * q))).as("qxx"))
+      .withColumn("sx", ddec(col("qx")) / q)
+      .withColumn("sy", ddec(col("qy")) / q)
+      .withColumn("sxy", ddec(col("qxy")) / q)
+      .withColumn("sxx", ddec(col("qxx")) / q)
+      .withColumn("slope",
+        (dbl(col("n")) * col("sxy") - col("sx") * col("sy")) /
+          (dbl(col("n")) * col("sxx") - col("sx") * col("sx")))
+      .select(col("n"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / dbl(col("n")))
+          .as("intercept"))
+  }
+
+  /** Weibull probability-plot fit over positive integer durations:
+    * median-rank ECDF off the distinct-value spine
+    * (F = (cum − 0.3)/(n + 0.4), [[Rank.withCumSums]]), plot
+    * coordinates x = ln t and w = ln(−ln(1−F)) — the inner ln runs on
+    * 1/(1−F) ≥ 1, the outer on a sign-folded |·| ≥ 1 branch (both
+    * [[Pmath.lnColumn]]) — then a count-weighted quantized OLS gives
+    * the shape k̂ (slope) and scale λ̂ = exp(−intercept/k̂) via
+    * [[Pmath.expColumn]]. The parametric-survival companion to
+    * [[kaplanMeier]]: two moments pass + spine work, all portable. */
+  def weibullPlotFit(df: DataFrame, durCol: Column): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = lit(1048576.0)
+    val f = df.select(durCol.cast("long").as("t"))
+      .filter(col("t").isNotNull && col("t") >= 1L)
+    val perV = f.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val spine = Rank.withCumSums(perV, Seq("t"), Seq("cnt" -> "cum"))
+    val tot = f.agg(count(lit(1)).as("n"))
+    val pts = spine.crossJoin(broadcast(tot))
+      .withColumn("ff", (dbl(col("cum")) - lit(0.3)) /
+        (dbl(col("n")) + lit(0.4)))
+      .withColumn("u", lit(1.0) / (lit(1.0) - col("ff")))
+      .withColumn("l1", Pmath.lnColumn(col("u")))
+      .withColumn("m", when(col("l1") >= 1.0, col("l1"))
+        .otherwise(lit(1.0) / col("l1")))
+      .withColumn("l2", Pmath.lnColumn(col("m")))
+      .withColumn("w", when(col("l1") >= 1.0, col("l2"))
+        .otherwise(-col("l2")))
+      .withColumn("lx", Pmath.lnColumn(dbl(col("t"))))
+      .withColumn("cd", dbl(col("cnt")))
+    val s = pts.agg(max("n").as("n"),
+        sum(dec(floor(col("cd") * q))).as("qc"),
+        sum(dec(floor((col("cd") * col("lx")) * q))).as("qx"),
+        sum(dec(floor((col("cd") * col("w")) * q))).as("qy"),
+        sum(dec(floor(((col("cd") * col("lx")) * col("w")) * q)))
+          .as("qxy"),
+        sum(dec(floor(((col("cd") * col("lx")) * col("lx")) * q)))
+          .as("qxx"))
+      .withColumn("sc", ddec(col("qc")) / q)
+      .withColumn("sx", ddec(col("qx")) / q)
+      .withColumn("sy", ddec(col("qy")) / q)
+      .withColumn("sxy", ddec(col("qxy")) / q)
+      .withColumn("sxx", ddec(col("qxx")) / q)
+      .withColumn("shape",
+        (col("sc") * col("sxy") - col("sx") * col("sy")) /
+          (col("sc") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("icpt",
+        (col("sy") - col("shape") * col("sx")) / col("sc"))
+    s.select(col("n"), col("shape"),
+      Pmath.expColumn(least(greatest(-(col("icpt") / col("shape")),
+        lit(-30.0)), lit(30.0))).as("scale_hat"))
+  }
+
   /** Kruskal–Wallis H test: the rank-based (distribution-free) analog
     * of [[anovaF]] across k groups. Global midranks from the
     * distinct-value spine (integer 2·midrank), per-group rank sums via

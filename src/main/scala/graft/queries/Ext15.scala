@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Pmath
+import graft.operators.Stats
+
+/** Round-8 eighth wave — regression-on-transform operators: the
+  * portable ln/exp kernels feeding quantized-decimal OLS. Log-log
+  * elasticity and the Weibull probability-plot fit — both are "fit a
+  * line to a transcendental transform of data-sized input", the shape
+  * the kernels exist for. */
+object Ext15 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val Q = "1048576.0"
+  private def vd(s: String) = s"CAST(CAST($s AS VARCHAR) AS DOUBLE) / $Q"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // constant-elasticity fit of demand vs unit price across parts:
+    // ln(total qty) on ln(unit price), portable lns + quantized OLS
+    "x_elasticity" -> ((s, d) => {
+      def dd(c: Column) = c.cast("string").cast("double")
+      val per = t(s, d, "lineitem")
+        .groupBy("l_partkey").agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sp"))
+        .select((dd(col("sp")) / dd(col("sq"))).as("price"),
+          dd(col("sq")).as("qty"))
+      Stats.lnLnOls(per, col("price"), col("qty"))
+    }),
+
+    // Weibull plot fit of user activity spans: median-rank ECDF off
+    // the distinct-duration spine, double-ln plot coordinates,
+    // count-weighted quantized OLS -> shape + scale
+    "x_weibull_fit" -> ((s, d) => {
+      val ue = t(s, d, "events").groupBy("user_id").agg(
+        datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("long").as("dur"))
+      Stats.weibullPlotFit(ue, col("dur"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    // mirrors Stats.lnLnOls over the per-part aggregate
+    "x_elasticity" -> {
+      val (chain, last) = Pmath.lnSqlChainCtes("p3", "el",
+        Seq("xr" -> "lx", "yr" -> "ly"), carry = Seq("xr", "yr"))
+      s"""WITH per AS (SELECT l_partkey,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp
+              FROM lineitem GROUP BY l_partkey),
+         p2 AS (SELECT
+                CAST(CAST(sp AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS xr,
+                CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS yr FROM per),
+         p3 AS (SELECT xr, yr FROM p2
+              WHERE xr >= 1.0 AND yr >= 1.0),
+         $chain,
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(floor(lx * $Q) AS HUGEINT)) AS qx,
+                sum(CAST(floor(ly * $Q) AS HUGEINT)) AS qy,
+                sum(CAST(floor((lx * ly) * $Q) AS HUGEINT)) AS qxy,
+                sum(CAST(floor((lx * lx) * $Q) AS HUGEINT)) AS qxx
+              FROM $last),
+         g AS (SELECT n, ${vd("qx")} AS sx, ${vd("qy")} AS sy,
+                ${vd("qxy")} AS sxy, ${vd("qxx")} AS sxx FROM s),
+         h AS (SELECT n, sx, sy,
+                (CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope
+              FROM g)
+         SELECT n, slope,
+                (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept
+         FROM h"""
+    },
+
+    // mirrors Stats.weibullPlotFit: same spine ECDF, same sign-folded
+    // double-ln chains, same count-weighted quantized OLS + exp scale
+    "x_weibull_fit" -> {
+      val (lnc, lnLast) = Pmath.lnSqlChainCtes("p1", "wb", Seq(
+        "u" -> "l1",
+        "CASE WHEN l1 >= 1.0 THEN l1 ELSE 1.0 / l1 END" -> "l2",
+        "CAST(t AS DOUBLE)" -> "lx"), carry = Seq("t", "cnt", "n"))
+      val (exc, exLast) = Pmath.expSqlChainCtes("es", "wbx",
+        Seq("eta" -> "scale_hat"), carry = Seq("n", "shape"))
+      s"""WITH u0 AS (SELECT
+                CAST(datediff('day', min(CAST(ts AS DATE)),
+                  max(CAST(ts AS DATE))) AS BIGINT) AS t
+              FROM events GROUP BY user_id),
+         f AS (SELECT t FROM u0 WHERE t IS NOT NULL AND t >= 1),
+         perv AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+              FROM f GROUP BY t),
+         sp AS (SELECT t, cnt,
+                CAST(sum(cnt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              FROM perv),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+         p0 AS (SELECT t, cnt, cum, n,
+                (CAST(cum AS DOUBLE) - 0.3) / (CAST(n AS DOUBLE) + 0.4)
+                  AS ff
+              FROM sp CROSS JOIN tot),
+         p1 AS (SELECT t, cnt, n, 1.0 / (1.0 - ff) AS u FROM p0),
+         $lnc,
+         p3 AS (SELECT cnt, n,
+                CASE WHEN l1 >= 1.0 THEN l2 ELSE -l2 END AS w, lx
+              FROM $lnLast),
+         p4 AS (SELECT CAST(cnt AS DOUBLE) AS cd, n, w, lx FROM p3),
+         s AS (SELECT max(n) AS n,
+                sum(CAST(floor(cd * $Q) AS HUGEINT)) AS qc,
+                sum(CAST(floor((cd * lx) * $Q) AS HUGEINT)) AS qx,
+                sum(CAST(floor((cd * w) * $Q) AS HUGEINT)) AS qy,
+                sum(CAST(floor(((cd * lx) * w) * $Q) AS HUGEINT)) AS qxy,
+                sum(CAST(floor(((cd * lx) * lx) * $Q) AS HUGEINT)) AS qxx
+              FROM p4),
+         g AS (SELECT n, ${vd("qc")} AS sc, ${vd("qx")} AS sx,
+                ${vd("qy")} AS sy, ${vd("qxy")} AS sxy,
+                ${vd("qxx")} AS sxx FROM s),
+         h AS (SELECT n, sc, sx, sy,
+                (sc * sxy - sx * sy) / (sc * sxx - sx * sx) AS shape
+              FROM g),
+         i AS (SELECT n, shape,
+                (sy - shape * sx) / sc AS icpt FROM h),
+         es AS (SELECT n, shape,
+                least(greatest(-(icpt / shape), -30.0), 30.0) AS eta
+              FROM i),
+         $exc
+         SELECT n, shape, scale_hat FROM $exLast"""
+    })
+}

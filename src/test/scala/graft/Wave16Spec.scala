@@ -124,6 +124,34 @@ class Wave16Spec extends SparkSpec {
     }
   }
 
+  test("lnLnOls recovers a planted power-law exponent") {
+    val rnd = new scala.util.Random(89)
+    val pts = (1 to 2000).map { _ =>
+      val x = 2.0 + rnd.nextInt(100000) / 100.0
+      val y = 5e6 * math.pow(x, -1.7) * (1.0 + (rnd.nextInt(21) - 10) / 100.0)
+      (x, math.max(1.0, y))
+    }
+    val row = Stats.lnLnOls(pts.toDF("x", "y"), col("x"), col("y"))
+      .collect().head
+    assert(math.abs(row.getAs[Double]("slope") + 1.7) < 0.05,
+      s"slope ${row.getAs[Double]("slope")}")
+  }
+
+  test("weibullPlotFit recovers planted Weibull shape and scale") {
+    val rnd = new scala.util.Random(97)
+    // inverse-transform Weibull(k=2, lambda=50), integerized
+    val durs = (1 to 5000).map { _ =>
+      val u = (rnd.nextInt(999998) + 1) / 1000000.0
+      math.max(1L, math.round(50.0 * math.pow(-math.log(1.0 - u), 0.5)))
+    }
+    val row = Stats.weibullPlotFit(durs.toDF("d"), col("d"))
+      .collect().head
+    val k = row.getAs[Double]("shape")
+    val lam = row.getAs[Double]("scale_hat")
+    assert(math.abs(k - 2.0) < 0.2, s"shape $k")
+    assert(math.abs(lam - 50.0) < 4.0, s"scale $lam")
+  }
+
   test("ransacLine recovers the planted line against heavy outliers") {
     val rnd = new scala.util.Random(79)
     // 80% on y = 3x + 50 (small noise), 20% wild outliers
