@@ -458,6 +458,82 @@ object Temporal {
       .select(col("key"), col("day"), col("sax_word"))
   }
 
+  /** Two-state Gaussian-emission HMM Viterbi decode (regime
+    * detection): states H/L with means 1.5·m̄ and 0.5·m̄ (m̄, σ² the
+    * series' exact moments), shared variance, literal stay/switch
+    * log-transitions. Forward pass = ONE ordered max-fold carrying
+    * (v_H, v_L, backpointer arrays); the MAP path = a SECOND bounded
+    * fold walking the backpointers from the argmax terminal — both
+    * replayable as recursive CTEs (the [[kalman1d]] contract, plus a
+    * downward recursion for the backtrace). Output: one row per
+    * period with its count and MAP state.
+    *
+    * All emission scores are fixed IEEE chains (−(c−μ)²/(2σ²)); max
+    * ties break toward H via the same `>=` on both engines. */
+  def hmmViterbi2(series: DataFrame, orderCol: String, valCol: String,
+                  stayP: Double = 0.9): DataFrame = {
+    val lnStay = math.log(stayP)
+    val lnSwitch = math.log(1.0 - stayP)
+    val sorted = sort_array(collect_list(struct(col(orderCol),
+      col(valCol))))
+    val packed = series.groupBy().agg(
+      transform(sorted, x => x.getField(orderCol)).as("ks"),
+      transform(sorted, x => x.getField(valCol).cast("double")).as("cs"),
+      (sum(col(valCol).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("m"),
+      (sum(col(valCol).cast("long") * col(valCol).cast("long"))
+        .cast("double") / count(lit(1)).cast("double")).as("ex2"))
+      .withColumn("vr", col("ex2") - col("m") * col("m"))
+      .withColumn("muh", lit(1.5) * col("m"))
+      .withColumn("mul", lit(0.5) * col("m"))
+    val st0 = struct(lit(0.0).as("vh"), lit(0.0).as("vl"),
+      expr("cast(array() as array<int>)").as("bh"),
+      expr("cast(array() as array<int>)").as("bl"))
+    val fwd = aggregate(col("cs"), st0, (st, c) => {
+      val thH = st.getField("vh") + lit(lnStay)
+      val thL = st.getField("vl") + lit(lnSwitch)
+      val tlH = st.getField("vh") + lit(lnSwitch)
+      val tlL = st.getField("vl") + lit(lnStay)
+      val emH = -(((c - col("muh")) * (c - col("muh"))) /
+        (lit(2.0) * col("vr")))
+      val emL = -(((c - col("mul")) * (c - col("mul"))) /
+        (lit(2.0) * col("vr")))
+      val bh = when(thH >= thL, 1).otherwise(0)
+      val bl = when(tlH >= tlL, 1).otherwise(0)
+      struct(
+        (when(thH >= thL, thH).otherwise(thL) + emH).as("vh"),
+        (when(tlH >= tlL, tlH).otherwise(tlL) + emL).as("vl"),
+        concat(st.getField("bh"), array(bh)).as("bh"),
+        concat(st.getField("bl"), array(bl)).as("bl"))
+    })
+    val p2 = packed.withColumn("fw", fwd)
+      .withColumn("tt", size(col("cs")))
+      .withColumn("fin", when(col("fw").getField("vh") >=
+        col("fw").getField("vl"), 1).otherwise(0))
+    // backtrace: state at day i−1 is the day-i backpointer of the
+    // day-i state; build the path front-to-back by prepending
+    val path = aggregate(
+      sequence(lit(1), col("tt") - 1),
+      struct(col("fin").as("cur"),
+        array(col("fin")).as("arr")),
+      (st, j) => {
+        val i = (col("tt") - j + 1).cast("int")
+        val nxt = when(st.getField("cur") === 1,
+          element_at(col("fw").getField("bh"), i))
+          .otherwise(element_at(col("fw").getField("bl"), i))
+        struct(nxt.as("cur"),
+          concat(array(nxt), st.getField("arr")).as("arr"))
+      })
+    p2.withColumn("path", path.getField("arr"))
+      .select(col("ks"), col("cs"), col("path"))
+      .select(posexplode(col("ks")).as(Seq("i", orderCol)),
+        col("cs"), col("path"))
+      .select(col(orderCol),
+        element_at(col("cs"), col("i") + 1).as("c"),
+        element_at(col("path"), col("i") + 1).cast("long")
+          .as("map_state"))
+  }
+
   /** GARCH(1,1) conditional-variance filter with variance targeting:
     * simple returns r between consecutive observed periods, ω =
     * (1−α−β)·σ̂² with σ̂² the uncentered return second moment, then the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Pmath
-import graft.operators.Stats
+import graft.operators.{Stats, Temporal}
 
 /** Round-8 eighth wave — regression-on-transform operators: the
   * portable ln/exp kernels feeding quantized-decimal OLS. Log-log
@@ -43,6 +43,23 @@ object Ext15 {
         datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
           .cast("long").as("dur"))
       Stats.weibullPlotFit(ue, col("dur"))
+    }),
+
+    // 2-state HMM Viterbi regime decode of daily event volume over the
+    // dense day spine (x_croston's spine): Gaussian emissions at
+    // 1.5·mean / 0.5·mean, stay-prob 0.9 — the MAP high/low-activity
+    // labeling, forward max-fold + backpointer walk
+    "x_hmm_regimes" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val dayIdx = datediff(col("ts").cast("date"),
+        lit("2024-01-01").cast("date")).cast("long")
+      val perDay = ev.groupBy(dayIdx.as("day_idx"))
+        .agg(count(lit(1)).as("c"))
+      val spine = ev.agg(max(dayIdx).as("mx"))
+        .select(explode(sequence(lit(0L), col("mx"))).as("day_idx"))
+        .join(perDay, Seq("day_idx"), "left")
+        .select(col("day_idx"), coalesce(col("c"), lit(0L)).as("c"))
+      Temporal.hmmViterbi2(spine, "day_idx", "c", stayP = 0.9)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -130,5 +147,60 @@ object Ext15 {
               FROM i),
          $exc
          SELECT n, shape, scale_hat FROM $exLast"""
+    },
+
+    // mirrors Temporal.hmmViterbi2: forward recursion with identical
+    // emission/transition chains, downward backtrace recursion
+    "x_hmm_regimes" -> {
+      val lnStay = s"CAST('${math.log(0.9)}' AS DOUBLE)"
+      val lnSw = s"CAST('${math.log(1.0 - 0.9)}' AS DOUBLE)"
+      s"""WITH RECURSIVE perday AS (SELECT
+                CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+                  AS day_idx,
+                CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1),
+         mxd AS (SELECT CAST(max(CAST(ts AS DATE) - DATE '2024-01-01')
+                  AS BIGINT) AS mx FROM events),
+         sp0 AS (SELECT CAST(g.i AS BIGINT) AS day_idx,
+                CAST(COALESCE(p.c, 0) AS BIGINT) AS c
+              FROM (SELECT unnest(range(0, mx + 1)) AS i FROM mxd) g
+              LEFT JOIN perday p ON p.day_idx = g.i),
+         pr AS (SELECT
+                CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m,
+                CAST(sum(c * c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  AS ex2 FROM sp0),
+         pr2 AS (SELECT m, ex2 - m * m AS vr,
+                1.5 * m AS muh, 0.5 * m AS mul FROM pr),
+         sp AS (SELECT row_number() OVER (ORDER BY day_idx) AS i,
+                day_idx, CAST(c AS DOUBLE) AS c FROM sp0),
+         fwd AS (
+           SELECT CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS vh,
+                  CAST(0.0 AS DOUBLE) AS vl,
+                  CAST(0 AS INTEGER) AS bh, CAST(0 AS INTEGER) AS bl
+           UNION ALL
+           SELECT s.i,
+                  CASE WHEN k.vh + $lnStay >= k.vl + $lnSw
+                       THEN k.vh + $lnStay ELSE k.vl + $lnSw END
+                    + (-(((s.c - p.muh) * (s.c - p.muh))
+                        / (2.0 * p.vr))) AS vh,
+                  CASE WHEN k.vh + $lnSw >= k.vl + $lnStay
+                       THEN k.vh + $lnSw ELSE k.vl + $lnStay END
+                    + (-(((s.c - p.mul) * (s.c - p.mul))
+                        / (2.0 * p.vr))) AS vl,
+                  CASE WHEN k.vh + $lnStay >= k.vl + $lnSw
+                       THEN 1 ELSE 0 END AS bh,
+                  CASE WHEN k.vh + $lnSw >= k.vl + $lnStay
+                       THEN 1 ELSE 0 END AS bl
+           FROM fwd k JOIN sp s ON s.i = k.i + 1 CROSS JOIN pr2 p),
+         mxi AS (SELECT CAST(max(i) AS BIGINT) AS tt FROM fwd),
+         bwd AS (
+           SELECT f.i, CASE WHEN f.vh >= f.vl THEN 1 ELSE 0 END AS st
+           FROM fwd f CROSS JOIN mxi WHERE f.i = tt
+           UNION ALL
+           SELECT b.i - 1,
+                  CASE WHEN b.st = 1 THEN f2.bh ELSE f2.bl END AS st
+           FROM bwd b JOIN fwd f2 ON f2.i = b.i WHERE b.i > 1)
+         SELECT s.day_idx, s.c AS c, CAST(b.st AS BIGINT) AS map_state
+         FROM bwd b JOIN sp s ON s.i = b.i"""
     })
 }

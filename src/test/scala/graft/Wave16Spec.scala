@@ -152,6 +152,50 @@ class Wave16Spec extends SparkSpec {
     assert(math.abs(lam - 50.0) < 4.0, s"scale $lam")
   }
 
+  test("hmmViterbi2 is bit-identical to the scalar Viterbi; regimes recovered") {
+    val rnd = new scala.util.Random(101)
+    // planted regimes: 40 low days (~20), 40 high (~60), 40 low
+    val cs = ((1 to 40).map(_ => 20 + rnd.nextInt(9) - 4) ++
+      (41 to 80).map(_ => 60 + rnd.nextInt(9) - 4) ++
+      (81 to 120).map(_ => 20 + rnd.nextInt(9) - 4)).map(_.toLong)
+    val df = cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("k", "c")
+    val out = graft.operators.Temporal.hmmViterbi2(df, "k", "c",
+      stayP = 0.9).orderBy("k").collect()
+
+    val n = cs.size
+    val m = cs.sum.toDouble / n
+    val vr = cs.map(c => (c * c).toDouble).sum / n - m * m
+    val (muh, mul) = (1.5 * m, 0.5 * m)
+    val (lnStay, lnSw) = (math.log(0.9), math.log(1.0 - 0.9))
+    var (vh, vl) = (0.0, 0.0)
+    val bh = Array.ofDim[Int](n); val bl = Array.ofDim[Int](n)
+    cs.zipWithIndex.foreach { case (cl, i) =>
+      val c = cl.toDouble
+      val (thH, thL) = (vh + lnStay, vl + lnSw)
+      val (tlH, tlL) = (vh + lnSw, vl + lnStay)
+      bh(i) = if (thH >= thL) 1 else 0
+      bl(i) = if (tlH >= tlL) 1 else 0
+      val emH = -(((c - muh) * (c - muh)) / (2.0 * vr))
+      val emL = -(((c - mul) * (c - mul)) / (2.0 * vr))
+      val nvh = (if (thH >= thL) thH else thL) + emH
+      val nvl = (if (tlH >= tlL) tlH else tlL) + emL
+      vh = nvh; vl = nvl
+    }
+    val path = Array.ofDim[Int](n)
+    path(n - 1) = if (vh >= vl) 1 else 0
+    (n - 2 to 0 by -1).foreach { i =>
+      path(i) = if (path(i + 1) == 1) bh(i + 1) else bl(i + 1)
+    }
+    out.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getAs[Long]("map_state") == path(i).toLong, s"day $i")
+    }
+    // the planted block structure is decoded: mid-block is high
+    assert(out(60).getAs[Long]("map_state") == 1L)
+    assert(out(20).getAs[Long]("map_state") == 0L)
+    assert(out(100).getAs[Long]("map_state") == 0L)
+  }
+
   test("ransacLine recovers the planted line against heavy outliers") {
     val rnd = new scala.util.Random(79)
     // 80% on y = 3x + 50 (small noise), 20% wild outliers
