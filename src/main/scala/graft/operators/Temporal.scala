@@ -534,6 +534,87 @@ object Temporal {
           .as("map_state"))
   }
 
+  /** Two-state HMM forward–backward posterior (the smoothing
+    * companion to [[hmmViterbi2]]): per-period P(high | ALL data), in
+    * per-step-normalized linear space so both recursions are pure
+    * +,×,÷ chains — the Gaussian emission likelihoods are precomputed
+    * in ONE [[graft.functions.Pmath.expColumn]] pass over the bounded
+    * spine (clamped exponent), which keeps the recursive arms (and
+    * their recursive-CTE oracle replays) free of transcendentals.
+    * Output: one row per period with count, forward filter P, and
+    * smoothed posterior P. */
+  def hmmPosterior2(series: DataFrame, orderCol: String, valCol: String,
+                    stayP: Double = 0.9): DataFrame = {
+    import graft.functions.Pmath
+    val sw = 1.0 - stayP
+    val sorted = sort_array(collect_list(struct(col(orderCol),
+      col(valCol))))
+    val packed = series.groupBy().agg(
+      transform(sorted, x => x.getField(orderCol)).as("ks"),
+      transform(sorted, x => x.getField(valCol).cast("double")).as("cs"),
+      (sum(col(valCol).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("m"),
+      (sum(col(valCol).cast("long") * col(valCol).cast("long"))
+        .cast("double") / count(lit(1)).cast("double")).as("ex2"))
+      .withColumn("vr", col("ex2") - col("m") * col("m"))
+      .withColumn("muh", lit(1.5) * col("m"))
+      .withColumn("mul", lit(0.5) * col("m"))
+    def em(mu: Column) = (c: Column) => Pmath.expColumn(
+      greatest(-(((c - mu) * (c - mu)) / (lit(2.0) * col("vr"))),
+        lit(-30.0)))
+    val p1 = packed
+      .withColumn("eh", transform(col("cs"), em(col("muh"))))
+      .withColumn("el", transform(col("cs"), em(col("mul"))))
+    val fwd = aggregate(sequence(lit(1), size(col("cs"))),
+      struct(lit(0.5).as("ah"), lit(0.5).as("al"),
+        expr("cast(array() as array<double>)").as("fh"),
+        expr("cast(array() as array<double>)").as("fl")),
+      (st, tc) => {
+        val i = tc.cast("int")
+        val uh = (st.getField("ah") * lit(stayP) +
+          st.getField("al") * lit(sw)) * element_at(col("eh"), i)
+        val ul = (st.getField("ah") * lit(sw) +
+          st.getField("al") * lit(stayP)) * element_at(col("el"), i)
+        val s = uh + ul
+        struct((uh / s).as("ah"), (ul / s).as("al"),
+          concat(st.getField("fh"), array(uh / s)).as("fh"),
+          concat(st.getField("fl"), array(ul / s)).as("fl"))
+      })
+    val bwd = aggregate(sequence(lit(1), size(col("cs")) - 1),
+      struct(lit(0.5).as("bh"), lit(0.5).as("bl"),
+        expr("cast(array(0.5) as array<double>)").as("gh"),
+        expr("cast(array(0.5) as array<double>)").as("gl")),
+      (st, j) => {
+        // walking t = T−1 … 1; uses emissions/β at t+1 = T−j+1
+        val i = (size(col("cs")) - j + 1).cast("int")
+        val vh = lit(stayP) * (element_at(col("eh"), i) *
+          st.getField("bh")) + lit(sw) * (element_at(col("el"), i) *
+          st.getField("bl"))
+        val vl = lit(sw) * (element_at(col("eh"), i) *
+          st.getField("bh")) + lit(stayP) * (element_at(col("el"), i) *
+          st.getField("bl"))
+        val s = vh + vl
+        struct((vh / s).as("bh"), (vl / s).as("bl"),
+          concat(array(vh / s), st.getField("gh")).as("gh"),
+          concat(array(vl / s), st.getField("gl")).as("gl"))
+      })
+    p1.withColumn("fw", fwd).withColumn("bw", bwd)
+      .select(col("ks"), col("cs"), col("fw"), col("bw"))
+      .select(posexplode(col("ks")).as(Seq("i", orderCol)),
+        col("cs"), col("fw"), col("bw"))
+      .select(col(orderCol),
+        element_at(col("cs"), col("i") + 1).as("c"),
+        element_at(col("fw").getField("fh"), col("i") + 1)
+          .as("p_filter"),
+        (element_at(col("fw").getField("fh"), col("i") + 1) *
+          element_at(col("bw").getField("gh"), col("i") + 1) /
+          (element_at(col("fw").getField("fh"), col("i") + 1) *
+            element_at(col("bw").getField("gh"), col("i") + 1) +
+            element_at(col("fw").getField("fl"), col("i") + 1) *
+              element_at(col("bw").getField("gl"), col("i") + 1)))
+          .as("p_smooth"))
+  }
+
   /** GARCH(1,1) conditional-variance filter with variance targeting:
     * simple returns r between consecutive observed periods, ω =
     * (1−α−β)·σ̂² with σ̂² the uncentered return second moment, then the

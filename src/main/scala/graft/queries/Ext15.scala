@@ -60,6 +60,23 @@ object Ext15 {
         .join(perDay, Seq("day_idx"), "left")
         .select(col("day_idx"), coalesce(col("c"), lit(0L)).as("c"))
       Temporal.hmmViterbi2(spine, "day_idx", "c", stayP = 0.9)
+    }),
+
+    // HMM forward-backward posterior on the same spine: per-day
+    // P(high | all data) next to the filter P(high | past) — the soft
+    // smoothing companion to x_hmm_regimes' hard MAP path; emissions
+    // through one portable-exp pass, recursions pure arithmetic
+    "x_hmm_posterior" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val dayIdx = datediff(col("ts").cast("date"),
+        lit("2024-01-01").cast("date")).cast("long")
+      val perDay = ev.groupBy(dayIdx.as("day_idx"))
+        .agg(count(lit(1)).as("c"))
+      val spine = ev.agg(max(dayIdx).as("mx"))
+        .select(explode(sequence(lit(0L), col("mx"))).as("day_idx"))
+        .join(perDay, Seq("day_idx"), "left")
+        .select(col("day_idx"), coalesce(col("c"), lit(0L)).as("c"))
+      Temporal.hmmPosterior2(spine, "day_idx", "c", stayP = 0.9)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -202,5 +219,72 @@ object Ext15 {
            FROM bwd b JOIN fwd f2 ON f2.i = b.i WHERE b.i > 1)
          SELECT s.day_idx, s.c AS c, CAST(b.st AS BIGINT) AS map_state
          FROM bwd b JOIN sp s ON s.i = b.i"""
+    },
+
+    // mirrors Temporal.hmmPosterior2: one portable-exp emission pass,
+    // normalized linear-space forward and backward recursions
+    "x_hmm_posterior" -> {
+      val sw = s"CAST('${1.0 - 0.9}' AS DOUBLE)"
+      val (chain, last) = Pmath.expSqlChainCtes("em1", "hp",
+        Seq("etah" -> "eh", "etal" -> "el"),
+        carry = Seq("i", "day_idx", "c", "etal"))
+      s"""WITH RECURSIVE perday AS (SELECT
+                CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+                  AS day_idx,
+                CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1),
+         mxd AS (SELECT CAST(max(CAST(ts AS DATE) - DATE '2024-01-01')
+                  AS BIGINT) AS mx FROM events),
+         sp0 AS (SELECT CAST(g.i AS BIGINT) AS day_idx,
+                CAST(COALESCE(p.c, 0) AS BIGINT) AS c
+              FROM (SELECT unnest(range(0, mx + 1)) AS i FROM mxd) g
+              LEFT JOIN perday p ON p.day_idx = g.i),
+         pr AS (SELECT
+                CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m,
+                CAST(sum(c * c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  AS ex2 FROM sp0),
+         pr2 AS (SELECT m, ex2 - m * m AS vr,
+                1.5 * m AS muh, 0.5 * m AS mul FROM pr),
+         sp AS (SELECT row_number() OVER (ORDER BY day_idx) AS i,
+                day_idx, CAST(c AS DOUBLE) AS c FROM sp0),
+         em1 AS (SELECT i, day_idx, c,
+                greatest(-(((c - muh) * (c - muh)) / (2.0 * vr)), -30.0)
+                  AS etah,
+                greatest(-(((c - mul) * (c - mul)) / (2.0 * vr)), -30.0)
+                  AS etal
+              FROM sp CROSS JOIN pr2),
+         $chain,
+         e AS (SELECT i, day_idx, c, eh, el FROM $last),
+         fwd AS (
+           SELECT CAST(0 AS BIGINT) AS i, CAST(0.5 AS DOUBLE) AS ah,
+                  CAST(0.5 AS DOUBLE) AS al
+           UNION ALL
+           SELECT e2.i,
+                  ((k.ah * 0.9 + k.al * $sw) * e2.eh)
+                    / ((k.ah * 0.9 + k.al * $sw) * e2.eh
+                      + (k.ah * $sw + k.al * 0.9) * e2.el) AS ah,
+                  ((k.ah * $sw + k.al * 0.9) * e2.el)
+                    / ((k.ah * 0.9 + k.al * $sw) * e2.eh
+                      + (k.ah * $sw + k.al * 0.9) * e2.el) AS al
+           FROM fwd k JOIN e e2 ON e2.i = k.i + 1),
+         mxi AS (SELECT CAST(max(i) AS BIGINT) AS tt FROM e),
+         bwd AS (
+           SELECT tt AS i, CAST(0.5 AS DOUBLE) AS bh,
+                  CAST(0.5 AS DOUBLE) AS bl FROM mxi
+           UNION ALL
+           SELECT b.i - 1,
+                  (0.9 * (e2.eh * b.bh) + $sw * (e2.el * b.bl))
+                    / ((0.9 * (e2.eh * b.bh) + $sw * (e2.el * b.bl))
+                      + ($sw * (e2.eh * b.bh) + 0.9 * (e2.el * b.bl)))
+                    AS bh,
+                  ($sw * (e2.eh * b.bh) + 0.9 * (e2.el * b.bl))
+                    / ((0.9 * (e2.eh * b.bh) + $sw * (e2.el * b.bl))
+                      + ($sw * (e2.eh * b.bh) + 0.9 * (e2.el * b.bl)))
+                    AS bl
+           FROM bwd b JOIN e e2 ON e2.i = b.i WHERE b.i > 1)
+         SELECT s.day_idx, s.c AS c, f.ah AS p_filter,
+                (f.ah * b.bh) / (f.ah * b.bh + f.al * b.bl) AS p_smooth
+         FROM fwd f JOIN bwd b ON b.i = f.i JOIN sp s ON s.i = f.i
+         WHERE f.i >= 1"""
     })
 }

@@ -40,7 +40,7 @@ class ContractSpec extends SparkSpec {
     val n = SparkEntry.queries.size
     val exact = SparkEntry.oracleSql.size
     info(s"graded queries: $n; exact oracles: $exact; rows-only: ${n - exact}")
-    assert(n == 397 && exact == 393,
+    assert(n == 398 && exact == 394,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 

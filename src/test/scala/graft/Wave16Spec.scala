@@ -196,6 +196,61 @@ class Wave16Spec extends SparkSpec {
     assert(out(100).getAs[Long]("map_state") == 0L)
   }
 
+  test("hmmPosterior2 is bit-identical to the scalar forward-backward") {
+    val rnd = new scala.util.Random(103)
+    val cs = ((1 to 30).map(_ => 20 + rnd.nextInt(7)) ++
+      (1 to 30).map(_ => 60 + rnd.nextInt(7)) ++
+      (1 to 30).map(_ => 20 + rnd.nextInt(7))).map(_.toLong)
+    val df = cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("k", "c")
+    val out = graft.operators.Temporal.hmmPosterior2(df, "k", "c",
+      stayP = 0.9).orderBy("k").collect()
+
+    val n = cs.size
+    val m = cs.sum.toDouble / n
+    val vr = cs.map(c => (c * c).toDouble).sum / n - m * m
+    val (muh, mul) = (1.5 * m, 0.5 * m)
+    val sw = 1.0 - 0.9
+    def em(c: Double, mu: Double) =
+      pexp(math.max(-(((c - mu) * (c - mu)) / (2.0 * vr)), -30.0))
+    val eh = cs.map(c => em(c.toDouble, muh))
+    val el = cs.map(c => em(c.toDouble, mul))
+    val fh = Array.ofDim[Double](n); val fl = Array.ofDim[Double](n)
+    var (ah, al) = (0.5, 0.5)
+    (0 until n).foreach { i =>
+      val uh = (ah * 0.9 + al * sw) * eh(i)
+      val ul = (ah * sw + al * 0.9) * el(i)
+      val s = uh + ul
+      ah = uh / s; al = ul / s; fh(i) = ah; fl(i) = al
+    }
+    val gh = Array.ofDim[Double](n); val gl = Array.ofDim[Double](n)
+    gh(n - 1) = 0.5; gl(n - 1) = 0.5
+    ((n - 2) to 0 by -1).foreach { i =>
+      val vh = 0.9 * (eh(i + 1) * gh(i + 1)) + sw * (el(i + 1) * gl(i + 1))
+      val vl = sw * (eh(i + 1) * gh(i + 1)) + 0.9 * (el(i + 1) * gl(i + 1))
+      val s = vh + vl
+      gh(i) = vh / s; gl(i) = vl / s
+    }
+    out.zipWithIndex.foreach { case (row, i) =>
+      assert(bits(row.getAs[Double]("p_filter")) == bits(fh(i)), s"f $i")
+      val ps = (fh(i) * gh(i)) / (fh(i) * gh(i) + fl(i) * gl(i))
+      assert(bits(row.getAs[Double]("p_smooth")) == bits(ps), s"s $i")
+    }
+    // smoothing labels the planted blocks
+    assert(out(45).getAs[Double]("p_smooth") > 0.9)
+    assert(out(10).getAs[Double]("p_smooth") < 0.1)
+  }
+
+  /** Scalar replay of Pmath.expColumn (same constant table). */
+  private def pexp(x: Double): Double = {
+    val kf = math.floor(x * graft.functions.Pmath.InvLn2 + 0.5)
+    val r = x - kf * graft.functions.Pmath.Ln2
+    var p = graft.functions.Pmath.expCoeffs.last
+    var i = graft.functions.Pmath.expCoeffs.length - 2
+    while (i >= 0) { p = graft.functions.Pmath.expCoeffs(i) + r * p; i -= 1 }
+    Math.scalb(p, kf.toInt)
+  }
+
   test("ransacLine recovers the planted line against heavy outliers") {
     val rnd = new scala.util.Random(79)
     // 80% on y = 3x + 50 (small noise), 20% wild outliers
