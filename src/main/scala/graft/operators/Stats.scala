@@ -1743,6 +1743,88 @@ object Stats {
         lit(-30.0)), lit(30.0))).as("scale_hat"))
   }
 
+  /** Gaussian kernel-density estimate on a fixed `nGrid`-point grid
+    * over the integer feature's exact [min, max] span: p̂(g) =
+    * Σᵢ K((xᵢ−g)/h) / (n·h·√2π), bandwidth h = span/32. The
+    * distribution-shape readout a histogram quantizes away — done as
+    * ONE pass (rows × bounded grid explode), [[Pmath.expColumn]]
+    * kernels with clamped exponent, per-grid 2⁻²⁰-quantized
+    * decimal(38,0) sums. */
+  def kdeGrid(df: DataFrame, xCol: Column, nGrid: Int = 16): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = lit(1048576.0)
+    val sqrt2pi = math.sqrt(2.0 * math.Pi)
+    val f = df.select(xCol.cast("long").as("x")).filter(col("x").isNotNull)
+    val b = f.agg(count(lit(1)).as("n"), dbl(min("x")).as("lo"),
+      dbl(max("x")).as("hi"))
+      .withColumn("h", (col("hi") - col("lo")) / lit(32.0))
+    val g = f.crossJoin(broadcast(b))
+      .select(col("x"), col("n"), col("lo"), col("hi"), col("h"),
+        explode(sequence(lit(1L), lit(nGrid.toLong))).as("j"))
+      .withColumn("g", col("lo") + dbl(col("j")) *
+        ((col("hi") - col("lo")) / lit((nGrid + 1).toDouble)))
+      .withColumn("u", (dbl(col("x")) - col("g")) / col("h"))
+      .withColumn("k", Pmath.expColumn(
+        greatest(-((col("u") * col("u")) / lit(2.0)), lit(-30.0))))
+    g.groupBy("j").agg(max("n").as("n"), max("g").as("g"),
+        max("h").as("h"),
+        sum(dec(floor(col("k") * q))).as("qk"))
+      .select(col("j"), col("g"),
+        ((ddec(col("qk")) / q) /
+          (dbl(col("n")) * (col("h") * lit(sqrt2pi)))).as("density"))
+  }
+
+  /** LOESS (local linear regression) at a fixed `nGrid`-point anchor
+    * grid: tricube weights w = (1−|u|³)³ over bandwidth h = span/4,
+    * per-anchor weighted least squares, ŷ(g) = b₀ + b₁·g. The
+    * nonparametric trend curve, distributed as ONE pass (rows ×
+    * bounded anchors, zero-weight rows filtered before the shuffle)
+    * with per-anchor quantized decimal moment sums and fixed solve
+    * chains. */
+  def loessGrid(df: DataFrame, xCol: Column, yCol: Column,
+                nGrid: Int = 16): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    def ddec(c: Column) = c.cast("string").cast("double")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = lit(1048576.0)
+    val f = df.select(xCol.cast("double").as("x"),
+        yCol.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val b = f.agg(count(lit(1)).as("n"), min("x").as("lo"),
+      max("x").as("hi"))
+      .withColumn("h", (col("hi") - col("lo")) / lit(4.0))
+    val g = f.crossJoin(broadcast(b))
+      .select(col("x"), col("y"), col("lo"), col("hi"), col("h"),
+        explode(sequence(lit(1L), lit(nGrid.toLong))).as("j"))
+      .withColumn("g", col("lo") + dbl(col("j")) *
+        ((col("hi") - col("lo")) / lit((nGrid + 1).toDouble)))
+      .withColumn("au", abs((col("x") - col("g")) / col("h")))
+      .filter(col("au") < 1.0)
+      .withColumn("a3", (col("au") * col("au")) * col("au"))
+      .withColumn("w", ((lit(1.0) - col("a3")) * (lit(1.0) - col("a3"))) *
+        (lit(1.0) - col("a3")))
+    val s = g.groupBy("j").agg(max("g").as("g"),
+        count(lit(1)).as("n_local"),
+        sum(dec(floor(col("w") * q))).as("qw"),
+        sum(dec(floor((col("w") * col("x")) * q))).as("qx"),
+        sum(dec(floor((col("w") * col("y")) * q))).as("qy"),
+        sum(dec(floor(((col("w") * col("x")) * col("x")) * q))).as("qxx"),
+        sum(dec(floor(((col("w") * col("x")) * col("y")) * q))).as("qxy"))
+      .withColumn("sw", ddec(col("qw")) / q)
+      .withColumn("sx", ddec(col("qx")) / q)
+      .withColumn("sy", ddec(col("qy")) / q)
+      .withColumn("sxx", ddec(col("qxx")) / q)
+      .withColumn("sxy", ddec(col("qxy")) / q)
+      .withColumn("b1",
+        (col("sw") * col("sxy") - col("sx") * col("sy")) /
+          (col("sw") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("b0", (col("sy") - col("b1") * col("sx")) / col("sw"))
+    s.select(col("j"), col("g"), col("n_local"),
+      (col("b0") + col("b1") * col("g")).as("y_hat"))
+  }
+
   /** Kruskal–Wallis H test: the rank-based (distribution-free) analog
     * of [[anovaF]] across k groups. Global midranks from the
     * distinct-value spine (integer 2·midrank), per-group rank sums via

@@ -77,7 +77,21 @@ object Ext15 {
         .join(perDay, Seq("day_idx"), "left")
         .select(col("day_idx"), coalesce(col("c"), lit(0L)).as("c"))
       Temporal.hmmPosterior2(spine, "day_idx", "c", stayP = 0.9)
-    }))
+    }),
+
+    // Gaussian KDE of document length on a 16-point grid: the
+    // smooth distribution-shape readout; portable-exp kernels,
+    // per-grid quantized sums
+    "x_kde_grid" -> ((s, d) =>
+      Stats.kdeGrid(t(s, d, "documents").filter(col("n_chars").isNotNull),
+        col("n_chars"), nGrid = 16)),
+
+    // LOESS local-linear trend of price vs quantity at 16 anchors:
+    // tricube weights over span/4 bandwidth, per-anchor weighted
+    // quantized OLS -> the nonparametric trend curve
+    "x_loess_grid" -> ((s, d) =>
+      Stats.loessGrid(t(s, d, "lineitem"),
+        col("l_quantity"), col("l_extendedprice"), nGrid = 16)))
 
   val oracle: Map[String, String] = Map(
 
@@ -286,5 +300,76 @@ object Ext15 {
                 (f.ah * b.bh) / (f.ah * b.bh + f.al * b.bl) AS p_smooth
          FROM fwd f JOIN bwd b ON b.i = f.i JOIN sp s ON s.i = f.i
          WHERE f.i >= 1"""
-    })
+    },
+
+    // mirrors Stats.kdeGrid: same grid, same clamped exponent, same
+    // quantized kernel sums
+    "x_kde_grid" -> {
+      val sqrt2pi = s"CAST('${math.sqrt(2.0 * math.Pi)}' AS DOUBLE)"
+      val (chain, last) = Pmath.expSqlChainCtes("g2", "kd",
+        Seq("eta" -> "k"), carry = Seq("n", "h", "j", "g"))
+      s"""WITH f AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+              WHERE n_chars IS NOT NULL),
+         b0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(min(x) AS DOUBLE) AS lo,
+                CAST(max(x) AS DOUBLE) AS hi FROM f),
+         b AS (SELECT n, lo, hi, (hi - lo) / 32.0 AS h FROM b0),
+         g0 AS (SELECT x, n, lo, hi, h,
+                CAST(unnest(range(1, 17)) AS BIGINT) AS j
+              FROM f CROSS JOIN b),
+         g1 AS (SELECT x, n, h, j,
+                lo + CAST(j AS DOUBLE) * ((hi - lo) / 17.0) AS g
+              FROM g0),
+         g2 AS (SELECT n, h, j, g,
+                greatest(-((((CAST(x AS DOUBLE) - g) / h)
+                  * ((CAST(x AS DOUBLE) - g) / h)) / 2.0), -30.0) AS eta
+              FROM g1),
+         $chain,
+         s AS (SELECT j, max(n) AS n, max(g) AS g, max(h) AS h,
+                sum(CAST(floor(k * $Q) AS HUGEINT)) AS qk
+              FROM $last GROUP BY j)
+         SELECT j, g,
+                (${vd("qk")}) / (CAST(n AS DOUBLE) * (h * $sqrt2pi))
+                  AS density
+         FROM s"""
+    },
+
+    // mirrors Stats.loessGrid: same anchors, same tricube chain, same
+    // quantized weighted OLS
+    "x_loess_grid" ->
+      s"""WITH f AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                CAST(l_extendedprice AS DOUBLE) AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+         b0 AS (SELECT min(x) AS lo, max(x) AS hi FROM f),
+         b AS (SELECT lo, hi, (hi - lo) / 4.0 AS h FROM b0),
+         g0 AS (SELECT x, y, lo, hi, h,
+                CAST(unnest(range(1, 17)) AS BIGINT) AS j
+              FROM f CROSS JOIN b),
+         g1 AS MATERIALIZED (SELECT x, y, h, j,
+                lo + CAST(j AS DOUBLE) * ((hi - lo) / 17.0) AS g
+              FROM g0),
+         g2a AS (SELECT x, y, j, g, abs((x - g) / h) AS au FROM g1),
+         g2 AS (SELECT x, y, j, g, au FROM g2a WHERE au < 1.0),
+         g3 AS (SELECT x, y, j, g, (au * au) * au AS a3 FROM g2),
+         g4 AS (SELECT x, y, j, g,
+                ((1.0 - a3) * (1.0 - a3)) * (1.0 - a3) AS w FROM g3),
+         s AS (SELECT j, max(g) AS g, CAST(count(*) AS BIGINT)
+                  AS n_local,
+                sum(CAST(floor(w * $Q) AS HUGEINT)) AS qw,
+                sum(CAST(floor((w * x) * $Q) AS HUGEINT)) AS qx,
+                sum(CAST(floor((w * y) * $Q) AS HUGEINT)) AS qy,
+                sum(CAST(floor(((w * x) * x) * $Q) AS HUGEINT)) AS qxx,
+                sum(CAST(floor(((w * x) * y) * $Q) AS HUGEINT)) AS qxy
+              FROM g4 GROUP BY j),
+         g5 AS (SELECT j, g, n_local, ${vd("qw")} AS sw,
+                ${vd("qx")} AS sx, ${vd("qy")} AS sy,
+                ${vd("qxx")} AS sxx, ${vd("qxy")} AS sxy FROM s),
+         g6 AS (SELECT j, g, n_local, sw, sx, sy,
+                (sw * sxy - sx * sy) / (sw * sxx - sx * sx) AS b1
+              FROM g5),
+         g7 AS (SELECT j, g, n_local, b1,
+                (sy - b1 * sx) / sw AS b0 FROM g6)
+         SELECT j, g, n_local, b0 + b1 * g AS y_hat FROM g7""")
 }

@@ -40,7 +40,7 @@ class ContractSpec extends SparkSpec {
     val n = SparkEntry.queries.size
     val exact = SparkEntry.oracleSql.size
     info(s"graded queries: $n; exact oracles: $exact; rows-only: ${n - exact}")
-    assert(n == 398 && exact == 394,
+    assert(n == 400 && exact == 396,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 

@@ -251,6 +251,35 @@ class Wave16Spec extends SparkSpec {
     Math.scalb(p, kf.toInt)
   }
 
+  test("kdeGrid finds planted modes; loessGrid tracks a planted curve") {
+    val rnd = new scala.util.Random(107)
+    val xs = ((1 to 3000).map(_ => 100L + rnd.nextInt(21) - 10) ++
+      (1 to 3000).map(_ => 500L + rnd.nextInt(21) - 10))
+    val kde = Stats.kdeGrid(xs.toDF("x"), col("x"), nGrid = 16)
+      .orderBy("j").collect()
+    val dens = kde.map(r => (r.getAs[Double]("g"), r.getAs[Double]("density")))
+    // density near the planted modes dominates the valley between them
+    val nearMode = dens.filter(p => math.abs(p._1 - 100) < 40 ||
+      math.abs(p._1 - 500) < 40).map(_._2).max
+    val valley = dens.filter(p => p._1 > 200 && p._1 < 400).map(_._2).max
+    assert(nearMode > 10 * valley, s"mode $nearMode valley $valley")
+
+    val pts = (1 to 4000).map { _ =>
+      val x = rnd.nextInt(1000) / 10.0
+      (x, 3.0 + 0.5 * x * x + (rnd.nextInt(200) - 100) / 50.0)
+    }
+    val lo = Stats.loessGrid(pts.toDF("x", "y"), col("x"), col("y"),
+      nGrid = 16).orderBy("j").collect()
+    lo.foreach { r =>
+      val g = r.getAs[Double]("g")
+      val want = 3.0 + 0.5 * g * g
+      val got = r.getAs[Double]("y_hat")
+      // local linear tracks the quadratic within the bandwidth bias
+      assert(math.abs(got - want) < math.max(60.0, 0.15 * want),
+        s"at $g: $got vs $want")
+    }
+  }
+
   test("ransacLine recovers the planted line against heavy outliers") {
     val rnd = new scala.util.Random(79)
     // 80% on y = 3x + 50 (small noise), 20% wild outliers
