@@ -1545,6 +1545,9 @@ object Stats {
   def ransacLine(df: DataFrame, xCol: Column, yCol: Column,
                  idCol: Column, nCand: Int, tol: Double): DataFrame = {
     def ddec(c: Column) = c.cast("string").cast("double")
+    // four downstream passes (two elections, the vote, the refit) all
+    // read this frame — persist so the per-row md5 is computed once,
+    // not four times (measured 7.1 s → the md5 dominated)
     val f = df.select(xCol.cast("double").as("xd"),
         yCol.cast("double").as("yd"), idCol.cast("string").as("rid"))
       .filter(col("xd").isNotNull && col("yd").isNotNull)
@@ -1552,6 +1555,7 @@ object Stats {
         conv(substring(md5(concat(col("rid"), lit("_ransac"))),
           1, 13), 16, 10).cast("long"))
       .withColumn("bkt", pmod(col("hv"), lit((2L * nCand))))
+      .persist()
     // per-bucket argmin-hash representative: two hash-agg elections
     // (hv, then rid for the negligible-probability hv tie) — no sort
     val m1 = f.groupBy("bkt").agg(min("hv").as("mhv"))
