@@ -66,6 +66,24 @@ object Bench {
       }
     }
 
+    // load-noise sentinel (round-9, VERDICT r08 item 3): a fixed-cost
+    // pure-codegen scan — 2×10⁸-row range, modular sum, no shuffle, no
+    // I/O — timed FIRST and LAST. Its idle cost is a machine constant
+    // (~0.5 s at local[32]), so a loaded driver box shows up as an
+    // inflated sentinel and judges can normalize that round's numbers
+    // instead of re-adjudicating every outlier (r08 driver bench ran
+    // 2–7× hot on x_bpe_merges/x_embed_neardup; the sentinel would have
+    // said so in one number).
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id % 12345) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel()                             // warm-up: codegen compile
+    val sentinelPre = math.min(sentinel(), sentinel())
+
     // optional args = subset of query names (focused measurement)
     val names = if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
       else SparkEntry.queries.keys.toSeq.sorted
@@ -77,13 +95,20 @@ object Bench {
         case left     => n -> left       // failed warm-up: don't re-run
       }
     }
+    val sentinelPost = math.min(sentinel(), sentinel())
+
     val failed = results.collect { case (k, Left(err)) => s"\"$k: $err\"" }
       .mkString("[", ",", "]")
     val nFailed = results.count(_._2.isLeft)
     val total = results.map(_._2.getOrElse(0.0)).sum
 
-    // complete per-query map, full precision → file (see size contract)
-    val fullQs = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
+    // complete per-query map, full precision → file (see size contract);
+    // sentinels lead the map (they are NOT queries and excluded from
+    // "value" — the total stays comparable across rounds)
+    val sentinels = Seq("_sentinel_pre" -> sentinelPre,
+      "_sentinel_post" -> sentinelPost)
+    val fullQs = (sentinels.map { case (k, v) => s"\"" + k + "\":" + v } ++
+      results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v })
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
@@ -95,9 +120,10 @@ object Bench {
     // break the driver's single-parseable-JSON-line contract.
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val headQs = results.collect {
-      case (k, Right(v)) if Headline(k) => s""""$k":${f2(v)}"""
-    }.mkString("{", ",", "}")
+    val headQs = (sentinels.map { case (k, v) => s""""$k":${f2(v)}""" } ++
+      results.collect {
+        case (k, Right(v)) if Headline(k) => s""""$k":${f2(v)}"""
+      }).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$headQs,"n_failed":$nFailed,"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
@@ -107,12 +133,12 @@ object Bench {
     * membership stable — round-over-round deltas key off these names. */
   val Headline: Set[String] = Set(
     "q_fact_summary", "j2_fk_join",
-    "x_dedup_exact", "x_dedup_norm", "x_dedup_ngram_jaccard",
+    "x_dedup_exact", "x_dedup_ngram_jaccard",
     "x_dedup_minhash", "x_dedup_simhash", "x_winnow_fingerprint",
     "x_dedup_clusters", "x_dedup_clusters_logstar", "x_corpus_clean",
     "x_decontaminate", "x_containment", "x_ppjoin", "x_fuzzy_join",
     "x_incremental_dedup", "x_sorted_neighborhood",
-    "x_embed_neardup", "x_embed_neardup_lsh", "x_cos_topk",
+    "x_embed_neardup", "x_embed_neardup_lsh",
     "x_cos_topk_custom", "x_ann_ivf", "x_ann_lsh", "x_rrf_hybrid",
     "x_lang_id", "x_quality", "x_text_stats", "x_repetition",
     "x_doc_top_terms", "x_data_mix", "x_pack_chunks", "x_weighted_sample",
@@ -146,4 +172,8 @@ object Bench {
     // budgets the worst-case line at ≤ 1900
     "x_hits", "x_ltv_curve", "x_jonckheere", "x_ansari_bradley",
     "x_page_hinkley")
+    // round-9: "_sentinel_pre"/"_sentinel_post" (load-noise calibration,
+    // VERDICT r08 item 3) joined the printed line; paid for by DROPPING
+    // the twins x_dedup_norm (of x_dedup_exact) and x_cos_topk (of
+    // x_cos_topk_custom) — full-precision times remain in BENCH_FULL.json
 }

@@ -294,21 +294,37 @@ object Ext {
     // per-group value concentration), fences broadcast back for the
     // head/tail counts. Two scans instead of one, but both scans are
     // embarrassingly parallel at any group cardinality/skew — the honest
-    // trade against the exact form above. Rows-only (sketch internals are
-    // engine-specific); ExtSpec bounds the fences against the exact ones.
+    // trade against the exact form above. Round-9 graded form (verdict
+    // item 4): the approx fences are sketch-internal doubles, so the
+    // output is the VERDICT — exact n (DuckDB-verified) plus BOOLEANs
+    // asserting (a) each approx fence is within 3% of the exact
+    // percentile (ExtSpec measured <2% at sf0.01) and (b) the head/tail
+    // fractions counted against the approx fences stay in a loose
+    // [2%, 8%] band around the nominal 5%. Oracle emits literal TRUE —
+    // sketch drift → engine FALSE → loud hash fail.
     "x_outlier_clip_approx" -> ((s, d) => {
       val li = t(s, d, "lineitem").select("l_returnflag", "l_extendedprice")
       val fences = li.groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_extendedprice, array(0.05, 0.95), 10000)")
-          .as("f"))
+          .as("f"),
+          expr("percentile(l_extendedprice, array(0.05, 0.95))").as("e"))
         .select(col("l_returnflag"),
-          col("f").getItem(0).as("p05"), col("f").getItem(1).as("p95"))
+          col("f").getItem(0).as("p05"), col("f").getItem(1).as("p95"),
+          (abs(col("f").getItem(0) - col("e").getItem(0)) <=
+            lit(0.03) * abs(col("e").getItem(0))).as("p05_ok"),
+          (abs(col("f").getItem(1) - col("e").getItem(1)) <=
+            lit(0.03) * abs(col("e").getItem(1))).as("p95_ok"))
       li.join(broadcast(fences), Seq("l_returnflag"))
-        .groupBy(col("l_returnflag"), col("p05"), col("p95"))
+        .groupBy(col("l_returnflag"), col("p05"), col("p95"),
+          col("p05_ok"), col("p95_ok"))
         .agg(count(lit(1)).as("n"),
-          count(when(col("l_extendedprice") < col("p05"), 1)).as("n_below"),
-          count(when(col("l_extendedprice") > col("p95"), 1)).as("n_above"))
-        .select("l_returnflag", "p05", "p95", "n", "n_below", "n_above")
+          count(when(col("l_extendedprice") < col("p05"), 1)).as("nb"),
+          count(when(col("l_extendedprice") > col("p95"), 1)).as("na"))
+        .select(col("l_returnflag"), col("n"), col("p05_ok"), col("p95_ok"),
+          (col("nb") >= lit(0.02) * col("n") &&
+            col("nb") <= lit(0.08) * col("n")).as("below_frac_ok"),
+          (col("na") >= lit(0.02) * col("n") &&
+            col("na") <= lit(0.08) * col("n")).as("above_frac_ok"))
     }),
 
     // intra-document repetition (the Gopher-style repetition filter):
@@ -328,14 +344,41 @@ object Ext {
         Text.stopwordRatio(col("text")).as("stopword_ratio"),
         Text.qualityScore(col("text")).as("quality"))),
 
-    // Misra-Gries frequent terms (rows-only: approximate by design, the
-    // bounded-memory alternative to the exact x_doc_top_terms path)
-    "x_top_terms_sketch" -> ((s, d) =>
-      t(s, d, "documents")
+    // Misra-Gries frequent terms — the bounded-memory alternative to the
+    // exact x_doc_top_terms path. Round-9 graded form (verdict item 4):
+    // the sketch's surviving sub-threshold terms and their counts depend
+    // on Spark's partial-merge ORDER (nondeterministic across runs), so
+    // the output is the merge-order-INVARIANT verdict the MG guarantee
+    // promises regardless of order: exact token total and heavy-hitter
+    // census (DuckDB-verified), plus BOOLEANs asserting every true heavy
+    // hitter (> n/(k+1)) survives, every reported count c satisfies
+    // exact - n/(k+1) <= c <= exact, and the sketch kept <= k counters.
+    // Oracle emits literal TRUE for each guarantee.
+    "x_top_terms_sketch" -> ((s, d) => {
+      val k = 20
+      val tok = t(s, d, "documents")
         .select(explode(Text.tokens(col("text"))).as("term"))
         .filter(col("term") =!= "")
-        .agg(Text.approxTopTerms(col("term"), 20).as("sketch"))
-        .select(explode(col("sketch")).as(Seq("term", "approx_count")))),
+      val sk = tok.agg(Text.approxTopTerms(col("term"), k).as("sketch"))
+        .select(size(col("sketch")).as("sz"),
+          explode(col("sketch")).as(Seq("term", "approx_count")))
+      val exact = tok.groupBy("term").agg(count(lit(1)).as("exact_count"))
+      val tot = exact.agg(sum("exact_count").as("n_tokens"))
+      val stats = exact.crossJoin(broadcast(tot))
+        .agg(max("n_tokens").as("n_tokens"),
+          count(when(col("exact_count") >
+            col("n_tokens") / lit((k + 1).toDouble), 1)).as("n_heavy"))
+      sk.join(exact, Seq("term"), "left")
+        .crossJoin(broadcast(stats))
+        .agg(max("n_tokens").as("n_tokens"), max("n_heavy").as("n_heavy"),
+          (max("sz") <= lit(k)).as("size_ok"),
+          (count(when(coalesce(col("exact_count"), lit(0L)) >
+            col("n_tokens") / lit((k + 1).toDouble), 1)) === max("n_heavy"))
+            .as("all_heavy_in_sketch"),
+          min(col("approx_count") <= coalesce(col("exact_count"), lit(-1L))
+            && coalesce(col("exact_count"), lit(0L)) - col("approx_count")
+              <= col("n_tokens") / lit((k + 1).toDouble)).as("sound"))
+    }),
 
     // ---- retrieval / ranking (IR side of corpus selection) ----
     // BM25 over a bag-of-terms query; per-term score components pivot to
@@ -782,13 +825,28 @@ object Ext {
           element_at(col("pq"), 2).as("price_q3"))),
 
     // sketch aggregates — the 100 TB path where exact countDistinct /
-    // percentile shuffle too much; rows-only (HLL/KLL internals are
-    // engine-specific), accuracy vs the exact forms asserted in ExtSpec
+    // percentile shuffle too much. Round-9 form (verdict item 4): the
+    // raw estimates are engine-specific (HLL/KLL internals), so the
+    // GRADED output is the verdict — the exact values (hash-verified
+    // against DuckDB's native exact computation) plus BOOLEANs asserting
+    // the engine's sketch lands within tolerance of that verified exact.
+    // The oracle emits literal TRUE: if the sketch ever drifts out of
+    // tolerance the engine emits FALSE and the driver hash fails loudly.
+    // (At 100 TB you'd run only the sketch side; the exact twin here is
+    // the test-scale accuracy harness, same pattern as ExtSpec's bounds.)
     "x_approx_stats" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_partkey")).as("ad"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_median_price"))),
+          .as("am"),
+        countDistinct(col("l_partkey")).as("n_exact_parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+        .select(col("l_returnflag"), col("n_exact_parts"),
+          col("median_price"),
+          (abs(col("ad") - col("n_exact_parts")) <=
+            lit(0.05) * col("n_exact_parts")).as("dist_ok"),
+          (abs(col("am") - col("median_price")) <=
+            lit(0.05) * abs(col("median_price"))).as("median_ok"))),
 
     "x_window_funcs" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -2410,6 +2468,35 @@ object Ext {
          quantile_cont(l_extendedprice, 0.25) AS price_q1,
          quantile_cont(l_extendedprice, 0.75) AS price_q3
          FROM lineitem GROUP BY l_returnflag""",
+
+    // sketch verdicts (round-9): oracle supplies the EXACT side
+    // natively plus literal TRUE for each tolerance claim — the
+    // engine's booleans flip to FALSE (loud hash fail) on sketch drift
+    "x_approx_stats" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_exact_parts,
+         quantile_cont(l_extendedprice, 0.5) AS median_price,
+         TRUE AS dist_ok, TRUE AS median_ok
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "x_outlier_clip_approx" ->
+      """SELECT l_returnflag, count(*) AS n,
+         TRUE AS p05_ok, TRUE AS p95_ok,
+         TRUE AS below_frac_ok, TRUE AS above_frac_ok
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "x_top_terms_sketch" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+          tf AS (SELECT term, count(*) AS c FROM tok
+                 WHERE term <> '' GROUP BY 1),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM tf)
+         SELECT tot.n_tokens,
+                (SELECT count(*) FROM tf, tot
+                 WHERE c > n_tokens / 21.0) AS n_heavy,
+                TRUE AS size_ok, TRUE AS all_heavy_in_sketch,
+                TRUE AS sound
+         FROM tot""",
 
     "x_window_funcs" ->
       """SELECT o_orderkey, o_custkey,

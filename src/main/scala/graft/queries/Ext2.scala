@@ -450,15 +450,27 @@ object Ext2 {
     // Spark's hll_* functions): per-source sketches roll up to the
     // global estimate by sketch UNION — the one-pass architecture that
     // answers "distinct per partition AND overall" without rescanning.
-    // Approximate by design → rows-only; ExtensionsSpec bounds the error
-    // and asserts union-merge consistency.
+    // Round-9 graded form (verdict item 4): the raw estimates are
+    // DataSketches-internal, so the output is the verdict — exact
+    // distinct counts (DuckDB-verified) plus a BOOLEAN asserting each
+    // estimate (including the UNION-merged __all__ row) lands within 5%
+    // of exact (Wave6Spec measured the same bound). Oracle emits TRUE.
     "x_hll_rollup" -> ((s, d) => {
-      val sk = t(s, d, "documents").groupBy("source")
-        .agg(hll_sketch_agg(col("text")).as("sk"))
-      sk.select(col("source"), hll_sketch_estimate(col("sk")).as("n_approx"))
-        .unionByName(sk.agg(hll_union_agg(col("sk")).as("g"))
-          .select(lit("__all__").as("source"),
-            hll_sketch_estimate(col("g")).as("n_approx")))
+      val docs = t(s, d, "documents")
+      val sk = docs.groupBy("source")
+        .agg(hll_sketch_agg(col("text")).as("sk"),
+          countDistinct(col("text")).as("n_exact"))
+      val per = sk.select(col("source"), col("n_exact"),
+        hll_sketch_estimate(col("sk")).as("est"))
+      val allRow = sk.agg(hll_union_agg(col("sk")).as("g"))
+        .select(hll_sketch_estimate(col("g")).as("est"))
+        .crossJoin(broadcast(
+          docs.agg(countDistinct(col("text")).as("n_exact"))))
+        .select(lit("__all__").as("source"), col("n_exact"), col("est"))
+      per.unionByName(allRow)
+        .select(col("source"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            lit(0.05) * col("n_exact")).as("hll_ok"))
     }))
 
   /** The recursive tree walk, shared verbatim between Spark (over the
@@ -483,6 +495,16 @@ object Ext2 {
         SELECT node, depth FROM walk"""
 
   val oracle: Map[String, String] = Map(
+
+    // sketch verdict (round-9): exact distinct counts natively, literal
+    // TRUE for the 5% tolerance claim — engine flips FALSE on drift
+    "x_hll_rollup" ->
+      """SELECT source, count(DISTINCT text) AS n_exact, TRUE AS hll_ok
+         FROM documents GROUP BY source
+         UNION ALL
+         SELECT '__all__' AS source, count(DISTINCT text) AS n_exact,
+                TRUE AS hll_ok
+         FROM documents""",
 
     // the peel unrolled: measured fixpoint at sf0.01 is 6 rounds; 16
     // MATERIALIZED rounds give margin (idempotent once stable, so extra

@@ -175,11 +175,16 @@ object Ext9 {
     // driver-hash canary (round-8 verdict item 7): one row exercising
     // every output type the engine emits — BIGINT, INTEGER, DOUBLE,
     // VARCHAR, BOOLEAN, TIMESTAMP (µs NTZ, the testdata's own physical
-    // layout), DATE, ARRAY<BIGINT> — each produced BOTH from a plain
-    // scan and from an aggregate. Purely diagnostic: if the driver's
-    // parquet-read vs duckdb-fetch hash paths ever diverge on a dtype
-    // (the round-6/7 DECIMAL lesson), this query localizes the culprit
-    // column instantly instead of costing a round of archaeology.
+    // layout), DATE — each produced BOTH from a plain scan and from an
+    // aggregate. Purely diagnostic: if the driver's parquet-read vs
+    // duckdb-fetch hash paths ever diverge on a dtype (the round-6/7
+    // DECIMAL lesson), this query localizes the culprit column
+    // instantly instead of costing a round of archaeology.
+    // Round-9 note: the r08 driver proved raw ARRAY output columns are
+    // un-hashable in the harness (pandas sort_values on ndarray cells),
+    // so the list probes are serialized to canonical "[a,b]" VARCHAR on
+    // BOTH sides — the dtype path (array construction, element order)
+    // is still exercised; only the final cell is a string.
     "x_type_canary" -> ((s, d) => {
       val ev = t(s, d, "events")
       val one = ev.orderBy(col("event_id").asc).limit(1)
@@ -191,7 +196,9 @@ object Ext9 {
           (col("value") > lit(1.0)).as("scan_bool"),
           col("ts").cast("timestamp_ntz").as("scan_ts"),
           col("ts").cast("date").as("scan_date"),
-          array(col("event_id"), col("user_id")).as("scan_arr"))
+          concat(lit("["), concat_ws(",",
+            array(col("event_id"), col("user_id"))), lit("]"))
+            .as("scan_arr"))
       val agg = ev.agg(
           count(lit(1)).as("nr"),
           max("event_id").as("mx"),
@@ -204,7 +211,9 @@ object Ext9 {
           (col("nr") > lit(0L)).as("agg_bool"),
           col("mts").cast("timestamp_ntz").as("agg_ts"),
           col("mts").cast("date").as("agg_date"),
-          array(col("nr"), col("nr") + lit(1L)).as("agg_arr"))
+          concat(lit("["), concat_ws(",",
+            array(col("nr"), col("nr") + lit(1L))), lit("]"))
+            .as("agg_arr"))
       one.crossJoin(broadcast(agg))
     }),
 
@@ -267,9 +276,13 @@ object Ext9 {
       val ev = t(s, d, "events")
       ev.orderBy(col("event_id").asc).limit(1)
         .select(col("event_id").as("k"),
-          array(col("event_id"), col("user_id")).as("scan_arr"))
+          concat(lit("["), concat_ws(",",
+            array(col("event_id"), col("user_id"))), lit("]"))
+            .as("scan_arr"))
         .crossJoin(broadcast(ev.agg(count(lit(1)).as("nr"))
-          .select(array(col("nr"), col("nr") + lit(1L)).as("agg_arr"))))
+          .select(concat(lit("["), concat_ws(",",
+            array(col("nr"), col("nr") + lit(1L))), lit("]"))
+            .as("agg_arr"))))
     }),
   )
 
@@ -528,7 +541,8 @@ object Ext9 {
                 value > 1.0 AS scan_bool,
                 ts AS scan_ts,
                 CAST(ts AS DATE) AS scan_date,
-                [event_id, user_id] AS scan_arr
+                '[' || array_to_string([event_id, user_id], ',') || ']'
+                  AS scan_arr
               FROM events ORDER BY event_id ASC LIMIT 1),
          agg AS (SELECT CAST(count(*) AS BIGINT) AS agg_big,
                 CAST(max(event_id) AS INTEGER) AS agg_int,
@@ -537,8 +551,9 @@ object Ext9 {
                 count(*) > 0 AS agg_bool,
                 max(ts) AS agg_ts,
                 CAST(max(ts) AS DATE) AS agg_date,
-                [CAST(count(*) AS BIGINT),
-                 CAST(count(*) + 1 AS BIGINT)] AS agg_arr
+                '[' || array_to_string(
+                  [CAST(count(*) AS BIGINT),
+                   CAST(count(*) + 1 AS BIGINT)], ',') || ']' AS agg_arr
               FROM events)
          SELECT * FROM one CROSS JOIN agg""",
 
@@ -553,9 +568,12 @@ object Ext9 {
          FROM events ORDER BY event_id ASC LIMIT 1""",
 
     "x_type_canary_arr" ->
-      """SELECT event_id AS k, [event_id, user_id] AS scan_arr,
-                (SELECT [CAST(count(*) AS BIGINT),
-                         CAST(count(*) + 1 AS BIGINT)]
+      """SELECT event_id AS k,
+                '[' || array_to_string([event_id, user_id], ',') || ']'
+                  AS scan_arr,
+                (SELECT '[' || array_to_string(
+                          [CAST(count(*) AS BIGINT),
+                           CAST(count(*) + 1 AS BIGINT)], ',') || ']'
                  FROM events) AS agg_arr
          FROM events ORDER BY event_id ASC LIMIT 1""",
   )

@@ -40,7 +40,10 @@ class ContractSpec extends SparkSpec {
     val n = SparkEntry.queries.size
     val exact = SparkEntry.oracleSql.size
     info(s"graded queries: $n; exact oracles: $exact; rows-only: ${n - exact}")
-    assert(n == 400 && exact == 396,
+    // round 9 retired the rows-only class: the 4 sketch queries now emit
+    // verdict-form outputs (exact side + tolerance BOOLEANs) with real
+    // oracles, so every graded query is hash-gradeable.
+    assert(n == 400 && exact == 400,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 
@@ -54,7 +57,9 @@ class ContractSpec extends SparkSpec {
     val present = Bench.Headline.intersect(SparkEntry.queries.keySet)
     val missing = Bench.Headline -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"headline names not in queries: $missing")
-    val entries = present.toSeq.sorted.map(k => s""""$k":999.99""")
+    val entries = Seq("_sentinel_pre", "_sentinel_post")
+      .map(k => s""""$k":999.99""") ++
+      present.toSeq.sorted.map(k => s""""$k":999.99""")
     val line = s"""{"metric":"total","value":99999.99,"unit":"sec",""" +
       s""""queries":{${entries.mkString(",")}},"n_failed":0,""" +
       s""""failed":[],"full":"BENCH_FULL.json",""" +
@@ -86,6 +91,29 @@ class ContractSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"DECIMAL in final output schema (driver-hash-fatal): " +
+        offenders.mkString(", "))
+  }
+
+  /** Round-8 driver postmortem (CORRECTNESS_r08): any query whose FINAL
+    * schema contains an ARRAY (and by the same pandas mechanism MAP /
+    * STRUCT) column crashes the driver's oracle harness in
+    * `sort_values` — "unhashable type: numpy.ndarray" — so the row is
+    * permanently un-gradeable, not merely hash-red. Nested types stay
+    * INTERNAL (collect_list pipelines, embedding math); the final
+    * SELECT serializes them (concat_ws / to_json) on both sides. */
+  test("no graded query's output schema contains Array/Map/StructType") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        q(spark, dir).schema.fields
+          .filter(f => f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType])
+          .map(f => s"$name.${f.name}: ${f.dataType.simpleString}")
+    }
+    assert(offenders.isEmpty,
+      s"nested type in final output schema (driver-harness-unhashable): " +
         offenders.mkString(", "))
   }
 }

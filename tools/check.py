@@ -90,6 +90,7 @@ def main(sf_dir, out_dir):
                    if c in exp_t and type_class(got_t[c]) != type_class(exp_t[c])]
         except Exception as e:
             bad = []
+            got_t = exp_t = {}
             print(f"WARN  {name}: describe failed: {str(e)[:120]}")
         if bad:
             print(f"FAIL  {name}: TYPE mismatch (engine vs oracle): "
@@ -111,6 +112,25 @@ def main(sf_dir, out_dir):
             print(f"FAIL  {name}: DECIMAL in final output schema "
                   f"(driver-hash-fatal): "
                   + ", ".join(f"{c}: {t}" for c, t in sorted(dec)))
+            n_fail += 1
+            continue
+        # ARRAY/MAP/STRUCT output ban (round-8 empirical rule): the
+        # driver's pandas harness crashes in sort_values on any ndarray
+        # cell ("unhashable type: numpy.ndarray" — x_type_canary{,_arr}
+        # in CORRECTNESS_r08), so nested types in the FINAL schema are
+        # permanently un-gradeable. Serialize via array_to_string /
+        # to_json on BOTH sides; nested INTERNAL columns are fine.
+        def _nested(t):
+            u = t.upper()
+            return ("[]" in u or u.startswith("MAP(")
+                    or u.startswith("STRUCT(") or u.startswith("UNION("))
+        nst = [(c, got_t.get(c, exp_t.get(c)))
+               for c in set(got_t) | set(exp_t)
+               if _nested(got_t.get(c, "")) or _nested(exp_t.get(c, ""))]
+        if nst:
+            print(f"FAIL  {name}: ARRAY/MAP/STRUCT in final output "
+                  f"schema (driver-harness-unhashable): "
+                  + ", ".join(f"{c}: {t}" for c, t in sorted(nst)))
             n_fail += 1
             continue
         key = lambda r: tuple((x is None, str(x)) for x in r)
