@@ -35,10 +35,26 @@ object Graphs {
     * matter). Output: (id, component) for every node that appears in at
     * least one edge; component = min node id of the component. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          localFinishEdges: Long = LocalFinishEdges): DataFrame = {
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .distinct().persist()
+    // hybrid finish (round-9, see localStarForest): a small pair graph —
+    // the COMMON case for dedup clusters — solves in one union-find task
+    // instead of diameter-many 0.3 s rounds; the count runs over the
+    // just-persisted blocks it would have paid to materialize anyway
+    if (sym.count() <= localFinishEdges && integralIds(sym)) {
+      val star = localStarForest(sym)
+      val out = sym.select(col("u").as("id")).distinct()
+        .join(star.select(col("u").as("id"), col("v").as("component")),
+          Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+        .localCheckpoint(true)
+      CheckpointBlocks.release(star); sym.unpersist()
+      return out
+    }
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id")).persist()
     var converged = false
@@ -155,8 +171,70 @@ object Graphs {
     out
   }
 
+  /** Single-task union-find finish for a SMALL edge frame (round-9,
+    * VERDICT r08 item 2): the iterative CC loops pay ~0.3–0.8 s of fixed
+    * per-round cost (plan analysis, codegen, 2–3 jobs) regardless of
+    * data size — measured invariant to shuffle-partition count — so once
+    * the (shrinking) edge frame fits one task, several more distributed
+    * rounds lose to ONE mapPartitions that solves the remainder exactly.
+    * This is the standard multi-level-contraction finish (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14 §6:
+    * finish locally when the contracted graph is small). NOT a driver
+    * collect — the fold runs in an executor task; the driver only sees
+    * the already-bounded count that gated entry.
+    *
+    * Union-by-min: the attached root is always the larger, so each
+    * set's root IS its minimum id — the same (node → min id) star
+    * forest the log-star fixpoint emits, making the hybrid bit-identical
+    * to the pure loop. Integral id columns only (caller guards). */
+  private def localStarForest(cur: DataFrame): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    val dt = cur.schema("u").dataType
+    val out = cur.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        val nodes = new scala.collection.mutable.LongMap[Unit]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          nodes(a) = (); nodes(b) = ()
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        nodes.keysIterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
+      }
+      .toDF("u", "v")
+    out.select(col("u").cast(dt).as("u"), col("v").cast(dt).as("v"))
+      .localCheckpoint(true)
+  }
+
+  private def integralIds(cur: DataFrame): Boolean = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    Seq(cur.schema("u").dataType, cur.schema("v").dataType)
+      .forall(t => t == LongType || t == IntegerType)
+  }
+
+  /** Edge-count threshold under which the hybrid loops hand the rest to
+    * [[localStarForest]]: 10⁶ (long,long) edges is ≤ ~64 MB of LongMap
+    * state in the one finishing task — trivially inside any executor,
+    * while saving 3–8 distributed rounds' fixed overhead. Specs pass 0
+    * to pin the pure-loop path. */
+  val LocalFinishEdges: Long = 1000000L
+
   def connectedComponentsLogRounds(edges: DataFrame, srcCol: String,
-                                   dstCol: String, maxIter: Int = 50): DataFrame = {
+                                   dstCol: String, maxIter: Int = 50,
+                                   localFinishEdges: Long = LocalFinishEdges): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
@@ -181,6 +259,15 @@ object Graphs {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      if (curCount <= localFinishEdges && integralIds(cur)) {
+        // hybrid finish: the remaining graph fits one task — solve it
+        // with a single union-find job instead of more log-star rounds
+        // (bit-identical output, see localStarForest)
+        val fin = localStarForest(cur)
+        CheckpointBlocks.release(cur)
+        cur = fin
+        converged = true
+      } else {
       // localCheckpoint (not persist): truncates the per-round plan
       // growth that would otherwise OOM the driver after many rounds
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
@@ -202,6 +289,7 @@ object Graphs {
       cur = next
       curCount = nextCount
       it += 1
+      }
     }
     if (!converged) {
       CheckpointBlocks.release(cur); nodes.unpersist()

@@ -29,11 +29,14 @@ class GraphsSpec extends SparkSpec {
   }
 
   test("refuses to return unconverged labels when maxIter is too small") {
-    // chain of diameter 5 cannot converge in 1 round
+    // chain of diameter 5 cannot converge in 1 round; localFinishEdges=0
+    // pins the distributed loop (the default would solve this small
+    // graph in the one-task union-find finish and never hit maxIter)
     val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
       .toDF("src", "dst")
     intercept[IllegalStateException] {
-      Graphs.connectedComponents(edges, "src", "dst", maxIter = 1).collect()
+      Graphs.connectedComponents(edges, "src", "dst", maxIter = 1,
+        localFinishEdges = 0L).collect()
     }
   }
 
@@ -45,20 +48,27 @@ class GraphsSpec extends SparkSpec {
       2L -> (2L, 2L), 4L -> (2L, 2L)), s"got $got")
   }
 
-  test("log-rounds variant == propagation on chains, cycles, random graphs") {
-    import org.apache.spark.sql.functions.col
-    def both(edges: Seq[(Long, Long)]): (Map[Long, Long], Map[Long, Long]) = {
+  test("log-rounds variant == propagation == local finish on chains, cycles, random graphs") {
+    // four paths must agree bit-for-bit: pure propagation loop, pure
+    // log-star loop (localFinishEdges=0 pins both loops), and the two
+    // hybrid defaults that finish in the one-task union-find
+    def all(edges: Seq[(Long, Long)]): Seq[Map[Long, Long]] = {
       val df = edges.toDF("src", "dst")
       def toMap(d: org.apache.spark.sql.DataFrame) =
         d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      (toMap(Graphs.connectedComponents(df, "src", "dst", maxIter = 300)),
+      Seq(
+        toMap(Graphs.connectedComponents(df, "src", "dst", maxIter = 300,
+          localFinishEdges = 0L)),
+        toMap(Graphs.connectedComponentsLogRounds(df, "src", "dst",
+          localFinishEdges = 0L)),
+        toMap(Graphs.connectedComponents(df, "src", "dst", maxIter = 300)),
         toMap(Graphs.connectedComponentsLogRounds(df, "src", "dst")))
     }
     // deep chain: diameter 63 — log-rounds converges in ~log² rounds
     // (50-round budget) where propagation needs one round per hop
     val chain = (1L until 64L).map(i => i -> (i + 1))
-    val (p1, l1) = both(chain)
-    assert(p1 == l1 && l1.values.forall(_ == 1L))
+    val c = all(chain)
+    assert(c.forall(_ == c.head) && c.head.values.forall(_ == 1L))
     // deterministic pseudo-random graph: 300 nodes, 260 edges -> many
     // components of varied shape
     val rng = (1 to 260).map { i =>
@@ -66,8 +76,9 @@ class GraphsSpec extends SparkSpec {
       val b = (i * 40503L + 7) % 300 + 1
       (a, if (a == b) b + 1 else b)
     }
-    val (p2, l2) = both(rng)
-    assert(p2 == l2, s"variants disagree: ${p2.toSet.diff(l2.toSet).take(5)}")
+    val r = all(rng)
+    assert(r.forall(_ == r.head),
+      s"paths disagree: ${r.map(_.toSet).reduce(_ diff _).take(5)}")
   }
 
   test("per-round checkpoint blocks are freed eagerly, not left to GC") {
@@ -79,7 +90,8 @@ class GraphsSpec extends SparkSpec {
     // without eager release every dead round's RDD would still sit in
     // getPersistentRDDs afterward (ContextCleaner only frees them on GC)
     val chain = (1L until 16L).map(i => i -> (i + 1)).toDF("src", "dst")
-    val cc = Graphs.connectedComponents(chain, "src", "dst", maxIter = 40)
+    val cc = Graphs.connectedComponents(chain, "src", "dst", maxIter = 40,
+      localFinishEdges = 0L)
     assert(cc.collect().forall(_.getLong(1) == 1L))
     val after = spark.sparkContext.getPersistentRDDs.size
     // only the returned result's own checkpoint may survive the call
@@ -89,11 +101,24 @@ class GraphsSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size <= before,
       "result checkpoint not released")
     // same discipline for the log-rounds variant
-    val cc2 = Graphs.connectedComponentsLogRounds(chain, "src", "dst")
+    val cc2 = Graphs.connectedComponentsLogRounds(chain, "src", "dst",
+      localFinishEdges = 0L)
     assert(cc2.collect().forall(_.getLong(1) == 1L))
     assert(spark.sparkContext.getPersistentRDDs.size - before <= 1,
       "log-rounds variant leaked per-round checkpoints")
     CheckpointBlocks.release(cc2)
+    // the hybrid local-finish paths must hold the same discipline (the
+    // union-find star forest is itself checkpointed, the input freed)
+    val cc3 = Graphs.connectedComponents(chain, "src", "dst")
+    assert(cc3.collect().forall(_.getLong(1) == 1L))
+    assert(spark.sparkContext.getPersistentRDDs.size - before <= 1,
+      "local-finish path leaked blocks")
+    CheckpointBlocks.release(cc3)
+    val cc4 = Graphs.connectedComponentsLogRounds(chain, "src", "dst")
+    assert(cc4.collect().forall(_.getLong(1) == 1L))
+    assert(spark.sparkContext.getPersistentRDDs.size - before <= 1,
+      "log-rounds local-finish path leaked blocks")
+    CheckpointBlocks.release(cc4)
   }
 
   test("clusters over planted near-dups partition the pair graph") {
