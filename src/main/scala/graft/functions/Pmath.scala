@@ -132,22 +132,31 @@ object Pmath {
   private[graft] val pow2: Seq[(Long, Double)] =
     (-ExpMaxK to ExpMaxK).map(k => (k.toLong, math.pow(2.0, k)))
 
-  /** Portable exp as a Column (domain |x| ≤ 40; callers clamp with
-    * least/greatest). Range reduction x = k·ln2 + r with
+  /** Portable exp as a Column. Range reduction x = k·ln2 + r with
     * k = ⌊x/ln2 + ½⌋ (floor is exact; the product/add are single IEEE
     * ops, so k is identical on every engine), fixed-order Horner for
     * exp(r), exact 2ᵏ scaling. Backed by the native codegen expression
     * [[graft.plans.PortableExp]] — generated from the same constant
-    * table as [[expColumnLambda]] and [[expSqlChainCtes]]. */
+    * table as [[expColumnLambda]] and [[expSqlChainCtes]].
+    *
+    * The input is CLAMPED to ±40 in ALL THREE forms (ADVICE r08: off
+    * the documented domain the lambda went NaN past |k| > 60, the SQL
+    * CASE went NULL, and the native scalb stayed finite — three
+    * different answers). exp(±40) saturation is deterministic and
+    * identical across engines; callers that clamp tighter (the ±30
+    * graded convention) are unaffected. */
+  private[graft] val ExpClamp = 40.0
+  private def clampExp(x: Column): Column =
+    least(greatest(x.cast("double"), lit(-ExpClamp)), lit(ExpClamp))
   def expColumn(x0: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.plans.PortableExp(ColumnBridge.expression(
-      x0.cast("double"))))
+      clampExp(x0))))
   }
 
   /** The HOF/lambda reference form of [[expColumn]] — the executable
     * specification PmathSpec sweeps against the native expression. */
-  private[graft] def expColumnLambda(x0: Column): Column = bind(x0) { x =>
+  private[graft] def expColumnLambda(x0: Column): Column = bind(clampExp(x0)) { x =>
     bind(floor(x * lit(InvLn2) + lit(0.5))) { kk =>
       bind(x - kk.cast("double") * lit(Ln2)) { r =>
         val p = expCoeffs.reverse.tail.foldLeft(lit(expCoeffs.last)) {
@@ -182,7 +191,8 @@ object Pmath {
       val keep = (carry ++ specs.take(j).map(_._2)).mkString(", ")
       val (n0, n1, n2) = (s"${prefix}_${j}a", s"${prefix}_${j}b",
         s"${prefix}_${j}c")
-      out += s"$n0 AS (SELECT $keep, CAST(($inExpr) AS DOUBLE) AS expin FROM $prev)"
+      out += (s"$n0 AS (SELECT $keep, least(greatest(CAST(($inExpr) " +
+        s"AS DOUBLE), ${d(-ExpClamp)}), ${d(ExpClamp)}) AS expin FROM $prev)")
       out += (s"$n1 AS (SELECT *, CAST(floor(expin * ${d(InvLn2)} + 0.5) " +
         s"AS BIGINT) AS pexp_kk FROM $n0)")
       out += (s"$n2 AS (SELECT $keep, " +

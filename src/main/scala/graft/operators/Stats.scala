@@ -428,7 +428,7 @@ object Stats {
       expr("cast(array() as array<double>)").as("c2"),
       expr("cast(array() as array<double>)").as("ss"))
     val dp = aggregate(
-      sequence(lit(1), size(col("ts"))),
+      Temporal.idx1(size(col("ts"))),
       st0,
       (st, tc) => {
         val i = tc.cast("int")

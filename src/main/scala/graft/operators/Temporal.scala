@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** 1..n index array, EMPTY-SAFE (ADVICE r08): `sequence(1, 0)` is the
+    * DESCENDING array [1, 0], so a fold over it evaluates
+    * `element_at(xs, 0)` and throws "SQL array indices start at 1" on
+    * an empty input series; guard to an empty index instead. */
+  private[operators] def idx1(n: Column): Column =
+    when(n > 0, sequence(lit(1), n))
+      .otherwise(expr("cast(array() as array<int>)"))
+
   /** As-of join (backward): attach to each left row the LATEST right row
     * with `rightTs <= leftTs` for the same key — pandas `merge_asof` /
     * DuckDB `ASOF JOIN` semantics, including the tie case (equal
@@ -341,7 +349,7 @@ object Temporal {
       expr("cast(array() as array<double>)").as("fp"),
       expr("cast(array() as array<double>)").as("fk"))
     val dp = aggregate(
-      sequence(lit(1), size(col("zs"))),
+      idx1(size(col("zs"))),
       st0,
       (st, tc) => {
         val z = element_at(col("zs"), tc.cast("int"))
@@ -392,7 +400,7 @@ object Temporal {
       expr("cast(array() as array<double>)").as("oz"),
       expr("cast(array() as array<double>)").as("op"))
     val dp = aggregate(
-      sequence(lit(1), size(col("ds"))),
+      idx1(size(col("ds"))),
       st0,
       (st, tc) => {
         val ti = tc.cast("int")
@@ -565,7 +573,7 @@ object Temporal {
     val p1 = packed
       .withColumn("eh", transform(col("cs"), em(col("muh"))))
       .withColumn("el", transform(col("cs"), em(col("mul"))))
-    val fwd = aggregate(sequence(lit(1), size(col("cs"))),
+    val fwd = aggregate(idx1(size(col("cs"))),
       struct(lit(0.5).as("ah"), lit(0.5).as("al"),
         expr("cast(array() as array<double>)").as("fh"),
         expr("cast(array() as array<double>)").as("fl")),
@@ -580,7 +588,7 @@ object Temporal {
           concat(st.getField("fh"), array(uh / s)).as("fh"),
           concat(st.getField("fl"), array(ul / s)).as("fl"))
       })
-    val bwd = aggregate(sequence(lit(1), size(col("cs")) - 1),
+    val bwd = aggregate(idx1(size(col("cs")) - 1),
       struct(lit(0.5).as("bh"), lit(0.5).as("bl"),
         expr("cast(array(0.5) as array<double>)").as("gh"),
         expr("cast(array(0.5) as array<double>)").as("gl")),
