@@ -28,7 +28,7 @@ object SparkEntry {
       graft.queries.Ext10.queries ++ graft.queries.Ext11.queries ++
       graft.queries.Ext12.queries ++ graft.queries.Ext13.queries ++
       graft.queries.Ext14.queries ++
-      graft.queries.Ext15.queries
+      graft.queries.Ext15.queries ++ graft.queries.Ext16.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Parity.oracle ++ graft.queries.Ext.oracle ++
@@ -39,5 +39,5 @@ object SparkEntry {
       graft.queries.Ext10.oracle ++ graft.queries.Ext11.oracle ++
       graft.queries.Ext12.oracle ++ graft.queries.Ext13.oracle ++
       graft.queries.Ext14.oracle ++
-      graft.queries.Ext15.oracle
+      graft.queries.Ext15.oracle ++ graft.queries.Ext16.oracle
 }

@@ -43,7 +43,7 @@ class ContractSpec extends SparkSpec {
     // round 9 retired the rows-only class: the 4 sketch queries now emit
     // verdict-form outputs (exact side + tolerance BOOLEANs) with real
     // oracles, so every graded query is hash-gradeable.
-    assert(n == 400 && exact == 400,
+    assert(n == 401 && exact == 401,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 
