@@ -378,4 +378,20 @@ class StreamingSpec extends SparkSpec {
       "streaming emitted a session the batch gap-merge does not contain")
     assert(streamed.count() > 0, "no sessions closed before the watermark")
   }
+
+  test("graded x_stream_dedup census == batch distinct; rerun-stable (sink cleanup)") {
+    // the graded entry must be callable repeatedly in one session (the
+    // bench runs it 3×): the memory-sink temp view is dropped and
+    // recreated each call, and the census is deterministic
+    def run() = graft.queries.Ext16.queries("x_stream_dedup")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = run()
+    val batch = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first == batch,
+      s"stream census != batch distinct: ${first.toSet.diff(batch.toSet).take(3)}")
+    assert(run() == first, "second invocation drifted (sink not reset)")
+  }
 }
