@@ -649,8 +649,42 @@ object Graphs {
     * the core. Iterative deletion has no single-query SQL form, so the
     * graded query is rows-only; GraphsSpec proves equivalence with a
     * brute-force sequential peel. */
+  /** Single-task sequential peel finish for [[kCore]] — the k-core is
+    * the UNIQUE maximal subgraph with min degree ≥ k (independent of
+    * peel order), so once the surviving edge frame fits one task the
+    * local peel returns the identical core that more ~0.5 s distributed
+    * rounds would; same rationale and gating as [[localStarForest]].
+    * Returns the surviving EDGE frame (checkpointed) so the caller's
+    * distributed degree readout is shared by both paths. */
+  private def localKCoreEdges(cur: DataFrame, k: Int): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    val dt = cur.schema("u").dataType
+    val out = cur.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        var es = it.toArray
+        var changed = true
+        while (changed && es.nonEmpty) {
+          val deg = new scala.collection.mutable.LongMap[Long]()
+          es.foreach { case (a, b) =>
+            deg(a) = deg.getOrElse(a, 0L) + 1
+            deg(b) = deg.getOrElse(b, 0L) + 1
+          }
+          val next = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+          changed = next.length != es.length
+          es = next
+        }
+        es.iterator
+      }
+      .toDF("u", "v")
+    out.select(col("u").cast(dt).as("u"), col("v").cast(dt).as("v"))
+      .localCheckpoint(true)
+  }
+
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Int, maxIter: Int = 100): DataFrame = {
+            k: Int, maxIter: Int = 100,
+            localFinishEdges: Long = LocalFinishEdges): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     var cur = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
@@ -661,6 +695,12 @@ object Graphs {
     var stable = false
     var it = 0
     while (!stable && curCount > 0 && it < maxIter) {
+      if (curCount <= localFinishEdges && integralIds(cur)) {
+        val fin = localKCoreEdges(cur, k)
+        CheckpointBlocks.release(cur)
+        cur = fin
+        stable = true
+      } else {
       val deg = cur.select(explode(array(col("u"), col("v"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("id")
@@ -676,6 +716,7 @@ object Graphs {
       cur = next
       curCount = nextCount
       it += 1
+      }
     }
     if (!stable && curCount > 0)
       throw new IllegalStateException(s"kCore: no fixpoint after $maxIter rounds")

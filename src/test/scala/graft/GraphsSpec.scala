@@ -267,9 +267,17 @@ class GraphsSpec extends SparkSpec {
   }
 
   test("kCore == brute-force sequential peel; chain has no 2-core; triangle does") {
-    def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
-      Graphs.kCore(edges.toDF("a", "b"), "a", "b", k)
+    // both the distributed peel (localFinishEdges=0) and the hybrid
+    // local finish must return the identical unique k-core
+    def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      val hybrid = Graphs.kCore(edges.toDF("a", "b"), "a", "b", k)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loop = Graphs.kCore(edges.toDF("a", "b"), "a", "b", k,
+        localFinishEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hybrid == loop, s"kCore paths disagree: $hybrid vs $loop")
+      hybrid
+    }
 
     // chain: every interior degree is 2 only until the ends peel away —
     // no 2-core; a triangle IS its own 2-core
