@@ -2,8 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
 
 import graft.Tables
+import graft.streaming.StreamOps
 
 /** Round-9 wave — the graded STREAMING surface (VERDICT r08 item 7):
   * the streaming operators in [[graft.streaming.StreamOps]] were
@@ -59,6 +61,137 @@ object Ext16 {
       s.table(sink).groupBy("event_type")
         .agg(count(lit(1)).as("n_kept"))
     }),
+
+    // event-time tumbling-window aggregation as an actual streaming job:
+    // readStream(events) → withWatermark(10 min) → groupBy(window 1h,
+    // type) → COMPLETE-mode memory sink. Complete mode re-emits the full
+    // aggregate each trigger, so the sink's final table IS the total
+    // windowed aggregate — order-invariant by construction (counts and
+    // an exact DECIMAL sum surfaced as DOUBLE), hence a plain batch
+    // GROUP BY oracle. 100 TB shape: streaming agg state is one row per
+    // open (window, type) — bounded by the watermark horizon — and a
+    // production job uses append mode into a parquet/Delta sink;
+    // complete+memory is the bounded-replay harness.
+    "x_stream_window" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val src = Tables.normalizeEventTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      val sink = "x_stream_window_mem"
+      s.catalog.dropTempView(sink)
+      val q = StreamOps.windowedCounts(src)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(sink).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(sink)
+    }),
+
+    // stateful sessionization (flatMapGroupsWithState, event-time
+    // timeouts) graded end-to-end: the bounded replay stages the events
+    // into a stream directory, appends a sentinel past
+    // maxTs + delay + gap (exactly how production streams see counts
+    // flush as users go idle — StreamOps.sessionCounts scaladoc), and
+    // the final per-user (n_sessions, n_events) equals the batch
+    // gap-sessionization, which DuckDB replays with one window LAG. The
+    // replay watermark spans the whole fixture so no event is ever late
+    // (state = one gap-window buffer per user; production uses a real
+    // horizon, e.g. 1 h, bounding state by the watermark, not stream
+    // length — the spec's eviction pins hold there).
+    "x_stream_sessions" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+      val spanH = (maxTs.getTime - minTs.getTime) / 3600000L + 2
+      val dir = java.nio.file.Files.createTempDirectory("graft_x_stream_sess")
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/in/b1")
+      val sentinel = Seq((-1L,
+        new java.sql.Timestamp(maxTs.getTime + (spanH + 2) * 3600000L)))
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("user_id", LongType),
+          StructField("ts", TimestampType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+        .withWatermark("ts", s"$spanH hours")
+        .as[StreamOps.Event]
+      val sink = "x_stream_sessions_mem"
+      s.catalog.dropTempView(sink)
+      val q = StreamOps.sessionCounts(src, gapMinutes = 30).toDF()
+        .writeStream.outputMode("update")
+        .format("memory").queryName(sink).start()
+      try {
+        q.processAllAvailable()
+        // sentinel batch advances the watermark; a second one gives the
+        // engine a trigger that evaluates every user's event-time
+        // timeout against it (the StreamingSpec replay pattern)
+        for (b <- Seq("b2", "b3")) {
+          sentinel.toDF("user_id", "ts").coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/in/$b")
+          q.processAllAvailable()
+        }
+      } finally { q.stop() }
+      // updates are cumulative → final per user = the max-n_events row
+      s.table(sink).filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_sessions"))).as("fin"))
+        .select(col("user_id"),
+          col("fin.n_sessions").as("n_sessions"),
+          col("fin.n_events").as("n_events"))
+    }),
+
+    // stream-stream interval join graded end-to-end: click and purchase
+    // streams (two file sources over the same fixture) joined within a
+    // 120-minute conversion window, watermarks on BOTH sides so join
+    // state expires — the production attribution-join shape. Inner mode
+    // emits every in-window pair exactly once on a bounded replay
+    // (StreamingSpec pins stream ≡ batch join), so the per-user
+    // conversion census is order-invariant and DuckDB replays it as a
+    // plain self-join.
+    "x_stream_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val dir = java.nio.file.Files.createTempDirectory("graft_x_stream_join")
+      for (side <- Seq("click", "purchase"))
+        ev.filter(col("event_type") === side)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/$side")
+      def src(side: String) = s.readStream
+        .schema(s.read.parquet(s"$dir/$side").schema).parquet(s"$dir/$side")
+      val joined = StreamOps.clickToPurchaseJoin(
+        src("click"), src("purchase"), "1 hour", windowMinutes = 120)
+      val sink = "x_stream_join_mem"
+      s.catalog.dropTempView(sink)
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(sink).groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("lag_us")).as("min_lag_us"),
+          sum(col("lag_us")).as("sum_lag_us"))
+    }),
+
+    // foreachBatch incremental view maintenance graded end-to-end: the
+    // fixture replays as THREE micro-batches (maxFilesPerTrigger=1 over
+    // a 3-file staging), each partially aggregated and merged into the
+    // maintained result via Evolve.mergeAggregates — refresh cost
+    // O(|batch|), never O(|history|). Counts and exact DECIMAL sums
+    // merge associatively, so the maintained table equals the batch
+    // recompute whatever the file split — the DuckDB oracle is the
+    // recompute.
+    "x_stream_incremental" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"), col("value"))
+      def aggOf(df: DataFrame): DataFrame =
+        df.groupBy("event_type").agg(
+          sum(col("value").cast("decimal(18,2)")).as("tv"),
+          count(lit(1)).as("n_events"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_x_stream_incr")
+      ev.repartition(3).write.mode("overwrite").parquet(s"$dir/in")
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      val sink = new StreamOps.IncrementalAggSink("event_type", aggOf)
+      StreamOps.incrementalAggQuery(src, sink)
+      sink.current.select(col("event_type"), col("n_events"),
+        col("tv").cast("double").as("total_value"))
+    }),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -70,5 +203,46 @@ object Ext16 {
     "x_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_kept
          FROM events GROUP BY event_type""",
+
+    // the complete-mode windowed aggregate IS the batch tumbling GROUP BY
+    "x_stream_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+
+    // batch gap-sessionization: a session opens where the strict gap to
+    // the previous event exceeds 30 min (µs-exact, the engine's test);
+    // FILTER keeps the count a plain BIGINT
+    "x_stream_sessions" ->
+      """WITH per AS (
+           SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events)
+         SELECT user_id,
+                count(*) FILTER (WHERE prev IS NULL
+                  OR epoch_us(ts) - epoch_us(prev) > 1800000000) AS n_sessions,
+                count(*) AS n_events
+         FROM per GROUP BY user_id""",
+
+    // the inner interval join replayed as a batch self-join
+    "x_stream_join" ->
+      """SELECT c.user_id AS user_id,
+                count(*) AS n_pairs,
+                min(epoch_us(p.ts) - epoch_us(c.ts)) AS min_lag_us,
+                CAST(sum(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS sum_lag_us
+         FROM events c JOIN events p
+           ON p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND p.ts < c.ts + INTERVAL 120 MINUTE
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         GROUP BY 1""",
+
+    // incremental maintenance == full recompute
+    "x_stream_incremental" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1""",
   )
 }

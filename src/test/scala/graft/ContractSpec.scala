@@ -43,7 +43,11 @@ class ContractSpec extends SparkSpec {
     // round 9 retired the rows-only class: the 4 sketch queries now emit
     // verdict-form outputs (exact side + tolerance BOOLEANs) with real
     // oracles, so every graded query is hash-gradeable.
-    assert(n == 401 && exact == 401,
+    // round 9 also graded the streaming surface end-to-end: five real
+    // Structured Streaming jobs (dedup, windowed agg, sessionization,
+    // stream-stream interval join, foreachBatch IVM) each census-graded
+    // against an order-invariant batch oracle.
+    assert(n == 405 && exact == 405,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 

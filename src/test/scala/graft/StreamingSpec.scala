@@ -379,6 +379,66 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0, "no sessions closed before the watermark")
   }
 
+  test("graded x_stream_window == batch tumbling aggregate; rerun-stable") {
+    def run() = graft.queries.Ext16.queries("x_stream_window")(spark, sf)
+    val got = run()
+    val batch = Tables.load(spark, sf, "events").groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+    assert(got.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(got).count() == 0,
+      "complete-mode streamed windows != batch tumbling aggregate")
+    assert(run().exceptAll(got).count() == 0,
+      "second invocation drifted (sink not reset)")
+  }
+
+  test("graded x_stream_sessions == batch gap-sessionize for EVERY user (sentinel flushes all)") {
+    val got = graft.queries.Ext16.queries("x_stream_sessions")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = EventOps.sessionize(Tables.load(spark, sf, "events"),
+      "user_id", "ts", 30).select("user_id", "n_sessions", "n_events")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == batch,
+      s"missing=${(batch.keySet -- got.keySet).take(3)} " +
+        s"diff=${got.filter { case (k, v) => batch.get(k).exists(_ != v) }.take(3)}")
+  }
+
+  test("graded x_stream_join == batch interval join census") {
+    val ev = Tables.load(spark, sf, "events")
+    val got = graft.queries.Ext16.queries("x_stream_join")(spark, sf)
+    val batch = StreamOps.clickToPurchaseJoin(
+        ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts"),
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts"),
+        "1 hour", windowMinutes = 120)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("lag_us")).as("min_lag_us"),
+        sum(col("lag_us")).as("sum_lag_us"))
+    assert(got.count() > 0, "no click->purchase pairs in fixture?")
+    assert(got.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(got).count() == 0,
+      "streamed conversion census != batch interval join")
+  }
+
+  test("graded x_stream_incremental == batch recompute across three micro-batches") {
+    val got = graft.queries.Ext16.queries("x_stream_incremental")(spark, sf)
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .select("event_type", "n_events", "total_value")
+    assert(got.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(got).count() == 0,
+      "maintained incremental aggregate != full recompute")
+  }
+
   test("graded x_stream_dedup census == batch distinct; rerun-stable (sink cleanup)") {
     // the graded entry must be callable repeatedly in one session (the
     // bench runs it 3×): the memory-sink temp view is dropped and
