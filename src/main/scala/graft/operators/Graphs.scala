@@ -225,6 +225,25 @@ object Graphs {
       .forall(t => t == LongType || t == IntegerType)
   }
 
+  /** Unsigned byte-wise UTF-8 comparison — the EXACT StringType ordering
+    * Spark's UTF8String gives min/max/sort_array. Java's
+    * String.compareTo orders by UTF-16 code unit and diverges on
+    * supplementary-plane characters, so every single-task finish that
+    * replicates a distributed string tie-break or sort MUST compare
+    * UTF-8 bytes, not Strings. */
+  private[operators] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Edge-count threshold under which the hybrid loops hand the rest to
     * [[localStarForest]]: 10⁶ (long,long) edges is ≤ ~64 MB of LongMap
     * state in the one finishing task — trivially inside any executor,
@@ -855,8 +874,57 @@ object Graphs {
     * no data-sized partition. The symmetric edge list is checkpointed
     * once and reused; per-round label frames follow the kCore
     * checkpoint/release discipline. */
+  /** Single-task synchronous-LPA finish for [[labelPropagation]]: the
+    * operator is a PURE FUNCTION of the symmetric edge set (fixed round
+    * count, deterministic max-count/min-label adoption), so once that
+    * set fits one task the same rounds run locally and return the
+    * bit-identical label table ~0.5 s/round of distributed fixed cost
+    * sooner — the [[localStarForest]] rationale. String ids only: the
+    * tie-break replicates Spark's UTF8String order via [[utf8Compare]]
+    * (the caller gates on StringType). */
+  private def localLabelProp(sym: DataFrame, rounds: Int): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    sym.as[(String, String)].coalesce(1)
+      .mapPartitions { it =>
+        val adj = new scala.collection.mutable.HashMap[
+          String, scala.collection.mutable.ArrayBuffer[String]]()
+        it.foreach { case (u, v) =>
+          adj.getOrElseUpdate(u,
+            new scala.collection.mutable.ArrayBuffer[String]()) += v
+        }
+        var labels = new scala.collection.mutable.HashMap[String, String]()
+        adj.keysIterator.foreach(u => labels(u) = u)
+        var r = 0
+        while (r < rounds) {
+          val next = new scala.collection.mutable.HashMap[String, String]()
+          adj.foreach { case (u, nbrs) =>
+            val cnt = new scala.collection.mutable.HashMap[String, Long]()
+            nbrs.foreach { v =>
+              val l = labels(v) // v also keys adj (symmetric edge set)
+              cnt(l) = cnt.getOrElse(l, 0L) + 1L
+            }
+            var bestL: String = null
+            var bestN = 0L
+            cnt.foreach { case (l, n) =>
+              if (bestL == null || n > bestN ||
+                (n == bestN && utf8Compare(l, bestL) < 0)) {
+                bestL = l; bestN = n
+              }
+            }
+            next(u) = bestL
+          }
+          labels = next
+          r += 1
+        }
+        labels.iterator
+      }
+      .toDF("id", "lbl").localCheckpoint(true)
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       rounds: Int): DataFrame = {
+                       rounds: Int,
+                       localFinishEdges: Long = LocalFinishEdges): DataFrame = {
     require(rounds >= 1 && rounds <= 20,
       s"labelPropagation: rounds must be in [1, 20], got $rounds")
     // the edge list is re-joined on v every round: pay ONE repartition
@@ -868,6 +936,15 @@ object Graphs {
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .filter(col("u") =!= col("v"))
       .distinct().repartition(col("v")).persist()
+    // hybrid finish: the count materializes the persist (round 1 pays
+    // it otherwise); 2× because sym holds both orientations
+    val isString =
+      sym.schema("u").dataType == org.apache.spark.sql.types.StringType
+    if (isString && sym.count() <= 2 * localFinishEdges) {
+      val out = localLabelProp(sym, rounds)
+      sym.unpersist()
+      return out
+    }
     var labels = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint(true)
     (1 to rounds).foreach { _ =>
