@@ -215,6 +215,105 @@ object Ext16 {
       sink.current.select(col("event_type"), col("n_events"),
         col("tv").cast("double").as("total_value"))
     }),
+
+    // Spark's NATIVE session_window (engine-managed session state, the
+    // RocksDB-ready declarative sessionizer) graded in append mode: a
+    // session emits once the watermark passes its close, so the replay
+    // appends a sentinel past maxTs + delay + gap and EVERY real
+    // session closes. Boundary semantics differ from the custom
+    // sessionizer on purpose and the oracle encodes them: session
+    // windows are [start, last+gap), so a gap of EXACTLY 30 min starts
+    // a NEW session (>=), where flatMapGroupsWithState's strict > keeps
+    // it — grading both pins both contracts.
+    "x_stream_session_window" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+      val spanH = (maxTs.getTime - minTs.getTime) / 3600000L + 2
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_x_stream_swin")
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/in/b1")
+      val sentinel = Seq((-1L,
+        new java.sql.Timestamp(maxTs.getTime + (spanH + 2) * 3600000L)))
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("user_id", LongType),
+          StructField("ts", TimestampType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+        .withWatermark("ts", s"$spanH hours")
+      val sink = "x_stream_session_window_mem"
+      s.catalog.dropTempView(sink)
+      withStreamPartitions(s, 8) {
+        val q = StreamOps.sessionWindowCounts(src, "30 minutes")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try {
+          q.processAllAvailable()
+          // one sentinel batch: the aggregate emits watermark-closed
+          // sessions in the engine's automatic no-data batch (unlike
+          // the timeout-based sessionizer, no second trigger needed)
+          sentinel.toDF("user_id", "ts").coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/in/b2")
+          q.processAllAvailable()
+        } finally { q.stop() }
+      }
+      s.table(sink).filter(col("user_id") >= 0)
+    }),
+
+    // the OUTER stream-stream interval join: unmatched clicks emit a
+    // null-joined row only once the watermark PROVES no in-window
+    // purchase can still arrive — the state-expiry certificate every
+    // production outer join needs. Both sides replay with a sentinel
+    // (the join watermark is the min across sides), so every real
+    // click either matches or is certified orphan; the census is
+    // order-invariant and DuckDB replays it as a batch LEFT JOIN.
+    "x_stream_outer_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val bounds = ev.agg(max(col("ts"))).head()
+      val farTs = new java.sql.Timestamp(
+        bounds.getTimestamp(0).getTime + 6L * 3600000L)
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft_x_stream_ojoin")
+      for (side <- Seq("click", "purchase"))
+        ev.filter(col("event_type") === side)
+          .select(col("user_id"), col("event_id"), col("ts"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/$side/b1")
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("event_id", LongType), StructField("ts", TimestampType)))
+      // no maxFilesPerTrigger: each side's files land in one batch —
+      // the sentinel round is what exercises incremental discovery,
+      // and every extra micro-batch costs a full state-store commit
+      def src(side: String) = s.readStream.schema(schema)
+        .parquet(s"$dir/$side/*")
+      val joined = StreamOps.clickToPurchaseJoin(
+        src("click"), src("purchase"), "1 hour", windowMinutes = 120,
+        joinType = "leftOuter")
+      val sink = "x_stream_outer_join_mem"
+      s.catalog.dropTempView(sink)
+      // 4 partitions: the outer join keeps FOUR state stores per
+      // partition (keyToValue + keyWithIndexToValue per side), so its
+      // per-batch commit cost is double every other stateful shape
+      withStreamPartitions(s, 4) {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try {
+          q.processAllAvailable()
+          // ONE sentinel batch on BOTH sides pushes the joint watermark
+          // (min across sides) past every real click's window; the
+          // engine's no-data batch then certifies and emits each orphan
+          for (side <- Seq("click", "purchase"))
+            Seq((-1L, -1L, farTs)).toDF("user_id", "event_id", "ts")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$dir/$side/b2")
+          q.processAllAvailable()
+        } finally { q.stop() }
+      }
+      s.table(sink).filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(col("purchase_id")).as("n_pairs"),
+          count(when(col("purchase_id").isNull, lit(1))).as("n_orphans"))
+    }),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -267,5 +366,45 @@ object Ext16 {
       """SELECT event_type, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1""",
+
+    // native session windows are [start, last+gap): a gap of EXACTLY
+    // the 30-min threshold starts a NEW session (>=), unlike the custom
+    // sessionizer's strict >; session end = last event + gap
+    "x_stream_session_window" ->
+      """WITH o AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           >= 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT user_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(max(ts) + INTERVAL 30 MINUTE,
+                         '%Y-%m-%d %H:%M:%S') AS session_end,
+                count(*) AS n_events
+         FROM g GROUP BY user_id, sid""",
+
+    // the watermark-certified outer join replayed as a batch LEFT JOIN
+    "x_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, event_id, ts FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         j AS (SELECT c.user_id AS user_id, p.event_id AS pid
+               FROM c LEFT JOIN p
+                 ON p.user_id = c.user_id
+                AND p.ts >= c.ts
+                AND p.ts < c.ts + INTERVAL 120 MINUTE)
+         SELECT user_id,
+                count(pid) AS n_pairs,
+                count(*) FILTER (WHERE pid IS NULL) AS n_orphans
+         FROM j GROUP BY user_id""",
   )
 }

@@ -43,11 +43,12 @@ class ContractSpec extends SparkSpec {
     // round 9 retired the rows-only class: the 4 sketch queries now emit
     // verdict-form outputs (exact side + tolerance BOOLEANs) with real
     // oracles, so every graded query is hash-gradeable.
-    // round 9 also graded the streaming surface end-to-end: five real
-    // Structured Streaming jobs (dedup, windowed agg, sessionization,
-    // stream-stream interval join, foreachBatch IVM) each census-graded
-    // against an order-invariant batch oracle.
-    assert(n == 405 && exact == 405,
+    // round 9 also graded the streaming surface end-to-end: seven real
+    // Structured Streaming jobs (dedup, windowed agg, custom + native
+    // sessionization, inner + watermark-certified OUTER interval join,
+    // foreachBatch IVM) each census-graded against an order-invariant
+    // batch oracle.
+    assert(n == 407 && exact == 407,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 

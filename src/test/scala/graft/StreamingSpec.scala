@@ -439,6 +439,36 @@ class StreamingSpec extends SparkSpec {
       "maintained incremental aggregate != full recompute")
   }
 
+  test("graded x_stream_session_window == batch session_window gap-merge (sentinel closes all)") {
+    val got = graft.queries.Ext16.queries("x_stream_session_window")(spark, sf)
+    val batch = StreamOps.sessionWindowCounts(
+      Tables.load(spark, sf, "events").select("user_id", "ts"), "30 minutes")
+    assert(got.count() > 0, "no sessions closed?")
+    assert(got.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(got).count() == 0,
+      "streamed native sessions != batch session_window")
+  }
+
+  test("graded x_stream_outer_join == batch left interval join census") {
+    val ev = Tables.load(spark, sf, "events")
+    val got = graft.queries.Ext16.queries("x_stream_outer_join")(spark, sf)
+    val batch = StreamOps.clickToPurchaseJoin(
+        ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts"),
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts"),
+        "1 hour", windowMinutes = 120, joinType = "leftOuter")
+      .groupBy("user_id")
+      .agg(count(col("purchase_id")).as("n_pairs"),
+        count(when(col("purchase_id").isNull, lit(1))).as("n_orphans"))
+    // a user with clicks but no purchases must appear with orphans only
+    assert(got.filter(col("n_orphans") > 0).count() > 0,
+      "fixture has no certified orphans — the outer path is untested")
+    assert(got.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(got).count() == 0,
+      "streamed outer census != batch left interval join")
+  }
+
   test("graded x_stream_dedup census == batch distinct; rerun-stable (sink cleanup)") {
     // the graded entry must be callable repeatedly in one session (the
     // bench runs it 3×): the memory-sink temp view is dropped and
