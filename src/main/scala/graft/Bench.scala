@@ -171,7 +171,12 @@ object Bench {
     // with only ~11 to spare in the tail window; ContractSpec now
     // budgets the worst-case line at ≤ 1900
     "x_hits", "x_ltv_curve", "x_jonckheere", "x_ansari_bradley",
-    "x_page_hinkley")
+    "x_page_hinkley",
+    // round-9: one representative for the newly GRADED streaming family
+    // (the other six x_stream_* full-precision times live in
+    // BENCH_FULL.json; one name keeps the family visible round-over-
+    // round without re-blowing the 1900-char line budget)
+    "x_stream_dedup")
     // round-9: "_sentinel_pre"/"_sentinel_post" (load-noise calibration,
     // VERDICT r08 item 3) joined the printed line; paid for by DROPPING
     // the twins x_dedup_norm (of x_dedup_exact) and x_cos_topk (of
