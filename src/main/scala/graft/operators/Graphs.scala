@@ -701,9 +701,19 @@ object Graphs {
       .localCheckpoint(true)
   }
 
+  /** The peel's single-task state is far lighter than the union-find's
+    * (one (long,long) edge array + a degree LongMap over the nodes —
+    * 4M edges ≈ 64 MB array + a few MB of counts, no per-find pointer
+    * churn), so the k-core gate sits 4× above [[LocalFinishEdges]]:
+    * the sf0.1 co-purchase graph's 80-core peel converges at 1.11M
+    * edges WITHOUT ever crossing 1M, i.e. a 1M gate never fires and
+    * the fixed cost of every distributed round (degree agg + two
+    * semi-joins + a count) is paid to the fixpoint. */
+  val KCoreLocalFinishEdges: Long = 4 * LocalFinishEdges
+
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, maxIter: Int = 100,
-            localFinishEdges: Long = LocalFinishEdges): DataFrame = {
+            localFinishEdges: Long = KCoreLocalFinishEdges): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     var cur = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
