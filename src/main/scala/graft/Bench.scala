@@ -138,7 +138,11 @@ object Bench {
     "x_dedup_clusters", "x_dedup_clusters_logstar", "x_corpus_clean",
     "x_decontaminate", "x_containment", "x_ppjoin", "x_fuzzy_join",
     "x_incremental_dedup", "x_sorted_neighborhood",
-    "x_embed_neardup", "x_embed_neardup_lsh",
+    // x_embed_neardup dropped round-9 (twin of x_embed_neardup_lsh —
+    // the scale path stays visible; full-precision time remains in
+    // BENCH_FULL.json) to pay for x_stream_dedup under the 1900-char
+    // line budget
+    "x_embed_neardup_lsh",
     "x_cos_topk_custom", "x_ann_ivf", "x_ann_lsh", "x_rrf_hybrid",
     "x_lang_id", "x_quality", "x_text_stats", "x_repetition",
     "x_doc_top_terms", "x_data_mix", "x_pack_chunks", "x_weighted_sample",
