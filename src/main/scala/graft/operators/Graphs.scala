@@ -778,9 +778,56 @@ object Graphs {
     *
     * Unreachable nodes are simply absent (no +inf sentinel rows).
     * Returns (id, dist). */
+  /** Single-task BFS finish for [[shortestPaths]]: hop distances are
+    * the unique min-hop function of (edge set, source set, maxHops), so
+    * once the directed adjacency fits one task the local frontier
+    * expansion returns the identical table that up-to-maxHops
+    * distributed rounds (3 shuffles of fixed cost each) would — the
+    * [[localStarForest]] rationale. The sources ride in tagged rows so
+    * the whole finish is one job with no driver collect. */
+  private def localBfsDist(adj: DataFrame, srcIds: DataFrame,
+                           maxHops: Int): DataFrame = {
+    val spark = adj.sparkSession
+    import spark.implicits._
+    adj.select(lit(0), col("u").cast("long"), col("v").cast("long"))
+      .unionAll(srcIds.select(lit(1), col("id").cast("long"), lit(0L)))
+      .as[(Int, Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val nbrs = new scala.collection.mutable.LongMap[
+          scala.collection.mutable.ArrayBuffer[Long]]()
+        var frontier = new scala.collection.mutable.ArrayBuffer[Long]()
+        val dist = new scala.collection.mutable.LongMap[Int]()
+        it.foreach {
+          case (0, u, v) =>
+            nbrs.getOrElseUpdate(u,
+              new scala.collection.mutable.ArrayBuffer[Long]()) += v
+          case (_, id, _) =>
+            if (!dist.contains(id)) { dist(id) = 0; frontier += id }
+        }
+        var hop = 0
+        while (frontier.nonEmpty && hop < maxHops) {
+          val next = new scala.collection.mutable.ArrayBuffer[Long]()
+          frontier.foreach { u =>
+            nbrs.getOrElse(u, Nil).foreach { v =>
+              if (!dist.contains(v)) { dist(v) = hop + 1; next += v }
+            }
+          }
+          frontier = next
+          hop += 1
+        }
+        dist.iterator
+      }
+      .toDF("id", "dist")
+      // the distributed path keeps the sources' id dtype — match it
+      .select(col("id").cast(srcIds.schema("id").dataType).as("id"),
+        col("dist"))
+      .localCheckpoint(true)
+  }
+
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
                     sources: DataFrame, idCol: String,
-                    maxHops: Int, directed: Boolean = false): DataFrame = {
+                    maxHops: Int, directed: Boolean = false,
+                    localFinishEdges: Long = LocalFinishEdges): DataFrame = {
     val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     // cached partitioned on u, the per-hop join key (the pageRank/LPA
     // discipline): each BFS hop shuffles only the frontier
@@ -788,6 +835,14 @@ object Graphs {
       else fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v"))))
       .filter(col("u") =!= col("v")).distinct()
       .repartition(col("u")).persist()
+    // hybrid finish (the localStarForest rationale): the count
+    // materializes the persist the first hop would pay anyway
+    if (integralIds(adj) && adj.count() <= localFinishEdges) {
+      val out = localBfsDist(adj,
+        sources.select(col(idCol).as("id")).distinct(), maxHops)
+      adj.unpersist()
+      return out
+    }
     var dist = sources.select(col(idCol).as("id")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint(true)
     var frontier = dist

@@ -308,11 +308,19 @@ class GraphsSpec extends SparkSpec {
   }
 
   test("shortestPaths: chains, multi-source, hop cap, unreachable absent") {
+    // both the hybrid local finish and the pure distributed frontier
+    // loop must return the identical distance table
     def bfs(edges: Seq[(Long, Long)], srcs: Seq[Long], maxHops: Int,
-            directed: Boolean = false): Map[Long, Int] =
-      Graphs.shortestPaths(edges.toDF("a", "b"), "a", "b",
+            directed: Boolean = false): Map[Long, Int] = {
+      val hybrid = Graphs.shortestPaths(edges.toDF("a", "b"), "a", "b",
         srcs.toDF("id"), "id", maxHops, directed)
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val loop = Graphs.shortestPaths(edges.toDF("a", "b"), "a", "b",
+        srcs.toDF("id"), "id", maxHops, directed, localFinishEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(hybrid == loop, s"BFS paths disagree: $hybrid vs $loop")
+      hybrid
+    }
 
     // undirected chain 1-2-3-4-5 from node 1: dist = position
     val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
