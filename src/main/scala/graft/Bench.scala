@@ -84,16 +84,48 @@ object Bench {
     sentinel()                             // warm-up: codegen compile
     val sentinelPre = math.min(sentinel(), sentinel())
 
+    // per-query baseline from the COMMITTED BENCH_FULL.json, read BEFORE
+    // this run overwrites it — fuels the outlier re-measure below. The
+    // numeric-value regex skips string fields ("metric","sf",...), and
+    // non-query keys it does catch ("value","n_failed") are never query
+    // names so the lookups below can't hit them.
+    val baseline: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        """"([A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    }
+
     // optional args = subset of query names (focused measurement)
     val names = if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
       else SparkEntry.queries.keys.toSeq.sorted
 
-    val results = names.map { n =>
+    val results0 = names.map { n =>
       runNoop(n) match {                 // warm-up: codegen, footer caches
         case Right(_) =>                 // min of two timed runs
           n -> (for (a <- runNoop(n); b <- runNoop(n)) yield math.min(a, b))
         case left     => n -> left       // failed warm-up: don't re-run
       }
+    }
+
+    // outlier re-measure (VERDICT r09 item 2): driver boxes show phantom
+    // per-query spikes (x_assoc_rules 8.15 s vs 2.14 s idle for IDENTICAL
+    // code) that the load sentinels can't catch — the spike is transient
+    // scheduler jitter on one query, not sustained load. Any query
+    // measuring > 2× its committed-baseline time AND > 0.5 s absolute
+    // over it (so sub-second queries don't churn) gets ONE extra timed
+    // run, reporting the min. Bounded extra cost — only outliers re-run —
+    // and a REAL regression still shows: genuinely-2×-slower code
+    // re-measures at ~2× again.
+    val remeasured = scala.collection.mutable.ListBuffer.empty[String]
+    val results = results0.map {
+      case (k, Right(v))
+        if baseline.get(k).exists(b => v > 2 * b && v - b > 0.5) =>
+        remeasured += k
+        k -> Right(runNoop(k).fold(_ => v, r => math.min(v, r)))
+      case other => other
     }
     val sentinelPost = math.min(sentinel(), sentinel())
 
@@ -102,16 +134,16 @@ object Bench {
     val nFailed = results.count(_._2.isLeft)
     val total = results.map(_._2.getOrElse(0.0)).sum
 
-    // complete per-query map, full precision → file (see size contract);
-    // sentinels lead the map (they are NOT queries and excluded from
-    // "value" — the total stays comparable across rounds)
-    val sentinels = Seq("_sentinel_pre" -> sentinelPre,
-      "_sentinel_post" -> sentinelPost)
-    val fullQs = (sentinels.map { case (k, v) => s"\"" + k + "\":" + v } ++
-      results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v })
+    // complete per-query map, full precision → file (see size contract).
+    // The load sentinels are TOP-LEVEL fields, not entries in "queries"
+    // (ADVICE r09: consumers that treat every queries key as a graded
+    // query name — census cross-checks, per-query diffs, sum-validation
+    // of "value" — must not need to special-case them).
+    val fullQs = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val remeas = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sentinel_pre":$sentinelPre,"sentinel_post":$sentinelPost,"remeasured":$remeas,"queries":$fullQs,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
 
     // headline subset, 2-decimal → the ONE parseable stdout line.
@@ -120,11 +152,10 @@ object Bench {
     // break the driver's single-parseable-JSON-line contract.
     def f2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val headQs = (sentinels.map { case (k, v) => s""""$k":${f2(v)}""" } ++
-      results.collect {
+    val headQs = results.collect {
         case (k, Right(v)) if Headline(k) => s""""$k":${f2(v)}"""
-      }).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$headQs,"n_failed":$nFailed,"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","sentinel_pre":${f2(sentinelPre)},"sentinel_post":${f2(sentinelPost)},"n_remeasured":${remeasured.size},"queries":$headQs,"n_failed":$nFailed,"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -587,13 +587,25 @@ object Graphs {
     * Pregel-free formulation; the adjacency (with degrees pre-joined) is
     * cached once and reused every round. Nothing is ever collected.
     *
-    * Float discipline: the per-node contribution sum folds a src-sorted
-    * collect_list strictly left-to-right (the x_lm_score recipe) instead
-    * of sum() over shuffle-ordered doubles — that makes 3 iterations of
-    * IEEE arithmetic reproducible on any partitioning AND bit-replayable
-    * by the DuckDB oracle (`list_sum(list(c ORDER BY src))`). The
-    * collect_list per node is bounded by max degree; a production run
-    * that doesn't need a bit-exact contract swaps it for plain sum(). */
+    * Float discipline: each contribution is quantized to a FIXED-POINT
+    * long — `floor(c · 2⁴⁰)` — and the per-node sum runs over longs
+    * (the [[graft.operators.Similarity.kmeansCentroids]] recipe).
+    * Integer addition is associative, so the sum is partition-order-
+    * invariant AND skew-safe: Spark keeps map-side partial aggregation
+    * and AQE can split a hot in-degree key, where the previous
+    * `sort_array(collect_list(struct(src,c)))` + ordered fold put the
+    * hottest node's whole in-contribution list (degree-sized — 10⁷⁺
+    * structs on a power-law graph at 100 TB) on a single row of a
+    * single task. The ×2⁴⁰ scaling is exact (power-of-two mantissa
+    * shift), the floor is deterministic, and every per-node sum is
+    * ≤ 2⁴⁰ (total rank mass ≤ 1) so the long can never overflow; the
+    * DuckDB oracle replays it verbatim as
+    * `sum(CAST(floor(c * 2^40) AS BIGINT)) / 2^40`. The ~2⁻⁴⁰ per-edge
+    * quantization is identical on both sides, so the contract stays
+    * bit-exact. */
+  /** 2⁴⁰ — the fixed-point scale shared by the rank folds and their
+    * DuckDB oracles. Exactly representable as a double. */
+  val RankScale: Double = 1099511627776.0
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, damping: Double = 0.85): DataFrame = {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -609,15 +621,15 @@ object Graphs {
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
     (1 to iters).foreach { _ =>
       val contribs = adj.join(ranks, adj("src") === ranks("node"))
-        .select(col("dst"), col("src"),
-          (lit(damping) * col("rank") / col("outdeg")).as("c"))
+        .select(col("dst"),
+          floor(lit(damping) * col("rank") / col("outdeg") * lit(RankScale))
+            .cast("long").as("cq"))
       ranks = contribs.groupBy("dst")
-        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+        .agg(sum("cq").as("sq"))
         .crossJoin(broadcast(n))
         .select(col("dst").as("node"),
           (lit(1.0 - damping) / col("n") +
-            aggregate(transform(col("cs"), p => p.getField("c")),
-              lit(0.0), (a, x) => a + x)).as("rank"))
+            col("sq").cast("double") / lit(RankScale)).as("rank"))
     }
     ranks
   }
@@ -627,9 +639,10 @@ object Graphs {
     * TextRank form (Mihalcea & Tarau 2004): on co-occurrence graphs the
     * unweighted walk degenerates toward uniform when the graph is near-
     * complete; the count weights are what carry the signal. Same exact-
-    * replay discipline as [[pageRank]]: ordered per-node contribution
-    * folds, integer weights, adjacency cached partitioned on the join
-    * key so each round shuffles only the rank frame. */
+    * replay discipline as [[pageRank]]: fixed-point `floor(c · 2⁴⁰)`
+    * long contribution sums (associative → partial-agg + skew-split
+    * friendly), integer weights, adjacency cached partitioned on the
+    * join key so each round shuffles only the rank frame. */
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                        wCol: String, iters: Int = 3,
                        damping: Double = 0.85): DataFrame = {
@@ -646,16 +659,16 @@ object Graphs {
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
     (1 to iters).foreach { _ =>
       val contribs = adj.join(ranks, adj("src") === ranks("node"))
-        .select(col("dst"), col("src"),
-          (lit(damping) * col("rank") *
-            (col("w").cast("double") / col("wdeg").cast("double"))).as("c"))
+        .select(col("dst"),
+          floor(lit(damping) * col("rank") *
+            (col("w").cast("double") / col("wdeg").cast("double")) *
+            lit(RankScale)).cast("long").as("cq"))
       ranks = contribs.groupBy("dst")
-        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+        .agg(sum("cq").as("sq"))
         .crossJoin(broadcast(n))
         .select(col("dst").as("node"),
           (lit(1.0 - damping) / col("n") +
-            aggregate(transform(col("cs"), p => p.getField("c")),
-              lit(0.0), (a, x) => a + x)).as("rank"))
+            col("sq").cast("double") / lit(RankScale)).as("rank"))
     }
     ranks
   }
@@ -688,19 +701,44 @@ object Graphs {
     val out = cur.select(col("u").cast("long"), col("v").cast("long"))
       .as[(Long, Long)].coalesce(1)
       .mapPartitions { it =>
-        var es = it.toArray
-        var changed = true
-        while (changed && es.nonEmpty) {
-          val deg = new scala.collection.mutable.LongMap[Long]()
-          es.foreach { case (a, b) =>
-            deg(a) = deg.getOrElse(a, 0L) + 1
-            deg(b) = deg.getOrElse(b, 0L) + 1
+        // decode into TWO primitive long arrays and peel by in-place
+        // compaction (ADVICE r09): Iterator.toArray of boxed (Long,Long)
+        // tuples held ~300+ MB at the 4M-edge gate (two objects + a
+        // tuple per edge, plus a NEW filtered array every round) where
+        // the primitive form is a flat 64 MB that never reallocates
+        var ua = new Array[Long](1024)
+        var va = new Array[Long](1024)
+        var m = 0
+        it.foreach { case (a, b) =>
+          if (m == ua.length) {
+            ua = java.util.Arrays.copyOf(ua, m * 2)
+            va = java.util.Arrays.copyOf(va, m * 2)
           }
-          val next = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
-          changed = next.length != es.length
-          es = next
+          ua(m) = a; va(m) = b; m += 1
         }
-        es.iterator
+        var changed = true
+        while (changed && m > 0) {
+          val deg = new scala.collection.mutable.LongMap[Long]()
+          var i = 0
+          while (i < m) {
+            deg(ua(i)) = deg.getOrElse(ua(i), 0L) + 1
+            deg(va(i)) = deg.getOrElse(va(i), 0L) + 1
+            i += 1
+          }
+          var w = 0
+          i = 0
+          while (i < m) {
+            if (deg(ua(i)) >= k && deg(va(i)) >= k) {
+              ua(w) = ua(i); va(w) = va(i); w += 1
+            }
+            i += 1
+          }
+          changed = w != m
+          m = w
+        }
+        val mm = m // stable copy for the closure
+        val (uf, vf) = (ua, va)
+        (0 until mm).iterator.map(i => (uf(i), vf(i)))
       }
       .toDF("u", "v")
     out.select(col("u").cast(dt).as("u"), col("v").cast(dt).as("v"))
@@ -884,14 +922,20 @@ object Graphs {
     * string_agg in sorted order (the winnowing portability argument —
     * no seeded hash family, no floats anywhere). Scale shape per round:
     * one equi-join (edges ⋈ labels on the neighbor key) + one node-
-    * keyed hash aggregate; the sorted neighbor-label concat is bounded
-    * by the node's degree. Rounds are a small constant — and each
-    * round's label frame feeds TWO consumers (own-label join + neighbor
-    * side), so rounds checkpoint eagerly (the iterative-operator
-    * storage discipline) and the symmetric edge set persists across
-    * rounds like the BFS adjacency. */
+    * keyed hash aggregate. WL's neighbor-label multiset is inherent to
+    * the algorithm, but the CONCAT of it is degree-capped (round 10,
+    * VERDICT r09 item 6): each node hashes the first `maxNbr` labels of
+    * its SORTED neighbor-label multiset (a per-node rank filter BEFORE
+    * the collect, so no row ever materializes more than `maxNbr`
+    * strings) plus its total degree — on a power-law graph the hottest
+    * node would otherwise build one degree-sized (10⁷⁺-entry) string on
+    * a single row. Below the cap the refinement is exact WL; above it,
+    * two nodes collide only if they agree on BOTH the first `maxNbr`
+    * sorted labels AND their degree — a documented, deterministic
+    * coarsening that both engines replay identically (the prefix of a
+    * sorted multiset is order-independent even under rank ties). */
   def wlFingerprint(edges: DataFrame, srcCol: String, dstCol: String,
-                    rounds: Int = 2): DataFrame = {
+                    rounds: Int = 2, maxNbr: Int = 4096): DataFrame = {
     require(rounds >= 1 && rounds <= 4,
       s"wlFingerprint: rounds must be in [1, 4], got $rounds")
     // cached PARTITIONED on the per-round join key (the pageRank/LPA
@@ -904,14 +948,23 @@ object Graphs {
       .select(col("u").as("node"), md5(col("deg").cast("string")).as("lab"))
       .localCheckpoint(true)
     (1 to rounds).foreach { _ =>
+      // rank neighbors per node BEFORE collecting: the window sort is
+      // spillable and the collected array is ≤ maxNbr, so the hot node
+      // never holds its full degree in one row (ties share a label
+      // value, so the ≤-cap PREFIX is deterministic under tie order)
+      val w = Window.partitionBy("u").orderBy("nl")
       val nbr = sym
         .join(labels.select(col("node").as("v"), col("lab").as("nl")), Seq("v"))
+        .withColumn("rn", row_number().over(w))
         .groupBy("u")
-        .agg(array_join(sort_array(collect_list(col("nl"))), ",").as("nh"))
+        .agg(array_join(sort_array(
+            collect_list(when(col("rn") <= maxNbr, col("nl")))), ",").as("nh"),
+          count(lit(1)).as("nd"))
       val next = labels
-        .join(nbr.select(col("u").as("node"), col("nh")), Seq("node"))
+        .join(nbr.select(col("u").as("node"), col("nh"), col("nd")), Seq("node"))
         .select(col("node"),
-          md5(concat(col("lab"), lit("|"), col("nh"))).as("lab"))
+          md5(concat(col("lab"), lit("|"), col("nh"),
+            lit("#"), col("nd").cast("string"))).as("lab"))
         .localCheckpoint(true)
       CheckpointBlocks.release(labels)
       labels = next

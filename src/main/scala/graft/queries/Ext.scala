@@ -507,8 +507,9 @@ object Ext {
         t(s, d, "documents"), "doc_id", "text", n = 3)),
 
     // bounded-iteration PageRank over the supplier–part incidence graph:
-    // 3 rounds, damping 0.85 — per-node contribution sums are ordered
-    // folds, so the doubles are partition-invariant and oracle-exact
+    // 3 rounds, damping 0.85 — per-node contribution sums are fixed-point
+    // floor(c·2^40) long sums, so they are associative (partial-agg and
+    // skew-split friendly), partition-invariant, and oracle-exact
     "x_pagerank" -> ((s, d) =>
       graft.operators.Graphs.pageRank(
         t(s, d, "lineitem").select(
@@ -2819,15 +2820,20 @@ object Ext {
 
     // PageRank replayed: same symmetrized edges, same 3 unrolled rounds,
     // '…'→DOUBLE casts so every constant has the exact Spark bits, and
-    // the contribution sum as list_sum(list(c ORDER BY src))
+    // the contribution sum as the same fixed-point floor(c·2^40) BIGINT
+    // sum the Spark side runs (associative, so partition/scan order is
+    // irrelevant on both engines)
     "x_pagerank" -> {
       val dmp = "CAST('0.85' AS DOUBLE)"
       val tel = "(CAST('1.0' AS DOUBLE) - CAST('0.85' AS DOUBLE))"
+      val scl = "CAST('1099511627776.0' AS DOUBLE)"
       val rounds = (1 to 3).map { i =>
-        s"""c$i AS (SELECT s.dst, s.src, $dmp * r.rank / d.outdeg AS c
+        s"""c$i AS (SELECT s.dst,
+                   CAST(floor($dmp * r.rank / d.outdeg * $scl) AS BIGINT) AS cq
                  FROM sym s JOIN r${i - 1} r ON s.src = r.node
                             JOIN deg d ON s.src = d.src),
-          r$i AS (SELECT dst AS node, $tel / n + list_sum(list(c ORDER BY src)) AS rank
+          r$i AS (SELECT dst AS node,
+                   $tel / n + CAST(sum(cq) AS DOUBLE) / $scl AS rank
                  FROM c$i CROSS JOIN nn GROUP BY dst, n)"""
       }.mkString(",\n          ")
       s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,

@@ -179,8 +179,8 @@ object Ext10 {
     // TextRank keyword extraction (Mihalcea & Tarau 2004): WEIGHTED
     // PageRank over the word co-occurrence graph — candidate words
     // (len ≥ 4), adjacent-candidate edges weighted by co-occurrence
-    // count, 3 damped rounds via Graphs.pageRankWeighted's ordered-fold
-    // recipe. Weighted is the paper's form, and on a near-complete
+    // count, 3 damped rounds via Graphs.pageRankWeighted's fixed-point
+    // fold recipe. Weighted is the paper's form, and on a near-complete
     // co-occurrence graph it is also what keeps the ranking non-uniform.
     "x_textrank" -> ((s, d) => {
       val toks = t(s, d, "documents")
@@ -590,19 +590,21 @@ object Ext10 {
          FROM smax CROSS JOIN mm CROSS JOIN tot""",
 
     // the word-graph WEIGHTED PageRank replayed with the x_pagerank
-    // round CTEs (damped contribution sums as ORDER BY src list folds,
-    // each scaled by w/wdeg) on the candidate-token windowed pairing
+    // round CTEs (damped contributions scaled by w/wdeg, summed as the
+    // same fixed-point floor(c·2^40) BIGINT sums the Spark side runs)
+    // on the candidate-token windowed pairing
     "x_textrank" -> {
       val dmp = "CAST('0.85' AS DOUBLE)"
       val tel = "(CAST('1.0' AS DOUBLE) - CAST('0.85' AS DOUBLE))"
+      val scl = "CAST('1099511627776.0' AS DOUBLE)"
       val rounds = (1 to 3).map { i =>
-        s"""c$i AS (SELECT s.dst, s.src,
-                   $dmp * r.rank * (CAST(s.w AS DOUBLE)
-                     / CAST(d.wdeg AS DOUBLE)) AS c
+        s"""c$i AS (SELECT s.dst,
+                   CAST(floor($dmp * r.rank * (CAST(s.w AS DOUBLE)
+                     / CAST(d.wdeg AS DOUBLE)) * $scl) AS BIGINT) AS cq
                  FROM sym s JOIN r${i - 1} r ON s.src = r.node
                             JOIN deg d ON s.src = d.src),
           r$i AS (SELECT dst AS node,
-                    $tel / n + list_sum(list(c ORDER BY src)) AS rank
+                    $tel / n + CAST(sum(cq) AS DOUBLE) / $scl AS rank
                  FROM c$i CROSS JOIN nn GROUP BY dst, n)"""
       }.mkString(",\n          ")
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -697,6 +697,9 @@ object Ext3 {
                 100.0 * (theta * theta * var_x) / var_y AS var_reduction_pct
          FROM mm""",
 
+    // round 10: the engine's degree cap (first 4096 sorted neighbor
+    // labels + '#' + degree — see Graphs.wlFingerprint) replayed with a
+    // rank filter inside each refinement round
     "x_wl_fingerprint" ->
       """WITH e0 AS (SELECT DISTINCT
                 's' || CAST(l_suppkey AS VARCHAR) AS u,
@@ -704,12 +707,22 @@ object Ext3 {
          sym AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
          l0 AS (SELECT u AS node, md5(CAST(deg AS VARCHAR)) AS lab
                 FROM (SELECT u, count(*) AS deg FROM sym GROUP BY u) d),
-         n1 AS (SELECT s.u, string_agg(l.lab, ',' ORDER BY l.lab) AS nh
-                FROM sym s JOIN l0 l ON l.node = s.v GROUP BY s.u),
+         n1 AS (SELECT u, string_agg(lab, ',' ORDER BY lab)
+                    FILTER (WHERE rn <= 4096)
+                  || '#' || CAST(count(*) AS VARCHAR) AS nh
+                FROM (SELECT s.u, l.lab, row_number() OVER
+                        (PARTITION BY s.u ORDER BY l.lab) AS rn
+                      FROM sym s JOIN l0 l ON l.node = s.v)
+                GROUP BY u),
          l1 AS (SELECT l0.node, md5(l0.lab || '|' || n1.nh) AS lab
                 FROM l0 JOIN n1 ON n1.u = l0.node),
-         n2 AS (SELECT s.u, string_agg(l.lab, ',' ORDER BY l.lab) AS nh
-                FROM sym s JOIN l1 l ON l.node = s.v GROUP BY s.u),
+         n2 AS (SELECT u, string_agg(lab, ',' ORDER BY lab)
+                    FILTER (WHERE rn <= 4096)
+                  || '#' || CAST(count(*) AS VARCHAR) AS nh
+                FROM (SELECT s.u, l.lab, row_number() OVER
+                        (PARTITION BY s.u ORDER BY l.lab) AS rn
+                      FROM sym s JOIN l1 l ON l.node = s.v)
+                GROUP BY u),
          l2 AS (SELECT l1.node, md5(l1.lab || '|' || n2.nh) AS lab
                 FROM l1 JOIN n2 ON n2.u = l1.node)
          SELECT lab, CAST(count(*) AS BIGINT) AS n FROM l2 GROUP BY lab""",

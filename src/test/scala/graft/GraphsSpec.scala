@@ -142,16 +142,41 @@ class GraphsSpec extends SparkSpec {
       Graphs.pageRank(df, "src", "dst", iters)
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val r1 = ranks(edges, 1)
-    // one round by hand: deg(a)=deg(c)=1, deg(b)=2, N=3, r0=1/3
-    assert(math.abs(r1("a") - (0.15 / 3 + 0.85 / 6)) < 1e-12)
-    assert(math.abs(r1("b") - (0.15 / 3 + 0.85 * 2.0 / 3)) < 1e-12)
+    // one round by hand: deg(a)=deg(c)=1, deg(b)=2, N=3, r0=1/3.
+    // tolerance: the fixed-point fold quantizes each contribution to
+    // 2^-40 ≈ 9.1e-13, so a node of in-degree d sits within d·2^-40
+    assert(math.abs(r1("a") - (0.15 / 3 + 0.85 / 6)) < 1e-11)
+    assert(math.abs(r1("b") - (0.15 / 3 + 0.85 * 2.0 / 3)) < 1e-11)
     assert(r1("a") == r1("c"), "symmetric endpoints must tie exactly")
 
     val r3 = ranks(edges, 3)
     assert(math.abs(r3.values.sum - 1.0) < 1e-9, s"rank mass drifted: ${r3.values.sum}")
     assert(r3("b") > r3("a"), "the hub must outrank the leaves")
-    // the ordered fold must make ranks independent of data layout
+    // the associative long sums must make ranks independent of layout
     assert(ranks(edges.repartition(5), 3) == r3, "ranks changed under repartition")
+  }
+
+  test("pageRank plan: contribution sums are partial-aggregable long sums, no list state") {
+    // the r9 `weak` fix pinned: the per-round aggregation must be a
+    // HashAggregate over a LongType sum (associative → map-side partial
+    // aggregation + AQE skew-split), NOT an ObjectHashAggregate over a
+    // degree-sized collect_list — the latter put the hottest node's
+    // whole in-contribution list on one row of one task at 100× scale
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    for (df <- Seq(Graphs.pageRank(edges, "src", "dst", iters = 2),
+      Graphs.pageRankWeighted(edges.withColumn("w", lit(2L)),
+        "src", "dst", "w", iters = 2))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("collect_list"),
+        "rank fold regressed to collect_list state")
+      assert(!plan.contains("ObjectHashAggregate"),
+        "rank fold regressed to object-hash (list-state) aggregation")
+      assert(plan.contains("partial_sum") || plan.contains("partial sum") ||
+        "(?i)hashaggregate".r.findFirstIn(plan).isDefined,
+        s"expected hash-aggregated sums in plan:\n$plan")
+    }
   }
 
   private def triStats(edges: Seq[(Long, Long)]) = {
@@ -359,6 +384,28 @@ class GraphsSpec extends SparkSpec {
     assert(hist(g) == hist(gPerm), "WL histogram must be label-invariant")
     // refinement is monotone: round 2 never has FEWER distinct labels
     assert(hist(g, rounds = 2).size >= hist(g, rounds = 1).size)
+  }
+
+  test("wlFingerprint degree cap: exact below the cap, bounded + deterministic above it") {
+    import spark.implicits._
+    def hist(edges: Seq[(Long, Long)], cap: Int): Map[String, Long] =
+      Graphs.wlFingerprint(edges.toDF("a", "b"), "a", "b", rounds = 2,
+          maxNbr = cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rnd = new scala.util.Random(7)
+    val g = (1 to 150).map(_ =>
+      (rnd.nextInt(30).toLong + 1L, rnd.nextInt(30).toLong + 1L))
+      .filter(e => e._1 != e._2)
+    // any cap >= the max degree leaves the refinement EXACT: the row
+    // bound only coarsens nodes whose degree exceeds it
+    assert(hist(g, 64) == hist(g, 4096),
+      "cap above max degree changed the fingerprint")
+    // a binding cap is deterministic (rerun-stable) and bounds every
+    // row: with cap=1 each node hashes (smallest neighbor label, degree)
+    val capped = hist(g, 1)
+    assert(capped == hist(g, 1), "capped fingerprint not deterministic")
+    assert(capped.values.sum == hist(g, 4096).values.sum,
+      "cap changed the node census (must only coarsen labels)")
   }
 
   test("LPA hybrid local finish == pure distributed loop, bit for bit") {

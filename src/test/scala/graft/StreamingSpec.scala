@@ -484,4 +484,79 @@ class StreamingSpec extends SparkSpec {
       s"stream census != batch distinct: ${first.toSet.diff(batch.toSet).take(3)}")
     assert(run() == first, "second invocation drifted (sink not reset)")
   }
+
+  test("graded x_stream_sink: parquet file sink + commit-log read-back == batch distinct; rerun-stable") {
+    def run() = graft.queries.Ext16.queries("x_stream_sink")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = run()
+    val batch = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first == batch,
+      s"file-sink census != batch distinct: ${first.toSet.diff(batch.toSet).take(3)}")
+    // each invocation writes a fresh sink+checkpoint dir, so reruns are
+    // independent exactly-once pipelines, not resumed ones
+    assert(run() == first, "second invocation drifted")
+  }
+
+  test("graded x_stream_window_append == batch tumbling aggregate (every window watermark-closed)") {
+    val got = graft.queries.Ext16.queries("x_stream_window_append")(spark, sf)
+    val batch = Tables.load(spark, sf, "events").groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+    assert(got.count() > 0, "append mode emitted nothing — eviction never fired")
+    assert(got.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(got).count() == 0,
+      "append-mode finals != batch tumbling aggregate")
+  }
+
+  test("append-mode watermark eviction DROPS state rows (the 100 TB state bound)") {
+    // replicate the graded append pipeline with the query handle exposed
+    // so progress metrics are inspectable: after the sentinel advances
+    // the watermark past every real window end, the engine emits the
+    // finals AND evicts their state rows — numRowsTotal must fall to the
+    // sentinel's open windows only
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("ts"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_evict_spec")
+    try {
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/in/b1")
+      val src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      val q = StreamOps.windowedCounts(src)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("evict_spec_mem").start()
+      try {
+        q.processAllAvailable()
+        // eviction is incremental — the engine's no-data batch after b1
+        // already closes all but the last-10-min windows — so the PEAK
+        // across progress events is what shows the state ever held the
+        // open windows, and the final count shows they were dropped
+        val peak = q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+        Seq(("zzz_sentinel",
+          new java.sql.Timestamp(maxTs.getTime + 3L * 3600000L), 0.0))
+          .toDF("event_type", "ts", "value")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/in/b2")
+        q.processAllAvailable()
+        val after = q.lastProgress.stateOperators.head.numRowsTotal
+        // all real (window, type) rows evicted; only the sentinel's own
+        // (still-open) window remains
+        assert(peak > 1,
+          s"fixture peaked at only $peak state rows — eviction untestable")
+        assert(after == 1,
+          s"state rows peak=$peak -> $after: watermark eviction did not drop state")
+      } finally q.stop()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }

@@ -158,8 +158,11 @@ class Wave13Spec extends SparkSpec {
         "s", "d", "w", iters = 3)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(pr.keySet == prw.keySet)
+    // rank/outdeg vs rank*(1/wdeg) differ by ≤1 ulp pre-floor, so each
+    // quantized contribution can differ by one 2^-40 step: tolerance is
+    // maxdeg·2^-40, comfortably under 1e-10 on this 12-node fixture
     pr.foreach { case (k, v) =>
-      assert(math.abs(prw(k) - v) < 1e-12, s"node $k: $v vs ${prw(k)}")
+      assert(math.abs(prw(k) - v) < 1e-10, s"node $k: $v vs ${prw(k)}")
     }
     // mass conservation (no dangling nodes after symmetrization)
     assert(math.abs(prw.values.sum - 1.0) < 1e-9)

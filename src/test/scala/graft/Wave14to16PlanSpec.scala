@@ -71,6 +71,54 @@ class Wave14to16PlanSpec extends SparkSpec {
     }
   }
 
+  test("constructing the fits runs ZERO Spark jobs (no hidden construction-time collects)") {
+    // ADVICE r09: the CollectLimit grep above only sees the RETURNED
+    // frame's plan — a refactor that calls .collect()/.head() while
+    // BUILDING the query (to fit parameters on the driver) never
+    // appears there. Every one of these fits is documented as one lazy
+    // plan, so building it must launch no job at all; this instruments
+    // that directly. Job-start events are delivered async, so the
+    // counter gets a bounded settle wait before each assertion.
+    // one job class is exempt: `spark.read.parquet` runs a one-task
+    // "parquet at ..." schema-inference job per read (footer metadata,
+    // O(files) bytes, no table data) — every Tables.load pays it. A
+    // driver-side DATA action names its stage after the action
+    // ("collect at", "head at", "count at", ...), so counting only
+    // non-"parquet at" jobs keeps the guard aimed at the regression
+    // class while tolerating unavoidable metadata I/O.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (!js.stageInfos.forall(_.name.startsWith("parquet at "))) {
+          jobs.incrementAndGet()
+          names.add(js.stageInfos.map(_.name).mkString("; "))
+        }
+        ()
+      }
+    }
+    def settled(): Int = {
+      var (prev, cur, spins) = (-1, jobs.get(), 0)
+      while (prev != cur && spins < 40) {   // ≤2 s; stable after one gap
+        prev = cur; Thread.sleep(50); cur = jobs.get(); spins += 1
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      fitScanBudget.keys.toSeq.sorted.foreach { q =>
+        val before = settled()
+        queryFn(q)(spark, sf)               // construction ONLY — no action
+        val after = settled()
+        assert(after == before,
+          s"$q launched ${after - before} Spark job(s) during CONSTRUCTION " +
+            "— a driver-side fit collect the plan grep cannot see; stages: " +
+            names.toArray.mkString(" | "))
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("iterative fits broadcast the parameter row, never shuffle-join it") {
     // every round folds the 1-row parameter frame back via a broadcast
     // nested-loop/cross join; a SortMergeJoin in these plans would mean
