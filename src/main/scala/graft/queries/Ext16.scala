@@ -170,6 +170,105 @@ object Ext16 {
         .agg(count(lit(1)).as("n_kept"))
     }),
 
+    // CHECKPOINT RESTART graded end-to-end — the recovery half of
+    // exactly-once that x_stream_sink's commit log can't exercise alone:
+    // run 1 dedups half the fixture (even user ids) into a parquet sink
+    // + checkpoint and STOPS; run 2 is a NEW query object on the SAME
+    // checkpoint + sink, fed the FULL fixture (every run-1 row again).
+    // Three recovery contracts must all hold for the census to match:
+    // (a) source offsets resume — run 1's files are not reprocessed;
+    // (b) the RocksDB dedup state RESTORES — run 1's fingerprints drop
+    // their re-arrivals in run 2; (c) the sink commit log survives — a
+    // re-listed batch-0 file would double-count. The watermark horizon
+    // spans the fixture (the proven sessions recipe) so nothing is late
+    // across the restart, and the final census is the plain batch
+    // COUNT(DISTINCT) whatever the split.
+    "x_stream_restart" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val spanH = (bounds.getTimestamp(1).getTime -
+        bounds.getTimestamp(0).getTime) / 3600000L + 2
+      val dir = tempStreamDir("graft_x_stream_restart")
+      val (out, ckpt) = (s"$dir/out", s"$dir/ckpt")
+      ev.filter(pmod(col("user_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/in/b1")
+      def start() = {
+        val src = s.readStream.schema(ev.schema).parquet(s"$dir/in/*")
+          .withColumn("fp", concat(col("user_id").cast("string"),
+            lit("|"), col("event_type")))
+        StreamOps.streamingDedup(src, "ts", "fp", s"$spanH hours")
+          .select(col("event_type"), col("fp"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .start()
+      }
+      withStreamConf(s, 8) {
+        val q1 = start()
+        try { q1.processAllAvailable() } finally { q1.stop() }
+        ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/in/b2")
+        val q2 = start()
+        try { q2.processAllAvailable() } finally { q2.stop() }
+      }
+      s.read.parquet(out).groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"))
+    }),
+
+    // stream-STATIC broadcast join — the enrichment staple every
+    // production ingest runs (stream ⋈ dimension table): stateless, so
+    // append mode needs no watermark and no state store; the static
+    // side is explicitly broadcast (a 100 TB stream never shuffles
+    // against a dimension that fits executors). Census per (segment,
+    // type) == the batch join, which DuckDB replays directly.
+    "x_stream_static_join" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val src = Tables.normalizeEventTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val joined = src.join(broadcast(dim), Seq("user_id"))
+      val sink = "x_stream_static_join_mem"
+      s.catalog.dropTempView(sink)
+      withStreamConf(s, 8) {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
+      s.table(sink).groupBy(col("c_mktsegment").as("segment"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+    }),
+
+    // Trigger.AvailableNow graded — the production BACKFILL mode: drain
+    // everything currently available under the source's rate limits
+    // (maxFilesPerTrigger=1 forces three real micro-batches here), then
+    // self-terminate; awaitTermination() returning IS the trigger
+    // contract. Complete-mode aggregate census == the batch GROUP BY.
+    "x_stream_available_now" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"), col("value"))
+      val dir = tempStreamDir("graft_x_stream_avnow")
+      ev.repartition(3).write.mode("overwrite").parquet(s"$dir/in")
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      val sink = "x_stream_available_now_mem"
+      s.catalog.dropTempView(sink)
+      withStreamConf(s, 8) {
+        val q = src.groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total_value"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { q.stop() }
+      }
+      s.table(sink)
+    }),
+
     // APPEND-mode windowed aggregation with watermark EVICTION (VERDICT
     // r09 item 4): x_stream_window grades complete mode, which re-emits
     // the whole result table each trigger — a census harness, unbounded
@@ -445,6 +544,29 @@ object Ext16 {
     "x_stream_sink" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_kept
          FROM events GROUP BY event_type""",
+
+    // restart-recovered dedup over (half, then full) fixture == one
+    // batch COUNT(DISTINCT): offsets resumed, state restored, commit
+    // log honored — any recovery failure breaks the equality
+    "x_stream_restart" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_kept
+         FROM events GROUP BY event_type""",
+
+    // the stream-static broadcast enrichment == the batch join
+    "x_stream_static_join" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_value
+         FROM events e JOIN customer c ON c.c_custkey = e.user_id
+         GROUP BY 1, 2""",
+
+    // AvailableNow's drained aggregate == the batch GROUP BY
+    "x_stream_available_now" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_value
+         FROM events GROUP BY 1""",
 
     // append-mode finals with every window watermark-closed == the same
     // batch tumbling aggregate complete mode grades

@@ -48,11 +48,14 @@ class ContractSpec extends SparkSpec {
     // sessionization, inner + watermark-certified OUTER interval join,
     // foreachBatch IVM) each census-graded against an order-invariant
     // batch oracle.
-    // round 10 added the two production streaming paths the r9 verdict
-    // named missing: x_stream_sink (parquet file sink + checkpoint,
-    // census over the commit-log read-back) and x_stream_window_append
-    // (append-mode windowed agg — watermark EVICTION emits the finals).
-    assert(n == 409 && exact == 409,
+    // round 10 added five production streaming paths: x_stream_sink
+    // (parquet file sink + checkpoint, census over the commit-log
+    // read-back), x_stream_window_append (append-mode windowed agg —
+    // watermark EVICTION emits the finals), x_stream_restart (checkpoint
+    // recovery: offsets + RocksDB state + sink commit log across a stop/
+    // new-query restart), x_stream_static_join (broadcast dimension
+    // enrichment), and x_stream_available_now (the backfill trigger).
+    assert(n == 412 && exact == 412,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 

@@ -515,6 +515,48 @@ class StreamingSpec extends SparkSpec {
       "append-mode finals != batch tumbling aggregate")
   }
 
+  test("graded x_stream_restart: checkpoint recovery across a stop/restart == batch distinct") {
+    val got = graft.queries.Ext16.queries("x_stream_restart")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // equality proves all three recovery contracts at once: a replayed
+    // batch-0 file or lost dedup state would inflate counts; a lost
+    // sink commit would deflate them
+    assert(got == batch,
+      s"restart census != batch distinct: ${got.toSet.diff(batch.toSet).take(3)}")
+  }
+
+  test("graded x_stream_static_join == batch dimension join census") {
+    val got = graft.queries.Ext16.queries("x_stream_static_join")(spark, sf)
+    val ev = Tables.load(spark, sf, "events")
+    val dim = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val batch = ev.join(dim, Seq("user_id"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+    assert(got.count() > 0, "no enriched rows?")
+    assert(got.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(got).count() == 0,
+      "streamed enrichment != batch dimension join")
+  }
+
+  test("graded x_stream_available_now drains all batches then self-terminates == batch recompute") {
+    val got = graft.queries.Ext16.queries("x_stream_available_now")(spark, sf)
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+    assert(got.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(got).count() == 0,
+      "AvailableNow drain != batch recompute")
+  }
+
   test("append-mode watermark eviction DROPS state rows (the 100 TB state bound)") {
     // replicate the graded append pipeline with the query handle exposed
     // so progress metrics are inspectable: after the sentinel advances
