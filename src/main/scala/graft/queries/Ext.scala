@@ -517,6 +517,19 @@ object Ext {
           concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
         "src", "dst", iters = 3)),
 
+    // PERSONALIZED PageRank over the same incidence graph: teleport mass
+    // returns to the SUPPLIER side only (the seed set, derived from the
+    // edge frame so no seed can dangle) — the seed-relative relevance /
+    // corpus-expansion primitive. Same fixed-point long-sum rounds as
+    // x_pagerank, plus one full-outer teleport join per round
+    "x_ppr" -> ((s, d) => {
+      val e = t(s, d, "lineitem").select(
+        concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+      graft.operators.Graphs.personalizedPageRank(
+        e, "src", "dst", e.select(col("src")), "src", iters = 3)
+    }),
+
     // exact triangle census of the part co-purchase graph (parts sharing
     // an order ≥ 2 times): degree-ordered wedge closure — the orientation
     // bounds every out-neighborhood by O(√m), so the hub part that would
@@ -2844,6 +2857,40 @@ object Ext {
           nn AS (SELECT count(*) AS n FROM deg),
           r0 AS (SELECT src AS node, CAST('1.0' AS DOUBLE) / n AS rank
                  FROM deg CROSS JOIN nn),
+          $rounds
+          SELECT node, rank FROM r3"""
+    },
+
+    // personalized PageRank replayed: the x_pagerank round CTEs with the
+    // per-round contribution aggregate FULL OUTER JOINed against the
+    // supplier-seed teleport frame (COALESCE in the same fixed single-
+    // addition order the engine uses)
+    "x_ppr" -> {
+      val dmp = "CAST('0.85' AS DOUBLE)"
+      val tel = "(CAST('1.0' AS DOUBLE) - CAST('0.85' AS DOUBLE))"
+      val scl = "CAST('1099511627776.0' AS DOUBLE)"
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT s.dst,
+                   CAST(floor($dmp * r.rank / d.outdeg * $scl) AS BIGINT) AS cq
+                 FROM sym s JOIN r${i - 1} r ON s.src = r.node
+                            JOIN deg d ON s.src = d.src),
+          a$i AS (SELECT dst, sum(cq) AS sq FROM c$i GROUP BY dst),
+          r$i AS (SELECT COALESCE(a.dst, t.tnode) AS node,
+                   COALESCE(t.tele, CAST('0.0' AS DOUBLE))
+                     + CAST(COALESCE(a.sq, 0) AS DOUBLE) / $scl AS rank
+                 FROM a$i a FULL OUTER JOIN tf t ON t.tnode = a.dst)"""
+      }.mkString(",\n          ")
+      s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                             'p' || l_partkey AS dst FROM lineitem),
+          sym AS (SELECT src, dst FROM e0
+                  UNION SELECT dst AS src, src AS dst FROM e0),
+          deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+          seeds AS (SELECT DISTINCT src AS node FROM e0),
+          ns AS (SELECT count(*) AS ns FROM seeds),
+          tf AS (SELECT node AS tnode, $tel / ns AS tele
+                 FROM seeds CROSS JOIN ns),
+          r0 AS (SELECT node, CAST('1.0' AS DOUBLE) / ns AS rank
+                 FROM seeds CROSS JOIN ns),
           $rounds
           SELECT node, rank FROM r3"""
     },

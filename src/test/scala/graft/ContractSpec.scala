@@ -55,7 +55,9 @@ class ContractSpec extends SparkSpec {
     // recovery: offsets + RocksDB state + sink commit log across a stop/
     // new-query restart), x_stream_static_join (broadcast dimension
     // enrichment), and x_stream_available_now (the backfill trigger).
-    assert(n == 412 && exact == 412,
+    // plus x_ppr: personalized PageRank (seed-set teleport) on the
+    // fixed-point long-sum machinery.
+    assert(n == 413 && exact == 413,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 

@@ -156,6 +156,31 @@ class GraphsSpec extends SparkSpec {
     assert(ranks(edges.repartition(5), 3) == r3, "ranks changed under repartition")
   }
 
+  test("personalizedPageRank: hand arithmetic on a path with seed {a}; mass conserved; partition-invariant") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    def ranks(df: org.apache.spark.sql.DataFrame, iters: Int) =
+      Graphs.personalizedPageRank(df, "src", "dst",
+          Seq("a").toDF("id"), "id", iters)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // by hand (teleport only to a): r1={a:.15, b:.85};
+    // r2={a:.15+.36125, b:.1275, c:.36125};
+    // r3={a:.15+.0541875, b:.4345625+.3070625, c:.0541875}
+    val r2 = ranks(edges, 2)
+    assert(math.abs(r2("a") - 0.51125) < 1e-11)
+    assert(math.abs(r2("b") - 0.1275) < 1e-11)
+    assert(math.abs(r2("c") - 0.36125) < 1e-11)
+    val r3 = ranks(edges, 3)
+    assert(math.abs(r3("a") - 0.2041875) < 1e-11)
+    assert(math.abs(r3("b") - 0.7416250) < 1e-11)
+    assert(math.abs(r3("c") - 0.0541875) < 1e-11)
+    // no dangling seeds -> teleport + flow conserve the unit mass
+    assert(math.abs(r3.values.sum - 1.0) < 1e-9)
+    // the seed stays favored over the symmetric far end
+    assert(r3("a") > r3("c"), "seed must outrank the far endpoint")
+    assert(ranks(edges.repartition(5), 3) == r3, "ranks changed under repartition")
+  }
+
   test("pageRank plan: contribution sums are partial-aggregable long sums, no list state") {
     // the r9 `weak` fix pinned: the per-round aggregation must be a
     // HashAggregate over a LongType sum (associative → map-side partial
