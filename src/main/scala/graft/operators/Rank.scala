@@ -37,8 +37,31 @@ import org.apache.spark.sql.functions._
   * Cost: two spine shuffles (range + the window's hash on _pid)
   * instead of one single-partition funnel — narrow rows, fully
   * parallel, the shape that survives a 100× scale-up.
+  *
+  * CORRECTNESS PREREQUISITE — the range-partitioned spine is
+  * MATERIALIZED (persist MEMORY_AND_DISK) before `_pid` fans out to
+  * its two consumers (the per-partition window and the per-partition
+  * totals/patch aggregate). Without it each consumer plans its OWN
+  * range exchange (column pruning makes the two exchanges non-equal,
+  * so ReuseExchange cannot deduplicate them), and each exchange's
+  * RangePartitioner samples with a seed derived from its own rdd.id —
+  * the two evaluations can and do pick DIFFERENT boundaries, so the
+  * `_pid` labels in the window rows and in the offset table describe
+  * different row sets and the added offsets are garbage. This is not
+  * theoretical: the round-10 sf0.1 sweep caught x_conformal's k-th
+  * order statistic landing 9 433 ranks off (and a repeat run landed
+  * elsewhere — per-run nondeterminism), while every sf0.01 run had
+  * passed. The persist pins one materialization of (row, _pid) that
+  * both consumers read; the cached blocks are disk-backed (no
+  * eviction loss) and are freed by the context cleaner on GC or by
+  * CheckpointBlocks.releaseAll between bench measurements.
   */
 object Rank {
+
+  /** Materialize the range-partitioned spine so `_pid` is assigned
+    * exactly once — see the object doc's CORRECTNESS PREREQUISITE. */
+  private def pinned(ranged: DataFrame): DataFrame =
+    ranged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Append exact global running sums to `spine`.
     *
@@ -61,8 +84,8 @@ object Rank {
                   cums: Seq[(String, String)],
                   inclusive: Boolean = true): DataFrame = {
     require(cums.nonEmpty, "Rank.withCumSums: need at least one sum")
-    val ranged = spine.repartitionByRange(orderCols.map(col): _*)
-      .withColumn("_pid", spark_partition_id())
+    val ranged = pinned(spine.repartitionByRange(orderCols.map(col): _*)
+      .withColumn("_pid", spark_partition_id()))
     val hi = if (inclusive) 0L else -1L
     val wLocal = Window.partitionBy("_pid")
       .orderBy(orderCols.map(col): _*)
@@ -96,8 +119,8 @@ object Rank {
     * global first row) — the late-arrival / high-watermark shape. */
   def withCumMax(spine: DataFrame, orderCols: Seq[String], srcCol: String,
                  outCol: String, inclusive: Boolean = true): DataFrame = {
-    val ranged = spine.repartitionByRange(orderCols.map(col): _*)
-      .withColumn("_pid", spark_partition_id())
+    val ranged = pinned(spine.repartitionByRange(orderCols.map(col): _*)
+      .withColumn("_pid", spark_partition_id()))
     val hi = if (inclusive) 0L else -1L
     val wLocal = Window.partitionBy("_pid")
       .orderBy(orderCols.map(col): _*)
@@ -128,8 +151,8 @@ object Rank {
     * them. */
   def withLead1(spine: DataFrame, orderCol: String, srcCol: String,
                 outCol: String): DataFrame = {
-    val ranged = spine.repartitionByRange(col(orderCol))
-      .withColumn("_pid", spark_partition_id())
+    val ranged = pinned(spine.repartitionByRange(col(orderCol))
+      .withColumn("_pid", spark_partition_id()))
     val wLocal = Window.partitionBy("_pid").orderBy(col(orderCol))
     val local = ranged.withColumn(outCol, lead(col(srcCol), 1).over(wLocal))
     val wNext = Window.orderBy("_pid")
