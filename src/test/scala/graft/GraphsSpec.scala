@@ -188,11 +188,13 @@ class GraphsSpec extends SparkSpec {
     // degree-sized collect_list — the latter put the hottest node's
     // whole in-contribution list on one row of one task at 100× scale
     import spark.implicits._
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
     for (df <- Seq(Graphs.pageRank(edges, "src", "dst", iters = 2),
       Graphs.pageRankWeighted(edges.withColumn("w", lit(2L)),
-        "src", "dst", "w", iters = 2))) {
+        "src", "dst", "w", iters = 2),
+      Graphs.personalizedPageRank(edges, "src", "dst",
+        edges.select(col("src")), "src", iters = 2))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("collect_list"),
         "rank fold regressed to collect_list state")
