@@ -559,13 +559,20 @@ object Graphs {
     val a2 = adj.select(col("w"), col("n").as("y"))
     val wedges = a1.join(a2, Seq("w")).filter(col("x") < col("y"))
       .join(piv, Seq("w"))
+    // Adamic–Adar as a FIXED-POINT long sum (round 10, the pageRank
+    // recipe): floor(iv·2³⁴) summed as BIGINT — associative, so
+    // partial aggregation and AQE skew-split hold on a hot candidate
+    // pair, where the previous w-sorted collect_list put the pair's
+    // whole common-neighbor list on one row. 2³⁴ keeps the sum far
+    // from overflow even at 10⁷ common neighbors (iv ≤ 1/ln 2), and
+    // the ×2³⁴ scaling is an exact mantissa shift both engines floor
+    // identically.
     val cand = wedges.groupBy("x", "y")
       .agg(count(lit(1)).as("cn"),
-        sort_array(collect_list(struct(col("w"), col("iv")))).as("ms"))
+        sum(floor(col("iv") * lit(17179869184.0)).cast("long")).as("qaa"))
       .filter(col("cn") >= minCommon)
       .select(col("x"), col("y"), col("cn"),
-        aggregate(transform(col("ms"), p => p.getField("iv")),
-          lit(0.0), (acc, v) => acc + v).as("adamic_adar"))
+        (col("qaa").cast("double") / lit(17179869184.0)).as("adamic_adar"))
       .join(und, col("x") === col("a") && col("y") === col("b"),
         "left_anti")
     cand

@@ -2095,8 +2095,10 @@ object Ext {
          FROM per""",
 
     // digest replayed: same '|'-joined rendering, same md5 bucket key,
-    // same key-ordered hash concatenation (no nulls reach the sentinel
-    // in these columns, so the NUL-prefixed null marker never fires)
+    // same additive multiset hash — HUGEINT sum of 52-bit row-hash
+    // prefixes mod 2^61-1 (order-invariant by construction; no nulls
+    // reach the sentinel in these columns, so the NUL-prefixed null
+    // marker never fires)
     "x_table_digest" ->
       """WITH r AS (SELECT c_custkey::VARCHAR AS k,
                     md5(c_custkey::VARCHAR || '|' || c_name || '|' ||
@@ -2107,7 +2109,8 @@ object Ext {
                CAST(('0x' || substr(md5(k), 1, 4))::BIGINT % 64 AS INTEGER) AS bucket
                FROM r)
          SELECT bucket, count(*) AS n_rows,
-                md5(string_agg(rh, '' ORDER BY k)) AS digest
+                CAST(sum(('0x' || substr(rh, 1, 13))::BIGINT)
+                     % 2305843009213693951 AS BIGINT) AS digest
          FROM b GROUP BY bucket""",
 
     // the generator replayed as a distinct-shingle list comprehension

@@ -226,7 +226,8 @@ object Ext3 {
 
     // link prediction on the co-purchase graph: for non-edge part pairs
     // sharing >= 2 common neighbors, common-neighbor count, Jaccard, and
-    // Adamic-Adar with the portable ln + w-sorted fold
+    // Adamic-Adar with the portable ln + fixed-point floor(iv·2^34)
+    // long sums (associative — the pageRank recipe)
     "x_link_predict" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val l1 = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
@@ -1159,8 +1160,9 @@ object Ext3 {
               FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n
               JOIN pv3 ON pv3.w = a1.w),
          cd AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn,
-                list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
-                  list(iv ORDER BY w)), (a, v) -> a + v) AS adamic_adar
+                CAST(sum(CAST(floor(iv * CAST('17179869184.0' AS DOUBLE))
+                    AS BIGINT)) AS DOUBLE)
+                  / CAST('17179869184.0' AS DOUBLE) AS adamic_adar
               FROM wg GROUP BY x, y HAVING count(*) >= 2),
          ne AS (SELECT cd.* FROM cd LEFT JOIN ed
               ON cd.x = ed.a AND cd.y = ed.b WHERE ed.a IS NULL)

@@ -69,9 +69,17 @@ object Warehouse {
     * (the winnowing recipe) — an independent system can compute the same
     * digests to audit a migration.
     *
-    * One narrow hash pass + one bucket-keyed aggregate; per-bucket state
-    * is the sorted hash list (|table|/nBuckets rows — size nBuckets so a
-    * bucket fits an executor, exactly like shuffle sizing). */
+    * One narrow hash pass + one bucket-keyed aggregate. Round 10
+    * replaced the bucket reduction (was: md5 over the bucket's
+    * key-sorted hash concat): that form concentrated |table|/nBuckets
+    * row hashes as ONE string on ONE row — the pageRank collect_list
+    * ceiling. The digest is now the ADDITIVE MULTISET HASH: the sum of
+    * the bucket's 52-bit md5 row-hash prefixes in decimal(38,0), mod
+    * 2⁶¹−1 — associative, so map-side partial aggregation and AQE
+    * skew-split hold and per-row aggregate state is one number; any
+    * changed/added/dropped row shifts the sum except with ~2⁻⁵²
+    * collision chance, and order-invariance holds by construction
+    * instead of by a sort. */
   def tableDigest(df: DataFrame, keyCol: String, nBuckets: Int): DataFrame = {
     val rendered = df.columns.map(c =>
       coalesce(col(c).cast("string"), lit("\u0000NULL"))).toSeq
@@ -82,9 +90,10 @@ object Warehouse {
           % nBuckets).cast("int"))
     hashed.groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
-        md5(array_join(transform(
-          sort_array(collect_list(struct(col("k"), col("rh")))),
-          p => p.getField("rh")), "")).as("digest"))
+        pmod(sum(conv(substring(col("rh"), 1, 13), 16, 10).cast("long")
+            .cast("decimal(38,0)")),
+          lit("2305843009213693951").cast("decimal(38,0)"))
+          .cast("long").as("digest"))
   }
 
   /** Small-file compaction — the warehouse maintenance pass every

@@ -151,9 +151,12 @@ class WarehouseSpec extends SparkSpec {
       concat(lit("name_"), col("id")).as("name"))
     def digests(df: org.apache.spark.sql.DataFrame) =
       Warehouse.tableDigest(df, "id", 16)
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getString(2))).toMap
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val a = digests(base)
     assert(a.size == 16 && a.values.map(_._1).sum == 500)
+    // order-invariance is by construction (modular sum), not by a sort
+    assert(digests(base.repartition(7)) == a,
+      "digest changed under repartition")
     // flip one row's value: same row counts, exactly one digest differs
     val changed = base.withColumn("name",
       when(col("id") === 123, lit("tampered")).otherwise(col("name")))
