@@ -29,6 +29,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the write above fully materialized the query, so its pinned
+      // spines / iterative caches are dead — release them now instead
+      // of letting 400+ queries' blocks pile up in the block manager
+      // for the whole session (ADVICE r10 on Rank.pinned)
+      graft.plans.CheckpointBlocks.releaseAll(spark, blocking = false)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -532,11 +532,13 @@ object Graphs {
     * a neighbor shared by everyone carries ~no signal and 1/ln(d)→0
     * weight anyway). None = exact.
     *
-    * Float discipline: Adamic–Adar folds the per-pair 1/ln(deg(w))
-    * terms in w-sorted order (strict left fold) with [[graft.functions
-    * .Pmath.lnColumn]]'s portable ln, so the doubles are
-    * partition-invariant and bit-replayable by the oracle; cn and the
-    * Jaccard numerator/denominator are exact integers. */
+    * Float discipline: Adamic–Adar sums the per-pair 1/ln(deg(w))
+    * terms (computed with [[graft.functions.Pmath.lnColumn]]'s portable
+    * ln) as FIXED-POINT `floor(iv·2³⁴)` longs — integer addition is
+    * associative, so the sum is partition-order-invariant, keeps
+    * map-side partial aggregation, and is bit-replayed by the oracle as
+    * the same BIGINT sum (see the inline comment at the aggregate); cn
+    * and the Jaccard numerator/denominator are exact integers. */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
                      minCommon: Int = 2,
                      maxPivotDeg: Option[Int] = None): DataFrame = {
@@ -691,11 +693,18 @@ object Graphs {
     * partitioned on the join key, per-round contributions quantized to
     * `floor(c·2⁴⁰)` associative long sums (partial-agg + AQE-skew-split
     * friendly, bit-replayed by DuckDB as the same BIGINT sum). The
-    * teleport re-enters each round via ONE full-outer join against the
-    * |S|-row teleport frame, added to the contribution quotient in a
-    * fixed single-addition order — deterministic on both engines. Nodes
-    * with zero rank (unreached, non-seed) are absent rather than 0-row
-    * padded, identically on both sides. Callers must pass seeds that
+    * teleport re-enters each round via a BROADCAST left join against
+    * the |S|-row teleport frame — seeds that received no contribution
+    * this round stay present because a zero-contribution row per seed
+    * is unioned into the aggregate input (|S| extra rows, an exact 0
+    * under the integer sum), which is what lets the tiny side broadcast
+    * instead of the previous full-outer's per-round sort-merge exchange
+    * of the node-sized rank frame. The teleport is added to the
+    * contribution quotient in a fixed single-addition order —
+    * deterministic on both engines, bit-identical to the full-outer
+    * formulation. Nodes with zero rank (unreached, non-seed) are absent
+    * rather than 0-row padded, identically on both sides. Callers must
+    * pass seeds that
     * appear in the graph (a degree-0 seed would dangle and leak mass —
     * the graded query derives seeds from the edge frame itself). */
   def personalizedPageRank(edges: DataFrame, srcCol: String,
@@ -719,12 +728,16 @@ object Graphs {
         .select(col("dst"),
           floor(lit(damping) * col("rank") / col("outdeg") * lit(RankScale))
             .cast("long").as("cq"))
+        // zero-contribution row per seed: keeps every seed in the
+        // aggregate (sq unchanged — integer +0), so the teleport join
+        // below can be a broadcast LEFT join instead of a full-outer
+        // sort-merge that re-shuffles the node-sized frame every round
+        .union(seedSet.select(col("node").as("dst"), lit(0L).as("cq")))
       val agg = contribs.groupBy("dst").agg(sum("cq").as("sq"))
-      ranks = agg.join(tf, agg("dst") === tf("tnode"), "full_outer")
-        .select(coalesce(col("dst"), col("tnode")).as("node"),
+      ranks = agg.join(broadcast(tf), agg("dst") === tf("tnode"), "left")
+        .select(col("dst").as("node"),
           (coalesce(col("tele"), lit(0.0)) +
-            coalesce(col("sq"), lit(0L)).cast("double") / lit(RankScale))
-            .as("rank"))
+            col("sq").cast("double") / lit(RankScale)).as("rank"))
     }
     ranks
   }

@@ -2455,8 +2455,8 @@ object Stats {
     *
     * Scale shape: ONE spine serves every requested pair — a single
     * hash aggregate to distinct values carrying one count column per
-    * group, [[Rank.withCumSums]] for all CDFs in one distributed pass,
-    * [[Rank.withLead1]] for the interval widths, then an explode to
+    * group, the FUSED [[Rank.withCumSumsLead1]] for all CDFs and the
+    * interval widths in one distributed pass, then an explode to
     * (pair, contribution) rows and one hash aggregate. No
     * single-partition window anywhere; the spine is bounded by the
     * distinct quantized values, not by rows. */
@@ -2469,9 +2469,10 @@ object Stats {
     val aCols = groups.map(g =>
       sum(when(col("g") === g, 1L).otherwise(0L)).as(s"a_$g"))
     val perV = f.groupBy("v").agg(aCols.head, aCols.tail: _*)
-    val cum = Rank.withCumSums(perV, Seq("v"),
-      groups.map(g => s"a_$g" -> s"c_$g"))
-    val led = Rank.withLead1(cum, "v", "v", "v_next")
+    // fused cum+lead: one range exchange, one pin, one WindowExec for
+    // all CDFs AND the interval widths (bit-identical to the chain)
+    val led = Rank.withCumSumsLead1(perV, "v",
+      groups.map(g => s"a_$g" -> s"c_$g"), "v", "v_next")
     val nCols = groups.map(g =>
       sum(when(col("g") === g, 1L).otherwise(0L)).as(s"n_$g"))
     val tot = f.groupBy().agg(nCols.head, nCols.tail: _*)
@@ -2779,7 +2780,7 @@ object Stats {
     * (ordered pairs), within-group likewise with 2·cum·(n−cum).
     * decimal(38,0) cross-products, three string-mediated double
     * divisions at the very end. Same scale shape as Wasserstein: one
-    * spine aggregate, [[Rank.withCumSums]], [[Rank.withLead1]], one
+    * spine aggregate, the fused [[Rank.withCumSumsLead1]], one
     * 1-row reduce. */
   def energyDistance(df: DataFrame, inA: Column, inB: Column,
                      valueCents: Column): DataFrame = {
@@ -2787,9 +2788,8 @@ object Stats {
       when(inA, 1L).otherwise(0L).as("ya")).where(col("v").isNotNull)
     val perV = f.groupBy("v").agg(sum("ya").as("ca"),
       (count(lit(1)) - sum("ya")).as("cb"))
-    val cum = Rank.withCumSums(perV, Seq("v"),
-      Seq("ca" -> "cuma", "cb" -> "cumb"))
-    val led = Rank.withLead1(cum, "v", "v", "v_next")
+    val led = Rank.withCumSumsLead1(perV, "v",
+      Seq("ca" -> "cuma", "cb" -> "cumb"), "v", "v_next")
     val tot = f.agg(sum("ya").as("na"), (count(lit(1)) - sum("ya")).as("nb"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val gap = (col("v_next") - col("v"))

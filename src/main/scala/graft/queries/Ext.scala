@@ -1131,6 +1131,24 @@ object Ext {
       Multimodal.decodeImages(Multimodal.synthPngs(
         t(s, d, "documents").filter(col("doc_id") < 100), "doc_id"))),
 
+    // REAL JPEG decode through the JDK's own lossy codec (the r9/r10
+    // named plug-in gap): synthesize solid-color JPEGs executor-side,
+    // decode with the SAME decodeImages path as PNG, and grade what a
+    // lossy round trip CAN pin deterministically — exact dimensions
+    // plus channel means within ±6 of the closed-form color (measured
+    // JDK round-trip error ≤ 3.0). A channel swap, dimension mixup, or
+    // garbage decode flips ok_color to false and hash-mismatches.
+    "x_image_decode_jpeg" -> ((s, d) => {
+      val tol = lit(6.0)
+      Multimodal.decodeImages(Multimodal.synthJpegs(
+          t(s, d, "documents").filter(col("doc_id") < 100), "doc_id"))
+        .withColumn("ok_color",
+          abs(col("avg_r") - (col("media_id") * 37 % 256).cast("double")) <= tol &&
+          abs(col("avg_g") - (col("media_id") * 59 % 256).cast("double")) <= tol &&
+          abs(col("avg_b") - (col("media_id") * 83 % 256).cast("double")) <= tol)
+        .select(col("media_id"), col("width"), col("height"), col("ok_color"))
+    }),
+
     // real JDK WAV codec round trip: encode a closed-form PCM16 waveform
     // with AudioSystem.write, decode it back with the WAV reader, report
     // the integer-exact sample statistics the oracle recomputes from the
@@ -3015,6 +3033,17 @@ object Ext {
                 (g * (w * h - 1) + (255 - g))::DOUBLE / (w * h) AS avg_g,
                 (b * (w * h - 1) + (255 - b))::DOUBLE / (w * h) AS avg_b
          FROM ids""",
+
+    // what a correct JPEG decode MUST read back: exact dimensions, and
+    // channel means within the graded ±6 tolerance of the synthesized
+    // solid color (the lossy-codec contract — measured JDK round-trip
+    // error ≤ 3.0/channel, so ok_color is TRUE for every id)
+    "x_image_decode_jpeg" ->
+      """SELECT doc_id AS media_id,
+                CAST(8 + doc_id % 9 AS INTEGER) AS width,
+                CAST(8 + doc_id % 7 AS INTEGER) AS height,
+                TRUE AS ok_color
+         FROM documents WHERE doc_id < 100""",
 
     // what a correct AVI demux + DIB decode MUST read back: every pixel
     // of every frame regenerated from the closed form, summed per

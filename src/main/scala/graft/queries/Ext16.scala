@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 
 import graft.Tables
 import graft.streaming.StreamOps
@@ -49,22 +49,31 @@ object Ext16 {
     try body finally { s.conf.set(pKey, prevP); s.conf.set(sKey, prevS) }
   }
 
-  /** Temp dir for a bounded stream replay, registered for recursive
-    * deletion at JVM exit (ADVICE r09: bench warm-up + timed runs + the
-    * ContractSpec schema sweep each leaked a fixture-copy directory per
-    * invocation). Exit-time, not stop-time, deletion: the file-sink
-    * census READS its directory back after the stream stops, and every
-    * graded result is lazily consumed by the caller. */
-  private def tempStreamDir(prefix: String): java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import scala.jdk.CollectionConverters._
+  /** Dirs staged by [[tempStreamDir]], swept by ONE static JVM shutdown
+    * hook over this queue (ADVICE r10: the previous hook-per-invocation
+    * design accumulated one hook thread per bench warm-up/timed/
+    * re-measure run across the six streaming queries). Exit-time, not
+    * stop-time, deletion: the file-sink census READS its directory back
+    * after the stream stops, and every graded result is lazily consumed
+    * by the caller. */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    tempDirs.iterator().asScala.foreach { p =>
       if (Files.exists(p)) {
         val all = Files.walk(p).iterator().asScala.toSeq.reverse
         all.foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
       }
-    }))
+    }
+  }))
+
+  /** Temp dir for a bounded stream replay, registered on the single
+    * exit-time sweep above. */
+  private def tempStreamDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p)
     p
   }
 
@@ -519,6 +528,117 @@ object Ext16 {
         .agg(count(col("purchase_id")).as("n_pairs"),
           count(when(col("purchase_id").isNull, lit(1))).as("n_orphans"))
     }),
+
+    // streaming EWMA (flatMapGroupsWithState, event-time timeouts) graded
+    // end-to-end — the last StreamOps operator without a CORRECTNESS row
+    // (VERDICT r10 item 1): per-user exponentially decayed activity whose
+    // timeout-flushed fold replays the batch operator's IEEE ops
+    // double-for-double (StreamOps.ewmaUpdates scaladoc), so the final
+    // per-user (n_events, ewma) equals the batch x_ewma EXACTLY and the
+    // DuckDB list_reduce oracle transfers unchanged. Replay recipe is the
+    // proven x_stream_sessions shape: whole fixture as batch 1 (watermark
+    // spans it — nothing is late), then two sentinel batches past
+    // maxTs + delay to advance the watermark and give the engine a
+    // trigger that fires every user's event-time timeout. Updates are
+    // cumulative (n_events strictly grows per emission), so the final
+    // row per user is the max-(n_events) struct — order-invariant.
+    // 100 TB shape: state folds to two numbers per idle user, buffer
+    // bounded by the watermark horizon; RocksDB via withStreamConf.
+    "x_stream_ewma" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+      val spanH = (maxTs.getTime - minTs.getTime) / 3600000L + 2
+      val dir = tempStreamDir("graft_x_stream_ewma")
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/in/b1")
+      val sentinel = Seq((-1L,
+        new java.sql.Timestamp(maxTs.getTime + (spanH + 2) * 3600000L),
+        -1L, 0.0))
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("user_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("event_id", LongType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+        .withWatermark("ts", s"$spanH hours")
+        .as[StreamOps.VEvent]
+      val sink = "x_stream_ewma_mem"
+      s.catalog.dropTempView(sink)
+      withStreamConf(s, 8) {
+        val q = StreamOps.ewmaUpdates(src, alpha = 0.2).toDF()
+          .writeStream.outputMode("update")
+          .format("memory").queryName(sink).start()
+        try {
+          q.processAllAvailable()
+          for (b <- Seq("b2", "b3")) {
+            sentinel.toDF("user_id", "ts", "event_id", "value").coalesce(1)
+              .write.mode("overwrite").parquet(s"$dir/in/$b")
+            q.processAllAvailable()
+          }
+        } finally { q.stop() }
+      }
+      s.table(sink).filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("ewma"))).as("fin"))
+        .select(col("user_id"),
+          col("fin.n_events").as("n_events"),
+          col("fin.ewma").as("ewma"))
+    }),
+
+    // streaming session-path mining graded end-to-end — the other
+    // formerly ungraded StreamOps operator (VERDICT r10 item 1): each
+    // CLOSED session emits exactly once as the watermark advances
+    // (the timeout sorts the buffer by (ts, event_id) — the batch
+    // operator's exact order — splits on the strict 30-min gap, and
+    // never re-emits: state keeps lastUs with an empty buffer). The
+    // path-frequency census therefore equals the batch x_event_paths
+    // table and its DuckDB oracle transfers unchanged, >= 3 floor
+    // included. Same sentinel replay as x_stream_ewma. 100 TB shape:
+    // state folds to one number per idle user; paths stream out
+    // incrementally instead of accumulating.
+    "x_stream_paths" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+      val spanH = (maxTs.getTime - minTs.getTime) / 3600000L + 2
+      val dir = tempStreamDir("graft_x_stream_paths")
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/in/b1")
+      val sentinel = Seq((-1L,
+        new java.sql.Timestamp(maxTs.getTime + (spanH + 2) * 3600000L),
+        -1L, "x"))
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("user_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("event_id", LongType),
+          StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+        .withWatermark("ts", s"$spanH hours")
+        .as[StreamOps.PEvent]
+      val sink = "x_stream_paths_mem"
+      s.catalog.dropTempView(sink)
+      withStreamConf(s, 8) {
+        val q = StreamOps.sessionPathUpdates(src, gapMinutes = 30).toDF()
+          .writeStream.outputMode("update")
+          .format("memory").queryName(sink).start()
+        try {
+          q.processAllAvailable()
+          for (b <- Seq("b2", "b3")) {
+            sentinel.toDF("user_id", "ts", "event_id", "event_type")
+              .coalesce(1).write.mode("overwrite").parquet(s"$dir/in/$b")
+            q.processAllAvailable()
+          }
+        } finally { q.stop() }
+      }
+      s.table(sink).filter(col("user_id") >= 0)
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .filter(col("n_sessions") >= 3)
+    }),
   )
 
   // ---------------------------------------------------------------- SQL
@@ -649,5 +769,39 @@ object Ext16 {
                 count(pid) AS n_pairs,
                 count(*) FILTER (WHERE pid IS NULL) AS n_orphans
          FROM j GROUP BY user_id""",
+
+    // the timeout-flushed streaming EWMA == the batch x_ewma fold,
+    // double-for-double (same IEEE op order): list_reduce's first
+    // element is the accumulator seed, so prepending 0.0 reproduces
+    // the s = s*(1-α) + α·x recurrence exactly
+    "x_stream_ewma" ->
+      """WITH per AS (SELECT user_id, count(*) AS n,
+                             list(value ORDER BY ts, event_id) AS xs
+                      FROM events GROUP BY user_id)
+         SELECT user_id, CAST(n AS BIGINT) AS n_events,
+                list_reduce(list_prepend(CAST('0.0' AS DOUBLE), xs),
+                  (a, x) -> a * (CAST('1.0' AS DOUBLE) - CAST('0.2' AS DOUBLE))
+                            + CAST('0.2' AS DOUBLE) * x) AS ewma
+         FROM per""",
+
+    // every closed session emits exactly once, in the batch operator's
+    // (ts, event_id) order with the strict 30-min gap cut — so the
+    // streamed path-frequency table == the batch x_event_paths oracle,
+    // >= 3 floor included
+    "x_stream_paths" ->
+      """WITH g AS (SELECT user_id, ts, event_id, event_type,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                         THEN 1 ELSE 0 END AS new_s
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g),
+         p AS (SELECT user_id, sid,
+                      string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+               FROM s GROUP BY user_id, sid)
+         SELECT path, count(*) AS n_sessions FROM p
+         GROUP BY path HAVING count(*) >= 3""",
   )
 }

@@ -46,12 +46,35 @@ class RankPinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("fused withCumSumsLead1 == withCumSums then withLead1, bit for bit") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      // distinct-value spine with two sum sources, enough rows for
+      // several range partitions
+      val spine = spark.range(0L, 5000L, 1L, 8)
+        .select((col("id") * 3L).as("v"), (col("id") % 7L).as("ca"),
+          (col("id") % 5L).as("cb"))
+      val chained = Rank.withLead1(
+        Rank.withCumSums(spine, Seq("v"),
+          Seq("ca" -> "cuma", "cb" -> "cumb")), "v", "v", "v_next")
+      val fused = Rank.withCumSumsLead1(spine, "v",
+        Seq("ca" -> "cuma", "cb" -> "cumb"), "v", "v_next")
+      assert(fused.columns.toSeq == chained.columns.toSeq,
+        s"column sets diverge: ${fused.columns.toSeq} vs ${chained.columns.toSeq}")
+      assert(fused.exceptAll(chained).isEmpty && chained.exceptAll(fused).isEmpty,
+        "fused cum+lead pass disagrees with the chained operators")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("Rank pins one materialization of the range spine (InMemoryRelation in plan)") {
     import spark.implicits._
     val spine = Seq((1.0, "a"), (2.0, "b"), (3.0, "c")).toDF("r", "id")
     for (df <- Seq(
       Rank.withRowNumber(spine, Seq("r", "id"), "rk"),
       Rank.withCumMax(spine, Seq("r"), "r", "mx"),
+      Rank.withCumSumsLead1(spine.withColumn("one", lit(1L)), "r",
+        Seq("one" -> "cum"), "r", "nxt"),
       Rank.withLead1(spine.select(col("r")).distinct(), "r", "r", "nxt"))) {
       val plan = df.queryExecution.optimizedPlan.toString
       assert(plan.contains("InMemoryRelation"),
