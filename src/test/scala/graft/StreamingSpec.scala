@@ -601,4 +601,71 @@ class StreamingSpec extends SparkSpec {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("CRASH restart: kill mid-replay (stop, no drain) neither drops nor duplicates") {
+    // x_stream_restart proves recovery across two CLEAN stops (each run
+    // drained with processAllAvailable). This is the harder claim — the
+    // one RocksDB checkpointing exists for (VERDICT r10 item 6): run 1
+    // is KILLED while micro-batches are still pending (stop() with no
+    // drain, 8 one-file batches staged), so an arbitrary strict prefix
+    // of batches has committed — possibly with a state-store commit the
+    // sink never saw. Run 2 is a new query on the same checkpoint + sink
+    // and must finish the job: offsets resume exactly after the last
+    // COMMITTED batch, interrupted batches replay from their logged
+    // offsets against the restored state version, and the sink commit
+    // log hides any torn file from the kill. The census must equal the
+    // batch distinct EXACTLY, whatever prefix survived run 1.
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(pKey)
+    spark.conf.set(pKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val spanH = (bounds.getTimestamp(1).getTime -
+      bounds.getTimestamp(0).getTime) / 3600000L + 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_restart")
+    try {
+      val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
+      ev.repartition(8).write.mode("overwrite").parquet(in)
+      def start() = {
+        val src = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(in)
+          .withColumn("fp", concat(col("user_id").cast("string"),
+            lit("|"), col("event_type")))
+        StreamOps.streamingDedup(src, "ts", "fp", s"$spanH hours")
+          .select(col("event_type"), col("fp"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .start()
+      }
+      val q1 = start()
+      // kill as soon as at least one micro-batch has committed — with 7
+      // more single-file batches pending, stop() interrupts mid-replay
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (q1.recentProgress.length < 1 && q1.isActive &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      val committedBeforeKill = q1.recentProgress.length
+      q1.stop() // NO processAllAvailable: batches are still pending
+      info(s"killed run 1 after $committedBeforeKill committed micro-batches")
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      val sunk = spark.read.parquet(out) // commit-log filtered read-back
+      val dups = sunk.groupBy("fp").count()
+        .filter(col("count") > 1).count()
+      assert(dups == 0, s"$dups fingerprints duplicated across the restart")
+      val want = ev.select(concat(col("user_id").cast("string"),
+        lit("|"), col("event_type")).as("fp")).distinct().count()
+      val gotN = sunk.count()
+      assert(gotN == want,
+        s"sink has $gotN rows, batch distinct is $want — restart " +
+          (if (gotN < want) "dropped" else "duplicated") + " rows")
+    } finally {
+      prevProvider.fold(spark.conf.unset(pKey))(spark.conf.set(pKey, _))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
