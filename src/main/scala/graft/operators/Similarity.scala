@@ -163,9 +163,12 @@ object Similarity {
         zip_with(col("qq"), col("cq"), (a, b) => a.cast("long") * b.cast("long")),
         lit(0L), (s, x) => s + x))
       .select("query_id", "neighbor_id", "coarse")
-    val wCoarse = Window.partitionBy("query_id")
-      .orderBy(col("coarse").desc, col("neighbor_id").asc)
-    val short = coarse.withColumn("crank", row_number().over(wCoarse))
+    // sort-free shortlist: the coarse frame is CORPUS-sized, and the
+    // row_number window would fully sort every query's copy of it —
+    // TopKPerKeyExec keeps a bounded shortlist-heap per query instead
+    // (identical rows and tie-breaks; TopKSpec proves window ≡ heap)
+    val short = graft.plans.TopKPerKey(coarse, Seq("query_id"),
+        Seq("coarse" -> false, "neighbor_id" -> true), shortlist, "crank")
       .filter(col("crank") <= shortlist).drop("crank")
     val cFull = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"),
       Vectors.l2Norm(col(cVec)).as("cn"))
@@ -222,9 +225,10 @@ object Similarity {
         codeword(j, col(s"code_$j")))).reduce(_ + _)
     val scored = coded.crossJoin(broadcast(q)).withColumn("adc", adc)
       .select("query_id", "neighbor_id", "adc")
-    val wCoarse = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val short = scored.withColumn("crank", row_number().over(wCoarse))
+    // sort-free shortlist over the corpus-sized ADC frame (see
+    // quantizedRerank): bounded heap per query, no per-query full sort
+    val short = graft.plans.TopKPerKey(scored, Seq("query_id"),
+        Seq("adc" -> false, "neighbor_id" -> true), shortlist, "crank")
       .filter(col("crank") <= shortlist).drop("crank")
     val cFull = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"),
       Vectors.l2Norm(col(cVec)).as("cn"))

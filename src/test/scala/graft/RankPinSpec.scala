@@ -67,6 +67,39 @@ class RankPinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("distributed rank is AQE-invariant (Bench runs AQE on, Verify runs it off)") {
+    // the two driver mains run the SAME queries under different
+    // adaptive-execution settings; AQE may coalesce the range exchange's
+    // partitions, which changes _pid values — correctness relies on the
+    // concatenation invariant (adjacent range partitions stay ordered
+    // under coalescing), so pin that both modes produce identical ranks
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "6")
+    try {
+      val spine = spark.range(0L, 30000L, 1L, 8)
+        .select((col("id") % 613L).cast("double").as("r"),
+          (col("id") % 7919L).cast("string").as("id"))
+      // COLLECT inside the conf scope: AQE is consulted at execution
+      // time, so a lazily-returned frame would run under whatever the
+      // conf says later, not what it said at construction
+      def ranksWith(aqe: Boolean): Map[Long, Double] = {
+        spark.conf.set(aqeKey, aqe.toString)
+        Rank.withRowNumber(spine, Seq("r", "id"), "rk")
+          .groupBy("rk").agg(min("r").as("rv"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+      val off = ranksWith(aqe = false)
+      val on = ranksWith(aqe = true)
+      assert(on.size == off.size, "AQE on/off row counts differ")
+      assert(on == off, "AQE on/off disagree on rank positions")
+    } finally {
+      prevAqe.fold(spark.conf.unset(aqeKey))(spark.conf.set(aqeKey, _))
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("Rank pins one materialization of the range spine (InMemoryRelation in plan)") {
     import spark.implicits._
     val spine = Seq((1.0, "a"), (2.0, "b"), (3.0, "c")).toDF("r", "id")
