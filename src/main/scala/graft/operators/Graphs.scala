@@ -978,6 +978,82 @@ object Graphs {
     dist
   }
 
+  /** Landmark closeness + harmonic centrality (Bavelas 1950 closeness;
+    * Boldi & Vigna 2014 axioms favor the harmonic form on disconnected
+    * graphs): per-landmark BFS over the undirected graph, then
+    *   closeness = n_reached / Σ d(lm, v)       (reachable-set form)
+    *   harmonic  = Σ_{v reachable, v≠lm} 1/d(lm, v)
+    * over nodes within `maxHops`. Landmarks are the k lexicographically
+    * smallest node ids — a pure data function, so the whole operator is
+    * deterministic and SQL-replayable (the DuckDB oracle reruns the BFS
+    * as a bounded recursive CTE).
+    *
+    * Scale shape: the BFS state carries (landmark, node, dist) — k
+    * simultaneous searches in ONE frontier frame, so each round is
+    * still one equi-join keyed on the edge src + one left-anti against
+    * the visited set (the [[shortestPaths]] discipline: adjacency
+    * cached partitioned on the join key, per-round localCheckpoint +
+    * leaf release, early exit when the frontier drains). k is
+    * parameter-bounded; rounds ≤ min(diameter, maxHops).
+    *
+    * Float discipline: the readout is a per-(landmark, dist) INTEGER
+    * histogram (≤ maxHops rows per landmark), so sum_dist/n_reached are
+    * exact longs, closeness is ONE division of exact integers, and the
+    * harmonic sum folds the ≤ maxHops (dist, cnt) pairs in ascending
+    * dist order — a parameter-bounded ordered fold (the adjudicated
+    * collect_list class), bit-replayed by DuckDB list_reduce. No
+    * data-sized double arithmetic anywhere. */
+  def landmarkCloseness(edges: DataFrame, srcCol: String, dstCol: String,
+                        k: Int, maxHops: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, s"landmarkCloseness: k=$k outside [1, 1024]")
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val adj = fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .repartition(col("u")).persist()
+    val landmarks = adj.select(col("u").as("lm")).distinct()
+      .orderBy("lm").limit(k)
+    var dist = landmarks.select(col("lm"), col("lm").as("id"))
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = dist
+    var hop = 0
+    var exhausted = false
+    while (!exhausted && hop < maxHops) {
+      val candidates = adj
+        .join(frontier.select(col("lm"), col("id").as("u")), Seq("u"))
+        .select(col("lm"), col("v").as("id")).distinct()
+      val newly = candidates.join(dist, Seq("lm", "id"), "left_anti")
+        .withColumn("dist", lit(hop + 1)).localCheckpoint(true)
+      if (newly.isEmpty) {
+        CheckpointBlocks.release(newly)
+        exhausted = true
+      } else {
+        val nextDist = dist.union(newly).localCheckpoint(true)
+        CheckpointBlocks.release(dist)
+        if (hop > 0) CheckpointBlocks.release(frontier)
+        dist = nextDist
+        frontier = newly
+        hop += 1
+      }
+    }
+    adj.unpersist()
+    if (hop > 0) CheckpointBlocks.release(frontier)
+    val hist = dist.filter(col("dist") > 0)
+      .groupBy("lm", "dist").agg(count(lit(1)).as("cnt"))
+    hist.groupBy("lm").agg(
+      sum(col("cnt")).as("n_reached"),
+      sum(col("dist").cast("long") * col("cnt")).as("sum_dist"),
+      // ≤ maxHops pairs per landmark: parameter-bounded ordered fold
+      aggregate(
+        sort_array(collect_list(struct(col("dist"), col("cnt")))),
+        lit(0.0),
+        (acc, s) => acc + s.getField("cnt").cast("double") /
+          s.getField("dist").cast("double")).as("harmonic"))
+      .select(col("lm").as("landmark"), col("n_reached"), col("sum_dist"),
+        (col("n_reached").cast("double") / col("sum_dist").cast("double"))
+          .as("closeness"),
+        col("harmonic"))
+  }
+
   /** Weisfeiler–Lehman label refinement (the 1-WL color refinement):
     * every node's label re-hashes as md5(own label | sorted neighbor
     * labels), `rounds` times, starting from the degree — after r rounds

@@ -517,6 +517,20 @@ object Ext {
           concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
         "src", "dst", iters = 3)),
 
+    // landmark closeness + harmonic centrality over the same incidence
+    // graph: k=4 simultaneous BFS searches in one frontier frame, then
+    // an integer per-(landmark, dist) histogram readout — closeness is
+    // one exact-integer division, harmonic a parameter-bounded
+    // dist-ascending fold. The oracle reruns the BFS as a bounded
+    // recursive CTE (the one operator class where both engines execute
+    // true recursion) and folds the same histogram.
+    "x_closeness" -> ((s, d) =>
+      graft.operators.Graphs.landmarkCloseness(
+        t(s, d, "lineitem").select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
+        "src", "dst", k = 4, maxHops = 8)),
+
     // PERSONALIZED PageRank over the same incidence graph: teleport mass
     // returns to the SUPPLIER side only (the seed set, derived from the
     // edge frame so no seed can dangle) — the seed-relative relevance /
@@ -2857,6 +2871,39 @@ object Ext {
     // the contribution sum as the same fixed-point floor(c·2^40) BIGINT
     // sum the Spark side runs (associative, so partition/scan order is
     // irrelevant on both engines)
+    // the landmark BFS replayed as a bounded recursive CTE (dist < 8
+    // caps recursion; min(dist) collapses revisits), then the same
+    // integer histogram readout: closeness = one division of exact
+    // BIGINTs, harmonic = the dist-ascending list_reduce fold over
+    // <= maxHops per-landmark terms — the same IEEE ops in the same
+    // order as the Spark-side aggregate()
+    "x_closeness" ->
+      """WITH RECURSIVE ed AS (
+           SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS u,
+                           'p' || CAST(l_partkey AS VARCHAR) AS v
+           FROM lineitem),
+         sym AS (SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed),
+         lms AS (SELECT DISTINCT u AS lm FROM sym ORDER BY lm LIMIT 4),
+         bfs(lm, id, dist) AS (
+           SELECT lm, lm AS id, 0 AS dist FROM lms
+           UNION
+           SELECT b.lm, s.v AS id, b.dist + 1 AS dist
+           FROM bfs b JOIN sym s ON s.u = b.id
+           WHERE b.dist < 8),
+         md AS (SELECT lm, id, min(dist) AS dist FROM bfs GROUP BY lm, id),
+         h AS (SELECT lm, dist, count(*) AS cnt FROM md
+               WHERE dist > 0 GROUP BY lm, dist)
+         SELECT lm AS landmark,
+                CAST(sum(cnt) AS BIGINT) AS n_reached,
+                CAST(sum(dist * cnt) AS BIGINT) AS sum_dist,
+                CAST(sum(cnt) AS DOUBLE) / CAST(sum(dist * cnt) AS DOUBLE)
+                  AS closeness,
+                list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+                    list(CAST(cnt AS DOUBLE) / CAST(dist AS DOUBLE)
+                         ORDER BY dist)),
+                  (a, x) -> a + x) AS harmonic
+         FROM h GROUP BY lm""",
+
     "x_pagerank" -> {
       val dmp = "CAST('0.85' AS DOUBLE)"
       val tel = "(CAST('1.0' AS DOUBLE) - CAST('0.85' AS DOUBLE))"

@@ -62,7 +62,9 @@ class ContractSpec extends SparkSpec {
     // twins of x_ewma/x_event_paths) — and added x_image_decode_jpeg
     // (the JDK's lossy codec: dims exact + channel means within the
     // measured error envelope).
-    assert(n == 416 && exact == 416,
+    // plus x_closeness: landmark closeness/harmonic centrality (k
+    // simultaneous BFS searches, recursive-CTE oracle).
+    assert(n == 417 && exact == 417,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 

@@ -228,6 +228,32 @@ class GraphsSpec extends SparkSpec {
       s"expected map-side partial_sum for the fixed-point AA fold:\n$plan")
   }
 
+  test("landmarkCloseness: path-graph hand values; early exit; partition invariance") {
+    import spark.implicits._
+    // path a-b-c-d: landmarks (k=2, lexicographic) = a, b.
+    //   from a: d(b)=1, d(c)=2, d(d)=3 -> n=3, sum=6, C=0.5,
+    //           H = 1/1 + 1/2 + 1/3
+    //   from b: d(a)=1, d(c)=1, d(d)=2 -> n=3, sum=4, C=0.75,
+    //           H = 2/1 + 1/2
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graphs.landmarkCloseness(df, "src", "dst", k = 2, maxHops = 8)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+    val got = run(edges)
+    assert(got.keySet == Set("a", "b"))
+    assert(got("a") == ((3L, 6L, 0.5, 1.0 + 0.5 + 1.0 / 3.0)))
+    assert(got("b") == ((3L, 4L, 0.75, 2.0 + 0.5)))
+    // maxHops truncation: within 1 hop, a reaches only b
+    val capped = Graphs.landmarkCloseness(edges, "src", "dst", 2, maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("a") == 1L && capped("b") == 2L)
+    // partition invariance (integer histogram readout + bounded fold)
+    assert(run(edges.repartition(5)) == got,
+      "closeness changed under repartition")
+  }
+
   private def triStats(edges: Seq[(Long, Long)]) = {
     val r = Graphs.triangleStats(edges.toDF("src", "dst"), "src", "dst")
       .collect().head
