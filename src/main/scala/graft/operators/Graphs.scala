@@ -1054,6 +1054,111 @@ object Graphs {
         col("harmonic"))
   }
 
+  /** Landmark (sampled) betweenness centrality — Brandes' algorithm
+    * (Brandes 2001, "A faster algorithm for betweenness centrality")
+    * restricted to k landmark sources, the standard sampling estimator
+    * (Brandes & Pich 2007): bc(v) = Σ_{s∈landmarks} δ_s(v) with
+    * δ_s(v) = Σ_{w: v ∈ pred_s(w)} σ_s(v)/σ_s(w) · (1 + δ_s(w)).
+    * The bridge/bottleneck-node readout the rest of the centrality
+    * family (degree, PageRank, HITS, closeness) can't provide.
+    *
+    * Scale shape: k searches ride ONE landmark-tagged frame. Forward =
+    * the [[landmarkCloseness]] BFS with σ path counts accumulated per
+    * level (one frontier⋈adjacency join + one anti-join per round,
+    * adjacency cached partitioned on the join key). Backward = one
+    * level-d ⋈ adjacency ⋈ level-(d+1) join per level, deepest first —
+    * the shortest-path DAG edges are exactly (u at level d, w at level
+    * d+1, u~w). Rounds ≤ 2·min(diameter, maxHops); per-level frames are
+    * localCheckpoint'ed (they feed the final union, so they are freed
+    * by the caller's post-materialization release, not mid-operator).
+    *
+    * Float discipline (the pageRank recipe, integer-exact here): δ is
+    * carried as the fixed-point long dq = floor(δ·2³⁰), and each DAG
+    * edge's contribution is computed ENTIRELY in integer arithmetic —
+    * cq = (σ_v · (2³⁰ + dq_w)) div σ_w in decimal(38,0) — so the
+    * per-node sums are associative long sums (partial-agg/skew-safe)
+    * and DuckDB replays them verbatim with HUGEINT `//`. The one
+    * double division (Σdq / 2³⁰) happens at the very end. σ is exact
+    * in BIGINT; a graph whose shortest-path counts overflow 2⁶³ within
+    * maxHops needs the decimal σ variant (documented trade; σ·(2³⁰+dq)
+    * stays ≤ 10³⁸ far past any realistic landmark census).
+    *
+    * Returns (node, bc) for every node reached by ≥1 search, the
+    * search's own source excluded per Brandes; bc may be 0.0. */
+  def landmarkBetweenness(edges: DataFrame, srcCol: String, dstCol: String,
+                          k: Int, maxHops: Int): DataFrame = {
+    require(k >= 1 && k <= 1024,
+      s"landmarkBetweenness: k=$k outside [1, 1024]")
+    val Q = 1073741824L // 2^30, exact in double
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val adj = fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .repartition(col("u")).persist()
+    val landmarks = adj.select(col("u").as("lm")).distinct()
+      .orderBy("lm").limit(k)
+    // forward: levels.head = deepest level so far; (lm, id, sigma)
+    var levels = List(
+      landmarks.select(col("lm"), col("lm").as("id"), lit(1L).as("sigma"))
+        .localCheckpoint(true))
+    var visited = levels.head.select("lm", "id").localCheckpoint(true)
+    var exhausted = false
+    while (!exhausted && levels.size <= maxHops) {
+      val expanded = adj
+        .join(levels.head.select(col("lm"), col("id").as("u"),
+          col("sigma")), Seq("u"))
+        .groupBy(col("lm"), col("v").as("id"))
+        .agg(sum("sigma").as("sigma"))
+      val next = expanded.join(visited, Seq("lm", "id"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) {
+        CheckpointBlocks.release(next)
+        exhausted = true
+      } else {
+        val nv = visited.union(next.select("lm", "id")).localCheckpoint(true)
+        CheckpointBlocks.release(visited)
+        visited = nv
+        levels = next :: levels
+      }
+    }
+    CheckpointBlocks.release(visited)
+    // backward: deepest level seeds dq = 0; each shallower level's dq
+    // sums the integer-exact contributions from its DAG successors
+    var dep = levels.head.withColumn("dq", lit(0L)).localCheckpoint(true)
+    val deps = scala.collection.mutable.ListBuffer(dep)
+    levels.tail.foreach { lvl =>
+      val succ = dep.select(col("lm"), col("id").as("v"),
+        col("sigma").as("sigma_w"), col("dq").as("dq_w"))
+      val contrib = adj
+        .join(lvl.select(col("lm"), col("id").as("u"), col("sigma")),
+          Seq("u"))
+        .join(succ, Seq("lm", "v"))
+        .select(col("lm"), col("u").as("id"),
+          call_function("div",
+            col("sigma").cast("decimal(38,0)") *
+              (lit(Q) + col("dq_w")).cast("decimal(38,0)"),
+            col("sigma_w").cast("decimal(38,0)")).as("cq"))
+      val dqs = contrib.groupBy("lm", "id").agg(sum("cq").as("dqsum"))
+      val newDep = lvl.join(dqs, Seq("lm", "id"), "left")
+        .select(col("lm"), col("id"), col("sigma"),
+          coalesce(col("dqsum"), lit(0L)).as("dq"))
+        .localCheckpoint(true)
+      deps += newDep
+      dep = newDep
+    }
+    adj.unpersist()
+    // deps runs deepest → level 0; level 0 (the sources) is excluded
+    val contributing = deps.toList.dropRight(1)
+    if (contributing.isEmpty) // every landmark isolated: nothing reached
+      return landmarks.select(col("lm").as("node")).limit(0)
+        .withColumn("bc", lit(0.0))
+    contributing
+      .map(_.select(col("id"), col("dq")))
+      .reduce(_ union _)
+      .groupBy("id").agg(sum("dq").as("sdq"))
+      .select(col("id").as("node"),
+        (col("sdq").cast("double") / lit(Q.toDouble)).as("bc"))
+  }
+
   /** Weisfeiler–Lehman label refinement (the 1-WL color refinement):
     * every node's label re-hashes as md5(own label | sorted neighbor
     * labels), `rounds` times, starting from the degree — after r rounds

@@ -531,6 +531,20 @@ object Ext {
           concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
         "src", "dst", k = 4, maxHops = 8)),
 
+    // landmark (sampled Brandes) betweenness over the same incidence
+    // graph: forward BFS with exact BIGINT path counts, backward
+    // dependency accumulation as integer-exact fixed-point longs
+    // (cq = (sigma_v * (2^30 + dq_w)) div sigma_w — no floats until the
+    // single final division), k=4 landmarks, 6-hop horizon. The oracle
+    // unrolls both passes level by level (the x_pagerank recipe) with
+    // HUGEINT // arithmetic.
+    "x_betweenness" -> ((s, d) =>
+      graft.operators.Graphs.landmarkBetweenness(
+        t(s, d, "lineitem").select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
+        "src", "dst", k = 4, maxHops = 6)),
+
     // PERSONALIZED PageRank over the same incidence graph: teleport mass
     // returns to the SUPPLIER side only (the seed set, derived from the
     // edge frame so no seed can dangle) — the seed-relative relevance /
@@ -2903,6 +2917,56 @@ object Ext {
                          ORDER BY dist)),
                   (a, x) -> a + x) AS harmonic
          FROM h GROUP BY lm""",
+
+    // the landmark Brandes replay, both passes unrolled over the static
+    // 6-hop horizon: forward levels l1..l6 (sigma = sum over level-(d-1)
+    // predecessors; NOT EXISTS against the cumulative visited set),
+    // backward d5..d0 with the IDENTICAL integer contribution
+    // (sigma * (2^30 + dq)) // sigma_w in HUGEINT — every intermediate
+    // is an exact integer on both engines; one double division at the end.
+    // Every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and the cum/l chain references each level twice, so the
+    // un-hinted plan re-derives the whole prefix 2^levels times (at
+    // sf0.1 that spilled past the disk before failing)
+    "x_betweenness" -> {
+      val q = "CAST(1073741824 AS HUGEINT)"
+      val fwdCtes = (1 to 6).map { dd =>
+        s"""f$dd AS MATERIALIZED (SELECT l.lm, s.dst AS id, SUM(l.sigma) AS sigma
+               FROM l${dd - 1} l JOIN sym s ON s.src = l.id
+               GROUP BY l.lm, s.dst),
+           l$dd AS MATERIALIZED (SELECT f.lm, f.id, f.sigma FROM f$dd f
+               WHERE NOT EXISTS (SELECT 1 FROM cum${dd - 1} c
+                                 WHERE c.lm = f.lm AND c.id = f.id)),
+           cum$dd AS MATERIALIZED (SELECT lm, id FROM cum${dd - 1}
+                      UNION ALL SELECT lm, id FROM l$dd)"""
+      }.mkString(",\n          ")
+      val bwdCtes = (5 to 0 by -1).map { dd =>
+        s"""b$dd AS MATERIALIZED (SELECT l.lm, l.id,
+                 SUM((l.sigma * ($q + w.dq)) // w.sigma) AS dqsum
+               FROM l$dd l JOIN sym s ON s.src = l.id
+                    JOIN d${dd + 1} w ON w.lm = l.lm AND w.id = s.dst
+               GROUP BY l.lm, l.id),
+           d$dd AS MATERIALIZED (SELECT l.lm, l.id, l.sigma,
+                 CAST(COALESCE(b.dqsum, 0) AS BIGINT) AS dq
+               FROM l$dd l LEFT JOIN b$dd b
+                 ON b.lm = l.lm AND b.id = l.id)"""
+      }.mkString(",\n          ")
+      val union = (1 to 6).map(dd => s"SELECT lm, id, dq FROM d$dd")
+        .mkString(" UNION ALL ")
+      s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                             'p' || l_partkey AS dst FROM lineitem),
+          sym AS MATERIALIZED (SELECT src, dst FROM e0
+                  UNION SELECT dst AS src, src AS dst FROM e0),
+          lms AS MATERIALIZED (SELECT DISTINCT src AS lm FROM sym ORDER BY lm LIMIT 4),
+          l0 AS MATERIALIZED (SELECT lm, lm AS id, CAST(1 AS HUGEINT) AS sigma FROM lms),
+          cum0 AS MATERIALIZED (SELECT lm, id FROM l0),
+          $fwdCtes,
+          d6 AS MATERIALIZED (SELECT lm, id, sigma, CAST(0 AS BIGINT) AS dq FROM l6),
+          $bwdCtes
+          SELECT id AS node,
+                 CAST(SUM(dq) AS DOUBLE) / CAST(1073741824 AS DOUBLE) AS bc
+          FROM ($union) GROUP BY id"""
+    },
 
     "x_pagerank" -> {
       val dmp = "CAST('0.85' AS DOUBLE)"

@@ -62,9 +62,11 @@ class ContractSpec extends SparkSpec {
     // twins of x_ewma/x_event_paths) — and added x_image_decode_jpeg
     // (the JDK's lossy codec: dims exact + channel means within the
     // measured error envelope).
-    // plus x_closeness: landmark closeness/harmonic centrality (k
-    // simultaneous BFS searches, recursive-CTE oracle).
-    assert(n == 417 && exact == 417,
+    // plus x_closeness (landmark closeness/harmonic centrality,
+    // recursive-CTE oracle) and x_betweenness (sampled Brandes,
+    // integer-exact fixed-point dependency accumulation, both passes
+    // unrolled in the oracle).
+    assert(n == 418 && exact == 418,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 

@@ -254,6 +254,30 @@ class GraphsSpec extends SparkSpec {
       "closeness changed under repartition")
   }
 
+  test("landmarkBetweenness: path + diamond hand values; partition invariance") {
+    import spark.implicits._
+    // path a-b-c-d, landmarks a,b (k=2):
+    //   from a: delta(c)=1 (from d), delta(b)=(1+delta(c))=2, delta(d)=0
+    //   from b: delta(c)=1 (from d), delta(a)=0, delta(d)=0
+    //   bc: a=0, b=2, c=2, d=0
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Graphs.landmarkBetweenness(df, "src", "dst", k, maxHops = 6)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = run(path, 2)
+    assert(got == Map("a" -> 0.0, "b" -> 2.0, "c" -> 2.0, "d" -> 0.0), s"$got")
+    // diamond a-b, a-c, b-d, c-d (two shortest a~d paths), landmark a only:
+    //   sigma: b=1, c=1, d=2; delta(b) = 1/2*(1+0) = 0.5 = delta(c)
+    //   fixed-point: floor(sigma_b*(Q+0)/sigma_d)/Q = floor(Q/2)/Q = 0.5 exact
+    val diamond = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+      .toDF("src", "dst")
+    val g1 = run(diamond, 1)
+    assert(g1 == Map("b" -> 0.5, "c" -> 0.5, "d" -> 0.0), s"$g1")
+    // partition invariance: integer-exact contributions, associative sums
+    assert(run(diamond.repartition(5), 1) == g1,
+      "betweenness changed under repartition")
+  }
+
   private def triStats(edges: Seq[(Long, Long)]) = {
     val r = Graphs.triangleStats(edges.toDF("src", "dst"), "src", "dst")
       .collect().head
