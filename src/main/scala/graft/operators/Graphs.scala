@@ -1002,7 +1002,12 @@ object Graphs {
     * harmonic sum folds the ≤ maxHops (dist, cnt) pairs in ascending
     * dist order — a parameter-bounded ordered fold (the adjudicated
     * collect_list class), bit-replayed by DuckDB list_reduce. No
-    * data-sized double arithmetic anywhere. */
+    * data-sized double arithmetic anywhere.
+    *
+    * Return contract: a landmark that reaches NO other node within
+    * `maxHops` (an isolated node) has an empty histogram and is absent
+    * from the output — identically on both engines (the oracle's BFS
+    * CTE produces no dist>0 rows for it either). */
   def landmarkCloseness(edges: DataFrame, srcCol: String, dstCol: String,
                         k: Int, maxHops: Int): DataFrame = {
     require(k >= 1 && k <= 1024, s"landmarkCloseness: k=$k outside [1, 1024]")
@@ -1080,8 +1085,17 @@ object Graphs {
     * and DuckDB replays them verbatim with HUGEINT `//`. The one
     * double division (Σdq / 2³⁰) happens at the very end. σ is exact
     * in BIGINT; a graph whose shortest-path counts overflow 2⁶³ within
-    * maxHops needs the decimal σ variant (documented trade; σ·(2³⁰+dq)
-    * stays ≤ 10³⁸ far past any realistic landmark census).
+    * maxHops needs the decimal σ variant (σ·(2³⁰+dq) stays ≤ 10³⁸ far
+    * past any realistic landmark census). That trade is ENFORCED, not
+    * just documented: each forward level probes max(σ) against
+    * 2⁶²/max-degree (the next level's per-node sum provably cannot
+    * wrap below that bound) and each backward level probes dq ∈
+    * [0, 2⁶¹] (keeping σ·(2³⁰+dq) under decimal(38,0) and flagging a
+    * wrapped long sum, which would surface as a negative dq); a
+    * decimal overflow in the cq product itself (NULL under non-ANSI)
+    * raises instead of being silently dropped by the sum. All three
+    * fail fast with the decimal-σ remediation message rather than
+    * silently diverging from the HUGEINT oracle.
     *
     * Returns (node, bc) for every node reached by ≥1 search, the
     * search's own source excluded per Brandes; bc may be 0.0. */
@@ -1096,6 +1110,19 @@ object Graphs {
       .repartition(col("u")).persist()
     val landmarks = adj.select(col("u").as("lm")).distinct()
       .orderBy("lm").limit(k)
+    // σ-overflow fail-fast bound: next level's σ is a sum of ≤ maxDeg
+    // frontier σ values, so max(σ) ≤ 2⁶²/maxDeg guarantees the BIGINT
+    // sum cannot wrap on the round about to run (one setup-time agg
+    // over the already-persisted adjacency)
+    val maxDeg = math.max(1L,
+      adj.groupBy("u").agg(count(lit(1)).as("d"))
+        .agg(max("d")).first().getLong(0))
+    val sigmaSafe = (1L << 62) / maxDeg
+    def overflowMsg(what: String): String =
+      s"landmarkBetweenness: $what exceeds the BIGINT/fixed-point safety " +
+        "bound; this graph's shortest-path counts need the decimal-σ " +
+        "variant (carry sigma and cq in decimal(38,0) end-to-end) — " +
+        "refusing to wrap silently against the HUGEINT oracle"
     // forward: levels.head = deepest level so far; (lm, id, sigma)
     var levels = List(
       landmarks.select(col("lm"), col("lm").as("id"), lit(1L).as("sigma"))
@@ -1110,7 +1137,15 @@ object Graphs {
         .agg(sum("sigma").as("sigma"))
       val next = expanded.join(visited, Seq("lm", "id"), "left_anti")
         .localCheckpoint(true)
-      if (next.isEmpty) {
+      // ONE probe action over the checkpointed frame gives emptiness
+      // AND the σ guard together (σ<0 = a wrap that already happened)
+      val probe = next.agg(count(lit(1)), max("sigma"), min("sigma")).first()
+      val nEmpty = probe.getLong(0) == 0L
+      if (!nEmpty && (probe.getLong(2) < 0L || probe.getLong(1) > sigmaSafe))
+        throw new IllegalStateException(
+          overflowMsg(s"max(sigma)=${probe.getLong(1)} at level " +
+            s"${levels.size} (bound $sigmaSafe = 2^62/maxDeg=$maxDeg)"))
+      if (nEmpty) {
         CheckpointBlocks.release(next)
         exhausted = true
       } else {
@@ -1128,20 +1163,35 @@ object Graphs {
     levels.tail.foreach { lvl =>
       val succ = dep.select(col("lm"), col("id").as("v"),
         col("sigma").as("sigma_w"), col("dq").as("dq_w"))
+      // a decimal(38,0) overflow in σ·(2³⁰+dq) yields NULL under
+      // non-ANSI and would be SILENTLY dropped by the sum — surface it
+      // as an error instead (raise_error's NullType coerces to cq's)
+      val rawCq = call_function("div",
+        col("sigma").cast("decimal(38,0)") *
+          (lit(Q) + col("dq_w")).cast("decimal(38,0)"),
+        col("sigma_w").cast("decimal(38,0)"))
       val contrib = adj
         .join(lvl.select(col("lm"), col("id").as("u"), col("sigma")),
           Seq("u"))
         .join(succ, Seq("lm", "v"))
         .select(col("lm"), col("u").as("id"),
-          call_function("div",
-            col("sigma").cast("decimal(38,0)") *
-              (lit(Q) + col("dq_w")).cast("decimal(38,0)"),
-            col("sigma_w").cast("decimal(38,0)")).as("cq"))
+          when(rawCq.isNotNull, rawCq)
+            .otherwise(raise_error(lit(overflowMsg(
+              "decimal(38,0) overflow in sigma*(2^30+dq)")))).as("cq"))
       val dqs = contrib.groupBy("lm", "id").agg(sum("cq").as("dqsum"))
       val newDep = lvl.join(dqs, Seq("lm", "id"), "left")
         .select(col("lm"), col("id"), col("sigma"),
           coalesce(col("dqsum"), lit(0L)).as("dq"))
         .localCheckpoint(true)
+      // dq guard on the checkpointed frame: dq < 0 = the long sum of cq
+      // wrapped; dq > 2⁶¹ = the NEXT level's σ·(2³⁰+dq) could exceed
+      // decimal(38,0) (2⁶²·(2³⁰+2⁶¹) ≈ 1.06e37 is the proven-safe box)
+      val dqProbe = newDep.agg(min("dq"), max("dq")).first()
+      if (!dqProbe.isNullAt(0) &&
+          (dqProbe.getLong(0) < 0L || dqProbe.getLong(1) > (1L << 61)))
+        throw new IllegalStateException(
+          overflowMsg(s"dependency accumulator dq in " +
+            s"[${dqProbe.getLong(0)}, ${dqProbe.getLong(1)}]"))
       deps += newDep
       dep = newDep
     }
@@ -1431,5 +1481,118 @@ object Graphs {
     val out = counts.result().toDF("peel_round", "n_edges")
     CheckpointBlocks.release(e)
     out
+  }
+
+  /** HyperANF neighborhood function + effective diameter (Boldi, Rosa
+    * & Vigna 2011, "HyperANF: approximating the neighbourhood function
+    * of very large graphs on a budget"; HyperBall 2013): every node
+    * carries a portable-HLL register set ([[Sketches.hllPortable]]'s
+    * md5/bin discipline — m = 64, α = 0.709) sketching its ball
+    * B(u, t) = {v : d(u, v) ≤ t}; one round of
+    *   B(u, t+1) = B(u, t) ∪ ⋃_{u~v} B(v, t)
+    * is register-wise max over neighbors. N(t) = Σ_u |B(u, t)| is the
+    * neighborhood function; the effective diameter at α is the
+    * smallest t with N(t) ≥ α·N(rounds) — THE classic distance
+    * statistic (median/90th-percentile reachability) that per-landmark
+    * BFS ([[landmarkCloseness]]) cannot give for the whole graph.
+    *
+    * Scale shape — exactly the [[pageRank]] discipline: per round ONE
+    * equi-join (adjacency ⋈ registers, keyed on the persisted
+    * adjacency's join key; the graph is symmetrized so pulling u's
+    * registers onto v equals pulling neighbors' registers) + ONE
+    * (node, bucket) hash-max aggregate, localCheckpoint + release per
+    * round. Register rows are sparse — ≤ min(|B(u,t)|, 64) per node —
+    * so the frame is ≤ 64·n rows and the per-round shuffle ≤ 64·m
+    * rows. (A 1000-executor deployment would pack the 64 registers
+    * into one binary column merged by a zip-max expression to cut the
+    * 64× row fan-out; the row form is the SQL-replayable reference the
+    * oracle can execute.) Exactly `rounds` rounds run — no
+    * data-dependent early exit — so the DuckDB oracle unrolls the same
+    * fixed recurrence (MATERIALIZED per level, the r11 CTE-chain
+    * discipline).
+    *
+    * Float discipline: each node's estimate is the [[Sketches
+    * .hllPortable]] arithmetic (dyadic-exact register sum, portable-ln
+    * linear counting under the raw ≤ 2.5m threshold), quantized to the
+    * fixed-point integer floor(est·2²⁰) BEFORE the data-sized sum — so
+    * N(t) accumulates as an associative decimal(38,0) sum
+    * (partial-agg/skew-safe, order-invariant) and replays exactly in
+    * HUGEINT. The per-round census is a 1-row checkpointed frame;
+    * `nf_q` is returned as BIGINT (exact up to 2⁶³/2²⁰ ≈ 8.8e12 summed
+    * ball mass — beyond that, widen the output to decimal).
+    *
+    * Returns one row per t ∈ [0, rounds]: (t, nf_q, reached_frac,
+    * eff_diameter) with reached_frac = nf_q(t)/nf_q(rounds) and the
+    * same eff_diameter on every row (min t with
+    * 100·nf_q(t) ≥ alphaPct·nf_q(rounds), compared in exact integer
+    * arithmetic). */
+  def hyperANF(edges: DataFrame, srcCol: String, dstCol: String,
+               rounds: Int, alphaPct: Int = 90): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"hyperANF: rounds=$rounds outside [1, 64]")
+    require(alphaPct >= 1 && alphaPct <= 100,
+      s"hyperANF: alphaPct=$alphaPct outside [1, 100]")
+    val Q = 1048576L // 2^20, exact in double
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val adj = fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .repartition(col("u")).persist()
+    // quantized neighborhood-function census of one round's registers:
+    // per-node hllPortable estimate → floor(est·2^20) → exact sum
+    def census(regs: DataFrame, t: Int): DataFrame = {
+      val agg = regs.groupBy("id").agg(count(lit(1)).as("nb"),
+        sum(lit(1.0) /
+          expr("shiftleft(1L, cast(m as int))").cast("double"))
+          .as("s_part"))
+      val pre = agg.select(
+        (col("s_part") + (lit(64L) - col("nb")).cast("double")).as("s"),
+        (lit(64L) - col("nb")).as("zeros"))
+      val raw = (lit(0.709) * lit(4096.0)) / col("s")
+      val lnx = graft.functions.Pmath.lnColumn(
+        when(col("zeros") > 0L, lit(64.0) / col("zeros").cast("double"))
+          .otherwise(lit(1.0)))
+      val est = when(raw <= lit(160.0) && col("zeros") > 0L,
+        lit(64.0) * lnx).otherwise(raw)
+      pre.select(floor(est * lit(Q.toDouble)).cast("decimal(38,0)").as("q"))
+        .agg(sum(col("q")).as("nfq"))
+        .select(lit(t).as("t"), col("nfq").cast("decimal(38,0)").as("nfq"))
+    }
+    // t = 0: each node's ball is {itself} — one register row per node
+    var regs = adj.select(col("u").as("id")).distinct()
+      .select(col("id"),
+        (conv(substring(md5(col("id")), 1, 4), 16, 10).cast("long") % 64)
+          .as("b"),
+        conv(substring(md5(col("id")), 5, 8), 16, 10).cast("long").as("v"))
+      .select(col("id"), col("b"),
+        when(col("v") === 0L, lit(33L))
+          .otherwise(lit(33L) - length(bin(col("v"))).cast("long"))
+          .as("m"))
+      .localCheckpoint(true)
+    val nfs = scala.collection.mutable.ListBuffer(
+      census(regs, 0).localCheckpoint(true))
+    (1 to rounds).foreach { t =>
+      val pulled = adj
+        .join(regs.select(col("id").as("u"), col("b"), col("m")), Seq("u"))
+        .select(col("v").as("id"), col("b"), col("m"))
+      val next = regs.unionByName(pulled)
+        .groupBy("id", "b").agg(max("m").as("m"))
+        .localCheckpoint(true)
+      CheckpointBlocks.release(regs)
+      regs = next
+      nfs += census(regs, t).localCheckpoint(true)
+    }
+    CheckpointBlocks.release(regs)
+    adj.unpersist()
+    val nfAll = nfs.toList.reduce(_ unionByName _)
+    val total = nfAll.filter(col("t") === rounds)
+      .select(col("nfq").as("nf_total"))
+    val eff = nfAll.crossJoin(broadcast(total))
+      .filter(col("nfq") * lit(100) >= col("nf_total") * lit(alphaPct))
+      .agg(min(col("t")).as("eff_diameter"))
+    nfAll.crossJoin(broadcast(total)).crossJoin(broadcast(eff))
+      .select(col("t"), col("nfq").cast("long").as("nf_q"),
+        (col("nfq").cast("double") / col("nf_total").cast("double"))
+          .as("reached_frac"),
+        col("eff_diameter"))
   }
 }

@@ -197,6 +197,14 @@ object Rank {
                        leadSrc: String, leadOut: String,
                        inclusive: Boolean = true): DataFrame = {
     require(cums.nonEmpty, "Rank.withCumSumsLead1: need at least one sum")
+    // leadSrc must be an INPUT column of the spine: the lead and its
+    // min_by boundary patch read the pre-offset, partition-local values,
+    // so naming a cums output here would silently lead the UNFINALIZED
+    // running sum (missing the cross-partition offset), not the value
+    // the chained withCumSums→withLead1 composition would produce.
+    require(!cums.exists(_._2 == leadSrc),
+      s"Rank.withCumSumsLead1: leadSrc '$leadSrc' collides with a cums " +
+        "output column; lead a spine input column instead")
     val ranged = pinned(spine.repartitionByRange(col(orderCol))
       .withColumn("_pid", spark_partition_id()))
     val hi = if (inclusive) 0L else -1L

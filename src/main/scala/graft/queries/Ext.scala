@@ -545,6 +545,20 @@ object Ext {
           concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
         "src", "dst", k = 4, maxHops = 6)),
 
+    // HyperANF neighborhood function + effective diameter over the same
+    // incidence graph: every node sketches its t-ball with the portable
+    // HLL registers (the x_hll_portable machinery), one register-max
+    // join+agg round per hop — the whole-graph distance distribution no
+    // landmark BFS can give. N(t) sums as fixed-point floor(est·2^20)
+    // integers; the oracle unrolls the same 6 rounds (MATERIALIZED per
+    // level) and replays the estimate arithmetic bit-for-bit
+    "x_eff_diameter" -> ((s, d) =>
+      graft.operators.Graphs.hyperANF(
+        t(s, d, "lineitem").select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
+        "src", "dst", rounds = 6, alphaPct = 90)),
+
     // PERSONALIZED PageRank over the same incidence graph: teleport mass
     // returns to the SUPPLIER side only (the seed set, derived from the
     // edge frame so no seed can dangle) — the seed-relative relevance /
@@ -2966,6 +2980,68 @@ object Ext {
           SELECT id AS node,
                  CAST(SUM(dq) AS DOUBLE) / CAST(1073741824 AS DOUBLE) AS bc
           FROM ($union) GROUP BY id"""
+    },
+
+    // the HyperANF replay: register evolution unrolled over the fixed
+    // 6-round horizon (register-max per level, MATERIALIZED — the
+    // betweenness CTE-chain discipline), then ONE shared estimate
+    // pipeline over the (t, node) union: dyadic-exact register sums,
+    // the portable-ln linear-counting branch, floor(est·2^20) HUGEINT
+    // sums, and integer threshold compare for the effective diameter
+    "x_eff_diameter" -> {
+      val (l1, l2, l3) = graft.functions.Pmath.lnSqlCtes("lnin", "lnx")
+      val T = 6
+      val roundCtes = (1 to T).map { tt =>
+        s"""p$tt AS MATERIALIZED (SELECT s.v AS id, r.b, r.m
+               FROM sym s JOIN r${tt - 1} r ON r.id = s.u),
+           r$tt AS MATERIALIZED (SELECT id, b, max(m) AS m FROM (
+               SELECT id, b, m FROM r${tt - 1}
+               UNION ALL SELECT id, b, m FROM p$tt)
+               GROUP BY id, b)"""
+      }.mkString(",\n          ")
+      val unionAll = (0 to T)
+        .map(tt => s"SELECT $tt AS t, id, b, m FROM r$tt")
+        .mkString(" UNION ALL ")
+      s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS u,
+                             'p' || l_partkey AS v FROM lineitem),
+          sym AS MATERIALIZED (SELECT u, v FROM e0
+                  UNION SELECT v AS u, u AS v FROM e0),
+          r0 AS MATERIALIZED (
+            SELECT id, ('0x' || substr(h, 1, 4))::BIGINT % 64 AS b,
+                   CASE WHEN ('0x' || substr(h, 5, 8))::BIGINT = 0 THEN 33
+                        ELSE 33 - length(bin(('0x' || substr(h, 5, 8))::BIGINT))
+                   END AS m
+            FROM (SELECT DISTINCT u AS id, md5(u) AS h FROM sym)),
+          $roundCtes,
+          allr AS MATERIALIZED ($unionAll),
+          agg AS (SELECT t, id, count(*) AS nb,
+                    sum(1.0::DOUBLE / (1::BIGINT << m)::DOUBLE) AS s_part
+                  FROM allr GROUP BY 1, 2),
+          pre AS (SELECT t, id, s_part + (64 - nb)::DOUBLE AS s,
+                    64 - nb AS zeros
+                  FROM agg),
+          pa AS (SELECT t, id, s, zeros,
+                   CAST(CASE WHEN zeros > 0 THEN 64.0 / zeros::DOUBLE
+                        ELSE 1.0 END AS DOUBLE) AS lnin
+                 FROM pre),
+          pb AS (SELECT *, $l1 FROM pa),
+          pc AS (SELECT *, $l2 FROM pb),
+          pd AS (SELECT *, $l3 FROM pc),
+          qs AS (SELECT t, floor(
+                   (CASE WHEN (0.709::DOUBLE * 4096.0::DOUBLE) / s
+                             <= 160.0 AND zeros > 0
+                         THEN 64.0 * lnx
+                         ELSE (0.709::DOUBLE * 4096.0::DOUBLE) / s END)
+                   * 1048576.0::DOUBLE)::HUGEINT AS q
+                 FROM pd),
+          nf AS (SELECT t, sum(q) AS nfq FROM qs GROUP BY 1),
+          tot AS (SELECT nfq AS nf_total FROM nf WHERE t = $T),
+          eff AS (SELECT min(t) AS eff_diameter FROM nf, tot
+                  WHERE nfq * 100 >= nf_total * 90)
+          SELECT nf.t, CAST(nfq AS BIGINT) AS nf_q,
+                 nfq::DOUBLE / nf_total::DOUBLE AS reached_frac,
+                 eff_diameter
+          FROM nf, tot, eff"""
     },
 
     "x_pagerank" -> {

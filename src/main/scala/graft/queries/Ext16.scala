@@ -223,6 +223,60 @@ object Ext16 {
         .agg(count(lit(1)).as("n_kept"))
     }),
 
+    // CRASH restart graded (VERDICT r11 item 3) — the harder half of
+    // recovery that x_stream_restart's two CLEAN stops can't exercise:
+    // the fixture is staged as 8 one-file micro-batches, run 1 is
+    // THROTTLED (500 ms processing-time trigger, so batches are
+    // guaranteed still pending) and KILLED — stop() with NO drain — as
+    // soon as ≥1 micro-batch commits. An arbitrary strict prefix of
+    // batches has committed, possibly with a RocksDB state-store commit
+    // the sink never saw and a torn in-flight file. Run 2 is a new
+    // query on the same checkpoint + sink and must finish the job:
+    // offsets resume after the last COMMITTED batch, the interrupted
+    // batch replays from its logged offsets against the restored state
+    // version, and the parquet sink's commit log hides any torn file
+    // from the read-back. The census must equal the batch
+    // COUNT(DISTINCT) whatever prefix survived the kill — this is the
+    // 1000-executor preemption/OOM-kill recovery contract, graded.
+    // (StreamingSpec proves the same recipe with progress assertions;
+    // here the kill point is uncontrolled and the census alone grades.)
+    "x_stream_crash_restart" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val bounds = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val spanH = (bounds.getTimestamp(1).getTime -
+        bounds.getTimestamp(0).getTime) / 3600000L + 2
+      val dir = tempStreamDir("graft_x_stream_crash")
+      val (out, ckpt) = (s"$dir/out", s"$dir/ckpt")
+      ev.repartition(8).write.mode("overwrite").parquet(s"$dir/in")
+      def start(throttle: Boolean) = {
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+          .withColumn("fp", concat(col("user_id").cast("string"),
+            lit("|"), col("event_type")))
+        val w = StreamOps.streamingDedup(src, "ts", "fp", s"$spanH hours")
+          .select(col("event_type"), col("fp"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+        (if (throttle) w.trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("500 milliseconds")) else w).start()
+      }
+      withStreamConf(s, 8) {
+        val q1 = start(throttle = true)
+        // kill at the first committed micro-batch; the 60 s deadline is
+        // a liveness backstop only — if it fires with zero commits, run
+        // 2 simply does all the work and the census is unchanged
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (q1.recentProgress.length < 1 && q1.isActive &&
+          System.nanoTime() < deadline) Thread.sleep(20)
+        q1.stop() // NO processAllAvailable: mid-replay kill
+        val q2 = start(throttle = false)
+        try { q2.processAllAvailable() } finally { q2.stop() }
+      }
+      s.read.parquet(out).groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"))
+    }),
+
     // stream-STATIC broadcast join — the enrichment staple every
     // production ingest runs (stream ⋈ dimension table): stateless, so
     // append mode needs no watermark and no state store; the static
@@ -669,6 +723,14 @@ object Ext16 {
     // batch COUNT(DISTINCT): offsets resumed, state restored, commit
     // log honored — any recovery failure breaks the equality
     "x_stream_restart" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_kept
+         FROM events GROUP BY event_type""",
+
+    // kill-mid-replay recovery: whatever batch prefix survived the
+    // un-drained stop, the resumed query's commit-log-filtered sink
+    // must equal the same batch COUNT(DISTINCT) — any dropped offset,
+    // unrestored state version, or torn file breaks the equality
+    "x_stream_crash_restart" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_kept
          FROM events GROUP BY event_type""",
 

@@ -278,6 +278,62 @@ class GraphsSpec extends SparkSpec {
       "betweenness changed under repartition")
   }
 
+  test("landmarkBetweenness refuses a sigma-explosive graph instead of wrapping") {
+    import spark.implicits._
+    // complete-bipartite chain: source "a" fans into 11 layers of width
+    // 64, complete bipartite between consecutive layers, so the
+    // shortest-path count multiplies by 64 per level — sigma at layer i
+    // is 64^(i-1) = 2^(6(i-1)). maxDeg = 128, so the forward guard
+    // bound is 2^62/128 = 2^55, crossed at layer 11 (2^60) long before
+    // BIGINT sigma itself wraps: the operator must throw the
+    // decimal-sigma remediation, not silently diverge from the oracle.
+    val w = 64
+    val layers = 11
+    def node(l: Int, i: Int) = f"l$l%02d_$i%02d"
+    val first = (0 until w).map(i => ("a", node(1, i)))
+    val rest = for {
+      l <- 1 until layers; i <- 0 until w; j <- 0 until w
+    } yield (node(l, i), node(l + 1, j))
+    val edges = (first ++ rest).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graphs.landmarkBetweenness(edges, "src", "dst", k = 1, maxHops = 14)
+        .collect()
+    }
+    assert(ex.getMessage.contains("decimal"),
+      s"refusal must name the decimal-sigma remediation: ${ex.getMessage}")
+  }
+
+  test("hyperANF: monotone census, exact final fraction, self-consistent eff_diameter, partition invariance") {
+    import spark.implicits._
+    // path a-b-c-d, 3 rounds (= diameter): every ball is the full node
+    // set at t=3, so reached_frac(3) is exactly 1.0 and nf_q is
+    // monotone non-decreasing. Ball {self} always occupies exactly one
+    // register, so nf_q(0) = 4·floor(64·ln(64/63)·2^20) independent of
+    // the hash values (compare against the JDK ln within a 4-ulp box —
+    // the portable ln may differ in the last ulp before the floor).
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graphs.hyperANF(df, "src", "dst", rounds = 3, alphaPct = 90)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).sortBy(_._1)
+    val got = run(edges)
+    assert(got.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    val nf = got.map(_._2).toSeq
+    assert(nf.zip(nf.tail).forall { case (x, y) => x <= y },
+      s"census not monotone: $nf")
+    assert(got.last._3 == 1.0, s"final fraction ${got.last._3} != 1.0")
+    val singleton = 4L * math.floor(64.0 * math.log(64.0 / 63.0) * 1048576.0).toLong
+    assert(math.abs(nf.head - singleton) <= 16L,
+      s"t=0 census ${nf.head} far from the singleton-ball value $singleton")
+    // eff_diameter must equal the rows' own threshold readout
+    val total = got.last._2
+    val wantEff = got.filter(r => 100L * r._2 >= 90L * total).map(_._1).min
+    assert(got.forall(_._4 == wantEff), s"eff_diameter inconsistent: $got")
+    // quantized integer sums: bit-identical under repartition
+    assert(run(edges.repartition(5)).toSeq == got.toSeq,
+      "hyperANF changed under repartition")
+  }
+
   private def triStats(edges: Seq[(Long, Long)]) = {
     val r = Graphs.triangleStats(edges.toDF("src", "dst"), "src", "dst")
       .collect().head

@@ -628,18 +628,23 @@ class StreamingSpec extends SparkSpec {
     try {
       val (in, out, ckpt) = (s"$dir/in", s"$dir/out", s"$dir/ckpt")
       ev.repartition(8).write.mode("overwrite").parquet(in)
-      def start() = {
+      // run 1 is THROTTLED (processing-time trigger) so the remaining
+      // single-file batches are guaranteed still pending at kill time —
+      // un-throttled, a fast box can commit all 8 before stop() lands,
+      // silently degenerating this into the clean-restart case
+      def start(throttle: Boolean = false) = {
         val src = spark.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1").parquet(in)
           .withColumn("fp", concat(col("user_id").cast("string"),
             lit("|"), col("event_type")))
-        StreamOps.streamingDedup(src, "ts", "fp", s"$spanH hours")
+        val w = StreamOps.streamingDedup(src, "ts", "fp", s"$spanH hours")
           .select(col("event_type"), col("fp"))
           .writeStream.outputMode("append").format("parquet")
           .option("path", out).option("checkpointLocation", ckpt)
-          .start()
+        (if (throttle) w.trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("500 milliseconds")) else w).start()
       }
-      val q1 = start()
+      val q1 = start(throttle = true)
       // kill as soon as at least one micro-batch has committed — with 7
       // more single-file batches pending, stop() interrupts mid-replay
       val deadline = System.nanoTime() + 60L * 1000000000L
@@ -648,6 +653,12 @@ class StreamingSpec extends SparkSpec {
       val committedBeforeKill = q1.recentProgress.length
       q1.stop() // NO processAllAvailable: batches are still pending
       info(s"killed run 1 after $committedBeforeKill committed micro-batches")
+      // fail-soft: if every batch somehow committed anyway, the run no
+      // longer exercises the mid-replay kill — cancel (don't pass) so
+      // a green result always means the crash path actually ran
+      assume(committedBeforeKill < 8,
+        s"all $committedBeforeKill batches committed before the kill — " +
+          "clean-restart degeneration; raise the throttle")
       val q2 = start()
       q2.processAllAvailable()
       q2.stop()
