@@ -484,8 +484,8 @@ object LangModel {
       .groupBy("t").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("t").asc)
       .limit(topN)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("freq").desc, col("t").asc)
+    // topN-row frame (limit above) — parameter-bounded global window
+    val w = BoundedWindow.orderBy(col("freq").desc, col("t").asc)
     val pts = tf.withColumn("rank", row_number().over(w))
       .select(
         floor(Pmath.lnColumn(col("rank")) * lit(scale))

@@ -96,7 +96,7 @@ object Rank {
     // per-partition totals → exclusive prefix offsets; the ordered
     // window here runs over at most the shuffle-partition count of
     // rows — parameter-bounded by construction, never data-sized
-    val wOff = Window.orderBy("_pid")
+    val wOff = BoundedWindow.orderBy("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val totals = ranged.groupBy("_pid")
       .agg(sum(col(cums.head._1)).as(s"_t_${cums.head._2}"),
@@ -126,7 +126,7 @@ object Rank {
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, hi)
     val local = ranged.withColumn(outCol, max(col(srcCol)).over(wLocal))
-    val wOff = Window.orderBy("_pid")
+    val wOff = BoundedWindow.orderBy("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = ranged.groupBy("_pid").agg(max(col(srcCol)).as("_t"))
       .select(col("_pid"), max(col("_t")).over(wOff).as("_prevmax"))
@@ -155,7 +155,7 @@ object Rank {
       .withColumn("_pid", spark_partition_id()))
     val wLocal = Window.partitionBy("_pid").orderBy(col(orderCol))
     val local = ranged.withColumn(outCol, lead(col(srcCol), 1).over(wLocal))
-    val wNext = Window.orderBy("_pid")
+    val wNext = BoundedWindow.orderBy("_pid")
     // patch ONLY the last row of each range partition (identified by
     // its max orderCol) — coalescing on NULL output would also clobber
     // a mid-partition row whose next srcCol is legitimately NULL, so
@@ -221,9 +221,9 @@ object Rank {
       (cums.tail.map { case (src, out) => sum(col(src)).as(s"_t_$out") } ++
         Seq(min_by(col(leadSrc), col(orderCol)).as("_first"),
           max(col(orderCol)).as("_last_ord"))): _*)
-    val wOff = Window.orderBy("_pid")
+    val wOff = BoundedWindow.orderBy("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wNext = Window.orderBy("_pid")
+    val wNext = BoundedWindow.orderBy("_pid")
     val offs = totals.select(
       col("_pid") +: col("_last_ord") +:
         lead(col("_first"), 1).over(wNext).as("_next_first") +:

@@ -77,7 +77,7 @@ object Retrieval {
       .select(col("doc").as("doc_id"), total.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id").asc)))
+        BoundedWindow.orderBy(col("score").desc, col("doc_id").asc)))
   }
 
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
@@ -123,7 +123,7 @@ object Retrieval {
       .select(col("doc").as("doc_id"), total.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id").asc)))
+        BoundedWindow.orderBy(col("score").desc, col("doc_id").asc)))
   }
 
   /** Top-`k` terms per document by TF-IDF weight (tf · ln(N/df), raw

@@ -156,7 +156,7 @@ object Stats {
     val series = df.groupBy(orderExpr.as("step"))
       .agg(sum(valueExpr.cast("decimal(18,2)")).as("r0"))
       .select(col("step"), col("r0").cast("decimal(18,2)").as("r"))
-    val w = Window.orderBy("step")
+    val w = BoundedWindow.orderBy("step")
     val pairs = series
       .select(lag(col("r"), 1).over(w).as("x"), col("r").as("y"))
       .where(col("x").isNotNull)
@@ -762,7 +762,7 @@ object Stats {
     val series = df.groupBy(orderExpr.as("step"))
       .agg(sum(valueExpr.cast("decimal(18,2)")).as("v0"))
       .select(col("step"), col("v0").cast("decimal(18,2)").as("v"))
-    val w = Window.orderBy("step")
+    val w = BoundedWindow.orderBy("step")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     series.select(col("v"), max(col("v")).over(w).as("peak"))
       .select(col("v"), col("peak"), (col("peak") - col("v")).as("dd"),
@@ -1325,7 +1325,7 @@ object Stats {
       // reverse cumulatives over the calendar-bounded day spine: the
       // at-risk set is everyone with dur >= t (bounded window — the
       // x_logrank precedent)
-      val w = Window.orderBy("dur")
+      val w = BoundedWindow.orderBy("dur")
         .rowsBetween(0, Window.unboundedFollowing)
       val spine = perDur
         .withColumn("cqw", sum("qw").over(w))
@@ -1582,8 +1582,8 @@ object Stats {
         lit(tol))
       .groupBy("csid", "b0", "b1").agg(count(lit(1)).as("n_inl"))
     val best = scored
-      .withColumn("rk", row_number().over(Window.partitionBy(lit(1))
-        .orderBy(desc("n_inl"), col("csid"))))
+      .withColumn("rk", row_number().over(
+        BoundedWindow.orderBy(desc("n_inl"), col("csid"))))
       .filter(col("rk") === 1)
       .select(col("csid").as("best_sid"), col("b0").as("cb0"),
         col("b1").as("cb1"), col("n_inl"))

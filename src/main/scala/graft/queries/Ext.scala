@@ -848,14 +848,21 @@ object Ext {
           .otherwise(1))
         .select("c_custkey", "c_mktsegment")),
 
-    // equi-DEPTH histogram via ntile over a total order (deterministic
-    // tie-break). The global window is the point: at 100 TB you'd swap
-    // this for approx percentile cutpoints — x_approx_stats IS that path.
+    // equi-DEPTH histogram via a DISTRIBUTED ntile: global row_number
+    // from the Rank spine (range-partitioned, offset-patched) and
+    // Rank.ntileCol's integer reconstruction — bit-identical to SQL
+    // ntile(4) over the same total order, without the single-partition
+    // window the naive spelling plans. (x_approx_stats is the sketch
+    // path that trades exactness for one pass at higher k.)
     "x_ntile_quartiles" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      t(s, d, "orders")
-        .select(col("o_totalprice"), ntile(4).over(w).as("quartile"))
+      val o = t(s, d, "orders").select(col("o_totalprice"), col("o_orderkey"))
+      val nRow = o.agg(count(lit(1)).as("n_total"))
+      graft.operators.Rank
+        .withRowNumber(o, Seq("o_totalprice", "o_orderkey"), "rn")
+        .crossJoin(broadcast(nRow))
+        .select(col("o_totalprice"),
+          graft.operators.Rank.ntileCol(col("rn"), col("n_total"), 4)
+            .as("quartile"))
         .groupBy("quartile").agg(count(lit(1)).as("n"),
           min("o_totalprice").as("min_price"),
           max("o_totalprice").as("max_price"))

@@ -254,7 +254,7 @@ object Ext10 {
       val votes = Seq("v1", "v2", "v3").map { m =>
         per.select(lit(m).as("metric"), col("lang"),
           row_number().over(
-            Window.partitionBy(lit(1)).orderBy(desc(m), col("lang")))
+            graft.operators.BoundedWindow.orderBy(desc(m), col("lang")))
             .cast("long").as("rnk"))
       }.reduce(_ unionByName _)
       val nc = per.agg(count(lit(1)).as("nc"))
@@ -388,7 +388,7 @@ object Ext10 {
         .select(expr("(doc_id * 16) div (mxd + 1) + 1").as("j"))
         .groupBy("j").agg(count(lit(1)).as("dn"))
       val grid = mx.select(explode(sequence(lit(1L), lit(16L))).as("j"))
-      val wnd = Window.partitionBy(lit(1)).orderBy("j")
+      val wnd = graft.operators.BoundedWindow.orderBy("j")
         .rowsBetween(Window.unboundedPreceding, 0)
       val pts = grid
         .join(wj, Seq("j"), "left").join(tj, Seq("j"), "left")

@@ -173,7 +173,7 @@ object Ext7 {
         .select(col("nk"), col("seg"), col("band"),
           coalesce(col("cnt"), lit(0L)).as("cnt"))
       // global CDF on the 20-row band frame (parameter-bounded window)
-      val wa = Window.orderBy("band")
+      val wa = graft.operators.BoundedWindow.orderBy("band")
         .rowsBetween(Window.unboundedPreceding, 0)
       val globCum = c.sparkSession.range(0, bands)
         .select(col("id").as("band"))
@@ -376,7 +376,7 @@ object Ext7 {
       val daily = t(s, d, "events")
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
-      val w = Window.orderBy("day")
+      val w = graft.operators.BoundedWindow.orderBy("day")
       val lagged = daily
         .withColumn("v1", lag(col("v"), 1).over(w))
         .withColumn("v2", lag(col("v"), 2).over(w))
@@ -428,7 +428,7 @@ object Ext7 {
       val daily = t(s, d, "events")
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
-      val w = Window.orderBy("day")
+      val w = graft.operators.BoundedWindow.orderBy("day")
       val tri = daily
         .withColumn("vp", lag(col("v"), 1).over(w))
         .withColumn("vn", lead(col("v"), 1).over(w))
@@ -454,7 +454,7 @@ object Ext7 {
       val daily = t(s, d, "events")
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
-      val w = Window.orderBy("day")
+      val w = graft.operators.BoundedWindow.orderBy("day")
       val lagd = daily.withColumn("vn", lead(col("v"), 1).over(w))
       val diffs = lagd.where(col("vn").isNotNull)
         .groupBy().agg(sum((col("vn") - col("v")) *
@@ -479,7 +479,7 @@ object Ext7 {
       val daily = t(s, d, "events")
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
-      val w = Window.orderBy("day")
+      val w = graft.operators.BoundedWindow.orderBy("day")
       val tpl = daily
         .withColumn("v1", lead(col("v"), 1).over(w))
         .withColumn("v2", lead(col("v"), 2).over(w))
@@ -516,7 +516,7 @@ object Ext7 {
       val daily = t(s, d, "events")
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
-      val w = Window.orderBy("day")
+      val w = graft.operators.BoundedWindow.orderBy("day")
       val tri = daily
         .withColumn("v1", lead(col("v"), 1).over(w))
         .withColumn("v2", lead(col("v"), 2).over(w))
@@ -617,7 +617,7 @@ object Ext7 {
         col("purch_us").isNotNull.cast("long").as("obs"))
       val spine = per.groupBy("dur")
         .agg(count(lit(1)).as("c"), sum("obs").as("d"))
-      val wRev = Window.orderBy("dur")
+      val wRev = graft.operators.BoundedWindow.orderBy("dur")
         .rowsBetween(0, Window.unboundedFollowing)
       val risk = spine.withColumn("n", sum("c").over(wRev))
         .where(col("d") > 0L)
@@ -918,7 +918,7 @@ object Ext7 {
       val daily = t(s, d, "events")
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(floor(col("value") * lit(100.0)).cast("long")).as("v"))
-      val w = Window.orderBy("day")
+      val w = graft.operators.BoundedWindow.orderBy("day")
       val lagged = daily
         .withColumn("v1", lag(col("v"), 1).over(w))
         .withColumn("v2", lag(col("v"), 2).over(w))
@@ -1211,7 +1211,7 @@ object Ext7 {
       val signed = daily.crossJoin(broadcast(tot))
         .select(col("day"),
           (col("cnt") * col("nd") >= col("tc")).cast("int").as("hi"))
-      val w = Window.orderBy("day")
+      val w = graft.operators.BoundedWindow.orderBy("day")
       val runs = signed
         .withColumn("chg",
           when(lag(col("hi"), 1).over(w).isNull, 1)
@@ -1272,7 +1272,7 @@ object Ext7 {
           ((lit(budget) * col("n")) % col("nall")).as("rem"),
           col("nall"))
       // source-domain-bounded window (≤ #sources rows)
-      val w = Window.orderBy(col("rem").desc, col("source").asc)
+      val w = graft.operators.BoundedWindow.orderBy(col("rem").desc, col("source").asc)
       val extra = q.crossJoin(broadcast(
           q.groupBy().agg((lit(budget) - sum("base")).as("extra"))))
         .withColumn("rk", row_number().over(w))
@@ -1336,7 +1336,7 @@ object Ext7 {
           .otherwise(0L)).as("d2"))
       // at-risk = users with duration >= t: reverse cumulative over the
       // calendar-bounded spine (single bounded window)
-      val w = org.apache.spark.sql.expressions.Window.orderBy("dur")
+      val w = graft.operators.BoundedWindow.orderBy("dur")
         .rowsBetween(0, org.apache.spark.sql.expressions.Window
           .unboundedFollowing)
       val risk = per
@@ -1598,7 +1598,7 @@ object Ext7 {
         .groupBy("decile").agg(count(lit(1)).as("n"),
           sum("resp").as("responders"),
           max("n_all").as("n_all"), max("r_all").as("r_all"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      val w = graft.operators.BoundedWindow.orderBy("decile")
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)
       dec.withColumn("cum_resp", sum("responders").over(w))

@@ -276,7 +276,7 @@ object Ext8 {
         .withColumn("rem", lit(500.0) * col("w") / col("wsum") -
           col("base").cast("double"))
       val sf = q0.agg((lit(500L) - sum("base")).as("shortfall"))
-      val wRem = Window.orderBy(col("rem").desc, col("list").asc)
+      val wRem = graft.operators.BoundedWindow.orderBy(col("rem").desc, col("list").asc)
       val quota = q0.crossJoin(broadcast(sf))
         .withColumn("tr", row_number().over(wRem).cast("long"))
         .withColumn("quota", col("base") +

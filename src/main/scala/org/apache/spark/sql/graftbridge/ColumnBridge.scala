@@ -15,6 +15,18 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Unwrap a `col.desc` / `col.asc` sort-order Column to its plain
+    * value column. Spark 4 Columns carry sort direction as a
+    * ColumnNode-level `SortOrder` that only becomes a catalyst
+    * SortOrder at analysis — so callers that need to reuse an orderBy
+    * column inside a VALUE expression (e.g. hashing it for a window
+    * partition key) must strip at the node level; the catalyst
+    * expression bridge still sees an opaque node here. */
+  def stripSortOrder(c: Column): Column = c.node match {
+    case so: org.apache.spark.sql.internal.SortOrder => new Column(so.child)
+    case _ => c
+  }
+
   /** DataFrame from a raw LogicalPlan (classic Dataset.ofRows is
     * private[sql]) — needed to inject custom logical nodes. */
   /** Idempotently install an extra planner strategy on the session. */
