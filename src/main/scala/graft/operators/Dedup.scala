@@ -508,9 +508,16 @@ object Dedup {
                threshold: Double, nLists: Int = 16, seed: Long = 42,
                lloydIters: Int = 2): DataFrame = {
     val cents = Similarity.kmeansCentroids(df, idCol, vecCol, nLists, seed, lloydIters)
+    // persisted (the bandedPairs discipline above): BOTH self-join sides
+    // read the assignment, so without the pin the nLists-centroid
+    // argmin expressions run twice AND fuse into each join side's
+    // whole-stage unit — the literal-heavy codegen blow-up profiled on
+    // pqTopK (SCALE.md r12); the pin computes the assignment once and
+    // fences the codegen units
     val assigned = withNorms(df, idCol, vecCol)
       .withColumn("list",
         array_min(Similarity.centroidScores(cents, col("v"))).getField("list"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("list"), col("id").as("id_a"),
       col("v").as("v_a"), col("nrm").as("na"))
     val b = assigned.select(col("list"), col("id").as("id_b"),

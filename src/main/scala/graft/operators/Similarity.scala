@@ -217,8 +217,19 @@ object Similarity {
         .getField("list")
     def codeword(j: Int, code: org.apache.spark.sql.Column) =
       element_at(typedlit(books(j).map(_.toSeq).toSeq), code + 1)
+    // The code table is MATERIALIZED (persist, the Rank.pinned
+    // discipline — freed by CheckpointBlocks.releaseAll): (a) it IS the
+    // product of PQ — the m-byte compressed corpus you keep and scan
+    // instead of the float vectors — and (b) the cache boundary keeps
+    // the 64-ArrayDot assignment expressions and the ADC lookup in
+    // SEPARATE whole-stage-codegen units. Fused, the combined generated
+    // method crosses Janino's superlinear-compile threshold and every
+    // action re-pays ~4 s of codegen at ANY data size (profiled r12:
+    // scored stage 4.1 s fused vs 0.2 s fenced on a 2000-row corpus,
+    // codegen-off control 0.23 s — see SCALE.md).
     val coded = corpus.select(col(cId).as("neighbor_id") +:
       (0 until m).map(j => codeOf(col(cVec), j).as(s"code_$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
     val adc = (0 until m).map(j =>
       Vectors.dot(slice(col("qv"), j * sub + 1, sub),

@@ -70,6 +70,43 @@ object ProfilePq {
       time(s"stage: + ADC scored #$i")(noop(scored))
       time(s"stage: + TopKPerKey short #$i")(noop(short))
     }
+    // attribution of the ADC stage's fixed cost: planning vs codegen
+    // vs execution
+    time("scored: executedPlan (plan only)")(
+      scored.queryExecution.executedPlan)
+    val sess = e.sparkSession
+    sess.conf.set("spark.sql.codegen.wholeStage", "false")
+    (1 to 2).foreach { i =>
+      time(s"scored nocodegen #$i")(noop(
+        coded.crossJoin(broadcast(q)).withColumn("adc", adc)
+          .select("query_id", "neighbor_id", "adc")))
+    }
+    sess.conf.set("spark.sql.codegen.wholeStage", "true")
+    // variant A: codegen fence between the code-assign scan and the
+    // crossJoin+ADC stage (persist splits the whole-stage unit)
+    val codedP = coded.persist()
+    (1 to 2).foreach { i =>
+      time(s"scored w/ persisted coded #$i")(noop(
+        codedP.crossJoin(broadcast(q)).withColumn("adc", adc)
+          .select("query_id", "neighbor_id", "adc")))
+    }
+    codedP.unpersist()
+    // variant B: the fused join WITHOUT the ADC expression
+    (1 to 2).foreach { i =>
+      time(s"join, adc=lit(0.0) #$i")(noop(
+        coded.crossJoin(broadcast(q)).withColumn("adc", lit(0.0))
+          .select("query_id", "neighbor_id", "adc")))
+    }
+    // variant C: ADC but with the codeword lookup replaced by a
+    // constant subvector (isolates ElementAt-on-2D-literal)
+    val adcNoLut = (0 until m).map(j =>
+      Vectors.dot(slice(col("qv"), j * sub + 1, sub),
+        typedlit(books(j)(0).toSeq))).reduce(_ + _)
+    (1 to 2).foreach { i =>
+      time(s"adc w/o element_at #$i")(noop(
+        coded.crossJoin(broadcast(q)).withColumn("adc", adcNoLut)
+          .select("query_id", "neighbor_id", "adc")))
+    }
     (1 to 3).foreach { i =>
       time(s"full pqTopK #$i")(noop(
         Similarity.pqTopK(e.filter(col("vec_id") < 10), e,
