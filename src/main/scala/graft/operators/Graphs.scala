@@ -1500,15 +1500,19 @@ object Graphs {
     * equi-join (adjacency ⋈ registers, keyed on the persisted
     * adjacency's join key; the graph is symmetrized so pulling u's
     * registers onto v equals pulling neighbors' registers) + ONE
-    * (node, bucket) hash-max aggregate, localCheckpoint + release per
-    * round. Register rows are sparse — ≤ min(|B(u,t)|, 64) per node —
-    * so the frame is ≤ 64·n rows and the per-round shuffle ≤ 64·m
-    * rows. (A 1000-executor deployment would pack the 64 registers
-    * into one binary column merged by a zip-max expression to cut the
-    * 64× row fan-out; the row form is the SQL-replayable reference the
-    * oracle can execute.) Exactly `rounds` rounds run — no
-    * data-dependent early exit — so the DuckDB oracle unrolls the same
-    * fixed recurrence (MATERIALIZED per level, the r11 CTE-chain
+    * per-node register-merge aggregate, localCheckpoint + release per
+    * round. The registers ride PACKED — one array<tinyint>(64) column
+    * per node, merged by the native element-wise-max
+    * [[graft.plans.RegisterMaxAgg]] (map-side-combinable
+    * ObjectHashAggregate) — so the join moves ONE narrow row per edge
+    * instead of one row per (edge, occupied register): the unpacked
+    * (id, b, m) row form shuffled ~70M rows per round at sf0.1 (64×
+    * fan-out, 20.8 s); packed it moves ~1M (5.6 s). Register max is
+    * commutative/associative, so the packed plan computes the exact
+    * row-form register values — which is what licenses the row-form
+    * DuckDB oracle against the packed engine. Exactly `rounds` rounds
+    * run — no data-dependent early exit — so the oracle unrolls the
+    * same fixed recurrence (MATERIALIZED per level, the r11 CTE-chain
     * discipline).
     *
     * Float discipline: each node's estimate is the [[Sketches
@@ -1526,6 +1530,15 @@ object Graphs {
     * same eff_diameter on every row (min t with
     * 100·nf_q(t) ≥ alphaPct·nf_q(rounds), compared in exact integer
     * arithmetic). */
+  /** Element-wise max of packed register arrays ([[graft.plans
+    * .RegisterMaxAgg]]) as a Column — [[hyperANF]]'s merge; public so
+    * the spec can pin its partial-aggregation plan shape. */
+  def registerMax(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.plans.RegisterMaxAgg(
+      ColumnBridge.expression(c)).toAggregateExpression())
+  }
+
   def hyperANF(edges: DataFrame, srcCol: String, dstCol: String,
                rounds: Int, alphaPct: Int = 90): DataFrame = {
     require(rounds >= 1 && rounds <= 64,
@@ -1537,27 +1550,8 @@ object Graphs {
     val adj = fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .filter(col("u") =!= col("v")).distinct()
       .repartition(col("u")).persist()
-    // quantized neighborhood-function census of one round's registers:
-    // per-node hllPortable estimate → floor(est·2^20) → exact sum
-    def census(regs: DataFrame, t: Int): DataFrame = {
-      val agg = regs.groupBy("id").agg(count(lit(1)).as("nb"),
-        sum(lit(1.0) /
-          expr("shiftleft(1L, cast(m as int))").cast("double"))
-          .as("s_part"))
-      val pre = agg.select(
-        (col("s_part") + (lit(64L) - col("nb")).cast("double")).as("s"),
-        (lit(64L) - col("nb")).as("zeros"))
-      val raw = (lit(0.709) * lit(4096.0)) / col("s")
-      val lnx = graft.functions.Pmath.lnColumn(
-        when(col("zeros") > 0L, lit(64.0) / col("zeros").cast("double"))
-          .otherwise(lit(1.0)))
-      val est = when(raw <= lit(160.0) && col("zeros") > 0L,
-        lit(64.0) * lnx).otherwise(raw)
-      pre.select(floor(est * lit(Q.toDouble)).cast("decimal(38,0)").as("q"))
-        .agg(sum(col("q")).as("nfq"))
-        .select(lit(t).as("t"), col("nfq").cast("decimal(38,0)").as("nfq"))
-    }
-    // t = 0: each node's ball is {itself} — one register row per node
+    // t = 0: each node's ball is {itself} — one occupied register,
+    // packed into the 64-slot array at its md5 bucket
     var regs = adj.select(col("u").as("id")).distinct()
       .select(col("id"),
         (conv(substring(md5(col("id")), 1, 4), 16, 10).cast("long") % 64)
@@ -1567,23 +1561,56 @@ object Graphs {
         when(col("v") === 0L, lit(33L))
           .otherwise(lit(33L) - length(bin(col("v"))).cast("long"))
           .as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0L), lit(63L)),
+          i => when(i === col("b"), col("m")).otherwise(lit(0L))
+            .cast("byte")).as("regs"))
       .localCheckpoint(true)
-    val nfs = scala.collection.mutable.ListBuffer(
-      census(regs, 0).localCheckpoint(true))
+    // every round's frame is RETAINED (rounds·n·64 B — the tagged union
+    // below reads them all; a deployment needing only N(rounds) would
+    // release the prefix per round like the other iterative operators)
+    val frames = scala.collection.mutable.ListBuffer((0, regs))
     (1 to rounds).foreach { t =>
       val pulled = adj
-        .join(regs.select(col("id").as("u"), col("b"), col("m")), Seq("u"))
-        .select(col("v").as("id"), col("b"), col("m"))
+        .join(regs.select(col("id").as("u"), col("regs")), Seq("u"))
+        .select(col("v").as("id"), col("regs"))
       val next = regs.unionByName(pulled)
-        .groupBy("id", "b").agg(max("m").as("m"))
+        .groupBy("id").agg(registerMax(col("regs")).as("regs"))
         .localCheckpoint(true)
-      CheckpointBlocks.release(regs)
       regs = next
-      nfs += census(regs, t).localCheckpoint(true)
+      frames += ((t, next))
     }
-    CheckpointBlocks.release(regs)
     adj.unpersist()
-    val nfAll = nfs.toList.reduce(_ unionByName _)
+    // quantized neighborhood-function census, ONE shared aggregation
+    // over the (t, node) union of all rounds (the same shape the oracle
+    // replays): unpack (posexplode — rounds·n·64 narrow rows, read from
+    // the checkpointed frames), per-(t, node) hllPortable estimate →
+    // floor(est·2^20) → exact per-t sum. Identical arithmetic to the
+    // unpacked row form, so the output is byte-unchanged.
+    val allRegs = frames.toList.map { case (t, f) =>
+      f.select(lit(t).as("t"), col("id"), col("regs"))
+    }.reduce(_ unionByName _)
+    val agg = allRegs.select(col("t"), col("id"), posexplode(col("regs")))
+      .filter(col("col") > 0)
+      .select(col("t"), col("id"), col("col").cast("long").as("m"))
+      .groupBy("t", "id").agg(count(lit(1)).as("nb"),
+        sum(lit(1.0) /
+          expr("shiftleft(1L, cast(m as int))").cast("double"))
+          .as("s_part"))
+    val pre = agg.select(col("t"),
+      (col("s_part") + (lit(64L) - col("nb")).cast("double")).as("s"),
+      (lit(64L) - col("nb")).as("zeros"))
+    val raw = (lit(0.709) * lit(4096.0)) / col("s")
+    val lnx = graft.functions.Pmath.lnColumn(
+      when(col("zeros") > 0L, lit(64.0) / col("zeros").cast("double"))
+        .otherwise(lit(1.0)))
+    val est = when(raw <= lit(160.0) && col("zeros") > 0L,
+      lit(64.0) * lnx).otherwise(raw)
+    val nfAll = pre
+      .select(col("t"),
+        floor(est * lit(Q.toDouble)).cast("decimal(38,0)").as("q"))
+      .groupBy("t").agg(sum(col("q")).cast("decimal(38,0)").as("nfq"))
+      .localCheckpoint(true) // rounds+1 rows; 3 downstream consumers
     val total = nfAll.filter(col("t") === rounds)
       .select(col("nfq").as("nf_total"))
     val eff = nfAll.crossJoin(broadcast(total))

@@ -334,6 +334,37 @@ class GraphsSpec extends SparkSpec {
       "hyperANF changed under repartition")
   }
 
+  test("registerMax: == explode/max reference; plans a partial ObjectHashAggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // random sparse register arrays over 7 partitions
+    // Seq[Byte], not Array[Byte]: the array encodes as array<tinyint>
+    // (hyperANF's packed column type); Array[Byte] would encode BINARY
+    val rows = (1 to 300).map { i =>
+      (i % 13).toLong -> Seq.tabulate(64)(j =>
+        if ((i * 31 + j * 7) % 9 == 0) ((i + j) % 33 + 1).toByte else 0.toByte)
+    }.toDF("k", "regs").repartition(7)
+    val got = rows.groupBy("k")
+      .agg(graft.operators.Graphs.registerMax(col("regs")).as("regs"))
+    // reference: unpack, per-(k, bucket) max, repack
+    val ref = rows.select(col("k"), posexplode(col("regs")))
+      .groupBy("k", "pos").agg(max(col("col")).as("m"))
+      .groupBy("k").agg(map_from_entries(
+        collect_list(struct(col("pos"), col("m")))).as("mm"))
+      .select(col("k"), transform(sequence(lit(0), lit(63)),
+        i => coalesce(element_at(col("mm"), i), lit(0).cast("byte")))
+        .as("regs"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Byte](1).toList).toMap
+    assert(toMap(got) == toMap(ref), "registerMax diverged from reference")
+    // the merge must be map-side combinable: partial register_max below
+    // a final register_max (the property that makes the hyperANF round
+    // skew-safe at 100 TB)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_register_max"),
+      s"expected a partial register_max aggregate:\n$plan")
+  }
+
   private def triStats(edges: Seq[(Long, Long)]) = {
     val r = Graphs.triangleStats(edges.toDF("src", "dst"), "src", "dst")
       .collect().head
