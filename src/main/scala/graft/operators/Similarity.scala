@@ -49,6 +49,62 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Maximum-inner-product top-k (MIPS) — the retrieval primitive over
+    * UNNORMALIZED embeddings (recommender dot-product scores, learned
+    * retrieval heads): rank by q·x, where cosine's norm division would
+    * reorder. Exact scoring rides the [[bruteForceTopK]] shape —
+    * queries broadcast, corpus never shuffled, one ArrayDot per pair —
+    * shortlisted by the bounded-heap [[graft.plans.TopKPerKey]] (ties
+    * on the neighbor id, so the result set is well-defined and the
+    * oracle replays it verbatim; the raw dot needs no float guard).
+    *
+    * The SCALE path is the classic order-preserving reduction to
+    * cosine (Bachrach et al., RecSys 2014; Neyshabur & Srebro 2015),
+    * shipped as [[mipsAugment]]: append sqrt(M² − ‖x‖²) to every
+    * corpus vector (M² = max corpus ‖x‖², ONE 1-row broadcast
+    * aggregate) and a literal 0 to every query — every augmented
+    * corpus norm is exactly M, so augmented-cosine order IS
+    * inner-product order and the LSH/IVF/PQ indexes above serve MIPS
+    * unchanged. ExtSpec pins the order equivalence on a mixed-norm
+    * fixture; the GRADED ranking keys on the exact dot directly so
+    * the tie-break is float-trivial on both engines. */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame,
+               qId: String, qVec: String, cId: String, cVec: String,
+               k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("ip", Vectors.dot(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "ip")
+    graft.plans.TopKPerKey(scored, Seq("query_id"),
+        Seq("ip" -> false, "neighbor_id" -> true), k)
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "ip", "rank")
+  }
+
+  /** The MIPS→cosine reduction's corpus transform (see [[mipsTopK]]):
+    * (id, v_aug) with v_aug = [v as double…, sqrt(M² − ‖v‖²)], M² the
+    * max corpus ‖v‖² (1-row broadcast; `greatest(…, 0)` guards the
+    * float residue on the max-norm row itself). Queries take
+    * [[mipsAugmentQuery]]'s zero pad instead. */
+  def mipsAugment(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("n2", Vectors.dot(col("v"), col("v")))
+    val mx = base.agg(max(col("n2")).as("m2"))
+    base.crossJoin(broadcast(mx))
+      .select(col("id"),
+        concat(col("v"),
+          array(sqrt(greatest(col("m2") - col("n2"), lit(0.0))))).as("v_aug"))
+  }
+
+  /** Query-side augmentation twin of [[mipsAugment]]: a zero pad, so
+    * q_aug·x_aug = q·x while ‖x_aug‖ = M for every corpus row. */
+  def mipsAugmentQuery(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      concat(transform(col(vecCol), x => x.cast("double")),
+        array(lit(0.0))).as("v_aug"))
+
   /** Corpus bucketed by b-bit random-hyperplane signature. `dim` ≤ 0
     * derives the dimensionality from the data; any value is VERIFIED per
     * row (a mismatched vector would null its projections and silently

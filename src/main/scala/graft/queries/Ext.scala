@@ -128,6 +128,18 @@ object Ext {
         "vec_id", "embedding", "vec_id", "embedding", k = 5)
     }),
 
+    // maximum-inner-product top-k (MIPS): rank by the raw dot, the
+    // unnormalized-embedding retrieval primitive; query-broadcast scan +
+    // bounded-heap shortlist. The Bachrach/Neyshabur norm-augmentation
+    // reduction to cosine (what lets the LSH/IVF/PQ indexes serve MIPS
+    // at scale) ships as Similarity.mipsAugment, order-equivalence
+    // spec-pinned in ExtSpec.
+    "x_mips" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.mipsTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    }),
+
     // product-quantization ANN: per-subspace codebooks (portable k-means
     // ×4), ADC shortlist over the m-code compressed corpus, exact rerank
     "x_ann_pq" -> ((s, d) => {
@@ -1751,6 +1763,21 @@ object Ext {
          FROM n a JOIN n b ON a.vec_id < b.vec_id
          WHERE a.nrm * b.nrm <> 0
            AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""",
+
+    // MIPS replayed: the raw inner product, same rank/tie rule as the
+    // cosine family — no norm division, so no zero-vector guard needed
+    "x_mips" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                    list_dot_product(qv, v) AS ip
+                    FROM e CROSS JOIN q),
+         ranked AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY ip DESC, neighbor_id ASC) AS rank
+                    FROM scored)
+         SELECT query_id, neighbor_id, ip, CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 5""",
 
     "x_cos_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

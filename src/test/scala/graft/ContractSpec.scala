@@ -68,10 +68,12 @@ class ContractSpec extends SparkSpec {
     // unrolled in the oracle).
     // round 12 graded the crash-recovery contract (x_stream_crash_restart:
     // kill mid-replay with no drain, resume on the same RocksDB
-    // checkpoint + sink commit log) and HyperANF (x_eff_diameter:
+    // checkpoint + sink commit log), HyperANF (x_eff_diameter:
     // portable-HLL t-ball registers, fixed 6 register-max rounds,
-    // fixed-point integer neighborhood-function sums).
-    assert(n == 420 && exact == 420,
+    // fixed-point integer neighborhood-function sums), and MIPS
+    // (x_mips: inner-product top-k; the norm-augmentation reduction to
+    // cosine is spec-pinned in ExtSpec).
+    assert(n == 421 && exact == 421,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 

@@ -91,6 +91,38 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.45, s"ANN recall $recall")
   }
 
+  test("MIPS augmentation: augmented-cosine order == inner-product order (mixed norms)") {
+    import spark.implicits._
+    // mixed-norm fixture: norms spread 1..20 so cosine order and
+    // inner-product order genuinely DISAGREE (the case MIPS exists for)
+    val vecs = (0L until 60L).map { i =>
+      val scale = 1.0f + (i % 20).toFloat
+      i -> Seq.tabulate(8)(j =>
+        scale * math.sin(i * 31 + j * 7).toFloat)
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 3)
+    val ip = Similarity.mipsTopK(q, vecs,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // cosine over RAW vectors must DISAGREE somewhere (the fixture is
+    // only probative if cosine and ip rank differently)
+    val cosRaw = Similarity.bruteForceTopK(q, vecs,
+      "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(ip != cosRaw, "fixture too easy: cosine order == ip order")
+    // the reduction: cosine over AUGMENTED vectors == ip order exactly
+    val cAug = Similarity.mipsAugment(vecs, "vec_id", "embedding")
+    val qAug = Similarity.mipsAugmentQuery(q, "vec_id", "embedding")
+    val cosAug = Similarity.bruteForceTopK(qAug, cAug,
+      "id", "v_aug", "id", "v_aug", 5)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cosAug == ip,
+      s"augmented-cosine ranking diverged from inner-product ranking")
+  }
+
   test("sparse cosine: identical docs hit 1.0, stop-word-only overlap never pairs") {
     import spark.implicits._
     val corpus = Seq(
