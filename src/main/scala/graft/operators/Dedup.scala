@@ -503,7 +503,15 @@ object Dedup {
     * Exact-oracle-able end to end: [[Similarity.kmeansCentroids]] is the
     * portable fixed-point k-means that x_ann_ivf already replays in SQL,
     * and the in-cluster verify reuses [[embeddingNearDup]]'s guarded
-    * cosine. */
+    * cosine.
+    *
+    * Cache lifetime: the returned frame reads a persist()-pinned
+    * cluster assignment (both self-join sides share it; it is also the
+    * codegen fence for the centroid-scoring expressions). The pin lives
+    * until the CALLER releases it — materialize the result, then
+    * `CheckpointBlocks.releaseAll(spark)` (what Verify/Bench do between
+    * queries) or `spark.catalog.clearCache()`; repeated un-released
+    * calls in one session accumulate corpus-sized caches. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nLists: Int = 16, seed: Long = 42,
                lloydIters: Int = 2): DataFrame = {

@@ -1095,12 +1095,36 @@ object Graphs {
     * decimal overflow in the cq product itself (NULL under non-ANSI)
     * raises instead of being silently dropped by the sum. All three
     * fail fast with the decimal-σ remediation message rather than
-    * silently diverging from the HUGEINT oracle.
+    * silently diverging from the HUGEINT oracle. The backward dq guard
+    * is an IN-ROW `raise_error` branch on the dq column itself, so it
+    * evaluates during the level frame's eager localCheckpoint — ZERO
+    * extra driver actions (the r12 per-level min/max probe cost one
+    * whole job per level at small SF; at 100 TB either shape amortizes,
+    * but the in-row form is strictly cheaper at every scale).
+    *
+    * `decimalSigma = true` is the remediation path the refusal names:
+    * σ rides decimal(38,0) end to end (seed, per-level sums, the cq
+    * product) — headroom 10³⁸ vs 2⁶³, covering path-count explosions
+    * like complete-bipartite chains that the long path must refuse.
+    * cq stays exact: the product σ·(2³⁰+dq) NULL-guards against 10³⁸
+    * overflow, and the integral division is the exact decimal floor
+    * (prod − prod mod σ_w)/σ_w — exactly divisible by construction, so
+    * the (38,6) division result is the integer quotient, cast back to
+    * decimal(38,0) losslessly while dq ≤ 10³¹ (in-row enforced; δ ≤
+    * 10³¹/2³⁰ ≈ 9.3e21 dwarfs any graph's n²). Decimal sums cannot
+    * wrap — overflow surfaces as NULL and raises via a count-guarded
+    * branch — so the decimal path needs NO driver-side range probes at
+    * all (only the shared emptiness probe). Long-mode output is
+    * byte-identical to r12 (same plan, same arithmetic; only the guard
+    * moved into the row pipeline); GraphsSpec pins long≡decimal
+    * equality on normal graphs and decimal-mode COMPLETION on the
+    * σ-explosive fixture the long mode refuses.
     *
     * Returns (node, bc) for every node reached by ≥1 search, the
     * search's own source excluded per Brandes; bc may be 0.0. */
   def landmarkBetweenness(edges: DataFrame, srcCol: String, dstCol: String,
-                          k: Int, maxHops: Int): DataFrame = {
+                          k: Int, maxHops: Int,
+                          decimalSigma: Boolean = false): DataFrame = {
     require(k >= 1 && k <= 1024,
       s"landmarkBetweenness: k=$k outside [1, 1024]")
     val Q = 1073741824L // 2^30, exact in double
@@ -1110,38 +1134,58 @@ object Graphs {
       .repartition(col("u")).persist()
     val landmarks = adj.select(col("u").as("lm")).distinct()
       .orderBy("lm").limit(k)
-    // σ-overflow fail-fast bound: next level's σ is a sum of ≤ maxDeg
-    // frontier σ values, so max(σ) ≤ 2⁶²/maxDeg guarantees the BIGINT
-    // sum cannot wrap on the round about to run (one setup-time agg
-    // over the already-persisted adjacency)
-    val maxDeg = math.max(1L,
+    // σ-overflow fail-fast bound (long mode only): next level's σ is a
+    // sum of ≤ maxDeg frontier σ values, so max(σ) ≤ 2⁶²/maxDeg
+    // guarantees the BIGINT sum cannot wrap on the round about to run
+    // (one setup-time agg over the already-persisted adjacency). The
+    // decimal mode needs no bound — its sums NULL on overflow and the
+    // in-row guard below raises.
+    val maxDeg = if (decimalSigma) 1L else math.max(1L,
       adj.groupBy("u").agg(count(lit(1)).as("d"))
         .agg(max("d")).first().getLong(0))
     val sigmaSafe = (1L << 62) / maxDeg
     def overflowMsg(what: String): String =
       s"landmarkBetweenness: $what exceeds the BIGINT/fixed-point safety " +
         "bound; this graph's shortest-path counts need the decimal-σ " +
-        "variant (carry sigma and cq in decimal(38,0) end-to-end) — " +
+        "variant (decimalSigma = true: sigma and cq carried in " +
+        "decimal(38,0) end-to-end) — " +
         "refusing to wrap silently against the HUGEINT oracle"
+    val decMsg =
+      "landmarkBetweenness(decimalSigma): decimal(38,0) overflow — this " +
+        "graph exceeds even the 10^38 headroom"
+    val sigmaOne =
+      if (decimalSigma) lit(1).cast("decimal(38,0)") else lit(1L)
     // forward: levels.head = deepest level so far; (lm, id, sigma)
     var levels = List(
-      landmarks.select(col("lm"), col("lm").as("id"), lit(1L).as("sigma"))
+      landmarks.select(col("lm"), col("lm").as("id"), sigmaOne.as("sigma"))
         .localCheckpoint(true))
     var visited = levels.head.select("lm", "id").localCheckpoint(true)
     var exhausted = false
     while (!exhausted && levels.size <= maxHops) {
-      val expanded = adj
+      val summed = adj
         .join(levels.head.select(col("lm"), col("id").as("u"),
           col("sigma")), Seq("u"))
         .groupBy(col("lm"), col("v").as("id"))
         .agg(sum("sigma").as("sigma"))
+      // decimal mode: a σ sum that overflowed 10^38 is NULL (inputs are
+      // never null) — raise in-row during the checkpoint materialization
+      val expanded =
+        if (decimalSigma) summed.select(col("lm"), col("id"),
+          when(col("sigma").isNotNull, col("sigma"))
+            .otherwise(raise_error(lit(decMsg + " in a sigma sum")))
+            .as("sigma"))
+        else summed
       val next = expanded.join(visited, Seq("lm", "id"), "left_anti")
         .localCheckpoint(true)
       // ONE probe action over the checkpointed frame gives emptiness
-      // AND the σ guard together (σ<0 = a wrap that already happened)
-      val probe = next.agg(count(lit(1)), max("sigma"), min("sigma")).first()
+      // AND (long mode) the σ guard together (σ<0 = a wrap that
+      // already happened)
+      val probe =
+        if (decimalSigma) next.agg(count(lit(1))).first()
+        else next.agg(count(lit(1)), max("sigma"), min("sigma")).first()
       val nEmpty = probe.getLong(0) == 0L
-      if (!nEmpty && (probe.getLong(2) < 0L || probe.getLong(1) > sigmaSafe))
+      if (!decimalSigma && !nEmpty &&
+          (probe.getLong(2) < 0L || probe.getLong(1) > sigmaSafe))
         throw new IllegalStateException(
           overflowMsg(s"max(sigma)=${probe.getLong(1)} at level " +
             s"${levels.size} (bound $sigmaSafe = 2^62/maxDeg=$maxDeg)"))
@@ -1158,7 +1202,9 @@ object Graphs {
     CheckpointBlocks.release(visited)
     // backward: deepest level seeds dq = 0; each shallower level's dq
     // sums the integer-exact contributions from its DAG successors
-    var dep = levels.head.withColumn("dq", lit(0L)).localCheckpoint(true)
+    val dqZero =
+      if (decimalSigma) lit(0).cast("decimal(38,0)") else lit(0L)
+    var dep = levels.head.withColumn("dq", dqZero).localCheckpoint(true)
     val deps = scala.collection.mutable.ListBuffer(dep)
     levels.tail.foreach { lvl =>
       val succ = dep.select(col("lm"), col("id").as("v"),
@@ -1166,10 +1212,21 @@ object Graphs {
       // a decimal(38,0) overflow in σ·(2³⁰+dq) yields NULL under
       // non-ANSI and would be SILENTLY dropped by the sum — surface it
       // as an error instead (raise_error's NullType coerces to cq's)
-      val rawCq = call_function("div",
-        col("sigma").cast("decimal(38,0)") *
-          (lit(Q) + col("dq_w")).cast("decimal(38,0)"),
-        col("sigma_w").cast("decimal(38,0)"))
+      val rawCq =
+        if (decimalSigma) {
+          // exact decimal floor division: prod is exactly divisible by
+          // σ_w after subtracting the remainder, so the (38,6) divide
+          // is the integer quotient (≤ 10^32, lossless), cast back
+          val prod0 = col("sigma") *
+            (lit(Q).cast("decimal(38,0)") + col("dq_w"))
+          val prod = when(prod0.isNotNull, prod0)
+            .otherwise(raise_error(lit(decMsg + " in sigma*(2^30+dq)")))
+          ((prod - pmod(prod, col("sigma_w"))) / col("sigma_w"))
+            .cast("decimal(38,0)")
+        } else call_function("div",
+          col("sigma").cast("decimal(38,0)") *
+            (lit(Q) + col("dq_w")).cast("decimal(38,0)"),
+          col("sigma_w").cast("decimal(38,0)"))
       val contrib = adj
         .join(lvl.select(col("lm"), col("id").as("u"), col("sigma")),
           Seq("u"))
@@ -1178,20 +1235,41 @@ object Graphs {
           when(rawCq.isNotNull, rawCq)
             .otherwise(raise_error(lit(overflowMsg(
               "decimal(38,0) overflow in sigma*(2^30+dq)")))).as("cq"))
-      val dqs = contrib.groupBy("lm", "id").agg(sum("cq").as("dqsum"))
-      val newDep = lvl.join(dqs, Seq("lm", "id"), "left")
-        .select(col("lm"), col("id"), col("sigma"),
-          coalesce(col("dqsum"), lit(0L)).as("dq"))
-        .localCheckpoint(true)
-      // dq guard on the checkpointed frame: dq < 0 = the long sum of cq
-      // wrapped; dq > 2⁶¹ = the NEXT level's σ·(2³⁰+dq) could exceed
-      // decimal(38,0) (2⁶²·(2³⁰+2⁶¹) ≈ 1.06e37 is the proven-safe box)
-      val dqProbe = newDep.agg(min("dq"), max("dq")).first()
-      if (!dqProbe.isNullAt(0) &&
-          (dqProbe.getLong(0) < 0L || dqProbe.getLong(1) > (1L << 61)))
-        throw new IllegalStateException(
-          overflowMsg(s"dependency accumulator dq in " +
-            s"[${dqProbe.getLong(0)}, ${dqProbe.getLong(1)}]"))
+      // the dq guard rides IN-ROW on the checkpointed frame (evaluated
+      // during the eager localCheckpoint below — no extra action):
+      // long mode: dq < 0 = the long sum of cq wrapped; dq > 2⁶¹ = the
+      // NEXT level's σ·(2³⁰+dq) could exceed decimal(38,0)
+      // (2⁶²·(2³⁰+2⁶¹) ≈ 1.06e37 is the proven-safe box). decimal
+      // mode: sums cannot wrap — overflow is a NULL dqsum over a
+      // non-empty group (count-guarded) — and dq ≤ 10³¹ keeps the next
+      // cq quotient losslessly representable in the (38,6) divide.
+      val newDep =
+        if (decimalSigma) {
+          val dqs = contrib.groupBy("lm", "id")
+            .agg(sum("cq").as("dqsum"), count(lit(1)).as("ncq"))
+          val dqRaw = when(col("ncq").isNotNull && col("dqsum").isNull,
+            raise_error(lit(decMsg + " in a dq sum")))
+            .otherwise(coalesce(col("dqsum"), dqZero))
+          val dqBound = lit(new java.math.BigDecimal("1E+31"))
+            .cast("decimal(38,0)")
+          lvl.join(dqs, Seq("lm", "id"), "left")
+            .select(col("lm"), col("id"), col("sigma"),
+              when(dqRaw <= dqBound, dqRaw)
+                .otherwise(raise_error(concat(
+                  lit(decMsg + " risk: dq="), dqRaw.cast("string"),
+                  lit(" exceeds 10^31")))).as("dq"))
+            .localCheckpoint(true)
+        } else {
+          val dqs = contrib.groupBy("lm", "id").agg(sum("cq").as("dqsum"))
+          val dq0 = coalesce(col("dqsum"), lit(0L))
+          lvl.join(dqs, Seq("lm", "id"), "left")
+            .select(col("lm"), col("id"), col("sigma"),
+              when(dq0 >= 0L && dq0 <= (1L << 61), dq0)
+                .otherwise(raise_error(concat(
+                  lit(overflowMsg("dependency accumulator dq") +
+                    " (dq="), dq0.cast("string"), lit(")")))).as("dq"))
+            .localCheckpoint(true)
+        }
       deps += newDep
       dep = newDep
     }
@@ -1523,7 +1601,19 @@ object Graphs {
     * (partial-agg/skew-safe, order-invariant) and replays exactly in
     * HUGEINT. The per-round census is a 1-row checkpointed frame;
     * `nf_q` is returned as BIGINT (exact up to 2⁶³/2²⁰ ≈ 8.8e12 summed
-    * ball mass — beyond that, widen the output to decimal).
+    * ball mass — beyond that the cast RAISES with a widen-to-decimal
+    * message instead of wrapping).
+    *
+    * Block-manager residency: `retainRounds = true` (the graded
+    * default) keeps all rounds+1 register frames until the shared
+    * census materializes — fewest driver round-trips, rounds·n·64 B
+    * peak — and releases them in-operator once the census frame is
+    * checkpointed. `retainRounds = false` folds each round's census
+    * incrementally and releases the previous register frame per
+    * round: peak residency 2·n·64 B regardless of `rounds` (the
+    * billion-node-diameter-sweep shape), byte-identical output —
+    * per-t census sums are independent; GraphsSpec pins equality and
+    * the unpersist discipline.
     *
     * Returns one row per t ∈ [0, rounds]: (t, nf_q, reached_frac,
     * eff_diameter) with reached_frac = nf_q(t)/nf_q(rounds) and the
@@ -1540,7 +1630,8 @@ object Graphs {
   }
 
   def hyperANF(edges: DataFrame, srcCol: String, dstCol: String,
-               rounds: Int, alphaPct: Int = 90): DataFrame = {
+               rounds: Int, alphaPct: Int = 90,
+               retainRounds: Boolean = true): DataFrame = {
     require(rounds >= 1 && rounds <= 64,
       s"hyperANF: rounds=$rounds outside [1, 64]")
     require(alphaPct >= 1 && alphaPct <= 100,
@@ -1566,58 +1657,101 @@ object Graphs {
           i => when(i === col("b"), col("m")).otherwise(lit(0L))
             .cast("byte")).as("regs"))
       .localCheckpoint(true)
-    // every round's frame is RETAINED (rounds·n·64 B — the tagged union
-    // below reads them all; a deployment needing only N(rounds) would
-    // release the prefix per round like the other iterative operators)
-    val frames = scala.collection.mutable.ListBuffer((0, regs))
-    (1 to rounds).foreach { t =>
+    // one merge round: pull neighbors' registers across the persisted
+    // adjacency, element-wise max per node (eagerly checkpointed)
+    def advance(cur: DataFrame): DataFrame = {
       val pulled = adj
-        .join(regs.select(col("id").as("u"), col("regs")), Seq("u"))
+        .join(cur.select(col("id").as("u"), col("regs")), Seq("u"))
         .select(col("v").as("id"), col("regs"))
-      val next = regs.unionByName(pulled)
+      cur.unionByName(pulled)
         .groupBy("id").agg(registerMax(col("regs")).as("regs"))
         .localCheckpoint(true)
-      regs = next
-      frames += ((t, next))
     }
-    adj.unpersist()
-    // quantized neighborhood-function census, ONE shared aggregation
-    // over the (t, node) union of all rounds (the same shape the oracle
-    // replays): unpack (posexplode — rounds·n·64 narrow rows, read from
-    // the checkpointed frames), per-(t, node) hllPortable estimate →
-    // floor(est·2^20) → exact per-t sum. Identical arithmetic to the
-    // unpacked row form, so the output is byte-unchanged.
-    val allRegs = frames.toList.map { case (t, f) =>
+    // quantized neighborhood-function census over tagged (t, id, regs)
+    // rows: unpack (posexplode), per-(t, node) hllPortable estimate →
+    // floor(est·2^20) → exact per-t decimal sum. Identical arithmetic
+    // to the unpacked row form; per-t values are INDEPENDENT, so
+    // folding one round at a time (retainRounds = false) computes
+    // byte-identical nfq to the shared union census.
+    def census(tagged: DataFrame): DataFrame = {
+      val agg = tagged.select(col("t"), col("id"), posexplode(col("regs")))
+        .filter(col("col") > 0)
+        .select(col("t"), col("id"), col("col").cast("long").as("m"))
+        .groupBy("t", "id").agg(count(lit(1)).as("nb"),
+          sum(lit(1.0) /
+            expr("shiftleft(1L, cast(m as int))").cast("double"))
+            .as("s_part"))
+      val pre = agg.select(col("t"),
+        (col("s_part") + (lit(64L) - col("nb")).cast("double")).as("s"),
+        (lit(64L) - col("nb")).as("zeros"))
+      val raw = (lit(0.709) * lit(4096.0)) / col("s")
+      val lnx = graft.functions.Pmath.lnColumn(
+        when(col("zeros") > 0L, lit(64.0) / col("zeros").cast("double"))
+          .otherwise(lit(1.0)))
+      val est = when(raw <= lit(160.0) && col("zeros") > 0L,
+        lit(64.0) * lnx).otherwise(raw)
+      pre.select(col("t"),
+          floor(est * lit(Q.toDouble)).cast("decimal(38,0)").as("q"))
+        .groupBy("t").agg(sum(col("q")).cast("decimal(38,0)").as("nfq"))
+    }
+    def tag(t: Int, f: DataFrame): DataFrame =
       f.select(lit(t).as("t"), col("id"), col("regs"))
-    }.reduce(_ unionByName _)
-    val agg = allRegs.select(col("t"), col("id"), posexplode(col("regs")))
-      .filter(col("col") > 0)
-      .select(col("t"), col("id"), col("col").cast("long").as("m"))
-      .groupBy("t", "id").agg(count(lit(1)).as("nb"),
-        sum(lit(1.0) /
-          expr("shiftleft(1L, cast(m as int))").cast("double"))
-          .as("s_part"))
-    val pre = agg.select(col("t"),
-      (col("s_part") + (lit(64L) - col("nb")).cast("double")).as("s"),
-      (lit(64L) - col("nb")).as("zeros"))
-    val raw = (lit(0.709) * lit(4096.0)) / col("s")
-    val lnx = graft.functions.Pmath.lnColumn(
-      when(col("zeros") > 0L, lit(64.0) / col("zeros").cast("double"))
-        .otherwise(lit(1.0)))
-    val est = when(raw <= lit(160.0) && col("zeros") > 0L,
-      lit(64.0) * lnx).otherwise(raw)
-    val nfAll = pre
-      .select(col("t"),
-        floor(est * lit(Q.toDouble)).cast("decimal(38,0)").as("q"))
-      .groupBy("t").agg(sum(col("q")).cast("decimal(38,0)").as("nfq"))
-      .localCheckpoint(true) // rounds+1 rows; 3 downstream consumers
+    import graft.plans.CheckpointBlocks
+    val nfAll =
+      if (retainRounds) {
+        // every round's frame RETAINED until the census materializes
+        // (rounds·n·64 B peak block-manager residency), then released
+        // in-operator — the graded path: ONE shared aggregation over
+        // the (t, node) union of all rounds (the shape the oracle
+        // replays), fewest driver round-trips
+        val frames = scala.collection.mutable.ListBuffer((0, regs))
+        (1 to rounds).foreach { t =>
+          regs = advance(regs)
+          frames += ((t, regs))
+        }
+        adj.unpersist()
+        val all = frames.toList.map { case (t, f) => tag(t, f) }
+          .reduce(_ unionByName _)
+        val nf = census(all)
+          .localCheckpoint(true) // rounds+1 rows; 3 downstream consumers
+        frames.foreach { case (_, f) => CheckpointBlocks.release(f) }
+        nf
+      } else {
+        // release-per-round: each round's 1-row census folds as soon as
+        // its frame lands, and the PREVIOUS register frame is released
+        // immediately — peak residency is TWO register frames (2·n·64 B)
+        // regardless of `rounds`, the shape for diameter sweeps on
+        // billion-node graphs where rounds×n registers would not fit
+        // the block managers. One extra (tiny) census job per round.
+        val censuses = scala.collection.mutable.ListBuffer(
+          census(tag(0, regs)).localCheckpoint(true))
+        (1 to rounds).foreach { t =>
+          val next = advance(regs)
+          censuses += census(tag(t, next)).localCheckpoint(true)
+          CheckpointBlocks.release(regs)
+          regs = next
+        }
+        CheckpointBlocks.release(regs)
+        adj.unpersist()
+        val nf = censuses.toList.reduce(_ unionByName _)
+          .localCheckpoint(true)
+        censuses.foreach(CheckpointBlocks.release(_))
+        nf
+      }
     val total = nfAll.filter(col("t") === rounds)
       .select(col("nfq").as("nf_total"))
     val eff = nfAll.crossJoin(broadcast(total))
       .filter(col("nfq") * lit(100) >= col("nf_total") * lit(alphaPct))
       .agg(min(col("t")).as("eff_diameter"))
+    // nf_q is returned as BIGINT; past 2⁶³ summed quantized ball mass
+    // (≈ 8.8e12 nodes·2²⁰) the cast would wrap — raise instead
+    val nfLong = when(col("nfq") <= lit(Long.MaxValue), col("nfq"))
+      .otherwise(raise_error(concat(
+        lit("hyperANF: nf_q="), col("nfq").cast("string"),
+        lit(" exceeds BIGINT — widen the output to decimal"))))
+      .cast("long")
     nfAll.crossJoin(broadcast(total)).crossJoin(broadcast(eff))
-      .select(col("t"), col("nfq").cast("long").as("nf_q"),
+      .select(col("t"), nfLong.as("nf_q"),
         (col("nfq").cast("double") / col("nf_total").cast("double"))
           .as("reached_frac"),
         col("eff_diameter"))

@@ -258,7 +258,16 @@ object Similarity {
     * stage-1 scan reads only the m byte-sized codes per row; full
     * vectors are fetched for |queries|·shortlist rows. At 100 TB the
     * compressed corpus is dim/m·(64/8)× smaller than float32 — the
-    * difference between scanning embeddings and scanning codes. */
+    * difference between scanning embeddings and scanning codes.
+    *
+    * Cache lifetime: the returned frame reads a persist()-pinned code
+    * table (it is both the reusable product of PQ and a codegen fence —
+    * see the inline note). The pin lives until the CALLER releases it:
+    * materialize the result, then `CheckpointBlocks.releaseAll(spark)`
+    * (what Verify/Bench do between queries) or `spark.catalog
+    * .clearCache()`. A long-lived session invoking this repeatedly
+    * without releasing accumulates one corpus-sized code cache per
+    * call. */
   def pqTopK(queries: DataFrame, corpus: DataFrame,
              qId: String, qVec: String, cId: String, cVec: String,
              k: Int, shortlist: Int, m: Int = 4, nCodes: Int = 16,

@@ -3038,8 +3038,10 @@ object Ext {
         .mkString(" UNION ALL ")
       s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS u,
                              'p' || l_partkey AS v FROM lineitem),
-          sym AS MATERIALIZED (SELECT u, v FROM e0
-                  UNION SELECT v AS u, u AS v FROM e0),
+          sym AS MATERIALIZED (SELECT u, v FROM
+                  (SELECT u, v FROM e0
+                   UNION SELECT v AS u, u AS v FROM e0)
+                  WHERE u <> v),
           r0 AS MATERIALIZED (
             SELECT id, ('0x' || substr(h, 1, 4))::BIGINT % 64 AS b,
                    CASE WHEN ('0x' || substr(h, 5, 8))::BIGINT = 0 THEN 33

@@ -301,6 +301,31 @@ class GraphsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("decimal"),
       s"refusal must name the decimal-sigma remediation: ${ex.getMessage}")
+    // the remediation path the refusal names: decimalSigma = true runs
+    // the SAME graph to completion (sigma rides decimal(38,0); 64^13
+    // ≈ 2^78 fits with 10^14 headroom to spare)
+    val bc = Graphs.landmarkBetweenness(edges, "src", "dst", k = 1,
+      maxHops = 14, decimalSigma = true).collect()
+    assert(bc.nonEmpty, "decimalSigma run returned no rows")
+    // every interior layer node lies on shortest paths from "a": bc > 0
+    // for layers 1..10, 0.0 for the terminal layer
+    val byNode = bc.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byNode(node(1, 0)) > 0.0 && byNode(node(10, 0)) > 0.0)
+    assert(byNode(node(layers, 0)) == 0.0)
+  }
+
+  test("landmarkBetweenness: decimalSigma output equals the long path on normal graphs") {
+    import spark.implicits._
+    val diamond = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("b", "e")).toDF("src", "dst")
+    def run(dec: Boolean) =
+      Graphs.landmarkBetweenness(diamond, "src", "dst", k = 3,
+        maxHops = 6, decimalSigma = dec)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val longPath = run(false)
+    val decPath = run(true)
+    assert(longPath == decPath,
+      s"decimal path diverged from long path: $longPath vs $decPath")
   }
 
   test("hyperANF: monotone census, exact final fraction, self-consistent eff_diameter, partition invariance") {
@@ -332,6 +357,34 @@ class GraphsSpec extends SparkSpec {
     // quantized integer sums: bit-identical under repartition
     assert(run(edges.repartition(5)).toSeq == got.toSeq,
       "hyperANF changed under repartition")
+  }
+
+  test("hyperANF: retainRounds=false is byte-identical and releases its register frames") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    def run(retain: Boolean) =
+      Graphs.hyperANF(edges, "src", "dst", rounds = 4, alphaPct = 90,
+          retainRounds = retain)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).sortBy(_._1).toSeq
+    graft.plans.CheckpointBlocks.releaseAll(spark)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val retained = run(true)
+    // both modes release every register frame in-operator: the only
+    // surviving block is the rounds+1-row census checkpoint the
+    // returned frame reads (≤ 2 RDDs for its union lineage)
+    val afterRetain = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(afterRetain.size <= 2,
+      s"retainRounds=true left ${afterRetain.size} persistent RDDs")
+    val streamed = run(false)
+    val afterStream = spark.sparkContext.getPersistentRDDs.keySet --
+      before -- afterRetain
+    assert(afterStream.size <= 2,
+      s"retainRounds=false left ${afterStream.size} persistent RDDs " +
+        "(register/census prefix frames must be released per round)")
+    assert(streamed == retained,
+      s"retainRounds=false diverged: $streamed vs $retained")
   }
 
   test("registerMax: == explode/max reference; plans a partial ObjectHashAggregate") {
