@@ -350,11 +350,14 @@ object Similarity {
       s"kmeansCentroids: nLists=$nLists outside [1, $MaxLists] — the Lloyd " +
         "update is a driver-side nLists×dim collect; shard the corpus " +
         "instead of growing the global centroid table")
+    // element cast to double BEFORE the collect so float AND double
+    // corpora both land as Seq[Double] (float→double widening is exact;
+    // the MIPS-augmented corpus is already double)
     var cents: Array[Array[Double]] = corpus
-      .select(col(cVec).as("v"),
+      .select(transform(col(cVec), x => x.cast("double")).as("v"),
         md5(concat_ws("|", lit(seed), col(cId).cast("string"))).as("h"))
       .orderBy("h").limit(nLists)
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .collect().map(_.getSeq[Double](0).toArray)
 
     for (_ <- 0 until lloydIters) {
       val means = corpus

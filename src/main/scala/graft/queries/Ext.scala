@@ -1490,8 +1490,13 @@ object Ext {
                         chr(31)) || chr(31) || $ss[-1] || x END
           ELSE acc || chr(31) || x END)"""
 
-  private[queries] def dKmeansCommon: String = {
-    val (nLists, dim, seed) = (16, 64, 42)
+  /** The k-means recurrence of [[dKmeansCommon]] parameterized by
+    * vector dimension, over a caller-supplied `e(vec_id, v)` CTE of
+    * DOUBLE vectors: cent0 seed sample → two fixed-point Lloyd
+    * iterations → final `s3`/`listed` assignment. dim=64 replays the
+    * raw-embedding fit; dim=65 the MIPS-augmented one (x_mips_ann). */
+  private[queries] def dKmeansChain(dim: Int): String = {
+    val (nLists, seed) = (16, 42)
     def lloyd(prev: String, n: Int): String =
       s"""s$n AS (SELECT e.vec_id, e.v, c.list,
                          list_dot_product(c.c, c.c) - 2.0 * list_dot_product(e.v, c.c) AS s
@@ -1507,10 +1512,7 @@ object Ext {
           g$n AS (SELECT list, list(m ORDER BY pos) AS c FROM m$n GROUP BY list),
           cent$n AS (SELECT p.list, coalesce(g$n.c, p.c) AS c
                      FROM $prev p LEFT JOIN g$n USING (list))"""
-    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings),
-        nn AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        cent0 AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS list, v AS c
+    s"""cent0 AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS list, v AS c
                   FROM (SELECT v, h FROM
                         (SELECT v, md5($seed || '|' || CAST(vec_id AS VARCHAR)) AS h
                          FROM e) ORDER BY h LIMIT $nLists)),
@@ -1523,6 +1525,12 @@ object Ext {
                    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s, list) AS rn
                     FROM s3) WHERE rn = 1)"""
   }
+
+  private[queries] def dKmeansCommon: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        nn AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        ${dKmeansChain(64)}"""
 
   /** PQ replay: four independent portable-k-means chains over vector
     * SLICES (same fixed-point Lloyd recipe as [[dKmeansCommon]], seeds

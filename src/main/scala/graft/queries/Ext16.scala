@@ -79,6 +79,26 @@ object Ext16 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // MIPS served THROUGH the cosine IVF index via the
+    // Bachrach/Neyshabur norm augmentation — the 100 TB path x_mips
+    // documents, graded end to end: every corpus vector gains
+    // sqrt(M² − ‖x‖²) as a 65th component (so every augmented norm is
+    // exactly M), every query a zero pad (augmented dot = raw inner
+    // product), and the UNCHANGED Similarity.ivfTopK (portable k-means
+    // at dim=65, nProbe=4, exact augmented-cosine rerank — augmented
+    // cosine ORDER is inner-product order) serves unnormalized
+    // retrieval. The oracle splices the augmentation arithmetic into
+    // the shared k-means replay (Ext.dKmeansChain at dim=65).
+    "x_mips_ann" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = graft.operators.Similarity.mipsAugment(
+        e, "vec_id", "embedding")
+      val qs = graft.operators.Similarity.mipsAugmentQuery(
+        e.filter(col("vec_id") < 10), "vec_id", "embedding")
+      graft.operators.Similarity.ivfTopK(qs, corpus,
+        "id", "v_aug", "id", "v_aug", k = 5)
+    }),
+
     // ingest-time exact dedup as an actual streaming job:
     // readStream(events) → withWatermark(1h) →
     // dropDuplicatesWithinWatermark(fingerprint) → append memory sink.
@@ -698,6 +718,44 @@ object Ext16 {
   // ---------------------------------------------------------------- SQL
 
   val oracle: Map[String, String] = Map(
+
+    // the augmentation arithmetic spliced into the shared portable
+    // k-means replay at dim=65: corpus rows gain sqrt(M²−‖v‖²), query
+    // rows a 0.0 pad, then the x_ann_ivf probe/rerank recurrence
+    // verbatim (queries score against cent2 separately because their
+    // augmented vector differs from the corpus row with the same id)
+    "x_mips_ann" -> {
+      val (nProbe, k) = (4, 5)
+      s"""WITH e0 AS (SELECT vec_id,
+                             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings),
+          n0 AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e0),
+          mx AS (SELECT max(n2) AS m2 FROM n0),
+          e AS (SELECT vec_id, list_append(v, sqrt(greatest(m2 - n2, 0.0))) AS v
+                FROM n0 CROSS JOIN mx),
+          nn AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+          q AS (SELECT vec_id, list_append(v, 0.0) AS qv FROM e0 WHERE vec_id < 10),
+          nq AS (SELECT vec_id, sqrt(list_dot_product(qv, qv)) AS nrm FROM q),
+          ${Ext.dKmeansChain(65)},
+          sq AS (SELECT q.vec_id, q.qv, c.list,
+                        list_dot_product(c.c, c.c) - 2.0 * list_dot_product(q.qv, c.c) AS s
+                 FROM q CROSS JOIN cent2 c),
+          probes AS (SELECT vec_id AS query_id, qv, list FROM
+                     (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s, list) AS rn
+                      FROM sq) WHERE rn <= $nProbe),
+          scored AS (SELECT p.query_id, l.neighbor_id,
+                            CASE WHEN qn.nrm * cn.nrm <> 0
+                                 THEN list_dot_product(p.qv, l.cv) / (qn.nrm * cn.nrm)
+                            END AS cos
+                     FROM listed l JOIN probes p USING (list)
+                          JOIN nq qn ON qn.vec_id = p.query_id
+                          JOIN nn cn ON cn.vec_id = l.neighbor_id),
+          ranked AS (SELECT *, row_number() OVER
+                          (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+                     FROM scored)
+          SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+          FROM ranked WHERE rank <= $k"""
+    },
 
     // the streamed dedup's survivors per type ARE the distinct
     // (user, type) fingerprints per type — a batch aggregate
