@@ -140,6 +140,21 @@ object Bench {
     val nFailed = results.count(_._2.isLeft)
     val total = results.map(_._2.getOrElse(0.0)).sum
 
+    // load-normalized total (round-13, VERDICT r12 item 6): the box's
+    // idle cost swings ~30% across hours (341.9 vs 441.9 s on identical
+    // code), so round-over-round comparison of the raw total is
+    // archaeology without the sentinel. value_norm deflates the total
+    // by the observed sentinel inflation relative to the machine's
+    // committed healthy idle cost (SentinelRef, the r12 healthy-run
+    // value): value_norm = value · SentinelRef / max(SentinelRef, s̄)
+    // with s̄ = (sentinel_pre + sentinel_post)/2. CONSERVATIVE by
+    // construction — a loaded box deflates toward its idle-equivalent
+    // cost, a healthy-or-better box reports the RAW total (never
+    // inflated upward by a lucky sub-reference sentinel). Formula
+    // documented in SCALE.md §bench-noise.
+    val sentinelMean = (sentinelPre + sentinelPost) / 2.0
+    val valueNorm = total * (SentinelRef / math.max(SentinelRef, sentinelMean))
+
     // complete per-query map, full precision → file (see size contract).
     // The load sentinels are TOP-LEVEL fields, not entries in "queries"
     // (ADVICE r09: consumers that treat every queries key as a graded
@@ -149,7 +164,7 @@ object Bench {
       .mkString("{", ",", "}")
     val remeas = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sentinel_pre":$sentinelPre,"sentinel_post":$sentinelPost,"remeasured":$remeas,"queries":$fullQs,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_norm":$valueNorm,"sentinel_ref":$SentinelRef,"unit":"sec","sentinel_pre":$sentinelPre,"sentinel_post":$sentinelPost,"remeasured":$remeas,"queries":$fullQs,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
 
     // headline subset, 2-decimal → the ONE parseable stdout line.
@@ -173,9 +188,16 @@ object Bench {
         val c = n.length + 3; val ok = budget >= c; if (ok) budget -= c; ok
       }.map("\"" + _ + "\"").mkString("[", ",", "]")
     }
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","sentinel_pre":${f2(sentinelPre)},"sentinel_post":${f2(sentinelPost)},"n_remeasured":${remeasured.size},"remeasured":$remeasHead,"queries":$headQs,"n_failed":$nFailed,"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"value_norm":${f2(valueNorm)},"unit":"sec","sentinel_pre":${f2(sentinelPre)},"sentinel_post":${f2(sentinelPost)},"n_remeasured":${remeasured.size},"remeasured":$remeasHead,"queries":$headQs,"n_failed":$nFailed,"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** The machine's healthy idle sentinel cost (seconds) — the r12
+    * committed healthy-run value (sentinel 0.17 at 341.9 s idle
+    * total). value_norm keys off this constant; re-baseline it ONLY
+    * with a measured idle run on new hardware, in the same commit as
+    * the SCALE.md §bench-noise note. */
+  val SentinelRef: Double = 0.17
 
   /** The stable cross-round comparison set: flagship parity queries plus
     * the most expensive / most representative operator per family. Keep
@@ -229,7 +251,12 @@ object Bench {
     // remain in BENCH_FULL.json) because the r07 line ran 1914 chars
     // with only ~11 to spare in the tail window; ContractSpec now
     // budgets the worst-case line at ≤ 1900
-    "x_hits", "x_ltv_curve", "x_jonckheere", "x_ansari_bradley",
+    // round-13: "value_norm" (load-normalized total, VERDICT r12
+    // item 6) joined the printed line; paid for by DROPPING
+    // x_ansari_bradley (rank-spine family stays visible via
+    // x_jonckheere/x_kendall_tau/x_cliffs_delta; full-precision time
+    // remains in BENCH_FULL.json)
+    "x_hits", "x_ltv_curve", "x_jonckheere",
     "x_page_hinkley",
     // round-9: one representative for the newly GRADED streaming family
     // (the other six x_stream_* full-precision times live in

@@ -73,7 +73,11 @@ class ContractSpec extends SparkSpec {
     // fixed-point integer neighborhood-function sums), and MIPS
     // (x_mips: inner-product top-k; the norm-augmentation reduction to
     // cosine is spec-pinned in ExtSpec).
-    assert(n == 421 && exact == 421,
+    // round 13 graded the MIPS scale path end-to-end (x_mips_ann: the
+    // Bachrach/Neyshabur norm augmentation served through the
+    // UNCHANGED ivfTopK cosine index at dim=65, oracle = the shared
+    // k-means replay with the augmentation arithmetic spliced in).
+    assert(n == 422 && exact == 422,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 
@@ -88,7 +92,8 @@ class ContractSpec extends SparkSpec {
     val missing = Bench.Headline -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"headline names not in queries: $missing")
     val entries = present.toSeq.sorted.map(k => s""""$k":999.99""")
-    val line = s"""{"metric":"total","value":99999.99,"unit":"sec",""" +
+    val line = s"""{"metric":"total","value":99999.99,""" +
+      s""""value_norm":99999.99,"unit":"sec",""" +
       s""""sentinel_pre":999.99,"sentinel_post":999.99,""" +
       s""""n_remeasured":99,""" +
       // worst case: the 60-char length-capped name list Bench emits,
