@@ -1279,12 +1279,20 @@ object Graphs {
     if (contributing.isEmpty) // every landmark isolated: nothing reached
       return landmarks.select(col("lm").as("node")).limit(0)
         .withColumn("bc", lit(0.0))
+    // readout guard: the cross-level/cross-landmark dq sum is a LONG in
+    // long mode — k·2⁶¹ can exceed 2⁶³ for large k even when every
+    // per-level dq passed its guard, and a wrap surfaces as a negative
+    // sum (dq ≥ 0 throughout). Decimal mode cannot wrap (overflow is a
+    // NULL, impossible here: ≤ maxHops·k terms each ≤ 10³¹ < 10³⁸).
+    val sdqG = when(col("sdq") >= 0L, col("sdq"))
+      .otherwise(raise_error(lit(overflowMsg(
+        "the final per-node dq sum (wrapped negative)"))))
     contributing
       .map(_.select(col("id"), col("dq")))
       .reduce(_ union _)
       .groupBy("id").agg(sum("dq").as("sdq"))
       .select(col("id").as("node"),
-        (col("sdq").cast("double") / lit(Q.toDouble)).as("bc"))
+        (sdqG.cast("double") / lit(Q.toDouble)).as("bc"))
   }
 
   /** Weisfeiler–Lehman label refinement (the 1-WL color refinement):

@@ -1683,6 +1683,60 @@ object Ext {
               FROM g)
         SELECT DISTINCT doc_id, fp FROM m WHERE pos <= n - 3)"""
 
+  /** The landmark-Brandes replay shared by x_betweenness (long path)
+    * and x_betweenness_dec (the decimalSigma path — BIT-IDENTICAL
+    * integer pipeline, so one HUGEINT oracle grades both): forward
+    * levels l1..l`hops` (sigma = sum over level-(d−1) predecessors,
+    * NOT EXISTS against the cumulative visited set), backward
+    * d(hops−1)..d0 with the integer contribution
+    * (sigma·(2³⁰+dq)) // sigma_w in HUGEINT; one double division at
+    * the end. Every chained CTE is MATERIALIZED (DuckDB inlines plain
+    * CTEs per reference — the doubly-referenced level chain would
+    * re-derive its prefix 2^levels times; at sf0.1 that spilled past
+    * the disk before failing). `flt` filters the lineitem edge source;
+    * exhaustion-safe: levels past the true eccentricity are empty CTEs
+    * on both engines. */
+  private[queries] def dBetweennessOracle(flt: String, k: Int,
+                                          hops: Int): String = {
+    val q = "CAST(1073741824 AS HUGEINT)"
+    val fwdCtes = (1 to hops).map { dd =>
+      s"""f$dd AS MATERIALIZED (SELECT l.lm, s.dst AS id, SUM(l.sigma) AS sigma
+             FROM l${dd - 1} l JOIN sym s ON s.src = l.id
+             GROUP BY l.lm, s.dst),
+         l$dd AS MATERIALIZED (SELECT f.lm, f.id, f.sigma FROM f$dd f
+             WHERE NOT EXISTS (SELECT 1 FROM cum${dd - 1} c
+                               WHERE c.lm = f.lm AND c.id = f.id)),
+         cum$dd AS MATERIALIZED (SELECT lm, id FROM cum${dd - 1}
+                    UNION ALL SELECT lm, id FROM l$dd)"""
+    }.mkString(",\n          ")
+    val bwdCtes = ((hops - 1) to 0 by -1).map { dd =>
+      s"""b$dd AS MATERIALIZED (SELECT l.lm, l.id,
+               SUM((l.sigma * ($q + w.dq)) // w.sigma) AS dqsum
+             FROM l$dd l JOIN sym s ON s.src = l.id
+                  JOIN d${dd + 1} w ON w.lm = l.lm AND w.id = s.dst
+             GROUP BY l.lm, l.id),
+         d$dd AS MATERIALIZED (SELECT l.lm, l.id, l.sigma,
+               CAST(COALESCE(b.dqsum, 0) AS BIGINT) AS dq
+             FROM l$dd l LEFT JOIN b$dd b
+               ON b.lm = l.lm AND b.id = l.id)"""
+    }.mkString(",\n          ")
+    val union = (1 to hops).map(dd => s"SELECT lm, id, dq FROM d$dd")
+      .mkString(" UNION ALL ")
+    s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                           'p' || l_partkey AS dst FROM lineitem $flt),
+        sym AS MATERIALIZED (SELECT src, dst FROM e0
+                UNION SELECT dst AS src, src AS dst FROM e0),
+        lms AS MATERIALIZED (SELECT DISTINCT src AS lm FROM sym ORDER BY lm LIMIT $k),
+        l0 AS MATERIALIZED (SELECT lm, lm AS id, CAST(1 AS HUGEINT) AS sigma FROM lms),
+        cum0 AS MATERIALIZED (SELECT lm, id FROM l0),
+        $fwdCtes,
+        d$hops AS MATERIALIZED (SELECT lm, id, sigma, CAST(0 AS BIGINT) AS dq FROM l$hops),
+        $bwdCtes
+        SELECT id AS node,
+               CAST(SUM(dq) AS DOUBLE) / CAST(1073741824 AS DOUBLE) AS bc
+        FROM ($union) GROUP BY id"""
+  }
+
   val oracle: Map[String, String] = Map(
     // the k-round learner replayed: per-round SQL argmax + the
     // list_reduce merge rewrite (see bpeChainSql) — converts the
@@ -2984,45 +3038,7 @@ object Ext {
     // reference, and the cum/l chain references each level twice, so the
     // un-hinted plan re-derives the whole prefix 2^levels times (at
     // sf0.1 that spilled past the disk before failing)
-    "x_betweenness" -> {
-      val q = "CAST(1073741824 AS HUGEINT)"
-      val fwdCtes = (1 to 6).map { dd =>
-        s"""f$dd AS MATERIALIZED (SELECT l.lm, s.dst AS id, SUM(l.sigma) AS sigma
-               FROM l${dd - 1} l JOIN sym s ON s.src = l.id
-               GROUP BY l.lm, s.dst),
-           l$dd AS MATERIALIZED (SELECT f.lm, f.id, f.sigma FROM f$dd f
-               WHERE NOT EXISTS (SELECT 1 FROM cum${dd - 1} c
-                                 WHERE c.lm = f.lm AND c.id = f.id)),
-           cum$dd AS MATERIALIZED (SELECT lm, id FROM cum${dd - 1}
-                      UNION ALL SELECT lm, id FROM l$dd)"""
-      }.mkString(",\n          ")
-      val bwdCtes = (5 to 0 by -1).map { dd =>
-        s"""b$dd AS MATERIALIZED (SELECT l.lm, l.id,
-                 SUM((l.sigma * ($q + w.dq)) // w.sigma) AS dqsum
-               FROM l$dd l JOIN sym s ON s.src = l.id
-                    JOIN d${dd + 1} w ON w.lm = l.lm AND w.id = s.dst
-               GROUP BY l.lm, l.id),
-           d$dd AS MATERIALIZED (SELECT l.lm, l.id, l.sigma,
-                 CAST(COALESCE(b.dqsum, 0) AS BIGINT) AS dq
-               FROM l$dd l LEFT JOIN b$dd b
-                 ON b.lm = l.lm AND b.id = l.id)"""
-      }.mkString(",\n          ")
-      val union = (1 to 6).map(dd => s"SELECT lm, id, dq FROM d$dd")
-        .mkString(" UNION ALL ")
-      s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,
-                             'p' || l_partkey AS dst FROM lineitem),
-          sym AS MATERIALIZED (SELECT src, dst FROM e0
-                  UNION SELECT dst AS src, src AS dst FROM e0),
-          lms AS MATERIALIZED (SELECT DISTINCT src AS lm FROM sym ORDER BY lm LIMIT 4),
-          l0 AS MATERIALIZED (SELECT lm, lm AS id, CAST(1 AS HUGEINT) AS sigma FROM lms),
-          cum0 AS MATERIALIZED (SELECT lm, id FROM l0),
-          $fwdCtes,
-          d6 AS MATERIALIZED (SELECT lm, id, sigma, CAST(0 AS BIGINT) AS dq FROM l6),
-          $bwdCtes
-          SELECT id AS node,
-                 CAST(SUM(dq) AS DOUBLE) / CAST(1073741824 AS DOUBLE) AS bc
-          FROM ($union) GROUP BY id"""
-    },
+    "x_betweenness" -> dBetweennessOracle("", 4, 6),
 
     // the HyperANF replay: register evolution unrolled over the fixed
     // 6-round horizon (register-max per level, MATERIALIZED — the

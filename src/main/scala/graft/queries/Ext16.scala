@@ -116,6 +116,20 @@ object Ext16 {
         "id", "v_aug", "id", "v_aug", k = 5)
     }),
 
+    // the decimal-σ Brandes path graded end-to-end (round 13): sigma
+    // and cq ride decimal(38,0) — the remediation the long path's
+    // overflow refusal names — on a 10%-supplier sub-graph with a
+    // 3-hop horizon (the decimal pipeline's integer values are
+    // BIT-IDENTICAL to the long path's, so the shared HUGEINT oracle
+    // grades both; GraphsSpec pins the equality and the σ-explosive
+    // completion the long path refuses)
+    "x_betweenness_dec" -> ((s, d) =>
+      graft.operators.Graphs.landmarkBetweenness(
+        t(s, d, "lineitem").filter(col("l_suppkey") % 10 === 0).select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst")),
+        "src", "dst", k = 4, maxHops = 3, decimalSigma = true)),
+
     // ingest-time exact dedup as an actual streaming job:
     // readStream(events) → withWatermark(1h) →
     // dropDuplicatesWithinWatermark(fingerprint) → append memory sink.
@@ -773,6 +787,11 @@ object Ext16 {
           SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
           FROM ranked WHERE rank <= $k"""
     },
+
+    // shared HUGEINT Brandes replay (see Ext.dBetweennessOracle): the
+    // decimal path's integers are bit-identical to the long path's
+    "x_betweenness_dec" ->
+      Ext.dBetweennessOracle("WHERE l_suppkey % 10 = 0", 4, 3),
 
     // the streamed dedup's survivors per type ARE the distinct
     // (user, type) fingerprints per type — a batch aggregate

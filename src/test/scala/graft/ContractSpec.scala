@@ -76,8 +76,12 @@ class ContractSpec extends SparkSpec {
     // round 13 graded the MIPS scale path end-to-end (x_mips_ann: the
     // Bachrach/Neyshabur norm augmentation served through the
     // UNCHANGED ivfTopK cosine index at dim=65, oracle = the shared
-    // k-means replay with the augmentation arithmetic spliced in).
-    assert(n == 422 && exact == 422,
+    // k-means replay with the augmentation arithmetic spliced in) and
+    // the decimal-sigma Brandes path (x_betweenness_dec: sigma/cq in
+    // decimal(38,0) end to end on a filtered sub-graph — bit-identical
+    // integers to the long path, so the shared HUGEINT oracle grades
+    // both).
+    assert(n == 423 && exact == 423,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 
