@@ -940,8 +940,10 @@ object Graphs {
     // discipline): each BFS hop shuffles only the frontier
     val adj = (if (directed) fwd
       else fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v"))))
-      .filter(col("u") =!= col("v")).distinct()
-      .repartition(col("u")).persist()
+      .filter(col("u") =!= col("v"))
+      // one shuffle: hashpartitioning(u) satisfies the (u,v) dedup's
+      // clustering, and the cache stays partitioned on the join key
+      .repartition(col("u")).dropDuplicates().persist()
     // hybrid finish (the localStarForest rationale): the count
     // materializes the persist the first hop would pay anyway
     if (integralIds(adj) && adj.count() <= localFinishEdges) {
@@ -1013,8 +1015,10 @@ object Graphs {
     require(k >= 1 && k <= 1024, s"landmarkCloseness: k=$k outside [1, 1024]")
     val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     val adj = fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-      .filter(col("u") =!= col("v")).distinct()
-      .repartition(col("u")).persist()
+      .filter(col("u") =!= col("v"))
+      // one shuffle: hashpartitioning(u) satisfies the (u,v) dedup's
+      // clustering, and the cache stays partitioned on the join key
+      .repartition(col("u")).dropDuplicates().persist()
     val landmarks = adj.select(col("u").as("lm")).distinct()
       .orderBy("lm").limit(k)
     var dist = landmarks.select(col("lm"), col("lm").as("id"))
@@ -1129,9 +1133,14 @@ object Graphs {
       s"landmarkBetweenness: k=$k outside [1, 1024]")
     val Q = 1073741824L // 2^30, exact in double
     val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    // ONE shuffle, not two: hashpartitioning(u) satisfies the (u,v)
+    // dedup's ClusteredDistribution (u ⊆ {u,v}), so repartition-then-
+    // dropDuplicates dedups in place AND leaves the cache partitioned
+    // on the per-hop join key — the old distinct().repartition(u)
+    // paid a second full edge shuffle for the same plan state
     val adj = fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-      .filter(col("u") =!= col("v")).distinct()
-      .repartition(col("u")).persist()
+      .filter(col("u") =!= col("v"))
+      .repartition(col("u")).dropDuplicates().persist()
     val landmarks = adj.select(col("u").as("lm")).distinct()
       .orderBy("lm").limit(k)
     // σ-overflow fail-fast bound (long mode only): next level's σ is a
@@ -1328,8 +1337,9 @@ object Graphs {
     // discipline): each WL round then shuffles only the label frame
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-      .filter(col("u") =!= col("v")).distinct()
-      .repartition(col("v")).persist()
+      .filter(col("u") =!= col("v"))
+      // one shuffle (see the adjacency note in landmarkBetweenness)
+      .repartition(col("v")).dropDuplicates().persist()
     var labels = sym.groupBy("u").agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), md5(col("deg").cast("string")).as("lab"))
       .localCheckpoint(true)
@@ -1445,7 +1455,8 @@ object Graphs {
     val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct().repartition(col("v")).persist()
+      // one shuffle (see the adjacency note in landmarkBetweenness)
+      .repartition(col("v")).dropDuplicates().persist()
     // hybrid finish: the count materializes the persist (round 1 pays
     // it otherwise); 2× because sym holds both orientations
     val isString =
@@ -1647,8 +1658,10 @@ object Graphs {
     val Q = 1048576L // 2^20, exact in double
     val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
     val adj = fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-      .filter(col("u") =!= col("v")).distinct()
-      .repartition(col("u")).persist()
+      .filter(col("u") =!= col("v"))
+      // one shuffle: hashpartitioning(u) satisfies the (u,v) dedup's
+      // clustering, and the cache stays partitioned on the join key
+      .repartition(col("u")).dropDuplicates().persist()
     // t = 0: each node's ball is {itself} — one occupied register,
     // packed into the 64-slot array at its md5 bucket
     var regs = adj.select(col("u").as("id")).distinct()

@@ -108,8 +108,14 @@ object Ext16 {
     // the shared k-means replay (Ext.dKmeansChain at dim=65).
     "x_mips_ann" -> ((s, d) => {
       val e = t(s, d, "embeddings")
+      // persist the augmented corpus (the pqTopK cache discipline,
+      // released by the harness's CheckpointBlocks.releaseAll): the
+      // k-means fit + assignment + rerank otherwise re-derive the
+      // augmentation — INCLUDING its 1-row corpus-max aggregate — in
+      // every one of their ~6 corpus passes
       val corpus = graft.operators.Similarity.mipsAugment(
         e, "vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qs = graft.operators.Similarity.mipsAugmentQuery(
         e.filter(col("vec_id") < 10), "vec_id", "embedding")
       graft.operators.Similarity.ivfTopK(qs, corpus,

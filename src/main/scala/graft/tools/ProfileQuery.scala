@@ -33,8 +33,16 @@ object ProfileQuery {
       spark.conf.set(k, v)
       println(s"[profile] conf $k = $v")
     }
-    names.filter(graft.SparkEntry.queries.contains).foreach { n =>
-      (1 to 3).foreach { i =>
+    val (flags, qNames) = names.partition(_ == "explain")
+    qNames.filter(graft.SparkEntry.queries.contains).foreach { n =>
+      if (flags.nonEmpty) {
+        // plan mode: print the formatted physical plan instead of timing
+        println(s"[profile] ==== $n plan ====")
+        println(graft.SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        graft.plans.CheckpointBlocks.releaseAll(spark)
+      } else (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
