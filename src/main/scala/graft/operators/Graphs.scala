@@ -617,14 +617,20 @@ object Graphs {
   val RankScale: Double = 1099511627776.0
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    // ONE edge shuffle for dedup + degree + the cached join side (the
+    // landmarkBetweenness adjacency note): partitioned on src, the
+    // (src,dst) dedup and the src-keyed degree agg are both satisfied
+    // by hashpartitioning(src) and the sym⋈deg join reuses the same
+    // exchange — the old distinct()/groupBy/repartition chain shuffled
+    // the edge frame three times
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
+      .repartition(col("src")).dropDuplicates()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // adjacency is re-joined on src every round: cache it PARTITIONED
     // on the join key so each iteration shuffles only the rank frame,
     // not the data-sized edge side
-    val adj = sym.join(deg, Seq("src")).repartition(col("src")).persist()
+    val adj = sym.join(deg, Seq("src")).persist()
     val n = adj.select(countDistinct(col("src")).as("n"))
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
@@ -657,12 +663,15 @@ object Graphs {
                        damping: Double = 0.85): DataFrame = {
     val half = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("long").as("w"))
+    // one edge shuffle (see the pageRank setup note): src partitioning
+    // satisfies the (src,dst) weight agg, the degree agg, and the join
     val sym = half
       .union(half.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
+      .repartition(col("src"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
     val deg = sym.groupBy("src").agg(sum("w").as("wdeg"))
-    val adj = sym.join(deg, Seq("src")).repartition(col("src")).persist()
+    val adj = sym.join(deg, Seq("src")).persist()
     val n = adj.select(countDistinct(col("src")).as("n"))
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("rank"))
@@ -711,11 +720,12 @@ object Graphs {
                            dstCol: String, seeds: DataFrame,
                            seedCol: String, iters: Int = 3,
                            damping: Double = 0.85): DataFrame = {
+    // one edge shuffle (see the pageRank setup note)
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .distinct()
+      .repartition(col("src")).dropDuplicates()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val adj = sym.join(deg, Seq("src")).repartition(col("src")).persist()
+    val adj = sym.join(deg, Seq("src")).persist()
     val seedSet = seeds.select(col(seedCol).as("node")).distinct()
     val ns = seedSet.agg(count(lit(1)).as("ns"))
     val tf = seedSet.crossJoin(broadcast(ns))
