@@ -153,7 +153,12 @@ object Bench {
     // inflated upward by a lucky sub-reference sentinel). Formula
     // documented in SCALE.md §bench-noise.
     val sentinelMean = (sentinelPre + sentinelPost) / 2.0
-    val valueNorm = total * (SentinelRef / math.max(SentinelRef, sentinelMean))
+    // SentinelRef ≤ 0 means "no baseline for this machine" (env set to
+    // 0/off) — report the raw total rather than normalize against a
+    // wrong reference (ADVICE r13)
+    val valueNorm =
+      if (SentinelRef <= 0.0) total
+      else total * (SentinelRef / math.max(SentinelRef, sentinelMean))
 
     // complete per-query map, full precision → file (see size contract).
     // The load sentinels are TOP-LEVEL fields, not entries in "queries"
@@ -192,12 +197,22 @@ object Bench {
     spark.stop()
   }
 
-  /** The machine's healthy idle sentinel cost (seconds) — the r12
-    * committed healthy-run value (sentinel 0.17 at 341.9 s idle
-    * total). value_norm keys off this constant; re-baseline it ONLY
-    * with a measured idle run on new hardware, in the same commit as
-    * the SCALE.md §bench-noise note. */
-  val SentinelRef: Double = 0.17
+  /** The machine's healthy idle sentinel cost (seconds). Default is the
+    * r13 committed healthy-run value (sentinel mean 0.155–0.179 across
+    * the close runs; 0.17 is the midpoint the r12 baseline landed on).
+    * value_norm keys off this; on DIFFERENT hardware override it with
+    * `SPARK_GRAFT_SENTINEL_REF=<measured idle sentinel>` (ADVICE r13 —
+    * a baked-in constant silently normalizes against the wrong
+    * baseline elsewhere), or set it to 0/`off` to suppress the
+    * normalization entirely (value_norm then reports the raw total:
+    * max(0, s̄) ≥ 0 makes the ratio 0/x only when ref is 0, so we
+    * special-case it below). Re-baseline the default ONLY with a
+    * measured idle run, in the same commit as the SCALE.md
+    * §bench-noise note. */
+  val SentinelRef: Double =
+    sys.env.get("SPARK_GRAFT_SENTINEL_REF")
+      .filterNot(v => v.isEmpty || v == "off")
+      .map(_.toDouble).getOrElse(0.17)
 
   /** The stable cross-round comparison set: flagship parity queries plus
     * the most expensive / most representative operator per family. Keep

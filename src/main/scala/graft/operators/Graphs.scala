@@ -622,7 +622,16 @@ object Graphs {
     // (src,dst) dedup and the src-keyed degree agg are both satisfied
     // by hashpartitioning(src) and the sym⋈deg join reuses the same
     // exchange — the old distinct()/groupBy/repartition chain shuffled
-    // the edge frame three times
+    // the edge frame three times. Trade-off (ADVICE r13): keying the
+    // dedup on src alone lands a high-degree hub's whole edge list in
+    // one task, where the old (src,dst)-keyed distinct spread it. On a
+    // power-law graph at the 100 TB target, pre-split hubs before this
+    // setup (the Skew.saltedJoin recipe: salt src for the dedup, then
+    // one extra unsalted shuffle) or raise
+    // spark.sql.shuffle.partitions so the hub task still fits — AQE
+    // cannot split this one because the dedup NEEDS all of a key's
+    // rows co-located. The degree agg itself is safe either way
+    // (partial aggregation compacts hub partitions map-side).
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .repartition(col("src")).dropDuplicates()
@@ -1147,7 +1156,11 @@ object Graphs {
     // dedup's ClusteredDistribution (u ⊆ {u,v}), so repartition-then-
     // dropDuplicates dedups in place AND leaves the cache partitioned
     // on the per-hop join key — the old distinct().repartition(u)
-    // paid a second full edge shuffle for the same plan state
+    // paid a second full edge shuffle for the same plan state.
+    // Hub-skew trade-off: see the pageRank adjacency note — single-key
+    // partitioning concentrates a power-law hub's edge list in one
+    // task; pre-salt the dedup (Skew.saltedJoin recipe) on graphs
+    // where max-degree · row-width approaches executor memory
     val adj = fwd.union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .filter(col("u") =!= col("v"))
       .repartition(col("u")).dropDuplicates().persist()
@@ -1301,11 +1314,15 @@ object Graphs {
     // readout guard: the cross-level/cross-landmark dq sum is a LONG in
     // long mode — k·2⁶¹ can exceed 2⁶³ for large k even when every
     // per-level dq passed its guard, and a wrap surfaces as a negative
-    // sum (dq ≥ 0 throughout). Decimal mode cannot wrap (overflow is a
-    // NULL, impossible here: ≤ maxHops·k terms each ≤ 10³¹ < 10³⁸).
+    // sum (dq ≥ 0 throughout). Decimal mode cannot wrap, but an
+    // overflow there is a NULL (should be impossible: ≤ maxHops·k terms
+    // each ≤ 10³¹ < 10³⁸) which also falls through `sdq >= 0` — so the
+    // refusal message branches on the mode (ADVICE r13: a decimal NULL
+    // must report decimal overflow, not a long wrap)
     val sdqG = when(col("sdq") >= 0L, col("sdq"))
-      .otherwise(raise_error(lit(overflowMsg(
-        "the final per-node dq sum (wrapped negative)"))))
+      .otherwise(raise_error(lit(
+        if (decimalSigma) decMsg + " in the final per-node dq sum"
+        else overflowMsg("the final per-node dq sum (wrapped negative)"))))
     contributing
       .map(_.select(col("id"), col("dq")))
       .reduce(_ union _)

