@@ -105,6 +105,37 @@ object Ext16 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Small-file compaction graded end-to-end (round 14, VERDICT r13
+    // item 7 — the last §2.11 warehouse-maintenance op without a graded
+    // census): stage `orders` as the 64-tiny-file accretion a streaming
+    // sink produces, run [[graft.sources.Warehouse.compact]] into ONE
+    // file, and emit a census that pins BOTH halves of the contract —
+    // layout changed (files_before/files_after, measured from the real
+    // filesystem, must equal the staged/expected constants) and content
+    // did not (row count + the tableDigest additive multiset hash over
+    // the COMPACTED files == the oracle's census of the ORIGINAL
+    // table; order-invariant by construction, so the round-robin
+    // rewrite can't affect it). Columns render through engine-stable
+    // forms (ints/strings/decimal — the x_table_digest discipline).
+    // Temp dirs ride the same exit-time sweep as the stream replays.
+    "x_compact" -> ((s, d) => {
+      val dir = tempStreamDir("graft_x_compact")
+      val in = dir.resolve("in").toString
+      val out = dir.resolve("out").toString
+      val cols = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      t(s, d, "orders").select(cols: _*)
+        .repartition(64)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(in)
+      val (before, after, _) =
+        graft.sources.Warehouse.compact(s, in, out, Long.MaxValue / 4)
+      graft.sources.Warehouse.tableDigest(
+          s.read.parquet(out), "o_orderkey", nBuckets = 1)
+        .select(lit(before).as("files_before"), lit(after).as("files_after"),
+          col("n_rows"), col("digest"))
+    }),
+
     // MIPS served THROUGH the cosine IVF index via the
     // Bachrach/Neyshabur norm augmentation — the 100 TB path x_mips
     // documents, graded end to end: every corpus vector gains
@@ -764,6 +795,23 @@ object Ext16 {
   // ---------------------------------------------------------------- SQL
 
   val oracle: Map[String, String] = Map(
+
+    // compaction is layout-only: the oracle censuses the ORIGINAL
+    // orders table (it never sees the engine's staged/compacted files)
+    // with the same '|'-joined rendering and additive multiset hash as
+    // x_table_digest, collapsed to one global bucket; the file counts
+    // are the contract's constants (64 staged → 1 target file), which
+    // the engine must MEASURE back from the filesystem
+    "x_compact" ->
+      """SELECT 64 AS files_before, 1 AS files_after,
+                count(*) AS n_rows,
+                CAST(sum(('0x' || substr(md5(o_orderkey::VARCHAR || '|' ||
+                                             o_custkey::VARCHAR || '|' ||
+                                             o_orderstatus || '|' ||
+                                             (o_totalprice::DECIMAL(18,2))::VARCHAR),
+                                         1, 13))::BIGINT)
+                     % 2305843009213693951 AS BIGINT) AS digest
+         FROM orders""",
 
     // the augmentation arithmetic spliced into the shared portable
     // k-means replay at dim=65: corpus rows gain sqrt(M²−‖v‖²), query
