@@ -1110,20 +1110,29 @@ object Graphs {
     * in BIGINT; a graph whose shortest-path counts overflow 2⁶³ within
     * maxHops needs the decimal σ variant (σ·(2³⁰+dq) stays ≤ 10³⁸ far
     * past any realistic landmark census). That trade is ENFORCED, not
-    * just documented: each forward level probes max(σ) against
-    * 2⁶²/max-degree (the next level's per-node sum provably cannot
-    * wrap below that bound) and each backward level probes dq ∈
-    * [0, 2⁶¹] (keeping σ·(2³⁰+dq) under decimal(38,0) and flagging a
-    * wrapped long sum, which would surface as a negative dq); a
-    * decimal overflow in the cq product itself (NULL under non-ANSI)
-    * raises instead of being silently dropped by the sum. All three
-    * fail fast with the decimal-σ remediation message rather than
-    * silently diverging from the HUGEINT oracle. The backward dq guard
-    * is an IN-ROW `raise_error` branch on the dq column itself, so it
-    * evaluates during the level frame's eager localCheckpoint — ZERO
-    * extra driver actions (the r12 per-level min/max probe cost one
-    * whole job per level at small SF; at 100 TB either shape amortizes,
-    * but the in-row form is strictly cheaper at every scale).
+    * just documented: each forward level holds every materialized σ ≤
+    * 2⁶²/max-degree (so the next level's ≤ maxDeg-term sum provably
+    * cannot wrap before its own row is checked) and each backward
+    * level holds dq ∈ [0, 2⁶¹] (keeping σ·(2³⁰+dq) under
+    * decimal(38,0) and flagging a wrapped long sum, which would
+    * surface as a negative dq); a decimal overflow in the cq product
+    * itself (NULL under non-ANSI) raises instead of being silently
+    * dropped by the sum. All three fail fast with the decimal-σ
+    * remediation message rather than silently diverging from the
+    * HUGEINT oracle. BOTH guards are IN-ROW `raise_error` branches on
+    * the σ/dq column itself, evaluated during the level frame's eager
+    * localCheckpoint — ZERO extra driver actions (the forward min/max
+    * probe joined the backward one in-row in round 14; a probe job per
+    * level cost ~2 driver round-trips per hop at small SF, and the
+    * in-row form is strictly cheaper at every scale).
+    *
+    * Forward frontier discipline (round 14): adj is symmetric, so a
+    * neighbor of a level-L node sits at distance L−1, L, or L+1 per
+    * landmark — the new-node anti-join uses the last TWO level frames,
+    * which IS the full visited filter, without maintaining (and
+    * checkpointing, and growing) a cumulative visited set. Per hop the
+    * driver now runs exactly two actions: the level checkpoint and the
+    * emptiness probe.
     *
     * `decimalSigma = true` is the remediation path the refusal names:
     * σ rides decimal(38,0) end to end (seed, per-level sums, the cq
@@ -1191,7 +1200,6 @@ object Graphs {
     var levels = List(
       landmarks.select(col("lm"), col("lm").as("id"), sigmaOne.as("sigma"))
         .localCheckpoint(true))
-    var visited = levels.head.select("lm", "id").localCheckpoint(true)
     var exhausted = false
     while (!exhausted && levels.size <= maxHops) {
       val summed = adj
@@ -1199,39 +1207,45 @@ object Graphs {
           col("sigma")), Seq("u"))
         .groupBy(col("lm"), col("v").as("id"))
         .agg(sum("sigma").as("sigma"))
-      // decimal mode: a σ sum that overflowed 10^38 is NULL (inputs are
-      // never null) — raise in-row during the checkpoint materialization
+      // BOTH σ guards are in-row raise_error branches evaluated during
+      // the level's eager checkpoint (round 14 — the r12 backward-dq
+      // pattern applied forward; the per-level min/max driver probe is
+      // gone). Decimal mode: an overflowed σ sum is NULL (inputs never
+      // are). Long mode: each materialized σ is held ≤ 2⁶²/maxDeg, so
+      // the NEXT level's ≤ maxDeg-term sum provably stays under 2⁶² —
+      // no wrap can occur before its own row is checked; σ<0 flags a
+      // wrap that the bound arithmetic says cannot happen (belt and
+      // braces, same as the old probe).
       val expanded =
         if (decimalSigma) summed.select(col("lm"), col("id"),
           when(col("sigma").isNotNull, col("sigma"))
             .otherwise(raise_error(lit(decMsg + " in a sigma sum")))
             .as("sigma"))
-        else summed
-      val next = expanded.join(visited, Seq("lm", "id"), "left_anti")
+        else {
+          val msg = overflowMsg("sigma=@SIGMA@ at level " +
+            s"${levels.size} (bound $sigmaSafe = 2^62/maxDeg=$maxDeg)")
+          val Array(pre, post) = msg.split("@SIGMA@", 2)
+          summed.select(col("lm"), col("id"),
+            when(col("sigma") >= 0L && col("sigma") <= sigmaSafe,
+              col("sigma"))
+              .otherwise(raise_error(concat(lit(pre),
+                col("sigma").cast("string"), lit(post))))
+              .as("sigma"))
+        }
+      // no cumulative visited set (round 14): adj is SYMMETRIC, so per
+      // landmark a neighbor of a level-L node sits at distance L−1, L,
+      // or L+1 — anti-joining the last TWO level frames is exactly the
+      // full visited filter. Drops one checkpoint job per level (the
+      // visited union) and bounds the anti-join build side at two
+      // frontier widths instead of the whole reached set.
+      val seen = levels.take(2).map(_.select("lm", "id")).reduce(_ union _)
+      val next = expanded.join(seen, Seq("lm", "id"), "left_anti")
         .localCheckpoint(true)
-      // ONE probe action over the checkpointed frame gives emptiness
-      // AND (long mode) the σ guard together (σ<0 = a wrap that
-      // already happened)
-      val probe =
-        if (decimalSigma) next.agg(count(lit(1))).first()
-        else next.agg(count(lit(1)), max("sigma"), min("sigma")).first()
-      val nEmpty = probe.getLong(0) == 0L
-      if (!decimalSigma && !nEmpty &&
-          (probe.getLong(2) < 0L || probe.getLong(1) > sigmaSafe))
-        throw new IllegalStateException(
-          overflowMsg(s"max(sigma)=${probe.getLong(1)} at level " +
-            s"${levels.size} (bound $sigmaSafe = 2^62/maxDeg=$maxDeg)"))
-      if (nEmpty) {
+      if (next.isEmpty) {
         CheckpointBlocks.release(next)
         exhausted = true
-      } else {
-        val nv = visited.union(next.select("lm", "id")).localCheckpoint(true)
-        CheckpointBlocks.release(visited)
-        visited = nv
-        levels = next :: levels
-      }
+      } else levels = next :: levels
     }
-    CheckpointBlocks.release(visited)
     // backward: deepest level seeds dq = 0; each shallower level's dq
     // sums the integer-exact contributions from its DAG successors
     val dqZero =

@@ -295,12 +295,19 @@ class GraphsSpec extends SparkSpec {
       l <- 1 until layers; i <- 0 until w; j <- 0 until w
     } yield (node(l, i), node(l + 1, j))
     val edges = (first ++ rest).toDF("src", "dst")
-    val ex = intercept[IllegalStateException] {
+    // the guard is an in-row raise_error since r14 (it fires during the
+    // level checkpoint, surfacing as Spark's USER_RAISED_EXCEPTION
+    // rather than a driver-side IllegalStateException)
+    val ex = intercept[Exception] {
       Graphs.landmarkBetweenness(edges, "src", "dst", k = 1, maxHops = 14)
         .collect()
     }
-    assert(ex.getMessage.contains("decimal"),
-      s"refusal must name the decimal-sigma remediation: ${ex.getMessage}")
+    val msg = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msg.contains("decimal"),
+      s"refusal must name the decimal-sigma remediation: $msg")
+    assert(msg.contains("sigma=") && msg.contains("at level"),
+      s"refusal must carry the offending sigma and level: $msg")
     // the remediation path the refusal names: decimalSigma = true runs
     // the SAME graph to completion (sigma rides decimal(38,0); 64^13
     // ≈ 2^78 fits with 10^14 headroom to spare)
