@@ -895,9 +895,11 @@ object Graphs {
     * saturates, so late rounds are nearly free even on huge graphs.
     *
     * Scale shape per round: one equi-join (frontier ⋈ edges, keyed on
-    * the edge src) + one left-anti join against the visited set + a
-    * distinct — all partitioned on the node key; no collect, no
-    * driver-side graph state. Rounds = min(eccentricity, maxHops).
+    * the edge src) + one left-anti join against the retained level
+    * frames (last two when undirected — the symmetric-adjacency
+    * distance argument; all of them when directed) + a distinct — all
+    * partitioned on the node key; no collect, no driver-side graph
+    * state. Rounds = min(eccentricity, maxHops).
     * Storage follows the engine's iterative-operator discipline:
     * every round's frames are localCheckpoint'ed (plan truncation) and
     * dead rounds' blocks are dropped via the LogicalRDD leaf.
@@ -971,32 +973,38 @@ object Graphs {
       adj.unpersist()
       return out
     }
-    var dist = sources.select(col(idCol).as("id")).distinct()
-      .withColumn("dist", lit(0)).localCheckpoint(true)
-    var frontier = dist
+    // level-frame BFS (round 14, the landmarkBetweenness discipline):
+    // each hop retains its own checkpointed level; the result is the
+    // lazy union of levels, so no cumulative dist frame is re-unioned
+    // and re-checkpointed per round — one fewer driver action per hop.
+    // Anti-join side: undirected graphs need only the last TWO levels
+    // (a neighbor of a dist-L node sits at dist L−1, L, or L+1 —
+    // triangle inequality on the multi-source set distance); directed
+    // graphs anti-join the union of ALL levels (an edge may lead
+    // arbitrarily far BACK toward the sources), which reads the same
+    // rows the old dist frame held, just without re-materializing them.
+    var levels = List(sources.select(col(idCol).as("id")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true))
     var hop = 0
     var exhausted = false
     while (!exhausted && hop < maxHops) {
       val candidates = adj
-        .join(frontier.select(col("id").as("u")), Seq("u"))
+        .join(levels.head.select(col("id").as("u")), Seq("u"))
         .select(col("v").as("id")).distinct()
-      val newly = candidates.join(dist, Seq("id"), "left_anti")
+      val seen = (if (directed) levels else levels.take(2))
+        .map(_.select("id")).reduce(_ union _)
+      val newly = candidates.join(seen, Seq("id"), "left_anti")
         .withColumn("dist", lit(hop + 1)).localCheckpoint(true)
       if (newly.isEmpty) {
         CheckpointBlocks.release(newly)
         exhausted = true
       } else {
-        val nextDist = dist.union(newly).localCheckpoint(true)
-        CheckpointBlocks.release(dist)
-        if (hop > 0) CheckpointBlocks.release(frontier)
-        dist = nextDist
-        frontier = newly
+        levels = newly :: levels
         hop += 1
       }
     }
     adj.unpersist()
-    if (hop > 0) CheckpointBlocks.release(frontier)
-    dist
+    levels.reduce(_ union _)
   }
 
   /** Landmark closeness + harmonic centrality (Bavelas 1950 closeness;
@@ -1012,9 +1020,10 @@ object Graphs {
     * Scale shape: the BFS state carries (landmark, node, dist) — k
     * simultaneous searches in ONE frontier frame, so each round is
     * still one equi-join keyed on the edge src + one left-anti against
-    * the visited set (the [[shortestPaths]] discipline: adjacency
-    * cached partitioned on the join key, per-round localCheckpoint +
-    * leaf release, early exit when the frontier drains). k is
+    * the last two level frames (the [[shortestPaths]] discipline:
+    * adjacency cached partitioned on the join key, per-round
+    * localCheckpoint, early exit when the frontier drains; symmetric
+    * adjacency makes two levels the full visited filter). k is
     * parameter-bounded; rounds ≤ min(diameter, maxHops).
     *
     * Float discipline: the readout is a per-(landmark, dist) INTEGER
@@ -1040,31 +1049,32 @@ object Graphs {
       .repartition(col("u")).dropDuplicates().persist()
     val landmarks = adj.select(col("u").as("lm")).distinct()
       .orderBy("lm").limit(k)
-    var dist = landmarks.select(col("lm"), col("lm").as("id"))
-      .withColumn("dist", lit(0)).localCheckpoint(true)
-    var frontier = dist
+    // level-frame BFS (round 14, the landmarkBetweenness discipline):
+    // adj is symmetric, so the new-node anti-join needs only the last
+    // TWO level frames per landmark; the histogram reads the lazy
+    // union of levels — the per-round cumulative-dist checkpoint job
+    // is gone (one fewer driver action per hop)
+    var levels = List(landmarks.select(col("lm"), col("lm").as("id"))
+      .withColumn("dist", lit(0)).localCheckpoint(true))
     var hop = 0
     var exhausted = false
     while (!exhausted && hop < maxHops) {
       val candidates = adj
-        .join(frontier.select(col("lm"), col("id").as("u")), Seq("u"))
+        .join(levels.head.select(col("lm"), col("id").as("u")), Seq("u"))
         .select(col("lm"), col("v").as("id")).distinct()
-      val newly = candidates.join(dist, Seq("lm", "id"), "left_anti")
+      val seen = levels.take(2).map(_.select("lm", "id")).reduce(_ union _)
+      val newly = candidates.join(seen, Seq("lm", "id"), "left_anti")
         .withColumn("dist", lit(hop + 1)).localCheckpoint(true)
       if (newly.isEmpty) {
         CheckpointBlocks.release(newly)
         exhausted = true
       } else {
-        val nextDist = dist.union(newly).localCheckpoint(true)
-        CheckpointBlocks.release(dist)
-        if (hop > 0) CheckpointBlocks.release(frontier)
-        dist = nextDist
-        frontier = newly
+        levels = newly :: levels
         hop += 1
       }
     }
     adj.unpersist()
-    if (hop > 0) CheckpointBlocks.release(frontier)
+    val dist = levels.reduce(_ union _)
     val hist = dist.filter(col("dist") > 0)
       .groupBy("lm", "dist").agg(count(lit(1)).as("cnt"))
     hist.groupBy("lm").agg(
@@ -1785,20 +1795,46 @@ object Graphs {
         // regardless of `rounds`, the shape for diameter sweeps on
         // billion-node graphs where rounds×n registers would not fit
         // the block managers. One extra (tiny) census job per round.
-        val censuses = scala.collection.mutable.ListBuffer(
-          census(tag(0, regs)).localCheckpoint(true))
+        // The per-round census tags t = 0 INSIDE the aggregation plan
+        // and relabels the 1-row result: tagging with the real t would
+        // fold a different constant into each round's generated code
+        // and re-pay whole-stage compile per round (measured ~1.5 s
+        // over 5 rounds at sf0.1); the constant-0 form is the same
+        // source every round, so Janino's cache serves rounds 1..T.
+        // …and each census lands as ONE driver action: the 1-row
+        // result is collected (parameter-bounded: exactly rounds+1
+        // single-decimal rows over the whole call — the centroid-
+        // collect class) instead of checkpointed + union-read later,
+        // halving the per-round fixed cost. BigDecimal round-trips the
+        // decimal(38,0) sum exactly, so the rebuilt frame is
+        // byte-identical to the shared-census form.
+        // empty graph → empty census (no row), matching the shared
+        // path's empty union rather than throwing on first()
+        def census1(f: DataFrame): Option[java.math.BigDecimal] =
+          census(tag(0, f)).select(col("nfq")).collect()
+            .headOption.map(_.getDecimal(0))
+        val nfRows = scala.collection.mutable.ListBuffer.empty[
+          (Int, java.math.BigDecimal)]
+        census1(regs).foreach(q => nfRows += ((0, q)))
         (1 to rounds).foreach { t =>
           val next = advance(regs)
-          censuses += census(tag(t, next)).localCheckpoint(true)
+          census1(next).foreach(q => nfRows += ((t, q)))
           CheckpointBlocks.release(regs)
           regs = next
         }
         CheckpointBlocks.release(regs)
         adj.unpersist()
-        val nf = censuses.toList.reduce(_ unionByName _)
-          .localCheckpoint(true)
-        censuses.foreach(CheckpointBlocks.release(_))
-        nf
+        val spark = edges.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("nfq",
+            org.apache.spark.sql.types.DecimalType(38, 0))))
+        spark.createDataFrame(
+          java.util.Arrays.asList(nfRows.toList.map { case (t, q) =>
+            org.apache.spark.sql.Row(t, new java.math.BigDecimal(
+              q.unscaledValue, 0)): org.apache.spark.sql.Row }: _*),
+          schema)
       }
     val total = nfAll.filter(col("t") === rounds)
       .select(col("nfq").as("nf_total"))

@@ -84,8 +84,10 @@ class ContractSpec extends SparkSpec {
     // round 14 graded the last warehouse-maintenance op (x_compact:
     // stage 64 tiny files, Warehouse.compact to 1, census = measured
     // file counts + content multiset-hash invariance vs the original
-    // table).
-    assert(n == 424 && exact == 424,
+    // table) and hyperANF's release-per-round mode on its own census
+    // (x_eff_diameter_fold: quarter graph, T=5, shared oracle
+    // template).
+    assert(n == 425 && exact == 425,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
   }
 
