@@ -633,6 +633,12 @@ class GraphsSpec extends SparkSpec {
     // direction respected: the chain is one-way
     assert(bfs(chain, Seq(3L), 10, directed = true) ==
       Map(3L -> 0, 4L -> 1, 5L -> 2))
+    // directed BACK-edge to an already-settled node (r14: the level-
+    // frame form anti-joins ALL retained levels when directed — a
+    // two-level window would wrongly re-admit node 1 at dist 3 here)
+    val cyc = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L)
+    assert(bfs(cyc, Seq(1L), 10, directed = true) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
   test("wlFingerprint: hand-computed refinements + isomorphism invariance") {
