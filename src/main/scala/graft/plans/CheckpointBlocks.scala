@@ -36,6 +36,26 @@ object CheckpointBlocks {
       case _              => ()
     }
 
+  /** Eager local checkpoint that ALSO returns the materialized row
+    * count — one driver action where `localCheckpoint(true)` +
+    * `isEmpty` paid two. The iterative-loop probe fusion (round 15):
+    * every BFS/peel round needs (a) the round's frame materialized
+    * with truncated lineage and (b) "did the frontier drain?"; both
+    * come out of the single count-to-materialize job. Release the
+    * returned frame with [[release]] exactly like a plain
+    * localCheckpoint result. */
+  def checkpointCount(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Long) =
+    if (df.sparkSession.conf
+        .get("spark.graft.fusedCheckpoint", "true") == "true")
+      org.apache.spark.sql.graftbridge.ColumnBridge.localCheckpointWithCount(df)
+    else {
+      // diagnostic fallback (A/B instrumentation): the pre-r15 shape —
+      // eager checkpoint then a second count job over the cached blocks
+      val out = df.localCheckpoint(true)
+      (out, out.count())
+    }
+
   /** Drop EVERY persistent RDD in the session's SparkContext — persist()
     * caches and localCheckpoint materializations alike — plus the SQL
     * cache. This is the between-measurements reset for benchmarks: one

@@ -936,7 +936,14 @@ object Ext {
     // (At 100 TB you'd run only the sketch side; the exact twin here is
     // the test-scale accuracy harness, same pattern as ExtSpec's bounds.)
     "x_approx_stats" -> ((s, d) =>
-      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      // spread the one-task scan: the exact-percentile partial
+      // aggregate buffers every value of its partition, so on the
+      // single-row-group fixture the whole sort load sat on one core
+      // (Skew.spread scaladoc; estimates stay within the graded 5%
+      // tolerance booleans by construction, exact columns unchanged)
+      graft.operators.Skew.spread(t(s, d, "lineitem")
+        .select("l_returnflag", "l_partkey", "l_extendedprice"))
+        .groupBy("l_returnflag").agg(
         approx_count_distinct(col("l_partkey")).as("ad"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("am"),

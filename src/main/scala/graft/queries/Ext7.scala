@@ -873,6 +873,12 @@ object Ext7 {
         .select(col("doc_id").as("cand"), col("ref"),
           split(col("ctext"), " ").as("ta"),
           split(col("rtext"), " ").as("tb"))
+        // spread the pair rows before the O(|ta|·|tb|) LCS DP below:
+        // the ~20-key source window collapses under AQE's bytes-based
+        // coalescing to 1-2 tasks, serializing a DP that costs ~10⁵
+        // ops/row; one row move is negligible against that at ANY
+        // scale, so the explicit exchange is the honest plan shape
+        .repartition(s.sparkContext.defaultParallelism)
       val row0 = transform(sequence(lit(0), size(col("tb"))), _ => lit(0L))
       val dp = aggregate(
         sequence(lit(1), size(col("ta"))),

@@ -22,33 +22,79 @@ object ProfileQuery {
       .appName("graft-profile")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        graft.Tuning.AqeMinPartitionSize)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (confs, names) = args.partition(_.contains("="))
+    val (confs, names) =
+      args.partition(a => a.contains("=") && !a.startsWith("SET:"))
     confs.foreach { kv =>
       val Array(k, v) = kv.split("=", 2)
       spark.conf.set(k, v)
       println(s"[profile] conf $k = $v")
     }
+    // SET:k=v tokens apply mid-sequence (round 15): lets an A/B of a
+    // session conf run inside ONE warmed JVM — back-to-back separate
+    // JVMs proved incomparable under the box's minute-scale latency
+    // epochs (probes swung 13→162 ms between batches)
     val (flags, qNames) = names.partition(_ == "explain")
-    qNames.filter(graft.SparkEntry.queries.contains).foreach { n =>
-      if (flags.nonEmpty) {
+    // per-job scheduler-latency probe (the Bench sentinel_jobs_ms twin):
+    // printed around every query so each measurement is attributable to
+    // a latency epoch — the box swings 14↔47 ms/job within minutes
+    def jobMs(): Double = {
+      val k = 9
+      val ts = Array.tabulate(k) { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 1L, 1L, 1)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e6
+      }
+      java.util.Arrays.sort(ts); ts(k / 2)
+    }
+    jobMs() // codegen warm-up
+    qNames.filter(n =>
+        n.startsWith("SET:") || graft.SparkEntry.queries.contains(n))
+      .foreach { n =>
+      if (n.startsWith("SET:")) {
+        val Array(k, v) = n.stripPrefix("SET:").split("=", 2)
+        spark.conf.set(k, v)
+        println(s"[profile] conf $k = $v (mid-sequence)")
+      } else if (flags.nonEmpty) {
         // plan mode: print the formatted physical plan instead of timing
         println(s"[profile] ==== $n plan ====")
         println(graft.SparkEntry.queries(n)(spark, sfDir)
           .queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
         graft.plans.CheckpointBlocks.releaseAll(spark)
-      } else (1 to 3).foreach { i =>
+      } else { println(f"[profile] $n%-28s jobs_ms ${jobMs()}%6.1f"); (1 to 3).foreach { i =>
+        // job/stage/task census per run (round 15): attributes a
+        // query's cost to scheduling floor (many tiny jobs) vs compute
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val stages = new java.util.concurrent.atomic.AtomicInteger
+        val tasks = new java.util.concurrent.atomic.AtomicInteger
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(s.stageInfo.numTasks)
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        println(f"[profile] $n%-28s run$i ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(150) // let the listener bus drain (diagnostic tool)
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"[profile] $n%-28s run$i $dt%8.3f s  jobs=${jobs.get}%-4d stages=${stages.get}%-4d tasks=${tasks.get}%-6d")
         graft.plans.CheckpointBlocks.releaseAll(spark)
-      }
+      } }
     }
     spark.stop()
   }

@@ -41,4 +41,25 @@ object ColumnBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Eager LOCAL checkpoint that also returns the materialized row
+    * count (round 15). `Dataset.localCheckpoint(eager = true)` already
+    * runs a count() internally to materialize the blocks but discards
+    * the number, so iterative operators paid a SECOND driver job
+    * (`isEmpty`) per round just to learn whether the frontier drained.
+    * This mirrors the classic checkpoint implementation — execute,
+    * copy, localCheckpoint, count, rebuild as a LogicalRDD leaf via
+    * `LogicalRDD.fromDataset` (private[sql], hence this bridge) — and
+    * hands the count back: one action per round instead of two. */
+  def localCheckpointWithCount(df: DataFrame): (DataFrame, Long) = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val internalRdd = ds.queryExecution.toRdd.map(_.copy())
+    internalRdd.localCheckpoint()
+    val n = internalRdd.count()
+    val out = org.apache.spark.sql.classic.Dataset.ofRows(
+      ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD
+        .fromDataset(internalRdd, ds, isStreaming = false))
+    (out, n)
+  }
 }

@@ -85,7 +85,7 @@ class ContractSpec extends SparkSpec {
     // stage 64 tiny files, Warehouse.compact to 1, census = measured
     // file counts + content multiset-hash invariance vs the original
     // table) and hyperANF's release-per-round mode on its own census
-    // (x_eff_diameter_fold: quarter graph, T=5, shared oracle
+    // (x_eff_diameter_fold: quarter graph, T=3, shared oracle
     // template).
     assert(n == 425 && exact == 425,
       s"census drifted ($n/$exact) — update README/SCALE counts and this spec")
@@ -105,6 +105,7 @@ class ContractSpec extends SparkSpec {
     val line = s"""{"metric":"total","value":99999.99,""" +
       s""""value_norm":99999.99,"unit":"sec",""" +
       s""""sentinel_pre":999.99,"sentinel_post":999.99,""" +
+      s""""sentinel_jobs_ms":[99999.9,99999.9],""" +
       s""""n_remeasured":99,""" +
       // worst case: the 60-char length-capped name list Bench emits,
       // filled with the longest current query name (same algorithm)
