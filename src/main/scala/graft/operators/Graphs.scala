@@ -615,8 +615,18 @@ object Graphs {
   /** 2⁴⁰ — the fixed-point scale shared by the rank folds and their
     * DuckDB oracles. Exactly representable as a double. */
   val RankScale: Double = 1099511627776.0
+  /** @param saltedSetup engage [[Skew.saltedDedup]] for the adjacency
+    *   dedup — the hub-skew mitigation (round 15, VERDICT r14 item 3):
+    *   on a power-law graph the single-key dedup below concentrates a
+    *   hub's whole edge list in one task and AQE cannot split a dedup
+    *   key group; the salted form splits it `buckets`-ways for one
+    *   extra setup shuffle. Output is row-identical either way
+    *   (SkewSpec pins it on a planted-hub graph); default off — at
+    *   the 100 TB design point flip it when max-degree · row-width
+    *   approaches executor memory (SCALE.md §graphs). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85,
+               saltedSetup: Boolean = false): DataFrame = {
     // ONE edge shuffle for dedup + degree + the cached join side (the
     // landmarkBetweenness adjacency note): partitioned on src, the
     // (src,dst) dedup and the src-keyed degree agg are both satisfied
@@ -632,9 +642,11 @@ object Graphs {
     // cannot split this one because the dedup NEEDS all of a key's
     // rows co-located. The degree agg itself is safe either way
     // (partial aggregation compacts hub partitions map-side).
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val symRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .repartition(col("src")).dropDuplicates()
+    val sym =
+      if (saltedSetup) Skew.saltedDedup(symRaw, "src", "dst")
+      else symRaw.repartition(col("src")).dropDuplicates()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // adjacency is re-joined on src every round: cache it PARTITIONED
     // on the join key so each iteration shuffles only the rank frame,

@@ -87,6 +87,12 @@ object LangModel {
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
+    // ONE action per round (round 15): the argmax collect of round r+1
+    // is itself the job that materializes round r's persisted rewrite,
+    // so the explicit per-round `count()` was a pure extra job — the
+    // feeding round's unpersist just has to WAIT one round (until the
+    // collect has filled the new cache), held in `prev`
+    var prev: Option[DataFrame] = None
     for (r <- 1 to k if !exhausted) {
       val best = words
         .select(col("cnt"), explode(zip_with(
@@ -97,6 +103,9 @@ object LangModel {
         .agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
+      // `words` is now materialized in its cache — the round that fed
+      // it can release (lineage stays intact; nothing recomputes)
+      prev.foreach(_.unpersist()); prev = None
       if (best.isEmpty) exhausted = true
       else {
         val (l, rr, pc) =
@@ -110,11 +119,11 @@ object LangModel {
                 array(concat(element_at(acc, -1), x))))
               .otherwise(concat(acc, array(x)))))
           .persist()
-        next.count() // materialize before releasing the feeding round
-        words.unpersist()
+        prev = Some(words)
         words = next
       }
     }
+    prev.foreach(_.unpersist())
     words.unpersist()
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }

@@ -56,9 +56,15 @@ object ProfileQuery {
     }
     jobMs() // codegen warm-up
     qNames.filter(n =>
-        n.startsWith("SET:") || graft.SparkEntry.queries.contains(n))
+        n == "GC" || n.startsWith("SET:") ||
+          graft.SparkEntry.queries.contains(n))
       .foreach { n =>
-      if (n.startsWith("SET:")) {
+      if (n == "GC") {
+        // diagnostic token: full GC between queries — discriminates
+        // heap/code-cache pressure from genuine cost (VERDICT r14 #2)
+        System.gc(); Thread.sleep(500); System.gc()
+        println("[profile] forced full GC")
+      } else if (n.startsWith("SET:")) {
         val Array(k, v) = n.stripPrefix("SET:").split("=", 2)
         spark.conf.set(k, v)
         println(s"[profile] conf $k = $v (mid-sequence)")
